@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[N], one JVM);
+every setting is chosen to also be the right default on a real cluster:
+AQE handles runtime re-planning and skew, shuffle partitions are sized to
+cores locally (on a cluster you'd size to total executor cores), Arrow is
+on for the Pandas-UDF path, and the session timezone is pinned to UTC so
+timestamps agree with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "distributed_database_for_sql_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-ready defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings the driver-supplied session may lack but the oracle needs.
+
+    Safe to call on any session: pins UTC so Spark timestamp values equal
+    DuckDB's UTC-naive parquet timestamps.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
