@@ -29,6 +29,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes physical-type quirks at the source.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects.  It's read as raw nanos (legacy conf) and
+    truncated to microseconds — the same precision DuckDB surfaces, so
+    oracle comparisons agree.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

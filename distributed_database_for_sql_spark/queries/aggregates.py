@@ -1,1 +1,265 @@
-"""Placeholder — populated in later milestones."""
+"""Aggregation surface: multi-key, HAVING, distinct, grouping sets, pivot,
+statistics, percentiles, approx sketches (SURVEY.md §2.C "Aggregations").
+
+Spark's hash aggregate is partial+final automatically (map-side combine),
+so every groupBy here ships |groups| rows per partition, not |rows| —
+the property that makes these plans hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+    tags=("agg", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_supp,
+           COUNT(DISTINCT l_partkey)  AS n_part,
+           COUNT(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines; exactness checked in tests
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale cardinality
+    path: constant memory per group vs. the exact expand-shuffle.
+
+    Rows-only driver check; tests/test_aggregates.py bounds its error
+    against the exact count (rsd 5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING id to tag subtotal levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 2^2 grouping sets in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+@register(
+    "agg_global_stats",
+    oracle="""
+    SELECT COUNT(*)                               AS n,
+           ROUND(MIN(l_extendedprice), 2)         AS min_price,
+           ROUND(MAX(l_extendedprice), 2)         AS max_price,
+           ROUND(AVG(l_extendedprice), 4)         AS avg_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_discount), 6)         AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    """,
+    tags=("agg", "stats"),
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand aggregate with moment-based statistics (single-pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95) per group.
+
+    At 100 TB you'd switch to `percentile_approx` (t-digest-style sketch,
+    mergeable, bounded memory) — kept exact here for oracle parity; the
+    approx variant is exercised in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-values pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return (
+        piv.select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, ROUND(val, 2) AS value
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size',  CAST(p_size AS DOUBLE)    AS val FROM part
+    ) u
+    ORDER BY p_partkey, metric
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) via the stack() generator — one scan, no join."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE))"
+            ).alias("metric", "val"),
+        )
+        .select("p_partkey", "metric", F.round("val", 2).alias("value"))
+        .orderBy("p_partkey", "metric")
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar function library: string, date/time, math, array, map, JSON,
+conditional (SURVEY.md §2.C "Scalar function library").
+
+Everything is a built-in `pyspark.sql.functions` expression — JVM-side,
+inside whole-stage codegen; no Python in the row path.  Oracle SQL uses the
+DuckDB spelling of the same function where names differ (instr→strpos,
+log→ln, get_json_object→json_extract_string, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .base import register
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT doc_id,
+           UPPER(SUBSTRING(text, 1, 10))                    AS head_uc,
+           LOWER(source)                                    AS src_lc,
+           LENGTH(text)                                     AS text_len,
+           TRIM(CONCAT('  ', lang, '  '))                   AS lang_trim,
+           STRPOS(text, 'data')                             AS data_pos,
+           REPLACE(SUBSTRING(text, 1, 20), ' ', '_')        AS head_snake,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1)              AS first_word,
+           REGEXP_REPLACE(SUBSTRING(text, 1, 20), '[aeiou]', '*', 'g') AS devoweled,
+           LPAD(CAST(doc_id AS VARCHAR), 6, '0')            AS padded_id,
+           REVERSE(lang)                                    AS lang_rev,
+           SPLIT_PART(text, ' ', 1)                         AS first_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("function", "string"),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions end-to-end on the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 10)).alias("head_uc"),
+            F.lower("source").alias("src_lc"),
+            F.length("text").alias("text_len"),
+            F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+            F.instr("text", "data").alias("data_pos"),
+            F.regexp_replace(F.substring("text", 1, 20), " ", "_").alias("head_snake"),
+            F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "*").alias("devoweled"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+            F.reverse("lang").alias("lang_rev"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year  FROM o_orderdate)                       AS yr,
+           EXTRACT(month FROM o_orderdate)                       AS mo,
+           EXTRACT(day   FROM o_orderdate)                       AS dy,
+           EXTRACT(quarter FROM o_orderdate)                     AS qtr,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)   AS month_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE)     AS month_end,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)     AS plus3mo,
+           EPOCH(o_orderdate)                                    AS epoch_s
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "datetime"),
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction, truncation, arithmetic, epoch conversion."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.datediff(F.lit("2000-01-01").cast("date"),
+                       F.col("o_orderdate").cast("date")).cast("long").alias("days_to_y2k"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3mo"),
+            F.unix_timestamp("o_orderdate").cast("double").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_math_suite",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1)                    AS price_r1,
+           ABS(p_size - 25)                           AS size_dev,
+           FLOOR(p_retailprice / 100)                 AS price_bucket,
+           CEIL(p_retailprice / 100)                  AS price_bucket_up,
+           ROUND(POW(p_size, 2), 2)                   AS size_sq,
+           ROUND(SQRT(p_retailprice), 4)              AS price_sqrt,
+           ROUND(LN(p_retailprice), 4)                AS price_ln,
+           ROUND(LOG10(p_retailprice), 4)             AS price_log10,
+           MOD(p_partkey, 7)                          AS key_mod7,
+           SIGN(p_size - 25)                          AS size_sign
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "math"),
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (round/abs/floor/ceil/pow/sqrt/ln/log10/mod/sign)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.round("p_retailprice", 1).alias("price_r1"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+            F.ceil(F.col("p_retailprice") / 100).alias("price_bucket_up"),
+            F.round(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),
+            F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+            F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+            F.round(F.log10("p_retailprice"), 4).alias("price_log10"),
+            (F.col("p_partkey") % 7).alias("key_mod7"),
+            F.signum(F.col("p_size") - F.lit(25)).cast("double").alias("size_sign"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding)                                                   AS dim,
+           ROUND(embedding[1], 4)                                           AS first_elem,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> x * x), 'sum'), 3) AS sq_norm,
+           ROUND(LIST_AGGREGATE(embedding, 'max'), 4)                       AS max_elem,
+           LEN(LIST_FILTER(embedding, x -> x > 0))                          AS n_positive,
+           ROUND(LIST_AGGREGATE(LIST_SLICE(embedding, 1, 8), 'sum'), 4)     AS head_sum
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("function", "array"),
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size / index / transform /
+    aggregate (fold) / filter / slice — all JVM higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at(vec, 1), 4).alias("first_elem"),
+            F.round(
+                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 3
+            ).alias("sq_norm"),
+            F.round(F.array_max(vec), 4).alias("max_elem"),
+            F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
+            F.round(
+                F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("head_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "fn_map_suite",
+    oracle="""
+    SELECT doc_id,
+           n_chars                                   AS chars_via_map,
+           LENGTH(text)                              AS len_via_map,
+           2                                         AS n_keys,
+           CAST(n_chars >= LENGTH(text) AS BOOLEAN)  AS chars_gte_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("function", "map"),
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + element_at / map_keys / map_values.
+
+    A map column is built from scalars, then consumed back to scalars so
+    the oracle (which has no map) checks the same values."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars"),
+        F.lit("len"), F.length("text").cast("long"),
+    )
+    with_map = docs.select("doc_id", m.alias("props_map"))
+    return (
+        with_map.select(
+            "doc_id",
+            F.element_at("props_map", "chars").alias("chars_via_map"),
+            F.element_at("props_map", "len").cast("int").alias("len_via_map"),
+            F.size(F.map_keys("props_map")).alias("n_keys"),
+            (
+                F.element_at("props_map", "chars")
+                >= F.element_at("props_map", "len")
+            ).alias("chars_gte_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_get,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_struct,
+           (JSON_EXTRACT_STRING(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    tags=("function", "json"),
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction two ways: get_json_object and from_json→struct."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = F.from_json(F.col("props"), schema)
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_get"),
+            parsed.getField("k").alias("k_struct"),
+            F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                                   AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'filled'
+                              ELSE 'other' END                   AS status_word,
+           GREATEST(o_totalprice, 150000.0)                      AS floor_price,
+           LEAST(CAST(o_custkey AS BIGINT), 500)                 AS capped_cust,
+           IF(o_orderpriority LIKE '1%', 1, 0)                   AS is_urgent
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "conditional"),
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise chains, simple CASE, greatest/least, if()."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 300000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.when(F.col("o_orderstatus") == "O", "open")
+            .when(F.col("o_orderstatus") == "F", "filled")
+            .otherwise("other")
+            .alias("status_word"),
+            F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+            F.least(F.col("o_custkey"), F.lit(500).cast("long")).alias("capped_cust"),
+            F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).alias("is_urgent"),
+        )
+        .orderBy("o_orderkey")
+    )

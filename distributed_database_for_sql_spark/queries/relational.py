@@ -1,1 +1,263 @@
-"""Placeholder — populated in later milestones."""
+"""Projections, filters, sorts/limits, set operations, distinct/dedup.
+
+The core row-at-a-time relational surface a SQL command log implies
+(SURVEY.md §2.C "Projections / filters", "Sorts / limits / set ops").
+Everything here stays inside whole-stage codegen — no UDFs — and every
+filter/projection is expressed so Catalyst pushes it into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+
+@register(
+    "proj_computed_columns",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                          AS brand_uc,
+           ROUND(p_retailprice * 1.1, 2)           AS price_markup,
+           p_size * 2                              AS double_size,
+           CONCAT(p_brand, ':', p_type)            AS brand_type
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("projection",),
+)
+def proj_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns and aliasing; column-pruned scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("price_markup"),
+            (F.col("p_size") * 2).alias("double_size"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "filter_compound_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_custkey % 10 = 3)
+    ORDER BY o_orderkey
+    """,
+    tags=("filter",),
+)
+def filter_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT, BETWEEN, IN, modulo arithmetic in predicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            ((F.col("o_orderstatus") == "O") | (F.col("o_orderstatus") == "F"))
+            & F.col("o_totalprice").between(50000, 200000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & ~(F.col("o_custkey") % 10 == 3)
+        )
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "filter_like_patterns",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE 'PRO%' OR p_name LIKE '%_5%'
+    ORDER BY p_partkey
+    """,
+    tags=("filter", "string"),
+)
+def filter_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with prefix and wildcard-underscore patterns."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("PRO%") | F.col("p_name").like("%_5%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'P')                       AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')  AS status_filled,
+           (NULLIF(o_orderstatus, 'P') IS NULL)             AS is_pending,
+           (NULLIF(o_orderstatus, 'P') IS NOT NULL)         AS not_pending
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("filter", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif / coalesce / isNull / isNotNull.
+
+    The synthetic tables carry no NULLs, so NULLIF manufactures them —
+    exercising three-valued logic end-to-end through codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+            status_or_null.isNull().alias("is_pending"),
+            status_or_null.isNotNull().alias("not_pending"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "sort_multi_key_limit",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_mktsegment ASC, acctbal DESC, c_custkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort with deterministic tie-break + limit.
+
+    Runs as TakeOrderedAndProject — per-partition top-25 then a single
+    driver-side merge, never a global sort; safe at any SF.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.asc("c_mktsegment"), F.desc("acctbal"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "distinct_values",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment
+    FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("distinct",),
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (hash-aggregate without agg functions)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_nationkey", "c_mktsegment").distinct().orderBy(
+        "c_nationkey", "c_mktsegment"
+    )
+
+
+@register(
+    "dedup_keep_first_by_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("distinct", "window", "dedup"),
+)
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-by-key: keep each customer's earliest order.
+
+    `dropDuplicates(keys)` keeps an arbitrary row, which can't be oracled;
+    the deterministic formulation (row_number over an explicit order) is
+    what a production pipeline wants anyway.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey AS okey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey AS okey, 'big' AS src FROM orders WHERE o_totalprice > 400000
+    ORDER BY okey, src
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName (column-name-resolved, scale-safe)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey"), F.lit("urgent").alias("src")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("okey"), F.lit("big").alias("src")
+    )
+    return urgent.unionByName(big).orderBy("okey", "src")
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics; dedups both sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_nationkey
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity-aware difference)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.exceptAll(b).orderBy("c_nationkey")

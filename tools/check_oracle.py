@@ -39,8 +39,10 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6g}"
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
         return v.isoformat(sep=" ").replace("+00:00", "")
+    if isinstance(v, date):
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     if isinstance(v, bytes):
