@@ -1,0 +1,142 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Three strategies, in increasing scale-readiness (SURVEY.md §2.C "LLM ops"):
+
+1. `brute_force_topk` — exact: normalize once, broadcast the (small) query
+   set, cosine against every candidate, per-query top-k window.  O(Q×N);
+   the baseline and the verifier for the approximate paths.
+2. `partition_pruned_topk` — IVF-style: restrict each query's search to
+   its coarse cell (here the `label` column stands in for a learned
+   quantizer cell).  At 100 TB cells map to parquet partitions → partition
+   pruning skips the data entirely.
+3. `lsh_bucketed_topk` — random-hyperplane LSH: 16 deterministic sign
+   planes (portable md5-derived), 16-bit bucket code, candidates only
+   within the same bucket.  Deterministic planes make even this
+   approximate path reproducible in the DuckDB oracle.
+
+All cosine math is f64 fold-based (functions/vector.py) — bit-identical
+across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+from ..functions.vector import as_double, cosine
+
+N_PLANES = 16
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Rank candidates per query on rounded cosine (engine-stable), top-k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_r"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("cos_r", F.round("cos", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("cos_r").alias("cos"), "rn")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; query set broadcast, one pass over candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def partition_pruned_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style: each query only scans its own coarse cell."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("qcell"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("ccell"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    pairs = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qcell") == F.col("ccell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def plane_sign(p: int, k: F.Column) -> F.Column:
+    """Deterministic ±1 for plane p, dimension k (portable md5 parity)."""
+    return (
+        md5_long(F.concat(F.lit(f"plane{p}#"), k.cast("string"))) % 2
+    ) * 2 - 1
+
+
+def lsh_code(vec: F.Column, dim: int = 64, n_planes: int = N_PLANES) -> F.Column:
+    """16-bit random-hyperplane code: bit p = sign(Σ_k vec[k]·s(p,k)) > 0."""
+    def fold(p: int):
+        # closure (not a default arg): Spark HOFs count lambda arity strictly
+        return lambda acc, k: acc + F.element_at(vec, k) * plane_sign(p, k)
+
+    code = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot_p = F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), fold(p))
+        code = code + F.when(dot_p > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return code
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """ANN: candidates share the query's 16-bit hyperplane bucket.
+
+    Recall < 1 by construction (single-probe); the pytest suite measures
+    recall against brute force.  At scale: codes are precomputed columns,
+    the bucket join is an equi shuffle on the code, and multi-probe
+    (flip 1 bit) trades compute for recall — same plan shape."""
+    with_code = emb.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_code(as_double(F.col(vec_col)), dim).alias("code"),
+    )
+    q = with_code.join(
+        queries.select(id_col), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    c = with_code.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("code").alias("ccode"),
+    )
+    pairs = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qcode") == F.col("ccode"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked_topk(pairs, k)

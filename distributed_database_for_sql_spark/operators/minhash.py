@@ -1,0 +1,150 @@
+"""MinHash + LSH near-duplicate detection — a distributed pipeline operator
+Spark has no primitive for (SURVEY.md §2.C / §4.2: algorithmic pruning,
+not a Catalyst rule).
+
+Pipeline (all DataFrame ops, no Python in the row path):
+
+    shingle → base-hash each shingle once (portable md5_long)
+            → num_hashes linear permutations  (aᵢ·h + bᵢ) mod P
+            → per-doc signature (array_min per permutation; no explode)
+            → split signature into bands, hash each band
+            → explode bands, self-join on (band, band_key)   ← the only shuffle
+            → distinct candidate pairs
+            → exact Jaccard verification on shingle sets
+            → keep pairs ≥ threshold
+
+Scale notes (100 TB):
+- Signature computation is embarrassingly parallel, one pass per doc.
+- The band self-join shuffles `docs × bands` small rows; hot buckets
+  (boilerplate text) are the skew risk — `max_bucket` caps them, which
+  bounds the quadratic pair blow-up per bucket; AQE skew-join splits the
+  rest.
+- Verification re-joins the shingle arrays only for surviving candidates.
+- Permutation constants are Python-precomputed (hashlib md5, identical to
+  the SQL md5) so DuckDB can reproduce every intermediate value.
+
+Recall math: P(candidate | J=s) = 1 − (1 − s^r)^b; with r=2, b=64 a pair
+at J=0.5 is missed with p ≈ 1e-8 — effectively exhaustive above 0.5,
+which is what lets the exact all-pairs oracle validate the LSH output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import jaccard, md5_long, word_shingles
+
+MERSENNE31 = 2147483647  # permutation modulus P
+
+
+def _const(tag: str, i: int, mod: int) -> int:
+    """Deterministic permutation constant from md5 — reproducible anywhere."""
+    return int(hashlib.md5(f"{tag}#{i}".encode()).hexdigest()[:15], 16) % mod
+
+
+def permutation_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [_const("a", i, MERSENNE31 - 1) + 1 for i in range(num_hashes)]
+    b = [_const("b", i, MERSENNE31) for i in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig: array<long>[num_hashes]) per document."""
+    a, b = permutation_constants(num_hashes)
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+
+    shingles = word_shingles(F.col(text_col), w=shingle_w)
+    base = F.transform(shingles, lambda s: md5_long(s) % MERSENNE31)
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: (F.element_at(a_arr, i) * h + F.element_at(b_arr, i))
+                % MERSENNE31,
+            )
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        shingles.alias("shingles"),
+        sig.alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+    shingle_w: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Verified near-duplicate pairs: (id_a, id_b, jacc) with jacc ≥ threshold.
+
+    jacc is the EXACT shingle-set Jaccard of each LSH candidate pair —
+    LSH only prunes the pair space; it never decides similarity.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_w)
+
+    band_key = F.aggregate(
+        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * (MERSENNE31 + 2) % (2**61 - 1) + x,
+    )
+    banded = (
+        sigs.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            "sig",
+        )
+        .select("id", "band", band_key.alias("band_key"))
+    )
+    # Cap pathological buckets (boilerplate shingles): keep the first
+    # max_bucket doc ids per bucket — bounds per-bucket pair explosion.
+    w = Window.partitionBy("band", "band_key").orderBy("id")
+    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_b")
+    )
+    candidates = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = sigs.select("id", "shingles")
+    verified = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+    return verified

@@ -1,1 +1,228 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators for training-data pipelines: exact (hash),
+MinHash+LSH, SimHash, n-gram Jaccard (SURVEY.md §2.C "LLM ops").
+
+Every query's oracle recomputes the same values in DuckDB — including the
+MinHash signatures themselves, thanks to the portable md5-based hash and
+Python-precomputed permutation constants (operators/minhash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import jaccard, md5_long, simhash, word_shingles
+from ..operators.minhash import (
+    MERSENNE31,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    permutation_constants,
+)
+from .base import register
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT content_hash, doc_id AS keeper, n_copies
+    FROM (
+      SELECT MD5(text) AS content_hash, doc_id, COUNT(*) OVER (PARTITION BY MD5(text)) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    ORDER BY keeper
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep the lowest doc_id.
+
+    At 100 TB this is the cheapest dedup pass: one shuffle on a 128-bit
+    hash (uniform keys — no skew), map-side pre-aggregation, and the text
+    itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    h = F.md5("text").alias("content_hash")
+    w = W.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", h)
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", F.col("doc_id").alias("keeper"), "n_copies")
+        .orderBy("keeper")
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 16) -> str:
+    """DuckDB SQL computing the identical MinHash signature."""
+    a, b = permutation_constants(num_hashes)
+    perms = ", ".join(
+        f"LIST_MIN([({a[i]} * h + {b[i]}) % {MERSENNE31} FOR h IN base]) AS s{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS shingles
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             [('0x'||substr(md5(s),1,15))::BIGINT % {MERSENNE31} FOR s IN shingles] AS base
+      FROM sh
+    )
+    SELECT doc_id, {perms}
+    FROM hashed
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=_minhash_oracle_sql(16),
+    tags=("dedup", "minhash", "llm"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms) — bit-identical to the DuckDB oracle.
+
+    Proves the portable-hash + linear-permutation machinery agrees across
+    engines; the production pipeline uses 128 perms (next query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cols = [F.element_at("sig", i + 1).alias(f"s{i}") for i in range(16)]
+    return sigs.select(F.col("id").alias("doc_id"), *cols).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) /
+                 (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 4) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) /
+          (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "minhash", "lsh", "llm"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash(128) + LSH(64 bands × 2 rows) + exact verify.
+
+    The oracle is brute-force all-pairs Jaccard ≥ 0.5 — at these LSH
+    parameters the miss probability at J=0.5 is ~1e-8, so the pruned
+    pipeline must reproduce the exhaustive answer exactly.  The pipeline
+    scales as O(docs × bands) shuffle rows; the oracle's O(n²) obviously
+    doesn't — that asymmetry is the point of LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    return (
+        pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             [('0x'||substr(md5(t),1,15))::BIGINT FOR t IN tk] AS hs
+      FROM tok
+    )
+    SELECT doc_id,
+           LIST_SUM([
+             CASE WHEN LIST_SUM([(h // (1<<b)) % 2 * 2 - 1 FOR h IN hs]) > 0
+                  THEN (1<<b) ELSE 0 END
+             FOR b IN generate_series(0, 15)
+           ])::BIGINT AS simhash16
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash", "llm"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over its distinct-token set —
+    bit-identical to the DuckDB oracle (portable hash, same bit votes).
+
+    Near-dup detection then pairs docs with small Hamming distance; the
+    Hamming-pair query is covered by the pytest suite (the corpus'
+    vocabulary makes 16-bit SimHash collide heavily, which is exactly
+    what the unit fixtures pin down instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.array_distinct(F.split(F.col("text"), " "))
+    return (
+        docs.select("doc_id", simhash(tk, bits=16).alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_blocked",
+    oracle="""
+    WITH gr AS (
+      SELECT doc_id, lang,
+             list_distinct([substring(text, i, 4)
+                            FOR i IN generate_series(1, length(text)-3)]) AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+           ROUND(CAST(len(list_intersect(a.g,b.g)) AS DOUBLE) /
+                 (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))), 4) AS char_jacc
+    FROM gr a JOIN gr b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g,b.g)) AS DOUBLE) /
+          (len(a.g)+len(b.g)-len(list_intersect(a.g,b.g))) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "ngram", "llm"),
+)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs, blocked by language.
+
+    Blocking (join key = lang) is the simplest candidate-pruning scheme:
+    the cross product only forms inside blocks.  At 100 TB the block key
+    would be coarser (lang × length-bucket × source) — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    grams = F.array_distinct(
+        F.when(
+            ln >= 4,
+            F.transform(
+                F.sequence(F.lit(1), ln - 3),
+                lambda i: F.col("text").substr(i, F.lit(4)),
+            ),
+        ).otherwise(F.array(F.col("text")))
+    )
+    gr = docs.select("doc_id", "lang", grams.alias("g"))
+    a = gr.select(
+        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("g").alias("g_a")
+    )
+    b = gr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("g").alias("g_b"),
+    )
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("char_jacc", jaccard(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("char_jacc") >= 0.8)
+        .select("id_a", "id_b", "lang", F.round("char_jacc", 4).alias("char_jacc"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — populated in later milestones."""
+"""Embedding similarity search (SURVEY.md §2.C "LLM ops"): brute-force
+cosine top-k baseline, IVF-style partition-pruned search, hyperplane-LSH
+bucketed ANN, and cosine near-dup pairs.
+
+Cosine values are computed with the identical f64 fold on both engines
+(verified bit-identical), then rounded to 6 decimals BEFORE ranking so
+tie order is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import as_double, cosine
+from ..operators.ann import (
+    N_PLANES,
+    brute_force_topk,
+    lsh_bucketed_topk,
+    partition_pruned_topk,
+)
+from .base import register
+
+# Shared DuckDB fragment: f64 cosine identical to functions/vector.cosine.
+_DUCK_COS = """
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id ASC) AS rn
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) t
+    WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ann", "llm"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors — the ANN ground truth.
+
+    O(Q×N) with the query side broadcast: scales to any N as a single
+    pass; Q is the bounded side by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "ann_partition_pruned_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id ASC) AS rn
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+                        AND a.label = b.label
+    ) t
+    WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "ann", "ivf", "llm"),
+)
+def ann_partition_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (label column).
+
+    At 100 TB the cell is a partition column — Catalyst prunes every other
+    partition at scan time, so cost is |cell| not |corpus|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return partition_pruned_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+def _lsh_code_sql(table_alias: str) -> str:
+    """DuckDB twin of operators/ann.lsh_code (same planes, same bits)."""
+    bits = []
+    for p in range(N_PLANES):
+        dot = (
+            f"list_sum([{table_alias}.embedding::DOUBLE[])[k] * "
+            f"((('0x'||substr(md5('plane{p}#'||k),1,15))::BIGINT % 2) * 2 - 1) "
+            f"FOR k IN generate_series(1, 64)])"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    oracle=None,  # oracled structurally via pytest recall check vs brute force
+    tags=("similarity", "ann", "lsh", "llm"),
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: top-5 within the query's 16-bit bucket.
+
+    Rows-only driver check; tests/test_llm.py verifies (a) determinism and
+    (b) recall vs. brute force on the bucketed candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return lsh_bucketed_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+           ROUND({_DUCK_COS}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("similarity", "dedup", "llm"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates: all pairs with cos ≥ 0.4.
+
+    All-pairs is exact and fine at fixture scale; the 100 TB path is the
+    LSH-bucketed variant above (same verify step, pruned candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        as_double(F.col("embedding")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "label_a", "label_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,1 +1,275 @@
-"""Placeholder — populated in later milestones."""
+"""Text analysis for training-data pipelines: token statistics, quality
+scoring, language-ID heuristics, word frequencies, fingerprints
+(SURVEY.md §2.C "LLM ops" / north-star text analysis).
+
+All row-level work is JVM expressions (split / filter / aggregate HOFs);
+the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import STOPWORDS, md5_long, stopword_ratio, tokens
+from .base import register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                      AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))       AS n_unique,
+           ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / len(string_split(text,' ')), 4)           AS ttr,
+           ROUND(CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / len(string_split(text,' ')), 4)           AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts, type-token ratio, average token length.
+
+    Token counting here is whitespace; the BPE-ish regex variant is
+    text_token_count_bpe below."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_tok = F.size(tk)
+    n_uniq = F.size(F.array_distinct(tk))
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_uniq.alias("n_unique"),
+            F.round(n_uniq.cast("double") / n_tok, 4).alias("ttr"),
+            F.round(
+                (F.length("text") - n_tok + 1).cast("double") / n_tok, 4
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+'))                       AS ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                           x -> x <> ''))                                 AS word_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT)                       AS approx_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "llm"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, word-regex, and the
+    chars/4 BPE approximation used for LLM budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    words = F.filter(
+        F.split(F.col("text"), r"[^a-zA-Z0-9]+"), lambda x: x != ""
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("ws_tokens"),
+            F.size(words).alias("word_tokens"),
+            F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           ROUND(CAST(len(list_filter(string_split(text,' '),
+                 t -> list_contains({list(STOPWORDS)!r}, lower(t)))) AS DOUBLE)
+                 / len(string_split(text,' ')), 4) AS stop_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+                 + CAST(len(list_filter(string_split(text,' '),
+                       t -> list_contains({list(STOPWORDS)!r}, lower(t)))) AS DOUBLE)
+                   / len(string_split(text,' ')) * 0.3
+                 + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text)) * 0.2, 4) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword ratio +
+    punctuation penalty — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    stop_r = stopword_ratio(F.col("text"))
+    punct_r = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")).cast("double")
+        / n_chars
+    )
+    quality = (
+        F.least(n_chars / 500.0, F.lit(1.0)) * 0.5
+        + stop_r * 0.3
+        + (1.0 - punct_r) * 0.2
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            F.round(stop_r, 4).alias("stop_ratio"),
+            F.round(punct_r, 4).alias("punct_ratio"),
+            F.round(quality, 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '),
+                 t -> list_contains(['the','a','of','and','to'], t)))     AS en_score,
+             len(list_filter(string_split(text,' '),
+                 t -> list_contains(['data','table','row','column'], t))) AS tech_score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           en_score, tech_score,
+           CASE WHEN en_score >= 3 THEN 'en-like' ELSE 'other' END AS predicted
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "langid", "llm"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: count hits against per-class marker sets,
+    argmax → label.  (The fixture corpus shares one vocabulary across its
+    lang tags, so this checks the mechanism, not real-world accuracy.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    en_markers = ["the", "a", "of", "and", "to"]
+    tech_markers = ["data", "table", "row", "column"]
+    en_score = F.size(F.filter(tk, lambda t: t.isin(*en_markers)))
+    tech_score = F.size(F.filter(tk, lambda t: t.isin(*tech_markers)))
+    return (
+        docs.select(
+            "doc_id", "lang",
+            en_score.alias("en_score"),
+            tech_score.alias("tech_score"),
+            F.when(en_score >= 3, "en-like").otherwise("other").alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_word_freq_topk",
+    oracle="""
+    SELECT token, n, rn
+    FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ) t
+    WHERE rn <= 20
+    ORDER BY rn
+    """,
+    tags=("text", "freq", "llm"),
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term frequency, top-20 (explode → count → rank).
+
+    The explode shuffles |tokens| rows once; at 100 TB you'd pre-aggregate
+    per partition (map-side combine already does) — the plan is exactly
+    that shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .orderBy("rn")
+    )
+
+
+@register(
+    "text_bigram_topk_per_lang",
+    oracle="""
+    SELECT lang, bigram, n, rn
+    FROM (
+      SELECT lang, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+      FROM (
+        SELECT lang, unnest([array_to_string(string_split(text,' ')[i:i+1],' ')
+                             FOR i IN generate_series(1, len(string_split(text,' '))-1)]) AS bigram
+        FROM documents
+      )
+      GROUP BY lang, bigram
+    ) t
+    WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+    tags=("text", "ngram", "llm"),
+)
+def text_bigram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language (n-gram model input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.array_join(F.slice(tk, i, 2), " "),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS bag_fp,
+           ('0x'||substr(md5(text),1,15))::BIGINT AS content_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "llm"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive bag fingerprint (md5 of
+    sorted distinct tokens) + 60-bit content hash — the join keys for
+    cheap exact/near-exact dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            bag.alias("bag_fp"),
+            md5_long(F.col("text")).alias("content_fp"),
+        )
+        .orderBy("doc_id")
+    )
