@@ -1,1 +1,135 @@
-"""Placeholder — populated in later milestones."""
+"""Streaming queries exposed through the driver contract.
+
+Each entry runs a real Structured Streaming job (file source → windowed /
+stateful computation → memory sink, drained synchronously) and returns the
+final batch-equivalent result, which the DuckDB oracle recomputes with
+batch SQL (SURVEY.md §5.2.4).  Multi-batch-only semantics (late-data
+drops) live in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import jobs
+from .base import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (real stream run)."""
+    return jobs.tumbling_counts(spark, sf_dir).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS wstart,
+             ts, value
+      FROM events
+    )
+    SELECT CAST(wstart AS TIMESTAMP) AS window_start,
+           CAST(wstart + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+           COUNT(*) AS n,
+           (CAST(ROUND(SUM(value) * 100) AS BIGINT) * 10000) // COUNT(*) AS avg_value_e6
+    FROM buckets
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+    GROUP BY wstart
+    ORDER BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): each event lands in two
+    windows; the oracle materializes the same membership via unnest."""
+    return jobs.sliding_averages(spark, sf_dir).orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 30
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP)                        AS session_start,
+           CAST(MAX(ts) + INTERVAL '10 minutes' AS TIMESTAMP) AS session_end,
+           COUNT(*)                                          AS n_events,
+           ROUND(SUM(value), 2)                              AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (10-minute inactivity gap).
+
+    Spark's session_window end = last event + gap; the oracle reproduces
+    that with the classic gaps-and-islands formulation."""
+    return jobs.session_windows(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id (watermarked), counted per type.
+
+    event_ids are unique in the fixture, so deduped == input — the check
+    proves no row is dropped or duplicated across micro-batches."""
+    return jobs.stateful_dedup_counts(spark, sf_dir).orderBy("event_type")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value * CASE event_type
+                 WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                 WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 5.0
+                 ELSE 0.0 END), 2) AS weighted_total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ broadcast static dimension, weighted aggregation."""
+    return jobs.stream_static_join_agg(spark, sf_dir).orderBy("event_type")

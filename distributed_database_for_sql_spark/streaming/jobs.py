@@ -1,0 +1,170 @@
+"""Structured Streaming jobs over the events table.
+
+The reference's one behavioral contract is an ordered, exactly-once apply
+stream (`applyCh`, /root/reference/src/raft/node.go:35 — see SURVEY.md
+§1.3); Structured Streaming's checkpointed micro-batches are the Spark
+substrate for it.  These jobs read the events parquet through a *file
+streaming source* (schema-pinned, nanos→micros normalized like the batch
+catalog), run a windowed/stateful computation, and drain synchronously
+(`processAllAvailable`) into a memory sink so the driver's batch-shaped
+contract can verify the result.
+
+Determinism note: every job here has a batch-equivalent answer once all
+input is consumed — that's what makes the DuckDB oracle applicable.
+Late-data semantics (watermark drops across micro-batches) are inherently
+multi-batch and are pinned by tests/test_streaming.py instead.
+
+At scale: the file source becomes Kafka/cloud storage; the memory sink
+becomes foreachBatch → ACID table; watermarks bound state size; nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as raw longs
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream, ts normalized to microseconds.
+
+    FileStreamSource requires a directory; the single parquet file is
+    staged via symlink into a temp dir (read-only testdata untouched).
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(os.path.abspath(src)))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return batch result."""
+    spark = result.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + sum(value)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type", "n", "total",
+    )
+
+
+def sliding_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: avg(value) per window.
+
+    The average is reported in integer micro-units ((cents·10000) div n):
+    `value` is 2-decimal data, so the windowed sum is exact in cents and
+    integer division is bit-deterministic across engines — a float avg
+    can land exactly on a rounding boundary and flip the last digit.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        F.expr(
+            "(CAST(ROUND(total * 100) AS BIGINT) * 10000) div n"
+        ).alias("avg_value_e6"),
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "10 minutes",
+                    max_users: int = 30) -> DataFrame:
+    """Per-user session windows (gap-close semantics)."""
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") < max_users)
+    agg = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events", "session_value",
+    )
+
+
+def stateful_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id under a watermark, then a
+    batch count per event_type over the deduped append output."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_completion(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
+def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension (event_type → weight), weighted totals.
+
+    The static side is a tiny in-memory dim — broadcast to every
+    micro-batch; the canonical enrichment-join shape."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_total"),
+    )
+    return run_to_completion(agg, "complete")
