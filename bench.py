@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line for the driver.
+
+Output: {"metric": "total_headline_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": "<dir>"}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_database_for_sql_spark.queries import registry  # noqa: E402
+from distributed_database_for_sql_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "window_topk_per_group",
+    "agg_rollup",
+    # LLM pipeline
+    "dedup_exact_survivors",
+    "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "text_word_freq_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    # Warm the JVM + file listing once so timings measure query execution.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    specs = registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # full materialization
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,9 +50,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
     """Load every table that exists under sf_dir, keyed by name."""
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -1,0 +1,101 @@
+"""Engine shell: the SQL-command entry point and the ordered-apply contract.
+
+The reference replicates opaque SQL-command strings through a Raft log and
+delivers them, committed and in order, to an apply channel
+(/root/reference/src/raft/node.go:35, src/raft/replication.go:88-103) —
+but never executes them.  Here the same two contracts are provided
+Spark-natively (SURVEY.md §1.3):
+
+- `Engine.sql(cmd)` executes a command string against the registered
+  catalog — the missing state machine the reference's log fed into.
+- `CommandLog` gives the durability contract: commands appended to a log
+  directory are applied exactly once, in order, surviving restarts —
+  implemented with a checkpointed Structured Streaming `foreachBatch`
+  (batch id ≙ commit index, checkpoint ≙ commitIndex/lastApplied
+  persistence, which the reference notably lacks — SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLES
+from .catalog import register_views
+
+
+class Engine:
+    """Thin session wrapper: catalog registration + SQL execution."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = register_views(spark, sf_dir, TABLES)
+
+    def sql(self, command: str) -> DataFrame:
+        """Execute one SQL command (DQL/DDL on temp views)."""
+        return self.spark.sql(command)
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+
+class CommandLog:
+    """Ordered, exactly-once command apply over a durable log directory.
+
+    `append` writes commands as JSON-lines files into `log_dir`; `replay`
+    streams the directory with a file source and applies each command via
+    `foreachBatch` under a checkpoint — a restart resumes after the last
+    committed batch, so every command is applied at most once and in
+    file/line order within a batch.
+    """
+
+    def __init__(self, engine: Engine, log_dir: str, checkpoint_dir: str):
+        self.engine = engine
+        self.log_dir = log_dir
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._seq = len(os.listdir(log_dir))
+
+    def append(self, *commands: str) -> None:
+        path = os.path.join(self.log_dir, f"cmd_{self._seq:08d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i, cmd in enumerate(commands):
+                f.write(json.dumps({"seq": self._seq, "idx": i, "command": cmd}) + "\n")
+        os.rename(tmp, path)  # atomic: the stream never sees partial files
+        self._seq += 1
+
+    def replay(self, applied: list | None = None) -> list:
+        """Drain the log, applying each command once in order.
+
+        Returns the list of (seq, idx, command) actually applied this run
+        (already-committed batches are skipped by the checkpoint).
+        """
+        spark = self.engine.spark
+        results = applied if applied is not None else []
+
+        stream = (
+            spark.readStream.schema("seq long, idx long, command string")
+            .option("maxFilesPerTrigger", "1000")
+            .json(self.log_dir)
+        )
+
+        def apply_batch(df: DataFrame, batch_id: int) -> None:
+            rows = df.orderBy("seq", "idx").collect()
+            for r in rows:
+                self.engine.sql(r.command)
+                results.append((r.seq, r.idx, r.command))
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return results

@@ -1,0 +1,57 @@
+"""Plan-inspection helpers: assert the physical plan is the one you want.
+
+Used by tests (and by hand during tuning) to guard the scale-critical
+properties SURVEY.md §4.2 relies on Catalyst for: filters pushed into the
+parquet scan, projections pruned, small sides broadcast, no Cartesian
+products sneaking in.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the parquet scan received at least one pushed filter."""
+    plan = physical_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (pruning check)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols.extend(f.split(":")[0].strip() for f in inner.split(",") if f)
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (lower = better, usually)."""
+    plan = physical_plan(df)
+    return sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "reuses" not in line
+    )

@@ -62,6 +62,8 @@ def registry() -> dict[str, QuerySpec]:
         text_analysis,
         streaming_q,
         multimodal_q,
+        udfs,
+        sql_api,
     )
 
     return dict(_REGISTRY)

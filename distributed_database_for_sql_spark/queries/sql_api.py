@@ -1,0 +1,184 @@
+"""SQL-string entry point + subquery shapes (SURVEY.md §2.C, §3.4).
+
+These queries execute through `Engine.sql(...)` — the literal contract
+the reference's Raft log was built to carry (opaque SQL command strings,
+/root/reference/src/raft/node.go:16-19) — proving the command strings
+actually parse, plan, and run.  Catalyst rewrites the subqueries into
+the same semi/anti/broadcast joins the DataFrame API produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine import Engine
+from .base import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, command: str) -> DataFrame:
+    return Engine(spark, sf_dir).sql(command)
+
+
+@register(
+    "sql_entry_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("sql", "join", "agg"),
+)
+def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A command string executed verbatim via Engine.sql — same text runs
+    on both engines (the dialect-neutral subset)."""
+    cmd = """
+    SELECT n_name,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """
+    return _sql(spark, sf_dir, cmd)
+
+
+@register(
+    "subq_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "subquery"),
+)
+def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast of one value)."""
+    return _sql(spark, sf_dir, """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    ORDER BY o_orderkey
+    """)
+
+
+@register(
+    "subq_in_nation_region",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation
+      WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("sql", "subquery", "semi"),
+)
+def subq_in_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries → Catalyst rewrites to semi-join chain."""
+    return _sql(spark, sf_dir, """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation
+      WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    )
+    ORDER BY c_custkey
+    """)
+
+
+@register(
+    "subq_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+    )
+    ORDER BY s_suppkey
+    """,
+    tags=("sql", "subquery", "semi"),
+)
+def subq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → decorrelated to a semi-join by Catalyst."""
+    return _sql(spark, sf_dir, """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+    )
+    ORDER BY s_suppkey
+    """)
+
+
+@register(
+    "subq_correlated_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2.5 * AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "subquery", "correlated"),
+)
+def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer average) — decorrelated
+    into an aggregate + join, not a per-row loop."""
+    return _sql(spark, sf_dir, """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2.5 * AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """)
+
+
+@register(
+    "sql_cte_window",
+    oracle="""
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS mo,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(mo AS TIMESTAMP) AS mo,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY mo
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM monthly
+    ORDER BY mo
+    """,
+    tags=("sql", "cte", "window"),
+)
+def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + window over an aggregate: cumulative monthly revenue."""
+    return _sql(spark, sf_dir, """
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS mo,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT mo,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY mo
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM monthly
+    ORDER BY mo
+    """)

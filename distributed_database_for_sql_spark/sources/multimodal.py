@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched Pandas UDFs (SURVEY.md §2.C "Multimodal").
+
+The data model is the one large-scale training pipelines use: media
+travels as an opaque `binary` column beside typed metadata columns
+(modality, byte length, content hash); decode / feature-extraction runs
+as `mapInPandas` over Arrow batches so the Python boundary is crossed
+once per batch, not per row.
+
+The image/audio codec libraries are not in this container, so the decode
+leaf is STUBBED (`decode_image_stub` raises NotImplementedError;
+`fake_image_meta` is the deterministic stand-in used by tests and
+queries).  Everything around the stub — schema, batch iteration,
+partitioning, UDF signatures — is the real scale-path plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, payload binary, n_bytes long, content_md5 string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, frame_len int"
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, "
+    "decode_ok boolean"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a media-shaped DataFrame from the documents table.
+
+    The text bytes stand in for an encoded image: at 100 TB the payload
+    column is read straight from parquet (binary, never parsed by the
+    engine) and everything downstream is identical.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Real codec entry point — absent in this container."""
+    raise NotImplementedError(
+        "image codecs (pillow/opencv) are not installed in this image; "
+        "use fake_image_meta for deterministic tests"
+    )
+
+
+def fake_image_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: dims derived from content bytes."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
+    return (64 + h % 1024, 64 + (h >> 10) % 1024, 3)
+
+
+def extract_image_meta(media: DataFrame, use_stub: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: payload → (width, height, channels).
+
+    One Arrow batch in, one out; the decode function is applied per row
+    *inside* the batch (vectorizing a codec is the codec's job).
+    """
+    decode = fake_image_meta if use_stub else decode_image_stub
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "decode_ok": True,
+                }
+            )
+
+    return media.mapInPandas(batches, META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256,
+                  max_frames: int = 4) -> DataFrame:
+    """Frame sampling: slice each payload into fixed-size chunks
+    (video-frame / audio-window analogue), first max_frames per doc.
+
+    Emits multiple rows per input row through the same mapInPandas
+    batch iterator — the generator (UDTF-ish) shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, (len(payload) + frame_size - 1) // frame_size)):
+                    chunk = payload[i * frame_size:(i + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(chunk)
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

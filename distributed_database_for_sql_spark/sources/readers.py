@@ -1,0 +1,49 @@
+"""Batch readers beyond parquet: CSV / JSON / in-memory rows
+(SURVEY.md §2.C "Scans / sources / sinks").
+
+Schemas are always explicit — `inferSchema` triggers an extra full pass
+and type drift; at 100 TB both are unacceptable.  Lakehouse formats
+(Delta/Iceberg/Hudi) need jars absent from this image; their factories
+raise a clear error instead of failing mid-plan (import-try gating).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, **options) -> DataFrame:
+    return spark.read.schema(schema).options(header=str(header).lower(),
+                                             **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType,
+              **options) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """In-memory rows → DataFrame (test fixtures, tiny dimensions)."""
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake table — requires delta-spark jars on the classpath."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as e:  # noqa: BLE001
+        raise NotImplementedError(
+            "Delta Lake jars are not on the classpath in this image; "
+            "add delta-spark to spark.jars.packages to enable."
+        ) from e
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: tuple[str, ...] = ()) -> None:
+    """Batch sink: partitioned parquet (partition columns drive pruning)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

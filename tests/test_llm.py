@@ -1,0 +1,115 @@
+"""LLM-pipeline operator checks: LSH recall vs brute force, approx sketch
+error bounds, multimodal stub plumbing, NumPy cross-oracles
+(SURVEY.md §5.2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_database_for_sql_spark.catalog import load_table
+from distributed_database_for_sql_spark.operators.ann import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from distributed_database_for_sql_spark.operators.minhash import minhash_lsh_pairs
+from distributed_database_for_sql_spark.sources.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_image_meta,
+    fake_image_meta,
+    sample_frames,
+)
+
+
+def test_minhash_lsh_equals_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # NumPy/pure-Python exhaustive oracle on collected docs
+    rows = docs.select("doc_id", "text").collect()
+    sh = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        sh[r.doc_id] = (set(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+                        if len(toks) >= 3 else {r.text})
+    exact = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                exact.add((a, b))
+    assert lsh == exact
+
+
+def test_ann_brute_force_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = brute_force_topk(emb, queries, k=3).collect()
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in range(5):
+        qv = m[ids == qid][0]
+        cos = m @ qv
+        order = sorted(
+            [(round(c, 6), i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        mine = [(r.neighbor_id, r.cos) for r in sorted(
+            (g for g in got if g.query_id == qid), key=lambda r: r.rn)]
+        assert [(i, c) for c, i in order] == [(i, pytest.approx(c, abs=1e-6))
+                                              for i, c in mine]
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id")
+    out = lsh_bucketed_topk(emb, queries, k=5).collect()
+    # determinism: same call twice gives identical rows
+    out2 = lsh_bucketed_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # every returned neighbor must share the query's bucket → cos is real
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cos <= 1.0
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.15  # 3× the target rsd
+
+
+def test_multimodal_stub_raises_and_fake_is_deterministic(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes")
+    assert fake_image_meta(b"hello") == fake_image_meta(b"hello")
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary_payload(docs)
+    meta = {r.doc_id: (r.width, r.height, r.channels)
+            for r in extract_image_meta(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        assert meta[r.doc_id] == fake_image_meta(r.text.encode())
+
+
+def test_frame_sampling_covers_payload_prefix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_binary_payload(docs)
+    frames = sample_frames(media, frame_size=100, max_frames=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for doc_id, fr in by_doc.items():
+        fr.sort(key=lambda r: r.frame_idx)
+        joined = b"".join(bytes(r.frame_bytes) for r in fr)
+        assert texts[doc_id].startswith(joined)
+        assert len(fr) == min(3, (len(texts[doc_id]) + 99) // 100)

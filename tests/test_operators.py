@@ -1,0 +1,118 @@
+"""Operator edge cases on tiny literal DataFrames (FIXTURES.md micro-fixtures):
+NULL keys, empty inputs, duplicate keys, rank ties, as-of boundaries,
+zero vectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from distributed_database_for_sql_spark.functions.text import jaccard, word_shingles
+from distributed_database_for_sql_spark.functions.vector import as_double, cosine
+from distributed_database_for_sql_spark.operators.asof_join import (
+    asof_join_backward,
+    asof_join_backward_pandas,
+)
+
+
+def test_join_null_keys_dont_match(spark):
+    a = spark.createDataFrame([(1, "x"), (None, "y")], "k int, va string")
+    b = spark.createDataFrame([(1, "p"), (None, "q")], "k int, vb string")
+    joined = a.join(b, "k")
+    assert joined.count() == 1  # SQL semantics: NULL ≠ NULL
+
+
+def test_agg_null_keys_group_together(spark):
+    df = spark.createDataFrame([(None, 1), (None, 2), (1, 3)], "k int, v int")
+    rows = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert rows[None] == 3 and rows[1] == 3
+
+
+def test_empty_input_agg(spark):
+    df = spark.createDataFrame([], "k int, v int")
+    out = df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    assert out == []
+    glob = df.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
+    assert glob.n == 0 and glob.s is None
+
+
+def test_rank_vs_dense_rank_vs_row_number_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 10), ("g", 10), ("g", 5)], "grp string, v int"
+    )
+    w = W.partitionBy("grp").orderBy(F.desc("v"))
+    out = df.select(
+        "v",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    ).collect()
+    by_v = sorted([(r.v, r.rnk, r.drnk) for r in out])
+    assert by_v == [(5, 3, 2), (10, 1, 1), (10, 1, 1)]
+    assert sorted(r.rn for r in out) == [1, 2, 3]
+
+
+def test_asof_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k int, t int, lv string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 90.0)], "k int, t int, rv double"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = asof_join_backward(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols={"rv": "rv"}
+    )
+    got = {r.lv: r.rv for r in out.collect()}
+    # tie at t=10 is inclusive; t=20 sees latest (15); t=5 has no prior → NULL
+    assert got == {"L1": 100.0, "L2": 150.0, "L3": None}
+
+
+def test_asof_join_pandas_variant_matches_window_form(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3"), (2, 30, "L4")],
+        "k int, t int, lv string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 90.0)], "k int, t int, rv double"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    kwargs = dict(on="k", left_ts="t", right_ts="t", right_cols={"rv": "rv"})
+    a = {(r.k, r.lv): r.rv for r in asof_join_backward(left, right, **kwargs).collect()}
+    b = {(r.k, r.lv): r.rv
+         for r in asof_join_backward_pandas(left, right, **kwargs).collect()}
+    assert a == b
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    out = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert out[0].c is None
+    assert out[1].c == pytest.approx(1.0)
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = df.select(word_shingles(F.col("text")).alias("s")).collect()
+    assert out[0].s == ["one two"]           # < w words → whole text
+    assert out[1].s == ["a b c", "b c d"]
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(["x", "y"], ["x", "y"]), (["x"], ["y"])],
+        "a array<string>, b array<string>",
+    )
+    out = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    assert out[0].j == 1.0 and out[1].j == 0.0
+
+
+def test_dedup_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    )
+    w = W.partitionBy("k").orderBy("v")
+    out = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "c")}

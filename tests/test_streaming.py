@@ -1,0 +1,103 @@
+"""Streaming semantics that need multi-batch replay: watermark late-data
+drops, stateful dedup across batches, ordered exactly-once command apply
+(SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving behind the watermark is dropped from an append-mode
+    windowed aggregation."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    # Batch 1: events at 10:00-10:04, plus one at 12:00 advancing the clock.
+    _write_batch(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:04:00", 1, 1.0),
+        (3, "2024-01-01 12:00:00", 1, 1.0),
+    ])
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_test").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+
+    # Batch 2: a LATE row at 10:01 — watermark is already 11:50.
+    _write_batch(spark, src, [(4, "2024-01-01 10:01:00", 1, 99.0)])
+    q.processAllAvailable()
+    # Batch 3: advance event time far enough to close every window.
+    _write_batch(spark, src, [(5, "2024-01-01 14:00:00", 1, 1.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    out = {(r["window"].start.strftime("%H:%M"), r.n)
+           for r in spark.table("late_test").collect()}
+    # the 10:00 window still counts 2 — the late row never joined it
+    assert ("10:00", 2) in out
+    assert ("10:00", 3) not in out
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, "2024-01-01 10:00:00", 1, 1.0),
+                              (2, "2024-01-01 10:01:00", 1, 1.0)])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (dedup.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_test").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    # same event_id arrives again in a later batch → must not duplicate
+    _write_batch(spark, src, [(2, "2024-01-01 10:02:00", 1, 1.0),
+                              (3, "2024-01-01 10:03:00", 1, 1.0)])
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.table("dedup_test").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_command_log_exactly_once_replay(spark, sf_dir, tmp_path):
+    """CommandLog applies appended SQL commands in order, and a second
+    replay (fresh query, same checkpoint) applies nothing new."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+
+    eng = Engine(spark, sf_dir)
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append(
+        "CREATE OR REPLACE TEMP VIEW cmd_v1 AS SELECT COUNT(*) AS n FROM lineitem",
+        "CREATE OR REPLACE TEMP VIEW cmd_v2 AS SELECT n * 2 AS n2 FROM cmd_v1",
+    )
+    applied = log.replay()
+    assert [a[1] for a in applied] == [0, 1]  # in order
+    assert spark.table("cmd_v2").collect()[0].n2 == \
+           2 * spark.table("cmd_v1").collect()[0].n
+
+    again = log.replay()
+    assert again == []  # checkpoint: nothing re-applied
+
+    log.append("CREATE OR REPLACE TEMP VIEW cmd_v3 AS SELECT 1 AS one")
+    third = log.replay()
+    assert len(third) == 1 and third[0][2].endswith("SELECT 1 AS one")
