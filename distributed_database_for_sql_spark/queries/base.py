@@ -52,6 +52,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules lazily to avoid circular imports.
     from . import (  # noqa: F401
         tpch,
+        tpch_extra,
         relational,
         joins,
         aggregates,
