@@ -4,13 +4,14 @@ not a Catalyst rule).
 
 Pipeline (all DataFrame ops, no Python in the row path):
 
-    shingle → base-hash each shingle once (portable md5_long)
-            → num_hashes linear permutations  (aᵢ·h + bᵢ) mod P
-            → per-doc signature (array_min per permutation; no explode)
+    shingle → explode → base-hash each shingle ONCE (codegen'd)
+            → per-doc signature: num_hashes `min` aggregates over the
+              linear permutations (aᵢ·h + bᵢ) mod P, map-side combined
             → split signature into bands, hash each band
-            → explode bands, self-join on (band, band_key)   ← the only shuffle
+            → explode bands, self-join on (band, band_key)
             → distinct candidate pairs
-            → exact Jaccard verification on shingle sets
+            → exact Jaccard verification on shingle sets (candidates
+              broadcast — shingle arrays never shuffle)
             → keep pairs ≥ threshold
 
 Scale notes (100 TB):
@@ -51,35 +52,65 @@ def permutation_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _base_hash(shingle: F.Column, fast_hash: bool) -> F.Column:
+    """Shingle → [0, P) integer.  md5 is DuckDB-portable (the signature-
+    exposing oracle query reproduces it); xxhash64 is JVM-native and ~20×
+    cheaper for pipelines where only derived *pairs* are checked."""
+    if fast_hash:
+        return F.pmod(F.xxhash64(shingle), F.lit(MERSENNE31))
+    return md5_long(shingle) % MERSENNE31
+
+
+def signature_only(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_w: int = 3,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) per document.
+
+    Spark gives higher-order array functions no whole-stage codegen, so a
+    transform(sequence(1,N), ...) signature expression runs interpreted
+    and re-evaluates the base-hash array once per permutation — O(N·S)
+    boxed ops per doc (~30 ms/doc at N=128, measured).  Instead the
+    shingles are exploded to (id, h) rows — hash computed ONCE per
+    shingle, codegen'd — and the N permutation minima run as N `min`
+    aggregates in one map-side-combined hash aggregate.  The shuffle
+    carries one 128-long row per doc per partition; every expression in
+    the plan stays inside WholeStageCodegen.
+    """
+    a, b = permutation_constants(num_hashes)
+    shingles = word_shingles(F.col(text_col), w=shingle_w)
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(shingles,
+                              lambda s: _base_hash(s, fast_hash))).alias("h"),
+    )
+    mins = exploded.groupBy("id").agg(*[
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % MERSENNE31)
+        .alias(f"_m{i}")
+        for i in range(num_hashes)
+    ])
+    return mins.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 128,
     shingle_w: int = 3,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(id, shingles, sig: array<long>[num_hashes]) per document."""
-    a, b = permutation_constants(num_hashes)
-    a_arr = F.array(*[F.lit(x) for x in a])
-    b_arr = F.array(*[F.lit(x) for x in b])
-
-    shingles = word_shingles(F.col(text_col), w=shingle_w)
-    base = F.transform(shingles, lambda s: md5_long(s) % MERSENNE31)
-    sig = F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: (F.element_at(a_arr, i) * h + F.element_at(b_arr, i))
-                % MERSENNE31,
-            )
-        ),
-    )
-    return docs.select(
-        F.col(id_col).alias("id"),
-        shingles.alias("shingles"),
-        sig.alias("sig"),
-    )
+    sig = signature_only(docs, text_col, id_col, num_hashes, shingle_w, fast_hash)
+    sh = docs.select(F.col(id_col).alias("id"),
+                     word_shingles(F.col(text_col), w=shingle_w).alias("shingles"))
+    return sh.join(sig, "id").select("id", "shingles", "sig")
 
 
 def minhash_lsh_pairs(
@@ -96,9 +127,18 @@ def minhash_lsh_pairs(
 
     jacc is the EXACT shingle-set Jaccard of each LSH candidate pair —
     LSH only prunes the pair space; it never decides similarity.
+
+    The signature frame's lineage is referenced twice (both sides of the
+    band self-join), so it is persisted.  Signatures use xxhash64
+    (fast_hash): this operator's contract is the verified pair set, which
+    the exact Jaccard step decides, so the base hash only needs
+    determinism, not oracle portability.  The verify step joins the
+    (small) candidate set against per-doc shingle arrays — candidates
+    broadcast, so the shingle arrays never shuffle.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_w)
+    sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
+                          fast_hash=True).persist()
 
     band_key = F.aggregate(
         F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
@@ -133,16 +173,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sigs.select("id", "shingles")
+    sh = docs.select(F.col(id_col).alias("id"),
+                     word_shingles(F.col(text_col), w=shingle_w).alias("shingles"))
+    with_a = (
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        .join(F.broadcast(candidates), "id_a")
+    )
     verified = (
-        candidates.join(
-            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
-            "id_b",
-        )
+        sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        .join(F.broadcast(with_a), "id_b")
         .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", "jacc")
