@@ -10,9 +10,10 @@ Three strategies, in increasing scale-readiness (SURVEY.md §2.C "LLM ops"):
    quantizer cell).  At 100 TB cells map to parquet partitions → partition
    pruning skips the data entirely.
 3. `lsh_bucketed_topk` — random-hyperplane LSH: 16 deterministic sign
-   planes (portable md5-derived), 16-bit bucket code, candidates only
-   within the same bucket.  Deterministic planes make even this
-   approximate path reproducible in the DuckDB oracle.
+   planes (portable md5-derived) split into 4 bands of 4 bits; candidates
+   share ANY band with the query (OR-amplification — a single 16-bit
+   bucket is so selective that most queries find zero mates).
+   Deterministic planes make even this approximate path reproducible.
 
 All cosine math is f64 fold-based (functions/vector.py) — bit-identical
 across Spark and DuckDB.
@@ -109,34 +110,47 @@ def lsh_code(vec: F.Column, dim: int = 64, n_planes: int = N_PLANES) -> F.Column
 def lsh_bucketed_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
-    """ANN: candidates share the query's 16-bit hyperplane bucket.
+    """ANN: banded hyperplane LSH (OR-amplification over `bands` sub-codes).
 
-    Recall < 1 by construction (single-probe); the pytest suite measures
-    recall against brute force.  At scale: codes are precomputed columns,
-    the bucket join is an equi shuffle on the code, and multi-probe
-    (flip 1 bit) trades compute for recall — same plan shape."""
+    A single 16-bit bucket is too selective on high-entropy embeddings —
+    ~|corpus|/65536 expected bucket mates means most queries find NOTHING.
+    Instead the 16-plane code splits into `bands` sub-keys (4 bits each);
+    a candidate qualifies if it shares ANY band with the query.  P(cand)
+    rises steeply with cosine (per-plane agreement ≈ 1 − θ/π), which is
+    the classic recall/cost dial: more bands → higher recall, more
+    candidates to verify.
+
+    At scale: codes are precomputed columns, the band join is an equi
+    shuffle on (band, key) with queries broadcast, and the exact-cosine
+    verify runs only on the pruned candidate set."""
+    bits = N_PLANES // bands
     with_code = emb.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         lsh_code(as_double(F.col(vec_col)), dim).alias("code"),
     )
-    q = with_code.join(
-        queries.select(id_col), id_col, "left_semi"
-    ).select(
+    banded = with_code.select(
+        id_col, "v", "code",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"(code div (1 << (band * {bits}))) % {1 << bits}"),
+    ).drop("code")
+    q = banded.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("code").alias("qcode"),
+        "band", "band_key",
     )
-    c = with_code.select(
+    c = banded.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("code").alias("ccode"),
+        "band", "band_key",
     )
     pairs = (
-        c.join(
-            F.broadcast(q),
-            (F.col("qcode") == F.col("ccode"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
+        c.join(F.broadcast(q), ["band", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
     return _ranked_topk(pairs, k)
