@@ -23,13 +23,18 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "q18_large_volume_customer",
+    "q21_waiting_orders",
     "window_topk_per_group",
     "agg_rollup",
     # LLM pipeline
     "dedup_exact_survivors",
     "dedup_minhash_lsh_pairs",
     "ann_bruteforce_topk",
+    "ann_lsh_bucketed_topk",
     "text_word_freq_topk",
     "text_quality_score",
 ]

@@ -263,3 +263,28 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "metric", F.round("val", 2).alias("value"))
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "grouping-sets", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over) —
+    three simultaneous grouping levels in one shuffle: Spark expands the
+    sets via a single Expand node, so the input is scanned once."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)

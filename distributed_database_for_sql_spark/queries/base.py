@@ -62,6 +62,7 @@ def registry() -> dict[str, QuerySpec]:
         llm_similarity,
         text_analysis,
         streaming_q,
+        sources_q,
         multimodal_q,
         udfs,
         sql_api,

@@ -239,3 +239,35 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "skew", "salt", "custom-operator"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted (8-way) equi-join: orders ⋈ customer on custkey.
+
+    The salt scatters any hot custkey across 8 shuffle partitions while
+    the customer side replicates 8×; the oracle is the plain join — the
+    salt must be invisible in the result (operators/salted_join.py)."""
+    from ..operators.salted_join import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey")
+    return (
+        salted_join(orders, cust, on="custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("c_mktsegment")
+    )

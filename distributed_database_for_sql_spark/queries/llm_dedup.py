@@ -226,3 +226,45 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "lang", F.round("char_jacc", 4).alias("char_jacc"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) /
+            (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, MIN(label) AS component
+    FROM reach GROUP BY node
+    ORDER BY node
+    """,
+    tags=("dedup", "components", "iterative", "llm"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components (min-label
+    propagation) over the MinHash-LSH pair graph.  The oracle recomputes
+    the same closure with a recursive CTE over brute-force pairs — the
+    iterative DataFrame loop must converge to the exact transitive
+    closure (operators/components.py)."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    return connected_components(pairs).orderBy("node")

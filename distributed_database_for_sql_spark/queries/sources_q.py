@@ -1,0 +1,119 @@
+"""Source/sink round-trip queries (SURVEY.md §2.C "Scans / sources / sinks").
+
+Each query exercises a non-parquet ingest path or a partitioned sink
+end-to-end: stage the driver's parquet data out through the format under
+test into a temp dir, read it back with an explicit schema (never
+inferSchema — an extra full pass plus type drift at scale), and compute an
+aggregate the DuckDB oracle reproduces from the original parquet.  A hash
+match proves the round trip is value-exact, not just row-count-exact.
+
+The reference has no file I/O at all (SURVEY.md §2.D: connectors ABSENT —
+its log is an in-memory slice, /root/reference/src/raft/node.go:28), so
+this family is driven by the SQL-database intent, not reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.readers import read_csv, read_json, write_parquet
+from .base import register
+
+
+def _stage_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(format, sf) staging dir under the system tmpdir."""
+    key = f"srcq_{tag}_{abs(hash(os.path.abspath(sf_dir)))}"
+    return os.path.join(tempfile.gettempdir(), key)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("source", "csv", "sink"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink → schema'd CSV scan → aggregate.
+
+    The hash match against the parquet-side oracle proves CSV
+    serialization round-trips every value (doubles included — Spark
+    writes full precision by default).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    path = _stage_dir("csv_customer", sf_dir)
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, cust.schema, header=True)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_supp,
+           ROUND(AVG(s_acctbal), 4) AS avg_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    tags=("source", "json", "sink"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSON-lines sink → schema'd JSON scan → aggregate."""
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _stage_dir("json_supplier", sf_dir)
+    supp.write.mode("overwrite").json(path)
+    back = read_json(spark, path, supp.schema)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"),
+             F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "sink_partitioned_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) = 1997
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sink", "partitioning", "pruning"),
+)
+def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by order year → pruned scan of one year.
+
+    The read filter on the partition column prunes every other year's
+    directory at planning time (PartitionFilters in explain) — the layout
+    pattern that makes the 100 TB fact table scannable: partition by
+    coarse time, let every time-bounded query touch only its slice.
+    """
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long"))
+    path = _stage_dir("parquet_orders_by_year", sf_dir)
+    write_parquet(orders, path, partition_by=("o_year",))
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

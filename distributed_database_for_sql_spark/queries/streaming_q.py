@@ -133,3 +133,24 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ broadcast static dimension, weighted aggregation."""
     return jobs.stream_static_join_agg(spark, sf_dir).orderBy("event_type")
+
+
+@register(
+    "stream_stateful_user_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count/total/last-seen kept in explicit group state.  Once the stream
+    drains, the final state per user equals the batch aggregate — which is
+    exactly what the oracle recomputes."""
+    return jobs.user_running_state(spark, sf_dir).orderBy("user_id")

@@ -119,3 +119,44 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, "c_custkey long, c_nationkey int, acctbal_z double")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id, pos
+    """,
+    tags=("udtf", "lateral", "text"),
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: one (token, pos) row per input token.
+
+    The table-function surface (SURVEY.md §2.C "UDTF"): arbitrary
+    row-expanding Python logic addressable from SQL.  For pure splitting
+    posexplode is the JVM-native fast path (and is what the oracle
+    mirrors); the UDTF form is the template for expansions that need real
+    Python (parsers, tokenizers, model featurizers).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: long")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    spark.udtf.register("tokenize_positions", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL tokenize_positions(d.text) t
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, t.pos
+    """)

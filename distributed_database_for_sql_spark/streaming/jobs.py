@@ -168,3 +168,65 @@ def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_total"),
     )
     return run_to_completion(agg, "complete")
+
+
+def user_running_state(spark: SparkSession, sf_dir: str,
+                       max_users: int = 50) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState.
+
+    Per-user running aggregate (event count, value total, last event
+    time) held in explicit group state — the template for custom stateful
+    operators Spark's built-in windows can't express (counters, sessions
+    with custom close rules, online models).  Each micro-batch emits the
+    user's state-so-far plus a monotone `rows_seen`; the caller keeps the
+    row with max rows_seen per user, so the result is the same whether
+    the source delivers one batch or many.
+
+    At scale state lives in the state store (RocksDB-backed, checkpointed,
+    partitioned by key) — the contract the reference's applyCh consumer
+    would have needed (/root/reference/src/raft/node.go:35).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("rows_seen", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = int(pd.to_datetime(pdf["ts"]).astype("int64").max()) // 1000
+            last_us = max(last_us, mx)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "rows_seen": [n], "n_events": [n],
+             "total_value": [total], "last_us": [last_us]}
+        )
+
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") < max_users)
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    drained = run_to_completion(updated, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("rows_seen"))
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events",
+                F.round("total_value", 2).alias("total_value"),
+                F.timestamp_micros(F.col("last_us")).alias("last_ts"))
+    )

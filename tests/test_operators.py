@@ -116,3 +116,42 @@ def test_dedup_duplicate_keys(spark):
     w = W.partitionBy("k").orderBy("v")
     out = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "c")}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from distributed_database_for_sql_spark.operators.salted_join import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (4, "Z")], "k int, rv string")
+    got = sorted(salted_join(left, right, on="k", salt=4).collect())
+    want = sorted(left.join(right, "k").collect())
+    assert got == want
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from distributed_database_for_sql_spark.operators.salted_join import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (9, "z")], "k int, lv string")
+    right = spark.createDataFrame([(1, "X")], "k int, rv string")
+    rows = {tuple(r) for r in salted_join(left, right, "k", how="left", salt=3).collect()}
+    assert (9, "z", None) in rows and (1, "a", "X") in rows
+    # Outer rows must not be duplicated per salt replica.
+    assert len(rows) == 2
+
+
+def test_connected_components_chain_and_islands(spark):
+    from distributed_database_for_sql_spark.operators.components import (
+        connected_components,
+    )
+
+    # Chain 1-2-3-4 (diameter 3), pair {10,11}, and 20-21-22 triangle.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert got == want

@@ -101,3 +101,25 @@ def test_command_log_exactly_once_replay(spark, sf_dir, tmp_path):
     log.append("CREATE OR REPLACE TEMP VIEW cmd_v3 AS SELECT 1 AS one")
     third = log.replay()
     assert len(third) == 1 and third[0][2].endswith("SELECT 1 AS one")
+
+
+def test_stateful_user_agg_matches_batch(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.streaming.jobs import user_running_state
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in user_running_state(spark, sf_dir, max_users=10).collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 10)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+        ).collect()
+    }
+    assert got == want
