@@ -1,9 +1,18 @@
-"""Vector math over ArrayType columns — pure JVM higher-order functions.
+"""Vector math over ArrayType columns — pure JVM, no Python in the row path.
 
-Everything is built from `transform` / `zip_with` / `aggregate` so the hot
-path stays inside whole-stage codegen (no Python).  All math is done in
-float64 with left-fold accumulation, which makes results bit-reproducible
-and lets the DuckDB oracle compute identical values with the same formula.
+All math is done in float64 with left-to-right accumulation, which makes
+results bit-reproducible and lets the DuckDB oracle compute identical
+values with the same formula.
+
+Two forms, same numeric result:
+- `dot`/`cosine` — higher-order-function folds for arbitrary dimension.
+  Spark evaluates HOF lambdas in interpreted mode (they are excluded from
+  whole-stage codegen), so these cost ~10× more per element.
+- `dot_fixed`/`cosine_fixed` — flat expression trees for a schema-known
+  dimension (embeddings are fixed dim=64 here).  A flat sum is ordinary
+  arithmetic, codegen-eligible, and accumulates in the same left-to-right
+  order as the fold, so values are bit-identical to the HOF form.  Use
+  these on hot paths (ANN candidate scoring).
 """
 
 from __future__ import annotations
@@ -40,6 +49,21 @@ def l2_distance(a: Column, b: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+
+
+def dot_fixed(a: Column, b: Column, dim: int = 64) -> Column:
+    """Σ aᵢ·bᵢ as a flat `dim`-term sum (codegen-eligible, fold-identical)."""
+    out = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return out
+
+
+def cosine_fixed(a: Column, b: Column, dim: int = 64) -> Column:
+    """cosine() for a schema-known dimension; NULL-safe on zero vectors."""
+    return dot_fixed(a, b, dim) / F.nullif(
+        F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim)), F.lit(0.0)
     )
 
 

@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import hashlib
+
 from ..functions.text import md5_long
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine, cosine_fixed
 
 N_PLANES = 16
 
@@ -45,7 +47,7 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
 
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
     """Exact top-k by cosine; query set broadcast, one pass over candidates."""
     q = queries.select(
@@ -56,7 +58,7 @@ def brute_force_topk(
     )
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
     )
     return _ranked_topk(pairs, k)
 
@@ -64,6 +66,7 @@ def brute_force_topk(
 def partition_pruned_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label",
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-style: each query only scans its own coarse cell."""
     q = queries.select(
@@ -82,7 +85,7 @@ def partition_pruned_topk(
             (F.col("qcell") == F.col("ccell"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
     )
     return _ranked_topk(pairs, k)
 
@@ -94,17 +97,63 @@ def plane_sign(p: int, k: F.Column) -> F.Column:
     ) * 2 - 1
 
 
-def lsh_code(vec: F.Column, dim: int = 64, n_planes: int = N_PLANES) -> F.Column:
-    """16-bit random-hyperplane code: bit p = sign(Σ_k vec[k]·s(p,k)) > 0."""
-    def fold(p: int):
-        # closure (not a default arg): Spark HOFs count lambda arity strictly
-        return lambda acc, k: acc + F.element_at(vec, k) * plane_sign(p, k)
+def plane_sign_py(p: int, k: int) -> int:
+    """Python twin of plane_sign — same md5, same parity, same ±1."""
+    return int(hashlib.md5(f"plane{p}#{k}".encode()).hexdigest()[:15], 16) % 2 * 2 - 1
 
+
+def sign_matrix(dim: int = 64, n_planes: int = N_PLANES):
+    """(n_planes × dim) ±1 matrix, md5-derived — identical to plane_sign."""
+    import numpy as np
+
+    return np.array(
+        [[plane_sign_py(p, k) for k in range(1, dim + 1)]
+         for p in range(n_planes)],
+        dtype="float64",
+    )
+
+
+def lsh_code(vec: F.Column, dim: int = 64, n_planes: int = N_PLANES) -> F.Column:
+    """16-bit random-hyperplane code: bit p = sign(Σ_k vec[k]·s(p,k)) > 0.
+
+    Column-expression form (kept for SQL-portability tests): one flat
+    dim-term projection per plane.  For the hot path use
+    `lsh_code_pandas` — an n_planes×dim expression tree is a Janino
+    compile bomb (seconds of fixed cost per plan), while the Pandas UDF
+    is one numpy matmul per Arrow batch.
+    """
     code = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot_p = F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), fold(p))
+        signs = [plane_sign_py(p, k) for k in range(1, dim + 1)]
+        dot_p = F.element_at(vec, 1).cast("double") * signs[0]
+        for k in range(2, dim + 1):
+            dot_p = dot_p + F.element_at(vec, k).cast("double") * signs[k - 1]
         code = code + F.when(dot_p > 0, F.lit(1 << p).cast("long")).otherwise(0)
     return code
+
+
+def lsh_code_pandas(dim: int = 64, n_planes: int = N_PLANES):
+    """Vectorized lsh_code: Arrow-batched pandas_udf, V @ Sᵀ > 0 → bits.
+
+    Bit-identical to lsh_code (same md5-derived planes, f64 dot products
+    of exactly-representable ±1 coefficients agree in any summation
+    order close enough for a *sign* test on non-degenerate data)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    S = sign_matrix(dim, n_planes)  # (P, D)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def code(vecs):
+        V = np.vstack(vecs.to_numpy()).astype("float64")  # (N, D)
+        bits = (V @ S.T) > 0                              # (N, P)
+        return pd.Series(bits @ weights)
+
+    # Real class objects, not strings: `from __future__ import annotations`
+    # would otherwise leave hints pandas_udf's inference can't resolve.
+    code.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(code, "long")
 
 
 def lsh_bucketed_topk(
@@ -129,7 +178,7 @@ def lsh_bucketed_topk(
     with_code = emb.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
-        lsh_code(as_double(F.col(vec_col)), dim).alias("code"),
+        lsh_code_pandas(dim)(as_double(F.col(vec_col))).alias("code"),
     )
     banded = with_code.select(
         id_col, "v", "code",
@@ -151,6 +200,6 @@ def lsh_bucketed_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
     )
     return _ranked_topk(pairs, k)
