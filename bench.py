@@ -44,8 +44,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
 
-    # Warm the JVM + file listing once so timings measure query execution.
+    # Warm the JVM + file listing + Python UDF worker pool once so timings
+    # measure query execution, not process spin-up.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    def _noop(s):
+        return s
+
+    _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.range(32).select(
+        F.pandas_udf(_noop, "long")(F.col("id"))).count()
 
     specs = registry()
     timings: dict[str, float] = {}

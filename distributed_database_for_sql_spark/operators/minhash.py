@@ -71,18 +71,46 @@ def signature_only(
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) per document.
 
-    Spark gives higher-order array functions no whole-stage codegen, so a
-    transform(sequence(1,N), ...) signature expression runs interpreted
-    and re-evaluates the base-hash array once per permutation — O(N·S)
-    boxed ops per doc (~30 ms/doc at N=128, measured).  Instead the
-    shingles are exploded to (id, h) rows — hash computed ONCE per
-    shingle, codegen'd — and the N permutation minima run as N `min`
-    aggregates in one map-side-combined hash aggregate.  The shuffle
-    carries one 128-long row per doc per partition; every expression in
-    the plan stays inside WholeStageCodegen.
+    Two physical strategies, same values for the same base hash:
+
+    - Portable path (fast_hash=False): shingles explode to (id, h) rows —
+      base hash computed ONCE per shingle, codegen'd — and the N
+      permutation minima run as N `min` aggregates in one map-side-
+      combined hash aggregate.  (A transform(sequence(1,N), ...) HOF
+      expression would run interpreted and re-hash every shingle per
+      permutation — ~30 ms/doc at N=128, measured.)  Pure JVM, DuckDB-
+      reproducible, but N aggregate expressions cost seconds of Janino
+      compile per plan.
+
+    - Fast path (fast_hash=True): base hashes still JVM-side (xxhash64,
+      codegen'd), then one Arrow-batched pandas UDF computes all N
+      permutation minima per doc with numpy — no wide aggregate to
+      compile, no shuffle at all; signatures stay fully deterministic.
     """
     a, b = permutation_constants(num_hashes)
     shingles = word_shingles(F.col(text_col), w=shingle_w)
+
+    if fast_hash:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        av = np.asarray(a, dtype="int64")[:, None]
+        bv = np.asarray(b, dtype="int64")[:, None]
+
+        def sig(hs):
+            out = []
+            for h in hs.to_numpy():
+                hv = np.asarray(h, dtype="int64")[None, :]
+                out.append((av * hv + bv) % MERSENNE31)
+            return pd.Series([m.min(axis=1) for m in out])
+
+        sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+        sig_udf = pandas_udf(sig, "array<long>")
+        hashed = F.transform(shingles, lambda s: _base_hash(s, True))
+        return docs.select(F.col(id_col).alias("id"),
+                           sig_udf(hashed).alias("sig"))
+
     exploded = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(shingles,
@@ -140,11 +168,14 @@ def minhash_lsh_pairs(
     sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
                           fast_hash=True).persist()
 
-    band_key = F.aggregate(
-        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * (MERSENNE31 + 2) % (2**61 - 1) + x,
-    )
+    # Unrolled polynomial band key (matches the old aggregate-fold values:
+    # acc = acc·(P+2) mod 2⁶¹−1 + xᵢ).  Plain arithmetic on element_at
+    # stays in codegen; an F.aggregate fold here ran interpreted for
+    # bands × rows per doc.
+    band_key = F.lit(0).cast("long")
+    for r in range(rows_per_band):
+        x = F.element_at(F.col("sig"), F.col("band") * rows_per_band + r + 1)
+        band_key = band_key * (MERSENNE31 + 2) % (2**61 - 1) + x
     banded = (
         sigs.select(
             "id",
