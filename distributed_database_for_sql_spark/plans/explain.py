@@ -48,10 +48,16 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (lower = better, usually)."""
+    """Number of shuffle exchanges in the plan (lower = better, usually).
+
+    Counts only the detail-section headers "(n) Exchange" — each node
+    also appears in the plan tree, so matching every line containing
+    "Exchange" double-counts.
+    """
+    import re
+
     plan = physical_plan(df)
     return sum(
         1 for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-        and "reuses" not in line
+        if re.match(r"^\(\d+\) Exchange\b", line.strip())
     )

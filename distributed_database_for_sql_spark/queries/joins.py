@@ -271,3 +271,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "bucketing", "colocated", "storage"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through bucketed storage: both tables written
+    bucketed by orderkey (8 buckets), then joined shuffle-free — bucket i
+    of lineitem reads against bucket i of orders directly.  The oracle is
+    the plain join; tests/test_plans.py asserts the zero-Exchange plan
+    (operators/bucketing.py)."""
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    tag = abs(hash(sf_dir)) % 10**8
+    lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    write_bucketed(load_table(spark, sf_dir, "lineitem")
+                   .withColumnRenamed("l_orderkey", "orderkey"),
+                   lt, "orderkey", 8)
+    write_bucketed(load_table(spark, sf_dir, "orders")
+                   .withColumnRenamed("o_orderkey", "orderkey"),
+                   ot, "orderkey", 8)
+    return (
+        bucketed_join(spark, lt, ot, "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

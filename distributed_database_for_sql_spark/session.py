@@ -33,6 +33,11 @@ def get_spark(app_name: str = "distributed_database_for_sql_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Bucketed tables (operators/bucketing.py) live in the session
+        # catalog; keep the warehouse out of the repo tree.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark_graft_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,3 +41,53 @@ def test_no_cartesian_in_relational_queries(spark):
                  "window_topk_per_group", "join_theta_range"]:
         df = specs[name].fn(spark, "/root/testdata/sf0.001")
         assert not has_cartesian(df), name
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from distributed_database_for_sql_spark.plans.explain import count_exchanges
+
+    write_bucketed(load_table(spark, sf_dir, "lineitem")
+                   .withColumnRenamed("l_orderkey", "orderkey"),
+                   "t_li_bkt", "orderkey", 4)
+    write_bucketed(load_table(spark, sf_dir, "orders")
+                   .withColumnRenamed("o_orderkey", "orderkey"),
+                   "t_ord_bkt", "orderkey", 4)
+    joined = bucketed_join(spark, "t_li_bkt", "t_ord_bkt", "orderkey")
+    assert count_exchanges(joined) == 0
+    # And the join result matches the shuffled form.
+    plain = (
+        load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+        .join(load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey"),
+              "orderkey")
+    )
+    assert joined.count() == plain.count()
+
+
+def test_q19_broadcast_only_single_exchange(spark):
+    from distributed_database_for_sql_spark.plans.explain import (
+        count_exchanges,
+        uses_broadcast_join,
+    )
+    from distributed_database_for_sql_spark.queries import registry
+
+    df = registry()["q19_disjunctive_revenue"].fn(spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+    # part broadcasts; the only exchange left is the global-agg reduce.
+    assert count_exchanges(df) <= 1
+
+
+def test_q9_dims_broadcast_no_cartesian(spark):
+    from distributed_database_for_sql_spark.plans.explain import (
+        has_cartesian,
+        uses_broadcast_join,
+    )
+    from distributed_database_for_sql_spark.queries import registry
+
+    df = registry()["q9_product_profit"].fn(spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+    assert not has_cartesian(df)
