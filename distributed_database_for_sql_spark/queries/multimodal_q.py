@@ -74,3 +74,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.col("frame_len").cast("long").alias("frame_len")
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 32 AS out_w, 32 AS out_h,
+           CAST(32 * 32 * 3 AS BIGINT) AS resized_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "udf", "resize", "llm"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nearest-neighbor 'resize' to 32x32x3 byte buffers via
+    mapInPandas; every output row is uniform-size, ready for training
+    shards.  The oracle pins the shape columns; the resampled byte
+    content is pinned by tests/test_llm.py against the same pure-Python
+    kernel on collected payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    from ..sources.multimodal import resize_images
+
+    resized = resize_images(media, 32, 32, 3)
+    return resized.select("doc_id", "out_w", "out_h", "resized_len").orderBy("doc_id")

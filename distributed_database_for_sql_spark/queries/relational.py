@@ -261,3 +261,21 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
     return a.exceptAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_nationkey
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min of the two multiplicities)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersectAll(b).orderBy("c_nationkey")

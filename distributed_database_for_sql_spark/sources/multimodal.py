@@ -114,3 +114,44 @@ def sample_frames(media: DataFrame, frame_size: int = 256,
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, out_w int, out_h int, resized_bytes binary, resized_len long"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32,
+                  channels: int = 3) -> DataFrame:
+    """Resize: payload → fixed (out_w × out_h × channels) byte buffer.
+
+    With codecs absent the resample kernel is a deterministic stand-in
+    (nearest-neighbor over the raw payload bytes: output byte i reads
+    input byte ⌊i·n/out⌋), but the pipeline shape is the production one —
+    fixed-size output buffers from variable-size inputs, emitted batch-
+    by-batch through mapInPandas so downstream training-shard writers see
+    uniform rows.
+    """
+    out_len = out_w * out_h * channels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n == 0:
+                    resized.append(b"\0" * out_len)
+                else:
+                    resized.append(bytes(payload[(i * n) // out_len]
+                                         for i in range(out_len)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized_bytes": resized,
+                    "resized_len": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)

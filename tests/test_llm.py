@@ -113,3 +113,21 @@ def test_frame_sampling_covers_payload_prefix(spark, sf_dir):
         joined = b"".join(bytes(r.frame_bytes) for r in fr)
         assert texts[doc_id].startswith(joined)
         assert len(fr) == min(3, (len(texts[doc_id]) + 99) // 100)
+
+
+def test_multimodal_resize_bytes_match_python_kernel(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.sources.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary_payload(docs)
+    got = {r.doc_id: bytes(r.resized_bytes)
+           for r in resize_images(media, 8, 8, 3).collect()}
+    out_len = 8 * 8 * 3
+    for r in media.collect():
+        payload, n = bytes(r.payload), len(bytes(r.payload))
+        want = bytes(payload[(i * n) // out_len] for i in range(out_len))
+        assert got[r.doc_id] == want
