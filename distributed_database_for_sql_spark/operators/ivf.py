@@ -1,0 +1,133 @@
+"""IVF (inverted-file) ANN index: k-means coarse quantizer + cell-probed search.
+
+`partition_pruned_topk` (operators/ann.py) assumes a cell id already
+exists on the data; this module LEARNS the cells — the actual IVF recipe
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011; same coarse-quantizer structure FAISS uses):
+
+1. k-means over the corpus (deterministic init: the k lowest-id vectors).
+   Assignment runs as an Arrow-batched numpy argmin per batch; centroid
+   re-estimation is a posexplode → groupBy(cluster, dim) mean — one
+   shuffle of (cluster, dim, partial-mean) rows per iteration, never the
+   vectors themselves to the driver.  Centroids (k × dim doubles) are the
+   only driver-side state — they ARE index metadata, sized for broadcast.
+2. Search probes the `nprobe` nearest cells per query (driver-side
+   numpy over k centroids), then scores only vectors in probed cells with
+   exact cosine and ranks top-k.
+
+At 100 TB: `cluster` becomes a partition column of the stored corpus, so
+probing nprobe cells is partition pruning at scan time; expected scanned
+fraction is nprobe/k of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine_fixed
+
+
+def _assign_udf(centroids):
+    """pandas_udf: vector → nearest-centroid index (squared-L2 argmin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")          # (k, D)
+    c2 = (C * C).sum(axis=1)                            # ‖c‖²
+
+    def assign(vecs):
+        V = np.vstack(vecs.to_numpy()).astype("float64")  # (N, D)
+        # argmin ‖v−c‖² = argmin ‖c‖² − 2·v·c   (‖v‖² constant per row)
+        d = c2[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    import pandas as _pd
+
+    assign.__annotations__ = {"vecs": _pd.Series, "return": _pd.Series}
+    return pandas_udf(assign, "int")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+):
+    """Lloyd's k-means; returns (centroids: list[list[float]], assign_udf)."""
+    seed_rows = (
+        emb.orderBy(id_col).limit(k)
+        .select(as_double(F.col(vec_col)).alias("v")).collect()
+    )
+    centroids = [list(r.v) for r in seed_rows]
+
+    vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
+    vecs.count()
+    for _ in range(iters):
+        assigned = vecs.select(_assign_udf(centroids)(F.col("v")).alias("c"), "v")
+        stats = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old centroid
+        for r in stats:
+            new[r.c][r.pos] = r.m
+        centroids = new
+    vecs.unpersist()
+    return centroids, _assign_udf(centroids)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k cosine neighbors probing nprobe learned cells per query."""
+    import numpy as np
+
+    centroids, assign = kmeans_fit(emb, id_col, vec_col, k=n_clusters,
+                                   iters=iters, dim=dim)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        assign(as_double(F.col(vec_col))).alias("cell"),
+    )
+
+    # Probe list per query: nprobe nearest centroids (numpy over k rows).
+    C = np.asarray(centroids, dtype="float64")
+    c2 = (C * C).sum(axis=1)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probes = []
+    for r in qrows:
+        v = np.asarray(r.qv, dtype="float64")
+        order = np.argsort(c2 - 2.0 * (C @ v), kind="stable")[:nprobe]
+        probes.extend((r.query_id, list(r.qv), int(c)) for c in order)
+    probe_df = emb.sparkSession.createDataFrame(
+        probes, f"query_id long, qv array<double>, cell int"
+    )
+
+    pairs = (
+        corpus.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cos_r", F.round("cos", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("cos_r").alias("cos"), "rn")
+    )

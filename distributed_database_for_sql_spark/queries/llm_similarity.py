@@ -145,3 +145,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "label_a", "label_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # learned-quantizer path; recall pinned by pytest vs brute force
+    tags=("similarity", "ann", "ivf", "kmeans", "iterative", "llm"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: distributed k-means (5
+    Lloyd iterations, deterministic init) builds 16 cells; each query
+    probes its 4 nearest cells and exact-cosine ranks within them
+    (operators/ivf.py).  Rows-only driver check; tests/test_llm.py
+    verifies recall against brute force."""
+    from ..operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4).orderBy(
+        "query_id", "rn")

@@ -131,3 +131,24 @@ def test_multimodal_resize_bytes_match_python_kernel(spark, sf_dir):
         payload, n = bytes(r.payload), len(bytes(r.payload))
         want = bytes(payload[(i * n) // out_len] for i in range(out_len))
         assert got[r.doc_id] == want
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.ann import brute_force_topk
+    from distributed_database_for_sql_spark.operators.ivf import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    # Probing half the cells must recover a solid fraction of true top-5.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # And the result is deterministic across runs.
+    approx2 = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    assert approx == approx2
