@@ -1,0 +1,97 @@
+"""Property-style algebraic checks (SURVEY.md §5.2.3) — hypothesis drives
+small random relations through operator identities that must hold for ANY
+input, complementing the fixed-fixture unit tests.
+
+Spark jobs are slow relative to hypothesis's defaults, so examples are
+capped and deadlines disabled; the properties still cover the edge shapes
+that matter (empty relations, all-duplicate keys, NULLs).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(-3, 3))),
+    max_size=12,
+)
+
+prop = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, v int") if data else \
+        spark.createDataFrame([], "k int, v int")
+
+
+@prop
+@given(data=rows)
+def test_filter_partitions_input(spark, data):
+    from pyspark.sql import functions as F
+
+    df = _df(spark, data)
+    cond = F.col("v") > 0
+    kept, dropped = df.filter(cond), df.filter(~cond | F.col("v").isNull())
+    assert kept.count() + dropped.count() == df.count()
+
+
+@prop
+@given(a=rows, b=rows)
+def test_union_all_counts_add(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionByName(db).count() == da.count() + db.count()
+
+
+@prop
+@given(a=rows, b=rows)
+def test_except_all_multiplicity(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    from collections import Counter
+
+    ca = Counter((r.k, r.v) for r in da.collect())
+    cb = Counter((r.k, r.v) for r in db.collect())
+    want = sum(max(0, n - cb.get(key, 0)) for key, n in ca.items())
+    assert da.exceptAll(db).count() == want
+
+
+@prop
+@given(data=rows)
+def test_dropduplicates_idempotent_and_bounded(spark, data):
+    df = _df(spark, data)
+    d1 = df.dropDuplicates()
+    assert d1.count() == len({(r[0], r[1]) for r in data})
+    assert d1.dropDuplicates().count() == d1.count()
+
+
+@prop
+@given(a=rows, b=rows)
+def test_salted_join_equals_plain_join(spark, a, b):
+    from distributed_database_for_sql_spark.operators.salted_join import salted_join
+
+    da, db = _df(spark, a), _df(spark, b).withColumnRenamed("v", "w")
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731 — None-safe sort
+    got = sorted(map(tuple, salted_join(da, db, "k", salt=3).collect()), key=key)
+    want = sorted(map(tuple, da.join(db, "k").collect()), key=key)
+    assert got == want
+
+
+@prop
+@given(data=rows)
+def test_row_number_is_dense_permutation(spark, data):
+    from pyspark.sql import Window, functions as F
+
+    df = _df(spark, data)
+    w = Window.partitionBy("k").orderBy(F.col("v").asc_nulls_first())
+    out = df.withColumn("rn", F.row_number().over(w)).collect()
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in out:
+        per_key[r.k].append(r.rn)
+    for rns in per_key.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
