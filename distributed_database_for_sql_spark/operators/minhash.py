@@ -68,8 +68,13 @@ def signature_only(
     num_hashes: int = 128,
     shingle_w: int = 3,
     fast_hash: bool = False,
+    shingle_fn=None,
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) per document.
+
+    `shingle_fn` (Column → array Column) overrides the shingling unit —
+    default is distinct w-word shingles; pass e.g. char_ngrams for
+    character-level near-dup detection.
 
     Two physical strategies, same values for the same base hash:
 
@@ -88,7 +93,8 @@ def signature_only(
       compile, no shuffle at all; signatures stay fully deterministic.
     """
     a, b = permutation_constants(num_hashes)
-    shingles = word_shingles(F.col(text_col), w=shingle_w)
+    shingles = (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
+        F.col(text_col))
 
     if fast_hash:
         import numpy as np
@@ -150,6 +156,7 @@ def minhash_lsh_pairs(
     bands: int = 64,
     shingle_w: int = 3,
     max_bucket: int = 1000,
+    shingle_fn=None,
 ) -> DataFrame:
     """Verified near-duplicate pairs: (id_a, id_b, jacc) with jacc ≥ threshold.
 
@@ -166,7 +173,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
-                          fast_hash=True).persist()
+                          fast_hash=True, shingle_fn=shingle_fn).persist()
 
     # Unrolled polynomial band key (matches the old aggregate-fold values:
     # acc = acc·(P+2) mod 2⁶¹−1 + xᵢ).  Plain arithmetic on element_at
@@ -204,8 +211,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), w=shingle_w).alias("shingles"))
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
+            F.col(text_col)).alias("shingles"))
     with_a = (
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         .join(F.broadcast(candidates), "id_a")

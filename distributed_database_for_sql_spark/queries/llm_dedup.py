@@ -12,13 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import jaccard, md5_long, simhash, word_shingles
+from ..functions.text import char_ngrams, jaccard, md5_long, simhash, word_shingles
 from ..operators.minhash import (
     MERSENNE31,
     minhash_lsh_pairs,
     minhash_signatures,
     permutation_constants,
 )
+from ..operators.prefix_join import similarity_join_prefix
 from .base import register
 
 
@@ -194,36 +195,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "ngram", "llm"),
 )
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard near-dup pairs, blocked by language.
+    """Character-4-gram Jaccard near-dup pairs (J ≥ 0.8).
 
-    Blocking (join key = lang) is the simplest candidate-pruning scheme:
-    the cross product only forms inside blocks.  At 100 TB the block key
-    would be coarser (lang × length-bucket × source) — same plan shape."""
+    Candidate generation is LOSSLESS prefix filtering
+    (operators/prefix_join.py, the AllPairs/PPJoin lemma): a pair with
+    J ≥ 0.8 must share one of each side's ~⌈0.2·n⌉ globally-rarest grams,
+    so candidates are rare-gram collisions, not all within-block pairs.
+    The two naive forms both fail at scale here: a lang-blocked
+    self-join materializes O(n²/blocks) pair rows with both gram arrays
+    (500+ s at sf0.1), and banded MinHash degenerates on this corpus
+    because char-gram similarity is uniformly high — 11.7M of 12.5M
+    pairs collide in some band.  Prefix filtering is exact, so the
+    brute-force oracle matches with no probabilistic caveat; the
+    oracle's same-lang blocking is re-applied via two broadcast
+    (id, lang) maps.
+
+    Corpus caveat, measured: this synthetic corpus has only ~1k distinct
+    4-grams, so NO content-based candidate generator can prune far (every
+    gram is frequent); remaining cost is exact verification of the
+    residual candidates.  On natural text (≥10⁶-gram universes) prefix
+    tokens are genuinely rare and this plan is the standard
+    sub-quadratic one."""
     docs = load_table(spark, sf_dir, "documents")
-    ln = F.length("text")
-    grams = F.array_distinct(
-        F.when(
-            ln >= 4,
-            F.transform(
-                F.sequence(F.lit(1), ln - 3),
-                lambda i: F.col("text").substr(i, F.lit(4)),
-            ),
-        ).otherwise(F.array(F.col("text")))
-    )
-    gr = docs.select("doc_id", "lang", grams.alias("g"))
-    a = gr.select(
-        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("g").alias("g_a")
-    )
-    b = gr.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("g").alias("g_b"),
-    )
+    grams = docs.select("doc_id", char_ngrams(F.col("text"), n=4).alias("g"))
+    pairs = similarity_join_prefix(grams, id_col="doc_id", set_col="g",
+                                   threshold=0.8)
+    lang_a = docs.select(F.col("doc_id").alias("id_a"), "lang")
+    lang_b = docs.select(F.col("doc_id").alias("id_b"),
+                         F.col("lang").alias("lang_b"))
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("char_jacc", jaccard(F.col("g_a"), F.col("g_b")))
-        .filter(F.col("char_jacc") >= 0.8)
-        .select("id_a", "id_b", "lang", F.round("char_jacc", 4).alias("char_jacc"))
+        pairs.join(F.broadcast(lang_a), "id_a")
+        .join(F.broadcast(lang_b), "id_b")
+        .filter(F.col("lang") == F.col("lang_b"))
+        .select("id_a", "id_b", "lang", F.round("jacc", 4).alias("char_jacc"))
         .orderBy("id_a", "id_b")
     )
 
