@@ -60,6 +60,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_sql,
         llm_dedup,
         llm_similarity,
+        pipeline_q,
         text_analysis,
         streaming_q,
         sources_q,
