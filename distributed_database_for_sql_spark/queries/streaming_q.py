@@ -154,3 +154,24 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     drains, the final state per user equals the batch aggregate — which is
     exactly what the oracle recomputes."""
     return jobs.user_running_state(spark, sf_dir).orderBy("user_id")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS p_ts, c.ts AS c_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+    ORDER BY purchase_id, click_id
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchase ⋈ prior clicks ≤ 1 h back,
+    per user) run as a real Structured Streaming job; the drained append
+    output equals the batch interval join the oracle computes."""
+    return jobs.stream_stream_join(spark, sf_dir).orderBy("purchase_id", "click_id")

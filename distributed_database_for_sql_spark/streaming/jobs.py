@@ -230,3 +230,42 @@ def user_running_state(spark: SparkSession, sf_dir: str,
                 F.round("total_value", 2).alias("total_value"),
                 F.timestamp_micros(F.col("last_us")).alias("last_ts"))
     )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str,
+                       horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    prior clicks within `horizon` (event time).
+
+    Both sides are watermarked and the join condition bounds click time to
+    [purchase − horizon, purchase], so Spark can expire buffered state —
+    the canonical funnel/attribution join.  Matching uses micro-batch
+    state exactly like production; draining the file source makes the
+    final append output equal the batch join, which is what the oracle
+    recomputes.
+    """
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+    out = run_to_completion(joined, "append")
+    return out.select("purchase_id", "click_id", F.col("p_user").alias("user_id"),
+                      "p_ts", "c_ts", F.round("purchase_value", 2).alias("purchase_value"))
