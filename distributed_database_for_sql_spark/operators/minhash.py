@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import jaccard, md5_long, word_shingles
@@ -191,23 +191,26 @@ def minhash_lsh_pairs(
         )
         .select("id", "band", band_key.alias("band_key"))
     )
-    # Cap pathological buckets (boilerplate shingles): keep the first
-    # max_bucket doc ids per bucket — bounds per-bucket pair explosion.
-    w = Window.partitionBy("band", "band_key").orderBy("id")
-    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= max_bucket
+    # One shuffle builds each bucket's member list (sorted for
+    # determinism, sliced to max_bucket to bound pathological boilerplate
+    # buckets' quadratic pair blow-up); pairs then enumerate inside the
+    # bucket array.  This replaces a window-cap (shuffle + sort) plus a
+    # self-join (another shuffle) — per-bucket pair counts are tiny
+    # (≤ max_bucket²/2), so the in-array enumeration is cheap even
+    # interpreted.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket)
+             .alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-
-    left = banded.select(
-        F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("band_key"), F.col("id").alias("id_b")
-    )
+    pair_expr = F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x as id_a, y as id_b)))")))
     candidates = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
