@@ -51,6 +51,7 @@ def main() -> None:
     import pandas as pd
 
     def _noop(s):
+        import numpy  # noqa: F401 — warm the import in every pooled worker
         return s
 
     _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}

@@ -32,6 +32,7 @@ which is what lets the exact all-pairs oracle validate the LSH output.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -96,6 +97,22 @@ def signature_only(
     shingles = (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
         F.col(text_col))
 
+    # A small table often arrives as one file → one partition, which would
+    # serialize the (CPU-heavy) signature stage onto a single core.  At
+    # cluster scale the input is already wide and this is a no-op.  The
+    # fan-out is capped at ~1 MiB of input per task: each extra task is a
+    # Python-worker round trip, which dominates when the per-task slice
+    # is tiny.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        nbytes = sum(os.path.getsize(f.removeprefix("file://"))
+                     for f in docs.inputFiles())
+        target = min(target, max(1, nbytes >> 20))
+    except Exception:
+        pass  # derived frame / non-local files: keep full parallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     if fast_hash:
         import numpy as np
         import pandas as pd
@@ -105,11 +122,29 @@ def signature_only(
         bv = np.asarray(b, dtype="int64")[:, None]
 
         def sig(hs):
-            out = []
-            for h in hs.to_numpy():
-                hv = np.asarray(h, dtype="int64")[None, :]
-                out.append((av * hv + bv) % MERSENNE31)
-            return pd.Series([m.min(axis=1) for m in out])
+            arrs = hs.to_numpy()
+            if len(arrs) == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter((len(h) for h in arrs), dtype=np.int64,
+                               count=len(arrs))
+            if (lens == 0).any():
+                # degenerate empty-shingle docs: per-doc loop (rare path)
+                out = []
+                for h in arrs:
+                    hv = np.asarray(h, dtype="int64")[None, :]
+                    m = (av * hv + bv) % MERSENNE31
+                    out.append(m.min(axis=1) if hv.size else
+                               np.full(av.shape[0], MERSENNE31 - 1))
+                return pd.Series(out)
+            # One batched matmul-shaped pass over every shingle in the
+            # Arrow batch, then segmented min per doc — no Python loop.
+            flat = np.concatenate([np.asarray(h, dtype="int64")
+                                   for h in arrs])[None, :]
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat((av * flat + bv) % MERSENNE31,
+                                       offsets, axis=1)
+            return pd.Series(list(mins.T))
 
         sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
         sig_udf = pandas_udf(sig, "array<long>")
@@ -173,7 +208,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
-                          fast_hash=True, shingle_fn=shingle_fn).persist()
+                          fast_hash=True, shingle_fn=shingle_fn)
 
     # Unrolled polynomial band key (matches the old aggregate-fold values:
     # acc = acc·(P+2) mod 2⁶¹−1 + xᵢ).  Plain arithmetic on element_at
@@ -208,16 +243,34 @@ def minhash_lsh_pairs(
         "transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "struct(x as id_a, y as id_b)))")))
+    # Persisted AND eagerly materialized: the verify step references this
+    # frame from three broadcast builds, and Spark runs broadcast-exchange
+    # jobs concurrently — without the count() they would race past the
+    # unpopulated cache and each recompute the whole signature pipeline.
+    # The frame is tiny after LSH pruning (pairs, not documents).
     candidates = (
         buckets.select(pair_expr.alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+        .persist()
     )
+    candidates.count()
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
-            F.col(text_col)).alias("shingles"))
+    # Shingle ONLY the docs that appear in some candidate pair (a
+    # broadcast semi-join on the candidate id set), not the whole corpus
+    # — LSH's survivor set is tiny relative to the input, and shingling
+    # is the expensive part of verification.  The join-then-project order
+    # guarantees the prune happens before the shingle expression runs.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    sh = (
+        docs.join(F.broadcast(cand_ids),
+                  docs[id_col] == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
+                F.col(text_col)).alias("shingles"))
+    )
     with_a = (
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         .join(F.broadcast(candidates), "id_a")
