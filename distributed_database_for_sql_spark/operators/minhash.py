@@ -100,14 +100,15 @@ def signature_only(
     # A small table often arrives as one file → one partition, which would
     # serialize the (CPU-heavy) signature stage onto a single core.  At
     # cluster scale the input is already wide and this is a no-op.  The
-    # fan-out is capped at ~1 MiB of input per task: each extra task is a
-    # Python-worker round trip, which dominates when the per-task slice
-    # is tiny.
+    # fan-out floor is ~16 KiB of compressed input per task: signatures
+    # cost ~1 ms/doc vs ~120 B/doc of input, so even a few-hundred-KB
+    # file is minutes of single-core work, while a warm Python-worker
+    # round trip is only milliseconds.
     target = docs.sparkSession.sparkContext.defaultParallelism
     try:
         nbytes = sum(os.path.getsize(f.removeprefix("file://"))
                      for f in docs.inputFiles())
-        target = min(target, max(1, nbytes >> 20))
+        target = min(target, max(1, nbytes >> 14))
     except Exception:
         pass  # derived frame / non-local files: keep full parallelism
     if docs.rdd.getNumPartitions() < target:
