@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 import hashlib
 
 from ..functions.text import md5_long
-from ..functions.vector import as_double, cosine, cosine_fixed
+from ..functions.vector import (
+    as_double,
+    cosine,
+    cosine_fixed,
+    cosine_prenormed,
+    norm_fixed,
+)
 
 N_PLANES = 16
 
@@ -52,13 +58,13 @@ def brute_force_topk(
     """Exact top-k by cosine; query set broadcast, one pass over candidates."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_fixed("qv", dim))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_fixed("cv", dim))
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
+        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )
     return _ranked_topk(pairs, k)
 
@@ -73,19 +79,19 @@ def partition_pruned_topk(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("qcell"),
         as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", norm_fixed("qv", dim))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cell_col).alias("ccell"),
         as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", norm_fixed("cv", dim))
     pairs = (
         c.join(
             F.broadcast(q),
             (F.col("qcell") == F.col("ccell"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
+        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )
     return _ranked_topk(pairs, k)
 
@@ -179,9 +185,9 @@ def lsh_bucketed_topk(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         lsh_code_pandas(dim)(as_double(F.col(vec_col))).alias("code"),
-    )
+    ).withColumn("n", norm_fixed("v", dim))
     banded = with_code.select(
-        id_col, "v", "code",
+        id_col, "v", "n", "code",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn(
         "band_key",
@@ -189,17 +195,17 @@ def lsh_bucketed_topk(
     ).drop("code")
     q = banded.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        "band", "band_key",
+        F.col("n").alias("qn"), "band", "band_key",
     )
     c = banded.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
-        "band", "band_key",
+        F.col("n").alias("cn"), "band", "band_key",
     )
     pairs = (
         c.join(F.broadcast(q), ["band", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
+        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )
     return _ranked_topk(pairs, k)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_fixed
+from ..functions.vector import as_double, cosine_prenormed, norm_fixed
 
 
 def _assign_udf(centroids):
@@ -102,7 +102,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         assign(as_double(F.col(vec_col))).alias("cell"),
-    )
+    ).withColumn("cn", norm_fixed("cv", dim))
 
     # Probe list per query: nprobe nearest centroids (numpy over k rows).
     C = np.asarray(centroids, dtype="float64")
@@ -117,12 +117,12 @@ def ivf_topk(
         probes.extend((r.query_id, list(r.qv), int(c)) for c in order)
     probe_df = emb.sparkSession.createDataFrame(
         probes, f"query_id long, qv array<double>, cell int"
-    )
+    ).withColumn("qn", norm_fixed("qv", dim))
 
     pairs = (
         corpus.join(F.broadcast(probe_df), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_fixed(F.col("qv"), F.col("cv"), dim))
+        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
     return (
