@@ -197,13 +197,19 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition (map-side combine already does) — the plan is exactly
     that shape."""
     docs = load_table(spark, sf_dir, "documents")
-    w = W.orderBy(F.desc("n"), F.asc("token"))
-    return (
+    counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
+    )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: each partition
+    # keeps its local top 20, the driver merges) — a global row_number
+    # window here would instead sort the whole vocabulary on ONE
+    # partition.  The rank window then sees only the 20 survivors.
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
         .orderBy("rn")
     )
 
