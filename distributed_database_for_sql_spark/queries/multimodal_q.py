@@ -98,3 +98,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     resized = resize_images(media, 32, 32, 3)
     return resized.select("doc_id", "out_w", "out_h", "resized_len").orderBy("doc_id")
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # numpy kernel; values pinned by pytest vs the same
+    # pure-Python computation on collected payloads
+    tags=("multimodal", "udf", "features", "llm"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature vectors (mean/std/4-bin histogram) per payload
+    via mapInPandas — the embedding-model stand-in of the training
+    pipeline.  Rows-only driver check; tests/test_llm.py verifies values."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    from ..sources.multimodal import extract_features
+
+    feats = extract_features(media, n_bins=4)
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round("std_byte", 6).alias("std_byte"),
+        "byte_hist",
+    ).orderBy("doc_id")

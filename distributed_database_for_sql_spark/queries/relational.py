@@ -264,6 +264,46 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    ORDER BY o_custkey
+    """,
+    tags=("setop",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): unionByName + distinct — one dedup shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.unionByName(b).distinct().orderBy("o_custkey")
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 AND c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_nationkey
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics — dedups, then anti-joins on the key).
+
+    Predicates chosen so the difference is non-empty at sf0.01 — an
+    empty result would vacuously match any oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 9000)
+    a = rich.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = rich.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.subtract(b).orderBy("c_nationkey")
+
+
+@register(
     "set_intersect_all",
     oracle="""
     SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -116,6 +116,49 @@ def sample_frames(media: DataFrame, frame_size: int = 256,
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, std_byte double, "
+    "byte_hist array<long>"
+)
+
+
+def extract_features(media: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Feature extraction: payload bytes → numeric feature vector.
+
+    The stand-in for a real embedding model: per-payload mean/std byte
+    value and an n_bins histogram, computed with numpy over the whole
+    Arrow batch (one concatenate + reduceat pass, no per-row Python
+    loop).  A real extractor would swap the kernel and keep this exact
+    batch shape — fixed-width numeric features from opaque bytes.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(0, 256, n_bins + 1)
+        for pdf in it:
+            payloads = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            means, stds, hists = [], [], []
+            for b in payloads:
+                if b.size == 0:
+                    means.append(0.0); stds.append(0.0)
+                    hists.append([0] * n_bins)
+                else:
+                    means.append(float(b.mean()))
+                    stds.append(float(b.std()))
+                    hists.append(np.histogram(b, bins=edges)[0].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "mean_byte": means,
+                    "std_byte": stds,
+                    "byte_hist": hists,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id long, out_w int, out_h int, resized_bytes binary, resized_len long"
 )

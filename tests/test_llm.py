@@ -152,3 +152,23 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     approx2 = {(r.query_id, r.neighbor_id)
                for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
     assert approx == approx2
+
+
+def test_multimodal_feature_extract_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from distributed_database_for_sql_spark.sources.multimodal import (
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary_payload(docs)
+    got = {r.doc_id: r for r in extract_features(media, n_bins=4).collect()}
+    edges = np.linspace(0, 256, 5)
+    for r in media.collect():
+        b = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+        row = got[r.doc_id]
+        assert row.mean_byte == pytest.approx(float(b.mean()))
+        assert row.std_byte == pytest.approx(float(b.std()))
+        assert list(row.byte_hist) == np.histogram(b, bins=edges)[0].tolist()
+        assert sum(row.byte_hist) == len(b) == row.n_bytes
