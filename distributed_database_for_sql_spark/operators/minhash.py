@@ -42,6 +42,28 @@ from ..functions.text import jaccard, md5_long, word_shingles
 MERSENNE31 = 2147483647  # permutation modulus P
 
 
+def fan_out_small_input(docs: DataFrame) -> DataFrame:
+    """Repartition a few-partition input so CPU-heavy per-doc stages
+    (signatures, shingle verification) use every core.
+
+    A small table often arrives as one file → one partition, which would
+    serialize minutes of single-core work.  At cluster scale the input is
+    already wide and this is a no-op.  The fan-out floor is ~16 KiB of
+    compressed input per task: signatures cost ~1 ms/doc vs ~120 B/doc of
+    input, while a warm Python-worker round trip is only milliseconds.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        nbytes = sum(os.path.getsize(f.removeprefix("file://"))
+                     for f in docs.inputFiles())
+        target = min(target, max(1, nbytes >> 14))
+    except Exception:
+        pass  # derived frame / non-local files: keep full parallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
+
+
 def _const(tag: str, i: int, mod: int) -> int:
     """Deterministic permutation constant from md5 — reproducible anywhere."""
     return int(hashlib.md5(f"{tag}#{i}".encode()).hexdigest()[:15], 16) % mod
@@ -96,23 +118,7 @@ def signature_only(
     a, b = permutation_constants(num_hashes)
     shingles = (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
         F.col(text_col))
-
-    # A small table often arrives as one file → one partition, which would
-    # serialize the (CPU-heavy) signature stage onto a single core.  At
-    # cluster scale the input is already wide and this is a no-op.  The
-    # fan-out floor is ~16 KiB of compressed input per task: signatures
-    # cost ~1 ms/doc vs ~120 B/doc of input, so even a few-hundred-KB
-    # file is minutes of single-core work, while a warm Python-worker
-    # round trip is only milliseconds.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        nbytes = sum(os.path.getsize(f.removeprefix("file://"))
-                     for f in docs.inputFiles())
-        target = min(target, max(1, nbytes >> 14))
-    except Exception:
-        pass  # derived frame / non-local files: keep full parallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    docs = fan_out_small_input(docs)
 
     if fast_hash:
         import numpy as np
@@ -208,6 +214,10 @@ def minhash_lsh_pairs(
     broadcast, so the shingle arrays never shuffle.
     """
     rows_per_band = num_hashes // bands
+    # Fan out ONCE here: both the signature stage and the verify stage's
+    # shingle recomputation are CPU-bound per-doc work that would
+    # otherwise inherit the input file's (possibly single) partitioning.
+    docs = fan_out_small_input(docs)
     sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
                           fast_hash=True, shingle_fn=shingle_fn)
 
