@@ -91,3 +91,34 @@ def test_q9_dims_broadcast_no_cartesian(spark):
     df = registry()["q9_product_profit"].fn(spark, "/root/testdata/sf0.001")
     assert uses_broadcast_join(df)
     assert not has_cartesian(df)
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """Corpus top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a single-partition global sort."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["text_word_freq_topk"].fn(spark, "/root/testdata/sf0.001")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_ann_brute_force_query_side_broadcasts(spark):
+    """The bounded query set broadcasts; candidates never shuffle."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["ann_bruteforce_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    # non-equi self-pairing runs as a broadcast nested loop (fine: one
+    # side is k rows), NOT a CartesianProduct of the corpus with itself
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_by_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate phases around one exchange."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Functions: [partial_" in plan or "partial_sum" in plan
