@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double
 from ..operators.ann import (
     N_PLANES,
     brute_force_topk,
@@ -129,18 +129,24 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-pairs is exact and fine at fixture scale; the 100 TB path is the
     LSH-bucketed variant above (same verify step, pruned candidates)."""
+    from ..functions.vector import cosine_prenormed, norm_fixed
+    from ..operators.minhash import fan_out_small_input
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # The O(n²) pairing runs as a broadcast nested loop: the probe side
+    # must be repartitioned or a single-file input serializes every pair
+    # comparison onto one core.
+    a = fan_out_small_input(emb).select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
         as_double(F.col("embedding")).alias("va"),
-    )
+    ).withColumn("na", norm_fixed("va"))
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
         as_double(F.col("embedding")).alias("vb"),
-    )
+    ).withColumn("nb", norm_fixed("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_prenormed("va", "vb", "na", "nb"))
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b", "label_a", "label_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
