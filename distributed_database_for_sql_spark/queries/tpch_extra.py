@@ -1,4 +1,4 @@
-"""Remaining TPC-H-style analogues (Q4/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q19/Q21/Q22).
+"""Remaining TPC-H-style analogues (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22).
 
 The driver's star schema is TPC-H-ish but slimmer than the spec (no
 partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no c_phone —
@@ -9,7 +9,9 @@ expression (Q9), HAVING against a global scalar (Q11), outer-join
 distribution (Q13), scalar-subquery max (Q15), grouped countDistinct with
 NOT IN (Q16), correlated per-group average (Q17), disjunctive multi-column
 DNF predicate pushdown (Q19), sole-late-supplier semi/anti pair (Q21),
-anti-join against a scalar threshold (Q22).
+anti-join against a scalar threshold (Q22), min-cost supplier with a
+per-part window minimum (Q2), delay-window priority mix (Q12), and
+excess-share suppliers via windowed totals + semi-join (Q20).
 
 The reference's command log was built to carry exactly these statement
 strings but never executes them (/root/reference/src/raft/node.go:16-19,
@@ -566,4 +568,153 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+      FROM cost c
+      JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT p.p_partkey, c.l_suppkey AS s_suppkey,
+           ROUND(c.unit_cost, 2) AS unit_cost
+    FROM regional c JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size <= 10
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM regional c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+    tags=("join", "window", "correlated-subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: per part, the cheapest in-region supplier.
+
+    With no partsupp table the unit cost is MIN(l_extendedprice) per
+    (part, supplier) — an exact double, so the min-equality keeps ties
+    deterministically on both engines.  The correlated scalar subquery
+    becomes a window MIN over the part key: one shuffle on l_partkey,
+    dimensions broadcast, no per-row re-aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("unit_cost"))
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", F.col("l_suppkey").alias("s_suppkey"),
+                F.round("unit_cost", 2).alias("unit_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 30 AND 90
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("join", "agg", "conditional", "tpch"),
+)
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: priority mix of 30-90-day-delayed shipments.
+
+    No l_shipmode/commitdate columns, so the delay window plays the
+    receipt-window role and l_linestatus stands in for shipmode; the
+    operator shape is the same — fact-fact equi join plus conditional
+    SUM(CASE) aggregation, one shuffle on the group key.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(delay.between(30, 90))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH share AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS sq,
+             SUM(SUM(l_quantity)) OVER (PARTITION BY l_partkey) AS total
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN share ON s_suppkey = l_suppkey
+    WHERE sq > 0.15 * total
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "window", "semi", "tpch"),
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: suppliers holding an outsized share of a part.
+
+    availqty is gone with partsupp, so "excess stock" becomes shipping
+    >15% of a PROMO part's total quantity.  Same shape as the original's
+    nested IN: per-(supplier, part) aggregate, a per-part total (window
+    SUM over the same shuffle — no second aggregation pass), then a
+    semi-join into supplier.  l_quantity values are small integers, so
+    the double sums are exact and the share comparison is engine-stable.
+    """
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    share = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .withColumn("total", F.sum("sq").over(W.partitionBy("l_partkey")))
+        .filter(F.col("sq") > 0.15 * F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(share, supp.s_suppkey == share.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
