@@ -57,6 +57,23 @@ def main() -> None:
     _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.range(32).select(
         F.pandas_udf(_noop, "long")(F.col("id"))).count()
+    # Arrow (de)serialization JITs per column type on first use: the long
+    # warmup above leaves the first string/array UDF stage ~2.5 s slower.
+    # Exercise the types the real queries ship through Arrow.
+    def _noop_arr(s):
+        return s
+
+    _noop_arr.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm = spark.range(32).select(
+        F.col("id").cast("string").alias("s"),
+        F.array("id", "id").alias("arr"),
+        F.array(F.col("id").cast("double")).alias("darr"),
+    )
+    warm.select(
+        F.pandas_udf(_noop_arr, "string")(F.col("s")),
+        F.pandas_udf(_noop_arr, "array<long>")(F.col("arr")),
+        F.pandas_udf(_noop_arr, "array<double>")(F.col("darr")),
+    ).count()
 
     specs = registry()
     timings: dict[str, float] = {}
