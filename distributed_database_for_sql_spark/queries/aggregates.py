@@ -288,3 +288,55 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """)
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "sketch"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx_percentile, hash-matched against DuckDB's
+    exact discrete quantile.
+
+    GK's rank error is bounded by n/accuracy; at the oracle's group sizes
+    accuracy=100000 makes the sketch exact, so the match is not luck.  At
+    100 TB the same one-pass mergeable sketch keeps running (error grows
+    gracefully) where an exact per-group sort would not — that is the
+    point of shipping the sketch instead of `percentile`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 100000)").alias("p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.95, 100000)").alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sample_seeded",
+    oracle=None,  # engine-specific RNG; determinism + bounds pinned by pytest
+    tags=("sample", "rows-only"),
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli TABLESAMPLE with a fixed seed: reproducible downsampling.
+
+    sample() filters per row with a seeded per-partition RNG — no shuffle,
+    no collect, fraction-proportional cost at any scale (the standard way
+    to cut a 100 TB corpus to a pilot slice).  Cross-engine RNGs differ,
+    so the driver records rows-only; tests/test_operators.py pins
+    determinism and fraction bounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )

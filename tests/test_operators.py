@@ -155,3 +155,19 @@ def test_connected_components_chain_and_islands(spark):
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
             (20, 20), (21, 20), (22, 20)}
     assert got == want
+
+
+def test_sample_seeded_deterministic_and_bounded(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    a = orders.sample(fraction=0.1, seed=42).select("o_orderkey").collect()
+    b = orders.sample(fraction=0.1, seed=42).select("o_orderkey").collect()
+    assert [r.o_orderkey for r in a] == [r.o_orderkey for r in b]  # same seed, same rows
+    keys = {r.o_orderkey for r in a}
+    all_keys = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    assert keys <= all_keys                      # a sample is a subset
+    assert 0.02 * n < len(a) < 0.25 * n          # loose Bernoulli bounds
+    c = orders.sample(fraction=0.1, seed=7).select("o_orderkey").collect()
+    assert [r.o_orderkey for r in c] != [r.o_orderkey for r in a]  # seed matters
