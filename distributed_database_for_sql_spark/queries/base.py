@@ -67,6 +67,7 @@ def registry() -> dict[str, QuerySpec]:
         multimodal_q,
         udfs,
         sql_api,
+        timeseries_q,
     )
 
     return dict(_REGISTRY)
