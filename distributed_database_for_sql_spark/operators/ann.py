@@ -29,8 +29,6 @@ import hashlib
 from ..functions.text import md5_long
 from ..functions.vector import (
     as_double,
-    cosine,
-    cosine_fixed,
     cosine_prenormed,
     norm_fixed,
 )

@@ -47,8 +47,22 @@ def get_spark(app_name: str = "distributed_database_for_sql_spark",
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings the driver-supplied session may lack but the oracle needs.
 
-    Safe to call on any session: pins UTC so Spark timestamp values equal
-    DuckDB's UTC-naive parquet timestamps.
+    Safe to call on any session — all are runtime-settable confs:
+    - UTC timezone so Spark timestamp values equal DuckDB's UTC-naive
+      parquet timestamps (correctness).
+    - AQE + coalescing and core-sized shuffle partitions so a default
+      session (200 partitions, possibly no AQE) doesn't run the small-SF
+      oracle suite with 200 near-empty tasks per shuffle (speed only;
+      results are partitioning-independent).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cores = spark.sparkContext.defaultParallelism
+        if current > 4 * cores:
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 4)))
+    except Exception:
+        pass
     return spark
