@@ -279,3 +279,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "profile_corpus_stats",
+    oracle="""
+    SELECT COUNT(*)                                   AS n_rows,
+           COUNT(DISTINCT lang)                       AS n_langs,
+           COUNT(DISTINCT source)                     AS n_sources,
+           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           MIN(n_chars)                               AS min_chars,
+           MAX(n_chars)                               AS max_chars,
+           ROUND(AVG(n_chars), 4)                     AS avg_chars,
+           SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_len_mismatch
+    FROM documents
+    """,
+    tags=("profile", "quality", "llm"),
+)
+def profile_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: the data-quality report a training pipeline runs
+    before anything else — row/empty counts, dimension cardinalities,
+    length range, and a metadata-consistency check (n_chars vs length).
+
+    One global aggregate pass: all measures partial-aggregate map-side,
+    so the shuffle is a handful of rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    empty = F.col("text").isNull() | (F.col("text") == "")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(empty, 1).otherwise(0)).alias("n_empty"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .alias("n_len_mismatch"),
+    )
