@@ -118,3 +118,106 @@ def ts_locf_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "ts_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("timeseries", "session", "window"),
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions via lag + running sum
+    — the batch twin of the streaming session_window query.
+
+    Two window passes over ONE shuffle (same partition key and ordering,
+    Spark reuses the sort), then a per-session aggregate.  Gap and
+    duration math is integer microseconds, exact on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("dur_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "ts_funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS ts FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e JOIN s
+            ON e.user_id = s.user_id AND e.ts > s.ts
+               AND epoch_us(e.ts) - epoch_us(s.ts) <= 86400000000
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e JOIN c
+            ON e.user_id = c.user_id AND e.ts > c.ts
+               AND epoch_us(e.ts) - epoch_us(c.ts) <= 86400000000
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_1d,
+           (SELECT COUNT(*) FROM p) AS n_purchase_1d
+    """,
+    tags=("timeseries", "funnel", "join"),
+)
+def ts_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup → first click within 1 day → first
+    purchase within 1 day of that click.
+
+    Each stage's per-user first-event frame is at most |users| rows, so
+    stages broadcast into the next event scan; the fact table is scanned
+    once per stage with the event-type filter pushed down, and nothing
+    ever shuffles on more than user_id."""
+    events = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("ets"))
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter((F.col("ets") > F.col("ts"))
+                    & (F.unix_micros("ets") - F.unix_micros("ts") <= day_us))
+            .groupBy("user_id")
+            .agg(F.min("ets").alias("ts"))
+        )
+
+    s = (events.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts")))
+    c = first_after(s, "click")
+    p = first_after(c, "purchase")
+    # One declarative plan: three branch aggregates cross-joined into a
+    # single row — no driver-side count() actions.
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_1d")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_1d")))
+    )
