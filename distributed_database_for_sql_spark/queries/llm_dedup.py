@@ -272,3 +272,59 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
     return connected_components(pairs).orderBy("node")
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, lang,
+             [('0x'||substr(md5(t),1,15))::BIGINT FOR t IN tk] AS hs
+      FROM hashed_src
+    ), sh AS (
+      SELECT doc_id, lang,
+             LIST_SUM([
+               CASE WHEN LIST_SUM([(h // (1<<b)) % 2 * 2 - 1 FOR h IN hs]) > 0
+                    THEN (1<<b) ELSE 0 END
+               FOR b IN generate_series(0, 15)
+             ])::BIGINT AS sh16
+      FROM hashed
+    )
+    SELECT a.lang, bit_count(xor(a.sh16, b.sh16)) AS hamming, COUNT(*) AS n_pairs
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh16, b.sh16)) <= 3
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """.replace("FROM hashed_src", "FROM tok"),
+    tags=("dedup", "simhash", "hamming", "llm"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance pairing: per lang block, the histogram of
+    near-code pairs (XOR + popcount ≤ 3) — the second half of the SimHash
+    near-dup recipe (dedup_simhash computes the codes).
+
+    The fixture corpus shares one vocabulary, so 16-bit codes collide
+    heavily and a pair LIST would be quadratic noise; the histogram keeps
+    the oracle deterministic and small while exercising the same
+    xor/bit_count join predicate.  At scale the block key is the first
+    k bits of the code (not lang), which makes candidate generation a
+    hash join instead of all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.array_distinct(F.split(F.col("text"), " "))
+    sh = docs.select("doc_id", "lang", simhash(tk, bits=16).alias("sh16"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang",
+                  F.col("sh16").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("lang").alias("lang_b"), F.col("sh16").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .groupBy("lang", "hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("lang", "hamming")
+    )
