@@ -171,3 +171,39 @@ def test_sample_seeded_deterministic_and_bounded(spark, sf_dir):
     assert 0.02 * n < len(a) < 0.25 * n          # loose Bernoulli bounds
     c = orders.sample(fraction=0.1, seed=7).select("o_orderkey").collect()
     assert [r.o_orderkey for r in c] != [r.o_orderkey for r in a]  # seed matters
+
+
+def test_sessionize_partitions_events_and_durations_nonnegative(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.queries import registry
+
+    events = load_table(spark, sf_dir, "events")
+    sess = registry()["ts_sessionize_batch"].fn(spark, sf_dir)
+    rows = sess.collect()
+    # sessions exactly partition the events of each user
+    assert sum(r.n_events for r in rows) == events.count()
+    assert all(r.dur_us >= 0 for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
+    # session ids are 1..k dense per user
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+    for ids in by_user.values():
+        assert sorted(ids) == list(range(1, len(ids) + 1))
+
+
+def test_gapfill_spine_is_dense_and_counts_conserve(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    filled = registry()["ts_rollup_gapfill"].fn(spark, sf_dir)
+    rows = filled.collect()
+    n_types = events.select("event_type").distinct().count()
+    buckets_per_type = len({r.bucket for r in rows})
+    assert len(rows) == n_types * buckets_per_type  # dense grid
+    assert sum(r.n for r in rows) == events.count()  # counts conserved
+    # gap rows exist and carry exact zeros
+    gaps = [r for r in rows if r.n == 0]
+    assert gaps and all(r.sv == 0.0 for r in gaps)
