@@ -76,20 +76,29 @@ def main() -> None:
     ).count()
 
     specs = registry()
+    REPEATS = 3  # median-of-3: one slow co-tenant burst otherwise moves
+    # the headline number by ±20%; the median is stable run-to-run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()  # full materialization
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()  # full materialization
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        print(f"# {name}: median {timings[name]}s of {[round(r, 3) for r in runs]} "
+              f"({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
+        "runs_per_query": REPEATS,
+        "aggregation": "median",
         "queries": timings,
         "sf": sf_dir,
     }))
