@@ -316,3 +316,74 @@ def profile_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
         .alias("n_len_mismatch"),
     )
+
+
+@register(
+    "text_langid_ngram_profile",
+    oracle="""
+    WITH tg AS (
+      SELECT doc_id, lang,
+             list_distinct([substring(text, i, 3)
+                            FOR i IN generate_series(1, length(text)-2)]) AS g
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, lang, unnest(g) AS gram FROM tg
+    ), grams AS (
+      SELECT lang, gram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, gram ASC) AS rn
+      FROM exploded GROUP BY lang, gram
+    ), profile AS (SELECT lang AS cand, gram FROM grams WHERE rn <= 20),
+    scores AS (
+      SELECT e.doc_id, e.lang AS true_lang, p.cand, COUNT(*) AS overlap
+      FROM exploded e JOIN profile p ON e.gram = p.gram
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT doc_id, true_lang, cand, overlap,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, cand ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, true_lang, cand AS predicted, overlap
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("text", "langid", "ngram", "llm"),
+)
+def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (the classic n-gram
+    heuristic): learn each lang's top-20 trigrams from the corpus, score
+    every document by profile overlap, predict the argmax with
+    deterministic ties.
+
+    Shapes, at scale: profile building is one explode + count shuffle
+    with a per-lang top-k window (|langs| partitions); scoring is an
+    EQUI join of exploded doc grams against the (tiny, broadcast)
+    profile — never a contains() theta join.  (The fixture corpus shares
+    one vocabulary across lang tags, so accuracy here checks the
+    mechanism, not real-world discrimination — same caveat as
+    text_langid_heuristic.)"""
+    from ..functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.col("lang").alias("true_lang"),
+        F.explode(char_ngrams(F.col("text"), n=3)).alias("gram"),
+    )
+    wp = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    profile = (
+        exploded.groupBy(F.col("true_lang").alias("lang"), "gram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand"), "gram")
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("cand"))
+    return (
+        exploded.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.count("*").alias("overlap"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("predicted"), "overlap")
+        .orderBy("doc_id")
+    )
