@@ -117,3 +117,36 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS total_price,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("source", "orc", "sink"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC sink → ORC scan → aggregate.
+
+    ORC is Spark's second columnar format (vectorized reader, predicate
+    pushdown, same writer API); the hash match against the parquet-side
+    oracle proves the round trip preserves every value — DuckDB never
+    reads the ORC, it recomputes from the original parquet."""
+    part = load_table(spark, sf_dir, "part")
+    path = _stage_dir("orc_part", sf_dir)
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+             F.min("p_size").alias("min_size"),
+             F.max("p_size").alias("max_size"))
+        .orderBy("p_brand")
+    )
