@@ -150,3 +150,44 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("p_size").alias("max_size"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "sink_range_sharded",
+    oracle=None,  # shard boundaries come from RangePartitioner's sampling
+    # (deterministic for identical input, but engine-internal); pytest pins
+    # disjointness, coverage, and within-shard order
+    tags=("sink", "shard", "range", "rows-only"),
+)
+def sink_range_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer: range-shard documents on doc_id into 8
+    key-ordered parquet shards (repartitionByRange + sortWithinPartitions)
+    and report per-shard stats.
+
+    This is the sorted-shard layout training-data loaders want: shard
+    key ranges are disjoint, rows are ordered inside each shard, and at
+    100 TB the same two calls scale out (range boundaries come from a
+    distributed sample; the sort is per-partition, never global)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _stage_dir("range_sharded_docs", sf_dir)
+    (docs.repartitionByRange(8, "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(path))
+    per_file = (
+        spark.read.parquet(path)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+    )
+    # 8 rows: a global rank here is a trivial driver-side merge, not a
+    # data-scale sort.
+    w = W.orderBy("min_id")
+    return (
+        per_file.withColumn("shard", F.row_number().over(w))
+        .select("shard", "n_docs", "min_id", "max_id")
+        .orderBy("shard")
+    )

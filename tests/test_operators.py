@@ -207,3 +207,27 @@ def test_gapfill_spine_is_dense_and_counts_conserve(spark, sf_dir):
     # gap rows exist and carry exact zeros
     gaps = [r for r in rows if r.n == 0]
     assert gaps and all(r.sv == 0.0 for r in gaps)
+
+
+def test_range_sharded_sink_disjoint_sorted_complete(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = registry()["sink_range_sharded"].fn(spark, sf_dir).collect()
+    # every row landed in exactly one shard
+    assert sum(r.n_docs for r in stats) == docs.count()
+    # shard key ranges are disjoint and ordered
+    for a, b in zip(stats, stats[1:]):
+        assert a.max_id < b.min_id
+    # rows are sorted inside each shard file
+    from distributed_database_for_sql_spark.queries.sources_q import _stage_dir
+    path = _stage_dir("range_sharded_docs", sf_dir)
+    per_file = (
+        spark.read.parquet(path)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f").agg(F.collect_list("doc_id").alias("ids"))
+    )
+    for r in per_file.collect():
+        assert list(r.ids) == sorted(r.ids)
