@@ -182,3 +182,68 @@ def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM monthly
     ORDER BY mo
     """)
+
+
+@register(
+    "sql_command_log_apply",
+    oracle="""
+    SELECT src, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+    FROM (
+      SELECT 'region' AS src, CAST(r_regionkey AS DOUBLE) AS val FROM region
+      UNION ALL
+      SELECT 'nation' AS src, CAST(n_nationkey AS DOUBLE) AS val FROM nation
+      UNION ALL
+      SELECT 'orders' AS src, o_totalprice AS val FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ) t
+    GROUP BY src
+    ORDER BY src
+    """,
+    tags=("sql", "command-log", "streaming", "exactly-once"),
+)
+def sql_command_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole contract, end to end: a sequence of opaque
+    SQL command strings appended to a durable log, applied EXACTLY ONCE
+    and IN ORDER by a checkpointed streaming foreachBatch
+    (engine.CommandLog ≙ applyCh delivery,
+    /root/reference/src/raft/node.go:35,
+    /root/reference/src/raft/replication.go:88-103), then the resulting
+    state queried.
+
+    The command sequence is CTAS + two INSERTs into the same table:
+    applying any command twice, dropping one, or reordering (INSERT
+    before CTAS fails) changes the final hash, so the DuckDB match
+    certifies ordered exactly-once apply — the one behavioral guarantee
+    the reference actually implements.  Log/checkpoint dirs are scoped
+    to the Spark application id: a rerun in the same session replays
+    nothing (checkpoint says committed) and returns identical state."""
+    import os
+    import tempfile
+
+    from ..engine import CommandLog
+
+    eng = Engine(spark, sf_dir)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tbl = f"cmdlog_state_{app}"
+    base = os.path.join(tempfile.gettempdir(), f"cmdlog_{app}")
+    log = CommandLog(eng, os.path.join(base, "log"),
+                     os.path.join(base, "ckpt"))
+    if log._seq == 0:  # first run in this session: append the program
+        log.append(
+            f"CREATE TABLE IF NOT EXISTS {tbl} USING parquet AS "
+            "SELECT 'region' AS src, CAST(r_regionkey AS DOUBLE) AS val "
+            "FROM region",
+            f"INSERT INTO {tbl} "
+            "SELECT 'nation' AS src, CAST(n_nationkey AS DOUBLE) AS val "
+            "FROM nation",
+        )
+        log.append(
+            f"INSERT INTO {tbl} "
+            "SELECT 'orders' AS src, o_totalprice AS val FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'",
+        )
+    log.replay()
+    return eng.sql(f"""
+        SELECT src, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+        FROM {tbl} GROUP BY src ORDER BY src
+    """)
