@@ -21,8 +21,16 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _external_location(table: str) -> str:
+    """Explicit tmp location: a driver-supplied session's default
+    warehouse is $CWD/spark-warehouse, which must not be written to."""
+    return os.path.join(tempfile.gettempdir(), "spark_graft_bucketed",
+                        table.lower())
 
 
 def write_bucketed(
@@ -32,7 +40,8 @@ def write_bucketed(
     num_buckets: int = 8,
     sort_cols: list[str] | str | None = None,
 ) -> None:
-    """Persist df as a bucketed (and optionally sort-within-bucket) table.
+    """Persist df as a bucketed (and optionally sort-within-bucket)
+    EXTERNAL table under the system tmpdir.
 
     The session catalog is in-memory, so a table directory left by a
     previous process is invisible to `mode("overwrite")` and makes
@@ -40,13 +49,12 @@ def write_bucketed(
     are removed first.
     """
     spark = df.sparkSession
-    if not spark.catalog.tableExists(table):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        loc = os.path.join(warehouse, table.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+    loc = _external_location(table)
+    if not spark.catalog.tableExists(table) and os.path.exists(loc):
+        shutil.rmtree(loc)
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
-    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *cols)
+    w = (df.write.mode("overwrite").format("parquet")
+         .option("path", loc).bucketBy(num_buckets, *cols))
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)

@@ -228,9 +228,12 @@ def sql_command_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"cmdlog_{app}")
     log = CommandLog(eng, os.path.join(base, "log"),
                      os.path.join(base, "ckpt"))
+    loc = os.path.join(base, "state_table")  # explicit LOCATION: never
+    # write into the (possibly repo-relative) default warehouse
     if log._seq == 0:  # first run in this session: append the program
         log.append(
-            f"CREATE TABLE IF NOT EXISTS {tbl} USING parquet AS "
+            f"CREATE TABLE IF NOT EXISTS {tbl} USING parquet "
+            f"LOCATION '{loc}' AS "
             "SELECT 'region' AS src, CAST(r_regionkey AS DOUBLE) AS val "
             "FROM region",
             f"INSERT INTO {tbl} "
