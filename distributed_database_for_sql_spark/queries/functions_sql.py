@@ -284,3 +284,44 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_array_hof_suite",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           len(list_filter(e, x -> x > 2.0)) > 0    AS any_gt2,
+           len(list_filter(e, x -> x <= -10.0)) = 0 AS all_gt_neg10,
+           ROUND(list_sort(e, 'DESC')[1] + list_sort(e, 'DESC')[2], 4) + 0.0 AS top2_sum,
+           ROUND(list_transform(range(1, len(e)+1),
+                                i -> e[i] * list_reverse(e)[i])[1], 4) + 0.0 AS zip_first
+    FROM v ORDER BY vec_id
+    """,
+    tags=("function", "array", "hof"),
+)
+def fn_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates and combinators: exists / forall /
+    sort_array / zip_with(reverse) — the HOF surface beyond
+    transform/filter/aggregate (covered in fn_array_suite).
+
+    HOF lambdas run interpreted (outside codegen) — fine for per-row
+    array logic; hot-path vector math uses the flat codegen forms in
+    functions/vector.py instead.  The `+ 0.0` normalizes IEEE negative
+    zero, which the engines produce on different rows after rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    desc = F.sort_array(e, asc=False)
+    return (
+        emb.select(
+            "vec_id",
+            F.exists(e, lambda x: x > 2.0).alias("any_gt2"),
+            F.forall(e, lambda x: x > -10.0).alias("all_gt_neg10"),
+            (F.round(F.element_at(desc, 1) + F.element_at(desc, 2), 4) + 0.0)
+            .alias("top2_sum"),
+            (F.round(F.element_at(
+                F.zip_with(e, F.reverse(e), lambda a, b: a * b), 1), 4) + 0.0)
+            .alias("zip_first"),
+        )
+        .orderBy("vec_id")
+    )
