@@ -191,3 +191,26 @@ def sink_range_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "n_docs", "min_id", "max_id")
         .orderBy("shard")
     )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # engine-specific RNG; per-stratum bounds pinned by pytest
+    tags=("sample", "stratified", "rows-only"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language fractions via sampleBy — how a
+    training mix is rebalanced (e.g. upweight low-resource languages)
+    without a shuffle; each row is kept by a seeded per-stratum Bernoulli
+    draw at scan time.  Rows-only check; tests pin determinism and
+    per-stratum bounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.9}
+    sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
+    return (
+        sampled.groupBy("lang").agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -231,3 +231,25 @@ def test_range_sharded_sink_disjoint_sorted_complete(spark, sf_dir):
     )
     for r in per_file.collect():
         assert list(r.ids) == sorted(r.ids)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    from distributed_database_for_sql_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.9}
+    a = docs.sampleBy("lang", fractions, seed=42)
+    b = docs.sampleBy("lang", fractions, seed=42)
+    assert sorted(r.doc_id for r in a.collect()) == \
+        sorted(r.doc_id for r in b.collect())
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in
+           a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        n, k = totals[lang], got.get(lang, 0)
+        # loose Bernoulli bounds: within ±4·sqrt(n·f·(1−f)) of the mean
+        import math
+        slack = 4 * math.sqrt(n * frac * (1 - frac)) + 1
+        assert abs(k - n * frac) <= slack, (lang, k, n, frac)
