@@ -340,3 +340,34 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "agg_argmax_struct",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(max(struct_pack(bal := c_acctbal, ck := c_custkey)).bal, 2)
+             AS top_bal,
+           max(struct_pack(bal := c_acctbal, ck := c_custkey)).ck AS top_cust
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max per group via max(struct(value, key)):
+    lexicographic struct comparison makes the key a built-in tie-break,
+    unlike max_by/arg_max whose tie winner is engine-defined.  One
+    map-side-combined aggregate — the grouped top-1 without a window."""
+    cust = load_table(spark, sf_dir, "customer")
+    top = F.max(F.struct(F.col("c_acctbal").alias("bal"),
+                         F.col("c_custkey").alias("ck")))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(top.alias("t"))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("t.bal"), 2).alias("top_bal"),
+            F.col("t.ck").alias("top_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
