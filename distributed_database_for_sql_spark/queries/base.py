@@ -50,24 +50,32 @@ def register(name: str, oracle: str | None = None,
 def registry() -> dict[str, QuerySpec]:
     """All registered queries (importing the query modules populates this)."""
     # Import side-effect modules lazily to avoid circular imports.
+    #
+    # ORDER MATTERS: the per-round driver oracles a prefix of this registry
+    # (round 1 checked exactly the first 50 entries).  Families that are not
+    # yet driver-certified go first; rows already green in CORRECTNESS_r01.json
+    # (TPC-H, relational, joins, the first 5 aggregate entries) move to the
+    # back.  Round-1 front 50: llm_dedup(7) + llm_similarity(5) + pipeline(1)
+    # + text_analysis(9) + streaming(7) + udfs(4) + sql_api(7) +
+    # timeseries(4) + windows(6) = 50.
     from . import (  # noqa: F401
-        tpch,
-        tpch_extra,
-        relational,
-        joins,
-        aggregates,
-        windows,
-        functions_sql,
         llm_dedup,
         llm_similarity,
         pipeline_q,
         text_analysis,
         streaming_q,
-        sources_q,
-        multimodal_q,
         udfs,
         sql_api,
         timeseries_q,
+        windows,
+        functions_sql,
+        aggregates,
+        sources_q,
+        multimodal_q,
+        tpch,
+        tpch_extra,
+        relational,
+        joins,
     )
 
     return dict(_REGISTRY)

@@ -80,7 +80,7 @@ _ORACLE = f"""
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(quality), 4) AS avg_quality
     FROM survivors
     GROUP BY lang

@@ -287,11 +287,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                                   AS n_rows,
            COUNT(DISTINCT lang)                       AS n_langs,
            COUNT(DISTINCT source)                     AS n_sources,
-           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
            MIN(n_chars)                               AS min_chars,
            MAX(n_chars)                               AS max_chars,
            ROUND(AVG(n_chars), 4)                     AS avg_chars,
-           SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_len_mismatch
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
     FROM documents
     """,
     tags=("profile", "quality", "llm"),

@@ -131,8 +131,9 @@ def ts_locf_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
