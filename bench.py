@@ -79,6 +79,7 @@ def main() -> None:
     REPEATS = 3  # median-of-3: one slow co-tenant burst otherwise moves
     # the headline number by ±20%; the median is stable run-to-run.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = specs[name]
         runs = []
@@ -89,6 +90,10 @@ def main() -> None:
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
+        # min/median/max per query: host co-tenant load moves single runs
+        # by ±20%, so a cross-round comparison needs the spread to tell a
+        # real regression from noise (round-1 verdict, bench hygiene).
+        spread[name] = [round(runs[0], 3), timings[name], round(runs[-1], 3)]
         print(f"# {name}: median {timings[name]}s of {[round(r, 3) for r in runs]} "
               f"({n} rows)", file=sys.stderr)
 
@@ -100,6 +105,9 @@ def main() -> None:
         "runs_per_query": REPEATS,
         "aggregation": "median",
         "queries": timings,
+        "spread_min_med_max": spread,
+        "total_min_sec": round(sum(v[0] for v in spread.values()), 3),
+        "total_max_sec": round(sum(v[2] for v in spread.values()), 3),
         "sf": sf_dir,
     }))
 

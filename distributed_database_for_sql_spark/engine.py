@@ -48,16 +48,37 @@ class CommandLog:
     `append` writes commands as JSON-lines files into `log_dir`; `replay`
     streams the directory with a file source and applies each command via
     `foreachBatch` under a checkpoint — a restart resumes after the last
-    committed batch, so every command is applied at most once and in
-    file/line order within a batch.
+    committed batch, applying commands in file/line order.
+
+    Delivery guarantee, precisely: Structured Streaming's foreachBatch is
+    at-least-once (a crash between user code and the checkpoint commit
+    re-delivers the batch), so each batch additionally writes an atomic
+    `batch_<id>.done` marker after its commands execute and is skipped on
+    re-delivery if the marker exists.  That gives exactly-once on any
+    clean stop/restart and shrinks the crash re-apply window to the
+    instant between the last command and the marker rename; commands in
+    that window re-apply, so non-idempotent commands need an ACID sink
+    (e.g. a lakehouse table committing the batch transactionally) for a
+    hard exactly-once guarantee — same caveat as the reference, whose
+    Raft log re-delivers to the apply channel on restart because it never
+    persists lastApplied (SURVEY.md §2.B).
     """
 
     def __init__(self, engine: Engine, log_dir: str, checkpoint_dir: str):
         self.engine = engine
         self.log_dir = log_dir
         self.checkpoint_dir = checkpoint_dir
+        self.applied_dir = checkpoint_dir + "_applied"
         os.makedirs(log_dir, exist_ok=True)
-        self._seq = len(os.listdir(log_dir))
+        os.makedirs(self.applied_dir, exist_ok=True)
+        # Next seq = max committed file's seq + 1; leftover .tmp files from
+        # a crashed append must not advance it (they are invisible to the
+        # stream and will be overwritten by the next append's rename).
+        committed = [f for f in os.listdir(log_dir)
+                     if f.startswith("cmd_") and f.endswith(".json")]
+        self._seq = (
+            max(int(f[4:12]) for f in committed) + 1 if committed else 0
+        )
 
     def append(self, *commands: str) -> None:
         path = os.path.join(self.log_dir, f"cmd_{self._seq:08d}.json")
@@ -84,10 +105,17 @@ class CommandLog:
         )
 
         def apply_batch(df: DataFrame, batch_id: int) -> None:
+            marker = os.path.join(self.applied_dir, f"batch_{batch_id:08d}.done")
+            if os.path.exists(marker):
+                return  # re-delivered after a crash post-apply: skip
             rows = df.orderBy("seq", "idx").collect()
             for r in rows:
                 self.engine.sql(r.command)
                 results.append((r.seq, r.idx, r.command))
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"batch_id": batch_id, "n": len(rows)}))
+            os.rename(tmp, marker)
 
         q = (
             stream.writeStream.foreachBatch(apply_batch)

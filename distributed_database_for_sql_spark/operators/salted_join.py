@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# Joins whose result is invariant to the salt.  Each `large` row carries
+# exactly one salt value and the `small` side is replicated across every
+# salt, so any (key, salt) probe sees exactly the small rows for that key:
+# inner/left/semi/anti all match per-large-row semantics of the unsalted
+# join.  Right/full/right_semi flip the probe direction — the replicated
+# small rows surface n× as (possibly unmatched) outputs — so they are
+# rejected rather than silently wrong (round-1 advice).
+_SALT_SAFE_HOW = {
+    "inner", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti",
+}
+
 
 def salted_join(
     large: DataFrame,
@@ -43,6 +56,12 @@ def salted_join(
     unique id.  Only the join *distribution* depends on the salt — the
     join *result* never does.
     """
+    if how.lower().replace(" ", "") not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-invariant (the "
+            f"replicated small side would yield duplicated or missing "
+            f"unmatched rows); use one of {sorted(_SALT_SAFE_HOW)} or an "
+            f"unsalted join")
     keys = [on] if isinstance(on, str) else list(on)
     if large_salt_expr is None:
         large_salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]),

@@ -308,21 +308,45 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture corpus shares one vocabulary, so 16-bit codes collide
     heavily and a pair LIST would be quadratic noise; the histogram keeps
     the oracle deterministic and small while exercising the same
-    xor/bit_count join predicate.  At scale the block key is the first
-    k bits of the code (not lang), which makes candidate generation a
-    hash join instead of all-pairs."""
+    xor/bit_count join predicate.
+
+    Candidate generation is BAND-BLOCKED, not all-pairs (round-1 verdict
+    item 3): the 16-bit code splits into 4 bands of 4 bits; by pigeonhole,
+    any pair at Hamming ≤ 3 differs in at most 3 bands, so it agrees
+    exactly on at least one band.  Equi-joining on (lang, band, bits) is
+    therefore LOSSLESS for the ≤3 predicate and turns candidate generation
+    into a hash join on a 3-part key — O(sum of bucket²) instead of
+    O(n²/|langs|).  Pairs sharing several bands are deduped with a
+    distinct on the id pair before the exact bit_count verify."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.array_distinct(F.split(F.col("text"), " "))
     sh = docs.select("doc_id", "lang", simhash(tk, bits=16).alias("sh16"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "lang",
-                  F.col("sh16").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"),
-                  F.col("lang").alias("lang_b"), F.col("sh16").alias("sh_b"))
+    band_vals = F.array(*[
+        F.shiftright(F.col("sh16"), 4 * i).bitwiseAND(F.lit(15))
+        for i in range(4)
+    ])
+    banded = sh.select(
+        "doc_id", "lang", "sh16",
+        F.posexplode(band_vals).alias("band", "bits"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "lang", "band", "bits",
+                      F.col("sh16").alias("sh_a"))
+    b = banded.select(F.col("doc_id").alias("id_b"),
+                      F.col("lang").alias("lang_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("bits").alias("bits_b"),
+                      F.col("sh16").alias("sh_b"))
+    cand = (
+        a.join(b, (F.col("lang") == F.col("lang_b"))
+               & (F.col("band") == F.col("band_b"))
+               & (F.col("bits") == F.col("bits_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("lang", "id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b"))
-               & (F.col("id_a") < F.col("id_b")))
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .groupBy("lang", "hamming")
         .agg(F.count("*").alias("n_pairs"))

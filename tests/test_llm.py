@@ -44,6 +44,29 @@ def test_minhash_lsh_equals_exhaustive(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_oversized_bucket_split_keeps_members(spark, sf_dir):
+    """With max_bucket tiny, hot buckets hash-split into subgroups instead
+    of silently dropping members past the cap: near-dup pairs must still
+    surface (via subgroup peers or other bands), and the un-split result
+    on the same corpus stays the reference."""
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    ref = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    split = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(docs, threshold=0.5, max_bucket=3).collect()}
+    # Every split-mode pair is a true pair (verify step is exact) …
+    assert split <= ref
+    # … and recall through 64 bands survives aggressive splitting.
+    if ref:
+        assert len(split) / len(ref) >= 0.9, (len(split), len(ref))
+    # The bounded-gather (two-pass) strategy must produce the identical
+    # pair set: same hash-split semantics, different physical plan.
+    bounded = {(r.id_a, r.id_b) for r in
+               minhash_lsh_pairs(docs, threshold=0.5, max_bucket=3,
+                                 bounded_gather=True).collect()}
+    assert bounded == split
+
+
 def test_ann_brute_force_matches_numpy(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

@@ -141,6 +141,22 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert len(rows) == 2
 
 
+def test_salted_join_anti_matches_plain_and_rejects_right(spark):
+    import pytest
+
+    from distributed_database_for_sql_spark.operators.salted_join import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (5, "q"), (9, "z")], "k int, lv string")
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, rv string")
+    got = sorted(salted_join(left, right, "k", how="left_anti", salt=4).collect())
+    want = sorted(left.join(right, "k", "left_anti").collect())
+    assert got == want
+    for bad in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="not salt-invariant"):
+            salted_join(left, right, "k", how=bad)
+
+
 def test_connected_components_chain_and_islands(spark):
     from distributed_database_for_sql_spark.operators.components import (
         connected_components,

@@ -114,6 +114,32 @@ def test_ann_brute_force_query_side_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_hamming_join_is_band_blocked(spark):
+    """Candidate generation must equi-join on (lang, band, bits) — never
+    an all-pairs join whose only equi key is lang (round-1 weak item)."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["dedup_simhash_hamming"].fn(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join keys include the band-bits columns
+    assert "bits" in plan and "band" in plan
+    join_keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert any("bits" in ln for ln in join_keys), join_keys
+
+
+def test_ivf_query_set_stays_distributed(spark):
+    """Probe assignment must run as an Arrow-batched UDF over the query
+    table, not a driver-side collect materialized as a local relation."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["ann_ivf_kmeans_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_group_by_agg_is_partial_then_final(spark):
     """Map-side combine: two HashAggregate phases around one exchange."""
     from distributed_database_for_sql_spark.plans.explain import physical_plan

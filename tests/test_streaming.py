@@ -103,6 +103,42 @@ def test_command_log_exactly_once_replay(spark, sf_dir, tmp_path):
     assert len(third) == 1 and third[0][2].endswith("SELECT 1 AS one")
 
 
+def test_command_log_crash_redelivery_idempotent(spark, sf_dir, tmp_path):
+    """Simulated crash-before-checkpoint-commit: wiping the checkpoint
+    forces the stream to re-deliver every batch; the applied-batch markers
+    must suppress re-execution (foreachBatch alone is at-least-once)."""
+    import shutil
+
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+
+    eng = Engine(spark, sf_dir)
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append("CREATE OR REPLACE TEMP VIEW crash_v AS SELECT 41 + 1 AS n")
+    assert len(log.replay()) == 1
+
+    # Crash simulation: checkpoint lost, log + markers survive.
+    shutil.rmtree(tmp_path / "ckpt")
+    log2 = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    assert log2.replay() == []  # re-delivered batch skipped by marker
+
+
+def test_command_log_seq_ignores_tmp_files(spark, sf_dir, tmp_path):
+    """A .tmp file left by a crashed append must not advance _seq (it
+    would wrongly skip the first-run guard) and must be overwritten by
+    the next committed append."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+
+    eng = Engine(spark, sf_dir)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    (log_dir / "cmd_00000000.json.tmp").write_text("{partial")
+    log = CommandLog(eng, str(log_dir), str(tmp_path / "ckpt"))
+    assert log._seq == 0
+    log.append("CREATE OR REPLACE TEMP VIEW tmp_v AS SELECT 1 AS one")
+    assert (log_dir / "cmd_00000000.json").exists()
+    assert log._seq == 1
+
+
 def test_stateful_user_agg_matches_batch(spark, sf_dir):
     from distributed_database_for_sql_spark.catalog import load_table
     from distributed_database_for_sql_spark.streaming.jobs import user_running_state
