@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
         aggregates,
         sources_q,
         multimodal_q,
+        curation_q,
         tpch,
         tpch_extra,
         relational,

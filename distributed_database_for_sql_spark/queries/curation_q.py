@@ -1,0 +1,250 @@
+"""Training-corpus curation operators beyond dedup: benchmark
+decontamination, sequence packing, PII redaction, repetition scoring.
+
+These are the remaining first-class operations a 100 TB pretraining
+pipeline runs between raw crawl and the data loader (the dedup family
+lives in llm_dedup.py, quality/langid in text_analysis.py):
+
+- decontamination: drop/flag training docs that share long n-grams with
+  an evaluation benchmark — candidate generation is an equi-join on
+  hashed n-grams with the (small) benchmark side broadcast, the same
+  shape at 100 TB.
+- sequence packing: the concat-and-chunk packing used to fill model
+  context windows — a per-lang running token sum (one window shuffle)
+  assigns every doc its pack id and offset; no state, no driver loop.
+- PII redaction: streaming-safe regexp scrubbing, pure JVM row-local
+  expressions (no shuffle at all).
+- repetition: duplicated-n-gram ratio, the standard boilerplate /
+  degenerate-text signal — row-local array HOFs, no shuffle.
+
+The reference has no text surface at all (SURVEY.md §2.A/§2.D — a Go
+Raft core); these extend the target inventory of SURVEY.md §2.C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+# 4-word shingles: long enough that sharing one is contamination-grade
+# overlap on this corpus, short enough that sf0.001 still has hits.
+_NGRAM_W = 4
+
+
+def _ngrams(col_name: str, w: int):
+    """Space-joined w-word shingles of a text column (codegen, no UDF)."""
+    toks = f"split({col_name}, ' ')"
+    return F.when(
+        F.size(F.expr(toks)) >= w,
+        F.expr(f"transform(sequence(1, size({toks}) - {w - 1}, 1), "
+               f"i -> array_join(slice({toks}, i, {w}), ' '))"),
+    ).otherwise(F.array(F.col(col_name)))
+
+
+@register(
+    "decontam_benchmark_overlap",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT ng
+      FROM (
+        SELECT unnest(CASE WHEN len(string_split(text,' ')) >= {_NGRAM_W}
+               THEN [array_to_string(string_split(text,' ')[i:i+{_NGRAM_W - 1}],' ')
+                     FOR i IN generate_series(1, len(string_split(text,' ')) - {_NGRAM_W - 1})]
+               ELSE [text] END) AS ng
+        FROM documents WHERE source = 'src0'
+      )
+    ), train AS (
+      SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= {_NGRAM_W}
+             THEN list_distinct(
+                  [array_to_string(string_split(text,' ')[i:i+{_NGRAM_W - 1}],' ')
+                   FOR i IN generate_series(1, len(string_split(text,' ')) - {_NGRAM_W - 1})])
+             ELSE [text] END) AS ng
+      FROM documents WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM train t JOIN bench b USING (ng)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("decontam", "ngram", "join", "llm"),
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many distinct
+    4-gram shingles it shares with the benchmark set (source='src0'
+    plays the benchmark role).
+
+    Plan shape for 100 TB: the benchmark n-gram set is small by nature
+    (eval suites, not corpora) → distinct + broadcast; the training side
+    explodes per-doc DISTINCT shingles and hash-joins — one shuffle for
+    the per-doc count, nothing quadratic.  Real pipelines hash the
+    shingles (xxhash64) instead of carrying strings; strings kept here
+    for oracle portability."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(_ngrams("text", _NGRAM_W)).alias("ng"))
+        .distinct()
+    )
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id",
+                F.explode(F.array_distinct(_ngrams("text", _NGRAM_W)))
+                .alias("ng"))
+    )
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(start_tok // 512 AS BIGINT) AS pack_id,
+           CAST(start_tok % 512 AS BIGINT)  AS pack_offset
+    FROM cum
+    ORDER BY doc_id
+    """,
+    tags=("packing", "window", "llm"),
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): concatenate each language's
+    docs in doc_id order and cut the stream into 512-token context
+    windows; each doc gets the pack id and offset where it starts.
+
+    This is the packing used by large pretraining loaders (docs may span
+    pack boundaries; no per-doc padding).  One window shuffle on
+    (lang ⇒ sort doc_id) computes the exclusive running token sum;
+    pack id / offset are then pure projection.  At 100 TB the partition
+    key is (lang, shard) so no single ordering task sees the whole
+    corpus — semantics per shard are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    cum = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        cum.select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("start_tok") / 512).cast("long").alias("pack_id"),
+            (F.col("start_tok") % 512).cast("long").alias("pack_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+',
+                            '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2,}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+')) AS BIGINT)
+             + CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2,}')) AS BIGINT)
+             AS n_redactions
+    FROM enriched
+    ORDER BY doc_id
+    """,
+    tags=("pii", "redaction", "text", "llm"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and phone-shaped digit runs,
+    reporting how many spans each doc had.
+
+    The corpus is synthetic word salad, so deterministic PII-shaped spans
+    are appended per doc (both engines identically) before scrubbing —
+    the operator under test is the redaction itself.  Pure row-local
+    regexp expressions: zero shuffles, streams as-is, and the regex
+    subset used ([A-Za-z0-9._]+, {m,n} counts) means Java regex and RE2
+    agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+    phone_re = r"[0-9]{3}-[0-9]{2,}"
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        (F.col("doc_id") % 100).cast("string"))
+    enriched = docs.select("doc_id", raw.alias("raw"))
+    n_red = (
+        F.size(F.expr(f"regexp_extract_all(raw, '{email_re}', 0)"))
+        + F.size(F.expr(f"regexp_extract_all(raw, '{phone_re}', 0)"))
+    ).cast("long")
+    return (
+        enriched.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("raw", email_re, "<EMAIL>"),
+                phone_re, "<PHONE>").alias("redacted"),
+            n_red.alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH ng AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN [array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' ')) - 2)]
+                  ELSE [text] END AS g
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+             AS rep_ratio,
+           CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dup_ngrams
+    FROM ng
+    ORDER BY doc_id
+    """,
+    tags=("repetition", "quality", "text", "llm"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of 3-gram occurrences that are
+    duplicates of an earlier occurrence — the standard degenerate-text /
+    boilerplate signal (high ratio ⇒ looping or templated text).
+
+    Row-local array HOFs only (split → shingles → array_distinct): no
+    shuffle, no UDF, scales linearly with corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = _ngrams("text", 3)
+    rep = 1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.round(rep, 4).alias("rep_ratio"),
+            (F.size(g) - F.size(F.array_distinct(g))).cast("long")
+            .alias("n_dup_ngrams"),
+        )
+        .orderBy("doc_id")
+    )
