@@ -177,6 +177,49 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     assert approx == approx2
 
 
+def test_pq_adc_recall_and_encode_consistency(spark, sf_dir):
+    import numpy as np
+
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.ann import brute_force_topk
+    from distributed_database_for_sql_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode_udf,
+        pq_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in pq_adc_topk(emb, queries, k=5).collect()}
+    # 8×32 codebooks + 10k-candidate exact re-rank: measured 0.82 on this
+    # (near-random, VQ-worst-case) corpus; 0.7 leaves headroom for any
+    # tie-order drift.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"recall {recall}"
+    # Deterministic end to end (deterministic init + fixed iteration count).
+    approx2 = {(r.query_id, r.neighbor_id)
+               for r in pq_adc_topk(emb, queries, k=5).collect()}
+    assert approx == approx2
+
+    # Spark-side encoding must equal a pure-numpy re-encoding.
+    books = pq_fit(emb, m=8, k=16, iters=2)
+    coded = {r.vec_id: list(r.codes) for r in emb.select(
+        "vec_id", pq_encode_udf(books)(
+            F.col("embedding").cast("array<double>")).alias("codes")).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    C = np.asarray(books)
+    c2 = (C * C).sum(axis=2)
+    for r in rows[:50]:
+        V = np.asarray(r.embedding, dtype="float64")
+        V = (V / np.linalg.norm(V)).reshape(8, 8)
+        want = [int((c2[s] - 2.0 * (C[s] @ V[s])).argmin()) for s in range(8)]
+        assert coded[r.vec_id] == want, r.vec_id
+
+
 def test_multimodal_feature_extract_matches_numpy(spark, sf_dir):
     import numpy as np
 
