@@ -140,6 +140,32 @@ def test_ivf_query_set_stays_distributed(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_decontam_benchmark_side_broadcasts(spark):
+    """The benchmark n-gram set must broadcast; the training side must
+    not shuffle for the join (only the final per-doc count shuffles)."""
+    from distributed_database_for_sql_spark.plans.explain import (
+        count_exchanges,
+        uses_broadcast_join,
+    )
+
+    df = registry()["decontam_benchmark_overlap"].fn(
+        spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+    # benchmark distinct + per-doc count agg + final orderBy range
+    # exchange; the training stream itself must not add a fourth
+    assert count_exchanges(df) <= 3
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Concat-and-chunk packing is one window shuffle + projection —
+    pack id/offset math must not introduce extra exchanges."""
+    from distributed_database_for_sql_spark.plans.explain import count_exchanges
+
+    df = registry()["pack_sequences_chunked"].fn(spark, "/root/testdata/sf0.001")
+    # window partition exchange + final orderBy range exchange only
+    assert count_exchanges(df) <= 2
+
+
 def test_group_by_agg_is_partial_then_final(spark):
     """Map-side combine: two HashAggregate phases around one exchange."""
     from distributed_database_for_sql_spark.plans.explain import physical_plan
