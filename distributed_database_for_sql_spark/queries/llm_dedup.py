@@ -317,7 +317,15 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore LOSSLESS for the ≤3 predicate and turns candidate generation
     into a hash join on a 3-part key — O(sum of bucket²) instead of
     O(n²/|langs|).  Pairs sharing several bands are deduped with a
-    distinct on the id pair before the exact bit_count verify."""
+    distinct on the id pair before the exact bit_count verify.
+
+    Band-width note for 100 TB: 4-bit bands have only 16 values, so
+    bucket sizes grow with n — the code stays 16-bit here only so DuckDB
+    can recompute it exactly (LIST_SUM fold).  The production setting is
+    a wide SimHash (e.g. 48-bit, 4×12-bit bands — 4 096 values per band;
+    `functions/text.simhash` supports any width up to its 60-bit base
+    hash) with the same pigeonhole guarantee at Hamming ≤ 3; nothing
+    else in the plan changes."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.array_distinct(F.split(F.col("text"), " "))
     sh = docs.select("doc_id", "lang", simhash(tk, bits=16).alias("sh16"))
@@ -325,10 +333,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("sh16"), 4 * i).bitwiseAND(F.lit(15))
         for i in range(4)
     ])
+    # Persisted + eagerly materialized: both join sides read this frame,
+    # and the SimHash fold is the expensive stage — without the count()
+    # each side computes every code again (the minhash pattern).
     banded = sh.select(
         "doc_id", "lang", "sh16",
         F.posexplode(band_vals).alias("band", "bits"),
-    )
+    ).persist()
+    banded.count()
     a = banded.select(F.col("doc_id").alias("id_a"), "lang", "band", "bits",
                       F.col("sh16").alias("sh_a"))
     b = banded.select(F.col("doc_id").alias("id_b"),
