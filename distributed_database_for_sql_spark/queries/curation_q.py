@@ -248,3 +248,26 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=None,  # learned-codebook path; recall pinned by pytest vs brute force
+    tags=("similarity", "ann", "pq", "adc", "kmeans", "iterative", "llm"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): distributed subspace
+    k-means codebooks (8 subspaces × 32 entries learned on unit vectors),
+    5-byte/vector codes, ADC lookup-table scan, exact re-rank of 10·k
+    candidates.  Rows-only driver check; tests/test_llm.py pins
+    determinism, recall vs brute force, and numpy encode parity.
+
+    Registered here (back of the registry) rather than in
+    llm_similarity.py so the driver-oracle window stays aligned with the
+    SQL-oracled families (see base.py import-order note)."""
+    from ..operators.pq import pq_adc_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rn")

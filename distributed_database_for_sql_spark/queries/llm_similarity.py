@@ -154,24 +154,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_pq_adc_topk",
-    oracle=None,  # learned-codebook path; recall pinned by pytest vs brute force
-    tags=("similarity", "ann", "pq", "adc", "kmeans", "iterative", "llm"),
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/pq.py): distributed subspace
-    k-means codebooks (8 subspaces × 32 entries learned on unit vectors),
-    5-byte/vector codes, ADC lookup-table scan, exact re-rank of 10·k
-    candidates.  Rows-only driver check; tests/test_llm.py pins
-    determinism, recall vs brute force, and numpy encode parity."""
-    from ..operators.pq import pq_adc_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rn")
-
-
-@register(
     "ann_ivf_kmeans_topk",
     oracle=None,  # learned-quantizer path; recall pinned by pytest vs brute force
     tags=("similarity", "ann", "ivf", "kmeans", "iterative", "llm"),
