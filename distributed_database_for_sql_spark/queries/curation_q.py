@@ -271,3 +271,110 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("split", "sampling", "llm"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    id hash — the reproducible split every training pipeline needs
+    (re-running on a grown corpus keeps every old doc in its old split;
+    no shuffle state, no RNG).
+
+    Row-local md5 bucket (portable: same 60-bit hex prefix arithmetic on
+    both engines) then one count aggregation.  At 100 TB the split column
+    is written once as a partition column and costs nothing afterwards."""
+    from ..functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#split"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), tf AS (
+      SELECT lang, term, COUNT(*) AS lang_tf FROM tok GROUP BY lang, term
+    ), scored AS (
+      SELECT tf.lang, tf.term,
+             ROUND(tf.lang_tf * ln((SELECT n_docs FROM n) * 1.0 / df.doc_freq), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term)
+    ), ranked AS (
+      SELECT lang, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT lang, term, tfidf, rn FROM ranked
+    WHERE rn <= 5 ORDER BY lang, rn
+    """,
+    tags=("text", "tfidf", "join", "window", "llm"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive terms per language by TF-IDF (distinct-term
+    presence counts, ln(N/df) idf) — the corpus-profiling twin of the raw
+    frequency query.
+
+    Two aggregations over one exploded-term frame (per-term document
+    frequency, per-(lang, term) frequency), a broadcast join on the small
+    df side, and a per-lang top-k window.  The idf N is a broadcast
+    scalar.  Tie-break on term keeps rank order engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    tok = tok.persist()
+    n_docs = docs.count()
+    df_ = tok.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("lang_tf"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "lang", "term",
+            F.round(F.col("lang_tf")
+                    * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+            .alias("tfidf"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tfidf", "rn")
+        .orderBy("lang", "rn")
+    )
