@@ -378,3 +378,50 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tfidf", "rn")
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "join_interval_maintenance",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ), ivl AS (
+      SELECT h + INTERVAL 30 MINUTE AS w_start,
+             h + INTERVAL 90 MINUTE AS w_end
+      FROM hours
+    )
+    SELECT w_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM ivl JOIN events e ON e.ts >= w_start AND e.ts < w_end
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+    tags=("join", "interval", "range", "binning", "timeseries"),
+)
+def join_interval_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via binning (operators/interval_join.py):
+    per-hour maintenance windows [h+30min, h+90min) — deliberately
+    crossing bin boundaries and overlapping each other — joined to the
+    events that fall inside, then counted.
+
+    The oracle is the naive BETWEEN range join; the Spark plan is the
+    binned EQUI join (hour bins, exact containment as post-filter) —
+    lossless, no BroadcastNestedLoopJoin/CartesianProduct (plan test),
+    and bucketable by bin at 100 TB."""
+    from ..operators.interval_join import interval_point_join
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = (
+        events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+        .select(
+            F.expr("h + INTERVAL 30 MINUTES").alias("w_start"),
+            F.expr("h + INTERVAL 90 MINUTES").alias("w_end"),
+        )
+    )
+    joined = interval_point_join(
+        intervals, events, "w_start", "w_end", "ts", bin_seconds=3600)
+    return (
+        joined.groupBy("w_start")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("w_start")
+    )

@@ -157,6 +157,45 @@ def test_salted_join_anti_matches_plain_and_rejects_right(spark):
             salted_join(left, right, "k", how=bad)
 
 
+def test_interval_point_join_lossless_vs_range_join(spark):
+    """Binned equi form == naive range join, including intervals spanning
+    several bins and points matching several overlapping intervals; the
+    left_interval mode keeps empty intervals with nulled point columns."""
+    from distributed_database_for_sql_spark.operators.interval_join import (
+        interval_point_join,
+    )
+
+    ivl = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "2024-01-01 03:30:00", "long"),   # 4 bins
+         ("2024-01-01 01:00:00", "2024-01-01 01:10:00", "short"),
+         ("2024-01-01 02:50:00", "2024-01-01 03:20:00", "cross"),
+         ("2024-01-05 00:00:00", "2024-01-05 01:00:00", "empty")],
+        "w_start string, w_end string, name string",
+    ).select(F.col("w_start").cast("timestamp"),
+             F.col("w_end").cast("timestamp"), "name")
+    pts = spark.createDataFrame(
+        [("2024-01-01 00:45:00", 1), ("2024-01-01 01:05:00", 2),
+         ("2024-01-01 03:00:00", 3), ("2024-01-01 03:29:59", 4),
+         ("2024-01-01 03:30:00", 5),  # end is exclusive
+         ("2024-01-02 12:00:00", 6)],
+        "ts string, pid int",
+    ).select(F.col("ts").cast("timestamp"), "pid")
+
+    got = {(r.name, r.pid) for r in interval_point_join(
+        ivl, pts, "w_start", "w_end", "ts", bin_seconds=3600).collect()}
+    want = {(r.name, r.pid) for r in pts.join(
+        ivl, (pts.ts >= ivl.w_start) & (pts.ts < ivl.w_end)).collect()}
+    assert got == want
+    assert ("long", 3) in got and ("cross", 3) in got  # overlap both
+    assert ("long", 5) not in got  # exclusive end
+
+    left = interval_point_join(ivl, pts, "w_start", "w_end", "ts",
+                               bin_seconds=3600, how="left_interval")
+    rows = {(r.name, r.pid) for r in left.collect()}
+    assert ("empty", None) in rows
+    assert {(n, p) for n, p in rows if p is not None} == want
+
+
 def test_connected_components_chain_and_islands(spark):
     from distributed_database_for_sql_spark.operators.components import (
         connected_components,

@@ -166,6 +166,18 @@ def test_pack_sequences_single_window_shuffle(spark):
     assert count_exchanges(df) <= 2
 
 
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned interval join must plan as an equi join on the bin key —
+    a BETWEEN range join would fall back to BroadcastNestedLoopJoin."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["join_interval_maintenance"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_filter_prunes_application_side(spark, sf_dir):
     """Inside bloom_scope, a selective fact-fact SMJ gets a might_contain
     predicate pushed into the large side's scan, and results match the
