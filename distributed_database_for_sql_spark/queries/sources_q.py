@@ -214,3 +214,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    WHERE text IS NOT NULL AND text <> ''
+    """,
+    tags=("source", "text", "sink", "llm"),
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-per-doc text sink → spark.read.text scan →
+    corpus totals.  Raw text lines are the lowest-common-denominator LLM
+    corpus interchange format; the hash match against the parquet-side
+    oracle proves byte-exact line round-tripping (the synthetic corpus is
+    newline-free by construction, which is what makes line-per-doc valid).
+
+    Empty docs are excluded on both sides: a written empty line and a
+    missing line are indistinguishable in the format itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _stage_dir("text_documents", sf_dir)
+    (docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+     .select("text").write.mode("overwrite").text(path))
+    back = spark.read.text(path)  # one row per line, column "value"
+    return back.select(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).alias("total_tokens"),
+    )
