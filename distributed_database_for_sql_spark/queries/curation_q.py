@@ -425,3 +425,33 @@ def join_interval_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("w_start")
     )
+
+
+@register(
+    "stream_interval_static_join",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ), ivl AS (
+      SELECT h + INTERVAL 30 MINUTE AS w_start,
+             h + INTERVAL 90 MINUTE AS w_end
+      FROM hours
+    )
+    SELECT w_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM ivl JOIN events e ON e.ts >= w_start AND e.ts < w_end
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+    tags=("streaming", "join", "interval", "binning"),
+)
+def stream_interval_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_interval_maintenance: the binned interval
+    join applied to the events STREAM against static windows — same
+    oracle, proving the operator is streaming-safe (stateless binning,
+    stream-static equi join, complete-mode aggregate).
+
+    Registered in the back region so the driver-oracle front-50 stays
+    aligned (see base.py import-order note)."""
+    from ..streaming import jobs
+
+    return jobs.stream_interval_window_agg(spark, sf_dir).orderBy("w_start")

@@ -269,3 +269,28 @@ def stream_stream_join(spark: SparkSession, sf_dir: str,
     out = run_to_completion(joined, "append")
     return out.select("purchase_id", "click_id", F.col("p_user").alias("user_id"),
                       "p_ts", "c_ts", F.round("purchase_value", 2).alias("purchase_value"))
+
+
+def stream_interval_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed events ⋈ static per-hour maintenance windows via the SAME
+    binned interval join the batch query uses (operators/interval_join.py)
+    — binning is stateless row-local math, so the operator composes with
+    Structured Streaming unchanged (stream left, static right, inner).
+    Complete-mode aggregate per window; equals the batch result once the
+    stream drains."""
+    from ..catalog import load_table
+    from ..operators.interval_join import interval_point_join
+
+    ev = events_stream(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    intervals = (
+        batch.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+        .select(F.expr("h + INTERVAL 30 MINUTES").alias("w_start"),
+                F.expr("h + INTERVAL 90 MINUTES").alias("w_end"))
+    )
+    joined = interval_point_join(
+        intervals, ev, "w_start", "w_end", "ts", bin_seconds=3600)
+    agg = joined.groupBy("w_start").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"))
+    return run_to_completion(agg, "complete")
