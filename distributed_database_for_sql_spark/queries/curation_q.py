@@ -455,3 +455,41 @@ def stream_interval_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
     return jobs.stream_interval_window_agg(spark, sf_dir).orderBy("w_start")
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib is not available in DuckDB; values pinned by pytest
+    tags=("quality", "compression", "text", "llm"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal: zlib-compressed size over raw size
+    per doc (low ratio ⇒ repetitive/templated text, high ⇒ high-entropy
+    noise; both ends get filtered in real pipelines).
+
+    Arrow-batched pandas UDF (zlib level 6, byte-deterministic for a
+    fixed zlib version) — row-local, no shuffle, linear scan at any
+    scale.  Rows-only driver check; tests/test_llm.py pins values
+    against direct zlib calls."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(texts: "pd.Series") -> "pd.Series":
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    ratio_udf = pandas_udf(ratio, "double")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", ratio_udf(F.col("text"))
+                    .alias("zlib_ratio"))
+        .orderBy("doc_id")
+    )

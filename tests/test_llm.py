@@ -238,3 +238,21 @@ def test_multimodal_feature_extract_matches_numpy(spark, sf_dir):
         assert row.std_byte == pytest.approx(float(b.std()))
         assert list(row.byte_hist) == np.histogram(b, bins=edges)[0].tolist()
         assert sum(row.byte_hist) == len(b) == row.n_bytes
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    import zlib
+
+    from distributed_database_for_sql_spark.queries import registry
+
+    rows = registry()["text_compression_ratio"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in
+            load_table(spark, sf_dir, "documents").collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r.doc_id]
+        if not t:
+            assert r.zlib_ratio is None
+            continue
+        raw = t.encode("utf-8")
+        assert r.zlib_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
