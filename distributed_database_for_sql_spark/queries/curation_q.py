@@ -493,3 +493,45 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("zlib_ratio"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_cross",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jacc
+    FROM sh a JOIN sh b
+      ON a.source <> 'src0' AND b.source = 'src0'
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ORDER BY corpus_id, new_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "llm"),
+)
+def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: near-dup pairs between the incoming
+    batch (source='src0' plays the new batch) and the existing corpus
+    (every other source) via the A×B-only banded MinHash join
+    (operators/minhash.py:minhash_lsh_pairs_cross).  The oracle is the
+    brute-force cross-pairs exact Jaccard — LSH with 64 bands at
+    threshold 0.5 must reproduce it exactly (miss probability ≈ 1e-8)."""
+    from ..operators.minhash import minhash_lsh_pairs_cross
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return (
+        minhash_lsh_pairs_cross(corpus, new_batch, threshold=0.5)
+        .select("corpus_id", "new_id", F.round("jacc", 6).alias("jacc"))
+        .orderBy("corpus_id", "new_id")
+    )
