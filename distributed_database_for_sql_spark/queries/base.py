@@ -47,17 +47,96 @@ def register(name: str, oracle: str | None = None,
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Certification schedule
+#
+# The external driver verifies a 50-entry prefix of this registry per round
+# against DuckDB oracles (CORRECTNESS_r{N}.json).  Because the window is
+# smaller than the registry, coverage is completed by ROTATION: each round
+# fronts the queries that have never been driver-certified, until every query
+# has a green row in some CORRECTNESS_r*.json.  Regression-hunting note —
+# which file certifies which family:
+#
+#   r1 (CORRECTNESS_r01.json): TPC-H q1–q22, relational (projection/filter/
+#       null/sort/distinct), set ops, joins (incl. as-of / salted / bucketed),
+#       aggregates head (having / count-distinct / approx-cd / rollup / cube).
+#       One red row: q12_shipping_delay_priority (oracle HUGEINT-vs-BIGINT
+#       hash artifact; fixed in r2, re-certified in the r3 window).
+#   r2 (CORRECTNESS_r02.json): LLM dedup + similarity/ANN, pipeline, text
+#       analysis, streaming, UDF/UDTF, SQL/subqueries/CTE/command-log,
+#       time-series, window functions.
+#   r3 (CORRECTNESS_r03.json): function suites, aggregates tail (global/
+#       percentiles/pivot/unpivot/grouping-sets/argmax), sources/sinks,
+#       multimodal, curation (decontam/packing/PII/repetition/split/TF-IDF/
+#       compression), interval joins, incremental cross-corpus dedup, the
+#       q12 re-certification, every rows-only query — plus 10 regression
+#       canaries re-drawn from the r1/r2 families (positions 41–50).
+#
+# POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
+# a canary if the window is full) so the driver certifies it in the round it
+# ships.  Never park an unverified query outside the window.
+# ---------------------------------------------------------------------------
+
+_FRONT_WINDOW: tuple[str, ...] = (
+    # -- never driver-certified: oracled (33, incl. the q12 re-cert) --------
+    "q12_shipping_delay_priority",
+    "fn_string_suite",
+    "fn_datetime_suite",
+    "fn_math_suite",
+    "fn_array_suite",
+    "fn_map_suite",
+    "fn_json_suite",
+    "fn_conditional_suite",
+    "fn_array_hof_suite",
+    "agg_global_stats",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_grouping_sets",
+    "agg_approx_percentile",
+    "agg_argmax_struct",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "sink_partitioned_pruned_scan",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "multimodal_payload_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "decontam_benchmark_overlap",
+    "pack_sequences_chunked",
+    "text_pii_redact",
+    "text_repetition_score",
+    "split_train_val_test",
+    "text_tfidf_top_terms",
+    "join_interval_maintenance",
+    "stream_interval_static_join",
+    "dedup_incremental_cross",
+    # -- never driver-run: rows-only by design (7) --------------------------
+    "sample_seeded",
+    "sample_stratified",
+    "sink_range_sharded",
+    "multimodal_image_meta_udf",
+    "multimodal_feature_extract",
+    "ann_pq_adc_topk",
+    "text_compression_ratio",
+    # -- regression canaries: one per previously-certified family (10) ------
+    "q1_pricing_summary",          # r1 TPC-H
+    "agg_having",                  # r1 aggregates head
+    "set_union_all",               # r1 set ops
+    "join_asof_purchase_click",    # r1 custom as-of join
+    "join_bucketed_colocated",     # r1 zero-Exchange bucketed join
+    "dedup_exact_survivors",       # r2 LLM dedup
+    "text_quality_score",          # r2 text analysis
+    "stream_tumbling_window",      # r2 streaming
+    "udf_pandas_scalar",           # r2 UDFs
+    "window_topk_per_group",       # r2 window functions
+)
+
+
 def registry() -> dict[str, QuerySpec]:
-    """All registered queries (importing the query modules populates this)."""
+    """All registered queries, ordered by the certification schedule above."""
     # Import side-effect modules lazily to avoid circular imports.
-    #
-    # ORDER MATTERS: the per-round driver oracles a prefix of this registry
-    # (round 1 checked exactly the first 50 entries).  Families that are not
-    # yet driver-certified go first; rows already green in CORRECTNESS_r01.json
-    # (TPC-H, relational, joins, the first 5 aggregate entries) move to the
-    # back.  Round-1 front 50: llm_dedup(7) + llm_similarity(5) + pipeline(1)
-    # + text_analysis(9) + streaming(7) + udfs(4) + sql_api(7) +
-    # timeseries(4) + windows(6) = 50.
     from . import (  # noqa: F401
         llm_dedup,
         llm_similarity,
@@ -79,4 +158,11 @@ def registry() -> dict[str, QuerySpec]:
         joins,
     )
 
-    return dict(_REGISTRY)
+    missing = [n for n in _FRONT_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_FRONT_WINDOW names not in registry: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _FRONT_WINDOW}
+    for n, spec in _REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = spec
+    return ordered

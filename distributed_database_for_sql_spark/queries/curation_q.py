@@ -260,11 +260,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means codebooks (8 subspaces × 32 entries learned on unit vectors),
     5-byte/vector codes, ADC lookup-table scan, exact re-rank of 10·k
     candidates.  Rows-only driver check; tests/test_llm.py pins
-    determinism, recall vs brute force, and numpy encode parity.
-
-    Registered here (back of the registry) rather than in
-    llm_similarity.py so the driver-oracle window stays aligned with the
-    SQL-oracled families (see base.py import-order note)."""
+    determinism, recall vs brute force, and numpy encode parity."""
     from ..operators.pq import pq_adc_topk
     from pyspark.sql import functions as F
 
@@ -448,10 +444,7 @@ def stream_interval_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of join_interval_maintenance: the binned interval
     join applied to the events STREAM against static windows — same
     oracle, proving the operator is streaming-safe (stateless binning,
-    stream-static equi join, complete-mode aggregate).
-
-    Registered in the back region so the driver-oracle front-50 stays
-    aligned (see base.py import-order note)."""
+    stream-static equi join, complete-mode aggregate)."""
     from ..streaming import jobs
 
     return jobs.stream_interval_window_agg(spark, sf_dir).orderBy("w_start")
