@@ -48,26 +48,47 @@ def interval_point_join(
     def to_bin(c: Column) -> Column:
         return F.floor(F.unix_timestamp(c) / bin_seconds).cast("long")
 
-    binned_ivl = intervals.withColumn(
-        "__bin",
-        F.explode(F.sequence(to_bin(F.col(start_col)),
-                             to_bin(F.col(end_col)))),
-    )
-    binned_pts = points.withColumn("__bin", to_bin(F.col(ts_col)))
     contained = (F.col(ts_col) >= F.col(start_col)) & (
         F.col(ts_col) < F.col(end_col))
     if how == "inner":
+        binned_ivl = intervals.withColumn(
+            "__bin",
+            F.explode(F.sequence(to_bin(F.col(start_col)),
+                                 to_bin(F.col(end_col)))),
+        )
+        binned_pts = points.withColumn("__bin", to_bin(F.col(ts_col)))
         return (binned_pts.join(binned_ivl, "__bin")
                 .filter(contained).drop("__bin"))
-    # left_interval: keep empty intervals — join points into intervals,
-    # null out the point columns that fail containment, then keep one
-    # row per interval when no point matched.
-    joined = binned_ivl.join(binned_pts, "__bin", "left")
-    kept = joined.filter(contained).drop("__bin")
-    empty = (binned_ivl.join(
-        kept.select(start_col, end_col).distinct(),
-        [start_col, end_col], "left_anti")
-        .drop("__bin").dropDuplicates([start_col, end_col]))
-    for c in points.columns:
-        empty = empty.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
-    return kept.unionByName(empty.select(kept.columns))
+    # left_interval: keep empty intervals.  Interval identity must be the
+    # ROW, not the (start, end) span — two intervals sharing a span (e.g.
+    # two resources under the same maintenance window) are distinct rows,
+    # so each gets a per-row surrogate id BEFORE binning.  The id frame is
+    # referenced exactly once in the plan, so the nondeterminism of
+    # monotonically_increasing_id across recomputations cannot bite.
+    from pyspark.sql import Window
+
+    binned_ivl = (intervals
+                  .withColumn("__ivl_id", F.monotonically_increasing_id())
+                  .withColumn("__bin",
+                              F.explode(F.sequence(to_bin(F.col(start_col)),
+                                                   to_bin(F.col(end_col))))))
+    binned_pts = (points
+                  .withColumn("__bin_p", to_bin(F.col(ts_col)))
+                  .withColumn("__pt", F.lit(True)))
+    # Containment inside the join condition => true left-outer semantics:
+    # every exploded interval copy survives, matched copies carry point
+    # columns, unmatched copies carry nulls.
+    joined = binned_ivl.join(
+        binned_pts, (F.col("__bin") == F.col("__bin_p")) & contained, "left")
+    # Collapse the exploded copies: keep all matched rows (each true pair
+    # meets in exactly one bin, so no duplicates), plus ONE null-extended
+    # row per interval id that matched nowhere.
+    w = Window.partitionBy("__ivl_id")
+    out = (joined
+           .withColumn("__any", F.max("__pt").over(w))
+           .withColumn("__rn",
+                       F.row_number().over(w.orderBy(F.col("__bin"))))
+           .filter(F.col("__pt").isNotNull()
+                   | (F.col("__any").isNull() & (F.col("__rn") == 1)))
+           .drop("__ivl_id", "__bin", "__bin_p", "__pt", "__any", "__rn"))
+    return out

@@ -196,6 +196,36 @@ def test_interval_point_join_lossless_vs_range_join(spark):
     assert {(n, p) for n, p in rows if p is not None} == want
 
 
+def test_interval_left_join_duplicate_spans_are_distinct_rows(spark):
+    """Interval identity is the row, not the (start, end) span: two
+    intervals sharing an identical span but differing elsewhere must each
+    survive left_interval independently — one matching points, one empty,
+    and two all-empty duplicates must both appear."""
+    from distributed_database_for_sql_spark.operators.interval_join import (
+        interval_point_join,
+    )
+
+    ivl = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "res_a"),
+         ("2024-01-01 00:00:00", "2024-01-01 01:00:00", "res_b"),
+         ("2024-01-09 00:00:00", "2024-01-09 01:00:00", "dup_1"),
+         ("2024-01-09 00:00:00", "2024-01-09 01:00:00", "dup_2")],
+        "w_start string, w_end string, name string",
+    ).select(F.col("w_start").cast("timestamp"),
+             F.col("w_end").cast("timestamp"), "name")
+    pts = spark.createDataFrame(
+        [("2024-01-01 00:30:00", 1)], "ts string, pid int",
+    ).select(F.col("ts").cast("timestamp"), "pid")
+
+    rows = [(r.name, r.pid) for r in interval_point_join(
+        ivl, pts, "w_start", "w_end", "ts",
+        bin_seconds=3600, how="left_interval").collect()]
+    # Both same-span intervals match the point; both all-empty duplicates
+    # appear exactly once each with nulled point columns.
+    assert sorted(rows) == [("dup_1", None), ("dup_2", None),
+                            ("res_a", 1), ("res_b", 1)]
+
+
 def test_connected_components_chain_and_islands(spark):
     from distributed_database_for_sql_spark.operators.components import (
         connected_components,
