@@ -52,16 +52,25 @@ class CommandLog:
 
     Delivery guarantee, precisely: Structured Streaming's foreachBatch is
     at-least-once (a crash between user code and the checkpoint commit
-    re-delivers the batch), so each batch additionally writes an atomic
-    `batch_<id>.done` marker after its commands execute and is skipped on
-    re-delivery if the marker exists.  That gives exactly-once on any
-    clean stop/restart and shrinks the crash re-apply window to the
-    instant between the last command and the marker rename; commands in
-    that window re-apply, so non-idempotent commands need an ACID sink
-    (e.g. a lakehouse table committing the batch transactionally) for a
-    hard exactly-once guarantee — same caveat as the reference, whose
-    Raft log re-delivers to the apply channel on restart because it never
-    persists lastApplied (SURVEY.md §2.B).
+    re-delivers the batch), so every applied statement writes an atomic
+    per-(seq, idx) `stmt_*.done` ledger marker and is skipped on any
+    later delivery if its marker exists.  The ledger is consulted per
+    STATEMENT, not per batch, which closes both at-least-once holes:
+
+    - a crash mid-batch re-delivers the batch, and replay skips exactly
+      the statements whose markers committed — each statement applies
+      once, except the single statement caught between its execution and
+      its marker rename, which re-applies;
+    - a lost checkpoint with a surviving ledger re-plans batches with
+      different file boundaries (possibly including newly appended
+      files); the per-statement ledger applies exactly the delta instead
+      of skipping or repeating a whole re-shaped batch.
+
+    Hard exactly-once for that one-statement crash window needs the
+    statement execution and the marker in one transaction — i.e. an ACID
+    table sink — same caveat as the reference, whose Raft log re-delivers
+    to the apply channel on restart because it never persists lastApplied
+    (SURVEY.md §2.B).
     """
 
     def __init__(self, engine: Engine, log_dir: str, checkpoint_dir: str):
@@ -105,17 +114,19 @@ class CommandLog:
         )
 
         def apply_batch(df: DataFrame, batch_id: int) -> None:
-            marker = os.path.join(self.applied_dir, f"batch_{batch_id:08d}.done")
-            if os.path.exists(marker):
-                return  # re-delivered after a crash post-apply: skip
             rows = df.orderBy("seq", "idx").collect()
             for r in rows:
+                marker = os.path.join(
+                    self.applied_dir, f"stmt_{r.seq:08d}_{r.idx:04d}.done")
+                if os.path.exists(marker):
+                    continue  # ledger says applied: skip on re-delivery
                 self.engine.sql(r.command)
                 results.append((r.seq, r.idx, r.command))
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(json.dumps({"batch_id": batch_id, "n": len(rows)}))
-            os.rename(tmp, marker)
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(json.dumps({"seq": r.seq, "idx": r.idx,
+                                        "command": r.command}))
+                os.rename(tmp, marker)  # atomic: statement committed
 
         q = (
             stream.writeStream.foreachBatch(apply_batch)

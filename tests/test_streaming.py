@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -116,10 +117,71 @@ def test_command_log_crash_redelivery_idempotent(spark, sf_dir, tmp_path):
     log.append("CREATE OR REPLACE TEMP VIEW crash_v AS SELECT 41 + 1 AS n")
     assert len(log.replay()) == 1
 
-    # Crash simulation: checkpoint lost, log + markers survive.
+    # Crash simulation: checkpoint lost, log + ledger survive.
     shutil.rmtree(tmp_path / "ckpt")
     log2 = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
-    assert log2.replay() == []  # re-delivered batch skipped by marker
+    assert log2.replay() == []  # re-delivered statement skipped by ledger
+
+
+def test_command_log_mid_batch_crash_applies_each_statement_once(
+        spark, sf_dir, tmp_path):
+    """A crash in the middle of a batch (engine.sql raising after the
+    first statement) must not double-apply on replay: the per-statement
+    ledger skips the committed statement and applies only the rest."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+
+    eng = Engine(spark, sf_dir)
+    executed = []
+    real_sql = eng.sql
+
+    def crashing_sql(cmd):
+        if len(executed) == 1:
+            raise RuntimeError("simulated crash after first statement")
+        executed.append(cmd)
+        return real_sql(cmd)
+
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append(
+        "CREATE OR REPLACE TEMP VIEW mid_v1 AS SELECT 1 AS n",
+        "CREATE OR REPLACE TEMP VIEW mid_v2 AS SELECT n + 1 AS n FROM mid_v1",
+        "CREATE OR REPLACE TEMP VIEW mid_v3 AS SELECT n + 1 AS n FROM mid_v2",
+    )
+    eng.sql = crashing_sql
+    with pytest.raises(Exception):
+        log.replay()
+    assert len(executed) == 1  # crashed before statement 1 executed
+
+    # Recovery run: statement 0 is in the ledger and must be skipped;
+    # statements 1 and 2 apply now.  Overall each applied exactly once.
+    eng.sql = lambda cmd: (executed.append(cmd), real_sql(cmd))[1]
+    recovered = log.replay()
+    assert [(s, i) for s, i, _ in recovered] == [(0, 1), (0, 2)]
+    assert len(executed) == 3 and len(set(executed)) == 3  # once each
+    assert spark.table("mid_v3").collect()[0].n == 3
+
+
+def test_command_log_lost_checkpoint_applies_new_files_delta(
+        spark, sf_dir, tmp_path):
+    """Lost checkpoint + surviving ledger + NEWLY appended commands: the
+    re-planned first batch spans old and new files; the per-statement
+    ledger must apply exactly the new commands, not skip the whole
+    batch (and not re-apply the old ones)."""
+    import shutil
+
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+
+    eng = Engine(spark, sf_dir)
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append("CREATE OR REPLACE TEMP VIEW delta_v1 AS SELECT 10 AS n")
+    assert len(log.replay()) == 1
+
+    shutil.rmtree(tmp_path / "ckpt")  # crash loses checkpoint, not ledger
+    log2 = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log2.append(
+        "CREATE OR REPLACE TEMP VIEW delta_v2 AS SELECT n * 2 AS n FROM delta_v1")
+    applied = log2.replay()
+    assert [(s, i) for s, i, _ in applied] == [(1, 0)]  # only the delta
+    assert spark.table("delta_v2").collect()[0].n == 20
 
 
 def test_command_log_seq_ignores_tmp_files(spark, sf_dir, tmp_path):
