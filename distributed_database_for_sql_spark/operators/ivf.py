@@ -119,15 +119,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors probing nprobe learned cells per query.
 
     The query table stays distributed end-to-end: probe cells are computed
     by `_probe_udf` (centroid matrix shipped with the task closure) and
-    exploded into nprobe (query, cell) rows.  With a small query set the
-    probe side is broadcast into the corpus join; for a corpus-sized query
-    table the same plan works by dropping the broadcast hint — the join is
-    a plain equi-join on `cell` either way."""
+    exploded into nprobe (query, cell) rows.  The corpus join is a plain
+    equi-join on `cell` either way; `broadcast_queries` picks the physical
+    strategy: True (default) broadcast-hints the probe side — right for a
+    serving-sized query set — while False leaves it to a shuffle hash join
+    on `cell`, the form a corpus-sized query table needs (a broadcast there
+    would OOM the executors)."""
     centroids, assign = kmeans_fit(emb, id_col, vec_col, k=n_clusters,
                                    iters=iters, dim=dim)
     corpus = emb.select(
@@ -144,9 +147,10 @@ def ivf_topk(
         .withColumn("cell", F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))))
         .withColumn("qn", norm_fixed("qv", dim))
     )
+    probe_side = F.broadcast(probe_df) if broadcast_queries else probe_df
 
     pairs = (
-        corpus.join(F.broadcast(probe_df), "cell")
+        corpus.join(probe_side, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )

@@ -366,10 +366,18 @@ def minhash_lsh_pairs(
             "transform(sequence(0, int(ceil(size(all_ids) / {mb})) - 1, 1), "
             "g -> filter(all_ids, x -> pmod(xxhash64(x), "
             "int(ceil(size(all_ids) / {mb}))) = g))".format(mb=max_bucket))
-        buckets = (
+        # Persisted (memory-and-disk, ids only) so the post-run oversized
+        # count below reads the cached aggregation instead of recomputing
+        # the whole signature pipeline — split recall loss must be
+        # observable on this path too, not just under bounded_gather.
+        bucket_agg = (
             banded.groupBy("band", "band_key")
             .agg(F.sort_array(F.collect_list("id")).alias("all_ids"))
             .filter(F.size("all_ids") > 1)
+            .persist()
+        )
+        buckets = (
+            bucket_agg
             .select(F.explode(
                 F.when(n_groups <= 1, F.array(F.col("all_ids")))
                 .otherwise(split_expr)).alias("ids"))
@@ -391,8 +399,8 @@ def minhash_lsh_pairs(
         .persist()
     )
     candidates.count()
-    if bounded_gather:
-        n_over = oversized.count()
+
+    def _warn_split(n_over: int) -> None:
         if n_over:
             import logging
 
@@ -401,8 +409,15 @@ def minhash_lsh_pairs(
                 "and were hash-split into subgroups; cross-subgroup pairs "
                 "in those buckets rely on the remaining bands",
                 n_over, max_bucket)
+
+    if bounded_gather:
+        _warn_split(oversized.count())
         oversized.unpersist()
         sigs.unpersist()
+    else:
+        _warn_split(
+            bucket_agg.filter(F.size("all_ids") > max_bucket).count())
+        bucket_agg.unpersist()
 
     # Shingle ONLY the docs that appear in some candidate pair (a
     # broadcast semi-join on the candidate id set), not the whole corpus

@@ -234,6 +234,7 @@ def pq_adc_topk(
     iters: int = 4,
     dim: int = 64,
     rerank_factor: int = 10,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Top-k cosine neighbors via PQ-ADC scan + exact re-rank.
 
@@ -241,7 +242,17 @@ def pq_adc_topk(
     (ADC scoring, selects rerank_factor·k per query), once as a
     candidate-pruned exact-cosine re-rank (broadcast semi-join on the
     tiny candidate set).  Queries stay distributed; their 1 KB LUTs are
-    broadcast into the code scan."""
+    broadcast into the code scan.
+
+    Broadcast boundary: the scan couples every code row to the broadcast
+    query set, which is right for serving-sized Q (LUTs are ~1 KB each).
+    Above `max_broadcast_queries` the queries are hash-split into
+    ceil(Q / max) chunks, each chunk broadcast-scanned separately and the
+    scans unioned — compute stays the exhaustive O(N·Q) (that is what an
+    exhaustive ADC scan is; a corpus-sized Q wants the IVF cell-blocked
+    form, operators/ivf.py), but no single broadcast exceeds the bound.
+    The re-rank's candidate broadcast grows as rerank_factor·k·Q rows of
+    two longs and stays far smaller than the LUT side."""
     codebooks = pq_fit(emb, id_col, vec_col, m=m, k=n_codes, iters=iters,
                        dim=dim)
     coded = emb.select(
@@ -254,11 +265,26 @@ def pq_adc_topk(
     ).withColumn("qn", norm_fixed("qv", dim)).withColumn(
         "lut", _query_luts_udf(codebooks)(F.col("qv")))
 
-    scored = (
-        coded.join(F.broadcast(q.select("query_id", "qn", "lut")),
-                   F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc", _adc_score_udf(m, n_codes)("codes", "lut", "qn"))
-    )
+    qsel = q.select("query_id", "qn", "lut")
+    n_q = queries.count()
+    scan_cond = F.col("query_id") != F.col("neighbor_id")
+    adc = _adc_score_udf(m, n_codes)
+    if n_q <= max_broadcast_queries:
+        scored = (coded.join(F.broadcast(qsel), scan_cond)
+                  .withColumn("adc", adc("codes", "lut", "qn")))
+    else:
+        from functools import reduce
+
+        n_chunks = -(-n_q // max_broadcast_queries)
+        parts = [
+            coded.join(
+                F.broadcast(qsel.filter(
+                    F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)) == i)),
+                scan_cond,
+            ).withColumn("adc", adc("codes", "lut", "qn"))
+            for i in range(n_chunks)
+        ]
+        scored = reduce(DataFrame.unionByName, parts)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id"))
     cands = (

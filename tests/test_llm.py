@@ -256,3 +256,50 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
             continue
         raw = t.encode("utf-8")
         assert r.zlib_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def test_pq_adc_chunked_broadcast_fallback_matches_default(spark, sf_dir):
+    """Above max_broadcast_queries the ADC scan hash-splits the query set
+    into bounded broadcast chunks and unions the scans — the result must
+    be identical to the single-broadcast default."""
+    from distributed_database_for_sql_spark.operators.pq import pq_adc_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    base = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+            for r in pq_adc_topk(emb, queries, k=5).collect()}
+    chunked = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+               for r in pq_adc_topk(emb, queries, k=5,
+                                    max_broadcast_queries=3).collect()}
+    assert chunked == base
+
+
+def test_ivf_topk_shuffle_join_matches_broadcast(spark, sf_dir):
+    """broadcast_queries=False routes the probe side through a plain
+    shuffle equi-join on cell (the corpus-sized-query form) with an
+    identical result, and the plan really loses the broadcast."""
+    from distributed_database_for_sql_spark.operators.ivf import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, n_clusters=8, nprobe=4)
+    bcast = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+             for r in ivf_topk(emb, queries, **kw).collect()}
+    shuffled_df = ivf_topk(emb, queries, broadcast_queries=False, **kw)
+    assert {(r.query_id, r.neighbor_id, r.cos, r.rn)
+            for r in shuffled_df.collect()} == bcast
+
+
+def test_minhash_split_warning_on_default_path(spark, sf_dir, caplog):
+    """The oversized-bucket split warning must fire on the default
+    (one-shuffle) strategy too, not only under bounded_gather — silent
+    recall loss has to be observable on both physical plans."""
+    import logging
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    with caplog.at_level(logging.WARNING,
+                         logger="distributed_database_for_sql_spark.operators.minhash"):
+        minhash_lsh_pairs(docs, threshold=0.5, max_bucket=2).collect()
+    assert any("hash-split" in r.message for r in caplog.records)
