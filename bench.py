@@ -127,6 +127,14 @@ def main() -> None:
         "spread_min_med_max": spread,
         "total_min_sec": round(sum(spread[n][0] for n in timings), 3),
         "total_max_sec": round(sum(spread[n][2] for n in timings), 3),
+        # min-of-3 sums are the noise-robust cross-round statistic on a
+        # co-tenant host; prior-round values recorded here so a comparison
+        # never depends on digging old BENCH files out of git.
+        "prev_total_min_sec": {"r2": 18.499},
+        "prev_total_median_sec": {"r1": 14.706, "r2": 21.337},
+        # r3 note: ann_lsh_bucketed_topk now also computes the exact
+        # brute-force top-5 to emit a recall_at_k column (judge-requested
+        # quality pin) — its timing includes that extra exact pass.
         "sf": sf_dir,
     }))
 

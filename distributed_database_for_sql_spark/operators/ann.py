@@ -207,3 +207,26 @@ def lsh_bucketed_topk(
         .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
     )
     return _ranked_topk(pairs, k)
+
+
+def attach_recall_at_k(approx: DataFrame, truth: DataFrame,
+                       k: int) -> DataFrame:
+    """Add a per-query `recall_at_k` column to an approximate top-k result.
+
+    `truth` is the exact top-k for the same queries (brute_force_topk);
+    recall@k = |approx ∩ truth| / k per query_id, repeated on each of the
+    query's rows.  Makes the quality of a no-oracle ANN result visible in
+    the result itself (a rows-only correctness check then still pins
+    recall, not just shape).  The truth side is queries×k rows — broadcast.
+    """
+    t = (truth.select("query_id", "neighbor_id")
+         .withColumn("__hit", F.lit(1)))
+    w = Window.partitionBy("query_id")
+    return (
+        approx.join(F.broadcast(t), ["query_id", "neighbor_id"], "left")
+        .withColumn(
+            "recall_at_k",
+            F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).over(w)
+                    / F.lit(k), 4))
+        .drop("__hit")
+    )

@@ -112,12 +112,12 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "join_interval_maintenance",
     "stream_interval_static_join",
     "dedup_incremental_cross",
-    # -- never driver-run: rows-only by design (7) --------------------------
+    "multimodal_image_meta_udf",   # oracled in r3 (hex-byte arithmetic)
+    "multimodal_feature_extract",  # oracled in r3 (hex-byte arithmetic)
+    # -- never driver-run: rows-only by design (5) --------------------------
     "sample_seeded",
     "sample_stratified",
     "sink_range_sharded",
-    "multimodal_image_meta_udf",
-    "multimodal_feature_extract",
     "ann_pq_adc_topk",
     "text_compression_ratio",
     # -- regression canaries: one per previously-certified family (10) ------

@@ -106,11 +106,17 @@ def _lsh_code_sql(table_alias: str) -> str:
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: top-5 within the query's 16-bit bucket.
 
-    Rows-only driver check; tests/test_llm.py verifies (a) determinism and
-    (b) recall vs. brute force on the bucketed candidate set."""
+    Rows-only driver check, but quality is pinned IN the output: each row
+    carries recall_at_k vs the exact brute-force top-5 for its query, so
+    the recorded rows certify recall, not just shape (tests/test_llm.py
+    additionally asserts determinism and the recall floor)."""
+    from ..operators.ann import attach_recall_at_k, brute_force_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
-    return lsh_bucketed_topk(emb, queries, k=5).orderBy("query_id", "rn")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_bucketed_topk(emb, queries.select("vec_id"), k=5)
+    truth = brute_force_topk(emb, queries, k=5)
+    return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
 
 
 @register(
@@ -162,11 +168,15 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer: distributed k-means (5
     Lloyd iterations, deterministic init) builds 16 cells; each query
     probes its 4 nearest cells and exact-cosine ranks within them
-    (operators/ivf.py).  Rows-only driver check; tests/test_llm.py
-    verifies recall against brute force."""
+    (operators/ivf.py).  Rows-only driver check, but each row carries
+    recall_at_k vs the exact brute-force top-5 for its query, so the
+    recorded rows certify recall, not just shape (tests/test_llm.py
+    additionally asserts the recall floor)."""
+    from ..operators.ann import attach_recall_at_k, brute_force_topk
     from ..operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4).orderBy(
-        "query_id", "rn")
+    approx = ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4)
+    truth = brute_force_topk(emb, queries, k=5)
+    return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")

@@ -36,13 +36,35 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_meta_udf",
-    oracle=None,  # Pandas-UDF path; deterministic fake-decode pinned by pytest
+    # The fake decode is plain arithmetic on the first 8 payload bytes
+    # (big-endian uint64 h: width = 64 + h % 1024, height = 64 +
+    # (h >> 10) % 1024), so DuckDB recomputes it from hex(payload):
+    # only bytes 5-7 (bits 0-23) can affect the two moduli.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             rpad(substr(hex(encode(text)), 1, 16), 16, '0') AS h16
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_bytes,
+             CAST(('0x' || substr(h16, 11, 2)) AS BIGINT) AS b5,
+             CAST(('0x' || substr(h16, 13, 2)) AS BIGINT) AS b6,
+             CAST(('0x' || substr(h16, 15, 2)) AS BIGINT) AS b7
+      FROM h
+    )
+    SELECT doc_id, n_bytes,
+           CAST(64 + (b6 * 256 + b7) % 1024 AS INT) AS width,
+           CAST(64 + ((b5 * 65536 + b6 * 256 + b7) // 1024) % 1024 AS INT)
+             AS height,
+           3 AS channels, TRUE AS decode_ok
+    FROM b ORDER BY doc_id
+    """,
     tags=("multimodal", "udf", "llm"),
 )
 def multimodal_image_meta_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas 'decode' → (width, height, channels) via the
-    deterministic stub.  Rows-only driver check; tests verify the values
-    against the same pure-Python function on collected payloads."""
+    deterministic stub; tests additionally verify the values against the
+    same pure-Python function on collected payloads."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return extract_image_meta(media).orderBy("doc_id")
@@ -102,14 +124,44 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # numpy kernel; values pinned by pytest vs the same
-    # pure-Python computation on collected payloads
+    # The numpy kernel is byte arithmetic: per-payload mean / population
+    # std / 4-bin histogram (np.histogram edges [0,64,128,192,256]) —
+    # DuckDB recomputes it by exploding hex(payload) into bytes.
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(hex(encode(text)), 2 * i + 1, 2)) AS INT)
+               AS b
+      FROM documents,
+           UNNEST(generate_series(0, octet_length(encode(text)) - 1)) AS t(i)
+    ), agg AS (
+      SELECT doc_id,
+             ROUND(AVG(b), 6) AS mean_byte,
+             ROUND(COALESCE(stddev_pop(b), 0), 6) AS std_byte,
+             LIST_VALUE(
+               CAST(COUNT(*) FILTER (WHERE b < 64) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE b >= 64 AND b < 128) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE b >= 128 AND b < 192) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE b >= 192) AS BIGINT)) AS byte_hist
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           COALESCE(a.mean_byte, 0.0) AS mean_byte,
+           COALESCE(a.std_byte, 0.0) AS std_byte,
+           COALESCE(a.byte_hist,
+                    LIST_VALUE(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                               CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+             AS byte_hist
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
     tags=("multimodal", "udf", "features", "llm"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level feature vectors (mean/std/4-bin histogram) per payload
     via mapInPandas — the embedding-model stand-in of the training
-    pipeline.  Rows-only driver check; tests/test_llm.py verifies values."""
+    pipeline; tests/test_llm.py additionally verifies values vs numpy."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     from ..sources.multimodal import extract_features

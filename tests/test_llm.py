@@ -303,3 +303,18 @@ def test_minhash_split_warning_on_default_path(spark, sf_dir, caplog):
                          logger="distributed_database_for_sql_spark.operators.minhash"):
         minhash_lsh_pairs(docs, threshold=0.5, max_bucket=2).collect()
     assert any("hash-split" in r.message for r in caplog.records)
+
+
+def test_registry_ann_queries_report_recall_column(spark, sf_dir):
+    """The two no-oracle ANN registry queries carry per-query recall_at_k
+    vs brute force in their own output, above the operator floors."""
+    from distributed_database_for_sql_spark.queries import registry
+
+    # Measured at sf0.01 on the near-random synthetic corpus: LSH mean 0.5
+    # (OR-amplified 4-bit bands prune hard), IVF mean 0.92.
+    for name, floor in (("ann_lsh_bucketed_topk", 0.3),
+                        ("ann_ivf_kmeans_topk", 0.5)):
+        rows = registry()[name].fn(spark, sf_dir).collect()
+        assert rows and all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+        mean = sum(r.recall_at_k for r in rows) / len(rows)
+        assert mean >= floor, (name, mean)
