@@ -132,9 +132,13 @@ def main() -> None:
         # never depends on digging old BENCH files out of git.
         "prev_total_min_sec": {"r2": 18.499},
         "prev_total_median_sec": {"r1": 14.706, "r2": 21.337},
-        # r3 note: ann_lsh_bucketed_topk now also computes the exact
+        # r3 notes: ann_lsh_bucketed_topk now also computes the exact
         # brute-force top-5 to emit a recall_at_k column (judge-requested
-        # quality pin) — its timing includes that extra exact pass.
+        # quality pin) — its timing includes that extra exact pass; and
+        # dedup_minhash_lsh_pairs pays ~0.6s at sf0.1 for persisting the
+        # bucket aggregation so oversized-bucket splits are observable on
+        # the default strategy (advisor-requested) — steady-state ~3.5s
+        # vs r2's 2.9s median, cost is the cache write not a plan change.
         "sf": sf_dir,
     }))
 
