@@ -114,22 +114,25 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "dedup_incremental_cross",
     "multimodal_image_meta_udf",   # oracled in r3 (hex-byte arithmetic)
     "multimodal_feature_extract",  # oracled in r3 (hex-byte arithmetic)
+    # -- new in r3 (policy: new queries certify the round they ship) --------
+    "source_quota_sampling",
+    "token_length_histogram",
+    "quality_quantile_filter",
+    "dedup_rate_by_source",
     # -- never driver-run: rows-only by design (5) --------------------------
     "sample_seeded",
     "sample_stratified",
     "sink_range_sharded",
     "ann_pq_adc_topk",
     "text_compression_ratio",
-    # -- regression canaries: one per previously-certified family (10) ------
+    # -- regression canaries from previously-certified families (6; four of
+    #    the original ten were displaced by the new-in-r3 queries, per the
+    #    policy above, to keep the window at exactly 50 entries) ------------
     "q1_pricing_summary",          # r1 TPC-H
     "agg_having",                  # r1 aggregates head
-    "set_union_all",               # r1 set ops
-    "join_asof_purchase_click",    # r1 custom as-of join
     "join_bucketed_colocated",     # r1 zero-Exchange bucketed join
     "dedup_exact_survivors",       # r2 LLM dedup
-    "text_quality_score",          # r2 text analysis
     "stream_tumbling_window",      # r2 streaming
-    "udf_pandas_scalar",           # r2 UDFs
     "window_topk_per_group",       # r2 window functions
 )
 

@@ -528,3 +528,153 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus_id", "new_id", F.round("jacc", 6).alias("jacc"))
         .orderBy("corpus_id", "new_id")
     )
+
+
+@register(
+    "source_quota_sampling",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked
+    WHERE rk <= 50
+    ORDER BY source, rk
+    """,
+    tags=("curation", "sampling", "quota", "llm"),
+)
+def source_quota_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quotas: cap every source at 50 docs, picked by
+    a deterministic md5(doc_id) rank — the domain-balancing step that
+    stops a single crawl source from dominating the training mix.  One
+    window shuffle on source; at 100 TB the same rank-and-filter runs
+    per source partition (no global sort, no collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT lang, CAST(FLOOR(LOG2(n_tokens)) AS INT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    GROUP BY lang, len_bucket
+    ORDER BY lang, len_bucket
+    """,
+    tags=("curation", "tokens", "histogram", "llm"),
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in power-of-two buckets per language —
+    the length histogram that drives packing efficiency and batch-shape
+    decisions.  A single partial+final aggregation; the bucket key keeps
+    cardinality tiny regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .withColumn("len_bucket",
+                    F.floor(F.log2(F.col("n_tokens"))).cast("int"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"))
+        .orderBy("lang", "len_bucket")
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEAST(length(text) / 500.0, 1.0) * 0.5
+             + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                           AS DOUBLE) / length(text)) * 0.5 AS q
+      FROM documents
+    ), cut AS (
+      SELECT lang, QUANTILE_CONT(q, 0.5) AS q50 FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN s.q > c.q50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(AVG(CASE WHEN s.q > c.q50 THEN s.q END), 4) AS kept_avg_q
+    FROM scored s JOIN cut c USING (lang)
+    GROUP BY s.lang
+    ORDER BY s.lang
+    """,
+    tags=("curation", "quality", "quantile", "llm"),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: keep documents above their
+    language's median quality score (length saturation + punctuation
+    penalty).  The per-language median is an exact `percentile` here for
+    oracle parity; at 100 TB it becomes `percentile_approx` (mergeable
+    sketch) and the cut table — one row per language — broadcasts into
+    the filter join, so the corpus is scanned once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    punct_r = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        .cast("double") / n_chars
+    )
+    q = F.least(n_chars / 500.0, F.lit(1.0)) * 0.5 + (1.0 - punct_r) * 0.5
+    scored = docs.select("doc_id", "lang", q.alias("q"))
+    cut = scored.groupBy("lang").agg(
+        F.expr("percentile(q, 0.5)").alias("q50"))
+    kept = F.col("q") > F.col("q50")
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"),
+             F.sum(kept.cast("long")).alias("n_kept"),
+             F.round(F.avg(F.when(kept, F.col("q"))), 4).alias("kept_avg_q"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "dedup", "stats", "llm"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-domain contamination
+    metric that decides which crawl sources get down-weighted.  One
+    groupBy with a distinct-count on the content hash; at 100 TB the
+    distinct count switches to approx_count_distinct (HLL, mergeable)
+    with no shape change."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct(F.md5("text")).alias("n_unique"))
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique").cast("double") / F.col("n_docs"),
+                    4))
+        .orderBy("source")
+    )
