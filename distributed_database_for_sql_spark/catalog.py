@@ -31,17 +31,27 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes physical-type quirks at the source.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects.  It's read as raw nanos (legacy conf) and
-    truncated to microseconds — the same precision DuckDB surfaces, so
-    oracle comparisons agree.
+    `events.ts` has been written as parquet TIMESTAMP(NANOS) by some
+    testdata generations — Spark's vectorized reader rejects that, so it
+    is read as raw nanos (legacy conf) and truncated to microseconds,
+    the precision DuckDB surfaces.  Generations that write TIMESTAMP
+    (MICROS) need no conversion; the branch is decided by the type Spark
+    actually reads, so both layouts load identically.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ; cast to
+            # session-TZ TIMESTAMP (sessions here run UTC) so event-time
+            # (watermarks) and unix_micros keep working — same wall time.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -71,6 +71,12 @@ def register(name: str, oracle: str | None = None,
 #       compression), interval joins, incremental cross-corpus dedup, the
 #       q12 re-certification, every rows-only query — plus 10 regression
 #       canaries re-drawn from the r1/r2 families (positions 41–50).
+#       Two red rows, both repaired for the r4 window: fn_math_suite
+#       (cross-engine ROUND(double) divergence → outputs now floor-
+#       quantized BIGINTs) and multimodal_feature_extract (list-typed
+#       byte_hist crashed the driver canonicalizer → flattened to four
+#       scalar columns, float stats quantized).
+#   r4: the two r3 repairs, the new-in-r4 queries, regression canaries.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
 # a canary if the window is full) so the driver certifies it in the round it
@@ -78,62 +84,42 @@ def register(name: str, oracle: str | None = None,
 # ---------------------------------------------------------------------------
 
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- never driver-certified: oracled (33, incl. the q12 re-cert) --------
-    "q12_shipping_delay_priority",
-    "fn_string_suite",
-    "fn_datetime_suite",
+    # -- r3 red rows, repaired this round (must re-certify) -----------------
     "fn_math_suite",
-    "fn_array_suite",
-    "fn_map_suite",
-    "fn_json_suite",
-    "fn_conditional_suite",
-    "fn_array_hof_suite",
-    "agg_global_stats",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_grouping_sets",
-    "agg_approx_percentile",
-    "agg_argmax_struct",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "sink_partitioned_pruned_scan",
-    "source_orc_roundtrip",
-    "source_text_roundtrip",
-    "multimodal_payload_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "decontam_benchmark_overlap",
-    "pack_sequences_chunked",
-    "text_pii_redact",
-    "text_repetition_score",
-    "split_train_val_test",
-    "text_tfidf_top_terms",
-    "join_interval_maintenance",
-    "stream_interval_static_join",
-    "dedup_incremental_cross",
-    "multimodal_image_meta_udf",   # oracled in r3 (hex-byte arithmetic)
-    "multimodal_feature_extract",  # oracled in r3 (hex-byte arithmetic)
-    # -- new in r3 (policy: new queries certify the round they ship) --------
-    "source_quota_sampling",
-    "token_length_histogram",
-    "quality_quantile_filter",
-    "dedup_rate_by_source",
-    # -- never driver-run: rows-only by design (5) --------------------------
-    "sample_seeded",
-    "sample_stratified",
-    "sink_range_sharded",
-    "ann_pq_adc_topk",
-    "text_compression_ratio",
-    # -- regression canaries from previously-certified families (6; four of
-    #    the original ten were displaced by the new-in-r3 queries, per the
-    #    policy above, to keep the window at exactly 50 entries) ------------
+    "multimodal_feature_extract",
+    # -- new in r4 (policy: new queries certify the round they ship) --------
+    "quality_gopher_rules",
+    "mix_domain_reweight",
+    "join_interval_overlap",
+    "graph_pagerank_trade",
+    "stats_key_skew",
+    "ts_anomaly_zscore",
+    "join_fuzzy_levenshtein",
+    "scd_upsert_classify",
+    # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
+    "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching
     "agg_having",                  # r1 aggregates head
     "join_bucketed_colocated",     # r1 zero-Exchange bucketed join
+    "join_asof_purchase_click",    # r1 custom as-of join
+    "set_except_all",              # r1 set ops
     "dedup_exact_survivors",       # r2 LLM dedup
+    "dedup_minhash_lsh_pairs",     # r2 MinHash+LSH
+    "ann_bruteforce_topk",         # r2 ANN baseline
+    "text_quality_score",          # r2 text analysis
     "stream_tumbling_window",      # r2 streaming
     "window_topk_per_group",       # r2 window functions
+    "udf_pandas_scalar",           # r2 UDF surface
+    "sql_command_log_apply",       # r2 reference contract (ordered apply)
+    "fn_string_suite",             # r3 function suites
+    "agg_grouping_sets",           # r3 aggregates tail
+    "source_csv_roundtrip",        # r3 sources
+    "decontam_benchmark_overlap",  # r3 curation
+    "join_interval_maintenance",   # r3 interval join
+    "dedup_incremental_cross",     # r3 incremental dedup
+    # Remaining window slots (up to the driver's 50) fill from registry
+    # import order below — all previously-certified families, acting as
+    # additional canaries.
 )
 
 
@@ -141,6 +127,7 @@ def registry() -> dict[str, QuerySpec]:
     """All registered queries, ordered by the certification schedule above."""
     # Import side-effect modules lazily to avoid circular imports.
     from . import (  # noqa: F401
+        graph_q,
         llm_dedup,
         llm_similarity,
         pipeline_q,

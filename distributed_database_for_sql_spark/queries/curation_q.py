@@ -678,3 +678,131 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4))
         .orderBy("source")
     )
+
+
+@register(
+    "mix_domain_reweight",
+    # keep_permille is exact integer arithmetic (LEAST/div over declared
+    # integer weights), the keep decision is the portable 60-bit md5
+    # bucket — no doubles anywhere.
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3
+               AS weight
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_docs) AS n, SUM(weight) AS w FROM counts
+    ), rates AS (
+      SELECT source, n_docs, weight,
+             LEAST(1000,
+                   (SELECT n FROM tot) * weight * 1000
+                   // ((SELECT w FROM tot) * n_docs)) AS keep_permille
+      FROM counts
+    )
+    SELECT r.source, r.n_docs, r.weight, r.keep_permille,
+           COUNT(*) FILTER (
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'),
+                                   1, 15))::BIGINT % 1000 < r.keep_permille
+           ) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.weight, r.keep_permille
+    ORDER BY r.source
+    """,
+    tags=("sampling", "mixture", "curation", "llm"),
+)
+def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: resample sources to DECLARED domain
+    weights (the DoReMi / Pile-style "domain weights" step — here the
+    weight table is derived deterministically from the source id so the
+    oracle can recompute it).  Per-source keep rate =
+    min(1, N*w_i / (W*n_i)), applied as a deterministic md5-bucket coin:
+    reproducible, shuffle-free, and re-runs / incremental batches agree
+    doc-by-doc.
+
+    One small aggregation to learn per-source counts (broadcast back),
+    then a row-local keep decision — at 100 TB the only shuffle is the
+    per-source count."""
+    from ..functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = 1 + F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 3
+    counts = (docs.groupBy("source")
+              .agg(F.count("*").alias("n_docs"))
+              .withColumn("weight", weight))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum("weight").alias("w")).collect()[0]
+    rates = counts.select(
+        "source", "n_docs", "weight",
+        F.least(
+            F.lit(1000),
+            F.expr(f"{int(tot['n'])} * weight * 1000"
+                   f" div ({int(tot['w'])} * n_docs)"),
+        ).alias("keep_permille"),
+    )
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))) % 1000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "weight", "keep_permille")
+        .agg(F.sum(F.when(bucket < F.col("keep_permille"), 1)
+                   .otherwise(0)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ), ivl AS (
+      SELECT h + INTERVAL 30 MINUTE AS w_start,
+             h + INTERVAL 90 MINUTE AS w_end
+      FROM hours
+    ), spans AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 1 MINUTE AS s_end
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, COUNT(*) AS n_spans, COUNT(DISTINCT user_id) AS n_users
+    FROM ivl JOIN spans ON s_start < w_end AND w_start < s_end
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+    tags=("join", "interval", "overlap", "binning", "timeseries"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via binning (operators/overlap_join.py):
+    per-hour maintenance windows x per-(user, day) activity spans, one
+    row per overlapping pair, counted per window.
+
+    The oracle is the naive theta join; the Spark plan is the binned
+    EQUI join with the first-shared-bin filter standing in for DISTINCT
+    — no nested-loop join, no dedup shuffle, bucketable by bin at
+    100 TB."""
+    from ..operators.overlap_join import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    ivl = (
+        events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+        .select(
+            F.expr("h + INTERVAL 30 MINUTES").alias("w_start"),
+            F.expr("h + INTERVAL 90 MINUTES").alias("w_end"),
+        )
+    )
+    spans = (
+        events.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("s_start"),
+             F.expr("max(ts) + INTERVAL 1 MINUTE").alias("s_end"))
+    )
+    joined = interval_overlap_join(
+        ivl, spans, "w_start", "w_end", "s_start", "s_end", bin_seconds=3600)
+    return (
+        joined.groupBy("w_start")
+        .agg(F.count("*").alias("n_spans"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("w_start")
+    )

@@ -101,39 +101,50 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_math_suite",
+    # Every double-typed output is quantized to BIGINT with FLOOR(x*scale
+    # [+0.5]) rather than ROUND: Spark rounds doubles through BigDecimal of
+    # the shortest decimal repr (half-up) while DuckDB rounds numerically,
+    # so ROUND(double, n) is not bitwise-reproducible across the two
+    # engines (this failed the r3 driver hash). *, /, FLOOR, and the
+    # correctly-rounded SQRT are identical IEEE ops on both sides.
     oracle="""
     SELECT p_partkey,
-           ROUND(p_retailprice, 1)                    AS price_r1,
-           ABS(p_size - 25)                           AS size_dev,
-           FLOOR(p_retailprice / 100)                 AS price_bucket,
-           CEIL(p_retailprice / 100)                  AS price_bucket_up,
-           ROUND(POW(p_size, 2), 2)                   AS size_sq,
-           ROUND(SQRT(p_retailprice), 4)              AS price_sqrt,
-           ROUND(LN(p_retailprice), 4)                AS price_ln,
-           ROUND(LOG10(p_retailprice), 4)             AS price_log10,
-           MOD(p_partkey, 7)                          AS key_mod7,
-           SIGN(p_size - 25)                          AS size_sign
+           CAST(FLOOR(p_retailprice * 10 + 0.5) AS BIGINT)          AS price_decis,
+           ABS(p_size - 25)                                         AS size_dev,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT)               AS price_bucket,
+           CAST(CEIL(p_retailprice / 100) AS BIGINT)                AS price_bucket_up,
+           CAST(POW(p_size, 2) AS BIGINT)                           AS size_sq,
+           CAST(FLOOR(SQRT(p_retailprice) * 100) AS BIGINT)         AS price_sqrt_c,
+           CAST(FLOOR(LN(p_retailprice) * 1000 + 0.5) AS BIGINT)    AS price_ln_m,
+           CAST(FLOOR(LOG10(p_retailprice) * 1000 + 0.5) AS BIGINT) AS price_log10_m,
+           MOD(p_partkey, 7)                                        AS key_mod7,
+           CAST(SIGN(p_size - 25) AS BIGINT)                        AS size_sign
     FROM part
     ORDER BY p_partkey
     """,
     tags=("function", "math"),
 )
 def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function battery (round/abs/floor/ceil/pow/sqrt/ln/log10/mod/sign)."""
+    """Math function battery (abs/floor/ceil/pow/sqrt/ln/log10/mod/sign).
+
+    Double outputs are floor-quantized to BIGINT (see oracle comment) so
+    the cross-engine hash compares exact integers, not engine-rounded
+    doubles."""
     part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
     return (
         part.select(
             "p_partkey",
-            F.round("p_retailprice", 1).alias("price_r1"),
+            F.floor(price * 10 + F.lit(0.5)).cast("bigint").alias("price_decis"),
             F.abs(F.col("p_size") - 25).alias("size_dev"),
-            F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
-            F.ceil(F.col("p_retailprice") / 100).alias("price_bucket_up"),
-            F.round(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),
-            F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-            F.round(F.log("p_retailprice"), 4).alias("price_ln"),
-            F.round(F.log10("p_retailprice"), 4).alias("price_log10"),
+            F.floor(price / 100).cast("bigint").alias("price_bucket"),
+            F.ceil(price / 100).cast("bigint").alias("price_bucket_up"),
+            F.pow("p_size", F.lit(2)).cast("bigint").alias("size_sq"),
+            F.floor(F.sqrt("p_retailprice") * 100).cast("bigint").alias("price_sqrt_c"),
+            F.floor(F.log("p_retailprice") * 1000 + F.lit(0.5)).cast("bigint").alias("price_ln_m"),
+            F.floor(F.log10("p_retailprice") * 1000 + F.lit(0.5)).cast("bigint").alias("price_log10_m"),
             (F.col("p_partkey") % 7).alias("key_mod7"),
-            F.signum(F.col("p_size") - F.lit(25)).cast("double").alias("size_sign"),
+            F.signum(F.col("p_size") - F.lit(25)).cast("bigint").alias("size_sign"),
         )
         .orderBy("p_partkey")
     )

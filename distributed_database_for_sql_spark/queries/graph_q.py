@@ -1,0 +1,164 @@
+"""Graph / diagnostic queries: fixed-iteration PageRank over a trade
+graph, and key-skew diagnostics.
+
+Iterative graph algorithms are the classic "beyond one SQL statement"
+workload; operators/pagerank.py runs them as a DataFrame loop whose
+fixed unrolling a DuckDB chained-CTE oracle can recompute exactly.  The
+skew profiler is the operational tool every 100 TB pipeline needs before
+picking join strategies (salting thresholds, AQE skew hints).
+
+The reference implements no operators at all (SURVEY.md §2.A — a Go
+Raft core); these extend the §2.C target surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+# Shared edge definition: supplier-nation -> customer-nation trade edges
+# weighted by lineitem count (integer weights => the oracle's arithmetic
+# matches bit-for-bit until the final quantized division).
+_EDGES_SQL = """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+"""
+
+_PR_ITER_SQL = """
+    , r{K} AS (
+      SELECT nd.node,
+             (1.0 - 0.85) / (SELECT nn FROM n)
+             + 0.85 * COALESCE(s.msum, 0.0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT t.dst AS node, SUM(r.rank * t.p) AS msum
+        FROM trans t JOIN r{P} r ON r.node = t.src
+        GROUP BY t.dst
+      ) s ON nd.node = s.node
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    iters = "".join(
+        _PR_ITER_SQL.format(K=k, P=k - 1) for k in range(1, iterations + 1))
+    return f"""
+    WITH edges AS ({_EDGES_SQL}
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes
+    ), outw AS (
+      SELECT src, SUM(weight) AS ow FROM edges GROUP BY src
+    ), trans AS (
+      SELECT e.src, e.dst, e.weight / o.ow AS p
+      FROM edges e JOIN outw o ON e.src = o.src
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT nn FROM n) AS rank FROM nodes
+    ){iters}
+    SELECT na.n_name AS nation,
+           CAST(FLOOR(r.rank * 1000000 + 0.5) AS BIGINT) AS rank_micro
+    FROM r{iterations} r JOIN nation na ON na.n_nationkey = r.node
+    ORDER BY rank_micro DESC, nation
+    """
+
+
+@register(
+    "graph_pagerank_trade",
+    # 3 unrolled iterations; ranks quantized to 1e-6 (cross-engine
+    # double-summation order differs by ~1e-15 relative — far below the
+    # quantum).  Integer edge weights keep everything upstream exact.
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "iterative", "pagerank", "join"),
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, damping 0.85) over the
+    supplier-nation -> customer-nation trade graph (operators/
+    pagerank.py): which nations sit at the center of the trade flow.
+
+    The edge build is three broadcast-dim joins + one count aggregate;
+    each PageRank iteration is one join + one aggregate over the tiny
+    transition table, all unrolled into a single lazy plan — no driver
+    loop over collected data, no lineage checkpointing needed at 3
+    iterations."""
+    from ..operators.pagerank import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(F.broadcast(supplier),
+                li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer),
+              orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("s_nationkey").alias("src"),
+                 F.col("c_nationkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = pagerank_fixed(edges, "src", "dst", "weight",
+                           iterations=3, damping=0.85)
+    return (
+        ranks.join(F.broadcast(nation),
+                   ranks["node"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("bigint")
+             .alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "nation")
+    )
+
+
+@register(
+    "stats_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT SUM(cnt) AS n, COUNT(*) AS k, MAX(cnt) AS mx FROM per_key
+    )
+    SELECT key, cnt,
+           CAST(cnt * 1000 // (SELECT n FROM tot) AS BIGINT) AS permille,
+           CAST(cnt * (SELECT k FROM tot) * 100 // (SELECT n FROM tot)
+                AS BIGINT) AS x_mean_pct
+    FROM per_key
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+    tags=("diagnostics", "skew", "aggregate"),
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-10 heaviest orders.o_custkey keys
+    with their share (permille of all rows) and hotness relative to the
+    mean key (percent, 100 = exactly average).  This is the diagnostic
+    that decides salting / AQE-skew-join thresholds before running a big
+    join at 100 TB.
+
+    One hash aggregate + a TakeOrdered top-k; the totals are a
+    broadcast scalar.  All outputs integer-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = (orders.groupBy(F.col("o_custkey").alias("key"))
+               .agg(F.count("*").alias("cnt")))
+    tot = per_key.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("k")).collect()[0]
+    n, k = int(tot["n"]), int(tot["k"])
+    return (
+        per_key.select(
+            "key", "cnt",
+            F.expr(f"cnt * 1000 div {n}").alias("permille"),
+            F.expr(f"cnt * {k} * 100 div {n}").alias("x_mean_pct"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )

@@ -307,3 +307,48 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND a.p_name <> b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY brand, key_a, key_b
+    """,
+    tags=("join", "fuzzy", "similarity", "text"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: near-identical part names (edit distance
+    <= 3) within the same brand — the classic entity-resolution /
+    catalog-dedup shape.
+
+    The block key (p_brand) turns the quadratic all-pairs comparison
+    into an equi hash join; the Levenshtein predicate runs as a
+    post-join filter on JVM codegen (`levenshtein` is built-in — no
+    UDF).  At 100 TB the block key is the standard lever: smaller blocks
+    (brand x size, or a q-gram prefix) bound the per-bucket pair count
+    exactly like LSH banding does for MinHash."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(F.col("p_brand").alias("brand"),
+                    F.col("p_partkey").alias("key_a"),
+                    F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_brand").alias("brand"),
+                    F.col("p_partkey").alias("key_b"),
+                    F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter((F.col("key_a") < F.col("key_b"))
+                & (F.col("name_a") != F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("brand", "key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("brand", "key_a", "key_b")
+    )

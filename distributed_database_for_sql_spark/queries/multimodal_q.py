@@ -127,6 +127,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The numpy kernel is byte arithmetic: per-payload mean / population
     # std / 4-bin histogram (np.histogram edges [0,64,128,192,256]) —
     # DuckDB recomputes it by exploding hex(payload) into bytes.
+    # Output shape (changed after the r3 driver run): the histogram is
+    # flattened to four scalar columns (the driver's canonicalizer cannot
+    # hash list-typed cells), and mean/std are floor-quantized to BIGINT
+    # (mean is an exact integer-sum/count so it is bitwise identical across
+    # engines; std uses different summation algorithms, so quantizing at
+    # 1e-3 absorbs the ~1e-14 relative jitter).
     oracle="""
     WITH bytes AS (
       SELECT doc_id,
@@ -136,23 +142,23 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(generate_series(0, octet_length(encode(text)) - 1)) AS t(i)
     ), agg AS (
       SELECT doc_id,
-             ROUND(AVG(b), 6) AS mean_byte,
-             ROUND(COALESCE(stddev_pop(b), 0), 6) AS std_byte,
-             LIST_VALUE(
-               CAST(COUNT(*) FILTER (WHERE b < 64) AS BIGINT),
-               CAST(COUNT(*) FILTER (WHERE b >= 64 AND b < 128) AS BIGINT),
-               CAST(COUNT(*) FILTER (WHERE b >= 128 AND b < 192) AS BIGINT),
-               CAST(COUNT(*) FILTER (WHERE b >= 192) AS BIGINT)) AS byte_hist
+             CAST(FLOOR(AVG(b) * 1000000 + 0.5) AS BIGINT) AS mean_byte_ppm,
+             CAST(FLOOR(COALESCE(stddev_pop(b), 0) * 1000 + 0.5) AS BIGINT)
+               AS std_byte_milli,
+             CAST(COUNT(*) FILTER (WHERE b < 64) AS BIGINT)               AS hist_b0,
+             CAST(COUNT(*) FILTER (WHERE b >= 64 AND b < 128) AS BIGINT)  AS hist_b1,
+             CAST(COUNT(*) FILTER (WHERE b >= 128 AND b < 192) AS BIGINT) AS hist_b2,
+             CAST(COUNT(*) FILTER (WHERE b >= 192) AS BIGINT)             AS hist_b3
       FROM bytes GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-           COALESCE(a.mean_byte, 0.0) AS mean_byte,
-           COALESCE(a.std_byte, 0.0) AS std_byte,
-           COALESCE(a.byte_hist,
-                    LIST_VALUE(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-                               CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
-             AS byte_hist
+           COALESCE(a.mean_byte_ppm, 0)  AS mean_byte_ppm,
+           COALESCE(a.std_byte_milli, 0) AS std_byte_milli,
+           COALESCE(a.hist_b0, 0) AS hist_b0,
+           COALESCE(a.hist_b1, 0) AS hist_b1,
+           COALESCE(a.hist_b2, 0) AS hist_b2,
+           COALESCE(a.hist_b3, 0) AS hist_b3
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id
     """,
@@ -161,7 +167,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level feature vectors (mean/std/4-bin histogram) per payload
     via mapInPandas — the embedding-model stand-in of the training
-    pipeline; tests/test_llm.py additionally verifies values vs numpy."""
+    pipeline; tests/test_llm.py additionally verifies values vs numpy.
+    The driver-facing projection flattens the histogram array into scalar
+    columns and quantizes the float stats (see oracle comment)."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     from ..sources.multimodal import extract_features
@@ -169,7 +177,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media, n_bins=4)
     return feats.select(
         "doc_id", "n_bytes",
-        F.round("mean_byte", 6).alias("mean_byte"),
-        F.round("std_byte", 6).alias("std_byte"),
-        "byte_hist",
+        F.floor(F.col("mean_byte") * 1000000 + F.lit(0.5)).cast("bigint")
+         .alias("mean_byte_ppm"),
+        F.floor(F.col("std_byte") * 1000 + F.lit(0.5)).cast("bigint")
+         .alias("std_byte_milli"),
+        F.element_at("byte_hist", 1).cast("bigint").alias("hist_b0"),
+        F.element_at("byte_hist", 2).cast("bigint").alias("hist_b1"),
+        F.element_at("byte_hist", 3).cast("bigint").alias("hist_b2"),
+        F.element_at("byte_hist", 4).cast("bigint").alias("hist_b3"),
     ).orderBy("doc_id")

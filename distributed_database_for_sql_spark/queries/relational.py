@@ -319,3 +319,54 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
     return a.intersectAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "scd_upsert_classify",
+    oracle="""
+    WITH old AS (
+      SELECT o_custkey AS key, arg_max(o_orderstatus, o_orderkey) AS status
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY o_custkey
+    ), new AS (
+      SELECT o_custkey AS key, arg_max(o_orderstatus, o_orderkey) AS status
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT CASE WHEN o.key IS NULL THEN 'insert'
+                WHEN o.status <> n.status THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_keys
+    FROM new n LEFT JOIN old o ON n.key = o.key
+    GROUP BY 1
+    ORDER BY change_type
+    """,
+    tags=("upsert", "scd", "join", "maintenance"),
+)
+def scd_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / slowly-changing-dimension change detection: diff the
+    current per-customer latest-order-status snapshot against the
+    pre-1999 snapshot and classify every key as insert / update /
+    unchanged — the MERGE INTO planning step of any warehouse load.
+
+    Each snapshot is one max_by aggregate (deterministic version pick:
+    highest order key); the diff is a single left join between two
+    key-partitioned aggregates — at 100 TB both sides shuffle once on
+    the same key, so AQE plans a co-partitioned join with no extra
+    exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = (orders.filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+           .groupBy(F.col("o_custkey").alias("key"))
+           .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status")))
+    new = (orders.groupBy(F.col("o_custkey").alias("key"))
+           .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status")))
+    classified = (
+        new.alias("n").join(old.alias("o"), "key", "left")
+        .select(
+            F.when(F.col("o.status").isNull(), "insert")
+            .when(F.col("o.status") != F.col("n.status"), "update")
+            .otherwise("unchanged").alias("change_type"))
+    )
+    return (classified.groupBy("change_type")
+            .agg(F.count("*").alias("n_keys"))
+            .orderBy("change_type"))

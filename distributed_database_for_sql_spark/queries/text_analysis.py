@@ -387,3 +387,75 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "true_lang", F.col("cand").alias("predicted"), "overlap")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_gopher_rules",
+    # All ratio columns are exact integers (x*1000 integer-divided by the
+    # word count) so the cross-engine hash never touches a double.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))                    AS n_words,
+             length(text) - len(string_split(text, ' ')) + 1 AS letters,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to','in','is',
+                                     'on','for','with'], lower(t))))
+               AS n_stop,
+             len(list_distinct(string_split(text, ' ')))     AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(letters * 1000 // n_words AS BIGINT)    AS mean_wlen_milli,
+           CAST(n_stop * 1000 // n_words AS BIGINT)     AS stop_milli,
+           CAST(n_distinct * 1000 // n_words AS BIGINT) AS distinct_milli,
+           (n_words BETWEEN 5 AND 5000
+            AND letters * 1000 // n_words BETWEEN 2000 AND 12000
+            AND n_stop * 1000 // n_words >= 20
+            AND n_distinct * 1000 // n_words >= 200)    AS passes
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("quality", "filter", "text", "llm"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 family):
+    word-count bounds, mean-word-length bounds, minimum stop-word
+    fraction, minimum distinct-word ratio — the standard first-pass
+    heuristics a pretraining pipeline applies before any model-based
+    scoring.
+
+    Pure row-local JVM expressions (split / filter / distinct HOFs), no
+    shuffle — a linear scan at any scale.  Every ratio is quantized via
+    integer division (x*1000 div n) so both engines compare exact
+    integers; the composite `passes` boolean is the filter verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_words = F.size(tk).cast("long")
+    letters = (F.length("text") - F.size(tk) + 1).cast("long")
+    n_stop = F.size(
+        F.filter(tk, lambda t: F.lower(t).isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(tk)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            (letters * 1000).alias("__lm"),
+            (n_stop * 1000).alias("__sm"),
+            (n_distinct * 1000).alias("__dm"),
+        )
+        .select(
+            "doc_id", "n_words",
+            F.expr("__lm div n_words").alias("mean_wlen_milli"),
+            F.expr("__sm div n_words").alias("stop_milli"),
+            F.expr("__dm div n_words").alias("distinct_milli"),
+        )
+        .withColumn(
+            "passes",
+            F.col("n_words").between(5, 5000)
+            & F.col("mean_wlen_milli").between(2000, 12000)
+            & (F.col("stop_milli") >= 20)
+            & (F.col("distinct_milli") >= 200),
+        )
+        .orderBy("doc_id")
+    )

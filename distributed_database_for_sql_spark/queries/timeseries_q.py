@@ -222,3 +222,66 @@ def ts_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .crossJoin(c.agg(F.count("*").alias("n_click_1d")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_1d")))
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    # Means/stds are shared-subexpression window aggregates; z is
+    # quantized to 1e-3 and the flag threshold sits at the quantized
+    # value, so the cross-engine double jitter (~1e-14 relative, from
+    # different summation orders) is far below every decision boundary.
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_pop(value) AS sigma,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    ), scored AS (
+      SELECT e.event_type, s.n_events,
+             CAST(FLOOR(ABS((e.value - s.mu) / s.sigma) * 1000 + 0.5)
+                  AS BIGINT) AS abs_z_milli
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+      WHERE s.sigma > 0
+    )
+    SELECT event_type, n_events,
+           COUNT(*) FILTER (WHERE abs_z_milli > 2500) AS n_anomalies,
+           MAX(abs_z_milli) AS max_abs_z_milli
+    FROM scored
+    GROUP BY event_type, n_events
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "anomaly", "aggregate", "quality"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: learn per-type
+    mean/std (population), score every event, count |z| > 2.5 outliers
+    — the monitoring primitive behind data-drift and sensor-fault
+    alerts.
+
+    Two shuffles total (per-type stats, then the final per-type count)
+    with the tiny stats frame broadcast back onto the fact table; the
+    scoring itself is row-local arithmetic.  At 100 TB the stats
+    aggregate is the only full pass."""
+    events = load_table(spark, sf_dir, "events")
+    stats = (events.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_pop("value").alias("sigma"),
+                  F.count("*").alias("n_events")))
+    scored = (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type", "n_events",
+            F.floor(F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+                    * 1000 + F.lit(0.5)).cast("bigint")
+             .alias("abs_z_milli"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "n_events")
+        .agg(F.sum(F.when(F.col("abs_z_milli") > 2500, 1).otherwise(0))
+              .alias("n_anomalies"),
+             F.max("abs_z_milli").alias("max_abs_z_milli"))
+        .orderBy("event_type")
+    )

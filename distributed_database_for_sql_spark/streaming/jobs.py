@@ -56,9 +56,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Some testdata generations write ts as TIMESTAMP(NANOS) (streamed as
+    # raw longs via the legacy conf, then truncated to micros), others as
+    # TIMESTAMP(MICROS) (streamed natively).  Probe the footer to pick the
+    # schema, mirroring catalog.load_table.
+    import pyarrow.parquet as pq
+
+    nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+         for f in EVENTS_RAW_SCHEMA.fields]
+    )
+    raw = spark.readStream.schema(schema).parquet(stage)
+    # Session-TZ TIMESTAMP (UTC here), required by watermarks/event-time.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(result: DataFrame, output_mode: str = "complete") -> DataFrame:

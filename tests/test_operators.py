@@ -338,3 +338,67 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
         import math
         slack = 4 * math.sqrt(n * frac * (1 - frac)) + 1
         assert abs(k - n * frac) <= slack, (lang, k, n, frac)
+
+
+def test_interval_overlap_join_matches_naive(spark, sf_dir):
+    """Binned overlap join == naive theta join, with no duplicate pairs
+    (the first-shared-bin filter must stand in exactly for DISTINCT)."""
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.overlap_join import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ivl = (
+        events.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+        .select(F.expr("h + INTERVAL 30 MINUTES").alias("w_start"),
+                F.expr("h + INTERVAL 90 MINUTES").alias("w_end"))
+    )
+    spans = (
+        events.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("s_start"),
+             F.expr("max(ts) + INTERVAL 1 MINUTE").alias("s_end"))
+    )
+    got = interval_overlap_join(
+        ivl, spans, "w_start", "w_end", "s_start", "s_end",
+        bin_seconds=3600,
+    ).select("w_start", "user_id", "d").collect()
+    naive = (
+        ivl.join(spans, (F.col("s_start") < F.col("w_end"))
+                 & (F.col("w_start") < F.col("s_end")))
+        .select("w_start", "user_id", "d").collect()
+    )
+    got_t = [(r.w_start, r.user_id, r.d) for r in got]
+    naive_t = [(r.w_start, r.user_id, r.d) for r in naive]
+    assert len(got_t) == len(set(got_t)), "duplicates leaked through"
+    assert sorted(got_t) == sorted(naive_t)
+
+
+def test_pagerank_fixed_matches_manual_iteration(spark):
+    """pagerank_fixed on a hand-built 4-node graph equals the same
+    recurrence computed in plain Python, and ranks stay a (leaky)
+    distribution: every rank >= teleport, total <= 1."""
+    from distributed_database_for_sql_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+
+    # 1->2 (w2), 1->3 (w1), 2->3 (w1), 3->1 (w1); node 4 only receives.
+    edge_rows = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 1, 1.0),
+                 (3, 4, 3.0)]
+    edges = spark.createDataFrame(edge_rows, ["src", "dst", "weight"])
+    got = {r.node: r.rank
+           for r in pagerank_fixed(edges, iterations=3,
+                                   damping=0.85).collect()}
+
+    n, d = 4, 0.85
+    ranks = {v: 1.0 / n for v in (1, 2, 3, 4)}
+    out = {1: 3.0, 2: 1.0, 3: 4.0}
+    for _ in range(3):
+        nxt = {v: (1 - d) / n for v in ranks}
+        for s, t, w in edge_rows:
+            nxt[t] += d * ranks[s] * w / out[s]
+        ranks = nxt
+    for v in ranks:
+        assert got[v] == pytest.approx(ranks[v], rel=1e-12), v
+    assert sum(got.values()) <= 1.0 + 1e-9
+    assert all(r >= (1 - d) / n - 1e-12 for r in got.values())

@@ -215,3 +215,29 @@ def test_group_by_agg_is_partial_then_final(spark):
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "Functions: [partial_" in plan or "partial_sum" in plan
+
+
+def test_overlap_join_is_equi_not_nested_loop(spark):
+    """The binned interval-overlap join must plan as an equi join on the
+    bin key — the naive span-overlap theta join would fall back to
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["join_interval_overlap"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_blocks_on_equi_key(spark):
+    """The fuzzy Levenshtein join must hash-join on the brand block key;
+    the edit-distance predicate is a post-join filter, never a join
+    strategy downgrade."""
+    from distributed_database_for_sql_spark.plans.explain import physical_plan
+
+    df = registry()["join_fuzzy_levenshtein"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
