@@ -39,15 +39,20 @@ HEADLINE = [
     "text_quality_score",
 ]
 
-# Round-2 additions, timed separately: "value" stays the sum over the
+# Later-round additions, timed separately: "value" stays the sum over the
 # original 17 HEADLINE queries so cross-round totals compare like for
 # like; the judge reads per-query numbers for these from "extra_queries".
 EXTRA = [
+    # round 2
     "ann_pq_adc_topk",
     "decontam_benchmark_overlap",
     "pack_sequences_chunked",
     "text_repetition_score",
     "dedup_simhash_hamming",
+    # round 4
+    "graph_pagerank_trade",
+    "join_interval_overlap",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -96,6 +96,9 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "ts_anomaly_zscore",
     "join_fuzzy_levenshtein",
     "scd_upsert_classify",
+    "stream_anomaly_zscore",
+    "window_rolling_time_range",
+    "ann_ivfpq_topk",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

@@ -180,3 +180,29 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4)
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,  # learned-quantizer+codebook path; recall pinned in output
+    tags=("similarity", "ann", "ivf", "pq", "adc", "kmeans", "iterative",
+          "llm"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/ivfpq.py): learned 16-cell coarse quantizer
+    prunes the scan to 4 probed cells per query, PQ codes (8 subspaces x
+    32 entries) make the in-cell ADC scan table-lookup cheap, exact
+    re-rank orders the final top-5 — the FAISS IVFPQ serving shape, both
+    prunings composed.  Rows-only driver check; each row carries
+    recall_at_k vs the exact brute-force top-5 so the recorded rows
+    certify recall, not just shape (tests/test_llm.py asserts the
+    floor)."""
+    from ..operators.ann import attach_recall_at_k, brute_force_topk
+    from ..operators.ivfpq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivfpq_topk(emb, queries, k=5, n_clusters=16, nprobe=4,
+                        m=8, n_codes=32)
+    truth = brute_force_topk(emb, queries, k=5)
+    return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")

@@ -175,3 +175,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user) run as a real Structured Streaming job; the drained append
     output equals the batch interval join the oracle computes."""
     return jobs.stream_stream_join(spark, sf_dir).orderBy("purchase_id", "click_id")
+
+
+@register(
+    "stream_anomaly_zscore",
+    # Same quantization rationale as ts_anomaly_zscore: z is floored to
+    # 1e-3 so cross-engine double jitter sits far below every boundary.
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_pop(value) AS sigma,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    ), scored AS (
+      SELECT e.event_type, s.n_events,
+             CAST(FLOOR(ABS((e.value - s.mu) / s.sigma) * 1000 + 0.5)
+                  AS BIGINT) AS abs_z_milli
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+      WHERE s.sigma > 0
+    )
+    SELECT event_type, n_events,
+           COUNT(*) FILTER (WHERE abs_z_milli > 2500) AS n_anomalies,
+           MAX(abs_z_milli) AS max_abs_z_milli
+    FROM scored
+    GROUP BY event_type, n_events
+    ORDER BY event_type
+    """,
+    tags=("streaming", "anomaly", "join", "quality"),
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_anomaly_zscore: offline-learned per-type
+    stats broadcast into the events stream, row-local scoring, complete-
+    mode outlier counting — the online serving half of the batch
+    detector, sharing its oracle."""
+    return jobs.stream_anomaly_zscore(spark, sf_dir).orderBy("event_type")

@@ -459,3 +459,66 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    # The md5-bucketed CMS is cross-engine exact (operators/cms.py), so
+    # unlike engine-private sketch binaries this one is fully oracled:
+    # DuckDB rebuilds the identical counter table and takes the same
+    # minima.  All columns are integers.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), js AS (
+      SELECT unnest([0, 1, 2]) AS j
+    ), buckets AS (
+      SELECT j,
+             ('0x' || substr(md5(term || '#cms' || j), 1, 15))::BIGINT % 64
+               AS b,
+             COUNT(*) AS cnt
+      FROM tok, js GROUP BY j, b
+    ), exact AS (
+      SELECT term, COUNT(*) AS exact_cnt FROM tok GROUP BY term
+    ), est AS (
+      SELECT e.term, e.exact_cnt, MIN(bu.cnt) AS cms_est
+      FROM exact e
+      JOIN js ON TRUE
+      JOIN buckets bu
+        ON bu.j = js.j
+       AND bu.b = ('0x' || substr(md5(e.term || '#cms' || js.j), 1, 15))
+                    ::BIGINT % 64
+      GROUP BY e.term, e.exact_cnt
+    )
+    SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, term
+    LIMIT 20
+    """,
+    tags=("sketch", "cms", "aggregate", "text", "llm"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch (operators/cms.py): the
+    top-20 corpus terms with their exact counts, CMS estimates (depth 3,
+    width 64), and the sketch's one-sided overestimate — visible proof
+    the estimate bounds hold (cms_est >= exact always).
+
+    The sketch is a depth*width counter table built map-side and merged
+    bucket-wise — the mergeable-shard shape heavy-hitter services use at
+    100 TB; the probe side joins the broadcast counter table."""
+    from ..operators.cms import cms_estimate, cms_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tok = tok.persist()
+    table = cms_table(tok, "term", depth=3, width=64)
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(table, exact.select("term"), "term",
+                       depth=3, width=64)
+    return (
+        exact.join(est, "term")
+        .select("term", "exact_cnt", "cms_est",
+                (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"))
+        .orderBy(F.desc("exact_cnt"), "term")
+        .limit(20)
+    )

@@ -214,3 +214,43 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", F.round("total_spend", 2).alias("spend"))
         .orderBy("c_mktsegment", F.desc("spend"), "c_custkey")
     )
+
+
+@register(
+    "window_rolling_time_range",
+    # Both engines order by integer epoch-micros and sum 2-decimal values
+    # whose cents-rounded total is exact — no float boundary anywhere.
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(ROUND(SUM(value) OVER w * 100) AS BIGINT) AS sum_1h_cents
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "timeseries", "range-frame"),
+)
+def window_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling aggregate per user at every event — the
+    time-interval RANGE frame (continuous-aggregate / hypertable
+    primitive) as opposed to the numeric range frame above.
+
+    Ordering on integer epoch-microseconds makes the frame boundary
+    engine-exact; one shuffle on the partition key, frame evaluation is
+    a per-partition sliding scan at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    ev = (events.filter(F.col("user_id") < 20)
+          .withColumn("ts_us", F.unix_micros("ts")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w) * 100).cast("bigint")
+             .alias("sum_1h_cents"),
+        )
+        .orderBy("event_id")
+    )

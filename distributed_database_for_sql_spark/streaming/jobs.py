@@ -309,3 +309,35 @@ def stream_interval_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"))
     return run_to_completion(agg, "complete")
+
+
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly flagging against offline-learned stats.
+
+    The per-type mean/std are learned from the batch table (the offline
+    model-fit step of any production detector), broadcast as a static
+    dim into the stream, and every event is scored row-locally; the
+    complete-mode aggregate counts |z| > 2.5 outliers per type.  Scoring
+    adds no state — state lives only in the final counting aggregate."""
+    from ..catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    stats = (batch.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_pop("value").alias("sigma"),
+                  F.count("*").alias("n_events")))
+    ev = events_stream(spark, sf_dir)
+    scored = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .withColumn(
+            "abs_z_milli",
+            F.floor(F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+                    * 1000 + F.lit(0.5)).cast("bigint"))
+    )
+    agg = scored.groupBy("event_type", "n_events").agg(
+        F.sum(F.when(F.col("abs_z_milli") > 2500, 1).otherwise(0))
+         .alias("n_anomalies"),
+        F.max("abs_z_milli").alias("max_abs_z_milli"),
+    )
+    return run_to_completion(agg, "complete")

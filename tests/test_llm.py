@@ -318,3 +318,35 @@ def test_registry_ann_queries_report_recall_column(spark, sf_dir):
         assert rows and all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
         mean = sum(r.recall_at_k for r in rows) / len(rows)
         assert mean >= floor, (name, mean)
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ (both prunings composed) keeps a solid recall floor vs the
+    exact top-5 and is deterministic across runs; the registry query's
+    in-output recall column stays above the same floor."""
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.ann import brute_force_topk
+    from distributed_database_for_sql_spark.operators.ivfpq import ivfpq_topk
+    from distributed_database_for_sql_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def run():
+        return {(r.query_id, r.neighbor_id)
+                for r in ivfpq_topk(emb, queries, k=5, n_clusters=16,
+                                    nprobe=4, m=8, n_codes=32).collect()}
+
+    approx = run()
+    # Measured 0.92 mean at sf0.01; 0.6 floors the composed pruning.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
+    assert approx == run()
+
+    rows = registry()["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.6, mean
