@@ -99,6 +99,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "stream_anomaly_zscore",
     "window_rolling_time_range",
     "ann_ivfpq_topk",
+    "sketch_cms_heavy_hitters",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching
