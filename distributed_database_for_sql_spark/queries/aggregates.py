@@ -371,3 +371,46 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "stats_table_profile",
+    # ANALYZE-style stats: one pass, all integers (sums in cents /
+    # quantities are exact 2-decimal data).
+    oracle="""
+    SELECT COUNT(*)                                        AS n_rows,
+           COUNT(DISTINCT l_orderkey)                      AS ndv_orderkey,
+           COUNT(DISTINCT l_partkey)                       AS ndv_partkey,
+           COUNT(DISTINCT l_suppkey)                       AS ndv_suppkey,
+           CAST(MIN(l_quantity) AS BIGINT)                 AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT)                 AS max_qty,
+           CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+           COUNT(*) - COUNT(l_returnflag)                  AS nulls_returnflag,
+           COUNT(DISTINCT l_returnflag)                    AS ndv_returnflag
+    FROM lineitem
+    """,
+    tags=("stats", "profile", "aggregate", "diagnostics"),
+)
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style statistics collection over lineitem: row
+    count, per-column NDV, min/max, null counts, value totals — the
+    stats a cost-based optimizer (or a data-quality monitor) gathers
+    before planning joins.
+
+    One full-scan aggregate; the distinct counts are the only
+    shuffle-heavy part (each is a partial-distinct tree).  At 100 TB
+    you'd swap COUNT(DISTINCT) for approx_count_distinct — kept exact
+    here so the oracle hashes byte-identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_suppkey").alias("ndv_suppkey"),
+        F.min("l_quantity").cast("bigint").alias("min_qty"),
+        F.max("l_quantity").cast("bigint").alias("max_qty"),
+        F.round(F.sum("l_extendedprice") * 100).cast("bigint")
+         .alias("sum_price_cents"),
+        (F.count("*") - F.count("l_returnflag")).alias("nulls_returnflag"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+    )

@@ -100,6 +100,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "window_rolling_time_range",
     "ann_ivfpq_topk",
     "sketch_cms_heavy_hitters",
+    "fn_regex_suite",
+    "feature_quantile_binning",
+    "stats_table_profile",
+    "multimodal_audio_features",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

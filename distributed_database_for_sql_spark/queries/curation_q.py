@@ -806,3 +806,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("w_start")
     )
+
+
+@register(
+    "feature_quantile_binning",
+    # ntile over a UNIQUE total order (value, event_id) is pure integer
+    # bucketing — both engines assign identical deciles; min/max are
+    # cents-exact.
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, decile, COUNT(*) AS n,
+           CAST(ROUND(MIN(value) * 100) AS BIGINT) AS lo_cents,
+           CAST(ROUND(MAX(value) * 100) AS BIGINT) AS hi_cents
+    FROM binned
+    GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """,
+    tags=("ml", "binning", "quantile", "window", "curation"),
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature discretization: decile-bin each event's
+    value within its type (the quantile-binning preprocessing step of
+    gradient-boosting / feature-store pipelines) and report per-bin
+    count and [lo, hi] bounds.
+
+    ntile over a unique total order is engine-exact integer bucketing —
+    no interpolated percentiles anywhere.  One window shuffle on the
+    partition key + the final small aggregate; at 100 TB the same two
+    shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    binned = events.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return (
+        binned.groupBy("event_type", "decile")
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("value") * 100).cast("bigint").alias("lo_cents"),
+             F.round(F.max("value") * 100).cast("bigint").alias("hi_cents"))
+        .orderBy("event_type", "decile")
+    )

@@ -336,3 +336,44 @@ def fn_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "fn_regex_suite",
+    # Spark regexp_replace is global by default; DuckDB needs the 'g'
+    # flag.  Match counting is regexp_count on the Spark side and
+    # len(regexp_extract_all) in DuckDB — same semantics, all integers
+    # and strings, nothing float-typed.
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1)               AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1)               AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')          AS devoweled,
+           len(regexp_extract_all(p_name, '[aeiou]'))           AS n_vowels,
+           regexp_matches(p_name, '^(small|large)')             AS sized,
+           CASE WHEN regexp_matches(p_name, 'o.*o')
+                THEN 'double-o' ELSE 'plain' END                AS o_class
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "regex", "string"),
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function battery: extract (anchored groups), global
+    replace, match counting, rlike predicates — all JVM codegen
+    expressions, row-local at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(name, r"^([a-z]+)", 1).alias("first_word"),
+            F.regexp_extract(name, r"([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace(name, r"[aeiou]", "_").alias("devoweled"),
+            F.regexp_count(name, F.lit(r"[aeiou]")).alias("n_vowels"),
+            name.rlike(r"^(small|large)").alias("sized"),
+            F.when(name.rlike(r"o.*o"), "double-o").otherwise("plain")
+             .alias("o_class"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -186,3 +186,60 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("byte_hist", 3).cast("bigint").alias("hist_b2"),
         F.element_at("byte_hist", 4).cast("bigint").alias("hist_b3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_features",
+    # The audio kernel is pure integer arithmetic on uint16-LE frames
+    # re-centered at 16384 (sources/multimodal.extract_audio_features),
+    # so DuckDB recomputes it from hex(payload): bytes 2i/2i+1 form
+    # sample i, flips are counted over the ordered nonzero sign stream.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(hex(encode(text)), 4 * i + 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substr(hex(encode(text)), 4 * i + 3, 2))
+                          AS BIGINT)
+             - 16384 AS smp
+      FROM documents,
+           UNNEST(generate_series(0, octet_length(encode(text)) // 2 - 1))
+             AS t(i)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_samples,
+             MAX(ABS(smp)) AS max_abs,
+             SUM(ABS(smp)) * 1000 // COUNT(*) AS mean_abs_milli
+      FROM s GROUP BY doc_id
+    ), flips AS (
+      SELECT doc_id, COUNT(*) AS n_sign_flips FROM (
+        SELECT doc_id, SIGN(smp) AS g,
+               LAG(SIGN(smp)) OVER (PARTITION BY doc_id ORDER BY i) AS pg
+        FROM s WHERE smp <> 0
+      ) WHERE pg IS NOT NULL AND g <> pg
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_samples, 0)      AS n_samples,
+           COALESCE(a.max_abs, 0)        AS max_abs,
+           COALESCE(a.mean_abs_milli, 0) AS mean_abs_milli,
+           COALESCE(f.n_sign_flips, 0)   AS n_sign_flips
+    FROM documents d
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    LEFT JOIN flips f ON d.doc_id = f.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "audio", "udf", "features", "llm"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: payload as 16-bit PCM →
+    amplitude stats (peak, mean-abs in milli-units, sign flips — the
+    zero-crossing loudness/VAD features) via the same mapInPandas
+    plumbing a real audio decoder would use.  All-integer outputs keep
+    the cross-engine hash exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    from ..sources.multimodal import extract_audio_features
+
+    return (extract_audio_features(media)
+            .select("doc_id", "n_samples", "max_abs", "mean_abs_milli",
+                    "n_sign_flips")
+            .orderBy("doc_id"))

@@ -198,3 +198,47 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32,
             )
 
     return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, max_abs long, mean_abs_milli long,"
+    " n_sign_flips long"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio-feature extraction: payload bytes as 16-bit LE PCM samples
+    → per-payload amplitude stats (peak, mean-abs, sign flips ~ zero
+    crossings).
+
+    The stand-in for a real audio pipeline stage (loudness / VAD
+    features): the payload is interpreted as uint16 little-endian frames
+    re-centered at 16384 (a DC-offset removal — also what makes the
+    ASCII-derived test payloads produce both signs; a trailing odd byte
+    is dropped), vectorized with numpy over each Arrow batch — same
+    mapInPandas plumbing a real decoder would use.  mean_abs is
+    reported in exact milli-units (sum*1000 // n)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "n_samples": [], "max_abs": [],
+                   "mean_abs_milli": [], "n_sign_flips": []}
+            for p in pdf["payload"]:
+                b = np.frombuffer(p[: len(p) - (len(p) % 2)], dtype="<u2")
+                s = b.astype(np.int64) - 16384
+                if s.size == 0:
+                    out["n_samples"].append(0); out["max_abs"].append(0)
+                    out["mean_abs_milli"].append(0); out["n_sign_flips"].append(0)
+                    continue
+                out["n_samples"].append(int(s.size))
+                out["max_abs"].append(int(np.abs(s).max()))
+                out["mean_abs_milli"].append(
+                    int(np.abs(s).sum() * 1000 // s.size))
+                sgn = np.sign(s)
+                nz = sgn[sgn != 0]
+                out["n_sign_flips"].append(
+                    int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
