@@ -76,7 +76,13 @@ def register(name: str, oracle: str | None = None,
 #       quantized BIGINTs) and multimodal_feature_extract (list-typed
 #       byte_hist crashed the driver canonicalizer → flattened to four
 #       scalar columns, float stats quantized).
-#   r4: the two r3 repairs, the new-in-r4 queries, regression canaries.
+#   r4: the two r3 repairs (fn_math_suite, multimodal_feature_extract),
+#       the new-in-r4 queries (quality rules, domain mixture, interval
+#       overlap, PageRank, skew/stats profilers, anomaly batch+stream,
+#       fuzzy join, SCD classify, rolling time-range window, IVF-PQ,
+#       CMS heavy hitters, regex suite, quantile binning, audio
+#       features, corrupt-tolerant JSONL), regression canaries from
+#       every earlier family.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
 # a canary if the window is full) so the driver certifies it in the round it
@@ -104,6 +110,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "feature_quantile_binning",
     "stats_table_profile",
     "multimodal_audio_features",
+    "source_jsonl_corrupt_tolerant",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

@@ -246,3 +246,67 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.sum(F.size(F.split("value", " "))).alias("total_tokens"),
     )
+
+
+@register(
+    "source_jsonl_corrupt_tolerant",
+    # The staged JSONL is derived deterministically from documents (one
+    # good line per doc, plus a corrupt line for every doc_id % 50 == 0),
+    # so the oracle recomputes every expected figure from the table —
+    # it never has to parse the broken file itself.
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_good,
+           COUNT(*) FILTER (WHERE doc_id % 50 = 0) AS n_corrupt,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "json", "corrupt", "quality"),
+)
+def source_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSONL ingest: the crawl-dump reality where
+    a fraction of lines are truncated/garbled.  The stage writes one good
+    JSON line per doc plus a deliberately broken line for every 50th doc;
+    the read runs PERMISSIVE with columnNameOfCorruptRecord, so bad lines
+    land in a quarantine column instead of failing the job — then good
+    rows aggregate normally and corrupt rows are counted per lang.
+
+    At 100 TB this is the standard first-pass shape: never FAILFAST on
+    raw crawl, quarantine + count, alert on corrupt-rate drift.  The
+    corrupt line embeds its lang so the quarantine attribution is exact
+    (regexp on the raw line — all row-local)."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _stage_dir("jsonl_corrupt", sf_dir)
+    good = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                       .alias("line"))
+    bad = (docs.filter(F.col("doc_id") % 50 == 0)
+           .select(F.concat(F.lit('{"broken":'), F.col("lang").cast("string"),
+                            F.lit(' "doc_id": '), F.col("doc_id"))
+                   .alias("line")))
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(path)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+    parsed = back.withColumn(
+        "eff_lang",
+        F.coalesce("lang", F.regexp_extract("_corrupt", r'"broken":(\w+) ', 1)))
+    return (
+        parsed.groupBy(F.col("eff_lang").alias("lang"))
+        .agg(F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+             F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+              .alias("n_corrupt"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

@@ -402,3 +402,62 @@ def test_pagerank_fixed_matches_manual_iteration(spark):
         assert got[v] == pytest.approx(ranks[v], rel=1e-12), v
     assert sum(got.values()) <= 1.0 + 1e-9
     assert all(r >= (1 - d) / n - 1e-12 for r in got.values())
+
+
+def test_interval_overlap_join_half_open_boundaries(spark):
+    """Half-open [s, e) semantics at exact bin boundaries: touching
+    intervals (a.end == b.start) must NOT match; nested and
+    bin-straddling intervals must match exactly once."""
+    from datetime import datetime
+
+    from distributed_database_for_sql_spark.operators.overlap_join import (
+        interval_overlap_join,
+    )
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [("touch", ts(1), ts(2)),        # ends exactly where r1 starts
+         ("strad", ts(1, 30), ts(3, 30)),  # spans 3 bin boundaries
+         ("nest", ts(4), ts(8))],
+        ["lid", "ls", "le"])
+    right = spark.createDataFrame(
+        [("r1", ts(2), ts(3)),
+         ("r2", ts(2, 45), ts(2, 50)),   # inside strad only
+         ("r3", ts(5), ts(6))],          # nested inside nest
+        ["rid", "rs", "re"])
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_seconds=3600).collect())
+    assert got == [("nest", "r3"), ("strad", "r1"), ("strad", "r2")]
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    """CMS never underestimates: est >= exact for every corpus term, and
+    the sketch built from two half-corpora merged bucket-wise equals the
+    whole-corpus sketch (mergeability)."""
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.cms import (
+        cms_estimate, cms_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    table = cms_table(tok, "term", depth=3, width=64)
+    est = cms_estimate(table, exact.select("term"), "term",
+                       depth=3, width=64)
+    joined = exact.join(est, "term").collect()
+    assert joined and all(r.cms_est >= r.exact_cnt for r in joined)
+
+    half_a = cms_table(tok.filter(F.col("doc_id") % 2 == 0), "term",
+                       depth=3, width=64)
+    half_b = cms_table(tok.filter(F.col("doc_id") % 2 == 1), "term",
+                       depth=3, width=64)
+    merged = (half_a.unionByName(half_b).groupBy("j", "b")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = {(r.j, r.b): r.cnt for r in table.collect()}
+    assert {(r.j, r.b): r.cnt for r in merged.collect()} == whole
