@@ -111,6 +111,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "stats_table_profile",
     "multimodal_audio_features",
     "source_jsonl_corrupt_tolerant",
+    "source_python_datasource",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

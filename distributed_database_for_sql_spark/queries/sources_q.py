@@ -310,3 +310,37 @@ def source_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame
              F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "datasource-api", "arrow"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest through a CUSTOM Python DataSource (sources/
+    python_datasource.py — the PySpark 4 extension point): the documents
+    parquet is read via pyarrow with one row group per Spark partition
+    and per-batch Arrow transfer, then aggregated.  The hash match vs
+    the native-parquet oracle proves the user-space connector is
+    value-exact, column pruning included (only lang/n_chars cross the
+    boundary)."""
+    from ..sources.python_datasource import register_arrow_source
+
+    register_arrow_source(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    back = (spark.read.format("arrowpq")
+            .option("path", path)
+            .option("columns", "lang,n_chars")
+            .load())
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
