@@ -364,3 +364,31 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("lang", "hamming")
     )
+
+
+@register(
+    "dedup_semantic_embedding",
+    oracle=None,  # learned k-means cells; semantics pinned by numpy parity test
+    tags=("dedup", "semantic", "embedding", "kmeans", "llm"),
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means
+    cells bound the pair space, within-cell cosine >= 0.4 marks
+    duplicates, lowest-id neighbor survives (threshold lowered from the
+    paper's 0.95-ish to land actual duplicates on the synthetic
+    near-random embeddings).  Output: per-cell keep/dup counts plus the
+    global totals row — rows-only driver check; tests/test_llm.py pins
+    the exact labeling against a numpy recomputation."""
+    from ..operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = semantic_dedup(emb, threshold=0.4, n_clusters=16)
+    per_cell = (labeled.groupBy("cell")
+                .agg(F.count("*").alias("n_vecs"),
+                     F.sum(F.col("is_dup").cast("long")).alias("n_dups"))
+                .orderBy("cell"))
+    total = (labeled.agg(
+        F.lit(-1).alias("cell"),
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups")))
+    return per_cell.unionByName(total).orderBy("cell")

@@ -350,3 +350,38 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     assert rows and all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.6, mean
+
+
+def test_semantic_dedup_matches_numpy(spark, sf_dir):
+    """semantic_dedup's labeling == a numpy recomputation of the same
+    rule (dup iff some lower-id same-cell item has cos >= t), and
+    survivors are never marked dup_of anything higher."""
+    import numpy as np
+
+    from distributed_database_for_sql_spark.catalog import load_table
+    from distributed_database_for_sql_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.4, n_clusters=8).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in rows}
+    cells = {}
+    for vid, r in got.items():
+        cells.setdefault(r.cell, []).append(vid)
+    for cell, ids in cells.items():
+        ids.sort()
+        for i, hi in enumerate(ids):
+            dup_of = None
+            for lo in ids[:i]:
+                a, b = V[lo], V[hi]
+                cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if cos >= 0.4:
+                    dup_of = lo
+                    break
+            r = got[hi]
+            assert r.is_dup == (dup_of is not None), hi
+            assert r.dup_of == dup_of, hi
