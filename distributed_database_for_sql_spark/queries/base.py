@@ -113,6 +113,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_jsonl_corrupt_tolerant",
     "source_python_datasource",
     "dedup_semantic_embedding",
+    "layout_zorder_clustering",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

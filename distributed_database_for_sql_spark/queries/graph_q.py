@@ -162,3 +162,77 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
+
+
+_ZBITS = 11  # covers p_partkey < 2048 at oracle SF; wider at scale
+
+
+def _z_expr(x: str, y: str, spark_side: bool) -> str:
+    """Bit-interleaved Morton/Z-value of two integer columns, emitted as
+    a plain arithmetic sum so Spark SQL and DuckDB compute it
+    identically (Spark spells shift as shiftright(), DuckDB as >>)."""
+    terms = []
+    for b in range(_ZBITS):
+        if spark_side:
+            xs, ys = f"shiftright({x}, {b})", f"shiftright({y}, {b})"
+        else:
+            xs, ys = f"({x} >> {b})", f"({y} >> {b})"
+        terms.append(f"({xs} & 1) * {1 << (2 * b)}")
+        terms.append(f"({ys} & 1) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "layout_zorder_clustering",
+    # Everything is integer bit arithmetic + ntile over a unique order —
+    # engine-exact.  The evidence of clustering: per z-bucket min/max
+    # spans of BOTH dims stay bounded, which is exactly why z-ordered
+    # parquet row groups prune on 2-D predicates.
+    oracle=f"""
+    WITH z AS (
+      SELECT p_partkey, p_size,
+             {_z_expr('p_partkey', 'p_size', False)} AS zval
+      FROM part
+    ), bucketed AS (
+      SELECT p_partkey, p_size, zval,
+             NTILE(16) OVER (ORDER BY zval, p_partkey) AS zbucket
+      FROM z
+    )
+    SELECT zbucket, COUNT(*) AS n,
+           MIN(p_partkey) AS key_lo, MAX(p_partkey) AS key_hi,
+           MIN(p_size) AS size_lo, MAX(p_size) AS size_hi
+    FROM bucketed
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+    tags=("layout", "zorder", "clustering", "diagnostics"),
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional data skipping:
+    interleave the bits of (p_partkey, p_size), split the z-sorted
+    stream into 16 equal buckets (stand-ins for files/row groups), and
+    report each bucket's min/max span in BOTH dimensions — the zone-map
+    evidence that 2-D box predicates prune z-ordered layouts, which a
+    single-column sort cannot give for the second dimension.
+
+    At 100 TB this is `repartitionByRange(zval) + sortWithinPartitions`
+    before the parquet write; here ntile stands in for the range
+    partitioner because its bucket boundaries are deterministic (the
+    range partitioner samples)."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    z = part.select(
+        "p_partkey", "p_size",
+        F.expr(_z_expr("p_partkey", "p_size", True)).alias("zval"))
+    w = W.orderBy("zval", "p_partkey")
+    return (
+        z.withColumn("zbucket", F.ntile(16).over(w))
+        .groupBy("zbucket")
+        .agg(F.count("*").alias("n"),
+             F.min("p_partkey").alias("key_lo"),
+             F.max("p_partkey").alias("key_hi"),
+             F.min("p_size").alias("size_lo"),
+             F.max("p_size").alias("size_hi"))
+        .orderBy("zbucket")
+    )
