@@ -114,6 +114,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "dedup_semantic_embedding",
     "layout_zorder_clustering",
+    "stream_dedup_within_watermark",
+    "sql_distribute_cluster_by",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

@@ -250,3 +250,41 @@ def sql_command_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
         FROM {tbl} GROUP BY src ORDER BY src
     """)
+
+
+@register(
+    "sql_distribute_cluster_by",
+    # DISTRIBUTE BY / SORT BY control the physical shuffle + in-partition
+    # order without a global sort; the RESULT is partition-order-
+    # dependent, so the query aggregates per-partition facts that are
+    # deterministic: each l_suppkey lands in exactly one partition
+    # (that is the DISTRIBUTE BY contract under a fixed partition
+    # count), so per-key rows stay together regardless of which
+    # partition id they drew.
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    tags=("sql", "distribute", "physical"),
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL physical-layout clauses: DISTRIBUTE BY (hash shuffle on the
+    key) + SORT BY (in-partition order) — i.e. CLUSTER BY — then a
+    per-key aggregate over the clustered stream.  The aggregate proves
+    the clustering preserved every row exactly once; the clause pair is
+    the SQL spelling of repartition + sortWithinPartitions, the layout
+    step before a bucketed write at 100 TB."""
+    cmd = """
+    SELECT l_suppkey, COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM (
+      SELECT l_suppkey, l_quantity FROM lineitem
+      DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_quantity
+    )
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """
+    return _sql(spark, sf_dir, cmd)

@@ -210,3 +210,21 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode outlier counting — the online serving half of the batch
     detector, sharing its oracle."""
     return jobs.stream_anomaly_zscore(spark, sf_dir).orderBy("event_type")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the bounded-state streaming dedup
+    (state for an id is dropped once the watermark passes it, unlike
+    plain dropDuplicates whose state grows for the whole run).  Unique
+    fixture ids ⇒ output == input, same oracle as the unbounded form."""
+    return jobs.dedup_within_watermark_counts(spark, sf_dir).orderBy("event_type")

@@ -341,3 +341,20 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("abs_z_milli").alias("max_abs_z_milli"),
     )
     return run_to_completion(agg, "complete")
+
+
+def dedup_within_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark: dedup state is evicted
+    once an id's event time falls behind the watermark — the bounded-
+    state form of streaming dedup (plain dropDuplicates keys state
+    forever within a run).  event_ids are unique in the fixture, so the
+    drained output equals the input — proving the eviction never drops
+    a live row."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (ev.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    out = run_to_completion(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
