@@ -116,6 +116,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "layout_zorder_clustering",
     "stream_dedup_within_watermark",
     "sql_distribute_cluster_by",
+    "udf_pandas_over_window",
+    "scd_merge_apply",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

@@ -370,3 +370,60 @@ def scd_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (classified.groupBy("change_type")
             .agg(F.count("*").alias("n_keys"))
             .orderBy("change_type"))
+
+
+@register(
+    "scd_merge_apply",
+    oracle="""
+    WITH target AS (
+      SELECT o_custkey AS key, arg_max(o_orderstatus, o_orderkey) AS status
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY o_custkey
+    ), source AS (
+      SELECT o_custkey AS key, arg_max(o_orderstatus, o_orderkey) AS status
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(s.key, t.key) AS key,
+           COALESCE(s.status, t.status) AS status,
+           CASE WHEN s.key IS NOT NULL AND t.key IS NOT NULL THEN 'updated'
+                WHEN s.key IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS origin
+    FROM target t FULL OUTER JOIN source s ON t.key = s.key
+    ORDER BY key
+    """,
+    tags=("upsert", "merge", "scd", "join", "maintenance"),
+)
+def scd_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied (the action step after scd_upsert_classify):
+    the incoming snapshot upserts into the current dimension — matched
+    keys take the source row, unmatched source keys insert, unmatched
+    target keys survive — producing the post-merge table plus each
+    row's origin.
+
+    One full outer join between two key-partitioned aggregates; with an
+    ACID table format this is the exact row set MERGE INTO would
+    commit, so the engine-side semantics are format-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snapshot(cond):
+        return (orders.filter(cond)
+                .groupBy(F.col("o_custkey").alias("key"))
+                .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status")))
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    target = snapshot(F.col("o_orderdate") < cutoff)
+    source = snapshot(F.col("o_orderdate") >= cutoff)
+    t, s = target.alias("t"), source.alias("s")
+    return (
+        t.join(s, F.col("t.key") == F.col("s.key"), "full_outer")
+        .select(
+            F.coalesce("s.key", "t.key").alias("key"),
+            F.coalesce("s.status", "t.status").alias("status"),
+            F.when(F.col("s.key").isNotNull() & F.col("t.key").isNotNull(),
+                   "updated")
+            .when(F.col("s.key").isNotNull(), "inserted")
+            .otherwise("kept").alias("origin"),
+        )
+        .orderBy("key")
+    )

@@ -160,3 +160,47 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         ORDER BY d.doc_id, t.pos
     """)
+
+
+@F.pandas_udf(T.LongType())
+def _cents_sum(price: pd.Series) -> int:
+    """Window-applied Pandas UDAF: exact cents total of the frame."""
+    return int(round(float(price.sum()) * 100))
+
+
+@register(
+    "udf_pandas_over_window",
+    # The UDAF runs once per (row, frame); a trailing 3-row frame over a
+    # unique order is engine-deterministic, and the cents conversion
+    # keeps the hash integer-exact.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(SUM(l_extendedprice) OVER w * 100) AS BIGINT)
+             AS trail3_cents
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf", "udaf", "window", "pandas"),
+)
+def udf_pandas_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF applied OVER A WINDOW FRAME (the fourth pandas-UDF
+    mode beyond scalar / grouped-agg / grouped-map): a trailing 3-row
+    price total per order line.  Spark ships each bounded frame to the
+    UDAF through Arrow; the oracle recomputes the frame with plain SQL
+    SUM — proving the custom aggregate sees exactly the frame rows."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 200)
+    w = (W.partitionBy("l_orderkey").orderBy("l_linenumber")
+         .rowsBetween(-2, W.currentRow))
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            _cents_sum("l_extendedprice").over(w).alias("trail3_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
