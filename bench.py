@@ -135,8 +135,8 @@ def main() -> None:
         # min-of-3 sums are the noise-robust cross-round statistic on a
         # co-tenant host; prior-round values recorded here so a comparison
         # never depends on digging old BENCH files out of git.
-        "prev_total_min_sec": {"r2": 18.499},
-        "prev_total_median_sec": {"r1": 14.706, "r2": 21.337},
+        "prev_total_min_sec": {"r2": 18.499, "r3": 17.783},
+        "prev_total_median_sec": {"r1": 14.706, "r2": 21.337, "r3": 19.952},
         # r3 notes: ann_lsh_bucketed_topk now also computes the exact
         # brute-force top-5 to emit a recall_at_k column (judge-requested
         # quality pin) — its timing includes that extra exact pass; and
