@@ -285,3 +285,58 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("abs_z_milli").alias("max_abs_z_milli"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    # The incrementally-refreshed rollup must equal the full recompute —
+    # that equivalence IS the oracle (sum/count are self-mergeable
+    # partial aggregates, the property continuous aggregates rely on).
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    tags=("materialized-view", "incremental", "timeseries", "sink"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (the continuous-aggregate /
+    hypertable pattern): a per-(hour, type) rollup is materialized to
+    parquet from the first ~90% of events, then a late batch (the other
+    ~10%) arrives and the view is refreshed by aggregating ONLY the new
+    batch and merging it bucket-wise into the stored rollup — never
+    rescanning the base history.  The merged view must equal the
+    full-recompute oracle, which holds exactly because count/sum are
+    mergeable partial aggregates.
+
+    At 100 TB this is the only affordable shape for always-fresh
+    rollups: refresh cost scales with the delta, and the merge is a
+    bucket-keyed union+re-aggregate (co-partitioned by the view key)."""
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    key = [F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")]
+
+    def rollup(df):
+        return df.groupBy(*key).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+
+    hist = events.filter(F.col("event_id") % 10 != 0)
+    delta = events.filter(F.col("event_id") % 10 == 0)
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mv_rollup_{abs(hash(os.path.abspath(sf_dir)))}")
+    rollup(hist).write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    merged = (
+        stored.unionByName(rollup(delta))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.orderBy("bucket", "event_type")
