@@ -119,6 +119,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "udf_pandas_over_window",
     "scd_merge_apply",
     "mv_incremental_refresh",
+    "source_xml_roundtrip",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

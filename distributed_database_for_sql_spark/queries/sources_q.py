@@ -344,3 +344,34 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("source", "xml", "sink"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML sink → schema'd XML scan (Spark 4's built-in XML
+    source, rowTag framing) → aggregate.  The hash match against the
+    parquet oracle proves XML serialization round-trips values exactly —
+    the enterprise-interchange path next to CSV/JSON/ORC/text."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _stage_dir("xml_nation", sf_dir)
+    (nation.write.mode("overwrite").format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation").save(path))
+    back = (spark.read.format("xml").option("rowTag", "nation")
+            .schema(nation.schema).load(path))
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"),
+             F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+              .alias("names"))
+        .orderBy("n_regionkey")
+    )

@@ -17,3 +17,40 @@ def test_register_views_sql_visible(spark, sf_dir):
     register_views(spark, sf_dir)
     n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
     assert n > 0
+
+
+def test_events_loader_handles_both_timestamp_layouts(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has shipped
+    events.ts as TIMESTAMP(NANOS) in some generations and
+    TIMESTAMP(MICROS) in others; load_table must read BOTH to the same
+    session-TZ timestamp column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from distributed_database_for_sql_spark.catalog import load_table
+
+    base = [1_700_000_000_000_000, 1_700_000_123_456_789]  # microseconds
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        d = tmp_path / f"gen_{unit}"
+        d.mkdir()
+        tbl = pa.table({**cols, "ts": pa.array(
+            [v * scale for v in base], pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), unit
+        got = sorted(r.ts for r in df.select("ts").collect())
+        # Both layouts must surface identical microsecond instants.
+        import datetime as dt
+
+        want = sorted(
+            dt.datetime.fromtimestamp(v / 1_000_000, dt.timezone.utc)
+            .replace(tzinfo=None) for v in base)
+        assert got == want, unit

@@ -95,3 +95,24 @@ def test_row_number_is_dense_permutation(spark, data):
         per_key[r.k].append(r.rn)
     for rns in per_key.values():
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_oracled_queries_emit_only_hashable_scalar_columns(spark):
+    """The driver's canonicalizer cannot hash list/map-typed cells (the
+    round-3 multimodal_feature_extract crash): every SQL-oracled query
+    must emit scalar columns only.  Schemas are resolved at sf0.001;
+    queries whose build phase runs driver-side jobs still only pay the
+    tiny SF."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from distributed_database_for_sql_spark.queries import registry
+
+    offenders = []
+    for name, spec in registry().items():
+        if spec.oracle is None:
+            continue
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
