@@ -7,6 +7,16 @@ Values are normalized before hashing (floats rounded, timestamps → ISO
 strings) the same way on both sides, so a PASS here is strong evidence the
 driver's hash-match will pass too.
 
+CAVEAT (learned from the round-3 fn_math_suite red row): this replica
+normalizes floats with %.6g, which is LOOSER than the driver's
+canonicalization — a double-typed column can pass here and still fail the
+driver when Spark and DuckDB round differently (ROUND(double, n) is not
+bitwise-reproducible across the engines).  For new oracled queries,
+prefer exact-integer outputs: CAST(FLOOR(x*scale + 0.5) AS BIGINT) on
+both sides.  Also never emit array/map columns — the driver's
+canonicalizer cannot hash them (round-3 multimodal_feature_extract
+crash); tests/test_properties.py enforces this mechanically.
+
 Usage:
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
 """
