@@ -120,6 +120,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "scd_merge_apply",
     "mv_incremental_refresh",
     "source_xml_roundtrip",
+    "quality_lm_perplexity",
+    "embedding_centroid_drift",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

@@ -206,3 +206,64 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m=8, n_codes=32)
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "embedding_centroid_drift",
+    # Per-dim centroids are exact-enough AVGs; each vector's squared
+    # distance is quantized at 1e-4 before the per-label max/mean so the
+    # cross-engine summation jitter (~1e-15 relative) sits far below the
+    # quantum.
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, g.i AS pos, embedding[g.i + 1] AS x
+      FROM embeddings,
+           UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+    ), cent AS (
+      SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos
+    ), dist AS (
+      SELECT d.vec_id, d.label,
+             CAST(FLOOR(SUM((d.x - c.c) * (d.x - c.c)) * 10000 + 0.5)
+                  AS BIGINT) AS sqdist_e4
+      FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(sqdist_e4) // COUNT(*) AS BIGINT) AS mean_sqdist_e4,
+           MAX(sqdist_e4) AS max_sqdist_e4
+    FROM dist
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("embedding", "monitoring", "centroid", "quality", "llm"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table integrity monitor: per-label centroids and each
+    vector's squared distance to its centroid, reported as per-label
+    mean/max — the drift signal that catches an embedding-model change,
+    bad ingestion batch, or label corruption before it poisons
+    similarity search.
+
+    Two aggregates over one exploded (vec, dim) frame: the D x labels
+    centroid table (broadcast back) and the per-vector distance rollup.
+    At 100 TB centroids are a stored artifact and the scan is one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+         .alias("pos", "x"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.floor(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            * 10000 + F.lit(0.5)).cast("bigint").alias("sqdist_e4"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.expr("sum(sqdist_e4) div count(*)").alias("mean_sqdist_e4"),
+             F.max("sqdist_e4").alias("max_sqdist_e4"))
+        .orderBy("label")
+    )

@@ -522,3 +522,68 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "term")
         .limit(20)
     )
+
+
+@register(
+    "quality_lm_perplexity",
+    # Per-doc token-logprob sums aggregate in nondeterministic order, so
+    # the score is floor-quantized at 1e-3 (jitter ~1e-14 relative);
+    # counts and the verdict threshold compare quantized integers.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), lm AS (
+      SELECT term, COUNT(*) AS tf FROM tok GROUP BY term
+    ), tot AS (
+      SELECT SUM(tf) AS n FROM lm
+    ), scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             SUM(LN(lm.tf / (SELECT n FROM tot))) AS logprob_sum
+      FROM tok t JOIN lm ON t.term = lm.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(logprob_sum / n_tokens * 1000 + 0.5) AS BIGINT)
+             AS avg_logprob_milli,
+           CAST(FLOOR(logprob_sum / n_tokens * 1000 + 0.5) AS BIGINT)
+             >= -6000 AS keeps
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("quality", "perplexity", "lm", "text", "llm"),
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality filter (the CCNet/Gopher shape, with
+    a corpus-fit unigram LM standing in for the KenLM model): every
+    token's logprob comes from the corpus unigram distribution, each
+    doc is scored by mean token logprob, and docs below the threshold
+    (here -6 nats — word salad scores low) would be dropped.
+
+    Two shuffles: the unigram fit (term counts — broadcast back as the
+    "model"), then the per-doc score aggregate.  At 100 TB the LM is a
+    stored artifact and scoring is one broadcast join + aggregate —
+    exactly this plan minus the fit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tok = tok.persist()
+    lm = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = int(lm.agg(F.sum("tf").alias("n")).collect()[0]["n"])
+    scored = (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.log(F.col("tf") / F.lit(float(n_total))))
+              .alias("logprob_sum"))
+    )
+    avg_milli = F.floor(
+        F.col("logprob_sum") / F.col("n_tokens") * 1000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        scored.select(
+            "doc_id", "n_tokens",
+            avg_milli.alias("avg_logprob_milli"),
+            (avg_milli >= -6000).alias("keeps"),
+        )
+        .orderBy("doc_id")
+    )
