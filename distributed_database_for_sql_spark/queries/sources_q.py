@@ -375,3 +375,49 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("names"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "source_schema_evolution",
+    # Batch 1 lacks the later quality column; after a mergeSchema read
+    # its rows surface NULL there — the oracle derives the same union
+    # from the documents table directly.
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
+           COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+             AS scored_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "schema-evolution", "parquet"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an early batch written WITHOUT the
+    `quality_chars` column and a later batch written WITH it land in the
+    same dataset directory; a mergeSchema read unions the schemas, the
+    old rows surfacing NULL for the new column.  The aggregate proves
+    both the union and the NULL semantics are value-exact.
+
+    This is how a 100 TB dataset absorbs schema additions without
+    rewriting history — additive columns only, reads reconcile."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _stage_dir("schema_evo", sf_dir)
+    early = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    late = (docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang",
+                    F.col("n_chars").alias("quality_chars")))
+    early.write.mode("overwrite").parquet(os.path.join(path, "b=0"))
+    late.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(path, "b=0"), os.path.join(path, "b=1")))
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.count("quality_chars").alias("n_scored"),
+             F.coalesce(F.sum("quality_chars"), F.lit(0))
+              .alias("scored_chars"))
+        .orderBy("lang")
+    )
