@@ -123,6 +123,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "quality_lm_perplexity",
     "embedding_centroid_drift",
     "source_schema_evolution",
+    "sql_lateral_topn",
     # -- regression canaries from previously-certified families -------------
     "q1_pricing_summary",          # r1 TPC-H
     "q12_shipping_delay_priority", # r1 red -> r3 green; keep watching

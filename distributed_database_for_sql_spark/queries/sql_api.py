@@ -288,3 +288,48 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_suppkey
     """
     return _sql(spark, sf_dir, cmd)
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice_cents
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS o_totalprice_cents
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) o
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey, o_totalprice_cents DESC, o.o_orderkey
+    """,
+    tags=("sql", "lateral", "subquery", "topn"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL command path: each
+    customer's top-2 orders by price, written as a per-row dependent
+    subquery (the SQL spelling of top-k-per-group).  Catalyst
+    decorrelates it into the same window/rank plan the DataFrame form
+    produces — proving the entry point handles dependent join syntax,
+    not just flat SELECTs.  Deterministic tie-breaks keep both engines'
+    LIMIT 2 identical."""
+    cmd = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice_cents
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS o_totalprice_cents
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) o
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey, o_totalprice_cents DESC, o.o_orderkey
+    """
+    return _sql(spark, sf_dir, cmd)
