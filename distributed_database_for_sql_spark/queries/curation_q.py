@@ -695,9 +695,10 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n_docs) AS n, SUM(weight) AS w FROM counts
     ), rates AS (
       SELECT source, n_docs, weight,
-             LEAST(1000,
-                   (SELECT n FROM tot) * weight * 1000
-                   // ((SELECT w FROM tot) * n_docs)) AS keep_permille
+             CAST(LEAST(1000,
+                        (SELECT n FROM tot) * weight * 1000
+                        // ((SELECT w FROM tot) * n_docs))
+                  AS BIGINT) AS keep_permille
       FROM counts
     )
     SELECT r.source, r.n_docs, r.weight, r.keep_permille,

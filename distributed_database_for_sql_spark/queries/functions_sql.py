@@ -68,10 +68,10 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(day   FROM o_orderdate)                       AS dy,
            EXTRACT(quarter FROM o_orderdate)                     AS qtr,
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)   AS month_start,
-           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE)     AS month_end,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
            CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)     AS plus3mo,
-           EPOCH(o_orderdate)                                    AS epoch_s
+           CAST(EPOCH(o_orderdate) AS BIGINT)                    AS epoch_s
     FROM orders
     WHERE o_orderkey <= 500
     ORDER BY o_orderkey
@@ -89,11 +89,14 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("o_orderdate").cast("long").alias("dy"),
             F.quarter("o_orderdate").cast("long").alias("qtr"),
             F.date_trunc("month", "o_orderdate").alias("month_start"),
-            F.last_day("o_orderdate").alias("month_end"),
+            # TIMESTAMP, not DATE: DuckDB's .df() renders DATE columns as
+            # midnight datetime64 while Spark's toPandas keeps date objects
+            # — typing both sides TIMESTAMP makes the canonical reprs agree.
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
             F.datediff(F.lit("2000-01-01").cast("date"),
                        F.col("o_orderdate").cast("date")).cast("long").alias("days_to_y2k"),
             (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3mo"),
-            F.unix_timestamp("o_orderdate").cast("double").alias("epoch_s"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
         )
         .orderBy("o_orderkey")
     )
@@ -152,14 +155,30 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_array_suite",
+    # The embedding column is float32 (list<float>): every element is cast
+    # to DOUBLE on BOTH sides before arithmetic (DuckDB otherwise folds in
+    # float32 — ROUND(embedding[1], 4) returns a FLOAT whose widened value
+    # differs from Spark's double at the 8th digit), and every float output
+    # is floor-quantized to BIGINT per the repo convention so the driver
+    # hash compares exact integers.  The widened doubles are bit-identical
+    # on both engines, and both folds run left-to-right, so the quantized
+    # sums agree exactly.
     oracle="""
     SELECT vec_id,
-           LEN(embedding)                                                   AS dim,
-           ROUND(embedding[1], 4)                                           AS first_elem,
-           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> x * x), 'sum'), 3) AS sq_norm,
-           ROUND(LIST_AGGREGATE(embedding, 'max'), 4)                       AS max_elem,
-           LEN(LIST_FILTER(embedding, x -> x > 0))                          AS n_positive,
-           ROUND(LIST_AGGREGATE(LIST_SLICE(embedding, 1, 8), 'sum'), 4)     AS head_sum
+           LEN(embedding) AS dim,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+             AS first_elem_e4,
+           CAST(FLOOR(LIST_AGGREGATE(
+                  LIST_TRANSFORM(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum') * 1000 + 0.5) AS BIGINT)                 AS sq_norm_m,
+           CAST(FLOOR(CAST(LIST_AGGREGATE(embedding, 'max') AS DOUBLE)
+                      * 10000 + 0.5) AS BIGINT)                   AS max_elem_e4,
+           LEN(LIST_FILTER(embedding, x -> x > 0))                AS n_positive,
+           CAST(FLOOR(LIST_AGGREGATE(
+                  LIST_TRANSFORM(LIST_SLICE(embedding, 1, 8),
+                                 x -> CAST(x AS DOUBLE)),
+                  'sum') * 10000 + 0.5) AS BIGINT)                AS head_sum_e4
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -167,22 +186,26 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over the embedding column: size / index / transform /
-    aggregate (fold) / filter / slice — all JVM higher-order functions."""
+    aggregate (fold) / filter / slice — all JVM higher-order functions.
+    Outputs floor-quantized to BIGINT (see oracle comment: the source
+    column is float32, so unquantized engine-native rounding diverges)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def q(col, scale):
+        return F.floor(col * scale + F.lit(0.5)).cast("bigint")
+
     return (
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.element_at(vec, 1), 4).alias("first_elem"),
-            F.round(
-                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 3
-            ).alias("sq_norm"),
-            F.round(F.array_max(vec), 4).alias("max_elem"),
+            q(F.element_at(vec, 1), 10000).alias("first_elem_e4"),
+            q(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
+              1000).alias("sq_norm_m"),
+            q(F.array_max(vec), 10000).alias("max_elem_e4"),
             F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
-            F.round(
-                F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
-            ).alias("head_sum"),
+            q(F.aggregate(F.slice(vec, 1, 8), F.lit(0.0),
+                          lambda a, x: a + x), 10000).alias("head_sum_e4"),
         )
         .orderBy("vec_id")
     )

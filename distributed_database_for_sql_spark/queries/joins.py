@@ -292,7 +292,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bucketing.py)."""
     from ..operators.bucketing import bucketed_join, write_bucketed
 
-    tag = abs(hash(sf_dir)) % 10**8
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     write_bucketed(load_table(spark, sf_dir, "lineitem")
                    .withColumnRenamed("l_orderkey", "orderkey"),

@@ -207,7 +207,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT doc_id, COUNT(*) AS n_samples,
              MAX(ABS(smp)) AS max_abs,
-             SUM(ABS(smp)) * 1000 // COUNT(*) AS mean_abs_milli
+             CAST(SUM(ABS(smp)) * 1000 // COUNT(*) AS BIGINT)
+               AS mean_abs_milli
       FROM s GROUP BY doc_id
     ), flips AS (
       SELECT doc_id, COUNT(*) AS n_sign_flips FROM (

@@ -26,9 +26,15 @@ from .base import register
 
 
 def _stage_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(format, sf) staging dir under the system tmpdir."""
-    key = f"srcq_{tag}_{abs(hash(os.path.abspath(sf_dir)))}"
-    return os.path.join(tempfile.gettempdir(), key)
+    """Deterministic per-(format, sf) staging dir under the system tmpdir.
+
+    hashlib, not builtin hash(): the builtin is salted per-process
+    (PYTHONHASHSEED), so paths would differ across runs — harmless under
+    mode("overwrite") but not reproducible for debugging."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"srcq_{tag}_{digest}")
 
 
 @register(
@@ -258,7 +264,7 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_good,
            COUNT(*) FILTER (WHERE doc_id % 50 = 0) AS n_corrupt,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -315,7 +321,8 @@ def source_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "source_python_datasource",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -386,8 +393,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
-           COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
-             AS scored_chars
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+                AS BIGINT) AS scored_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang

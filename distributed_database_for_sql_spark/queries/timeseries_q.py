@@ -294,7 +294,9 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial aggregates, the property continuous aggregates rely on).
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
-           COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
     FROM events
     GROUP BY bucket, event_type
     ORDER BY bucket, event_type
@@ -321,16 +323,22 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = [F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")]
 
     def rollup(df):
+        # Quantize to integer cents PER ROW, then sum: integer partials are
+        # exactly mergeable across refreshes (round-of-sums is not — the
+        # old per-batch ROUND only agreed with the global oracle because
+        # the synthetic values happened to be cents-exact).
+        cents_row = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         return df.groupBy(*key).agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+            F.sum(cents_row).alias("cents"))
 
     hist = events.filter(F.col("event_id") % 10 != 0)
     delta = events.filter(F.col("event_id") % 10 == 0)
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"mv_rollup_{abs(hash(os.path.abspath(sf_dir)))}")
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mv_rollup_{digest}")
     rollup(hist).write.mode("overwrite").parquet(path)
 
     stored = spark.read.parquet(path)

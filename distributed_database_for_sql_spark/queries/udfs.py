@@ -164,8 +164,15 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.LongType())
 def _cents_sum(price: pd.Series) -> int:
-    """Window-applied Pandas UDAF: exact cents total of the frame."""
-    return int(round(float(price.sum()) * 100))
+    """Window-applied Pandas UDAF: exact cents total of the frame.
+
+    floor(x*100 + 0.5), not Python round(): round() is banker's
+    (half-even) while the DuckDB oracle's ROUND is half-away-from-zero —
+    the repo-wide floor-quantize convention removes the tie-mode
+    divergence for any future true .5 boundary."""
+    import math
+
+    return int(math.floor(float(price.sum()) * 100 + 0.5))
 
 
 @register(
@@ -175,7 +182,7 @@ def _cents_sum(price: pd.Series) -> int:
     # keeps the hash integer-exact.
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(SUM(l_extendedprice) OVER w * 100) AS BIGINT)
+           CAST(FLOOR(SUM(l_extendedprice) OVER w * 100 + 0.5) AS BIGINT)
              AS trail3_cents
     FROM lineitem
     WHERE l_orderkey <= 200

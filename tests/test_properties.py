@@ -98,21 +98,51 @@ def test_row_number_is_dense_permutation(spark, data):
 
 
 def test_oracled_queries_emit_only_hashable_scalar_columns(spark):
-    """The driver's canonicalizer cannot hash list/map-typed cells (the
-    round-3 multimodal_feature_extract crash): every SQL-oracled query
-    must emit scalar columns only.  Schemas are resolved at sf0.001;
-    queries whose build phase runs driver-side jobs still only pay the
-    tiny SF."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    """Two mechanical gates over every SQL-oracled query, both learned from
+    driver-red rounds:
+
+    1. No list/map/struct output columns — the driver's canonicalizer cannot
+       hash them (round-3 multimodal_feature_extract crash).
+    2. No DuckDB-integer-degrades-to-float64 columns — DuckDB `SUM(BIGINT)`
+       returns HUGEINT, which the driver's pandas canonicalizer renders as
+       float64 (`6.0`) while Spark's BIGINT stays int64 (`6`), so the value
+       hash diverges (round-1 q12; round-4 shipped FIVE new reds this way).
+       The oracle is executed in DuckDB at sf0.001 through `.df()` — exactly
+       the driver's path — and any column Spark declares integral that comes
+       back float64 WITHOUT NULLs is an uncast SUM/AVG derivation (NULL-bearing
+       int columns are float64 on both sides, which hashes consistently, so
+       they're exempt).  Fix = CAST(... AS BIGINT) at the projection.
+
+    Spark schemas are resolved lazily at sf0.001; queries whose build phase
+    runs driver-side staging jobs still only pay the tiny SF.
+    """
+    from pyspark.sql.types import (
+        ArrayType, ByteType, IntegerType, LongType, MapType, ShortType,
+        StructType,
+    )
 
     from distributed_database_for_sql_spark.queries import registry
+    from tools.check_oracle import duck_con
 
+    sf_dir = "/root/testdata/sf0.001"
+    con = duck_con(sf_dir)
+    integral = (ByteType, ShortType, IntegerType, LongType)
     offenders = []
     for name, spec in registry().items():
         if spec.oracle is None:
             continue
-        df = spec.fn(spark, "/root/testdata/sf0.001")
+        df = spec.fn(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
+        duck = con.execute(spec.oracle).df()
+        for f in df.schema.fields:
+            if not isinstance(f.dataType, integral) or f.name not in duck:
+                continue
+            col = duck[f.name]
+            if col.dtype.kind == "f" and not col.isna().any():
+                offenders.append(
+                    (name, f.name,
+                     f"spark={f.dataType.simpleString()} but duckdb.df() gives "
+                     f"{col.dtype} with no NULLs — uncast SUM/AVG in oracle"))
     assert not offenders, offenders

@@ -3,19 +3,26 @@
 Runs every registered query (or a named subset) on Spark at a given sf_dir,
 runs its oracle SQL in DuckDB over the same parquet files, and compares
 row count, schema (column names), and an order-insensitive value hash.
-Values are normalized before hashing (floats rounded, timestamps → ISO
-strings) the same way on both sides, so a PASS here is strong evidence the
-driver's hash-match will pass too.
 
-CAVEAT (learned from the round-3 fn_math_suite red row): this replica
-normalizes floats with %.6g, which is LOOSER than the driver's
-canonicalization — a double-typed column can pass here and still fail the
-driver when Spark and DuckDB round differently (ROUND(double, n) is not
-bitwise-reproducible across the engines).  For new oracled queries,
-prefer exact-integer outputs: CAST(FLOOR(x*scale + 0.5) AS BIGINT) on
-both sides.  Also never emit array/map columns — the driver's
-canonicalizer cannot hash them (round-3 multimodal_feature_extract
-crash); tests/test_properties.py enforces this mechanically.
+CANONICALIZATION (round-5 rewrite — this is the part that must mirror the
+driver): BOTH sides are pulled through a pandas DataFrame (`sdf.toPandas()`
+for Spark, `res.df()` for DuckDB) and normalized with TYPE-STRICT reprs —
+an integer 6 and a float 6.0 hash DIFFERENTLY.  That is exactly the
+round-1-q12 / round-4 artifact class: DuckDB `SUM(BIGINT)` returns HUGEINT,
+which pandas renders as float64 (`6.0`), while Spark's BIGINT sum stays
+int64 (`6`).  The old replica fetched DuckDB results natively (HUGEINT →
+Python int) and so could never see the divergence; five round-4 oracles
+shipped driver-red because of it.  Rule for oracle authors: wrap every
+SUM()/AVG()-derived projected column in an explicit CAST (BIGINT for the
+repo's integer-quantized convention); tests/test_properties.py lints this
+mechanically.
+
+Floats are normalized strictly (17 significant digits) — a double column
+that isn't bit-identical across engines fails here, which matches the
+round-3 lesson (ROUND(double, n) is not reproducible across engines).
+Prefer exact-integer outputs: CAST(FLOOR(x*scale + 0.5) AS BIGINT) on both
+sides.  Never emit array/map columns — the driver's canonicalizer cannot
+hash them (round-3 multimodal_feature_extract crash).
 
 Usage:
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
@@ -34,6 +41,8 @@ from datetime import date, datetime
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from distributed_database_for_sql_spark import TABLES  # noqa: E402
 from distributed_database_for_sql_spark.queries import registry  # noqa: E402
@@ -41,33 +50,62 @@ from distributed_database_for_sql_spark.session import get_spark  # noqa: E402
 
 
 def _norm(v):
+    """Type-strict scalar repr.  int 6 -> '6'; float 6.0 -> 'f6' (tagged) —
+    the tag is what makes the HUGEINT->float64 class visible."""
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return "f%.17g" % v
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ").replace("+00:00", "")
     if isinstance(v, datetime):
         return v.isoformat(sep=" ").replace("+00:00", "")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def value_hash(rows: list[tuple], colnames: list[str]) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+def _cell(v):
+    # pd.isna on arrays raises/vectorizes; only scalar-test non-containers.
+    if not isinstance(v, (list, tuple, np.ndarray, bytes, str)):
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+    return _norm(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    lines = sorted(
+        "|".join(_cell(row[c]) for c in cols)
+        for row in df.to_dict("records")
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def _frame_lines(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    return sorted(
+        "|".join(_cell(row[c]) for c in cols)
+        for row in df.to_dict("records")
+    )
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -97,39 +135,33 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, args.sf)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pd = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         dt = time.time() - t0
         if spec.oracle is None:
-            print(f"ROWS  {name}: {len(s_rows)} rows ({dt:.1f}s) [rows-only]")
+            print(f"ROWS  {name}: {len(s_pd)} rows ({dt:.1f}s) [rows-only]")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pd = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_pd) != len(d_pd):
+            problems.append(f"rowcount spark={len(s_pd)} duck={len(d_pd)}")
+        if sorted(s_cols) != sorted(d_pd.columns):
+            problems.append(
+                f"schema spark={sorted(s_cols)} duck={sorted(d_pd.columns)}")
         if not problems:
-            hs, hd = value_hash(s_rows, s_cols), value_hash(d_rows, d_cols)
+            hs, hd = frame_hash(s_pd), frame_hash(d_pd)
             if hs != hd:
                 problems.append(f"hash spark={hs} duck={hd}")
-                # show first diffs to debug
-                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                set_s = sorted("|".join(_norm(r[i]) for i in order_s) for r in s_rows)
-                set_d = sorted("|".join(_norm(r[i]) for i in order_d) for r in d_rows)
-                for a, b in zip(set_s, set_d):
+                for a, b in zip(_frame_lines(s_pd), _frame_lines(d_pd)):
                     if a != b:
                         problems.append(f"first diff:\n  spark={a}\n  duck ={b}")
                         break
@@ -137,7 +169,7 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(s_rows)} rows ({dt:.1f}s)")
+            print(f"PASS  {name}: {len(s_pd)} rows ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
