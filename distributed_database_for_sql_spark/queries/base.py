@@ -102,7 +102,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "source_schema_evolution",
     # -- new in r5 (policy: new queries certify the round they ship) --------
-    # (appended as they land; displace trailing canaries if full)
+    "delta_merge_upsert",
+    "delta_time_travel",
     # -- rows-only queries upgraded to full oracles in r5 -------------------
     "text_compression_ratio",
     "sink_range_sharded",
@@ -162,6 +163,7 @@ def registry() -> dict[str, QuerySpec]:
         functions_sql,
         aggregates,
         sources_q,
+        txlog_q,
         multimodal_q,
         curation_q,
         tpch,

@@ -1,0 +1,145 @@
+"""ACID table-format queries over the native transaction-log tables
+(sources/txlog.py — the Delta-style log protocol re-implemented on
+parquet + JSON commits; SURVEY.md §1.3's durability twin of the
+reference's replicated command log, /root/reference/src/raft/
+replication.go:88-103).
+
+Both queries rebuild their table from the driver's parquet deterministically
+on every call, so the DuckDB oracle can recompute the exact expected state
+from the raw ``orders`` table: a hash match proves the log replay, the
+copy-on-write MERGE, and the time-travel snapshot are value-exact — not
+just that "a" table came back.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.txlog import TxLogTable
+from .base import register
+
+
+def _table_dir(tag: str, sf_dir: str) -> str:
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"txlog_{tag}_{digest}")
+
+
+_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _build_merged_table(spark: SparkSession, sf_dir: str,
+                        tag: str) -> TxLogTable:
+    """v0 = orders keys <= 1000; v1 = MERGE of keys (500, 1500] with
+    cents bumped by +7 — overlapping keys exercise the update arm,
+    (1000, 1500] the insert arm, and keys <= 500 must survive untouched
+    (their segments are never rewritten: copy-on-write file pruning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents")))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents")))
+    t = TxLogTable.create(spark, _table_dir(tag, sf_dir), base,
+                          overwrite=True)
+    t.merge_upsert(updates, "o_orderkey")
+    return t
+
+
+@register(
+    "delta_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "merge", "sink", "source"),
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) into a transaction-log table, then read the committed
+    snapshot back through log replay.  The oracle recomputes the post-MERGE
+    state relationally from raw orders; a hash match proves update-arm,
+    insert-arm, AND untouched-segment carry-over are all value-exact.
+
+    At 100 TB the MERGE rewrites only segments containing matched keys
+    (semi-join file pruning on input_file_name) — cost ∝ touched data,
+    the only affordable upsert shape on immutable storage."""
+    t = _build_merged_table(spark, sf_dir, "merge")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_time_travel",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT o_orderpriority, COUNT(*) AS n_v0,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents_v0
+      FROM orders WHERE o_orderkey <= 1000
+      GROUP BY o_orderpriority
+    ), upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+    ), v1 AS (
+      SELECT o_orderpriority, COUNT(*) AS n_v1,
+             CAST(SUM(cents) AS BIGINT) AS cents_v1
+      FROM final GROUP BY o_orderpriority
+    )
+    SELECT v0.o_orderpriority, v0.n_v0, v0.cents_v0, v1.n_v1, v1.cents_v1
+    FROM v0 JOIN v1 USING (o_orderpriority)
+    ORDER BY v0.o_orderpriority
+    """,
+    tags=("acid", "delta", "time-travel", "source"),
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after the MERGE commit, ``read(version=0)`` must return
+    the exact pre-MERGE snapshot while the latest read sees the merged
+    state — both verified value-exactly against relational recomputation.
+    Snapshot isolation comes free from the log: old segments are never
+    mutated, only de-listed by later commits."""
+    t = _build_merged_table(spark, sf_dir, "travel")
+    v0 = (t.read(version=0)
+          .groupBy("o_orderpriority")
+          .agg(F.count("*").alias("n_v0"), F.sum("cents").alias("cents_v0")))
+    v1 = (t.read()
+          .groupBy("o_orderpriority")
+          .agg(F.count("*").alias("n_v1"), F.sum("cents").alias("cents_v1")))
+    return (v0.join(v1, "o_orderpriority")
+            .orderBy("o_orderpriority"))

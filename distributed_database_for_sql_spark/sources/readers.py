@@ -29,15 +29,15 @@ def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake table — requires delta-spark jars on the classpath."""
-    try:
-        return spark.read.format("delta").load(path)
-    except Exception as e:  # noqa: BLE001
-        raise NotImplementedError(
-            "Delta Lake jars are not on the classpath in this image; "
-            "add delta-spark to spark.jars.packages to enable."
-        ) from e
+def read_delta(spark: SparkSession, path: str,
+               version: int | None = None) -> DataFrame:
+    """ACID table-format read: snapshot (or time-travel) of a native
+    transaction-log table (sources/txlog.py — the Delta-style log protocol
+    on parquet + JSON commits; the delta-spark jars are absent from this
+    image, so the format is implemented natively rather than stubbed)."""
+    from .txlog import TxLogTable
+
+    return TxLogTable(spark, path).read(version=version)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
