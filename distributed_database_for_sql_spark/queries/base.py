@@ -104,6 +104,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r5 (policy: new queries certify the round they ship) --------
     "delta_merge_upsert",
     "delta_time_travel",
+    "multimodal_image_features",
     # -- rows-only queries upgraded to full oracles in r5 -------------------
     "text_compression_ratio",
     "sink_range_sharded",

@@ -17,6 +17,60 @@ from .base import register
 
 
 @register(
+    "multimodal_image_features",
+    # The synthetic pixel pattern is pure integer arithmetic of
+    # (doc_id, x, y, c) — pixel = (doc_id*7 + y*31 + x*5 + c*11) % 256,
+    # dims w = 8 + id%9, h = 6 + id%5 (sources/multimodal.synthetic_pixels)
+    # — so DuckDB recomputes every channel sum without decoding anything.
+    # Spark, by contrast, round-trips the pixels through a REAL encoded
+    # BMP file (stride padding, bottom-up rows, BGR order): the hash match
+    # proves the decoder inverts the format exactly — a wrong channel
+    # order or stride handling scrambles the per-channel means.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, c,
+             (doc_id * 7 + y * 31 + x * 5 + c * 11) % 256 AS v
+      FROM dims,
+           UNNEST(generate_series(0, w - 1)) AS tx(x),
+           UNNEST(generate_series(0, h - 1)) AS ty(y),
+           UNNEST([0, 1, 2]) AS tc(c)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           3 AS channels,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) * 1000
+                // (MAX(w) * MAX(h)) AS BIGINT) AS mean_r_milli,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) * 1000
+                // (MAX(w) * MAX(h)) AS BIGINT) AS mean_g_milli,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) * 1000
+                // (MAX(w) * MAX(h)) AS BIGINT) AS mean_b_milli
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "udf", "features", "llm"),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality decode + feature extraction with a REAL codec path:
+    per-doc synthetic pixels → encoded 24-bit BMP payload (mapInPandas) →
+    parsed back by the pure-numpy BMP decoder → integer channel means.
+    Completes the multimodal claim left stubbed in round 4 — the decode
+    leaf now actually decodes (sources/multimodal.decode_bmp)."""
+    from ..sources.multimodal import attach_bmp_payload, extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_bmp_payload(docs)
+    return (extract_image_features(media)
+            .select("doc_id", "width", "height", "channels",
+                    "mean_r_milli", "mean_g_milli", "mean_b_milli")
+            .orderBy("doc_id"))
+
+
+@register(
     "multimodal_payload_meta",
     oracle="""
     SELECT doc_id, 'image' AS modality,

@@ -16,7 +16,6 @@ from distributed_database_for_sql_spark.operators.ann import (
 from distributed_database_for_sql_spark.operators.minhash import minhash_lsh_pairs
 from distributed_database_for_sql_spark.sources.multimodal import (
     attach_binary_payload,
-    decode_image_stub,
     extract_image_meta,
     fake_image_meta,
     sample_frames,
@@ -110,9 +109,7 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     assert abs(row.approx - row.exact) / row.exact < 0.15  # 3× the target rsd
 
 
-def test_multimodal_stub_raises_and_fake_is_deterministic(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"bytes")
+def test_multimodal_fake_meta_is_deterministic(spark, sf_dir):
     assert fake_image_meta(b"hello") == fake_image_meta(b"hello")
 
     docs = load_table(spark, sf_dir, "documents").limit(20)
@@ -121,6 +118,40 @@ def test_multimodal_stub_raises_and_fake_is_deterministic(spark, sf_dir):
             for r in extract_image_meta(media).collect()}
     for r in docs.select("doc_id", "text").collect():
         assert meta[r.doc_id] == fake_image_meta(r.text.encode())
+
+
+def test_bmp_codec_roundtrip_exact():
+    """encode_bmp/decode_bmp must invert each other bit-exactly, including
+    the non-trivial cases: odd widths (row padding) and channel order."""
+    import numpy as np
+
+    from distributed_database_for_sql_spark.sources.multimodal import (
+        decode_bmp, encode_bmp, synthetic_pixels)
+
+    for doc_id, w, h in [(0, 8, 6), (7, 9, 7), (123, 13, 10), (5, 1, 1)]:
+        px = synthetic_pixels(doc_id, w, h)
+        back = decode_bmp(encode_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+    # a red-only image must decode as red-only (BGR order handled)
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    back = decode_bmp(encode_bmp(red))
+    assert back[:, :, 0].min() == 200 and back[:, :, 1:].max() == 0
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap")
+
+
+def test_bmp_meta_through_real_decoder(spark, sf_dir):
+    from distributed_database_for_sql_spark.sources.multimodal import (
+        attach_bmp_payload, extract_image_meta)
+
+    docs = load_table(spark, sf_dir, "documents").limit(15)
+    media = attach_bmp_payload(docs).withColumn("content_md5", F.md5("payload"))
+    meta = {r.doc_id: (r.width, r.height, r.channels)
+            for r in extract_image_meta(media, use_stub=False).collect()}
+    for doc_id, dims in meta.items():
+        assert dims == (8 + doc_id % 9, 6 + doc_id % 5, 3)
 
 
 def test_frame_sampling_covers_payload_prefix(spark, sf_dir):
