@@ -76,6 +76,15 @@ def _probe_udf(centroids, nprobe: int):
     return pandas_udf(probe, "array<int>")
 
 
+# Session-scoped centroid cache: ann_ivf_kmeans_topk, ann_ivfpq_topk, and
+# dedup_semantic_embedding all train the same (corpus, k, iters) k-means —
+# training is the dominant cost of each (two bounded driver round-trips per
+# iteration), so one query pays it and the others reuse the centroids.
+# Keyed by an explicit caller-supplied identity (e.g. the sf_dir) because a
+# DataFrame object can't cheaply prove data identity itself.
+_KMEANS_CACHE: dict[tuple, list] = {}
+
+
 def kmeans_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -83,8 +92,18 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 5,
     dim: int = 64,
+    cache_key: str | None = None,
 ):
-    """Lloyd's k-means; returns (centroids: list[list[float]], assign_udf)."""
+    """Lloyd's k-means; returns (centroids: list[list[float]], assign_udf).
+
+    ``cache_key`` (typically the sf_dir) memoizes the trained centroids for
+    the process lifetime; the fit is deterministic (lowest-id seeds, fixed
+    iteration count), so cached and fresh centroids are identical."""
+    if cache_key is not None:
+        ck = (cache_key, id_col, vec_col, k, iters, dim)
+        if ck in _KMEANS_CACHE:
+            cached = _KMEANS_CACHE[ck]
+            return cached, _assign_udf(cached)
     seed_rows = (
         emb.orderBy(id_col).limit(k)
         .select(as_double(F.col(vec_col)).alias("v")).collect()
@@ -106,6 +125,8 @@ def kmeans_fit(
             new[r.c][r.pos] = r.m
         centroids = new
     vecs.unpersist()
+    if cache_key is not None:
+        _KMEANS_CACHE[(cache_key, id_col, vec_col, k, iters, dim)] = centroids
     return centroids, _assign_udf(centroids)
 
 
@@ -120,6 +141,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     broadcast_queries: bool = True,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors probing nprobe learned cells per query.
 
@@ -132,7 +154,7 @@ def ivf_topk(
     on `cell`, the form a corpus-sized query table needs (a broadcast there
     would OOM the executors)."""
     centroids, assign = kmeans_fit(emb, id_col, vec_col, k=n_clusters,
-                                   iters=iters, dim=dim)
+                                   iters=iters, dim=dim, cache_key=cache_key)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),

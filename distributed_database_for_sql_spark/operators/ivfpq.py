@@ -49,6 +49,7 @@ def ivfpq_topk(
     rerank_factor: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors via cell-pruned ADC scan + exact re-rank.
 
@@ -58,9 +59,10 @@ def ivfpq_topk(
     Queries stay distributed; only LUTs and the tiny candidate list are
     broadcast."""
     centroids, assign = kmeans_fit(emb, id_col, vec_col, k=n_clusters,
-                                   iters=kmeans_iters, dim=dim)
+                                   iters=kmeans_iters, dim=dim,
+                                   cache_key=cache_key)
     codebooks = pq_fit(emb, id_col, vec_col, m=m, k=n_codes,
-                       iters=pq_iters, dim=dim)
+                       iters=pq_iters, dim=dim, cache_key=cache_key)
 
     coded = emb.select(
         F.col(id_col).alias("neighbor_id"),

@@ -96,6 +96,11 @@ def _assign_subspace_udf(codebooks):
     return pandas_udf(assign, "int")
 
 
+# Same memoization contract as ivf._KMEANS_CACHE: ann_pq_adc_topk and
+# ann_ivfpq_topk train identical codebooks on the same corpus.
+_PQ_CACHE: dict[tuple, "object"] = {}
+
+
 def pq_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -104,6 +109,7 @@ def pq_fit(
     k: int = 16,
     iters: int = 4,
     dim: int = 64,
+    cache_key: str | None = None,
 ):
     """Learn m subspace codebooks (k entries each) with one distributed
     Lloyd's loop; returns the (m, k, D/m) codebook tensor (numpy).
@@ -114,6 +120,10 @@ def pq_fit(
     shuffle, never vectors to the driver."""
     import numpy as np
 
+    if cache_key is not None:
+        ck = (cache_key, id_col, vec_col, m, k, iters, dim)
+        if ck in _PQ_CACHE:
+            return _PQ_CACHE[ck]
     ds = dim // m
     seed_rows = (
         emb.orderBy(id_col).limit(k)
@@ -144,6 +154,8 @@ def pq_fit(
             new[r.sub, r.cell, r.pos] = r.mu
         codebooks = new
     sub_rows.unpersist()
+    if cache_key is not None:
+        _PQ_CACHE[(cache_key, id_col, vec_col, m, k, iters, dim)] = codebooks
     return codebooks
 
 
@@ -235,6 +247,7 @@ def pq_adc_topk(
     dim: int = 64,
     rerank_factor: int = 10,
     max_broadcast_queries: int = 100_000,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors via PQ-ADC scan + exact re-rank.
 
@@ -254,7 +267,7 @@ def pq_adc_topk(
     The re-rank's candidate broadcast grows as rerank_factor·k·Q rows of
     two longs and stays far smaller than the LUT side."""
     codebooks = pq_fit(emb, id_col, vec_col, m=m, k=n_codes, iters=iters,
-                       dim=dim)
+                       dim=dim, cache_key=cache_key)
     coded = emb.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_udf(codebooks)(as_double(F.col(vec_col))).alias("codes"),

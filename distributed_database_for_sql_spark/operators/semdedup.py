@@ -39,6 +39,7 @@ def semantic_dedup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Label every vector keep/duplicate under within-cell cosine pruning.
 
@@ -46,7 +47,7 @@ def semantic_dedup(
     similar neighbor for duplicates, NULL for survivors.  One cell-keyed
     self-join bounds all pair work to cell sizes."""
     _, assign = kmeans_fit(emb, id_col, vec_col, k=n_clusters,
-                           iters=iters, dim=dim)
+                           iters=iters, dim=dim, cache_key=cache_key)
     base = (emb.select(F.col(id_col).alias("id"),
                        as_double(F.col(vec_col)).alias("v"))
             .withColumn("cell", assign(F.col("v")))

@@ -266,7 +266,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rn")
+    return (pq_adc_topk(emb, queries, k=5, cache_key=sf_dir)
+            .orderBy("query_id", "rn"))
 
 
 @register(

@@ -382,7 +382,8 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    labeled = semantic_dedup(emb, threshold=0.4, n_clusters=16)
+    labeled = semantic_dedup(emb, threshold=0.4, n_clusters=16,
+                             cache_key=sf_dir)
     per_cell = (labeled.groupBy("cell")
                 .agg(F.count("*").alias("n_vecs"),
                      F.sum(F.col("is_dup").cast("long")).alias("n_dups"))

@@ -177,7 +177,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    approx = ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4)
+    approx = ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4,
+                      cache_key=sf_dir)
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
 
@@ -203,7 +204,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivfpq_topk(emb, queries, k=5, n_clusters=16, nprobe=4,
-                        m=8, n_codes=32)
+                        m=8, n_codes=32, cache_key=sf_dir)
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
 
