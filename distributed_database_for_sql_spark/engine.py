@@ -98,6 +98,16 @@ class CommandLog:
         os.rename(tmp, path)  # atomic: the stream never sees partial files
         self._seq += 1
 
+    def length(self) -> int:
+        """Total statements across committed log files (the follower-ack
+        figure the raft_wire AppendEntries response reports)."""
+        n = 0
+        for f in os.listdir(self.log_dir):
+            if f.startswith("cmd_") and f.endswith(".json"):
+                with open(os.path.join(self.log_dir, f)) as fh:
+                    n += sum(1 for line in fh if line.strip())
+        return n
+
     def replay(self, applied: list | None = None) -> list:
         """Drain the log, applying each command once in order.
 

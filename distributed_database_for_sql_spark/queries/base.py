@@ -105,8 +105,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_merge_upsert",
     "delta_time_travel",
     "multimodal_image_features",
-    # -- rows-only queries upgraded to full oracles in r5 -------------------
-    "text_compression_ratio",
+    # -- rows-only query upgraded to a full oracle in r5 (deterministic
+    #    equal-width shard boundaries replaced RangePartitioner sampling;
+    #    text_compression_ratio stays rows-only by design — zlib has no
+    #    DuckDB equivalent; pytest pins 100 values against direct zlib) ----
     "sink_range_sharded",
     # -- ADVICE-touched queries, re-certify after the rounding fixes --------
     "mv_incremental_refresh",

@@ -160,41 +160,67 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_range_sharded",
-    oracle=None,  # shard boundaries come from RangePartitioner's sampling
-    # (deterministic for identical input, but engine-internal); pytest pins
-    # disjointness, coverage, and within-shard order
-    tags=("sink", "shard", "range", "rows-only"),
+    # Upgraded from rows-only in round 5: boundaries are now DETERMINISTIC
+    # equal-width key ranges (closed-form from global min/max), so DuckDB
+    # reconstructs every shard exactly — the prior repartitionByRange
+    # version depended on RangePartitioner's engine-internal sampling and
+    # could only be rows-checked.  Deterministic ranges are also the more
+    # useful layout: a loader can address a shard by key arithmetic alone,
+    # no boundary manifest needed.
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ), sharded AS (
+      SELECT doc_id,
+             LEAST(7, (doc_id - (SELECT lo FROM bounds)) * 8
+                      // ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1))
+               AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*)        AS n_docs,
+           MIN(doc_id)     AS min_id,
+           MAX(doc_id)     AS max_id
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("sink", "shard", "range"),
 )
 def sink_range_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard writer: range-shard documents on doc_id into 8
-    key-ordered parquet shards (repartitionByRange + sortWithinPartitions)
-    and report per-shard stats.
+    """Training-shard writer: shard documents into 8 disjoint key ranges
+    (equal-width over [min, max], closed-form), write each shard as a
+    sorted parquet partition (partitionBy + sortWithinPartitions), then
+    read the layout back from disk and report per-shard stats.
 
-    This is the sorted-shard layout training-data loaders want: shard
-    key ranges are disjoint, rows are ordered inside each shard, and at
-    100 TB the same two calls scale out (range boundaries come from a
-    distributed sample; the sort is per-partition, never global)."""
-    from pyspark.sql import Window as W
-
+    This is the sorted-shard layout training-data loaders want: shard key
+    ranges are disjoint and REPRODUCIBLE (pure key arithmetic — any
+    process can compute a row's shard without a manifest), rows are
+    ordered inside each shard, and at 100 TB the same plan scales out:
+    one global min/max agg (two longs to the driver), a row-local shard
+    projection, a shuffle into shards, per-partition sort, partitioned
+    write.  The hash match proves the round trip through the partitioned
+    layout is value-exact; pytest pins within-shard order."""
     docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # SQL `div` = exact integer division (a double-based floor() would lose
+    # exactness once keys approach 2^53 at real scale).
+    shard = F.least(
+        F.lit(7).cast("long"),
+        F.expr(f"((doc_id - {lo}) * 8) div ({hi} - {lo} + 1)"))
     path = _stage_dir("range_sharded_docs", sf_dir)
-    (docs.repartitionByRange(8, "doc_id")
+    (docs.withColumn("shard", shard)
+         .repartition("shard")
          .sortWithinPartitions("doc_id")
-         .write.mode("overwrite").parquet(path))
-    per_file = (
+         .write.mode("overwrite").partitionBy("shard").parquet(path))
+    return (
         spark.read.parquet(path)
-        .select("doc_id", F.input_file_name().alias("f"))
-        .groupBy("f")
+        .groupBy("shard")
         .agg(F.count("*").alias("n_docs"),
              F.min("doc_id").alias("min_id"),
              F.max("doc_id").alias("max_id"))
-    )
-    # 8 rows: a global rank here is a trivial driver-side merge, not a
-    # data-scale sort.
-    w = W.orderBy("min_id")
-    return (
-        per_file.withColumn("shard", F.row_number().over(w))
-        .select("shard", "n_docs", "min_id", "max_id")
+        .select(F.col("shard").cast("long").alias("shard"),
+                "n_docs", "min_id", "max_id")
         .orderBy("shard")
     )
 

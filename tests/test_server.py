@@ -56,3 +56,70 @@ def test_http_sql_append_replay_roundtrip(spark, sf_dir, tmp_path):
             assert e.code == 500
     finally:
         srv.shutdown()
+
+
+# -- raft.proto wire parity (raft_wire.py) ----------------------------------
+
+def test_proto3_codec_golden_bytes():
+    """The encodings must be byte-identical to protoc-generated output —
+    golden values hand-derived from the public proto3 wire spec
+    (tag = field_no<<3|wire_type; varints LSB-first, 0x80 continuation).
+    A real gRPC client's payloads would decode here unchanged."""
+    from distributed_database_for_sql_spark.raft_wire import (
+        LOG_REQUEST, VOTE_REQUEST, decode, encode)
+
+    # VoteRequest{nodeId:1, term:2, logLength:3, logTerm:4}
+    assert encode(VOTE_REQUEST, {"nodeId": 1, "term": 2, "logLength": 3,
+                                 "logTerm": 4}) == bytes.fromhex(
+        "0801100218032004")
+    # varint multi-byte boundary: term=300 -> 0xAC 0x02
+    assert encode(VOTE_REQUEST, {"term": 300}) == bytes.fromhex("10ac02")
+    # LogRequest{leaderID:7, term:1, entries:[{term:1, command:"SELECT 1"}]}
+    msg = {"leaderID": 7, "term": 1,
+           "entries": [{"term": 1, "command": "SELECT 1"}]}
+    enc = encode(LOG_REQUEST, msg)
+    assert enc == bytes.fromhex("08071001320c0801120853454c45435420 31".replace(" ", ""))
+    back = decode(LOG_REQUEST, enc)
+    assert back["leaderID"] == 7 and back["entries"][0]["command"] == "SELECT 1"
+    # proto3 defaults: unset fields decode to 0/""/[]
+    empty = decode(LOG_REQUEST, b"")
+    assert empty["leaderCommit"] == 0 and empty["entries"] == []
+
+
+def test_raft_wire_append_entries_feeds_command_log(spark, sf_dir, tmp_path):
+    """AppendEntries over the framed transport sequences commands into the
+    durable CommandLog (ack = log length), replay applies them, and
+    RequestVote grants — the reference's declared service contract
+    (raft.proto:7-11) end-to-end at the message level."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+    from distributed_database_for_sql_spark.raft_wire import (
+        LOG_REQUEST, LOG_RESPONSE, METHOD_APPEND_ENTRIES,
+        METHOD_REQUEST_VOTE, VOTE_REQUEST, VOTE_RESPONSE, RaftWireServer,
+        call, decode, encode)
+
+    engine = Engine(spark, sf_dir)
+    log = CommandLog(engine, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    srv = RaftWireServer(log, node_id=3)
+    srv.serve_background()
+    try:
+        vote = decode(VOTE_RESPONSE, call(
+            srv.host, srv.port, METHOD_REQUEST_VOTE,
+            encode(VOTE_REQUEST, {"nodeId": 1, "term": 5, "logLength": 0,
+                                  "logTerm": 0})))
+        assert vote["voteGranted"] is True and vote["term"] == 5
+
+        cmds = ["CREATE OR REPLACE TEMP VIEW wire_v AS "
+                "SELECT COUNT(*) AS n FROM region"]
+        resp = decode(LOG_RESPONSE, call(
+            srv.host, srv.port, METHOD_APPEND_ENTRIES,
+            encode(LOG_REQUEST, {
+                "leaderID": 1, "term": 5, "leaderCommit": 0,
+                "entries": [{"term": 5, "command": c} for c in cmds]})))
+        assert resp["success"] is True and resp["ack"] == 1
+        assert resp["followerID"] == 3
+
+        applied = log.replay()
+        assert [c for (_, _, c) in applied] == cmds
+        assert spark.sql("SELECT n FROM wire_v").collect()[0].n == 5
+    finally:
+        srv.shutdown()
