@@ -104,6 +104,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r5 (policy: new queries certify the round they ship) --------
     "delta_merge_upsert",
     "delta_time_travel",
+    "delta_delete_where",
     "multimodal_image_features",
     # -- rows-only query upgraded to a full oracle in r5 (deterministic
     #    equal-width shard boundaries replaced RangePartitioner sampling;

@@ -4,11 +4,11 @@ parquet + JSON commits; SURVEY.md §1.3's durability twin of the
 reference's replicated command log, /root/reference/src/raft/
 replication.go:88-103).
 
-Both queries rebuild their table from the driver's parquet deterministically
+Each query rebuilds its table from the driver's parquet deterministically
 on every call, so the DuckDB oracle can recompute the exact expected state
 from the raw ``orders`` table: a hash match proves the log replay, the
-copy-on-write MERGE, and the time-travel snapshot are value-exact — not
-just that "a" table came back.
+copy-on-write MERGE/DELETE, and the time-travel snapshot are value-exact —
+not just that "a" table came back.
 """
 
 from __future__ import annotations
@@ -41,13 +41,17 @@ def _build_merged_table(spark: SparkSession, sf_dir: str,
     (their segments are never rewritten: copy-on-write file pruning)."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    # 4 segments per write: enough files to make copy-on-write pruning
+    # meaningful, few enough that commit metadata stays tiny at this SF.
     base = (orders.filter(F.col("o_orderkey") <= 1000)
-            .select("o_orderkey", "o_orderpriority", cents.alias("cents")))
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
     updates = (orders
                .filter((F.col("o_orderkey") > 500)
                        & (F.col("o_orderkey") <= 1500))
                .select("o_orderkey", "o_orderpriority",
-                       (cents + 7).alias("cents")))
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
     t = TxLogTable.create(spark, _table_dir(tag, sf_dir), base,
                           overwrite=True)
     t.merge_upsert(updates, "o_orderkey")
@@ -97,6 +101,42 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("cents").alias("total_cents"),
              F.min("o_orderkey").alias("min_key"),
              F.max("o_orderkey").alias("max_key"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_delete_where",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                          AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT)     AS total_cents
+    FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "delete", "source"),
+)
+def delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the transaction-log table: rows matching
+    the predicate disappear from the next snapshot, untouched segments
+    carry over by reference, and the pre-delete snapshot stays readable
+    (pytest covers that part; this query certifies the post-delete state
+    value-exactly against relational recomputation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("delete", sf_dir), base,
+                          overwrite=True)
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
         .orderBy("o_orderpriority")
     )
 
