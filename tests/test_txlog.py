@@ -95,3 +95,47 @@ def test_version_bounds(spark, tdir):
         t.read(version=5)
     with pytest.raises(FileNotFoundError):
         TxLogTable(spark, tdir + "_missing").read()
+
+
+def test_streaming_foreachbatch_merge_upsert(spark, tdir, tmp_path):
+    """The lakehouse streaming pattern: a stream drained through
+    foreachBatch, each micro-batch MERGEd into the txlog table — batches
+    re-keying the same id must upsert, not duplicate, and every batch is
+    one auditable commit."""
+    import pandas as pd
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 0), (2, "b", 0)]))
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    # Two micro-batch files: batch 1 updates k=1 and inserts k=3; batch 2
+    # re-updates k=1 (same key twice across batches -> last write wins).
+    pd.DataFrame([{"k": 1, "grp": "a", "v": 10},
+                  {"k": 3, "grp": "c", "v": 30}]).to_json(
+        src_dir / "b1.json", orient="records", lines=True)
+
+    stream = (spark.readStream.schema("k int, grp string, v int")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src_dir)))
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        t.merge_upsert(df, "k")
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    pd.DataFrame([{"k": 1, "grp": "a", "v": 99}]).to_json(
+        src_dir / "b2.json", orient="records", lines=True)
+    q2 = (stream.writeStream.foreachBatch(apply_batch)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 99), (2, "b", 0), (3, "c", 30)]
+    ops = [h["op"] for h in t.history()]
+    assert ops[0] == "CREATE" and ops.count("MERGE") >= 2
