@@ -53,6 +53,10 @@ EXTRA = [
     "graph_pagerank_trade",
     "join_interval_overlap",
     "ann_ivfpq_topk",
+    # round 5
+    "delta_merge_upsert",
+    "multimodal_image_features",
+    "sink_range_sharded",
 ]
 
 

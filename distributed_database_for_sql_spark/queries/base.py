@@ -105,6 +105,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_merge_upsert",
     "delta_time_travel",
     "delta_delete_where",
+    "delta_optimize_compact",
     "multimodal_image_features",
     # -- rows-only query upgraded to a full oracle in r5 (deterministic
     #    equal-width shard boundaries replaced RangePartitioner sampling;

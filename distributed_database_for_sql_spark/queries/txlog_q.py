@@ -142,6 +142,55 @@ def delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_optimize_compact",
+    # Compaction must be a pure LAYOUT change: the post-OPTIMIZE snapshot
+    # hashes identically to the pre-OPTIMIZE data, and the segment counts
+    # are deterministic (we control both write fan-outs).
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           8                             AS files_before,
+           2                             AS files_after
+    FROM orders
+    WHERE o_orderkey <= 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "compaction", "layout"),
+)
+def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction: two 4-segment appends leave 8 small
+    segments; compaction rewrites them into 2 — and the data must come
+    back value-identical (the whole point: layout changed, rows didn't).
+    The emitted before/after segment counts come from the commit log's
+    own OPTIMIZE entry, so the hash also certifies the audit record."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    half1 = (orders.filter(F.col("o_orderkey") <= 500)
+             .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+             .repartition(4, "o_orderkey"))
+    half2 = (orders
+             .filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+             .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+             .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("compact", sf_dir), half1,
+                          overwrite=True)
+    t.append(half2)
+    t.optimize_compact(target_segments=2)
+    opt = t.history()[-1]
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("files_before", F.lit(opt["filesRewritten"]))
+        .withColumn("files_after", F.lit(opt["filesAdded"]))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_time_travel",
     oracle=f"""
     WITH v0 AS (

@@ -236,6 +236,34 @@ class TxLogTable:
             if self._try_commit(v, actions):
                 return v
 
+    def optimize_compact(self, target_segments: int = 2) -> int:
+        """OPTIMIZE-style compaction: rewrite the current snapshot into
+        ``target_segments`` larger segments — same rows, new layout.  Old
+        segments are de-listed (still readable via time travel) so small
+        files from many streaming/merge commits stop taxing scan planning.
+        At 100 TB this runs per partition with a size threshold; the
+        commit shape (remove-many, add-few) is identical."""
+        files, _ = self._snapshot_files()
+        if not files:
+            return self.latest_version()
+        compacted = self.spark.read.parquet(*files).repartition(target_segments)
+        rel_new = self._write_segments(compacted)
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in files
+        ]
+        actions = (
+            [{"commit": {"op": "OPTIMIZE", "ts": int(time.time() * 1000),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new)}}]
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + [{"add": {"path": p}} for p in rel_new]
+        )
+        while True:
+            v = self.latest_version() + 1
+            if self._try_commit(v, actions):
+                return v
+
     def history(self) -> list[dict]:
         """Commit metadata rows, oldest first."""
         out = []
