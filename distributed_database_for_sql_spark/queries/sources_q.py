@@ -210,7 +210,7 @@ def sink_range_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((doc_id - {lo}) * 8) div ({hi} - {lo} + 1)"))
     path = _stage_dir("range_sharded_docs", sf_dir)
     (docs.withColumn("shard", shard)
-         .repartition("shard")
+         .repartition(8, "shard")
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").partitionBy("shard").parquet(path))
     return (

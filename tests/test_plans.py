@@ -241,3 +241,23 @@ def test_fuzzy_join_blocks_on_equi_key(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_txlog_merge_file_pruning_is_broadcast_semi(spark, tmp_path):
+    """The copy-on-write MERGE's touched-file discovery must run as a
+    BROADCAST left-semi join on the update keys — a shuffle there would
+    move the whole snapshot to find a handful of touched segments."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    rows = [(i, "g", i) for i in range(50)]
+    t = TxLogTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame(rows, "k int, grp string, v int")
+        .repartition(4, "k"))
+    files, _ = t._snapshot_files()
+    upd_keys = spark.createDataFrame([(3,), (7,)], "k int")
+    probe = (spark.read.parquet(*files)
+             .withColumn("_file", F.input_file_name())
+             .join(F.broadcast(upd_keys), "k", "left_semi"))
+    assert uses_broadcast_join(probe)
+    assert not has_cartesian(probe)
