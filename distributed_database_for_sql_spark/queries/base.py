@@ -107,6 +107,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_delete_where",
     "delta_optimize_compact",
     "multimodal_image_features",
+    "sql_recursive_cte",
+    "fn_variant_suite",
+    "sql_parameterized_args",
+    "sql_udf_scalar",
     # -- rows-only query upgraded to a full oracle in r5 (deterministic
     #    equal-width shard boundaries replaced RangePartitioner sampling;
     #    text_compression_ratio stays rows-only by design — zlib has no

@@ -10,6 +10,7 @@ the same semi/anti/broadcast joins the DataFrame API produces.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..engine import Engine
 from .base import register
@@ -333,3 +334,187 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c.c_custkey, o_totalprice_cents DESC, o.o_orderkey
     """
     return _sql(spark, sf_dir, cmd)
+
+
+@register(
+    "sql_recursive_cte",
+    # Recursive month-ladder + left join: classic gap-free reporting
+    # spine built WITH RECURSIVE (Spark 4 syntax parity with DuckDB).
+    # Months with zero orders must still appear (n_orders = 0).
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT 0
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m < 23
+    ), tagged AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+             + EXTRACT(month FROM o_orderdate) - 1 AS m,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+    )
+    SELECT months.m AS month_idx,
+           COUNT(tagged.m) AS n_orders,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS total_cents
+    FROM months LEFT JOIN tagged ON months.m = tagged.m
+    GROUP BY months.m
+    ORDER BY months.m
+    """,
+    tags=("sql", "recursive-cte", "gapfill"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL command path (Spark 4): a 24-month
+    spine generated by the recursive member, left-joined against two
+    years of orders so empty months surface as zero rows — the gap-free
+    reporting pattern where the spine MUST come from recursion (the
+    anchor/step form), not a table scan.  Identical SQL runs on DuckDB;
+    the recursion is depth-bounded and the join spine is 24 rows, so at
+    100 TB the only real work is the orders-side aggregation."""
+    cmd = """
+    WITH RECURSIVE months(m) AS (
+      SELECT 0
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m < 23
+    ), tagged AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+             + EXTRACT(month FROM o_orderdate) - 1 AS m,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+    )
+    SELECT months.m AS month_idx,
+           COUNT(tagged.m) AS n_orders,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS total_cents
+    FROM months LEFT JOIN tagged ON months.m = tagged.m
+    GROUP BY months.m
+    ORDER BY months.m
+    """
+    return _sql(spark, sf_dir, cmd)
+
+
+@register(
+    "fn_variant_suite",
+    # events.props is a JSON string ({"k": <int>}); Spark parses it into
+    # the VARIANT type (the Spark 4 semi-structured storage type) and
+    # extracts typed fields; DuckDB recomputes via its JSON functions.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           COUNT(json_extract(props, '$.missing')) AS n_missing_field
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("function", "variant", "json", "semi-structured"),
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json → variant
+    column, typed variant_get extraction, and absent-path NULL semantics
+    — the open-schema ingestion path for event payloads (shredded at
+    scan time instead of string re-parsing per expression).  The oracle
+    recomputes every figure with DuckDB's JSON functions."""
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.parse_json("props").alias("pv"))
+    extracted = v.select(
+        "event_type",
+        F.try_variant_get("pv", "$.k", "long").alias("k"),
+        F.try_variant_get("pv", "$.missing", "long").alias("missing"))
+    return (
+        extracted.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("k_sum"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"),
+             F.count("missing").alias("n_missing_field"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sql_parameterized_args",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_orderkey <= 5000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "parameters", "api"),
+)
+def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (Spark 4 `spark.sql(..., args=...)`): the
+    safe-templating API that replaces string interpolation for dashboard
+    / service queries (values bound as literals by the analyzer, no
+    injection surface).  The oracle runs the same query with the values
+    inlined — binding must be semantically identical to literals."""
+    from ..engine import Engine
+
+    Engine(spark, sf_dir)  # registers the table views
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderkey <= :max_key
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "max_key": 5000},
+    )
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql", "udf", "create-function"),
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 `CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>`): user abstractions that stay INSIDE Catalyst —
+    the body is inlined into the plan (codegen, pushdown-friendly), so
+    unlike a Python UDF there is no serialization boundary.  The repo's
+    floor-quantize cents convention is itself defined as a SQL UDF here;
+    the oracle recomputes the expressions inline."""
+    cmd_prep = [
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_debt(x DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN x < 0 THEN 1 ELSE 0 END",
+    ]
+    eng = Engine(spark, sf_dir)
+    for c in cmd_prep:
+        eng.sql(c)
+    return eng.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(to_cents(c_acctbal)) AS BIGINT) AS total_cents,
+               CAST(SUM(is_debt(c_acctbal)) AS BIGINT) AS n_negative
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
