@@ -157,7 +157,11 @@ class TxLogTable:
         if not files:
             schema = T.StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
+        # mergeSchema: additive schema evolution across commits — an
+        # append that introduced a new column surfaces NULL for rows from
+        # older segments, exactly like the Delta protocol's read path.
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*files))
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write MERGE (upsert): rows of ``updates`` replace
@@ -263,6 +267,29 @@ class TxLogTable:
             v = self.latest_version() + 1
             if self._try_commit(v, actions):
                 return v
+
+    def vacuum(self) -> list[str]:
+        """Physically delete data files no longer referenced by the LATEST
+        snapshot.  Irreversible: time travel to versions that needed the
+        removed segments stops working (real VACUUM semantics — the
+        retention tradeoff is the caller's).  The commit log itself is
+        kept (it is the audit trail and stays tiny).  Returns the deleted
+        table-relative paths."""
+        live, _ = self._snapshot_files()
+        live_set = {os.path.normpath(p) for p in live}
+        removed = []
+        for sub in sorted(os.listdir(self.path)):
+            if not sub.startswith("data-"):
+                continue
+            seg_dir = os.path.join(self.path, sub)
+            for f in sorted(os.listdir(seg_dir)):
+                fp = os.path.normpath(os.path.join(seg_dir, f))
+                if f.endswith(".parquet") and fp not in live_set:
+                    os.remove(fp)
+                    removed.append(os.path.relpath(fp, self.path))
+            if not any(n.endswith(".parquet") for n in os.listdir(seg_dir)):
+                shutil.rmtree(seg_dir)
+        return removed
 
     def history(self) -> list[dict]:
         """Commit metadata rows, oldest first."""

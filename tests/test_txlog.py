@@ -156,3 +156,30 @@ def test_optimize_compact_preserves_data_and_enables_time_travel(spark, tdir):
     old_files, _ = t._snapshot_files(version=v - 1)
     assert len(old_files) > 2
     assert t.history()[-1]["op"] == "OPTIMIZE"
+
+
+def test_schema_evolution_on_append(spark, tdir):
+    """An append that adds a column must read back with NULL backfill for
+    older segments (mergeSchema path — the additive evolution contract)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(spark.createDataFrame([(2, "b", 20, 99)],
+                                   "k int, grp string, v int, extra int"))
+    rows = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (20, 99)}
+
+
+def test_vacuum_deletes_only_unreferenced_segments(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.merge_upsert(_df(spark, [(1, "a", 11)]), "k")
+    live_before = sorted(tuple(r) for r in t.read().collect())
+    removed = t.vacuum()
+    assert removed, "the rewritten pre-merge segment should be deleted"
+    # latest snapshot unaffected
+    assert sorted(tuple(r) for r in t.read().collect()) == live_before
+    # time travel to the vacuumed version now fails at read time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(version=0).collect()
+    # history (audit log) survives vacuum
+    assert t.history()[0]["op"] == "CREATE"
