@@ -111,6 +111,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_variant_suite",
     "sql_parameterized_args",
     "sql_udf_scalar",
+    "dedup_exact_substring_windows",
     # -- rows-only query upgraded to a full oracle in r5 (deterministic
     #    equal-width shard boundaries replaced RangePartitioner sampling;
     #    text_compression_ratio stays rows-only by design — zlib has no

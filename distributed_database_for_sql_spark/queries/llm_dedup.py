@@ -393,3 +393,76 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dups")))
     return per_cell.unionByName(total).orderBy("cell")
+
+
+@register(
+    "dedup_exact_substring_windows",
+    # Same window strings on both sides (raw text, like the decontam
+    # oracle): 6-token sliding windows, per-doc DISTINCT, shared = window
+    # seen in >= 2 distinct docs.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 6
+                    THEN list_distinct(
+                         [array_to_string(string_split(text, ' ')[i:i+5], ' ')
+                          FOR i IN generate_series(1,
+                                len(string_split(text, ' ')) - 5)])
+                    ELSE [text] END) AS win
+      FROM documents
+    ), nw AS (
+      SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id
+    ), shared AS (
+      SELECT win
+      FROM (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+      WHERE nd >= 2
+    ), per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_shared_windows
+      FROM w JOIN shared USING (win)
+      GROUP BY w.doc_id
+    )
+    SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+           CAST(per_doc.n_shared_windows AS BIGINT) AS n_shared_windows
+    FROM nw JOIN per_doc ON nw.doc_id = per_doc.doc_id
+    ORDER BY nw.doc_id
+    """,
+    tags=("dedup", "exact-substring", "ngram", "llm"),
+)
+def dedup_exact_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr idea,
+    re-expressed Spark-first): any 6-token window appearing verbatim in
+    two different documents marks a shared exact span.  Per flagged doc:
+    its distinct-window count and how many of those windows are shared
+    corpus-wide.
+
+    The suffix-array global sort of the paper becomes two hash
+    aggregations here: explode per-doc DISTINCT windows (O(tokens)
+    rows), count distinct docs per window, re-join the shared set.
+    At 100 TB the windows are xxhash64'd first (8-byte rows instead of
+    strings — raw strings kept here for oracle portability, same swap
+    the decontam docstring documents) and both aggregations are
+    map-side-combining shuffles on the window key; nothing quadratic,
+    no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wins = F.when(
+        F.size(toks) >= 6,
+        F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 5, 1), "
+            "i -> array_join(slice(split(text, ' '), i, 6), ' '))")),
+    ).otherwise(F.array(F.col("text")))
+    wd = docs.select("doc_id", F.explode(wins).alias("win"))
+    nw = wd.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    shared = (wd.groupBy("win")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= 2)
+              .select("win"))
+    per_doc = (wd.join(shared, "win")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_shared_windows")))
+    return (
+        nw.join(per_doc, "doc_id")
+        .select("doc_id", "n_windows", "n_shared_windows")
+        .orderBy("doc_id")
+    )
