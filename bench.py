@@ -96,7 +96,7 @@ def main() -> None:
     ).count()
 
     specs = registry()
-    REPEATS = 3  # median-of-3: one slow co-tenant burst otherwise moves
+    REPEATS = 5  # median-of-5: one slow co-tenant burst otherwise moves
     # the headline number by ±20%; the median is stable run-to-run.
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

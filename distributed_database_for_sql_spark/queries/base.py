@@ -82,7 +82,19 @@ def register(name: str, oracle: str | None = None,
 #       fuzzy join, SCD classify, rolling time-range window, IVF-PQ,
 #       CMS heavy hitters, regex suite, quantile binning, audio
 #       features, corrupt-tolerant JSONL), regression canaries from
-#       every earlier family.
+#       every earlier family.  FIVE red rows, one shared root cause:
+#       uncast SUM() in the oracle SQL (DuckDB HUGEINT → pandas float64
+#       in the driver canonicalizer).  All five repaired for r5 with
+#       CAST(... AS BIGINT); tools/check_oracle.py now canonicalizes
+#       through .df() type-strictly and tests/test_properties.py lints
+#       the class registry-wide.
+#   r5 window (below): the five r4 repairs first, then new-in-r5
+#       (txlog ACID format delta_*, BMP image features, Spark-4 SQL
+#       surface, exact-substring dedup), the rows-only→oracled
+#       sink_range_sharded upgrade, rounding-fix re-certs
+#       (mv_incremental_refresh, udf_pandas_over_window), and the two
+#       output-schema-changed suites (fn_array_suite float32 quantize,
+#       fn_datetime_suite DATE→TIMESTAMP) — then canaries.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
 # a canary if the window is full) so the driver certifies it in the round it
