@@ -124,6 +124,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sql_parameterized_args",
     "sql_udf_scalar",
     "dedup_exact_substring_windows",
+    "fn_bitwise_suite",
+    "fn_url_suite",
     # -- rows-only query upgraded to a full oracle in r5 (deterministic
     #    equal-width shard boundaries replaced RangePartitioner sampling;
     #    text_compression_ratio stays rows-only by design — zlib has no

@@ -400,3 +400,101 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255                                   AS low_byte,
+           p_partkey | 4096                                  AS with_flag,
+           xor(p_partkey, p_size)                            AS key_xor_size,
+           CAST(p_size AS BIGINT) << 3                       AS size_x8,
+           p_partkey >> 4                                    AS key_div16,
+           bit_count(CAST(p_partkey AS BIGINT))              AS key_popcount,
+           CAST(~p_partkey AS BIGINT)                        AS key_not
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator battery (& | ^ << >> popcount ~) — the hash/
+    bucketing/flag arithmetic layer (every band key, Morton interleave,
+    and bloom bucket in this repo is built from these).  Exact integer
+    ops, identical on both engines by construction."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey")
+    return (
+        part.select(
+            "p_partkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.col("p_size")).alias("key_xor_size"),
+            F.shiftleft(F.col("p_size").cast("long"), 3).alias("size_x8"),
+            F.shiftright(k, 4).alias("key_div16"),
+            F.bit_count(k.cast("long")).cast("long").alias("key_popcount"),
+            F.bitwise_not(k).cast("long").alias("key_not"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_url_suite",
+    # URLs are built deterministically from supplier fields on BOTH
+    # sides; Spark parses with parse_url (java.net.URI semantics), the
+    # oracle re-derives each component with plain string/regexp ops —
+    # agreement proves the parser extracts exactly the declared grammar.
+    oracle="""
+    WITH u AS (
+      SELECT s_suppkey,
+             'https://supplier-' || CAST(s_nationkey AS VARCHAR)
+               || '.example.com:8443/cat/' || CAST(s_suppkey % 10 AS VARCHAR)
+               || '/item?sk=' || CAST(s_suppkey AS VARCHAR)
+               || '&n=' || CAST(s_nationkey AS VARCHAR) || '#top' AS url
+      FROM supplier
+    )
+    SELECT s_suppkey, url,
+           regexp_extract(url, '^https://([^:/]+)', 1)        AS host,
+           regexp_extract(url, '^https://([^/]+)', 1)         AS authority,
+           regexp_extract(url, ':\\d+(/[^?#]*)', 1)           AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)               AS query,
+           regexp_extract(url, 'sk=(\\d+)', 1)                AS sk_param,
+           regexp_extract(url, '#(.*)$', 1)                   AS fragment,
+           'https'                                            AS protocol
+    FROM u
+    ORDER BY s_suppkey
+    """,
+    tags=("function", "url", "string", "crawl"),
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url: host / authority / path / query / single
+    query param / fragment / protocol — the Hive-compatible part set;
+    PORT is not a parse_url key) — the first operation every crawl-curation
+    pipeline runs (domain blocklists, per-host rate stats, dedup by
+    canonical URL).  URLs are synthesized deterministically from
+    supplier fields so the oracle can re-derive every component with
+    regexps."""
+    supp = load_table(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://supplier-"), F.col("s_nationkey").cast("string"),
+        F.lit(".example.com:8443/cat/"),
+        (F.col("s_suppkey") % 10).cast("string"),
+        F.lit("/item?sk="), F.col("s_suppkey").cast("string"),
+        F.lit("&n="), F.col("s_nationkey").cast("string"), F.lit("#top"))
+    u = supp.select("s_suppkey", url.alias("url"))
+    return (
+        u.select(
+            "s_suppkey", "url",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("AUTHORITY")).alias("authority"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("sk")).alias("sk_param"),
+            F.parse_url("url", F.lit("REF")).alias("fragment"),
+            F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        )
+        .orderBy("s_suppkey")
+    )
