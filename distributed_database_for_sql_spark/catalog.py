@@ -72,3 +72,18 @@ def register_views(spark: SparkSession, sf_dir: str,
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Identity string for a table's CURRENT on-disk contents — path plus
+    mtime and size of the parquet.  Use this (not the bare path) as a
+    memoization key for anything trained on the data (e.g. the k-means /
+    PQ caches in operators/ivf.py): the driver regenerates the testdata
+    parquet between rounds, and a path-only key would serve parameters
+    trained on the previous generation."""
+    p = table_path(sf_dir, name)
+    try:
+        st = os.stat(p)
+        return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return p

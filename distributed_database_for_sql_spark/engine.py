@@ -88,15 +88,27 @@ class CommandLog:
         self._seq = (
             max(int(f[4:12]) for f in committed) + 1 if committed else 0
         )
+        import threading
+
+        self._append_lock = threading.Lock()
 
     def append(self, *commands: str) -> None:
-        path = os.path.join(self.log_dir, f"cmd_{self._seq:08d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            for i, cmd in enumerate(commands):
-                f.write(json.dumps({"seq": self._seq, "idx": i, "command": cmd}) + "\n")
-        os.rename(tmp, path)  # atomic: the stream never sees partial files
-        self._seq += 1
+        # Lock + per-call unique tmp: the RaftWireServer / EngineServer
+        # handle RPCs on ThreadingTCPServer threads, so two appends can
+        # race — an unsynchronized _seq would hand both the same file
+        # name, and a shared ".tmp" path would let one truncate the
+        # other's half-written content.
+        import uuid as _uuid
+
+        with self._append_lock:
+            path = os.path.join(self.log_dir, f"cmd_{self._seq:08d}.json")
+            tmp = f"{path}.{_uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                for i, cmd in enumerate(commands):
+                    f.write(json.dumps(
+                        {"seq": self._seq, "idx": i, "command": cmd}) + "\n")
+            os.rename(tmp, path)  # atomic: the stream never sees partials
+            self._seq += 1
 
     def length(self) -> int:
         """Total statements across committed log files (the follower-ack

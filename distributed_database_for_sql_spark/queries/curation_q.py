@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_fingerprint
 from .base import register
 
 # 4-word shingles: long enough that sharing one is contamination-grade
@@ -266,7 +266,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return (pq_adc_topk(emb, queries, k=5, cache_key=sf_dir)
+    return (pq_adc_topk(emb, queries, k=5,
+                        cache_key=table_fingerprint(sf_dir, "embeddings"))
             .orderBy("query_id", "rn"))
 
 

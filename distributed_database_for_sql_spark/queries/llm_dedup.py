@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_fingerprint
 from ..functions.text import char_ngrams, jaccard, md5_long, simhash, word_shingles
 from ..operators.minhash import (
     MERSENNE31,
@@ -383,7 +383,7 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     labeled = semantic_dedup(emb, threshold=0.4, n_clusters=16,
-                             cache_key=sf_dir)
+                             cache_key=table_fingerprint(sf_dir, "embeddings"))
     per_cell = (labeled.groupBy("cell")
                 .agg(F.count("*").alias("n_vecs"),
                      F.sum(F.col("is_dup").cast("long")).alias("n_dups"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_fingerprint
 from ..functions.vector import as_double
 from ..operators.ann import (
     N_PLANES,
@@ -178,7 +178,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4,
-                      cache_key=sf_dir)
+                      cache_key=table_fingerprint(sf_dir, "embeddings"))
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
 
@@ -204,7 +204,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivfpq_topk(emb, queries, k=5, n_clusters=16, nprobe=4,
-                        m=8, n_codes=32, cache_key=sf_dir)
+                        m=8, n_codes=32,
+                        cache_key=table_fingerprint(sf_dir, "embeddings"))
     truth = brute_force_topk(emb, queries, k=5)
     return attach_recall_at_k(approx, truth, k=5).orderBy("query_id", "rn")
 

@@ -15,7 +15,6 @@ this family is driven by the SQL-database intent, not reference parity.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,15 +25,10 @@ from .base import register
 
 
 def _stage_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(format, sf) staging dir under the system tmpdir.
+    """Deterministic per-(format, sf) staging dir (shared tmpstage rule)."""
+    from ..tmpstage import staging_dir
 
-    hashlib, not builtin hash(): the builtin is salted per-process
-    (PYTHONHASHSEED), so paths would differ across runs — harmless under
-    mode("overwrite") but not reproducible for debugging."""
-    import hashlib
-
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"srcq_{tag}_{digest}")
+    return staging_dir(f"srcq_{tag}", sf_dir)
 
 
 @register(

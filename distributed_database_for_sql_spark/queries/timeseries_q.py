@@ -316,9 +316,6 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the only affordable shape for always-fresh
     rollups: refresh cost scales with the delta, and the merge is a
     bucket-keyed union+re-aggregate (co-partitioned by the view key)."""
-    import os
-    import tempfile
-
     events = load_table(spark, sf_dir, "events")
     key = [F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")]
 
@@ -335,10 +332,9 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = events.filter(F.col("event_id") % 10 != 0)
     delta = events.filter(F.col("event_id") % 10 == 0)
 
-    import hashlib
+    from ..tmpstage import staging_dir
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"mv_rollup_{digest}")
+    path = staging_dir("mv_rollup", sf_dir)
     rollup(hist).write.mode("overwrite").parquet(path)
 
     stored = spark.read.parquet(path)

@@ -13,10 +13,6 @@ not just that "a" table came back.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,8 +22,9 @@ from .base import register
 
 
 def _table_dir(tag: str, sf_dir: str) -> str:
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"txlog_{tag}_{digest}")
+    from ..tmpstage import staging_dir
+
+    return staging_dir(f"txlog_{tag}", sf_dir)
 
 
 _CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"

@@ -18,7 +18,8 @@ time travel = replay a prefix) directly over the DataFrame API:
 - ``read(version=...)``     — snapshot isolation + time travel: replaying
   commits ``0..v`` yields exactly the files live at version ``v``;
   readers never see a half-committed write because the commit file is
-  created atomically (``open(..., "x")`` = put-if-absent).
+  fully written + fsync'd to a temp name and published with ``os.link``
+  (atomic put-if-absent of COMPLETE content).
 - ``history``               — the commit log as a DataFrame.
 
 Commit concurrency is optimistic: the next version number is claimed by
@@ -75,16 +76,59 @@ class TxLogTable:
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
         """Atomically claim ``version`` (put-if-absent).  False = lost the
-        race; caller re-reads the log and retries against the new state."""
+        race; caller re-reads the log and retries against the new state.
+
+        CONTENT atomicity, not just name claim: the actions are fully
+        written (and fsync'd) to a uniquely-named temp file first, then
+        published with os.link — which fails if the version exists and
+        otherwise makes the complete file visible in one step.  A reader
+        can never observe a torn commit; a writer killed mid-write leaves
+        only an invisible .tmp."""
         os.makedirs(self.log_dir, exist_ok=True)
         fp = os.path.join(self.log_dir, f"{version:08d}.json")
+        tmp = os.path.join(self.log_dir,
+                           f".tmp-{version:08d}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            with open(fp, "x") as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
+            os.link(tmp, fp)
         except FileExistsError:
             return False
+        finally:
+            os.unlink(tmp)
         return True
+
+    def _commit_with_occ(self, actions: list[dict], removed: list[str],
+                         base_version: int) -> int:
+        """Commit actions computed against the snapshot at
+        ``base_version``.  If anything committed after that snapshot
+        (claim target > base_version + 1, or a claim race is lost),
+        verify no concurrent commit removed one of OUR files — if one
+        did, the actions are stale and blindly committing them would
+        resurrect deleted/compacted rows, so raise (the caller re-runs
+        against the fresh snapshot — classic Delta-style conflict
+        detection).  Concurrent commits that only touched OTHER files
+        (appends, disjoint merges) commute and commit fine."""
+        while True:
+            v = self.latest_version() + 1
+            if v > base_version + 1:
+                active, _ = self._snapshot_files()
+                active_rel = {
+                    os.path.relpath(os.path.normpath(p),
+                                    os.path.normpath(self.path))
+                    for p in active
+                }
+                gone = [p for p in removed if p not in active_rel]
+                if gone:
+                    raise RuntimeError(
+                        "concurrent commit conflict: segments removed by "
+                        f"another writer while this operation ran: {gone}; "
+                        "re-run against the current snapshot")
+            if self._try_commit(v, actions):
+                return v
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], str | None]:
         """Replay commits 0..version → (active data files, schema json)."""
@@ -172,11 +216,13 @@ class TxLogTable:
         the update batch is the small side by assumption) yields the
         touched file list; every other segment survives by reference.
         """
+        base_version = self.latest_version()
         files, _ = self._snapshot_files()
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
         if files:
-            base = self.spark.read.parquet(*files)
+            base = (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*files))
             touched_rows = (
                 base.withColumn("_file", F.input_file_name())
                 .join(F.broadcast(upd_keys), key, "left_semi")
@@ -188,9 +234,13 @@ class TxLogTable:
                 for r in touched_rows
             )
         if touched:
-            keep_base = self.spark.read.parquet(*touched).join(
-                F.broadcast(upd_keys), key, "left_anti")
-            merged = keep_base.unionByName(updates)
+            # mergeSchema + allowMissingColumns: rewriting a pre-evolution
+            # segment must not drop (or trip over) columns added later.
+            keep_base = (self.spark.read.option("mergeSchema", "true")
+                         .parquet(*touched)
+                         .join(F.broadcast(upd_keys), key, "left_anti"))
+            merged = keep_base.unionByName(updates,
+                                           allowMissingColumns=True)
         else:
             merged = updates
         rel_new = self._write_segments(merged)
@@ -205,26 +255,28 @@ class TxLogTable:
             + [{"remove": {"path": p}} for p in rel_removed]
             + [{"add": {"path": p}} for p in rel_new]
         )
-        while True:
-            v = self.latest_version() + 1
-            if self._try_commit(v, actions):
-                return v
+        return self._commit_with_occ(actions, rel_removed, base_version)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite only segments holding matches."""
+        base_version = self.latest_version()
         files, _ = self._snapshot_files()
         if not files:
             raise FileNotFoundError("empty table")
-        base = self.spark.read.parquet(*files).withColumn(
-            "_file", F.input_file_name())
+        base = (self.spark.read.option("mergeSchema", "true")
+                .parquet(*files)
+                .withColumn("_file", F.input_file_name()))
         touched = sorted(
             r["_file"].removeprefix("file://").removeprefix("file:")
             for r in base.filter(condition).select("_file").distinct().collect()
         )
         if not touched:
             return self.latest_version()
-        survivors = (self.spark.read.parquet(*touched)
-                     .filter(~condition))
+        # SQL DELETE semantics: only rows where the predicate is TRUE go;
+        # NULL-evaluating rows survive (a bare ~condition would drop them).
+        survivors = (self.spark.read.option("mergeSchema", "true")
+                     .parquet(*touched)
+                     .filter(~F.coalesce(condition, F.lit(False))))
         rel_new = self._write_segments(survivors)
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
@@ -235,10 +287,7 @@ class TxLogTable:
             + [{"remove": {"path": p}} for p in rel_removed]
             + [{"add": {"path": p}} for p in rel_new]
         )
-        while True:
-            v = self.latest_version() + 1
-            if self._try_commit(v, actions):
-                return v
+        return self._commit_with_occ(actions, rel_removed, base_version)
 
     def optimize_compact(self, target_segments: int = 2) -> int:
         """OPTIMIZE-style compaction: rewrite the current snapshot into
@@ -247,10 +296,12 @@ class TxLogTable:
         files from many streaming/merge commits stop taxing scan planning.
         At 100 TB this runs per partition with a size threshold; the
         commit shape (remove-many, add-few) is identical."""
+        base_version = self.latest_version()
         files, _ = self._snapshot_files()
         if not files:
             return self.latest_version()
-        compacted = self.spark.read.parquet(*files).repartition(target_segments)
+        compacted = (self.spark.read.option("mergeSchema", "true")
+                     .parquet(*files).repartition(target_segments))
         rel_new = self._write_segments(compacted)
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
@@ -263,10 +314,7 @@ class TxLogTable:
             + [{"remove": {"path": p}} for p in rel_removed]
             + [{"add": {"path": p}} for p in rel_new]
         )
-        while True:
-            v = self.latest_version() + 1
-            if self._try_commit(v, actions):
-                return v
+        return self._commit_with_occ(actions, rel_removed, base_version)
 
     def vacuum(self) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST

@@ -47,11 +47,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource requires a directory; the single parquet file is
     staged via symlink into a temp dir (read-only testdata untouched).
     """
-    import hashlib
+    from ..tmpstage import staging_dir
 
     src = os.path.join(sf_dir, "events.parquet")
-    digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
+    stage = staging_dir("events_stream", src)
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):

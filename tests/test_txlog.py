@@ -183,3 +183,58 @@ def test_vacuum_deletes_only_unreferenced_segments(spark, tdir):
         t.read(version=0).collect()
     # history (audit log) survives vacuum
     assert t.history()[0]["op"] == "CREATE"
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tdir):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL must
+    SURVIVE (a bare ~condition would silently drop them)."""
+    rows = [(1, "a", 10), (2, "b", None), (3, "a", 10)]
+    t = TxLogTable.create(spark, tdir, _df(spark, rows))
+    t.delete_where(F.col("v") == 10)
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(2, None)]
+
+
+def test_torn_commit_tmp_is_invisible(spark, tdir):
+    """A writer killed mid-commit leaves only a .tmp file, which neither
+    latest_version() nor snapshot replay can see — readers never observe
+    a half-written commit."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    # simulate the torn write: partial content under the tmp name
+    with open(os.path.join(t.log_dir, ".tmp-00000001-dead"), "w") as f:
+        f.write('{"commit": {"op": "APPEND"')  # truncated JSON
+    assert t.latest_version() == 0
+    assert [tuple(r) for r in t.read().collect()] == [(1, "a", 10)]
+    # the next real commit is unaffected
+    assert t.append(_df(spark, [(2, "b", 20)])) == 1
+
+
+def test_occ_conflict_on_concurrent_remove_raises(spark, tdir):
+    """A writer whose planned removals were already removed by a
+    concurrent commit must raise instead of blindly re-committing stale
+    actions (which would resurrect deleted rows)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    files, _ = t._snapshot_files()
+    seg = os.path.relpath(files[0], t.path)
+    # a racing winner claims version 1 and removes the segment
+    assert t._try_commit(1, [{"commit": {"op": "DELETE"}},
+                             {"remove": {"path": seg}}])
+    # our stale writer computed actions against version 0 and also wants
+    # to remove that segment; its claim of version 1 fails -> conflict
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t._commit_with_occ(
+            [{"commit": {"op": "MERGE"}}, {"remove": {"path": seg}}],
+            removed=[seg], base_version=0)
+
+
+def test_merge_on_schema_evolved_table(spark, tdir):
+    """MERGE touching a pre-evolution segment must preserve the evolved
+    column (mergeSchema read + allowMissingColumns union)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(spark.createDataFrame([(2, "b", 20, 99)],
+                                   "k int, grp string, v int, extra int"))
+    t.merge_upsert(spark.createDataFrame([(2, "b", 21, 100)],
+                                         "k int, grp string, v int, extra int"),
+                   "k")
+    rows = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (21, 100)}

@@ -87,25 +87,20 @@ def _cell(v):
     return _norm(v)
 
 
-def frame_hash(df: pd.DataFrame) -> str:
-    cols = sorted(df.columns)
-    lines = sorted(
-        "|".join(_cell(row[c]) for c in cols)
-        for row in df.to_dict("records")
-    )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
-
-
 def _frame_lines(df: pd.DataFrame) -> list[str]:
     cols = sorted(df.columns)
     return sorted(
         "|".join(_cell(row[c]) for c in cols)
         for row in df.to_dict("records")
     )
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for line in _frame_lines(df):
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
