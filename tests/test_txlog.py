@@ -238,3 +238,41 @@ def test_merge_on_schema_evolved_table(spark, tdir):
                    "k")
     rows = {r.k: (r.v, r.extra) for r in t.read().collect()}
     assert rows == {1: (10, None), 2: (21, 100)}
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random create/append/merge/delete/compact
+    sequences must leave the table equal to a plain-Python dict model.
+    Deterministic op list (no RNG in tests), chosen to interleave every
+    op kind and hit update/insert/delete/no-op arms."""
+    ops = [
+        ("append", [(10, "x", 1), (11, "y", 2)]),
+        ("merge", [(10, "x", 5), (20, "z", 9)]),
+        ("delete_v", 2),          # deletes k=11
+        ("append", [(30, "w", 2), (31, "w", 7)]),
+        ("compact", None),
+        ("merge", [(31, "w", 8), (10, "x", 6)]),
+        ("delete_v", 9),          # deletes k=20
+        ("append", [(40, "q", 4)]),
+        ("compact", None),
+    ]
+    t = TxLogTable.create(spark, str(tmp_path / "m"),
+                          _df(spark, [(1, "a", 3)]))
+    model = {1: ("a", 3)}
+    for op, arg in ops:
+        if op == "append":
+            t.append(_df(spark, arg))
+            model.update({k: (g, v) for k, g, v in arg})
+        elif op == "merge":
+            t.merge_upsert(_df(spark, arg), "k")
+            model.update({k: (g, v) for k, g, v in arg})
+        elif op == "delete_v":
+            t.delete_where(F.col("v") == arg)
+            model = {k: gv for k, gv in model.items() if gv[1] != arg}
+        elif op == "compact":
+            t.optimize_compact(target_segments=2)
+        got = {r.k: (r.grp, r.v) for r in t.read().collect()}
+        assert got == model, f"diverged after {op}({arg})"
+    # history replay is consistent: every recorded version still resolves
+    for v in range(t.latest_version() + 1):
+        t._snapshot_files(v)
