@@ -261,3 +261,18 @@ def test_txlog_merge_file_pruning_is_broadcast_semi(spark, tmp_path):
              .join(F.broadcast(upd_keys), "k", "left_semi"))
     assert uses_broadcast_join(probe)
     assert not has_cartesian(probe)
+
+
+def test_sql_udf_is_catalyst_inlined_no_python_eval(spark):
+    """CREATE FUNCTION ... RETURN expr must inline into the plan — a
+    BatchEvalPython/ArrowEvalPython node would mean the 'UDF' fell out of
+    codegen onto the Python boundary."""
+    df = registry()["sql_udf_scalar"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_extraction_stays_jvm_side(spark):
+    df = registry()["fn_variant_suite"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
