@@ -141,14 +141,17 @@ def delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "delta_optimize_compact",
     # Compaction must be a pure LAYOUT change: the post-OPTIMIZE snapshot
-    # hashes identically to the pre-OPTIMIZE data, and the segment counts
-    # are deterministic (we control both write fan-outs).
+    # hashes identically to the pre-OPTIMIZE data.  The audit column is a
+    # BOOLEAN (fewer files after than before) rather than exact counts —
+    # Spark may skip hash-empty partitions on write, so pinning 8/2 in
+    # the oracle would flip red nondeterministically across data regens
+    # (ADVICE r5); the exact 8→2 layout is pinned in tests/test_txlog.py
+    # where the fixture rows are controlled.
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*)                      AS n_rows,
            CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
-           8                             AS files_before,
-           2                             AS files_after
+           TRUE                          AS compaction_reduced_files
     FROM orders
     WHERE o_orderkey <= 1000
     GROUP BY o_orderpriority
@@ -160,8 +163,9 @@ def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE-style compaction: two 4-segment appends leave 8 small
     segments; compaction rewrites them into 2 — and the data must come
     back value-identical (the whole point: layout changed, rows didn't).
-    The emitted before/after segment counts come from the commit log's
-    own OPTIMIZE entry, so the hash also certifies the audit record."""
+    The emitted audit flag comes from the commit log's own OPTIMIZE
+    entry, so the hash also certifies the audit record (as a robust
+    boolean; exact counts are pinned in pytest — see oracle comment)."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     half1 = (orders.filter(F.col("o_orderkey") <= 500)
@@ -181,8 +185,8 @@ def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_rows"),
              F.sum("cents").alias("total_cents"))
-        .withColumn("files_before", F.lit(opt["filesRewritten"]))
-        .withColumn("files_after", F.lit(opt["filesAdded"]))
+        .withColumn("compaction_reduced_files",
+                    F.lit(opt["filesRewritten"] > opt["filesAdded"]))
         .orderBy("o_orderpriority")
     )
 

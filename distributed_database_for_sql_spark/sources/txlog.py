@@ -26,12 +26,28 @@ Commit concurrency is optimistic: the next version number is claimed by
 exclusive-create of ``_txlog/{version:08d}.json``; a loser re-reads the
 log and retries (classic OCC, same as Delta's LogStore contract).  On a
 single POSIX fs the exclusive create is atomic; on an object store this
-maps to a put-if-absent primitive.
+maps to a put-if-absent primitive.  MERGE commits additionally record
+the key range (column, min, max) they touched, and a writer whose key
+range intersects a concurrent MERGE's raises a conflict — closing the
+write-skew window where two insert-arm merges of the same key would
+both commit and silently duplicate rows.
+
+Log checkpointing (Delta's ``_last_checkpoint`` pattern): every
+``checkpoint_interval`` commits a snapshot manifest
+(``{version:08d}.checkpoint.json`` — the full active file set + schema
+at that version) is written and ``_last_checkpoint`` is atomically
+repointed.  Snapshot resolution then replays only the commits AFTER the
+best checkpoint ≤ the requested version, so read planning stays O(N)
+bounded instead of O(commits) — the piece that keeps a continuously
+merged table readable after millions of streaming commits.  Checkpoints
+are derived data: losing one (or crashing mid-write) only means a
+longer replay, never wrong answers.
 
 At 100 TB: segments are immutable parquet (scan parallelism = file
-count), the log is O(commits) tiny JSON, snapshot resolution is
-driver-side metadata only, and MERGE rewrites only matched segments —
-the same shape that makes real Delta viable at scale.
+count), the log is O(commits) tiny JSON with O(N)-bounded replay via
+checkpoints, snapshot resolution is driver-side metadata only, and
+MERGE rewrites only matched segments — the same shape that makes real
+Delta viable at scale.
 """
 
 from __future__ import annotations
@@ -48,20 +64,57 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _is_commit_name(name: str) -> bool:
+    """True for ``00000003.json``; False for checkpoint/tmp files."""
+    stem, dot, ext = name.partition(".")
+    return ext == "json" and stem.isdigit()
+
+
+def _json_key(v):
+    """Coerce a merge-key bound to a JSON-storable, order-preserving value."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)  # dates/decimals: ISO/str ordering matches value ordering
+
+
+def _ranges_intersect(a: dict, b: dict) -> bool:
+    """Do two recorded MERGE key ranges overlap?  Different key columns
+    never conflict; incomparable bounds (type drift across writers) are
+    treated as conflicting — the conservative, safe answer."""
+    if a.get("column") != b.get("column"):
+        return False
+    if None in (a["min"], a["max"], b["min"], b["max"]):
+        return True  # NULL bound: cannot prove disjoint
+    try:
+        return a["min"] <= b["max"] and b["min"] <= a["max"]
+    except TypeError:
+        return True
 
 
 class TxLogTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: write a checkpoint manifest every N commits (Delta defaults to 10)
+    checkpoint_interval: int = 10
+
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int | None = None):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        if checkpoint_interval is not None:
+            self.checkpoint_interval = checkpoint_interval
 
     # -- log plumbing -------------------------------------------------------
 
     def _commit_files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.log_dir, "[0-9]*.json")))
+        return sorted(
+            p for p in glob.glob(os.path.join(self.log_dir, "[0-9]*.json"))
+            if _is_commit_name(os.path.basename(p))
+        )
 
     def latest_version(self) -> int:
         files = self._commit_files()
@@ -102,16 +155,20 @@ class TxLogTable:
         return True
 
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
-                         base_version: int) -> int:
+                         base_version: int,
+                         key_range: dict | None = None) -> int:
         """Commit actions computed against the snapshot at
         ``base_version``.  If anything committed after that snapshot
         (claim target > base_version + 1, or a claim race is lost),
-        verify no concurrent commit removed one of OUR files — if one
-        did, the actions are stale and blindly committing them would
-        resurrect deleted/compacted rows, so raise (the caller re-runs
-        against the fresh snapshot — classic Delta-style conflict
-        detection).  Concurrent commits that only touched OTHER files
-        (appends, disjoint merges) commute and commit fine."""
+        verify (a) no concurrent commit removed one of OUR files — stale
+        actions would resurrect deleted/compacted rows — and (b) no
+        concurrent MERGE's recorded key range intersects OURS — two
+        insert-arm merges of the same key remove no common files yet
+        still conflict (write skew: both would commit and duplicate the
+        key).  Either case raises; the caller re-runs against the fresh
+        snapshot — classic Delta-style conflict detection.  Concurrent
+        commits that touched other files AND disjoint key ranges commute
+        and commit fine."""
         while True:
             v = self.latest_version() + 1
             if v > base_version + 1:
@@ -127,11 +184,90 @@ class TxLogTable:
                         "concurrent commit conflict: segments removed by "
                         f"another writer while this operation ran: {gone}; "
                         "re-run against the current snapshot")
+                if key_range is not None:
+                    for i in range(base_version + 1, v):
+                        for action in self._read_commit(i):
+                            other = action.get("commit", {}).get("keyRange")
+                            if other and _ranges_intersect(key_range, other):
+                                raise RuntimeError(
+                                    "concurrent commit conflict: version "
+                                    f"{i} merged key range "
+                                    f"[{other['min']}, {other['max']}] on "
+                                    f"column {other['column']!r}, which "
+                                    "intersects this MERGE's range "
+                                    f"[{key_range['min']}, "
+                                    f"{key_range['max']}]; re-run against "
+                                    "the current snapshot")
             if self._try_commit(v, actions):
+                self._maybe_checkpoint(v)
                 return v
 
+    # -- checkpointing (Delta's _last_checkpoint pattern) ---------------------
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """After every ``checkpoint_interval``-th commit, persist the full
+        active file set + schema at ``version`` and repoint
+        ``_last_checkpoint``.  Both writes are atomic (tmp + rename) and
+        the manifest is pure derived data — a crash here costs replay
+        length, never correctness."""
+        if self.checkpoint_interval <= 0 or version <= 0:
+            return
+        if version % self.checkpoint_interval != 0:
+            return
+        files, schema_json = self._snapshot_files(version)
+        rel = [os.path.relpath(os.path.normpath(p),
+                               os.path.normpath(self.path)) for p in files]
+        manifest = {"version": version, "active": rel,
+                    "schemaJson": schema_json}
+        tmp = os.path.join(self.log_dir,
+                           f".tmpck-{version:08d}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._checkpoint_path(version))
+        tmp2 = os.path.join(self.log_dir,
+                            f".tmplc-{uuid.uuid4().hex[:8]}")
+        with open(tmp2, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp2, os.path.join(self.log_dir, _LAST_CHECKPOINT))
+
+    def _best_checkpoint(self, version: int) -> dict | None:
+        """Newest checkpoint manifest with checkpoint.version <= version.
+        Fast path: the ``_last_checkpoint`` pointer (one read).  Time
+        travel to before it falls back to listing checkpoint files."""
+        lc = os.path.join(self.log_dir, _LAST_CHECKPOINT)
+        try:
+            with open(lc) as f:
+                hint = json.load(f)["version"]
+            if hint <= version:
+                with open(self._checkpoint_path(hint)) as f:
+                    return json.load(f)
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            pass
+        best = -1
+        for p in glob.glob(os.path.join(self.log_dir, "*.checkpoint.json")):
+            cv = int(os.path.basename(p).split(".")[0])
+            if best < cv <= version:
+                best = cv
+        if best < 0:
+            return None
+        try:
+            with open(self._checkpoint_path(best)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # torn/missing checkpoint: full replay still works
+
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], str | None]:
-        """Replay commits 0..version → (active data files, schema json)."""
+        """Resolve the snapshot at ``version``: start from the best
+        checkpoint ≤ version (if any) and replay only the commit suffix →
+        (active data files, schema json).  Without checkpoints this
+        degenerates to full replay from commit 0."""
         latest = self.latest_version()
         if latest < 0:
             raise FileNotFoundError(f"no txlog table at {self.path}")
@@ -140,7 +276,13 @@ class TxLogTable:
             raise ValueError(f"version {v} out of range [0, {latest}]")
         active: dict[str, None] = {}  # insertion-ordered set
         schema_json = None
-        for i in range(v + 1):
+        start = 0
+        ckpt = self._best_checkpoint(v)
+        if ckpt is not None:
+            active = dict.fromkeys(ckpt["active"])
+            schema_json = ckpt["schemaJson"]
+            start = ckpt["version"] + 1
+        for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "metaData" in action:
                     schema_json = action["metaData"]["schemaJson"]
@@ -185,15 +327,39 @@ class TxLogTable:
             raise FileExistsError(f"concurrent create at {path}")
         return t
 
+    def _schema_evolution_action(self, df: DataFrame) -> list[dict]:
+        """If ``df`` introduces columns absent from the table's recorded
+        schema, return an updated metaData action (existing fields first,
+        new fields appended nullable), so the LAST metaData in the log
+        always reflects the current read schema — in particular an empty
+        snapshot after a delete-all keeps evolved columns."""
+        try:
+            _, schema_json = self._snapshot_files()
+        except FileNotFoundError:
+            return []
+        if schema_json is None:
+            return [{"metaData": {"schemaJson": df.schema.json()}}]
+        cur = T.StructType.fromJson(json.loads(schema_json))
+        have = {f.name for f in cur.fields}
+        new = [f for f in df.schema.fields if f.name not in have]
+        if not new:
+            return []
+        merged = T.StructType(
+            list(cur.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in new])
+        return [{"metaData": {"schemaJson": merged.json()}}]
+
     def append(self, df: DataFrame) -> int:
         rel = self._write_segments(df)
         actions = (
             [{"commit": {"op": "APPEND", "ts": int(time.time() * 1000)}}]
+            + self._schema_evolution_action(df)
             + [{"add": {"path": p}} for p in rel]
         )
         while True:
             v = self.latest_version() + 1
             if self._try_commit(v, actions):
+                self._maybe_checkpoint(v)
                 return v
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -215,9 +381,28 @@ class TxLogTable:
         a semi-join of the snapshot against the update keys (broadcast —
         the update batch is the small side by assumption) yields the
         touched file list; every other segment survives by reference.
+
+        Like Delta MERGE, raises if ``updates`` carries duplicate keys
+        (two source rows matching one target row is ambiguous), and
+        records the touched key range in the commit so concurrent
+        overlapping MERGEs are detected as conflicts (see
+        ``_commit_with_occ``) instead of silently duplicating keys.
         """
         base_version = self.latest_version()
         files, _ = self._snapshot_files()
+        stats = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("nd"),
+            F.min(key).alias("mn"),
+            F.max(key).alias("mx")).collect()[0]
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"MERGE source has duplicate keys on {key!r}: "
+                f"{stats['n']} rows but {stats['nd']} distinct keys — "
+                "like Delta MERGE with multiple source matches, this is "
+                "ambiguous; de-duplicate the updates first")
+        key_range = {"column": key, "min": _json_key(stats["mn"]),
+                     "max": _json_key(stats["mx"])}
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
         if files:
@@ -251,11 +436,14 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "MERGE", "ts": int(time.time() * 1000),
                          "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new)}}]
+                         "filesAdded": len(rel_new),
+                         "keyRange": key_range}}]
+            + self._schema_evolution_action(updates)
             + [{"remove": {"path": p}} for p in rel_removed]
             + [{"add": {"path": p}} for p in rel_new]
         )
-        return self._commit_with_occ(actions, rel_removed, base_version)
+        return self._commit_with_occ(actions, rel_removed, base_version,
+                                     key_range=key_range)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite only segments holding matches."""
@@ -316,15 +504,23 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 24 * 3600.0) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST
-        snapshot.  Irreversible: time travel to versions that needed the
-        removed segments stops working (real VACUUM semantics — the
-        retention tradeoff is the caller's).  The commit log itself is
-        kept (it is the audit trail and stays tiny).  Returns the deleted
+        snapshot AND older than ``retention_seconds`` (mtime).  The
+        retention window is the concurrent-writer guard (same as real
+        Delta VACUUM): a writer stages its segments BEFORE its commit
+        claims a version, so a freshly written unreferenced file may be an
+        in-flight commit, not garbage — only age proves abandonment.
+        ``retention_seconds=0`` skips the guard (single-writer only).
+
+        Irreversible: time travel to versions that needed the removed
+        segments stops working (real VACUUM semantics — the retention
+        tradeoff is the caller's).  The commit log itself is kept (it is
+        the audit trail and stays tiny).  Returns the deleted
         table-relative paths."""
         live, _ = self._snapshot_files()
         live_set = {os.path.normpath(p) for p in live}
+        cutoff = time.time() - retention_seconds
         removed = []
         for sub in sorted(os.listdir(self.path)):
             if not sub.startswith("data-"):
@@ -332,9 +528,11 @@ class TxLogTable:
             seg_dir = os.path.join(self.path, sub)
             for f in sorted(os.listdir(seg_dir)):
                 fp = os.path.normpath(os.path.join(seg_dir, f))
-                if f.endswith(".parquet") and fp not in live_set:
+                if (f.endswith(".parquet") and fp not in live_set
+                        and os.path.getmtime(fp) <= cutoff):
                     os.remove(fp)
                     removed.append(os.path.relpath(fp, self.path))
+            # only bookkeeping files (_SUCCESS, .crc) left → drop the dir
             if not any(n.endswith(".parquet") for n in os.listdir(seg_dir)):
                 shutil.rmtree(seg_dir)
         return removed

@@ -172,7 +172,8 @@ def test_vacuum_deletes_only_unreferenced_segments(spark, tdir):
     t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
     t.merge_upsert(_df(spark, [(1, "a", 11)]), "k")
     live_before = sorted(tuple(r) for r in t.read().collect())
-    removed = t.vacuum()
+    # retention=0: explicit single-writer opt-out of the age guard
+    removed = t.vacuum(retention_seconds=0)
     assert removed, "the rewritten pre-merge segment should be deleted"
     # latest snapshot unaffected
     assert sorted(tuple(r) for r in t.read().collect()) == live_before
@@ -238,6 +239,139 @@ def test_merge_on_schema_evolved_table(spark, tdir):
                    "k")
     rows = {r.k: (r.v, r.extra) for r in t.read().collect()}
     assert rows == {1: (10, None), 2: (21, 100)}
+
+
+def test_vacuum_retention_spares_fresh_unreferenced_files(spark, tdir):
+    """Default vacuum must NOT delete freshly written unreferenced files:
+    a concurrent writer stages segments before its commit claims a
+    version, so a young unreferenced file may be an in-flight commit."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.merge_upsert(_df(spark, [(1, "a", 11)]), "k")
+    assert t.vacuum() == [], "fresh files are inside the retention window"
+    # time travel still works because nothing was deleted
+    assert [tuple(r) for r in t.read(version=0).collect()] == [(1, "a", 10)]
+
+
+def test_checkpoint_bounds_replay_and_keeps_time_travel_exact(spark, tdir):
+    """VERDICT r5 item 2: a many-commit table must resolve its snapshot
+    from the last checkpoint + a bounded commit suffix, not by replaying
+    the whole log — and time travel (before AND after the checkpoint)
+    must stay value-exact."""
+    t = TxLogTable(spark, tdir, checkpoint_interval=5)
+    t2 = TxLogTable.create(spark, tdir, _df(spark, [(0, "a", 0)]))
+    assert t2.checkpoint_interval == 10  # default untouched
+    for i in range(1, 13):
+        t.append(_df(spark, [(i, "a", i)]))
+    assert t.latest_version() == 12
+    import os as _os
+    names = set(_os.listdir(t.log_dir))
+    assert "00000005.checkpoint.json" in names
+    assert "00000010.checkpoint.json" in names
+    assert "_last_checkpoint" in names
+    # replay suffix is bounded: resolving v12 reads commits 11..12 only
+    calls = []
+    orig = t._read_commit
+    t._read_commit = lambda v: (calls.append(v), orig(v))[1]
+    files, _ = t._snapshot_files()
+    assert set(calls) == {11, 12}, f"expected suffix-only replay, got {calls}"
+    t._read_commit = orig
+    assert files  # value-exactness asserted by the reads below
+    # time travel before the first checkpoint (full replay) and between
+    # checkpoints both return exact prefixes
+    assert sorted(r.k for r in t.read(version=3).collect()) == [0, 1, 2, 3]
+    assert sorted(r.k for r in t.read(version=7).collect()) == list(range(8))
+    assert sorted(r.k for r in t.read().collect()) == list(range(13))
+
+
+def test_checkpoint_resolution_survives_missing_pointer(spark, tdir):
+    """_last_checkpoint and the manifests are derived data: deleting them
+    must only lengthen replay, never change results."""
+    t = TxLogTable(spark, tdir, checkpoint_interval=3)
+    TxLogTable.create(spark, tdir, _df(spark, [(0, "a", 0)]))
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, "a", i)]))
+    import os as _os
+    _os.remove(_os.path.join(t.log_dir, "_last_checkpoint"))
+    assert sorted(r.k for r in t.read().collect()) == list(range(8))
+    for p in list(_os.listdir(t.log_dir)):
+        if p.endswith(".checkpoint.json"):
+            _os.remove(_os.path.join(t.log_dir, p))
+    assert sorted(r.k for r in t.read().collect()) == list(range(8))
+
+
+def test_merge_duplicate_source_keys_raises(spark, tdir):
+    """Delta MERGE parity: two source rows hitting the same key is
+    ambiguous and must raise, not silently insert both."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(_df(spark, [(1, "a", 11), (1, "a", 12)]), "k")
+    # table unchanged — the failed merge committed nothing
+    assert [tuple(r) for r in t.read().collect()] == [(1, "a", 10)]
+    assert t.latest_version() == 0
+
+
+def test_two_writer_overlapping_merge_conflict(spark, tdir):
+    """VERDICT r5 item 5: two concurrent insert-arm MERGEs of the same key
+    remove no common segment, so the r5 OCC (file-based only) let both
+    commit — silently duplicating the key.  The recorded key ranges must
+    now turn the second commit into a raised conflict."""
+    t_a = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t_b = TxLogTable(spark, tdir)
+    upd_a = _df(spark, [(7, "a", 70)])   # insert arm: key 7 not in base
+    upd_b = _df(spark, [(7, "b", 77)])   # same key, concurrent writer
+
+    # Interleave: writer A lands AFTER B has planned (read its snapshot /
+    # base version) but BEFORE B commits — the classic write-skew window.
+    real_write = t_b._write_segments
+    raced = {"done": False}
+
+    def write_then_race(df):
+        rel = real_write(df)
+        if not raced["done"]:
+            raced["done"] = True
+            t_a.merge_upsert(upd_a, "k")
+        return rel
+
+    t_b._write_segments = write_then_race
+    with pytest.raises(RuntimeError, match="key range"):
+        t_b.merge_upsert(upd_b, "k")
+    # no duplicate key: only writer A's row for k=7 exists
+    rows = sorted(tuple(r) for r in t_a.read().collect())
+    assert rows == [(1, "a", 10), (7, "a", 70)]
+
+
+def test_disjoint_concurrent_merges_commute(spark, tdir):
+    """Concurrent MERGEs with non-overlapping key ranges touch disjoint
+    data and must BOTH commit (no false conflicts)."""
+    t_a = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t_b = TxLogTable(spark, tdir)
+    real_write = t_b._write_segments
+    raced = {"done": False}
+
+    def write_then_race(df):
+        rel = real_write(df)
+        if not raced["done"]:
+            raced["done"] = True
+            t_a.merge_upsert(_df(spark, [(100, "a", 1)]), "k")
+        return rel
+
+    t_b._write_segments = write_then_race
+    t_b.merge_upsert(_df(spark, [(200, "b", 2)]), "k")
+    got = sorted(tuple(r) for r in t_a.read().collect())
+    assert got == [(1, "a", 10), (100, "a", 1), (200, "b", 2)]
+
+
+def test_evolved_schema_survives_delete_all(spark, tdir):
+    """ADVICE r5: an append that evolves the schema commits an updated
+    metaData action, so an EMPTY snapshot (delete-all) still exposes the
+    evolved columns instead of falling back to the CREATE schema."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(spark.createDataFrame([(2, "b", 20, 99)],
+                                   "k int, grp string, v int, extra int"))
+    t.delete_where(F.lit(True))
+    empty = t.read()
+    assert empty.count() == 0
+    assert "extra" in empty.columns, "evolved column lost after delete-all"
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
