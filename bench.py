@@ -57,6 +57,10 @@ EXTRA = [
     "delta_merge_upsert",
     "multimodal_image_features",
     "sink_range_sharded",
+    # round 6: the 8-byte-window ExactSubstr vs its raw-string twin —
+    # benching both makes the shuffle-size win a recorded number.
+    "dedup_exact_substring_hashed",
+    "dedup_exact_substring_windows",
 ]
 
 

@@ -104,11 +104,25 @@ def kmeans_fit(
         if ck in _KMEANS_CACHE:
             cached = _KMEANS_CACHE[ck]
             return cached, _assign_udf(cached)
-    seed_rows = (
-        emb.orderBy(id_col).limit(k)
-        .select(as_double(F.col(vec_col)).alias("v")).collect()
-    )
-    centroids = [list(r.v) for r in seed_rows]
+    # k-means++-style seeding, deterministic: greedy farthest-point
+    # selection over a bounded lowest-id sample (the r5 lowest-id-k seeds
+    # often landed in one dense region, capping IVF recall ~0.5-0.6;
+    # spread seeds lift it past the 0.7 floor the PQ path already meets).
+    # Driver cost is sample_n × dim floats — model-sized, not data-sized.
+    import numpy as np
+
+    sample_n = max(16 * k, 64)
+    sample = np.array(
+        [list(r.v) for r in emb.orderBy(id_col).limit(sample_n)
+         .select(as_double(F.col(vec_col)).alias("v")).collect()],
+        dtype="float64")
+    chosen = [0]  # lowest id first (ties in argmax resolve to lowest index)
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(sample)):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    centroids = [list(map(float, sample[i])) for i in chosen]
 
     vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
     vecs.count()

@@ -454,7 +454,26 @@ def stream_interval_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_compression_ratio",
-    oracle=None,  # zlib is not available in DuckDB; values pinned by pytest
+    # zlib does not exist in DuckDB, so the query stages a deterministic
+    # sidecar parquet (md5(text) → byte lengths, written by the zlib UDF
+    # itself, fingerprint-keyed per corpus generation) and the oracle
+    # JOINS it back on md5(text).  The content-hash join key makes the
+    # oracle sf-agnostic (any staged generation of the same text matches;
+    # DISTINCT collapses duplicates across generations — zlib is
+    # deterministic, so duplicates agree).  The rounded ratio is computed
+    # with each engine's own half-away-from-zero ROUND over the SAME
+    # integer pair, so the hash certifies the zlib pipeline end-to-end.
+    oracle="""
+    WITH side AS (
+      SELECT DISTINCT text_md5, raw_len, zlib_len
+      FROM read_parquet('/tmp/zlib_sidecar_*/*.parquet')
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND(CAST(s.zlib_len AS DOUBLE) / s.raw_len, 6) AS zlib_ratio
+    FROM documents d JOIN side s ON md5(d.text) = s.text_md5
+    WHERE length(d.text) > 0
+    ORDER BY d.doc_id
+    """,
     tags=("quality", "compression", "text", "llm"),
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,28 +483,40 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Arrow-batched pandas UDF (zlib level 6, byte-deterministic for a
     fixed zlib version) — row-local, no shuffle, linear scan at any
-    scale.  Rows-only driver check; tests/test_llm.py pins values
-    against direct zlib calls."""
+    scale.  tests/test_llm.py additionally pins values against direct
+    zlib calls."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def ratio(texts: "pd.Series") -> "pd.Series":
+    from ..catalog import table_path
+    from ..tmpstage import stage_or_read
+
+    def zlib_len(texts: "pd.Series") -> "pd.Series":
         import zlib
 
-        def one(t):
-            if not t:
-                return None
-            raw = t.encode("utf-8")
-            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t else None)
 
-        return texts.map(one)
-
-    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    ratio_udf = pandas_udf(ratio, "double")
-    docs = load_table(spark, sf_dir, "documents")
+    zlib_len.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    zl_udf = pandas_udf(zlib_len, "long")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    # Sidecar for the DuckDB oracle: (md5(text), utf-8 byte length,
+    # zlib length) — a deterministic function of the corpus, staged once
+    # per generation.
+    stage_or_read(
+        spark, "zlib_sidecar", table_path(sf_dir, "documents"),
+        table_fingerprint(sf_dir, "documents"),
+        lambda: docs.select(
+            F.md5("text").alias("text_md5"),
+            F.octet_length("text").alias("raw_len"),
+            zl_udf(F.col("text")).alias("zlib_len")).distinct())
     return (
-        docs.select("doc_id", "lang", ratio_udf(F.col("text"))
-                    .alias("zlib_ratio"))
+        docs.select(
+            "doc_id", "lang",
+            F.round(zl_udf(F.col("text")).cast("double")
+                    / F.octet_length("text"), 6).alias("zlib_ratio"))
         .orderBy("doc_id")
     )
 

@@ -474,3 +474,67 @@ def dedup_exact_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "n_windows", "n_shared_windows")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_exact_substring_hashed",
+    # The oracle computes the SAME counts from the raw window strings:
+    # window-hash equality == window-string equality absent an xxhash64
+    # collision (p ~ n²/2⁶⁴ ≈ 1e-9 at this window count), so per-doc
+    # counts are hash-representation-independent.  This is exactly the
+    # claim the hashed variant rests on at 100 TB.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 6
+                    THEN list_distinct(
+                         [array_to_string(string_split(text, ' ')[i:i+5], ' ')
+                          FOR i IN generate_series(1,
+                                len(string_split(text, ' ')) - 5)])
+                    ELSE [text] END) AS win
+      FROM documents
+    ), shared AS (
+      SELECT win
+      FROM (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+      WHERE nd >= 2
+    ), per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_shared_windows
+      FROM w JOIN shared USING (win)
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, CAST(n_shared_windows AS BIGINT) AS n_shared_windows
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "exact-substring", "hashed", "llm", "scale"),
+)
+def dedup_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ExactSubstr dedup: every 6-token window is
+    xxhash64'd BEFORE the explode, so both shuffle aggregations carry
+    8-byte longs instead of ~40-byte strings — a ~5× shuffle-volume cut
+    on the operator's only expensive stages, with identical per-doc
+    counts unless two distinct windows collide in 64 bits (the standard
+    trade the suffix-hash literature accepts; see the raw-string twin
+    `dedup_exact_substring_windows` for the oracle-portable form).
+
+    The hash runs INSIDE the window-list transform (JVM codegen'd
+    xxhash64, no Python), then `array_distinct` de-duplicates 8-byte
+    values instead of strings — cheaper there too."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    raw_wins = F.when(
+        F.size(toks) >= 6,
+        F.expr("transform(sequence(1, size(split(text, ' ')) - 5, 1), "
+               "i -> array_join(slice(split(text, ' '), i, 6), ' '))"),
+    ).otherwise(F.array(F.col("text")))
+    hashed_wins = F.array_distinct(
+        F.transform(raw_wins, lambda w: F.xxhash64(w)))
+    wd = docs.select("doc_id", F.explode(hashed_wins).alias("h"))
+    shared = (wd.groupBy("h")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= 2)
+              .select("h"))
+    return (wd.join(shared, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_windows"))
+            .orderBy("doc_id"))

@@ -200,8 +200,12 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id)
               for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
     # Probing half the cells must recover a solid fraction of true top-5.
+    # Floor raised 0.5 → 0.7 in r6 with farthest-point seeding (the
+    # lowest-id-k seeds often shared one dense region); the fit is
+    # deterministic, so run-to-run variance is zero — only a data regen
+    # moves this number (measured 0.76 at the test SF).
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall {recall}"
+    assert recall >= 0.7, f"recall {recall}"
     # And the result is deterministic across runs.
     approx2 = {(r.query_id, r.neighbor_id)
                for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
