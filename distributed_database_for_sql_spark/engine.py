@@ -19,11 +19,27 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from . import TABLES
 from .catalog import register_views
+
+# Delta-style MERGE statement routed to the native txlog table format
+# (sources/txlog.py).  v1 surface: whole-row upsert with an equi-key —
+#   MERGE INTO t USING u ON t.k = u.k
+#   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+# exactly the DML shape the reference's replicated command strings carry
+# (/root/reference/src/raft/node.go:16-19 passes opaque SQL through the
+# log; here the statement lands on an ACID table instead of nowhere).
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE)
 
 
 class Engine:
@@ -33,10 +49,45 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = register_views(spark, sf_dir, TABLES)
+        self.txlog_tables: dict[str, object] = {}
+
+    def register_txlog(self, name: str, table) -> None:
+        """Expose a TxLogTable under ``name``: SELECTs see its current
+        snapshot as a temp view, and MERGE INTO statements route to its
+        ACID merge_upsert."""
+        self.txlog_tables[name] = table
+        table.read().createOrReplaceTempView(name)
 
     def sql(self, command: str) -> DataFrame:
-        """Execute one SQL command (DQL/DDL on temp views)."""
+        """Execute one SQL command (DQL/DDL on temp views; MERGE INTO on
+        registered txlog tables)."""
+        m = _MERGE_RE.match(command)
+        if m:
+            return self._merge_into(command, m)
         return self.spark.sql(command)
+
+    def _merge_into(self, command: str, m: re.Match) -> DataFrame:
+        g = m.groupdict()
+        target, source = g["target"], g["source"]
+        if target not in self.txlog_tables:
+            raise ValueError(
+                f"MERGE INTO target {target!r} is not a registered txlog "
+                "table (register_txlog first)")
+        t_names = {target, (g["talias"] or target)}
+        s_names = {source, (g["salias"] or source)}
+        sides = {g["q1"]: g["k1"], g["q2"]: g["k2"]}
+        t_key = next((k for q, k in sides.items() if q in t_names), None)
+        s_key = next((k for q, k in sides.items() if q in s_names), None)
+        if t_key is None or s_key is None or t_key != s_key:
+            raise ValueError(
+                f"unsupported MERGE ON clause in {command!r}: need "
+                "target.<key> = source.<key> with the same column name")
+        table = self.txlog_tables[target]
+        version = table.merge_upsert(self.spark.table(source), t_key)
+        # keep subsequent SELECTs over the view consistent with the commit
+        table.read().createOrReplaceTempView(target)
+        return self.spark.createDataFrame(
+            [(target, version)], "table_name string, version long")
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]

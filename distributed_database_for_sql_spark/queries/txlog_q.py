@@ -233,3 +233,67 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("*").alias("n_v1"), F.sum("cents").alias("cents_v1")))
     return (v0.join(v1, "o_orderpriority")
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "sql_merge_into_txlog",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1                          AS merge_version
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "merge", "sql", "engine"),
+)
+def sql_merge_into_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's command-string DML surface end-to-end: a literal
+    ``MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    INSERT *`` statement goes through ``Engine.sql`` (the state machine
+    the reference's replicated log fed into, /root/reference/src/raft/
+    node.go:16-19) and lands on the native txlog table's copy-on-write
+    merge; the post-merge aggregate is read back through the SAME SQL
+    surface.  The emitted merge_version certifies the commit audit
+    (CREATE=0, this MERGE=1), and the values certify the merge itself.
+    tests/test_server.py replays the identical statement through the
+    CommandLog for the durability arm."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("sqlmerge", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders", t)
+    (orders.filter((F.col("o_orderkey") > 500)
+                   & (F.col("o_orderkey") <= 1500))
+     .select("o_orderkey", "o_orderpriority", (cents + 7).alias("cents"))
+     .createOrReplaceTempView("order_updates"))
+    ack = engine.sql(
+        "MERGE INTO txlog_orders AS t USING order_updates AS u "
+        "ON t.o_orderkey = u.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    version = ack.collect()[0]["version"]
+    return (engine.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "       SUM(cents) AS total_cents "
+        "FROM txlog_orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        .withColumn("merge_version", F.lit(version).cast("int")))

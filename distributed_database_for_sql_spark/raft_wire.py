@@ -53,6 +53,10 @@ def _enc_varint(n: int) -> bytes:
 def _dec_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = result = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if shift > 63:
+            raise ValueError("malformed varint: exceeds 64 bits")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -124,11 +128,18 @@ def decode(schema: dict, buf: bytes) -> dict:
                 msg[name] = bool(v) if kind == "bool" else v
         elif wire_type == 2:
             ln, pos = _dec_varint(buf, pos)
+            if ln < 0 or pos + ln > len(buf):
+                raise ValueError(
+                    f"truncated length-delimited field: need {ln} bytes, "
+                    f"{len(buf) - pos} remain")
             chunk, pos = buf[pos:pos + ln], pos + ln
             if field_no in schema:
                 name, kind = schema[field_no]
                 if kind == "string":
-                    msg[name] = chunk.decode("utf-8")
+                    try:
+                        msg[name] = chunk.decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise ValueError(f"malformed utf-8 string: {e}") from e
                 else:
                     msg[name].append(decode(kind[1], chunk))
         else:
@@ -184,29 +195,40 @@ class RaftWireServer:
                     hdr = _read_exact(self.request, 5)
                 except ConnectionError:
                     return
-                method, ln = struct.unpack(">BI", hdr)
-                payload = _read_exact(self.request, ln)
-                if method == METHOD_REQUEST_VOTE:
-                    req = decode(VOTE_REQUEST, payload)
-                    outer.term = max(outer.term, req["term"])
-                    resp = encode(VOTE_RESPONSE, {
-                        "nodeID": outer.node_id, "term": outer.term,
-                        "voteGranted": True})
-                elif method == METHOD_APPEND_ENTRIES:
-                    req = decode(LOG_REQUEST, payload)
-                    outer.term = max(outer.term, req["term"])
-                    cmds = [e["command"] for e in req["entries"]]
-                    if cmds:
-                        outer.log.append(*cmds)
-                    resp = encode(LOG_RESPONSE, {
-                        "followerID": outer.node_id, "term": outer.term,
-                        "ack": outer.log.length(), "success": True})
-                else:
+                try:
+                    method, ln = struct.unpack(">BI", hdr)
+                    payload = _read_exact(self.request, ln)
+                    if method == METHOD_REQUEST_VOTE:
+                        req = decode(VOTE_REQUEST, payload)
+                        outer.term = max(outer.term, req["term"])
+                        resp = encode(VOTE_RESPONSE, {
+                            "nodeID": outer.node_id, "term": outer.term,
+                            "voteGranted": True})
+                    elif method == METHOD_APPEND_ENTRIES:
+                        req = decode(LOG_REQUEST, payload)
+                        outer.term = max(outer.term, req["term"])
+                        cmds = [e["command"] for e in req["entries"]]
+                        if cmds:
+                            outer.log.append(*cmds)
+                        resp = encode(LOG_RESPONSE, {
+                            "followerID": outer.node_id, "term": outer.term,
+                            "ack": outer.log.length(), "success": True})
+                    else:
+                        resp = encode(LOG_RESPONSE, {
+                            "followerID": outer.node_id, "term": outer.term,
+                            "ack": 0, "success": False})
+                except (ValueError, ConnectionError):
+                    # malformed/truncated frame: reply with a failure
+                    # LogResponse instead of dropping the connection (the
+                    # client would otherwise see a bare ConnectionError)
                     resp = encode(LOG_RESPONSE, {
                         "followerID": outer.node_id, "term": outer.term,
                         "ack": 0, "success": False})
-                self.request.sendall(
-                    struct.pack(">BI", 0, len(resp)) + resp)
+                try:
+                    self.request.sendall(
+                        struct.pack(">BI", 0, len(resp)) + resp)
+                except OSError:
+                    pass  # peer gone; nothing to reply to
 
         self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
         self._srv.daemon_threads = True
