@@ -102,16 +102,25 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
-def test_ann_brute_force_query_side_broadcasts(spark):
-    """The bounded query set broadcasts; candidates never shuffle."""
+def test_ann_brute_force_is_single_scan_local_topk(spark):
+    """r6 shape: the query matrix rides in the mapInPandas closure, so
+    the plan has NO join at all — one Arrow-batched scan emits batch-
+    local top-k and only partitions×Q×k rows reach the ranking exchange
+    (corpus-size-independent shuffle, the 100 TB-safe form).  Guard both
+    properties: the scan stage exists, and no pair-space join ever
+    reappears."""
     from distributed_database_for_sql_spark.plans.explain import physical_plan
 
     df = registry()["ann_bruteforce_topk"].fn(spark, "/root/testdata/sf0.001")
     plan = physical_plan(df)
-    # non-equi self-pairing runs as a broadcast nested loop (fine: one
-    # side is k rows), NOT a CartesianProduct of the corpus with itself
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one scan of the embeddings parquet in the plan TREE (the
+    # formatted details section repeats node names; the tree is the first
+    # paragraph) — i.e. no second exact pass over the corpus
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
 
 
 def test_simhash_hamming_join_is_band_blocked(spark):
