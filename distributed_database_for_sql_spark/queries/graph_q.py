@@ -96,12 +96,23 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
+    # Narrow every side to the join/agg columns BEFORE joining (the scans
+    # then read 2 columns each), and broadcast orders' 2-column projection
+    # too: after pruning it is dimension-sized at any SF where it fits the
+    # broadcast threshold, and broadcasting it removes the only big-to-big
+    # shuffle in the edge build (lineitem never repartitions — each task
+    # map-side joins three broadcast tables and feeds the partial count
+    # aggregate).  At a scale where even the 2-column orders projection
+    # exceeds the threshold, drop that one hint and AQE falls back to a
+    # shuffle join on o_orderkey; the other two dims stay broadcast.
     edges = (
-        li.join(F.broadcast(supplier),
-                li["l_suppkey"] == supplier["s_suppkey"])
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer),
-              orders["o_custkey"] == customer["c_custkey"])
+        li.select("l_suppkey", "l_orderkey")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("s_nationkey").alias("src"),
                  F.col("c_nationkey").alias("dst"))
         .agg(F.count("*").cast("double").alias("weight"))

@@ -506,11 +506,23 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed directly.
     """
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # The `flagged` frame is referenced twice (per-order counts + the
+    # final supplier roll-up); broadcasting the FILTERED 2-column orders
+    # projection makes both references map-side joins over a pruned
+    # 3-column lineitem scan — lineitem never shuffles for the join, and
+    # the only wide shuffle left is the per-order aggregate.  (The
+    # filtered orders key+date projection is a fraction of the fact side
+    # at any SF; if it ever outgrows the broadcast threshold, dropping
+    # the hint falls back to one shuffle join, not two — the frame should
+    # then be persisted instead.)
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
     supp = _t(spark, sf_dir, "supplier")
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     flagged = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .withColumn("is_late", (F.col("l_shipdate") > late_cut).cast("int"))
     )
     per_order = (
