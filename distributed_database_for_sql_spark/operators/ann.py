@@ -110,6 +110,9 @@ def brute_force_topk(
     qm = np.array([r[1] for r in qrows], dtype="float64")  # Q × dim, exact
     qn = _seq_norm(qm)  # left-to-right accumulation, as the JVM flat sum
 
+    # scan parallelism = input partitions (at scale the corpus is many
+    # files; a deliberate repartition here measured SLOWER at fixture
+    # size — the numpy scan outruns the exchange it would add)
     local = emb.select(id_col, vec_col).mapInPandas(
         _local_topk_scan(qids, qm, qn, k, id_col, vec_col),
         "query_id long, neighbor_id long, cos double")

@@ -82,7 +82,11 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc count, nothing quadratic.  Real pipelines hash the
     shingles (xxhash64) instead of carrying strings; strings kept here
     for oracle portability."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.minhash import fan_out_small_input
+
+    # n-gram generation is CPU-bound per-doc work; a single-file input
+    # would serialize both explodes onto one core.
+    docs = fan_out_small_input(load_table(spark, sf_dir, "documents"))
     bench = (
         docs.filter(F.col("source") == "src0")
         .select(F.explode(_ngrams("text", _NGRAM_W)).alias("ng"))

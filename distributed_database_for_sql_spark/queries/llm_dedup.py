@@ -452,7 +452,11 @@ def dedup_exact_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     the decontam docstring documents) and both aggregations are
     map-side-combining shuffles on the window key; nothing quadratic,
     no driver state."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.minhash import fan_out_small_input
+
+    # Window generation is CPU-bound per-doc work; a single-file input
+    # would otherwise run the whole explode on one core.
+    docs = fan_out_small_input(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     wins = F.when(
         F.size(toks) >= 6,
@@ -520,7 +524,9 @@ def dedup_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash runs INSIDE the window-list transform (JVM codegen'd
     xxhash64, no Python), then `array_distinct` de-duplicates 8-byte
     values instead of strings — cheaper there too."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.minhash import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     raw_wins = F.when(
         F.size(toks) >= 6,
