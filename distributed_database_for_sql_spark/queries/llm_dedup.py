@@ -334,7 +334,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     `functions/text.simhash` supports any width up to its 60-bit base
     hash) with the same pigeonhole guarantee at Hamming ≤ 3; nothing
     else in the plan changes."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.minhash import fan_out_small_input
+
+    # SimHash folds are interpreted per token; fan out the single-file
+    # fixture input so code computation parallelizes (no-op at scale).
+    docs = fan_out_small_input(load_table(spark, sf_dir, "documents"))
     tk = F.array_distinct(F.split(F.col("text"), " "))
     sh = docs.select("doc_id", "lang", simhash(tk, bits=16).alias("sh16"))
     band_vals = F.array(*[
