@@ -47,17 +47,29 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def count_exchanges(df: DataFrame) -> int:
+def count_exchanges(df: DataFrame, include_fanout: bool = True) -> int:
     """Number of shuffle exchanges in the plan (lower = better, usually).
 
     Counts only the detail-section headers "(n) Exchange" — each node
     also appears in the plan tree, so matching every line containing
     "Exchange" double-counts.
+
+    ``include_fanout=False`` excludes deliberate REPARTITION_BY_NUM
+    round-robin fan-outs (used to parallelize work downstream of a
+    single-file scan); those are a scan-shape workaround, not a
+    join/aggregation shuffle, and carry the pre-explode (small) rows.
     """
     import re
 
     plan = physical_plan(df)
-    return sum(
-        1 for line in plan.splitlines()
-        if re.match(r"^\(\d+\) Exchange\b", line.strip())
-    )
+    lines = plan.splitlines()
+    count = 0
+    for i, line in enumerate(lines):
+        if not re.match(r"^\(\d+\) Exchange\b", line.strip()):
+            continue
+        if not include_fanout:
+            detail = "\n".join(lines[i:i + 4])
+            if "REPARTITION_BY_NUM" in detail and "RoundRobin" in detail:
+                continue
+        count += 1
+    return count

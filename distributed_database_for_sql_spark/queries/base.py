@@ -114,6 +114,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r6 (policy: new queries certify the round they ship) --------
     "dedup_exact_substring_hashed",   # 8-byte-window ExactSubstr (scale twin)
     "sql_merge_into_txlog",           # MERGE INTO statement -> txlog ACID
+    "delta_data_skipping",            # file-stats pruning (footer min/max)
+    "delta_change_data_feed",         # CDF: row-level change stream
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -169,8 +171,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "filter_like_patterns",
     "null_handling",
     "proj_computed_columns",
-    "sort_multi_key_limit",
-    "sql_entry_revenue_by_nation",
+    # sort_multi_key_limit + sql_entry_revenue_by_nation displaced to the
+    # r7 drain block by the two new delta_* queries (policy above).
 )
 
 

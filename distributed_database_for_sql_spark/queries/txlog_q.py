@@ -297,3 +297,129 @@ def sql_merge_into_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       SUM(cents) AS total_cents "
         "FROM txlog_orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
         .withColumn("merge_version", F.lit(version).cast("int")))
+
+
+@register(
+    "delta_data_skipping",
+    # files_were_skipped is a robust BOOLEAN audit (pruning kept fewer
+    # files than the snapshot holds) — exact file counts depend on range
+    # partitioner sampling and would flip nondeterministically (same
+    # rationale as delta_optimize_compact's flag).
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)               AS min_key,
+           MAX(o_orderkey)               AS max_key,
+           TRUE                          AS files_were_skipped
+    FROM orders
+    WHERE o_orderkey BETWEEN 400 AND 700
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "data-skipping", "stats", "pruning"),
+)
+def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-statistics data skipping: the table is written range-
+    partitioned on the key, so each segment's footer min/max covers a
+    disjoint key range; a key-range read then PROVES most segments
+    irrelevant from commit-log stats alone (driver-side metadata — no
+    data opened) and scans only the rest.  The residual filter keeps the
+    result exactly equal to an unpruned filter — certified value-exactly
+    here — while the audit flag certifies that pruning actually skipped
+    files.  At 100 TB this is the entire difference between a key/time
+    range query costing a table scan and costing two segment reads."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartitionByRange(8, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("skipping", sf_dir), base,
+                          overwrite=True)
+    preds = [("o_orderkey", "between", (400, 700))]
+    kept, total = t.prune_files(preds)
+    return (
+        t.read_where(preds)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .withColumn("files_were_skipped", F.lit(len(kept) < total))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_change_data_feed",
+    oracle=f"""
+    WITH matched AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    ), inserted AS (
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1500
+    ), post_merge AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), changes AS (
+      SELECT 'update_preimage'  AS change_type, 1 AS commit_version,
+             o_orderkey, cents FROM matched
+      UNION ALL
+      SELECT 'update_postimage' AS change_type, 1 AS commit_version,
+             o_orderkey, cents + 7 AS cents FROM matched
+      UNION ALL
+      SELECT 'insert' AS change_type, 1 AS commit_version,
+             o_orderkey, cents FROM inserted
+      UNION ALL
+      SELECT 'delete' AS change_type, 2 AS commit_version,
+             o_orderkey, cents FROM post_merge WHERE o_orderkey % 7 = 0
+    )
+    SELECT change_type, commit_version,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM changes
+    GROUP BY change_type, commit_version
+    ORDER BY change_type, commit_version
+    """,
+    tags=("acid", "delta", "cdf", "incremental"),
+)
+def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: a MERGE then a DELETE run with CDF enabled, and
+    ``read_changes`` returns every row-level change — update preimages
+    and postimages, inserts, deletes — tagged with its commit version.
+    The oracle recomputes all four change classes relationally from raw
+    orders, so the hash certifies the change stream itself (not just the
+    final state).  This is the incremental-consumer contract: a 100 TB
+    downstream pipeline (index refresh, training-set delta) tails
+    ``read_changes(last_seen+1)`` instead of rescanning the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("cdf", sf_dir), base,
+                          overwrite=True, enable_cdf=True)
+    t.merge_upsert(updates, "o_orderkey")            # v1
+    t.delete_where(F.col("o_orderkey") % 7 == 0)     # v2
+    return (
+        t.read_changes(1, 2)
+        .groupBy(F.col("_change_type").alias("change_type"),
+                 F.col("_commit_version").alias("commit_version"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .orderBy("change_type", "commit_version")
+    )

@@ -43,15 +43,32 @@ merged table readable after millions of streaming commits.  Checkpoints
 are derived data: losing one (or crashing mid-write) only means a
 longer replay, never wrong answers.
 
+File statistics + data skipping (Delta's ``stats`` field): every add
+action records per-file min/max/nullCount harvested from the parquet
+FOOTER at write time (metadata-only read, O(files) not O(data));
+``prune_files``/``read_where`` prove files irrelevant to a predicate
+from those stats alone and never open them.  Checkpoints carry the
+stats forward so skipping never pays a log replay.
+
+Change Data Feed (Delta CDF): with ``enable_cdf=True``, MERGE/DELETE
+persist their row-level changes (update pre/postimages, inserts,
+deletes) under ``_change_data/`` and record them in the commit;
+``read_changes(a, b)`` serves the concatenated change stream with
+``_change_type``/``_commit_version`` columns.  Appends synthesize
+insert rows directly from their added segments — no extra storage.
+
 At 100 TB: segments are immutable parquet (scan parallelism = file
 count), the log is O(commits) tiny JSON with O(N)-bounded replay via
-checkpoints, snapshot resolution is driver-side metadata only, and
-MERGE rewrites only matched segments — the same shape that makes real
-Delta viable at scale.
+checkpoints, snapshot resolution is driver-side metadata only, MERGE
+rewrites only matched segments, stats-pruned reads open only the
+segments a key/time-range predicate can touch, and incremental
+consumers tail the change feed instead of rescanning — the same shapes
+that make real Delta viable at scale.
 """
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
@@ -65,6 +82,93 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
 _LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _stat_value(v):
+    """Coerce a parquet-footer statistic to a JSON-storable value whose
+    ordering matches the column's value ordering (dates/timestamps →
+    ISO strings, same trick as ``_json_key``).  None = unusable."""
+    if isinstance(v, bool) or v is None:
+        return None  # boolean min/max is useless for range pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(abs_path: str) -> dict | None:
+    """Per-file column statistics from the parquet FOOTER (metadata-only
+    read — no data pages touched, the property that makes stats
+    collection O(files) instead of O(data) and lets a 100 TB writer
+    record them at write time for free).  Shape mirrors Delta's
+    ``stats`` JSON: numRecords + min/max/nullCount per top-level leaf
+    column that carries footer statistics."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested/list leaf: not a top-level column
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or (mins[name] is not None and lo < mins[name]):
+                mins[name] = lo
+            if name not in maxs or (maxs[name] is not None and hi > maxs[name]):
+                maxs[name] = hi
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: v for k, v in mins.items() if v is not None},
+        "maxValues": {k: v for k, v in maxs.items() if v is not None},
+        "nullCount": nulls,
+    }
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
+    """Can a file with these footer stats contain a row satisfying
+    ``col op value``?  Missing stats → True (conservative: never skip
+    what you cannot prove empty), exactly like Delta data skipping."""
+    if stats is None:
+        return True
+    lo = stats.get("minValues", {}).get(col)
+    hi = stats.get("maxValues", {}).get(col)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "between":
+            vlo, vhi = (_json_key(v) for v in value)
+            return lo <= vhi and hi >= vlo
+        value = _json_key(value)
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable types: cannot prove skippable
+    raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
 def _is_commit_name(name: str) -> bool:
@@ -101,12 +205,18 @@ class TxLogTable:
     checkpoint_interval: int = 10
 
     def __init__(self, spark: SparkSession, path: str,
-                 checkpoint_interval: int | None = None):
+                 checkpoint_interval: int | None = None,
+                 enable_cdf: bool = False):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         if checkpoint_interval is not None:
             self.checkpoint_interval = checkpoint_interval
+        #: when True, MERGE/DELETE persist row-level change data
+        #: (Delta's Change Data Feed) under _change_data/ and record it
+        #: in the commit; ``read_changes`` serves it back.  Appends need
+        #: no extra storage — their change rows ARE the added segments.
+        self.enable_cdf = enable_cdf
 
     # -- log plumbing -------------------------------------------------------
 
@@ -217,10 +327,11 @@ class TxLogTable:
             return
         if version % self.checkpoint_interval != 0:
             return
-        files, schema_json = self._snapshot_files(version)
-        rel = [os.path.relpath(os.path.normpath(p),
-                               os.path.normpath(self.path)) for p in files]
-        manifest = {"version": version, "active": rel,
+        active, schema_json = self._snapshot(version)
+        manifest = {"version": version,
+                    "active": list(active),
+                    "adds": [{"path": p, "stats": s}
+                             for p, s in active.items()],
                     "schemaJson": schema_json}
         tmp = os.path.join(self.log_dir,
                            f".tmpck-{version:08d}-{uuid.uuid4().hex[:8]}")
@@ -263,23 +374,27 @@ class TxLogTable:
         except (FileNotFoundError, json.JSONDecodeError):
             return None  # torn/missing checkpoint: full replay still works
 
-    def _snapshot_files(self, version: int | None = None) -> tuple[list[str], str | None]:
+    def _snapshot(self, version: int | None = None) -> tuple[dict[str, dict | None], str | None]:
         """Resolve the snapshot at ``version``: start from the best
         checkpoint ≤ version (if any) and replay only the commit suffix →
-        (active data files, schema json).  Without checkpoints this
-        degenerates to full replay from commit 0."""
+        (ordered {table-relative path: footer stats or None}, schema
+        json).  Without checkpoints this degenerates to full replay from
+        commit 0."""
         latest = self.latest_version()
         if latest < 0:
             raise FileNotFoundError(f"no txlog table at {self.path}")
         v = latest if version is None else version
         if v > latest or v < 0:
             raise ValueError(f"version {v} out of range [0, {latest}]")
-        active: dict[str, None] = {}  # insertion-ordered set
+        active: dict[str, dict | None] = {}  # insertion-ordered
         schema_json = None
         start = 0
         ckpt = self._best_checkpoint(v)
         if ckpt is not None:
-            active = dict.fromkeys(ckpt["active"])
+            if "adds" in ckpt:
+                active = {a["path"]: a.get("stats") for a in ckpt["adds"]}
+            else:  # pre-stats checkpoint format: paths only, no skipping
+                active = dict.fromkeys(ckpt["active"])
             schema_json = ckpt["schemaJson"]
             start = ckpt["version"] + 1
         for i in range(start, v + 1):
@@ -287,9 +402,14 @@ class TxLogTable:
                 if "metaData" in action:
                     schema_json = action["metaData"]["schemaJson"]
                 elif "add" in action:
-                    active[action["add"]["path"]] = None
+                    active[action["add"]["path"]] = action["add"].get("stats")
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
+        return active, schema_json
+
+    def _snapshot_files(self, version: int | None = None) -> tuple[list[str], str | None]:
+        """Absolute active data files + schema json at ``version``."""
+        active, schema_json = self._snapshot(version)
         return [os.path.join(self.path, p) for p in active], schema_json
 
     # -- segment writing ----------------------------------------------------
@@ -306,12 +426,32 @@ class TxLogTable:
             for p in sorted(glob.glob(os.path.join(out, "part-*.parquet")))
         ]
 
+    def _write_change_data(self, changes: DataFrame) -> str:
+        """Persist a commit's row-level change data under _change_data/
+        (immutable, uuid'd like data segments); return the table-relative
+        path recorded in the commit's ``cdf`` action."""
+        sub = os.path.join("_change_data", f"cdf-{uuid.uuid4().hex[:12]}")
+        changes.write.mode("errorifexists").parquet(
+            os.path.join(self.path, sub))
+        return sub
+
+    def _add_actions(self, rel_paths: list[str]) -> list[dict]:
+        """add actions with per-file footer statistics (Delta's ``stats``
+        field) — the write-time metadata that powers read-time data
+        skipping.  Footer-only reads, so cost is O(files)."""
+        return [
+            {"add": {"path": p,
+                     "stats": _file_stats(os.path.join(self.path, p))}}
+            for p in rel_paths
+        ]
+
     # -- public ops ---------------------------------------------------------
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
-               overwrite: bool = False) -> "TxLogTable":
-        t = cls(spark, path)
+               overwrite: bool = False,
+               enable_cdf: bool = False) -> "TxLogTable":
+        t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
                 raise FileExistsError(f"txlog table already exists at {path}")
@@ -321,7 +461,7 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "CREATE", "ts": int(time.time() * 1000)}},
              {"metaData": {"schemaJson": df.schema.json()}}]
-            + [{"add": {"path": p}} for p in rel]
+            + t._add_actions(rel)
         )
         if not t._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {path}")
@@ -354,7 +494,7 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "APPEND", "ts": int(time.time() * 1000)}}]
             + self._schema_evolution_action(df)
-            + [{"add": {"path": p}} for p in rel]
+            + self._add_actions(rel)
         )
         while True:
             v = self.latest_version() + 1
@@ -372,6 +512,58 @@ class TxLogTable:
         # older segments, exactly like the Delta protocol's read path.
         return (self.spark.read.option("mergeSchema", "true")
                 .parquet(*files))
+
+    # -- data skipping (Delta's file-statistics pruning) --------------------
+
+    def prune_files(self, predicates: list[tuple],
+                    version: int | None = None) -> tuple[list[str], int]:
+        """File-level data skipping: keep only the active files whose
+        footer min/max stats could satisfy EVERY ``(column, op, value)``
+        predicate (op ∈ =, <, <=, >, >=, between).  Returns (absolute
+        kept files, total active file count).  Purely driver-side
+        metadata — no data is read; a file without usable stats is kept
+        (conservative).  At 100 TB this is the difference between
+        scanning the table and scanning the handful of segments a
+        time/key-range query actually touches."""
+        active, _ = self._snapshot(version)
+        kept = [
+            os.path.join(self.path, p) for p, stats in active.items()
+            if all(_file_may_match(stats, c, op, v) for (c, op, v) in predicates)
+        ]
+        return kept, len(active)
+
+    def read_where(self, predicates: list[tuple],
+                   version: int | None = None) -> DataFrame:
+        """Snapshot read with data skipping + the residual row filter.
+        The residual filter is still applied (file stats only prove
+        which files CANNOT match), so the result is exactly
+        ``read(version).filter(...)`` — just without opening pruned
+        files."""
+        kept, _ = self.prune_files(predicates, version)
+        _, schema_json = self._snapshot(version)
+        residual = None
+        for c, op, v in predicates:
+            col = F.col(c)
+            if op == "=":
+                cond = col == v
+            elif op == "<":
+                cond = col < v
+            elif op == "<=":
+                cond = col <= v
+            elif op == ">":
+                cond = col > v
+            elif op == ">=":
+                cond = col >= v
+            elif op == "between":
+                cond = col.between(v[0], v[1])
+            else:
+                raise ValueError(f"unsupported predicate op: {op!r}")
+            residual = cond if residual is None else (residual & cond)
+        if not kept:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*kept)
+        return df.filter(residual) if residual is not None else df
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write MERGE (upsert): rows of ``updates`` replace
@@ -429,6 +621,32 @@ class TxLogTable:
         else:
             merged = updates
         rel_new = self._write_segments(merged)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            # Change rows are computed from the TOUCHED segments only —
+            # the same bounded working set the merge itself rewrites.
+            ct = F.lit("insert")
+            if touched:
+                pre = (self.spark.read.option("mergeSchema", "true")
+                       .parquet(*touched)
+                       .join(F.broadcast(upd_keys), key, "left_semi"))
+                matched_keys = pre.select(key).distinct()
+                post = updates.join(F.broadcast(matched_keys), key,
+                                    "left_semi")
+                ins = updates.join(F.broadcast(matched_keys), key,
+                                   "left_anti")
+                changes = (
+                    pre.withColumn("_change_type",
+                                   F.lit("update_preimage"))
+                    .unionByName(
+                        post.withColumn("_change_type",
+                                        F.lit("update_postimage")),
+                        allowMissingColumns=True)
+                    .unionByName(ins.withColumn("_change_type", ct),
+                                 allowMissingColumns=True))
+            else:
+                changes = updates.withColumn("_change_type", ct)
+            cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
@@ -440,7 +658,8 @@ class TxLogTable:
                          "keyRange": key_range}}]
             + self._schema_evolution_action(updates)
             + [{"remove": {"path": p}} for p in rel_removed]
-            + [{"add": {"path": p}} for p in rel_new]
+            + self._add_actions(rel_new)
+            + cdf_actions
         )
         return self._commit_with_occ(actions, rel_removed, base_version,
                                      key_range=key_range)
@@ -466,6 +685,13 @@ class TxLogTable:
                      .parquet(*touched)
                      .filter(~F.coalesce(condition, F.lit(False))))
         rel_new = self._write_segments(survivors)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            deleted = (self.spark.read.option("mergeSchema", "true")
+                       .parquet(*touched)
+                       .filter(F.coalesce(condition, F.lit(False)))
+                       .withColumn("_change_type", F.lit("delete")))
+            cdf_actions = [{"cdf": {"path": self._write_change_data(deleted)}}]
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
@@ -473,7 +699,8 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "DELETE", "ts": int(time.time() * 1000)}}]
             + [{"remove": {"path": p}} for p in rel_removed]
-            + [{"add": {"path": p}} for p in rel_new]
+            + self._add_actions(rel_new)
+            + cdf_actions
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
@@ -500,7 +727,7 @@ class TxLogTable:
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new)}}]
             + [{"remove": {"path": p}} for p in rel_removed]
-            + [{"add": {"path": p}} for p in rel_new]
+            + self._add_actions(rel_new)
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
@@ -536,6 +763,65 @@ class TxLogTable:
             if not any(n.endswith(".parquet") for n in os.listdir(seg_dir)):
                 shutil.rmtree(seg_dir)
         return removed
+
+    def read_changes(self, start_version: int = 0,
+                     end_version: int | None = None) -> DataFrame:
+        """Change Data Feed: the row-level changes committed in versions
+        ``[start_version, end_version]`` as one DataFrame with
+        ``_change_type`` (insert / update_preimage / update_postimage /
+        delete) and ``_commit_version`` columns — Delta CDF's read shape.
+
+        Appends/creates need no stored change data: their change rows ARE
+        the segments the commit added (read directly, typed ``insert``).
+        OPTIMIZE commits are layout-only and contribute nothing.  MERGE/
+        DELETE commits serve the change parquet persisted at commit time;
+        asking for one that ran with ``enable_cdf=False`` raises (the
+        preimages are unrecoverable — exactly Delta's behavior when CDF
+        was off).  Incremental consumers (downstream training-data
+        refresh at 100 TB) read only the delta, never rescan the table."""
+        latest = self.latest_version()
+        end = latest if end_version is None else end_version
+        if end > latest or start_version < 0 or start_version > end:
+            raise ValueError(
+                f"change range [{start_version}, {end}] out of bounds "
+                f"[0, {latest}]")
+        parts: list[DataFrame] = []
+        for v in range(start_version, end + 1):
+            actions = self._read_commit(v)
+            op = next((a["commit"]["op"] for a in actions if "commit" in a),
+                      None)
+            cdf = [a["cdf"]["path"] for a in actions if "cdf" in a]
+            if cdf:
+                df = (self.spark.read.option("mergeSchema", "true")
+                      .parquet(*[os.path.join(self.path, p) for p in cdf]))
+            elif op in ("CREATE", "APPEND"):
+                adds = [a["add"]["path"] for a in actions if "add" in a]
+                if not adds:
+                    continue
+                df = (self.spark.read.option("mergeSchema", "true")
+                      .parquet(*[os.path.join(self.path, p) for p in adds])
+                      .withColumn("_change_type", F.lit("insert")))
+            elif op == "OPTIMIZE":
+                continue
+            else:
+                raise ValueError(
+                    f"commit {v} ({op}) carries no change data — it ran "
+                    "with enable_cdf=False; preimages cannot be "
+                    "reconstructed after the fact")
+            parts.append(df.withColumn("_commit_version",
+                                       F.lit(v).cast("int")))
+        if not parts:
+            _, schema_json = self._snapshot(end)
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_change_type", T.StringType(), False),
+                   T.StructField("_commit_version", T.IntegerType(), False)])
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def history(self) -> list[dict]:
         """Commit metadata rows, oldest first."""

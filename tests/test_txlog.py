@@ -410,3 +410,153 @@ def test_random_op_sequences_match_model(spark, tmp_path):
     # history replay is consistent: every recorded version still resolves
     for v in range(t.latest_version() + 1):
         t._snapshot_files(v)
+
+
+# -- data skipping (file statistics) ----------------------------------------
+
+
+def _ranged_table(spark, tdir, n=400, files=8):
+    """n rows with k = 0..n-1, range-partitioned so each segment holds a
+    disjoint, tight k-range — the layout data skipping rewards."""
+    df = (spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 3).cast("int").alias("v"))
+        .repartitionByRange(files, "k"))
+    return TxLogTable.create(spark, tdir, df)
+
+
+def test_add_actions_record_footer_stats(spark, tdir):
+    t = _ranged_table(spark, tdir)
+    active, _ = t._snapshot()
+    assert active, "no files"
+    for path, stats in active.items():
+        assert stats is not None, f"missing stats for {path}"
+        assert stats["numRecords"] > 0
+        assert "k" in stats["minValues"] and "k" in stats["maxValues"]
+        assert stats["minValues"]["k"] <= stats["maxValues"]["k"]
+
+
+def test_prune_files_skips_disjoint_ranges(spark, tdir):
+    t = _ranged_table(spark, tdir)
+    kept, total = t.prune_files([("k", "between", (100, 149))])
+    assert total >= 4
+    assert 0 < len(kept) < total, (
+        f"expected real pruning: kept {len(kept)} of {total}")
+
+
+def test_read_where_matches_unpruned_filter(spark, tdir):
+    t = _ranged_table(spark, tdir)
+    for preds, cond in [
+        ([("k", "between", (100, 149))], (F.col("k") >= 100) & (F.col("k") <= 149)),
+        ([("k", ">=", 390)], F.col("k") >= 390),
+        ([("k", "<", 5)], F.col("k") < 5),
+        ([("k", "=", 123)], F.col("k") == 123),
+        ([("k", ">", 50), ("k", "<=", 60)], (F.col("k") > 50) & (F.col("k") <= 60)),
+    ]:
+        got = sorted(tuple(r) for r in t.read_where(preds).collect())
+        want = sorted(tuple(r) for r in t.read().filter(cond).collect())
+        assert got == want, f"pruned read diverged for {preds}"
+
+
+def test_read_where_empty_match_returns_schema(spark, tdir):
+    t = _ranged_table(spark, tdir)
+    df = t.read_where([("k", ">", 10_000)])
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "grp", "v"}
+
+
+def test_prune_conservative_without_stats(spark, tdir):
+    # Strip recorded stats (simulating a pre-stats commit): pruning must
+    # keep every file, never skip on absent evidence.
+    t = _ranged_table(spark, tdir)
+    import json as _json
+    fp = os.path.join(t.log_dir, "00000000.json")
+    actions = []
+    with open(fp) as f:
+        for line in f:
+            a = _json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            actions.append(a)
+    os.remove(fp)
+    with open(fp, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    kept, total = t.prune_files([("k", "between", (0, 1))])
+    assert len(kept) == total
+
+
+def test_checkpoint_carries_stats_forward(spark, tdir):
+    t = TxLogTable(spark, tdir, checkpoint_interval=2)
+    df = (spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("a").alias("grp"),
+        F.col("id").cast("int").alias("v"))
+        .repartitionByRange(4, "k"))
+    t2 = TxLogTable.create(spark, tdir, df)
+    t2.checkpoint_interval = 2
+    t2.append(_df(spark, [(1000, "z", 1)]))
+    t2.append(_df(spark, [(1001, "z", 1)]))  # v2 -> checkpoint written
+    assert os.path.exists(t2._checkpoint_path(2))
+    active, _ = t2._snapshot()
+    with_stats = [s for s in active.values() if s is not None]
+    assert len(with_stats) == len(active), "checkpoint dropped stats"
+    kept, total = t2.prune_files([("k", "<=", 20)])
+    assert len(kept) < total
+
+
+# -- change data feed -------------------------------------------------------
+
+
+def test_cdf_merge_changes(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          enable_cdf=True)
+    t.merge_upsert(_df(spark, [(2, "b", 99), (5, "c", 50)]), "k")
+    ch = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.read_changes(1, 1).collect())
+    assert ch == [("insert", 5, 50),
+                  ("update_postimage", 2, 99),
+                  ("update_preimage", 2, 20)]
+
+
+def test_cdf_delete_and_append_stream(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          enable_cdf=True)
+    t.append(_df(spark, [(2, "b", 20), (3, "c", 30)]))      # v1
+    t.delete_where(F.col("k") == 2)                          # v2
+    ch = t.read_changes(0).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["k"]))
+    assert sorted(by_ver[0]) == [("insert", 1)]
+    assert sorted(by_ver[1]) == [("insert", 2), ("insert", 3)]
+    assert sorted(by_ver[2]) == [("delete", 2)]
+
+
+def test_cdf_optimize_contributes_nothing(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          enable_cdf=True)
+    t.append(_df(spark, [(2, "b", 20)]))
+    t.optimize_compact(target_segments=1)
+    vers = {r["_commit_version"] for r in t.read_changes(0).collect()}
+    assert vers == {0, 1}, "OPTIMIZE is layout-only; no change rows"
+
+
+def test_cdf_disabled_merge_raises_on_read(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.merge_upsert(_df(spark, [(1, "a", 99)]), "k")
+    with pytest.raises(ValueError, match="no change data"):
+        t.read_changes(1, 1)
+
+
+def test_cdf_range_bounds(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          enable_cdf=True)
+    with pytest.raises(ValueError):
+        t.read_changes(0, 5)
+    with pytest.raises(ValueError):
+        t.read_changes(-1)
