@@ -41,6 +41,19 @@ _MERGE_RE = re.compile(
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
     re.IGNORECASE)
 
+# UPDATE t SET c1 = expr[, c2 = expr ...] WHERE cond — copy-on-write
+# update on a registered txlog table.  v1 surface: top-level commas
+# separate assignments (no commas inside an assignment expression).
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# DELETE FROM t WHERE cond — copy-on-write delete on a txlog table.
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>\w+)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 
 class Engine:
     """Thin session wrapper: catalog registration + SQL execution."""
@@ -64,7 +77,41 @@ class Engine:
         m = _MERGE_RE.match(command)
         if m:
             return self._merge_into(command, m)
+        m = _UPDATE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            return self._update(m)
+        m = _DELETE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            return self._delete(m)
         return self.spark.sql(command)
+
+    def _dml_ack(self, target: str, version: int) -> DataFrame:
+        """Refresh the target's temp view and return the commit ack."""
+        self.txlog_tables[target].read().createOrReplaceTempView(target)
+        return self.spark.createDataFrame(
+            [(target, version)], "table_name string, version long")
+
+    def _update(self, m: re.Match) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        target = m.group("target")
+        assignments: dict[str, str] = {}
+        for part in m.group("sets").split(","):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip().isidentifier():
+                raise ValueError(f"unsupported UPDATE SET clause: {part!r}")
+            assignments[col.strip()] = expr.strip()
+        version = self.txlog_tables[target].update_where(
+            assignments, F.expr(m.group("cond")))
+        return self._dml_ack(target, version)
+
+    def _delete(self, m: re.Match) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        target = m.group("target")
+        version = self.txlog_tables[target].delete_where(
+            F.expr(m.group("cond")))
+        return self._dml_ack(target, version)
 
     def _merge_into(self, command: str, m: re.Match) -> DataFrame:
         g = m.groupdict()

@@ -116,6 +116,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sql_merge_into_txlog",           # MERGE INTO statement -> txlog ACID
     "delta_data_skipping",            # file-stats pruning (footer min/max)
     "delta_change_data_feed",         # CDF: row-level change stream
+    "delta_deletion_vectors",         # merge-on-read DELETE (DV sidecar)
+    "sql_update_delete_txlog",        # UPDATE/DELETE statements -> txlog
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -169,10 +171,9 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "distinct_values",
     "filter_compound_predicates",
     "filter_like_patterns",
-    "null_handling",
-    "proj_computed_columns",
-    # sort_multi_key_limit + sql_entry_revenue_by_nation displaced to the
-    # r7 drain block by the two new delta_* queries (policy above).
+    # null_handling, proj_computed_columns, sort_multi_key_limit,
+    # sql_entry_revenue_by_nation displaced to the r7 drain block by the
+    # four new r6 delta/DML queries (policy above).
 )
 
 

@@ -423,3 +423,107 @@ def delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("o_orderkey").alias("max_key"))
         .orderBy("change_type", "commit_version")
     )
+
+
+@register(
+    "delta_deletion_vectors",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                          AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT)     AS total_cents,
+           TRUE                              AS segments_untouched
+    FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "deletion-vectors", "merge-on-read"),
+)
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: the DELETE writes only
+    a (file, row position) tombstone sidecar — the audit flag certifies
+    that NO data segment changed — and the read applies the tombstones
+    by position (broadcast anti-join), returning exactly the
+    copy-on-write result, value-certified here against relational
+    recomputation.  At 100 TB this turns "delete a few rows from a 1 GB
+    segment" from a 1 GB rewrite into an O(rows-deleted) sidecar write;
+    the next MERGE/OPTIMIZE of the file materializes and retires the
+    vector (pinned in tests/test_txlog.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("dv", sf_dir), base,
+                          overwrite=True)
+    files_before, _ = t._snapshot_files()
+    t.delete_where(F.col("o_orderkey") % 7 == 0, use_dv=True)
+    files_after, _ = t._snapshot_files()
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("segments_untouched",
+                    F.lit(files_before == files_after))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sql_update_delete_txlog",
+    oracle=f"""
+    WITH updated AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN {_CENTS} + 55 ELSE {_CENTS} END AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), final AS (
+      SELECT * FROM updated WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1                          AS update_version,
+           2                          AS delete_version
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "update", "delete", "sql", "engine"),
+)
+def sql_update_delete_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE and DELETE statements end-to-end through ``Engine.sql`` —
+    the rest of the reference's command-string DML surface
+    (/root/reference/src/raft/node.go:16-19 carries opaque SQL through
+    the replicated log; MERGE landed in r6, this adds UPDATE/DELETE).
+    Both land as copy-on-write commits on the txlog table (only matched
+    segments rewritten; assignments see pre-update values), the acks
+    certify the commit versions, and the post-DML aggregate is read
+    back through the same SQL surface and value-certified against
+    relational recomputation."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("sqlupd", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders_ud", t)
+    upd_ack = engine.sql(
+        "UPDATE txlog_orders_ud SET cents = cents + 55 "
+        "WHERE o_orderpriority = '1-URGENT'")
+    upd_version = upd_ack.collect()[0]["version"]
+    del_ack = engine.sql(
+        "DELETE FROM txlog_orders_ud WHERE o_orderkey % 11 = 0")
+    del_version = del_ack.collect()[0]["version"]
+    return (engine.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "       SUM(cents) AS total_cents "
+        "FROM txlog_orders_ud GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority")
+        .withColumn("update_version", F.lit(upd_version).cast("int"))
+        .withColumn("delete_version", F.lit(del_version).cast("int")))

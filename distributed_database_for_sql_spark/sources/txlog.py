@@ -327,11 +327,12 @@ class TxLogTable:
             return
         if version % self.checkpoint_interval != 0:
             return
-        active, schema_json = self._snapshot(version)
+        active, schema_json, dvs = self._snapshot_full(version)
         manifest = {"version": version,
                     "active": list(active),
                     "adds": [{"path": p, "stats": s}
                              for p, s in active.items()],
+                    "dvs": dvs,
                     "schemaJson": schema_json}
         tmp = os.path.join(self.log_dir,
                            f".tmpck-{version:08d}-{uuid.uuid4().hex[:8]}")
@@ -380,6 +381,14 @@ class TxLogTable:
         (ordered {table-relative path: footer stats or None}, schema
         json).  Without checkpoints this degenerates to full replay from
         commit 0."""
+        active, schema_json, _ = self._snapshot_full(version)
+        return active, schema_json
+
+    def _snapshot_full(self, version: int | None = None) -> tuple[dict[str, dict | None], str | None, dict[str, list[str]]]:
+        """Like ``_snapshot`` but also resolves deletion vectors →
+        (active, schema json, {data file: [dv sidecar paths]}).  A
+        ``remove`` of a data file retires its DVs (the rewrite that
+        removed the file already materialized the deletions)."""
         latest = self.latest_version()
         if latest < 0:
             raise FileNotFoundError(f"no txlog table at {self.path}")
@@ -387,6 +396,7 @@ class TxLogTable:
         if v > latest or v < 0:
             raise ValueError(f"version {v} out of range [0, {latest}]")
         active: dict[str, dict | None] = {}  # insertion-ordered
+        dvs: dict[str, list[str]] = {}
         schema_json = None
         start = 0
         ckpt = self._best_checkpoint(v)
@@ -395,6 +405,7 @@ class TxLogTable:
                 active = {a["path"]: a.get("stats") for a in ckpt["adds"]}
             else:  # pre-stats checkpoint format: paths only, no skipping
                 active = dict.fromkeys(ckpt["active"])
+            dvs = {k: list(vv) for k, vv in ckpt.get("dvs", {}).items()}
             schema_json = ckpt["schemaJson"]
             start = ckpt["version"] + 1
         for i in range(start, v + 1):
@@ -405,7 +416,12 @@ class TxLogTable:
                     active[action["add"]["path"]] = action["add"].get("stats")
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
-        return active, schema_json
+                    dvs.pop(action["remove"]["path"], None)
+                elif "dvAdd" in action:
+                    for tgt in action["dvAdd"]["targets"]:
+                        dvs.setdefault(tgt, []).append(
+                            action["dvAdd"]["path"])
+        return active, schema_json, dvs
 
     def _snapshot_files(self, version: int | None = None) -> tuple[list[str], str | None]:
         """Absolute active data files + schema json at ``version``."""
@@ -502,16 +518,94 @@ class TxLogTable:
                 self._maybe_checkpoint(v)
                 return v
 
-    def read(self, version: int | None = None) -> DataFrame:
-        files, schema_json = self._snapshot_files(version)
-        if not files:
+    def _read_active(self, version: int | None = None,
+                     with_file: bool = False, with_pos: bool = False,
+                     only: list[str] | None = None) -> DataFrame:
+        """The canonical snapshot reader: mergeSchema parquet scan of the
+        active files with DELETION VECTORS applied (merge-on-read).
+
+        Files without DVs take the plain fast path — no metadata columns,
+        no join.  Files carrying DVs are read with ``_metadata``
+        file/row-position columns and anti-joined against the
+        (broadcast-small) DV row set; position-based, so no data column
+        is interpreted.  ``with_file`` keeps an absolute ``_file``
+        column; ``with_pos`` keeps ``__relfile``/``__rowidx`` (the DV
+        coordinate space).  ``only`` restricts to a subset of the active
+        files (absolute paths) — used by copy-on-write operators that
+        rewrite touched segments and must not resurrect DV-deleted
+        rows."""
+        active, schema_json, dvs = self._snapshot_full(version)
+        sel = list(active)
+        if only is not None:
+            onlyset = {os.path.normpath(p) for p in only}
+            sel = [p for p in sel
+                   if os.path.normpath(os.path.join(self.path, p)) in onlyset]
+        base_abs = os.path.abspath(self.path)
+        need_meta = with_file or with_pos
+        if not sel:
             schema = T.StructType.fromJson(json.loads(schema_json))
-            return self.spark.createDataFrame([], schema)
+            fields = list(schema.fields)
+            if with_file:
+                fields.append(T.StructField("_file", T.StringType(), True))
+            if with_pos:
+                fields += [T.StructField("__relfile", T.StringType(), True),
+                           T.StructField("__rowidx", T.LongType(), True)]
+            return self.spark.createDataFrame([], T.StructType(fields))
+
+        def load(paths: list[str], meta: bool) -> DataFrame:
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*[os.path.join(self.path, p) for p in paths]))
+            if meta:
+                # file:/abs or file:///abs → /abs; rel = strip table root
+                fp = F.regexp_replace(F.col("_metadata.file_path"),
+                                      "^file:/*", "/")
+                df = (df.withColumn("_file", fp)
+                      .withColumn("__relfile",
+                                  F.expr(f"substring(_file, {len(base_abs) + 2})"))
+                      .withColumn("__rowidx", F.col("_metadata.row_index")))
+            return df
+
+        plain = [p for p in sel if p not in dvs]
+        dv_files = [p for p in sel if p in dvs]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(load(plain, need_meta))
+        if dv_files:
+            dv_paths = sorted({d for p in dv_files for d in dvs[p]})
+            dv_rows = (self.spark.read
+                       .parquet(*[os.path.join(self.path, d)
+                                  for d in dv_paths])
+                       .select(F.col("path").alias("__dv_path"),
+                               F.col("row_index").alias("__dv_rowidx"))
+                       .distinct())
+            df = load(dv_files, True)
+            df = (df.join(
+                F.broadcast(dv_rows),
+                (F.col("__relfile") == F.col("__dv_path"))
+                & (F.col("__rowidx") == F.col("__dv_rowidx")),
+                "left_anti"))
+            if not need_meta:
+                df = df.drop("_file", "__relfile", "__rowidx")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if need_meta:
+            drop = []
+            if not with_file:
+                drop.append("_file")
+            if not with_pos:
+                drop += ["__relfile", "__rowidx"]
+            if drop:
+                out = out.drop(*drop)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
         # mergeSchema: additive schema evolution across commits — an
         # append that introduced a new column surfaces NULL for rows from
         # older segments, exactly like the Delta protocol's read path.
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(*files))
+        # Deletion vectors (if any) are applied merge-on-read.
+        return self._read_active(version)
 
     # -- data skipping (Delta's file-statistics pruning) --------------------
 
@@ -562,7 +656,7 @@ class TxLogTable:
         if not kept:
             schema = T.StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*kept)
+        df = self._read_active(version, only=kept)
         return df.filter(residual) if residual is not None else df
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
@@ -598,23 +692,18 @@ class TxLogTable:
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
         if files:
-            base = (self.spark.read.option("mergeSchema", "true")
-                    .parquet(*files))
+            # DV-applied base: rows already deleted by a deletion vector
+            # must neither match (touch a file) nor survive a rewrite.
+            base = self._read_active(with_file=True)
             touched_rows = (
-                base.withColumn("_file", F.input_file_name())
-                .join(F.broadcast(upd_keys), key, "left_semi")
+                base.join(F.broadcast(upd_keys), key, "left_semi")
                 .select("_file").distinct().collect()
             )
-            # input_file_name returns file:// URIs; normalize to paths.
-            touched = sorted(
-                r["_file"].removeprefix("file://").removeprefix("file:")
-                for r in touched_rows
-            )
+            touched = sorted(r["_file"] for r in touched_rows)
         if touched:
             # mergeSchema + allowMissingColumns: rewriting a pre-evolution
             # segment must not drop (or trip over) columns added later.
-            keep_base = (self.spark.read.option("mergeSchema", "true")
-                         .parquet(*touched)
+            keep_base = (self._read_active(only=touched)
                          .join(F.broadcast(upd_keys), key, "left_anti"))
             merged = keep_base.unionByName(updates,
                                            allowMissingColumns=True)
@@ -627,8 +716,7 @@ class TxLogTable:
             # the same bounded working set the merge itself rewrites.
             ct = F.lit("insert")
             if touched:
-                pre = (self.spark.read.option("mergeSchema", "true")
-                       .parquet(*touched)
+                pre = (self._read_active(only=touched)
                        .join(F.broadcast(upd_keys), key, "left_semi"))
                 matched_keys = pre.select(key).distinct()
                 post = updates.join(F.broadcast(matched_keys), key,
@@ -664,31 +752,42 @@ class TxLogTable:
         return self._commit_with_occ(actions, rel_removed, base_version,
                                      key_range=key_range)
 
-    def delete_where(self, condition) -> int:
-        """Copy-on-write DELETE: rewrite only segments holding matches."""
+    def delete_where(self, condition, use_dv: bool = False) -> int:
+        """DELETE rows matching ``condition`` — two physical strategies,
+        one logical result:
+
+        - copy-on-write (default): rewrite only the segments holding
+          matches; survivors carried to new segments.
+        - ``use_dv=True`` — merge-on-read DELETION VECTORS: write a tiny
+          sidecar of (file, row position) tombstones and touch NO data
+          segment.  Deleting k rows costs O(k) bytes regardless of
+          segment size — at 100 TB, deleting one row from a 1 GB segment
+          stops costing a 1 GB rewrite.  Readers anti-join the (broadcast
+          small) DV rows by position; the next rewrite of the file
+          (MERGE / OPTIMIZE) materializes the deletions and retires the
+          DV.  This is Delta's deletion-vector design.
+
+        SQL DELETE semantics either way: only rows where the predicate is
+        TRUE go; NULL-evaluating rows survive."""
         base_version = self.latest_version()
+        if use_dv:
+            return self._delete_where_dv(condition, base_version)
         files, _ = self._snapshot_files()
         if not files:
             raise FileNotFoundError("empty table")
-        base = (self.spark.read.option("mergeSchema", "true")
-                .parquet(*files)
-                .withColumn("_file", F.input_file_name()))
+        base = self._read_active(with_file=True)
         touched = sorted(
-            r["_file"].removeprefix("file://").removeprefix("file:")
+            r["_file"]
             for r in base.filter(condition).select("_file").distinct().collect()
         )
         if not touched:
             return self.latest_version()
-        # SQL DELETE semantics: only rows where the predicate is TRUE go;
-        # NULL-evaluating rows survive (a bare ~condition would drop them).
-        survivors = (self.spark.read.option("mergeSchema", "true")
-                     .parquet(*touched)
+        survivors = (self._read_active(only=touched)
                      .filter(~F.coalesce(condition, F.lit(False))))
         rel_new = self._write_segments(survivors)
         cdf_actions: list[dict] = []
         if self.enable_cdf:
-            deleted = (self.spark.read.option("mergeSchema", "true")
-                       .parquet(*touched)
+            deleted = (self._read_active(only=touched)
                        .filter(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
             cdf_actions = [{"cdf": {"path": self._write_change_data(deleted)}}]
@@ -704,6 +803,98 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
+    def update_where(self, assignments: dict, condition) -> int:
+        """Copy-on-write UPDATE: rows where ``condition`` is TRUE get the
+        ``assignments`` ({column: SQL expression or Column}) applied;
+        only segments holding matches are rewritten (DV-applied read, so
+        tombstoned rows neither match nor survive).  All assignment
+        expressions see PRE-update values (single simultaneous
+        projection — standard SQL UPDATE semantics).  NULL-evaluating
+        rows are untouched."""
+        base_version = self.latest_version()
+        files, _ = self._snapshot_files()
+        if not files:
+            raise FileNotFoundError("empty table")
+        cond = F.coalesce(condition, F.lit(False))
+        base = self._read_active(with_file=True)
+        touched = sorted(
+            r["_file"]
+            for r in base.filter(cond).select("_file").distinct().collect())
+        if not touched:
+            return self.latest_version()
+        seg = self._read_active(only=touched)
+        exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                 for c, e in assignments.items()}
+        unknown = set(exprs) - set(seg.columns)
+        if unknown:
+            raise ValueError(f"UPDATE SET of unknown columns: {sorted(unknown)}")
+        updated = seg.withColumns(
+            {c: F.when(cond, e).otherwise(F.col(c))
+             for c, e in exprs.items()})
+        rel_new = self._write_segments(updated)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            # Postimage applies the assignments to the PRE-filtered rows
+            # (filtering `updated` by cond would re-evaluate the
+            # predicate against post-update values).
+            post = seg.filter(cond).withColumns(exprs)
+            changes = (
+                seg.filter(cond)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type",
+                                    F.lit("update_postimage")),
+                    allowMissingColumns=True))
+            cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in touched
+        ]
+        actions = (
+            [{"commit": {"op": "UPDATE", "ts": int(time.time() * 1000),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new)}}]
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(actions, rel_removed, base_version)
+
+    def _write_dv(self, dv_df: DataFrame) -> str:
+        """Persist a deletion-vector sidecar (columns: path, row_index)."""
+        sub = os.path.join("_deletion_vectors", f"dv-{uuid.uuid4().hex[:12]}")
+        dv_df.write.mode("errorifexists").parquet(
+            os.path.join(self.path, sub))
+        return sub
+
+    def _delete_where_dv(self, condition, base_version: int) -> int:
+        """Deletion-vector DELETE body (see ``delete_where``)."""
+        live = self._read_active(with_pos=True)
+        matches = live.filter(F.coalesce(condition, F.lit(False)))
+        dv_df = (matches
+                 .select(F.col("__relfile").alias("path"),
+                         F.col("__rowidx").alias("row_index")))
+        targets = sorted(r["path"] for r in
+                         dv_df.select("path").distinct().collect())
+        if not targets:
+            return self.latest_version()
+        dv_rel = self._write_dv(dv_df)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            deleted = (matches.drop("__relfile", "__rowidx")
+                       .withColumn("_change_type", F.lit("delete")))
+            cdf_actions = [{"cdf": {"path": self._write_change_data(deleted)}}]
+        actions = (
+            [{"commit": {"op": "DELETE", "ts": int(time.time() * 1000),
+                         "mode": "dv", "dvTargets": len(targets)}},
+             {"dvAdd": {"path": dv_rel, "targets": targets}}]
+            + cdf_actions
+        )
+        # OCC: "removed" carries the DV's target files — a concurrent
+        # rewrite (MERGE/OPTIMIZE) of one of them invalidates our row
+        # positions, and must surface as a conflict, not silent loss.
+        return self._commit_with_occ(actions, targets, base_version)
+
     def optimize_compact(self, target_segments: int = 2) -> int:
         """OPTIMIZE-style compaction: rewrite the current snapshot into
         ``target_segments`` larger segments — same rows, new layout.  Old
@@ -715,8 +906,10 @@ class TxLogTable:
         files, _ = self._snapshot_files()
         if not files:
             return self.latest_version()
-        compacted = (self.spark.read.option("mergeSchema", "true")
-                     .parquet(*files).repartition(target_segments))
+        # DV-applied: compaction MATERIALIZES outstanding deletion
+        # vectors (the rewritten segments exclude tombstoned rows) and
+        # the removes below retire the DVs from the snapshot.
+        compacted = self._read_active().repartition(target_segments)
         rel_new = self._write_segments(compacted)
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))

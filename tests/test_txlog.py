@@ -560,3 +560,175 @@ def test_cdf_range_bounds(spark, tdir):
         t.read_changes(0, 5)
     with pytest.raises(ValueError):
         t.read_changes(-1)
+
+
+# -- deletion vectors (merge-on-read DELETE) --------------------------------
+
+
+def test_dv_delete_touches_no_data_segments(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    files_before, _ = t._snapshot_files()
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    files_after, _ = t._snapshot_files()
+    assert files_before == files_after, "DV delete must not rewrite segments"
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 10), (3, "c", 30)]
+    hist = t.history()
+    assert hist[-1]["op"] == "DELETE" and hist[-1]["mode"] == "dv"
+
+
+def test_dv_delete_null_predicate_rows_survive(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, None, 20), (3, "c", 30)]))
+    t.delete_where(F.col("grp") == "c", use_dv=True)
+    got = sorted((r["k"] for r in t.read().collect()))
+    assert got == [1, 2], "NULL-evaluating rows must survive DELETE"
+
+
+def test_dv_stacked_deletes_and_time_travel(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(i, "a", i * 10) for i in range(10)]))
+    t.delete_where(F.col("k") < 3, use_dv=True)     # v1
+    t.delete_where(F.col("k") >= 8, use_dv=True)    # v2
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4, 5, 6, 7]
+    assert sorted(r["k"] for r in t.read(version=1).collect()) == list(range(3, 10))
+    assert sorted(r["k"] for r in t.read(version=0).collect()) == list(range(10))
+
+
+def test_dv_merge_does_not_resurrect_deleted_rows(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    # Merge on a key in the same segment as the deleted row: the rewrite
+    # must materialize the DV (row 2 stays gone), not resurrect it.
+    t.merge_upsert(_df(spark, [(3, "c", 99)]), "k")
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 10), (3, "c", 99)]
+
+
+def test_dv_compaction_materializes_tombstones(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(i, "a", i) for i in range(8)]))
+    t.delete_where(F.col("k") % 2 == 0, use_dv=True)
+    t.optimize_compact(target_segments=1)
+    _, _, dvs = t._snapshot_full()
+    assert dvs == {}, "compaction must retire deletion vectors"
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7]
+
+
+def test_dv_delete_with_cdf_records_deletes(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          enable_cdf=True)
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    ch = [(r["_change_type"], r["k"]) for r in t.read_changes(1, 1).collect()]
+    assert ch == [("delete", 1)]
+
+
+def test_dv_checkpoint_roundtrip(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(i, "a", i) for i in range(6)]))
+    t.checkpoint_interval = 2
+    t.delete_where(F.col("k") == 0, use_dv=True)   # v1
+    t.delete_where(F.col("k") == 5, use_dv=True)   # v2 -> checkpoint
+    assert os.path.exists(t._checkpoint_path(2))
+    # A fresh handle resolving purely from the checkpoint must still
+    # apply both DVs.
+    t2 = TxLogTable(spark, tdir)
+    assert sorted(r["k"] for r in t2.read().collect()) == [1, 2, 3, 4]
+
+
+def test_dv_delete_conflicts_with_concurrent_rewrite(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    import distributed_database_for_sql_spark.sources.txlog as txmod
+    orig = t._write_dv
+
+    def write_then_race(df):
+        rel = orig(df)
+        # Another writer compacts (rewrites every file) between our DV
+        # computation and our commit: row positions are now invalid.
+        t2 = TxLogTable(spark, t.path)
+        t2.optimize_compact(target_segments=1)
+        return rel
+
+    t._write_dv = write_then_race
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t.delete_where(F.col("k") == 1, use_dv=True)
+
+
+# -- UPDATE (copy-on-write) -------------------------------------------------
+
+
+def test_update_where_pre_update_semantics(spark, tdir):
+    # Swap-style assignment: both expressions must see PRE-update values.
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.update_where({"k": "v", "v": "k"}, F.col("k") == 2)
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 10), (20, "b", 2)]
+
+
+def test_update_where_null_rows_untouched(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, None, 20)]))
+    t.update_where({"v": "v + 1"}, F.col("grp") == "a")
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 11), (2, 20)]
+
+
+def test_update_where_rewrites_only_touched_segments(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    files_before, _ = t._snapshot_files()
+    t.update_where({"v": "99"}, F.col("k") == 2)
+    files_after, _ = t._snapshot_files()
+    seg1 = [f for f in files_before if "/data-" in f][0]
+    assert seg1 in files_after
+    assert t.history()[-1]["op"] == "UPDATE"
+
+
+def test_update_where_unknown_column_raises(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where({"nope": "1"}, F.col("k") == 1)
+
+
+def test_update_where_cdf_pre_and_postimages(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 200)]),
+                          enable_cdf=True)
+    # Predicate on the column being updated: postimage rows must NOT be
+    # re-filtered by the post-update value.
+    t.update_where({"v": "0"}, F.col("v") > 100)
+    ch = sorted((r["_change_type"], r["k"], r["v"])
+                for r in t.read_changes(1, 1).collect())
+    assert ch == [("update_postimage", 2, 0), ("update_preimage", 2, 200)]
+
+
+def test_update_respects_deletion_vectors(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)]))
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    t.update_where({"v": "v * 2"}, F.col("grp") == "a")
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 20), (3, 60)], "DV'd row must not be resurrected"
+
+
+def test_engine_sql_update_and_delete_route(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    engine.register_txlog("t_ud", t)
+    ack = engine.sql("UPDATE t_ud SET v = v + 5 WHERE grp = 'a'")
+    assert ack.collect()[0]["version"] == 1
+    ack = engine.sql("DELETE FROM t_ud WHERE k = 2")
+    assert ack.collect()[0]["version"] == 2
+    got = sorted((r["k"], r["v"])
+                 for r in engine.sql("SELECT k, v FROM t_ud").collect())
+    assert got == [(1, 15)]
+    # non-txlog UPDATE statements fall through to spark.sql and fail
+    # there (no such table) rather than being swallowed by the route
+    with pytest.raises(Exception):
+        engine.sql("UPDATE not_registered SET x = 1 WHERE y = 2").collect()
