@@ -587,3 +587,60 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_chunk_overlap",
+    # CHUNK=64 tokens, STRIDE=48 (16-token overlap): starts at
+    # 1, 49, 97, ... while start <= max(1, n_tokens - overlap), so every
+    # token is covered, consecutive chunks share 16 tokens, and a
+    # sub-overlap doc yields exactly one chunk.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), s AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(1, len(tk) - 16), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT)        AS chunk_index,
+           CAST(start AS BIGINT)                    AS chunk_start,
+           CAST(len(list_slice(tk, start, start + 63)) AS INT)
+                                                    AS chunk_n_tokens,
+           CAST(length(array_to_string(list_slice(tk, start, start + 63), ' '))
+                AS INT)                             AS chunk_n_chars,
+           substring(md5(array_to_string(list_slice(tk, start, start + 63), ' ')),
+                     1, 8)                          AS chunk_md5_8
+    FROM s
+    ORDER BY doc_id, chunk_index
+    """,
+    tags=("text", "llm", "rag", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: split each document's token
+    sequence into 64-token windows with a 48-token stride (16 shared
+    tokens between neighbors), the preprocessing step for embedding /
+    retrieval indexes.  Pure JVM expressions — sequence + explode +
+    slice — so chunking a 100 TB corpus is a row-local projection with
+    zero shuffles; the md5 prefix certifies the chunk CONTENT (not just
+    counts) against the oracle."""
+    CHUNK, STRIDE, OVERLAP = 64, 48, 16
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    df = (docs.select("doc_id", tk.alias("tk"))
+          .withColumn("start", F.explode(F.sequence(
+              F.lit(1),
+              F.greatest(F.lit(1), F.size("tk") - F.lit(OVERLAP)),
+              F.lit(STRIDE)))))
+    chunk = F.slice(F.col("tk"), F.col("start"), CHUNK)
+    chunk_text = F.array_join(chunk, " ")
+    return (df.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(STRIDE)).cast("long")
+        .alias("chunk_index"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("chunk_n_tokens"),
+        F.length(chunk_text).cast("int").alias("chunk_n_chars"),
+        F.substring(F.md5(chunk_text), 1, 8).alias("chunk_md5_8"))
+        .orderBy("doc_id", "chunk_index"))

@@ -288,3 +288,12 @@ def test_variant_extraction_stays_jvm_side(spark):
     df = registry()["fn_variant_suite"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunking_is_single_sort_exchange(spark):
+    """Overlapping chunking must be a row-local projection: the only
+    exchange in the plan is the final orderBy's range partitioning."""
+    from distributed_database_for_sql_spark.plans.explain import count_exchanges
+
+    df = registry()["text_chunk_overlap"].fn(spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) <= 1
