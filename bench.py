@@ -61,6 +61,11 @@ EXTRA = [
     # benching both makes the shuffle-size win a recorded number.
     "dedup_exact_substring_hashed",
     "dedup_exact_substring_windows",
+    # round 6: txlog format extensions + chunking
+    "delta_data_skipping",
+    "delta_deletion_vectors",
+    "delta_cdf_incremental_agg",
+    "text_chunk_overlap",
 ]
 
 

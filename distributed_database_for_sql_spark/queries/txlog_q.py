@@ -527,3 +527,74 @@ def sql_update_delete_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY o_orderpriority")
         .withColumn("update_version", F.lit(upd_version).cast("int"))
         .withColumn("delete_version", F.lit(del_version).cast("int")))
+
+
+@register(
+    "delta_cdf_incremental_agg",
+    # The oracle recomputes the FINAL state directly; the Spark side
+    # never touches the final table — it maintains the aggregate purely
+    # from (base version) + (signed change rows).  A hash match proves
+    # incremental maintenance == full recompute.
+    oracle=f"""
+    WITH post_merge AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM post_merge WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "cdf", "incremental", "mv"),
+)
+def delta_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the Change Data Feed: the
+    per-priority (count, cents) aggregate is computed ONCE at version 0
+    and then advanced to version 2 purely by folding in signed change
+    rows (+1 for insert/update_postimage, -1 for delete/update_preimage)
+    — the v2 table itself is never read.  The oracle recomputes v2 from
+    scratch, so the hash certifies incremental == full.  This is the
+    100 TB materialized-view contract: refresh cost scales with the
+    change volume, not the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("cdfagg", sf_dir), base,
+                          overwrite=True, enable_cdf=True)
+    t.merge_upsert(updates, "o_orderkey")            # v1
+    t.delete_where(F.col("o_orderkey") % 7 == 0)     # v2
+    base_agg = (t.read(version=0)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n0"),
+                     F.sum("cents").alias("c0")))
+    sign = F.when(F.col("_change_type").isin("insert", "update_postimage"),
+                  F.lit(1)).otherwise(F.lit(-1))
+    delta = (t.read_changes(1, 2)
+             .withColumn("sign", sign)
+             .groupBy("o_orderpriority")
+             .agg(F.sum("sign").alias("dn"),
+                  F.sum(F.col("sign") * F.col("cents")).alias("dc")))
+    return (base_agg.join(delta, "o_orderpriority", "full_outer")
+            .select(
+                "o_orderpriority",
+                (F.coalesce("n0", F.lit(0))
+                 + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+                (F.coalesce("c0", F.lit(0))
+                 + F.coalesce("dc", F.lit(0))).alias("total_cents"))
+            .filter(F.col("n_rows") > 0)
+            .orderBy("o_orderpriority"))
