@@ -414,3 +414,53 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("l_returnflag")).alias("nulls_returnflag"),
         F.countDistinct("l_returnflag").alias("ndv_returnflag"),
     )
+
+
+@register(
+    "agg_hll_sketch_mergeable",
+    # The oracle certifies the EXACT counts and emits the tolerance flag
+    # as TRUE; Spark computes the flag from its actual HLL estimates
+    # (default lgConfigK=12 → ~1.6% rel. error, far inside the 5% gate),
+    # so a hash match proves the sketch estimates really landed within
+    # tolerance of the exact counts — per shard AND after the merge.
+    oracle="""
+    SELECT grp, n_exact, hll_within_5pct FROM (
+      SELECT o_orderpriority AS grp,
+             COUNT(DISTINCT o_custkey) AS n_exact,
+             TRUE AS hll_within_5pct
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'ALL' AS grp,
+             COUNT(DISTINCT o_custkey) AS n_exact,
+             TRUE AS hll_within_5pct
+      FROM orders
+    ) ORDER BY grp
+    """,
+    tags=("aggregate", "sketch", "hll", "mergeable", "approx"),
+)
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Spark's Apache DataSketches
+    builtins): one HLL sketch per priority shard, then the GLOBAL
+    distinct count from ``hll_union_agg`` over the per-shard sketches —
+    no re-scan of the data.  That mergeability is the 100 TB pattern:
+    executors sketch their shards independently, the union is
+    bytes-sized, and a rolled-up distinct costs a sketch merge instead
+    of a global COUNT(DISTINCT) shuffle.  Exact counts ride along so
+    the oracle hash certifies the estimates stayed within 5%."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (orders.groupBy(F.col("o_orderpriority").alias("grp"))
+           .agg(F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+                F.count_distinct("o_custkey").alias("n_exact")))
+    shard = per.select(
+        "grp", "n_exact",
+        F.expr("hll_sketch_estimate(sk)").alias("est"))
+    merged = (per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .crossJoin(orders.agg(
+            F.count_distinct("o_custkey").alias("n_exact")))
+        .select(F.lit("ALL").alias("grp"), "n_exact", "est"))
+    within = (F.abs(F.col("est") - F.col("n_exact"))
+              <= 0.05 * F.col("n_exact"))
+    return (shard.unionByName(merged)
+            .select("grp", "n_exact", within.alias("hll_within_5pct"))
+            .orderBy("grp"))

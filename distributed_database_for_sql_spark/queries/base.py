@@ -120,6 +120,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sql_update_delete_txlog",        # UPDATE/DELETE statements -> txlog
     "text_chunk_overlap",             # RAG overlapping token chunking
     "delta_cdf_incremental_agg",      # MV maintenance from the change feed
+    "agg_hll_sketch_mergeable",       # DataSketches HLL shard-merge
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -170,11 +171,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "set_intersect_all",
     "set_union",
     "set_union_all",
-    "distinct_values",
-    # filter_compound_predicates, filter_like_patterns, null_handling,
-    # proj_computed_columns, sort_multi_key_limit,
+    # distinct_values, filter_compound_predicates, filter_like_patterns,
+    # null_handling, proj_computed_columns, sort_multi_key_limit,
     # sql_entry_revenue_by_nation displaced to the r7 drain block by the
-    # six new r6 delta/DML/chunking queries (policy above).
+    # seven new r6 delta/DML/chunking/sketch queries (policy above).
 )
 
 
