@@ -98,12 +98,14 @@ def register(name: str, oracle: str | None = None,
 #       (first zero-red round since r2).
 #   r6 window (below): the stale-certification drain begins (VERDICT r5
 #       item 3: 86 queries' latest green was r1/r2 and the driver
-#       regenerates testdata between rounds).  Positions 1-10 are the
-#       r6 new/changed queries; positions 11-50 re-front the oldest
-#       r1-certified families (all of TPC-H q2-q22, the join/set/
-#       relational core).  The remaining ~46 r1/r2-stale queries
-#       (aggregates tail, windows, streaming, text, subqueries,
-#       time-series, UDF) are the planned r7 window.
+#       regenerates testdata between rounds).  Positions 1-18 are the
+#       r6 new/changed queries (ten brand-new, one rows-only→oracled
+#       upgrade, one schema change, six re-certs of behavior-touched
+#       paths); positions 19-50 re-front the oldest r1-certified
+#       families (TPC-H q2-q22, the join/set/relational core).  The
+#       remaining r1/r2-stale queries (aggregates tail, windows,
+#       streaming, text, subqueries, time-series, UDF, the eight
+#       displaced canaries) are the planned r7 window.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
 # a canary if the window is full) so the driver certifies it in the round it
@@ -121,6 +123,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "text_chunk_overlap",             # RAG overlapping token chunking
     "delta_cdf_incremental_agg",      # MV maintenance from the change feed
     "agg_hll_sketch_mergeable",       # DataSketches HLL shard-merge
+    "stream_txlog_cdf_source",        # CDF as a custom streaming source
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -170,11 +173,11 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "set_intersect",
     "set_intersect_all",
     "set_union",
-    "set_union_all",
-    # distinct_values, filter_compound_predicates, filter_like_patterns,
-    # null_handling, proj_computed_columns, sort_multi_key_limit,
-    # sql_entry_revenue_by_nation displaced to the r7 drain block by the
-    # seven new r6 delta/DML/chunking/sketch queries (policy above).
+    # set_union_all, distinct_values, filter_compound_predicates,
+    # filter_like_patterns, null_handling, proj_computed_columns,
+    # sort_multi_key_limit, sql_entry_revenue_by_nation displaced to the
+    # r7 drain block by the eight new r6 delta/DML/chunking/sketch/
+    # streaming queries (policy above).
 )
 
 

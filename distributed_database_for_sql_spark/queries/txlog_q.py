@@ -598,3 +598,87 @@ def delta_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.coalesce("dc", F.lit(0))).alias("total_cents"))
             .filter(F.col("n_rows") > 0)
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "stream_txlog_cdf_source",
+    oracle=f"""
+    WITH matched AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    ), inserted AS (
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1500
+    ), post_merge AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), changes AS (
+      SELECT 'insert' AS change_type, 0 AS commit_version,
+             o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+      UNION ALL
+      SELECT 'update_preimage', 1, o_orderkey, cents FROM matched
+      UNION ALL
+      SELECT 'update_postimage', 1, o_orderkey, cents + 7 FROM matched
+      UNION ALL
+      SELECT 'insert', 1, o_orderkey, cents FROM inserted
+      UNION ALL
+      SELECT 'delete', 2, o_orderkey, cents
+      FROM post_merge WHERE o_orderkey % 7 = 0
+    )
+    SELECT change_type, commit_version,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM changes
+    GROUP BY change_type, commit_version
+    ORDER BY change_type, commit_version
+    """,
+    tags=("acid", "delta", "cdf", "streaming", "source", "datasource-api"),
+)
+def stream_txlog_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a real Structured Streaming SOURCE
+    (sources/txlog_stream.py, the PySpark 4 Python DataSource streaming
+    extension point): ``readStream.format("txlogcdf")`` replays the
+    table's commits as micro-batches whose offsets ARE commit versions —
+    deterministic, failure-replayable, exactly-once downstream of a
+    checkpointed sink — and a streaming aggregation over the change
+    stream is certified value-exact against relational recomputation
+    of all three commits (CREATE inserts, MERGE pre/postimages +
+    inserts, DELETE).  The reference streams its replicated log into
+    state machines (replication.go:88-103); here the commit log is the
+    stream."""
+    from ..sources.txlog_stream import register_txlog_cdf_source
+    from ..streaming.jobs import run_to_completion
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("cdfstream", sf_dir), base,
+                          overwrite=True, enable_cdf=True)
+    t.merge_upsert(updates, "o_orderkey")            # v1
+    t.delete_where(F.col("o_orderkey") % 7 == 0)     # v2
+    register_txlog_cdf_source(spark)
+    stream = (spark.readStream.format("txlogcdf")
+              .option("path", t.path).load())
+    agg = (stream
+           .groupBy(F.col("_change_type").alias("change_type"),
+                    F.col("_commit_version").alias("commit_version"))
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key")))
+    return (run_to_completion(agg, "complete")
+            .orderBy("change_type", "commit_version"))

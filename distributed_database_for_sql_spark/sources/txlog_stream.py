@@ -1,0 +1,166 @@
+"""Structured-Streaming SOURCE over the txlog Change Data Feed, via the
+PySpark 4 Python DataSource streaming extension point
+(``pyspark.sql.datasource.SimpleDataSourceStreamReader``).
+
+``spark.readStream.format("txlogcdf").option("path", table_dir)`` turns
+the transaction log's change feed (sources/txlog.py) into a replayable
+micro-batch stream: offsets ARE commit versions, so a micro-batch is
+exactly "the change rows of versions [start, end)" — deterministic,
+replayable after failure (``readBetweenOffsets``), and naturally
+exactly-once downstream of a checkpointed sink.  This is the
+streaming-consumption arm of the CDF contract: a 100 TB downstream
+pipeline subscribes to the table and receives inserts, update
+pre/postimages, and deletes as they commit, instead of rescanning.
+
+The reader runs driver-side in plain Python (the DataSource API's
+contract for Simple readers — right for change feeds, which are small
+relative to the table by design; a partition-parallel DataSourceStream-
+Reader is the upgrade path if a single commit's change set outgrows the
+driver).  Files are read with pyarrow; no SparkSession exists here.
+
+The reference (a Go Raft core) streams its replicated log to state
+machines (/root/reference/src/raft/replication.go:88-103) — this is the
+same shape with the table's commit log as the stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+_LOG_DIR = "_txlog"
+
+
+def _commit_files(table_path: str) -> list[str]:
+    return sorted(
+        p for p in glob.glob(os.path.join(table_path, _LOG_DIR, "[0-9]*.json"))
+        if os.path.basename(p).partition(".")[2] == "json"
+        and os.path.basename(p).partition(".")[0].isdigit()
+    )
+
+
+def _latest_version(table_path: str) -> int:
+    files = _commit_files(table_path)
+    if not files:
+        return -1
+    return int(os.path.splitext(os.path.basename(files[-1]))[0])
+
+
+def _read_commit(table_path: str, version: int) -> list[dict]:
+    fp = os.path.join(table_path, _LOG_DIR, f"{version:08d}.json")
+    with open(fp) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _table_schema(table_path: str) -> T.StructType:
+    """Last metaData action's schema across the whole log (plain file
+    IO; the log is tiny JSON)."""
+    schema_json = None
+    for v in range(_latest_version(table_path) + 1):
+        for action in _read_commit(table_path, v):
+            if "metaData" in action:
+                schema_json = action["metaData"]["schemaJson"]
+    if schema_json is None:
+        raise ValueError(f"no txlog metaData found under {table_path}")
+    return T.StructType.fromJson(json.loads(schema_json))
+
+
+class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are commit versions: ``{"version": v}`` = next unread."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.start_version = int(options.get("startversion", 0))
+        # field order fixed by the declared schema; the last two are the
+        # CDF metadata columns appended by the data source
+        self.fields = [f.name for f in schema.fields]
+        self.data_fields = self.fields[:-2]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def read(self, start: dict):
+        latest = _latest_version(self.path)
+        end = {"version": latest + 1}
+        if start["version"] > latest:
+            return iter([]), start
+        return iter(self._rows(start["version"], latest)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["version"], end["version"] - 1))
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the source of truth; nothing to acknowledge
+
+    # -- change-row materialization (pyarrow, no Spark) ---------------------
+
+    def _parquet_rows(self, rel_paths: list[str]) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for rel in rel_paths:
+            p = os.path.join(self.path, rel)
+            if os.path.isdir(p):
+                parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+            else:
+                parts = [p]
+            for f in parts:
+                rows.extend(pq.read_table(f).to_pylist())
+        return rows
+
+    def _rows(self, a: int, b: int):
+        out = []
+        for v in range(a, b + 1):
+            actions = _read_commit(self.path, v)
+            op = next((x["commit"]["op"] for x in actions if "commit" in x),
+                      None)
+            cdf = [x["cdf"]["path"] for x in actions if "cdf" in x]
+            if cdf:
+                recs = self._parquet_rows(cdf)
+            elif op in ("CREATE", "APPEND"):
+                adds = [x["add"]["path"] for x in actions if "add" in x]
+                recs = self._parquet_rows(adds)
+                for r in recs:
+                    r["_change_type"] = "insert"
+            elif op == "OPTIMIZE":
+                continue
+            else:
+                raise ValueError(
+                    f"commit {v} ({op}) carries no change data — the "
+                    "table must run with enable_cdf=True to be streamed")
+            for r in recs:
+                out.append(tuple(
+                    [r.get(c) for c in self.data_fields]
+                    + [r["_change_type"], v]))
+        return out
+
+
+class TxLogChangesDataSource(DataSource):
+    """``format("txlogcdf")``: options path (txlog table root),
+    startversion (default 0)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlogcdf"
+
+    def schema(self) -> T.StructType:
+        base = _table_schema(self.options["path"])
+        return T.StructType(
+            list(base.fields)
+            + [T.StructField("_change_type", T.StringType(), False),
+               T.StructField("_commit_version", T.IntegerType(), False)])
+
+    def simpleStreamReader(self, schema: T.StructType):
+        return TxLogChangesStreamReader(schema, self.options)
+
+
+def register_txlog_cdf_source(spark) -> None:
+    """Idempotently register the txlogcdf source on a session."""
+    try:
+        spark.dataSource.register(TxLogChangesDataSource)
+    except Exception:  # already registered in this session
+        pass

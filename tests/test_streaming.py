@@ -221,3 +221,79 @@ def test_stateful_user_agg_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_txlog_cdf_streaming_source_incremental(spark, tmp_path):
+    """The txlogcdf streaming source must (a) deliver the existing change
+    history as its first batches and (b) pick up commits made WHILE the
+    stream is running — offsets are commit versions, so each new commit
+    becomes exactly one new slice of change rows."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        register_txlog_cdf_source,
+    )
+
+    d = str(tmp_path / "tbl")
+    t = TxLogTable.create(
+        spark, d,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k int, grp string, v int"),
+        enable_cdf=True)
+    register_txlog_cdf_source(spark)
+    stream = spark.readStream.format("txlogcdf").option("path", d).load()
+    name = f"cdf_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .start())
+    try:
+        q.processAllAvailable()
+        first = {(r["_change_type"], r["_commit_version"], r["k"])
+                 for r in spark.table(name).collect()}
+        assert first == {("insert", 0, 1), ("insert", 0, 2)}
+        # commit more changes while the stream is live
+        t.merge_upsert(spark.createDataFrame([(2, "b", 99)],
+                                             "k int, grp string, v int"), "k")
+        t.delete_where(F.col("k") == 1)
+        q.processAllAvailable()
+        rows = {(r["_change_type"], r["_commit_version"], r["k"], r["v"])
+                for r in spark.table(name).collect()}
+        assert ("update_preimage", 1, 2, 20) in rows
+        assert ("update_postimage", 1, 2, 99) in rows
+        assert ("delete", 2, 1, 10) in rows
+        assert len(rows) == 5
+    finally:
+        q.stop()
+
+
+def test_txlog_cdf_source_replay_between_offsets(spark, tmp_path):
+    """readBetweenOffsets (failure replay) returns exactly the rows of
+    the offset range, matching TxLogTable.read_changes."""
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogChangesDataSource,
+    )
+
+    d = str(tmp_path / "tbl")
+    t = TxLogTable.create(
+        spark, d,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k int, grp string, v int"),
+        enable_cdf=True)
+    t.merge_upsert(spark.createDataFrame([(2, "b", 99), (5, "e", 50)],
+                                         "k int, grp string, v int"), "k")
+    t.delete_where(F.col("k") == 1)
+    ds = TxLogChangesDataSource({"path": d})
+    reader = ds.simpleStreamReader(ds.schema())
+    got = sorted(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    want = sorted(
+        tuple(r) for r in t.read_changes(1, 1)
+        .select("k", "grp", "v", "_change_type", "_commit_version").collect())
+    assert got == want
