@@ -98,13 +98,13 @@ def register(name: str, oracle: str | None = None,
 #       (first zero-red round since r2).
 #   r6 window (below): the stale-certification drain begins (VERDICT r5
 #       item 3: 86 queries' latest green was r1/r2 and the driver
-#       regenerates testdata between rounds).  Positions 1-18 are the
-#       r6 new/changed queries (ten brand-new, one rows-only→oracled
+#       regenerates testdata between rounds).  Positions 1-19 are the
+#       r6 new/changed queries (eleven brand-new, one rows-only→oracled
 #       upgrade, one schema change, six re-certs of behavior-touched
-#       paths); positions 19-50 re-front the oldest r1-certified
+#       paths); positions 20-50 re-front the oldest r1-certified
 #       families (TPC-H q2-q22, the join/set/relational core).  The
 #       remaining r1/r2-stale queries (aggregates tail, windows,
-#       streaming, text, subqueries, time-series, UDF, the eight
+#       streaming, text, subqueries, time-series, UDF, the nine
 #       displaced canaries) are the planned r7 window.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
@@ -124,6 +124,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_cdf_incremental_agg",      # MV maintenance from the change feed
     "agg_hll_sketch_mergeable",       # DataSketches HLL shard-merge
     "stream_txlog_cdf_source",        # CDF as a custom streaming source
+    "delta_restore",                  # rollback-as-new-commit
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -172,8 +173,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "set_except",
     "set_intersect",
     "set_intersect_all",
-    "set_union",
-    # set_union_all, distinct_values, filter_compound_predicates,
+    # set_union, set_union_all, distinct_values, filter_compound_predicates,
     # filter_like_patterns, null_handling, proj_computed_columns,
     # sort_multi_key_limit, sql_entry_revenue_by_nation displaced to the
     # r7 drain block by the eight new r6 delta/DML/chunking/sketch/

@@ -682,3 +682,50 @@ def stream_txlog_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").alias("max_key")))
     return (run_to_completion(agg, "complete")
             .orderBy("change_type", "commit_version"))
+
+
+@register(
+    "delta_restore",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           3                          AS restore_commit_version
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "restore", "time-travel"),
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE rolls the table back to a known-good version AS A NEW
+    COMMIT: after a MERGE (v1) and a bad DELETE (v2), ``restore(1)``
+    commits v3 whose snapshot equals v1 exactly — certified value-exact
+    against relational recomputation of the post-MERGE state — while v2
+    stays in history for audit/time travel (pinned in
+    tests/test_txlog.py, including deletion-vector state restoration).
+    The operational undo button every production table format needs:
+    O(file-set) metadata, zero data rewritten."""
+    t = _build_merged_table(spark, sf_dir, "restore")    # v0 + v1
+    t.delete_where(F.col("o_orderkey") % 7 == 0)         # v2 (the mistake)
+    v = t.restore(1)                                     # v3 == v1 content
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("restore_commit_version", F.lit(v).cast("int"))
+        .orderBy("o_orderpriority")
+    )

@@ -600,12 +600,66 @@ class TxLogTable:
                 out = out.drop(*drop)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """Newest version whose commit timestamp <= ``ts_millis`` —
+        Delta's ``timestampAsOf`` resolution.  Raises if the table's
+        first commit is later than the asked-for time."""
+        best = -1
+        for i in range(self.latest_version() + 1):
+            for action in self._read_commit(i):
+                if "commit" in action and action["commit"]["ts"] <= ts_millis:
+                    best = i
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_millis}")
+        return best
+
+    def read(self, version: int | None = None,
+             timestamp: int | None = None) -> DataFrame:
         # mergeSchema: additive schema evolution across commits — an
         # append that introduced a new column surfaces NULL for rows from
         # older segments, exactly like the Delta protocol's read path.
         # Deletion vectors (if any) are applied merge-on-read.
+        # ``timestamp`` (epoch millis) is Delta's timestampAsOf.
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         return self._read_active(version)
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: roll the table back to ``version`` AS A NEW
+        COMMIT — history is never rewritten, so the bad versions stay
+        auditable (and time-travelable) while the live snapshot returns
+        to the known-good state.  File stats and deletion-vector state
+        are restored with the file set.  Committed through OCC: a writer
+        that landed after the snapshot we computed from conflicts.
+
+        Limitation (documented, like the pre-CDF MERGE case): a RESTORE
+        commit carries no row-level change data, so ``read_changes``
+        over a range containing it raises — the restore diff is a
+        file-set operation, not a row operation, here."""
+        base_version = self.latest_version()
+        if version > base_version or version < 0:
+            raise ValueError(
+                f"restore target {version} out of range [0, {base_version}]")
+        target_active, _, target_dvs = self._snapshot_full(version)
+        current_active, _, _ = self._snapshot_full()
+        dv_adds: dict[str, list[str]] = {}
+        for f, dvlist in target_dvs.items():
+            for dv in dvlist:
+                dv_adds.setdefault(dv, []).append(f)
+        actions = (
+            [{"commit": {"op": "RESTORE", "ts": int(time.time() * 1000),
+                         "restoredVersion": version}}]
+            + [{"remove": {"path": p}} for p in current_active]
+            + [{"add": {"path": p, "stats": s}}
+               for p, s in target_active.items()]
+            + [{"dvAdd": {"path": dv, "targets": targets}}
+               for dv, targets in dv_adds.items()]
+        )
+        return self._commit_with_occ(actions, list(current_active),
+                                     base_version)
 
     # -- data skipping (Delta's file-statistics pruning) --------------------
 
@@ -936,10 +990,16 @@ class TxLogTable:
         Irreversible: time travel to versions that needed the removed
         segments stops working (real VACUUM semantics — the retention
         tradeoff is the caller's).  The commit log itself is kept (it is
-        the audit trail and stays tiny).  Returns the deleted
-        table-relative paths."""
-        live, _ = self._snapshot_files()
-        live_set = {os.path.normpath(p) for p in live}
+        the audit trail and stays tiny), and change-data parquet under
+        ``_change_data/`` is kept too (it IS the audit trail's row
+        payload).  Deletion-vector sidecars retired from the LATEST
+        snapshot are collected under the same age guard.  Returns the
+        deleted table-relative paths."""
+        live, _, live_dvs = self._snapshot_full()
+        live_set = {os.path.normpath(os.path.join(self.path, p))
+                    for p in live}
+        live_dv_set = {os.path.normpath(os.path.join(self.path, d))
+                       for dvlist in live_dvs.values() for d in dvlist}
         cutoff = time.time() - retention_seconds
         removed = []
         for sub in sorted(os.listdir(self.path)):
@@ -955,6 +1015,16 @@ class TxLogTable:
             # only bookkeeping files (_SUCCESS, .crc) left → drop the dir
             if not any(n.endswith(".parquet") for n in os.listdir(seg_dir)):
                 shutil.rmtree(seg_dir)
+        dv_root = os.path.join(self.path, "_deletion_vectors")
+        if os.path.isdir(dv_root):
+            for sub in sorted(os.listdir(dv_root)):
+                dv_dir = os.path.normpath(os.path.join(dv_root, sub))
+                if dv_dir in live_dv_set:
+                    continue
+                if os.path.getmtime(dv_dir) > cutoff:
+                    continue
+                shutil.rmtree(dv_dir)
+                removed.append(os.path.relpath(dv_dir, self.path))
         return removed
 
     def read_changes(self, start_version: int = 0,

@@ -732,3 +732,84 @@ def test_engine_sql_update_and_delete_route(spark, tdir):
     # there (no such table) rather than being swallowed by the route
     with pytest.raises(Exception):
         engine.sql("UPDATE not_registered SET x = 1 WHERE y = 2").collect()
+
+
+# -- timestamp time travel / RESTORE / DV vacuum ---------------------------
+
+
+def test_timestamp_as_of_resolution(spark, tdir):
+    import json as _json
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    t.append(_df(spark, [(3, "c", 30)]))
+    # Rewrite commit timestamps to known values (10s apart) so the
+    # resolution logic is tested deterministically.
+    for v, ts in ((0, 1000), (1, 11000), (2, 21000)):
+        fp = os.path.join(t.log_dir, f"{v:08d}.json")
+        actions = []
+        with open(fp) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "commit" in a:
+                    a["commit"]["ts"] = ts
+                actions.append(a)
+        os.remove(fp)
+        with open(fp, "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+    assert t.version_at_timestamp(1000) == 0
+    assert t.version_at_timestamp(15000) == 1
+    assert t.version_at_timestamp(99999) == 2
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at_timestamp(500)
+    assert sorted(r["k"] for r in t.read(timestamp=15000).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=15000)
+
+
+def test_restore_rolls_back_as_new_commit(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.merge_upsert(_df(spark, [(2, "b", 99), (5, "c", 50)]), "k")   # v1
+    t.delete_where(F.col("k") == 1)                                  # v2
+    v = t.restore(1)
+    assert v == 3
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 99), (5, "c", 50)]
+    # history intact: the bad v2 is still time-travelable
+    assert sorted(r["k"] for r in t.read(version=2).collect()) == [2, 5]
+    assert t.history()[-1]["op"] == "RESTORE"
+    assert t.history()[-1]["restoredVersion"] == 1
+
+
+def test_restore_preserves_dv_state(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    t.delete_where(F.col("k") == 2, use_dv=True)     # v1 (DV)
+    t.delete_where(F.col("k") == 3)                  # v2 (copy-on-write)
+    t.restore(1)                                     # back to DV-only state
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [1, 3], "restore must re-apply the v1 deletion vector"
+
+
+def test_vacuum_collects_retired_dv_sidecars(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(i, "a", i) for i in range(6)]))
+    t.delete_where(F.col("k") == 0, use_dv=True)
+    t.optimize_compact(target_segments=1)  # materializes + retires the DV
+    dv_root = os.path.join(tdir, "_deletion_vectors")
+    assert os.path.isdir(dv_root) and os.listdir(dv_root)
+    removed = t.vacuum(retention_seconds=0)
+    assert any("_deletion_vectors" in p for p in removed)
+    assert not os.path.isdir(dv_root) or not os.listdir(dv_root)
+    # live data unaffected
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_vacuum_spares_live_dv_sidecars(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    removed = t.vacuum(retention_seconds=0)
+    assert not any("_deletion_vectors" in p for p in removed)
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
