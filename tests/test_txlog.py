@@ -813,3 +813,56 @@ def test_vacuum_spares_live_dv_sidecars(spark, tdir):
     removed = t.vacuum(retention_seconds=0)
     assert not any("_deletion_vectors" in p for p in removed)
     assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_random_op_sequences_full_dml_surface(spark, tmp_path):
+    """Model-based check over the FULL r6 DML surface: interleaved
+    append / merge / copy-on-write delete / DV delete / UPDATE /
+    compact / RESTORE sequences must track a plain-Python dict model.
+    Deterministic op list (no RNG); restore targets are recorded
+    versions with their model snapshots."""
+    t = TxLogTable.create(spark, str(tmp_path / "m2"),
+                          _df(spark, [(1, "a", 3), (2, "b", 4)]))
+    model = {1: ("a", 3), 2: ("b", 4)}
+    snapshots = {0: dict(model)}
+    ops = [
+        ("append", [(10, "x", 1), (11, "y", 2)]),
+        ("dv_delete_k", 11),
+        ("merge", [(10, "x", 5), (20, "z", 9)]),
+        ("update_grp", ("x", 100)),        # v += 100 where grp = 'x'
+        ("compact", None),
+        ("dv_delete_k", 2),
+        ("restore", 3),                    # back to post-update? no: v3
+        ("append", [(30, "w", 7)]),
+        ("delete_v", 9),                   # deletes k=20 if present
+        ("dv_delete_k", 1),
+        ("compact", None),
+    ]
+    for op, arg in ops:
+        if op == "append":
+            t.append(_df(spark, arg))
+            model.update({k: (g, v) for k, g, v in arg})
+        elif op == "merge":
+            t.merge_upsert(_df(spark, arg), "k")
+            model.update({k: (g, v) for k, g, v in arg})
+        elif op == "delete_v":
+            t.delete_where(F.col("v") == arg)
+            model = {k: gv for k, gv in model.items() if gv[1] != arg}
+        elif op == "dv_delete_k":
+            t.delete_where(F.col("k") == arg, use_dv=True)
+            model.pop(arg, None)
+        elif op == "update_grp":
+            grp, add = arg
+            t.update_where({"v": f"v + {add}"}, F.col("grp") == grp)
+            model = {k: (g, v + add if g == grp else v)
+                     for k, (g, v) in model.items()}
+        elif op == "compact":
+            t.optimize_compact(target_segments=2)
+        elif op == "restore":
+            t.restore(arg)
+            model = dict(snapshots[arg])
+        snapshots[t.latest_version()] = dict(model)
+        got = {r.k: (r.grp, r.v) for r in t.read().collect()}
+        assert got == model, f"diverged after {op}({arg})"
+    for v in range(t.latest_version() + 1):
+        t._snapshot_files(v)
