@@ -54,6 +54,18 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>\w+)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# RESTORE TABLE t TO VERSION AS OF n — rollback-as-new-commit.
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>\w+)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE)
+
+# VACUUM t [RETAIN n HOURS] — physical cleanup of unreferenced files.
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>\w+)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE)
+
 
 class Engine:
     """Thin session wrapper: catalog registration + SQL execution."""
@@ -83,6 +95,22 @@ class Engine:
         m = _DELETE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._delete(m)
+        m = _RESTORE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].restore(
+                int(m.group("version")))
+            return self._dml_ack(target, version)
+        m = _VACUUM_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            hours = m.group("hours")
+            retention = (float(hours) * 3600.0 if hours is not None
+                         else 24 * 3600.0)
+            removed = self.txlog_tables[target].vacuum(retention)
+            return self.spark.createDataFrame(
+                [(target, len(removed))],
+                "table_name string, files_removed long")
         return self.spark.sql(command)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:

@@ -222,3 +222,34 @@ def test_raft_wire_malformed_frame_gets_failure_reply(spark, sf_dir, tmp_path):
         assert ok["success"] is True
     finally:
         srv.shutdown()
+
+
+def test_command_log_replays_update_delete_restore(spark, sf_dir, tmp_path):
+    """The full DML command-string surface through the durability path:
+    UPDATE, DELETE, and RESTORE statements appended to the CommandLog
+    route through Engine.sql to txlog commits exactly once on replay."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    eng = Engine(spark, sf_dir)
+    t = TxLogTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int"))
+    eng.register_txlog("dml_target", t)
+
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append("UPDATE dml_target SET v = v * 10 WHERE k >= 2")   # v1
+    log.append("DELETE FROM dml_target WHERE k = 3")              # v2
+    log.append("RESTORE TABLE dml_target TO VERSION AS OF 1")     # v3
+    assert len(log.replay()) == 3
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, 10), (2, 200), (3, 300)], "restore undid the DELETE"
+    assert t.latest_version() == 3
+    # exactly-once
+    assert log.replay() == []
+    assert t.latest_version() == 3
+    # VACUUM statement returns an ack row and touches nothing live
+    ack = eng.sql("VACUUM dml_target RETAIN 0 HOURS").collect()[0]
+    assert ack["table_name"] == "dml_target"
+    n = eng.sql("SELECT COUNT(*) AS n FROM dml_target").collect()[0]["n"]
+    assert n == 3
