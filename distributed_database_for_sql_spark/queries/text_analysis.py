@@ -644,3 +644,102 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk_text).cast("int").alias("chunk_n_chars"),
         F.substring(F.md5(chunk_text), 1, 8).alias("chunk_md5_8"))
         .orderBy("doc_id", "chunk_index"))
+
+
+# US (unit separator) joins merged BPE tokens — cannot appear in the
+# space-tokenized corpus, and is mapped to '+' in emitted pairs.
+_BPE_US = "\x1f"
+
+
+@register(
+    "tokenizer_bpe_train_merges",
+    # Both engines implement the IDENTICAL greedy merge step: count
+    # adjacent token pairs, pick (count DESC, pair ASC), then apply the
+    # merge as a plain leftmost-non-overlapping substring replace of
+    # ' a b ' with ' a<US>b ' on space-padded text.  Plain replace (not
+    # regex) has the same semantics in Spark and DuckDB, so the learned
+    # merge tables are bit-equal.
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+    p1 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t0),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b1 AS (SELECT pair, COUNT(*) AS c FROM p1 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1),
+    t1 AS (
+      SELECT doc_id,
+             replace(s, ' ' || (SELECT pair FROM b1) || ' ',
+                     ' ' || replace((SELECT pair FROM b1), ' ', '\x1f')
+                     || ' ') AS s
+      FROM t0
+    ),
+    p2 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t1),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b2 AS (SELECT pair, COUNT(*) AS c FROM p2 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1),
+    t2 AS (
+      SELECT doc_id,
+             replace(s, ' ' || (SELECT pair FROM b2) || ' ',
+                     ' ' || replace((SELECT pair FROM b2), ' ', '\x1f')
+                     || ' ') AS s
+      FROM t1
+    ),
+    p3 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t2),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b3 AS (SELECT pair, COUNT(*) AS c FROM p3 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1)
+    SELECT merge_rank, replace(pair, '\x1f', '+') AS merge_pair,
+           CAST(c AS BIGINT) AS pair_count
+    FROM (
+      SELECT 1 AS merge_rank, pair, c FROM b1
+      UNION ALL SELECT 2, pair, c FROM b2
+      UNION ALL SELECT 3, pair, c FROM b3
+    ) ORDER BY merge_rank
+    """,
+    tags=("text", "llm", "tokenizer", "bpe", "iterative"),
+)
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer merge TRAINING, distributed: three greedy
+    merge rounds, each = one distributed adjacent-pair count over the
+    whole corpus + a 1-row argmax collect (the learned merge — model
+    state, like a k-means centroid) + a row-local merge application.
+    At 100 TB each round is a single map-side-combinable count shuffle;
+    the corpus never leaves the executors and driver state is one pair
+    per round — the exact shape of corpus-scale tokenizer training.
+    The oracle replays the identical algorithm in SQL, so the learned
+    merge table is certified bit-equal, not just plausible."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
+    merges: list[tuple[int, str, int]] = []
+    for rank in (1, 2, 3):
+        tk = F.split(F.trim(F.col("s")), " ")
+        pair_arr = F.when(
+            F.size(tk) >= 2,
+            F.expr("transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+                   "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
+                   "element_at(split(trim(s), ' '), i + 1)))")
+        ).otherwise(F.array().cast("array<string>"))
+        top = (df.select(F.explode(pair_arr).alias("pair"))
+               .groupBy("pair").agg(F.count("*").alias("c"))
+               .orderBy(F.desc("c"), F.asc("pair"))
+               .limit(1).collect()[0])
+        merges.append((rank, top["pair"], top["c"]))
+        merged = top["pair"].replace(" ", _BPE_US)
+        df = df.withColumn(
+            "s", F.replace(F.col("s"),
+                           F.lit(f" {top['pair']} "),
+                           F.lit(f" {merged} ")))
+    out = spark.createDataFrame(
+        [(r, p.replace(_BPE_US, "+"), int(c)) for r, p, c in merges],
+        "merge_rank int, merge_pair string, pair_count bigint")
+    return out.orderBy("merge_rank")
