@@ -98,13 +98,13 @@ def register(name: str, oracle: str | None = None,
 #       (first zero-red round since r2).
 #   r6 window (below): the stale-certification drain begins (VERDICT r5
 #       item 3: 86 queries' latest green was r1/r2 and the driver
-#       regenerates testdata between rounds).  Positions 1-20 are the
-#       r6 new/changed queries (twelve brand-new, one rows-only→oracled
+#       regenerates testdata between rounds).  Positions 1-21 are the
+#       r6 new/changed queries (thirteen brand-new, one rows-only→oracled
 #       upgrade, one schema change, six re-certs of behavior-touched
-#       paths); positions 21-50 re-front the oldest r1-certified
+#       paths); positions 22-50 re-front the oldest r1-certified
 #       families (TPC-H q2-q22, the join/set/relational core).  The
 #       remaining r1/r2-stale queries (aggregates tail, windows,
-#       streaming, text, subqueries, time-series, UDF, the ten
+#       streaming, text, subqueries, time-series, UDF, the eleven
 #       displaced canaries) are the planned r7 window.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
@@ -126,6 +126,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "stream_txlog_cdf_source",        # CDF as a custom streaming source
     "delta_restore",                  # rollback-as-new-commit
     "tokenizer_bpe_train_merges",     # distributed BPE merge training
+    "delta_partitioned_table",        # Hive-layout partitioning + pruning
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -172,8 +173,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "join_semi",
     "join_theta_range",
     "set_except",
-    "set_intersect",
-    # set_intersect_all, set_union, set_union_all, distinct_values, filter_compound_predicates,
+    # set_intersect, set_intersect_all, set_union, set_union_all, distinct_values, filter_compound_predicates,
     # filter_like_patterns, null_handling, proj_computed_columns,
     # sort_multi_key_limit, sql_entry_revenue_by_nation displaced to the
     # r7 drain block by the eight new r6 delta/DML/chunking/sketch/

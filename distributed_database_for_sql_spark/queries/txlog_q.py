@@ -729,3 +729,47 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restore_commit_version", F.lit(v).cast("int"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "delta_partitioned_table",
+    oracle=f"""
+    SELECT o_orderkey % 10                 AS key_bucket,
+           COUNT(*)                        AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT)   AS total_cents,
+           TRUE                            AS partitions_were_pruned
+    FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderkey % 10
+    ORDER BY key_bucket
+    """,
+    tags=("acid", "delta", "partitioning", "pruning", "hive-layout"),
+)
+def delta_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/Delta-layout PARTITIONED txlog table: the CREATE writes
+    files under ``o_orderpriority=<value>/`` dirs, every add action
+    records the file's partitionValues, and an equality read proves the
+    irrelevant partitions skippable from commit metadata alone (audit
+    flag) before scanning only the matching partition — with the
+    residual filter keeping the result exactly equal to a full-scan
+    filter, value-certified here.  At 100 TB partition layout is the
+    first-order data-placement decision; stats-based skipping
+    (delta_data_skipping) composes with it for range predicates inside
+    a partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("partitioned", sf_dir), base,
+                          overwrite=True, partition_by="o_orderpriority")
+    preds = [("o_orderpriority", "=", "1-URGENT")]
+    kept, total = t.prune_files(preds)
+    return (
+        t.read_where(preds)
+        .groupBy((F.col("o_orderkey") % 10).alias("key_bucket"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("partitions_were_pruned", F.lit(len(kept) < total))
+        .orderBy("key_bucket")
+    )

@@ -147,6 +147,15 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     what you cannot prove empty), exactly like Delta data skipping."""
     if stats is None:
         return True
+    pv = stats.get("partitionValues", {})
+    if col in pv:
+        # Partition value: exact per-file constant.  Dir names are
+        # strings, so only equality is decided here (safe for any type:
+        # both sides stringified identically); range ops fall through to
+        # footer stats (absent for partition columns → file kept).
+        if op == "=":
+            return pv[col] == str(value)
+        return True
     lo = stats.get("minValues", {}).get(col)
     hi = stats.get("maxValues", {}).get(col)
     if lo is None or hi is None:
@@ -430,17 +439,55 @@ class TxLogTable:
 
     # -- segment writing ----------------------------------------------------
 
+    def _partition_columns(self) -> list[str]:
+        """Partition columns from the last metaData action carrying them
+        (the log is tiny JSON; this is a metadata read).  During CREATE
+        the log does not exist yet; ``create`` pre-sets the pending
+        attribute instead."""
+        pending = getattr(self, "_pending_partition_columns", None)
+        if pending is not None:
+            return pending
+        cols: list[str] = []
+        latest = self.latest_version()
+        for v in range(latest + 1):
+            for action in self._read_commit(v):
+                if "metaData" in action and "partitionColumns" in action["metaData"]:
+                    cols = action["metaData"]["partitionColumns"]
+        return cols
+
     def _write_segments(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet segments; return table-relative
-        paths.  Each write lands in its own uuid'd subdir so segment names
-        never collide across commits (immutability by construction)."""
-        sub = f"data-{uuid.uuid4().hex[:12]}"
-        out = os.path.join(self.path, sub)
-        df.write.mode("errorifexists").parquet(out)
-        return [
-            os.path.join(sub, os.path.basename(p))
-            for p in sorted(glob.glob(os.path.join(out, "part-*.parquet")))
-        ]
+        paths.  Unpartitioned: each write lands in its own uuid'd subdir so
+        segment names never collide across commits (immutability by
+        construction).  Partitioned: the Hive/Delta layout — files land
+        under ``col=value/`` dirs at the table root with a per-write uuid
+        prefix on the file name (uniqueness without per-commit dirs, so a
+        single ``basePath`` read recovers the partition column for ANY
+        subset of active files)."""
+        parts = self._partition_columns()
+        seg = uuid.uuid4().hex[:12]
+        if not parts:
+            sub = f"data-{seg}"
+            out = os.path.join(self.path, sub)
+            df.write.mode("errorifexists").parquet(out)
+            return [
+                os.path.join(sub, os.path.basename(p))
+                for p in sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+            ]
+        stage = os.path.join(self.path, f".tmpseg-{seg}")
+        df.write.partitionBy(*parts).parquet(stage)
+        rel: list[str] = []
+        for p in sorted(glob.glob(os.path.join(stage, *["*=*"] * len(parts),
+                                               "part-*.parquet"))):
+            kv_rel = os.path.relpath(os.path.dirname(p), stage)
+            dest_dir = os.path.join(self.path, kv_rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir,
+                                f"data-{seg}-{os.path.basename(p)}")
+            os.replace(p, dest)
+            rel.append(os.path.relpath(dest, self.path))
+        shutil.rmtree(stage)
+        return rel
 
     def _write_change_data(self, changes: DataFrame) -> str:
         """Persist a commit's row-level change data under _change_data/
@@ -454,29 +501,58 @@ class TxLogTable:
     def _add_actions(self, rel_paths: list[str]) -> list[dict]:
         """add actions with per-file footer statistics (Delta's ``stats``
         field) — the write-time metadata that powers read-time data
-        skipping.  Footer-only reads, so cost is O(files)."""
-        return [
-            {"add": {"path": p,
-                     "stats": _file_stats(os.path.join(self.path, p))}}
-            for p in rel_paths
-        ]
+        skipping — plus ``partitionValues`` parsed from the Hive-style
+        path components for partitioned tables.  Footer-only reads, so
+        cost is O(files)."""
+        from urllib.parse import unquote
+
+        out = []
+        for p in rel_paths:
+            stats = _file_stats(os.path.join(self.path, p))
+            pv = {}
+            for comp in p.split(os.sep)[:-1]:
+                if "=" in comp and not comp.startswith("data-"):
+                    k, _, v = comp.partition("=")
+                    pv[k] = unquote(v)
+            if pv:
+                # partition values ride inside the stats blob so the
+                # snapshot/checkpoint machinery carries them for free
+                stats = dict(stats or {"numRecords": None, "minValues": {},
+                                       "maxValues": {}, "nullCount": {}})
+                stats["partitionValues"] = pv
+            out.append({"add": {"path": p, "stats": stats}})
+        return out
 
     # -- public ops ---------------------------------------------------------
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                overwrite: bool = False,
-               enable_cdf: bool = False) -> "TxLogTable":
+               enable_cdf: bool = False,
+               partition_by: str | list[str] | None = None) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
                 raise FileExistsError(f"txlog table already exists at {path}")
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
+        parts = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by or []))
+        meta: dict = {"schemaJson": df.schema.json()}
+        if parts:
+            missing = set(parts) - {f.name for f in df.schema.fields}
+            if missing:
+                raise ValueError(
+                    f"partition columns not in schema: {sorted(missing)}")
+            meta["partitionColumns"] = parts
+            # _write_segments resolves partition columns from the log,
+            # which does not exist yet at CREATE: pre-commit the metaData
+            # via an instance attribute override.
+            t._pending_partition_columns = parts
         rel = t._write_segments(df)
         actions = (
             [{"commit": {"op": "CREATE", "ts": int(time.time() * 1000)}},
-             {"metaData": {"schemaJson": df.schema.json()}}]
+             {"metaData": meta}]
             + t._add_actions(rel)
         )
         if not t._try_commit(0, actions):
@@ -552,9 +628,16 @@ class TxLogTable:
                            T.StructField("__rowidx", T.LongType(), True)]
             return self.spark.createDataFrame([], T.StructType(fields))
 
+        partitioned = bool(self._partition_columns())
+
         def load(paths: list[str], meta: bool) -> DataFrame:
-            df = (self.spark.read.option("mergeSchema", "true")
-                  .parquet(*[os.path.join(self.path, p) for p in paths]))
+            reader = self.spark.read.option("mergeSchema", "true")
+            if partitioned:
+                # Hive-layout table: basePath recovers the partition
+                # column(s) for any subset of active files.
+                reader = reader.option("basePath", self.path)
+            df = reader.parquet(
+                *[os.path.join(self.path, p) for p in paths])
             if meta:
                 # file:/abs or file:///abs → /abs; rel = strip table root
                 fp = F.regexp_replace(F.col("_metadata.file_path"),
@@ -1003,9 +1086,13 @@ class TxLogTable:
         cutoff = time.time() - retention_seconds
         removed = []
         for sub in sorted(os.listdir(self.path)):
-            if not sub.startswith("data-"):
+            # unpartitioned segment dirs (data-*) and Hive partition
+            # dirs (col=value) both hold data parquet
+            if not (sub.startswith("data-") or "=" in sub):
                 continue
             seg_dir = os.path.join(self.path, sub)
+            if not os.path.isdir(seg_dir):
+                continue
             for f in sorted(os.listdir(seg_dir)):
                 fp = os.path.normpath(os.path.join(seg_dir, f))
                 if (f.endswith(".parquet") and fp not in live_set

@@ -866,3 +866,63 @@ def test_random_op_sequences_full_dml_surface(spark, tmp_path):
         assert got == model, f"diverged after {op}({arg})"
     for v in range(t.latest_version() + 1):
         t._snapshot_files(v)
+
+
+# -- partitioned tables (Hive layout + partition pruning) -------------------
+
+
+def test_partitioned_create_layout_and_read(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]),
+        partition_by="grp")
+    files, _ = t._snapshot_files()
+    assert all("grp=" in f for f in files), files
+    got = sorted((r["k"], r["grp"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+
+
+def test_partition_pruning_by_value(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        partition_by="grp")
+    kept, total = t.prune_files([("grp", "=", "b")])
+    assert total == 3 and len(kept) == 1
+    got = [(r["k"], r["grp"]) for r in t.read_where([("grp", "=", "b")]).collect()]
+    assert got == [(2, "b")]
+    # range op on a partition column: conservative, keeps everything
+    kept2, _ = t.prune_files([("grp", ">", "a")])
+    assert len(kept2) == 3
+
+
+def test_partitioned_dml_preserves_layout(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_by="grp")
+    t.merge_upsert(_df(spark, [(2, "b", 99), (5, "c", 50)]), "k")
+    t.delete_where(F.col("k") == 1)
+    files, _ = t._snapshot_files()
+    assert all("grp=" in f for f in files), files
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(2, 99), (5, 50)]
+    kept, total = t.prune_files([("grp", "=", "c")])
+    assert 0 < len(kept) < total
+
+
+def test_partitioned_missing_column_raises(spark, tdir):
+    with pytest.raises(ValueError, match="partition columns not in schema"):
+        TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          partition_by="nope")
+
+
+def test_partitioned_vacuum_collects_kv_dirs(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_by="grp")
+    t.optimize_compact(target_segments=1)
+    removed = t.vacuum(retention_seconds=0)
+    assert removed, "old partition files should be collected"
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20)]
