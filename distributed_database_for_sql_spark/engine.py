@@ -66,6 +66,36 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name
+# — write-time-enforced CHECK constraints on a txlog table.
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
+# OPTIMIZE t [ZORDER BY (a, b)] — compaction / multi-dimensional layout.
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+# DESCRIBE HISTORY t — the commit log as a result set (Delta's DESCRIBE
+# HISTORY shape: version, op, timestamp + op metrics as JSON).
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
+
+# CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n] — zero-copy clone
+# of a registered txlog table; dest registers under the new name, rooted
+# next to the source (dir name = dest table name).
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<dest>\w+)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<src>\w+)(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+
 
 class Engine:
     """Thin session wrapper: catalog registration + SQL execution."""
@@ -111,6 +141,52 @@ class Engine:
             return self.spark.createDataFrame(
                 [(target, len(removed))],
                 "table_name string, files_removed long")
+        m = _ADD_CONSTRAINT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].add_constraint(
+                m.group("name"), m.group("expr").strip())
+            return self._dml_ack(target, version)
+        m = _DROP_CONSTRAINT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].drop_constraint(
+                m.group("name"))
+            return self._dml_ack(target, version)
+        m = _OPTIMIZE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            cols = m.group("cols")
+            zorder = ([c.strip() for c in cols.split(",")] if cols
+                      else None)
+            version = self.txlog_tables[target].optimize_compact(
+                zorder_by=zorder)
+            return self._dml_ack(target, version)
+        m = _HISTORY_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            hist = self.txlog_tables[m.group("target")].history()
+            rows = [(h["version"], h["op"], h["ts"],
+                     json.dumps({k: v for k, v in h.items()
+                                 if k not in ("version", "op", "ts")},
+                                sort_keys=True))
+                    for h in hist]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, operation string, timestamp_ms long, "
+                "operation_metrics string")
+        m = _CLONE_RE.match(command)
+        if m and m.group("src") in self.txlog_tables:
+            src_name, dest_name = m.group("src"), m.group("dest")
+            src = self.txlog_tables[src_name]
+            dest_path = os.path.join(os.path.dirname(
+                os.path.abspath(src.path)), dest_name)
+            v = m.group("version")
+            clone = src.clone_to(dest_path,
+                                 version=int(v) if v is not None else None)
+            self.register_txlog(dest_name, clone)
+            return self.spark.createDataFrame(
+                [(dest_name, dest_path, clone.latest_version())],
+                "table_name string, location string, version long")
         return self.spark.sql(command)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:

@@ -127,6 +127,12 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_restore",                  # rollback-as-new-commit
     "tokenizer_bpe_train_merges",     # distributed BPE merge training
     "delta_partitioned_table",        # Hive-layout partitioning + pruning
+    "delta_idempotent_stream_sink",   # exactly-once foreachBatch (txn action)
+    "delta_check_constraint",         # write-time CHECK constraint (SQL DDL)
+    "delta_shallow_clone",            # zero-copy clone + isolated evolution
+    "delta_zorder_optimize",          # OPTIMIZE ZORDER BY + 2-D pruning
+    "delta_streaming_mv",             # CDF stream -> ACID MV maintenance
+    "delta_metadata_count",           # COUNT(*) from commit stats, no scan
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -167,17 +173,14 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "join_anti",
     "join_cross",
     "join_full_outer",
-    "join_left_outer_nulls",
-    "join_salted_skew",
-    "join_self_pairs",
-    "join_semi",
-    "join_theta_range",
-    "set_except",
-    # set_intersect, set_intersect_all, set_union, set_union_all, distinct_values, filter_compound_predicates,
+    # join_left_outer_nulls, join_salted_skew,
+    # join_self_pairs, join_semi, join_theta_range, set_except,
+    # set_intersect, set_intersect_all, set_union, set_union_all,
+    # distinct_values, filter_compound_predicates,
     # filter_like_patterns, null_handling, proj_computed_columns,
     # sort_multi_key_limit, sql_entry_revenue_by_nation displaced to the
-    # r7 drain block by the eight new r6 delta/DML/chunking/sketch/
-    # streaming queries (policy above).
+    # r7 drain block by the twelve new r6 delta/DML/chunking/sketch/
+    # streaming/constraint/clone/zorder queries (policy above).
 )
 
 

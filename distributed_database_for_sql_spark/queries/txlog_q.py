@@ -773,3 +773,382 @@ def delta_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("partitions_were_pruned", F.lit(len(kept) < total))
         .orderBy("key_bucket")
     )
+
+
+@register(
+    "delta_idempotent_stream_sink",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           TRUE                          AS replay_was_noop
+    FROM orders
+    WHERE o_orderkey <= 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "streaming", "sink", "exactly-once", "txn"),
+)
+def delta_idempotent_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the txlog format: a file
+    stream lands in the table through ``streaming_sink`` (foreachBatch +
+    Delta's txnAppId/txnVersion idempotency — each epoch id is recorded
+    as a ``txn`` action), and a deliberately REPLAYED epoch commits
+    nothing (audit flag, from the commit log's own version counter).
+    The final table state hashes exactly to the source aggregate, so
+    at-least-once foreachBatch delivery + idempotent commit = effective
+    exactly-once — the only ingestion contract that survives restarts
+    on a 100 TB streaming pipeline.  The reference's exactly-once
+    ordered apply (replication.go:88-103) is the same contract over
+    command strings."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    data = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    src = _table_dir("sinksrc", sf_dir)
+    data.write.mode("overwrite").parquet(src)
+    empty = spark.createDataFrame([], data.schema)
+    t = TxLogTable.create(spark, _table_dir("sink", sf_dir), empty,
+                          overwrite=True)
+    ck = _table_dir("sinkck", sf_dir)
+    shutil.rmtree(ck, ignore_errors=True)  # fresh table ⇒ fresh offsets
+    sink = t.streaming_sink("orders_ingest")
+    stream = spark.readStream.schema(data.schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    v_before = t.latest_version()
+    sink(spark.read.parquet(src), 0)  # replayed epoch: must be a no-op
+    replay_noop = t.latest_version() == v_before
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("replay_was_noop", F.lit(replay_noop))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_check_constraint",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           TRUE                          AS violation_rejected
+    FROM orders
+    WHERE o_orderkey <= 1500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "constraint", "sql", "engine"),
+)
+def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints, end-to-end through the SQL surface:
+    ``ALTER TABLE … ADD CONSTRAINT … CHECK (cents > 0)`` routes through
+    ``Engine.sql`` to the txlog table; a conforming append lands, a
+    violating append RAISES and commits nothing (audit flag), and the
+    final state hashes to base + valid rows only.  Enforcement costs one
+    aggregate over the rows being written — never a table scan — which
+    is what makes constraints affordable on a 100 TB table."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("constraint", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders_ck", t)
+    engine.sql("ALTER TABLE txlog_orders_ck ADD CONSTRAINT cents_positive "
+               "CHECK (cents > 0)")
+    valid = (orders
+             .filter((F.col("o_orderkey") > 1000)
+                     & (F.col("o_orderkey") <= 1500))
+             .select("o_orderkey", "o_orderpriority", cents.alias("cents")))
+    t.append(valid)
+    bad = (orders.filter(F.col("o_orderkey") <= 100)
+           .select((F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+                   "o_orderpriority", (-cents).alias("cents")))
+    rejected = False
+    try:
+        t.append(bad)
+    except ValueError:
+        rejected = True
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("violation_rejected", F.lit(rejected))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_shallow_clone",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), cl AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM src
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT 'clone' AS side, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS zero_copy
+    FROM cl
+    UNION ALL
+    SELECT 'source' AS side, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS zero_copy
+    FROM src
+    ORDER BY side
+    """,
+    tags=("acid", "delta", "clone", "zero-copy"),
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: the clone's commit 0 references the source
+    snapshot's segments by path — the audit flag certifies that NO data
+    file was copied at clone time — after which a MERGE into the clone
+    rewrites only its own view of the touched segments.  The hash
+    certifies both sides at once: the clone equals the post-merge state
+    and the SOURCE still equals its original state (isolation).  At
+    100 TB this is how a dev/experiment copy of a production table
+    costs O(file-count) metadata instead of a 100 TB copy."""
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    src_t = TxLogTable.create(spark, _table_dir("clonesrc", sf_dir), base,
+                              overwrite=True)
+    clone_path = _table_dir("clonedst", sf_dir)
+    import shutil
+    shutil.rmtree(clone_path, ignore_errors=True)
+    clone = src_t.clone_to(clone_path)
+    zero_copy = not any(p.startswith("data-")
+                        for p in _os.listdir(clone_path))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    clone.merge_upsert(updates, "o_orderkey")
+    agg = lambda df, side: (df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("total_cents"))
+        .select(F.lit(side).alias("side"), "n_rows", "total_cents"))
+    return (agg(clone.read(), "clone")
+            .unionByName(agg(src_t.read(), "source"))
+            .withColumn("zero_copy", F.lit(zero_copy))
+            .orderBy("side"))
+
+
+@register(
+    "delta_zorder_optimize",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, o_orderkey % 97 AS x, o_custkey % 89 AS y,
+             {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 8000
+    )
+    SELECT COUNT(*)                      AS n_rows,
+           CAST(SUM(cents) AS BIGINT)    AS total_cents,
+           MIN(o_orderkey)               AS min_key,
+           MAX(o_orderkey)               AS max_key,
+           TRUE                          AS x_files_skipped,
+           TRUE                          AS y_files_skipped
+    FROM t WHERE x BETWEEN 10 AND 15 AND y BETWEEN 10 AND 15
+    """,
+    tags=("acid", "delta", "zorder", "layout", "pruning", "sql", "engine"),
+)
+def delta_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY, end-to-end through the SQL surface: the table
+    starts as 8 randomly-partitioned segments (every file spans the full
+    range of both dims — zero pruning possible), then ``OPTIMIZE …
+    ZORDER BY (x, y)`` rewrites it Morton-ordered, after which file
+    stats prune segments for SINGLE-dimension predicates on EITHER
+    column (both audit flags — the property a one-column sort cannot
+    give the second dimension), and a 2-D box read returns exactly the
+    full-scan answer, value-certified.  At 100 TB z-ordering is the
+    difference between multi-dimension lookups scanning the table and
+    scanning a handful of segments."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 8000)
+            .select("o_orderkey",
+                    (F.col("o_orderkey") % 97).alias("x"),
+                    (F.col("o_custkey") % 89).alias("y"),
+                    cents.alias("cents"))
+            .repartition(8))
+    t = TxLogTable.create(spark, _table_dir("zorder", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders_z", t)
+    engine.sql("OPTIMIZE txlog_orders_z ZORDER BY (x, y)")
+    kept_x, total = t.prune_files([("x", "between", (10, 15))])
+    kept_y, _ = t.prune_files([("y", "between", (10, 15))])
+    box = [("x", "between", (10, 15)), ("y", "between", (10, 15))]
+    return (
+        t.read_where(box)
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .withColumn("x_files_skipped", F.lit(len(kept_x) < total))
+        .withColumn("y_files_skipped", F.lit(len(kept_y) < total))
+    )
+
+
+@register(
+    "delta_streaming_mv",
+    # The oracle recomputes the FINAL aggregate from scratch; the Spark
+    # side maintains it incrementally — CDF stream in, signed fold per
+    # micro-batch, MERGE into a SECOND txlog table (the MV store).  A
+    # hash match proves streamed incremental maintenance == full
+    # recompute, end-to-end through the ACID layer on both sides.
+    oracle=f"""
+    WITH post_merge AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM post_merge WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE                       AS mv_stored_acid
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "cdf", "streaming", "mv", "incremental"),
+)
+def delta_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance, fully composed from the
+    engine's own parts: the source table's Change Data Feed is consumed
+    as a Structured Streaming source (``format("txlogcdf")``), each
+    micro-batch is folded into signed per-group deltas (+1 insert/
+    postimage, -1 delete/preimage), and the running aggregate is
+    MERGEd into a SECOND txlog table — so the MV itself is ACID,
+    versioned, and time-travelable.  The MV table is never recomputed
+    from the source; the oracle recomputes it from scratch, and the
+    hash match certifies streamed-incremental == full.  This is the
+    100 TB shape for keeping derived tables fresh: refresh cost ∝
+    change volume, the MV store survives restarts (checkpointed
+    offsets + idempotent-by-key MERGE), and consumers read a plain
+    table."""
+    import shutil
+
+    from ..sources.txlog_stream import register_txlog_cdf_source
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    src = TxLogTable.create(spark, _table_dir("mvsrc", sf_dir), base,
+                            overwrite=True, enable_cdf=True)
+    src.merge_upsert(updates, "o_orderkey")          # v1
+    src.delete_where(F.col("o_orderkey") % 7 == 0)   # v2
+    mv = TxLogTable.create(
+        spark, _table_dir("mvdst", sf_dir),
+        spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"),
+        overwrite=True)
+    ck = _table_dir("mvck", sf_dir)
+    shutil.rmtree(ck, ignore_errors=True)  # fresh tables ⇒ fresh offsets
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1)).otherwise(F.lit(-1))
+        delta = (batch_df.withColumn("sign", sign)
+                 .groupBy("o_orderpriority")
+                 .agg(F.sum("sign").alias("dn"),
+                      F.sum(F.col("sign") * F.col("cents")).alias("dc")))
+        merged = (mv.read().join(delta, "o_orderpriority", "full_outer")
+                  .select(
+                      "o_orderpriority",
+                      (F.coalesce("n_rows", F.lit(0))
+                       + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+                      (F.coalesce("total_cents", F.lit(0))
+                       + F.coalesce("dc", F.lit(0))).alias("total_cents"))
+                  .filter(F.col("n_rows") > 0))
+        mv.merge_upsert(merged, "o_orderpriority")
+
+    register_txlog_cdf_source(spark)
+    q = (spark.readStream.format("txlogcdf")
+         .option("path", src.path).load()
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (mv.read()
+            .withColumn("mv_stored_acid", F.lit(True))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_metadata_count",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE                     AS metadata_only
+    FROM orders
+    WHERE o_orderkey <= 1500 AND o_orderkey % 7 <> 0
+    """,
+    tags=("acid", "delta", "stats", "metadata-only", "count"),
+)
+def delta_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): after an append and a deletion-vector
+    DELETE, ``count_rows`` answers from per-file ``numRecords`` stats
+    minus the DV tombstone count — no data file is opened (the audit
+    flag is the method's own metadata_only bit), and the value is
+    certified against DuckDB's real count over the equivalent rows.
+    At 100 TB this is the difference between the most common query in
+    any pipeline costing a table scan and costing an O(files) fold
+    over commit metadata."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    more = (orders
+            .filter((F.col("o_orderkey") > 1000)
+                    & (F.col("o_orderkey") <= 1500))
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("metacount", sf_dir), base,
+                          overwrite=True)
+    t.append(more)
+    t.delete_where(F.col("o_orderkey") % 7 == 0, use_dv=True)
+    n, metadata_only = t.count_rows()
+    return spark.createDataFrame(
+        [(n, metadata_only)], "n_rows long, metadata_only boolean")

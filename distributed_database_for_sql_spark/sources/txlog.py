@@ -57,6 +57,24 @@ deletes) under ``_change_data/`` and record them in the commit;
 ``_change_type``/``_commit_version`` columns.  Appends synthesize
 insert rows directly from their added segments — no extra storage.
 
+Idempotent writes (Delta's ``txn``/SetTransaction action): an append
+carrying ``txn_app_id``/``txn_version`` is a no-op if that (app,
+version) already committed — ``streaming_sink`` builds the
+exactly-once foreachBatch writer on it (a restarted stream replays its
+last epoch id; the replay commits nothing twice).
+
+CHECK constraints (``add_constraint``): write-time enforcement — every
+append/MERGE/UPDATE validates the incoming rows (one aggregate over
+the write set, never the table) and raises on violation.
+
+SHALLOW CLONE (``clone_to``): zero-copy table clone referencing the
+source snapshot's segments by path; O(files) metadata, independent
+evolution afterwards.
+
+OPTIMIZE ZORDER (``optimize_compact(zorder_by=...)``): Morton-order
+layout so file stats stay tight in several dimensions at once and
+``prune_files`` skips segments for predicates on any z-ordered column.
+
 At 100 TB: segments are immutable parquet (scan parallelism = file
 count), the log is O(commits) tiny JSON with O(N)-bounded replay via
 checkpoints, snapshot resolution is driver-side metadata only, MERGE
@@ -82,6 +100,14 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
 _LAST_CHECKPOINT = "_last_checkpoint"
+
+# Protocol fencing (Delta's protocol action): the newest reader/writer
+# contract this implementation understands.  Deletion vectors bump a
+# table to (3, 7) — the same versions real Delta assigns the feature —
+# so a hypothetical older reader fails loudly instead of resurrecting
+# tombstoned rows.
+_SUPPORTED_READER_VERSION = 3
+_SUPPORTED_WRITER_VERSION = 7
 
 
 def _stat_value(v):
@@ -178,6 +204,27 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     except TypeError:
         return True  # incomparable types: cannot prove skippable
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
+
+
+_ZORDER_BITS = 21  # per-dimension bits; 2 dims fit a 42-bit long
+
+
+def _zorder_value(cols: list[str]):
+    """Bit-interleaved Morton/Z-value Column over integer columns —
+    round-robin one bit per dimension, low bits first.  Plain shift/mask
+    arithmetic (JVM-side, codegen-friendly); negative or non-integer
+    keys should be dictionary-encoded first by the caller."""
+    n = len(cols)
+    terms = []
+    for b in range(_ZORDER_BITS):
+        for i, c in enumerate(cols):
+            terms.append(
+                F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * n + i)).cast("long"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _is_commit_name(name: str) -> bool:
@@ -337,11 +384,15 @@ class TxLogTable:
         if version % self.checkpoint_interval != 0:
             return
         active, schema_json, dvs = self._snapshot_full(version)
-        manifest = {"version": version,
+        txns, constraints = self._txn_constraint_state(version)
+        manifest = {"protocol": self.protocol(version),
+                    "version": version,
                     "active": list(active),
                     "adds": [{"path": p, "stats": s}
                              for p, s in active.items()],
                     "dvs": dvs,
+                    "txns": txns,
+                    "constraints": constraints,
                     "schemaJson": schema_json}
         tmp = os.path.join(self.log_dir,
                            f".tmpck-{version:08d}-{uuid.uuid4().hex[:8]}")
@@ -436,6 +487,84 @@ class TxLogTable:
         """Absolute active data files + schema json at ``version``."""
         active, schema_json = self._snapshot(version)
         return [os.path.join(self.path, p) for p in active], schema_json
+
+    def _txn_constraint_state(self, version: int | None = None) -> tuple[dict[str, int], dict[str, str]]:
+        """Replay ``txn`` (idempotent-writer watermarks, Delta's
+        ``txn``/SetTransaction action) and ``constraint`` (CHECK
+        constraint) actions up to ``version`` → ({appId: highest
+        committed version}, {name: SQL expr}).  Starts from the best
+        checkpoint like ``_snapshot_full``, so resolution stays
+        O(N)-bounded under continuous streaming commits — the case
+        idempotent sinks exist for."""
+        latest = self.latest_version()
+        v = latest if version is None else version
+        txns: dict[str, int] = {}
+        constraints: dict[str, str] = {}
+        start = 0
+        ckpt = self._best_checkpoint(v)
+        if ckpt is not None:
+            txns = dict(ckpt.get("txns", {}))
+            constraints = dict(ckpt.get("constraints", {}))
+            start = ckpt["version"] + 1
+        for i in range(start, v + 1):
+            for action in self._read_commit(i):
+                if "txn" in action:
+                    a = action["txn"]
+                    txns[a["appId"]] = max(txns.get(a["appId"], -1),
+                                           int(a["version"]))
+                elif "constraint" in action:
+                    c = action["constraint"]
+                    if c.get("drop"):
+                        constraints.pop(c["name"], None)
+                    else:
+                        constraints[c["name"]] = c["expr"]
+        return txns, constraints
+
+    def txn_version_for(self, app_id: str) -> int:
+        """Highest ``txn`` version committed for ``app_id`` (-1 if none) —
+        the idempotent writer's replay watermark."""
+        return self._txn_constraint_state()[0].get(app_id, -1)
+
+    def protocol(self, version: int | None = None) -> dict[str, int]:
+        """The table's protocol requirements at ``version`` (Delta's
+        ``protocol`` action): the LAST protocol action wins.  Tables
+        created before the action existed default to (1, 2)."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise FileNotFoundError(f"no txlog table at {self.path}")
+        v = latest if version is None else version
+        if v > latest or v < 0:
+            raise ValueError(f"version {v} out of range [0, {latest}]")
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        start = 0
+        ckpt = self._best_checkpoint(v)
+        if ckpt is not None:
+            proto = dict(ckpt.get("protocol", proto))
+            start = ckpt["version"] + 1
+        for i in range(start, v + 1):
+            for action in self._read_commit(i):
+                if "protocol" in action:
+                    proto = dict(action["protocol"])
+        return proto
+
+    def _assert_readable(self, version: int | None = None) -> None:
+        """Refuse to read a table whose protocol demands a newer reader
+        than this implementation — Delta's forward-compatibility fence:
+        an old reader silently ignoring a feature it doesn't know (say,
+        deletion vectors) would return WRONG rows; failing loudly is the
+        contract."""
+        proto = self.protocol(version)
+        if proto.get("minReaderVersion", 1) > _SUPPORTED_READER_VERSION:
+            raise RuntimeError(
+                f"table at {self.path} requires minReaderVersion="
+                f"{proto['minReaderVersion']} but this reader supports "
+                f"{_SUPPORTED_READER_VERSION}; upgrade the engine "
+                "before reading (ignoring the feature would drop or "
+                "resurrect rows)")
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints ({name: SQL expression})."""
+        return self._txn_constraint_state()[1]
 
     # -- segment writing ----------------------------------------------------
 
@@ -552,6 +681,7 @@ class TxLogTable:
         rel = t._write_segments(df)
         actions = (
             [{"commit": {"op": "CREATE", "ts": int(time.time() * 1000)}},
+             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
              {"metaData": meta}]
             + t._add_actions(rel)
         )
@@ -581,18 +711,109 @@ class TxLogTable:
             + [T.StructField(f.name, f.dataType, True) for f in new])
         return [{"metaData": {"schemaJson": merged.json()}}]
 
-    def append(self, df: DataFrame) -> int:
+    def _check_constraint(self, df: DataFrame, name: str, expr: str) -> None:
+        """Raise if any row of ``df`` violates the CHECK constraint.
+        SQL CHECK semantics: only rows where the expression evaluates to
+        FALSE violate (NULL passes).  Cost: one aggregate over the rows
+        being written — never the table."""
+        try:
+            pred = F.expr(expr).cast("boolean")
+        except Exception as exc:  # unparseable expression
+            raise ValueError(f"CHECK constraint {name!r}: bad expression "
+                             f"{expr!r}: {exc}") from exc
+        bad = df.filter(~F.coalesce(pred, F.lit(True))).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} violated: rows failed "
+                f"({expr})")
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """Enforce every active CHECK constraint against the rows about
+        to be written (append / merge updates / post-UPDATE images) —
+        Delta's write-time enforcement.  Compaction and restore skip
+        this: they rearrange rows that already passed."""
+        for name, expr in self._txn_constraint_state()[1].items():
+            self._check_constraint(df, name, expr)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
+        CURRENT snapshot first (one scan — same as Delta, which refuses
+        a constraint existing data violates), then commits the
+        constraint action; every subsequent write validates its rows
+        against it."""
+        if name in self._txn_constraint_state()[1]:
+            raise ValueError(f"constraint {name!r} already exists")
+        base_version = self.latest_version()
+        self._check_constraint(self._read_active(), name, expr)
+        actions = [
+            {"commit": {"op": "ADD CONSTRAINT",
+                        "ts": int(time.time() * 1000), "name": name}},
+            {"constraint": {"name": name, "expr": expr}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self._txn_constraint_state()[1]:
+            raise ValueError(f"no such constraint: {name!r}")
+        actions = [
+            {"commit": {"op": "DROP CONSTRAINT",
+                        "ts": int(time.time() * 1000), "name": name}},
+            {"constraint": {"name": name, "drop": True}},
+        ]
+        return self._commit_with_occ(actions, [], self.latest_version())
+
+    def append(self, df: DataFrame, txn_app_id: str | None = None,
+               txn_version: int | None = None) -> int:
+        """Append ``df`` as new segments.  With ``txn_app_id`` +
+        ``txn_version`` the append is IDEMPOTENT (Delta's
+        txnAppId/txnVersion contract): if a commit for this app with an
+        equal-or-higher version already exists, the call is a no-op —
+        the exactly-once foundation for streaming sinks, where a
+        restarted query replays its last micro-batch (same epoch id)
+        into the sink a second time."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if txn_app_id is not None and \
+                self.txn_version_for(txn_app_id) >= txn_version:
+            return self.latest_version()  # replayed batch: already applied
+        self._validate_constraints(df)
         rel = self._write_segments(df)
+        txn_actions = ([] if txn_app_id is None else
+                       [{"txn": {"appId": txn_app_id,
+                                 "version": int(txn_version)}}])
         actions = (
             [{"commit": {"op": "APPEND", "ts": int(time.time() * 1000)}}]
+            + txn_actions
             + self._schema_evolution_action(df)
             + self._add_actions(rel)
         )
         while True:
             v = self.latest_version() + 1
+            if txn_app_id is not None and \
+                    self.txn_version_for(txn_app_id) >= txn_version:
+                # lost an OCC race to a writer that committed this very
+                # batch (e.g. the pre-restart attempt): drop ours.  The
+                # staged segments are unreferenced; vacuum's age guard
+                # collects them.
+                return self.latest_version()
             if self._try_commit(v, actions):
                 self._maybe_checkpoint(v)
                 return v
+
+    def streaming_sink(self, app_id: str):
+        """foreachBatch writer with exactly-once semantics: Structured
+        Streaming guarantees at-least-once foreachBatch invocation with
+        a DETERMINISTIC batch_id per epoch; recording that id as the
+        idempotent txn version turns replays into no-ops, so rows land
+        exactly once no matter how often the query restarts.  Usage::
+
+            q = (df.writeStream.foreachBatch(table.streaming_sink("job1"))
+                 .option("checkpointLocation", ckpt).start())
+        """
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, txn_app_id=app_id,
+                        txn_version=int(batch_id))
+        return write_batch
 
     def _read_active(self, version: int | None = None,
                      with_file: bool = False, with_pos: bool = False,
@@ -610,6 +831,7 @@ class TxLogTable:
         files (absolute paths) — used by copy-on-write operators that
         rewrite touched segments and must not resurrect DV-deleted
         rows."""
+        self._assert_readable(version)
         active, schema_json, dvs = self._snapshot_full(version)
         sel = list(active)
         if only is not None:
@@ -744,6 +966,58 @@ class TxLogTable:
         return self._commit_with_occ(actions, list(current_active),
                                      base_version)
 
+    def clone_to(self, dest_path: str,
+                 version: int | None = None) -> "TxLogTable":
+        """SHALLOW CLONE (Delta's zero-copy clone): create a NEW table at
+        ``dest_path`` whose commit 0 references the source snapshot's
+        segments BY PATH — no data is copied, so cloning a 100 TB table
+        is an O(file-count) metadata write.  The clone then evolves
+        independently: its appends/merges write segments under its own
+        root, a merge that rewrites a shared segment de-lists the
+        source-relative path from the CLONE's log only, and the source
+        table never observes any of it.  The clone's VACUUM walks only
+        its own data dirs, so shared source segments are never collected
+        from the clone side (pinned in tests/test_txlog.py).
+
+        Restrictions (documented, not silent): partitioned sources are
+        refused (the Hive-layout read path recovers partition columns
+        via a single basePath, which cannot span two roots), and so are
+        snapshots with outstanding deletion vectors (DV sidecars address
+        rows by table-root-relative file path; run OPTIMIZE first to
+        materialize them — same order Delta imposes)."""
+        if self._partition_columns():
+            raise NotImplementedError(
+                "shallow clone of a partitioned table: partition-column "
+                "recovery needs one basePath, which cannot span the "
+                "clone and source roots")
+        active, schema_json, dvs = self._snapshot_full(version)
+        if any(dvs.values()):
+            raise ValueError(
+                "shallow clone with outstanding deletion vectors: DV "
+                "row positions address source-relative paths; OPTIMIZE "
+                "first to materialize them")
+        dest = TxLogTable(self.spark, dest_path,
+                          checkpoint_interval=self.checkpoint_interval,
+                          enable_cdf=self.enable_cdf)
+        if os.path.exists(dest.log_dir):
+            raise FileExistsError(f"txlog table already exists at {dest_path}")
+        os.makedirs(dest_path, exist_ok=True)
+        src_abs = os.path.abspath(self.path)
+        dst_abs = os.path.abspath(dest_path)
+        src_version = self.latest_version() if version is None else version
+        actions = (
+            [{"commit": {"op": "CLONE", "ts": int(time.time() * 1000),
+                         "sourcePath": src_abs,
+                         "sourceVersion": src_version}},
+             {"metaData": {"schemaJson": schema_json}}]
+            + [{"add": {"path": os.path.relpath(
+                    os.path.join(src_abs, p), dst_abs), "stats": s}}
+               for p, s in active.items()]
+        )
+        if not dest._try_commit(0, actions):
+            raise FileExistsError(f"concurrent create at {dest_path}")
+        return dest
+
     # -- data skipping (Delta's file-statistics pruning) --------------------
 
     def prune_files(self, predicates: list[tuple],
@@ -826,6 +1100,9 @@ class TxLogTable:
                 "ambiguous; de-duplicate the updates first")
         key_range = {"column": key, "min": _json_key(stats["mn"]),
                      "max": _json_key(stats["mx"])}
+        # CHECK constraints gate the incoming rows only — carried-over
+        # segment rows already passed at their own write time.
+        self._validate_constraints(updates)
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
         if files:
@@ -968,6 +1245,11 @@ class TxLogTable:
         updated = seg.withColumns(
             {c: F.when(cond, e).otherwise(F.col(c))
              for c, e in exprs.items()})
+        # Post-update images must still satisfy the CHECK constraints.
+        # Built from the PRE-filtered rows (filtering `updated` by cond
+        # would re-evaluate the predicate on post-update values — the
+        # same trap the CDF postimage below avoids).
+        self._validate_constraints(seg.filter(cond).withColumns(exprs))
         rel_new = self._write_segments(updated)
         cdf_actions: list[dict] = []
         if self.enable_cdf:
@@ -1021,10 +1303,19 @@ class TxLogTable:
             deleted = (matches.drop("__relfile", "__rowidx")
                        .withColumn("_change_type", F.lit("delete")))
             cdf_actions = [{"cdf": {"path": self._write_change_data(deleted)}}]
+        # first DV on the table bumps the protocol (Delta: deletion
+        # vectors require reader 3 / writer 7) so pre-DV readers fail
+        # loudly instead of resurrecting tombstoned rows
+        proto_actions: list[dict] = []
+        if self.protocol().get("minReaderVersion", 1) < 3:
+            proto_actions = [{"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": _SUPPORTED_WRITER_VERSION}}]
         actions = (
             [{"commit": {"op": "DELETE", "ts": int(time.time() * 1000),
-                         "mode": "dv", "dvTargets": len(targets)}},
-             {"dvAdd": {"path": dv_rel, "targets": targets}}]
+                         "mode": "dv", "dvTargets": len(targets)}}]
+            + proto_actions
+            + [{"dvAdd": {"path": dv_rel, "targets": targets}}]
             + cdf_actions
         )
         # OCC: "removed" carries the DV's target files — a concurrent
@@ -1032,30 +1323,56 @@ class TxLogTable:
         # positions, and must surface as a conflict, not silent loss.
         return self._commit_with_occ(actions, targets, base_version)
 
-    def optimize_compact(self, target_segments: int = 2) -> int:
+    def optimize_compact(self, target_segments: int | None = None,
+                         zorder_by: list[str] | None = None) -> int:
         """OPTIMIZE-style compaction: rewrite the current snapshot into
         ``target_segments`` larger segments — same rows, new layout.  Old
         segments are de-listed (still readable via time travel) so small
         files from many streaming/merge commits stop taxing scan planning.
         At 100 TB this runs per partition with a size threshold; the
-        commit shape (remove-many, add-few) is identical."""
+        commit shape (remove-many, add-few) is identical.
+
+        ``zorder_by=[colA, colB]`` = Delta's OPTIMIZE ZORDER BY: rows are
+        range-partitioned and sorted by the bit-interleaved Morton value
+        of the (integer) columns before the write, so each new segment's
+        footer min/max stays TIGHT in every z-ordered dimension at once —
+        the layout that lets ``prune_files`` skip segments for predicates
+        on ANY of the columns, where a single-column sort only helps the
+        first (demonstrated by tests/test_txlog.py and the
+        delta_zorder_optimize query)."""
         base_version = self.latest_version()
         files, _ = self._snapshot_files()
         if not files:
             return self.latest_version()
+        if target_segments is None:
+            # plain OPTIMIZE compacts; ZORDER is a re-LAYOUT — it keeps
+            # the segment count (≙ Delta's size-targeted rewrite) so the
+            # per-file stat ranges it tightens stay fine-grained.
+            target_segments = len(files) if zorder_by else 2
         # DV-applied: compaction MATERIALIZES outstanding deletion
         # vectors (the rewritten segments exclude tombstoned rows) and
         # the removes below retire the DVs from the snapshot.
-        compacted = self._read_active().repartition(target_segments)
+        snap = self._read_active()
+        if zorder_by:
+            zval = _zorder_value(zorder_by)
+            compacted = (snap.withColumn("__zval", zval)
+                         .repartitionByRange(target_segments, "__zval")
+                         .sortWithinPartitions("__zval")
+                         .drop("__zval"))
+        else:
+            compacted = snap.repartition(target_segments)
         rel_new = self._write_segments(compacted)
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in files
         ]
+        commit: dict = {"op": "OPTIMIZE", "ts": int(time.time() * 1000),
+                        "filesRewritten": len(rel_removed),
+                        "filesAdded": len(rel_new)}
+        if zorder_by:
+            commit["zorderBy"] = list(zorder_by)
         actions = (
-            [{"commit": {"op": "OPTIMIZE", "ts": int(time.time() * 1000),
-                         "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new)}}]
+            [{"commit": commit}]
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
         )
@@ -1172,6 +1489,44 @@ class TxLogTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def count_rows(self, version: int | None = None) -> tuple[int, bool]:
+        """COUNT(*) without touching data: sum the per-file ``numRecords``
+        recorded in add-action stats, minus outstanding deletion-vector
+        tombstones (their (file, position) pairs are exact and disjoint
+        across stacked DVs — each DV is computed against the DV-applied
+        snapshot, so a position is never tombstoned twice).  Returns
+        (count, metadata_only).  Falls back to a real scan — correct,
+        just not free — when any active file lacks stats (pre-stats
+        commits).  DV sidecars are read driver-side with pyarrow: they
+        are tombstone-sized, not data-sized.  At 100 TB this turns the
+        most common query in any pipeline (`SELECT COUNT(*)`) from a
+        table scan into an O(files) metadata fold — the same trick real
+        Delta and parquet footers give engines for free."""
+        self._assert_readable(version)
+        active, _, dvs = self._snapshot_full(version)
+        total = 0
+        for p, stats in active.items():
+            n = (stats or {}).get("numRecords")
+            if n is None:
+                return self._read_active(version).count(), False
+            total += int(n)
+        live_dv_paths = sorted({d for p in active for d in dvs.get(p, [])})
+        if live_dv_paths:
+            import pyarrow.dataset as _ds
+            dv_tbl = _ds.dataset(
+                [os.path.join(self.path, d, f)
+                 for d in live_dv_paths
+                 for f in sorted(os.listdir(os.path.join(self.path, d)))
+                 if f.endswith(".parquet")]).to_table(
+                columns=["path", "row_index"])
+            active_set = set(active)
+            paths = dv_tbl.column("path").to_pylist()
+            rows = dv_tbl.column("row_index").to_pylist()
+            tombstones = {(p, r) for p, r in zip(paths, rows)
+                          if p in active_set}
+            total -= len(tombstones)
+        return total, True
 
     def history(self) -> list[dict]:
         """Commit metadata rows, oldest first."""

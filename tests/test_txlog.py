@@ -926,3 +926,299 @@ def test_partitioned_vacuum_collects_kv_dirs(spark, tdir):
     assert removed, "old partition files should be collected"
     got = sorted((r["k"], r["v"]) for r in t.read().collect())
     assert got == [(1, 10), (2, 20)]
+
+
+# -- idempotent (txn) writes -------------------------------------------------
+
+def test_txn_append_replay_is_noop(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    v1 = t.append(_df(spark, [(2, "b", 20)]), txn_app_id="job", txn_version=0)
+    v2 = t.append(_df(spark, [(9, "x", 90)]), txn_app_id="job", txn_version=0)
+    assert v2 == v1, "replayed epoch must commit nothing"
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20)]
+    # a NEW epoch commits normally
+    t.append(_df(spark, [(3, "c", 30)]), txn_app_id="job", txn_version=1)
+    assert t.read().count() == 3
+    assert t.txn_version_for("job") == 1
+    assert t.txn_version_for("elsewhere") == -1
+
+
+def test_txn_watermark_survives_checkpoint(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    for i in range(5):
+        t.append(_df(spark, [(10 + i, "s", i)]), txn_app_id="s", txn_version=i)
+    assert os.path.exists(t._checkpoint_path(4)), "checkpoint must exist"
+    # resolution must come through the checkpoint, not a full replay
+    assert t.txn_version_for("s") == 4
+    t.append(_df(spark, [(99, "z", 99)]), txn_app_id="s", txn_version=2)
+    assert t.read().count() == 6, "stale epoch after checkpoint still a no-op"
+
+
+def test_txn_requires_both_fields(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError):
+        t.append(_df(spark, [(2, "b", 20)]), txn_app_id="job")
+
+
+def test_streaming_sink_exactly_once(spark, tdir, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    _df(spark, [(i, "s", i) for i in range(20)]).repartition(3) \
+        .write.parquet(src)
+    t = TxLogTable.create(
+        spark, tdir, spark.createDataFrame([], "k int, grp string, v int"))
+    sink = t.streaming_sink("ingest")
+    q = (spark.readStream.schema("k int, grp string, v int").parquet(src)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert t.read().count() == 20
+    sink(spark.read.parquet(src), 0)  # replayed epoch id
+    assert t.read().count() == 20, "replay must not double-ingest"
+
+
+# -- CHECK constraints -------------------------------------------------------
+
+def test_constraint_rejects_violating_writes(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.add_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(_df(spark, [(2, "b", -5)]))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge_upsert(_df(spark, [(1, "a", -1)]), "k")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.update_where({"v": "v - 100"}, F.col("k") == 1)
+    # nothing committed by the failed attempts
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a", 10)]
+    t.append(_df(spark, [(2, "b", 5)]))  # conforming write passes
+    assert t.read().count() == 2
+
+
+def test_constraint_validates_existing_data_on_add(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", -3)]))
+    with pytest.raises(ValueError, match="violated"):
+        t.add_constraint("v_pos", "v > 0")
+    assert t.constraints() == {}
+
+
+def test_constraint_null_passes_sql_semantics(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.add_constraint("v_pos", "v > 0")
+    # SQL CHECK: NULL-evaluating rows pass (only FALSE violates)
+    t.append(spark.createDataFrame([(3, "c", None)], "k int, grp string, v int"))
+    assert t.read().count() == 2
+
+
+def test_constraint_drop_and_checkpoint_carry(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    t.add_constraint("v_pos", "v > 0")
+    for i in range(4):
+        t.append(_df(spark, [(10 + i, "s", 1 + i)]))
+    # constraint must survive checkpoint-based resolution
+    assert "v_pos" in t.constraints()
+    with pytest.raises(ValueError):
+        t.append(_df(spark, [(99, "z", -9)]))
+    t.drop_constraint("v_pos")
+    t.append(_df(spark, [(99, "z", -9)]))
+    assert t.read().count() == 6
+    with pytest.raises(ValueError):
+        t.drop_constraint("v_pos")
+
+
+def test_engine_sql_constraint_route(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("ct", t)
+    engine.sql("ALTER TABLE ct ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert t.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError):
+        t.append(_df(spark, [(2, "b", -1)]))
+    engine.sql("ALTER TABLE ct DROP CONSTRAINT v_pos")
+    assert t.constraints() == {}
+
+
+# -- shallow clone -----------------------------------------------------------
+
+def test_shallow_clone_zero_copy_and_isolation(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    dest = str(tmp_path / "clone")
+    c = t.clone_to(dest)
+    # zero copy: the clone root holds no data files of its own
+    assert not any(p.startswith("data-") for p in os.listdir(dest))
+    assert sorted(tuple(r) for r in c.read().collect()) == \
+        [(1, "a", 10), (2, "b", 20)]
+    # clone evolves independently; source never observes it
+    c.merge_upsert(_df(spark, [(2, "b", 99), (5, "c", 50)]), "k")
+    assert sorted(tuple(r) for r in c.read().collect()) == \
+        [(1, "a", 10), (2, "b", 99), (5, "c", 50)]
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 10), (2, "b", 20)]
+    # clone-side vacuum walks only its own dirs: shared segments survive
+    c.vacuum(retention_seconds=0)
+    assert t.read().count() == 2 and c.read().count() == 3
+
+
+def test_shallow_clone_of_version_snapshot(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    c = t.clone_to(str(tmp_path / "clone0"), version=0)
+    assert sorted(tuple(r) for r in c.read().collect()) == [(1, "a", 10)]
+
+
+def test_shallow_clone_refuses_partitioned_and_dv(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          partition_by="grp")
+    with pytest.raises(NotImplementedError):
+        t.clone_to(str(tmp_path / "c1"))
+    t2 = TxLogTable.create(spark, str(tmp_path / "t2"),
+                           _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t2.delete_where(F.col("k") == 1, use_dv=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t2.clone_to(str(tmp_path / "c2"))
+    # materializing the DVs (OPTIMIZE) unblocks the clone
+    t2.optimize_compact()
+    c = t2.clone_to(str(tmp_path / "c2"))
+    assert sorted(tuple(r) for r in c.read().collect()) == [(2, "b", 20)]
+
+
+# -- OPTIMIZE ZORDER ---------------------------------------------------------
+
+def test_zorder_preserves_values_and_prunes_both_dims(spark, tdir):
+    big = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("payload"))
+    t = TxLogTable.create(spark, tdir, big.repartition(8))
+    t.optimize_compact(zorder_by=["x", "y"])
+    # layout-only: same rows
+    assert t.read().count() == 4096
+    assert t.read().agg(F.sum("payload")).collect()[0][0] == 4096 * 4095 // 2
+    # ZORDER keeps the segment count (re-layout, not compaction)
+    files, _ = t._snapshot_files()
+    assert len(files) == 8
+    # both single-dimension predicates now prune files
+    kept_x, total = t.prune_files([("x", "between", (10, 12))])
+    kept_y, _ = t.prune_files([("y", "between", (10, 12))])
+    assert len(kept_x) < total and len(kept_y) < total
+    assert t.history()[-1]["zorderBy"] == ["x", "y"]
+
+
+def test_engine_sql_optimize_routes(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    big = spark.range(0, 512).select(
+        (F.col("id") % 16).cast("int").alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+        F.col("id").alias("payload"))
+    t = TxLogTable.create(spark, tdir, big.repartition(6))
+    engine.register_txlog("zt", t)
+    engine.sql("OPTIMIZE zt ZORDER BY (x, y)")
+    assert t.history()[-1]["zorderBy"] == ["x", "y"]
+    assert len(t._snapshot_files()[0]) == 6
+    engine.sql("OPTIMIZE zt")  # plain OPTIMIZE compacts
+    assert len(t._snapshot_files()[0]) == 2
+    assert t.read().count() == 512
+
+
+def test_engine_sql_describe_history_and_clone(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.merge_upsert(_df(spark, [(2, "b", 99)]), "k")
+    engine.register_txlog("ht", t)
+    hist = engine.sql("DESCRIBE HISTORY ht").collect()
+    assert [r["operation"] for r in hist] == ["CREATE", "MERGE"]
+    assert hist[0]["version"] == 0 and hist[1]["version"] == 1
+    import json as _json
+    metrics = _json.loads(hist[1]["operation_metrics"])
+    assert metrics["filesRewritten"] >= 1
+    # SHALLOW CLONE statement: registers the clone; SELECTs see its rows
+    ack = engine.sql("CREATE TABLE ht_dev SHALLOW CLONE ht").collect()[0]
+    assert ack["table_name"] == "ht_dev" and ack["version"] == 0
+    got = {(r["k"], r["v"]) for r in engine.sql(
+        "SELECT k, v FROM ht_dev").collect()}
+    assert got == {(1, 10), (2, 99)}
+    # version-pinned clone
+    engine.sql("CREATE TABLE ht_v0 SHALLOW CLONE ht VERSION AS OF 0")
+    got0 = {(r["k"], r["v"]) for r in engine.sql(
+        "SELECT k, v FROM ht_v0").collect()}
+    assert got0 == {(1, 10), (2, 20)}
+
+
+# -- protocol fencing + metadata-only count ----------------------------------
+
+def test_protocol_default_and_dv_bump(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    assert t.protocol() == {"minReaderVersion": 1, "minWriterVersion": 2}
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    assert t.protocol()["minReaderVersion"] == 3
+    # protocol at the pre-DV version is still the old one (time travel)
+    assert t.protocol(version=0)["minReaderVersion"] == 1
+    # a second DV delete must not re-bump (single protocol action)
+    t.append(_df(spark, [(3, "c", 30)]))
+    t.delete_where(F.col("k") == 3, use_dv=True)
+    protos = [a for v in range(t.latest_version() + 1)
+              for a in t._read_commit(v) if "protocol" in a]
+    assert len(protos) == 2  # CREATE default + one DV bump
+
+
+def test_protocol_fences_old_reader(spark, tdir, monkeypatch):
+    from distributed_database_for_sql_spark.sources import txlog as txmod
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    monkeypatch.setattr(txmod, "_SUPPORTED_READER_VERSION", 2)
+    with pytest.raises(RuntimeError, match="minReaderVersion"):
+        t.read().collect()
+    # the pre-DV snapshot is still readable by the old reader
+    assert t.read(version=0).count() == 2
+
+
+def test_count_rows_metadata_only(spark, tdir):
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(i, "a", i) for i in range(50)]))
+    t.append(_df(spark, [(i, "b", i) for i in range(50, 80)]))
+    n, meta = t.count_rows()
+    assert (n, meta) == (80, True)
+    # DV tombstones subtract exactly, still without scanning
+    t.delete_where(F.col("k") % 3 == 0, use_dv=True)
+    expected = sum(1 for i in range(80) if i % 3 != 0)
+    n, meta = t.count_rows()
+    assert (n, meta) == (expected, True)
+    # stacked DVs never double-subtract a position
+    t.delete_where(F.col("k") % 5 == 0, use_dv=True)
+    expected = sum(1 for i in range(80) if i % 3 != 0 and i % 5 != 0)
+    n, meta = t.count_rows()
+    assert (n, meta) == (expected, True)
+    assert n == t.read().count()
+    # time travel counts the old snapshot
+    assert t.count_rows(version=0) == (50, True)
+
+
+def test_count_rows_falls_back_without_stats(spark, tdir):
+    import json as _json
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    # strip the stats from the CREATE commit (simulates a pre-stats
+    # writer); count must fall back to a scan and stay correct
+    fp = os.path.join(t.log_dir, "00000000.json")
+    actions = [_json.loads(line) for line in open(fp)]
+    for a in actions:
+        if "add" in a:
+            a["add"]["stats"] = None
+    with open(fp, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    n, meta = t.count_rows()
+    assert (n, meta) == (2, False)
