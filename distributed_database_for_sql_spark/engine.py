@@ -83,6 +83,13 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
     re.IGNORECASE)
 
+# t VERSION AS OF n / t TIMESTAMP AS OF ms — time travel inside DQL
+# (Delta's SELECT syntax).  Rewritten to a temp view of the versioned
+# snapshot before the statement reaches Spark SQL.
+_TIME_TRAVEL_RE = re.compile(
+    r"\b(?P<t>\w+)\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<v>\d+)", re.IGNORECASE)
+
 # DESCRIBE HISTORY t — the commit log as a result set (Delta's DESCRIBE
 # HISTORY shape: version, op, timestamp + op metrics as JSON).
 _HISTORY_RE = re.compile(
@@ -187,7 +194,31 @@ class Engine:
             return self.spark.createDataFrame(
                 [(dest_name, dest_path, clone.latest_version())],
                 "table_name string, location string, version long")
-        return self.spark.sql(command)
+        return self.spark.sql(self._rewrite_time_travel(command))
+
+    def _rewrite_time_travel(self, command: str) -> str:
+        """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ms`` over
+        registered txlog tables into temp views of the versioned
+        snapshot (Delta's SELECT-level time travel).  Runs only on the
+        plain-SQL fallback, AFTER the statement-specific routes — so
+        RESTORE/CLONE keep their own VERSION AS OF clauses.  Non-txlog
+        names pass through untouched."""
+        def sub(m: re.Match) -> str:
+            name = m.group("t")
+            if name not in self.txlog_tables:
+                return m.group(0)
+            table = self.txlog_tables[name]
+            if m.group("kind").upper() == "VERSION":
+                v = int(m.group("v"))
+                snap = table.read(version=v)
+            else:
+                v = int(m.group("v"))
+                snap = table.read(timestamp=v)
+            alias = f"__tt_{name}_{m.group('kind').lower()}_{v}"
+            snap.createOrReplaceTempView(alias)
+            return alias
+
+        return _TIME_TRAVEL_RE.sub(sub, command)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""

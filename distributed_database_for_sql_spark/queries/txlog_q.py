@@ -1152,3 +1152,64 @@ def delta_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, metadata_only = t.count_rows()
     return spark.createDataFrame(
         [(n, metadata_only)], "n_rows long, metadata_only boolean")
+
+
+@register(
+    "delta_generated_columns",
+    oracle=f"""
+    SELECT o_orderkey % 8                AS key_bucket,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           TRUE                          AS partitions_were_pruned,
+           TRUE                          AS bad_value_rejected
+    FROM orders
+    WHERE o_orderkey <= 1500 AND o_orderkey % 8 IN (2, 5)
+    GROUP BY o_orderkey % 8
+    ORDER BY key_bucket
+    """,
+    tags=("acid", "delta", "generated-columns", "partitioning", "pruning"),
+)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns, Delta's flagship partition pattern: the table
+    is PARTITIONED BY a column the writer never supplies — ``key_bucket``
+    is derived from its expression at write time (CREATE and the later
+    append both omit it), an append that DOES supply it with wrong
+    values is rejected (audit flag — silently accepting it would poison
+    partition pruning forever), and an equality read prunes partitions
+    from commit metadata exactly as if the column were physical,
+    value-certified against relational recomputation.  At 100 TB this
+    is how day(ts)-partitioned ingest works without trusting every
+    writer to precompute the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(
+        spark, _table_dir("gencol", sf_dir), base, overwrite=True,
+        partition_by="key_bucket",
+        generated_columns={"key_bucket": "o_orderkey % 8"})
+    more = (orders
+            .filter((F.col("o_orderkey") > 1000)
+                    & (F.col("o_orderkey") <= 1500))
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents")))
+    t.append(more)  # generated column computed, not supplied
+    bad = more.withColumn("key_bucket", F.lit(0))  # wrong derived values
+    rejected = False
+    try:
+        t.append(bad)
+    except ValueError:
+        rejected = True
+    kept, total = t.prune_files([("key_bucket", "=", "2")])
+    two_parts = (
+        t.read_where([("key_bucket", "=", "2")])
+        .unionByName(t.read_where([("key_bucket", "=", "5")])))
+    return (
+        two_parts
+        .groupBy(F.col("key_bucket").cast("long").alias("key_bucket"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("partitions_were_pruned", F.lit(len(kept) < total))
+        .withColumn("bad_value_rejected", F.lit(rejected))
+        .orderBy("key_bucket")
+    )

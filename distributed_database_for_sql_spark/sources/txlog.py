@@ -584,6 +584,42 @@ class TxLogTable:
                     cols = action["metaData"]["partitionColumns"]
         return cols
 
+    def _generated_columns(self) -> dict[str, str]:
+        """Generated-column definitions ({name: SQL expr}) from the last
+        metaData action carrying them — same resolution pattern as
+        ``_partition_columns`` (the log is tiny JSON)."""
+        pending = getattr(self, "_pending_generated_columns", None)
+        if pending is not None:
+            return pending
+        gen: dict[str, str] = {}
+        latest = self.latest_version()
+        for v in range(latest + 1):
+            for action in self._read_commit(v):
+                if "metaData" in action and "generatedColumns" in action["metaData"]:
+                    gen = action["metaData"]["generatedColumns"]
+        return gen
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Delta generated-column write semantics: a generated column
+        absent from the incoming rows is COMPUTED from its expression; a
+        provided one is VALIDATED against it (one aggregate over the
+        write set — silently accepting a wrong value would poison
+        partition pruning and stats forever).  NULL-safe equality, so a
+        provided NULL only passes if the expression yields NULL."""
+        gen = self._generated_columns()
+        for name, expr in gen.items():
+            computed = F.expr(expr)
+            if name not in df.columns:
+                df = df.withColumn(name, computed)
+                continue
+            bad = df.filter(~F.col(name).eqNullSafe(computed)) \
+                    .limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"generated column {name!r} was provided with values "
+                    f"that do not match its expression ({expr})")
+        return df
+
     def _write_segments(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet segments; return table-relative
         paths.  Unpartitioned: each write lands in its own uuid'd subdir so
@@ -658,16 +694,26 @@ class TxLogTable:
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                overwrite: bool = False,
                enable_cdf: bool = False,
-               partition_by: str | list[str] | None = None) -> "TxLogTable":
+               partition_by: str | list[str] | None = None,
+               generated_columns: dict[str, str] | None = None) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
                 raise FileExistsError(f"txlog table already exists at {path}")
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
+        gen = dict(generated_columns or {})
+        if gen:
+            # applied BEFORE partition validation: partitioning by a
+            # generated column (Delta's flagship use — day(ts) partitions
+            # derived from a timestamp) must see the computed column.
+            t._pending_generated_columns = gen
+            df = t._apply_generated(df)
         parts = ([partition_by] if isinstance(partition_by, str)
                  else list(partition_by or []))
         meta: dict = {"schemaJson": df.schema.json()}
+        if gen:
+            meta["generatedColumns"] = gen
         if parts:
             missing = set(parts) - {f.name for f in df.schema.fields}
             if missing:
@@ -776,6 +822,7 @@ class TxLogTable:
         if txn_app_id is not None and \
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
+        df = self._apply_generated(df)
         self._validate_constraints(df)
         rel = self._write_segments(df)
         txn_actions = ([] if txn_app_id is None else
@@ -1005,11 +1052,14 @@ class TxLogTable:
         src_abs = os.path.abspath(self.path)
         dst_abs = os.path.abspath(dest_path)
         src_version = self.latest_version() if version is None else version
+        clone_meta: dict = {"schemaJson": schema_json}
+        if self._generated_columns():
+            clone_meta["generatedColumns"] = self._generated_columns()
         actions = (
             [{"commit": {"op": "CLONE", "ts": int(time.time() * 1000),
                          "sourcePath": src_abs,
                          "sourceVersion": src_version}},
-             {"metaData": {"schemaJson": schema_json}}]
+             {"metaData": clone_meta}]
             + [{"add": {"path": os.path.relpath(
                     os.path.join(src_abs, p), dst_abs), "stats": s}}
                for p, s in active.items()]
@@ -1102,6 +1152,7 @@ class TxLogTable:
                      "max": _json_key(stats["mx"])}
         # CHECK constraints gate the incoming rows only — carried-over
         # segment rows already passed at their own write time.
+        updates = self._apply_generated(updates)
         self._validate_constraints(updates)
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
@@ -1242,21 +1293,45 @@ class TxLogTable:
         unknown = set(exprs) - set(seg.columns)
         if unknown:
             raise ValueError(f"UPDATE SET of unknown columns: {sorted(unknown)}")
-        updated = seg.withColumns(
-            {c: F.when(cond, e).otherwise(F.col(c))
+        gen = self._generated_columns()
+        direct_gen = set(exprs) & set(gen)
+        if direct_gen:
+            raise ValueError(
+                f"UPDATE SET of generated columns {sorted(direct_gen)}: "
+                "generated values are derived, not assigned")
+        # The match flag is materialized BEFORE assignments: both the
+        # assignment guards and the generated-column recompute below
+        # must test the PRE-update predicate (an assignment that changes
+        # a predicate column would otherwise flip the guard mid-row).
+        marked = seg.withColumn("__upd", cond)
+        updated = marked.withColumns(
+            {c: F.when(F.col("__upd"), e).otherwise(F.col(c))
              for c, e in exprs.items()})
-        # Post-update images must still satisfy the CHECK constraints.
-        # Built from the PRE-filtered rows (filtering `updated` by cond
-        # would re-evaluate the predicate on post-update values — the
-        # same trap the CDF postimage below avoids).
-        self._validate_constraints(seg.filter(cond).withColumns(exprs))
+        # generated columns are recomputed for the updated rows, so an
+        # UPDATE of a dependency can never leave a stale derived value
+        # (Delta recomputes on write for exactly this reason)
+        if gen:
+            updated = updated.withColumns(
+                {name: F.when(F.col("__upd"), F.expr(expr))
+                       .otherwise(F.col(name))
+                 for name, expr in gen.items()})
+        updated = updated.drop("__upd")
+        def _post_images(base: DataFrame) -> DataFrame:
+            """Assignments + generated-column recompute applied to the
+            PRE-filtered rows (filtering `updated` by cond would
+            re-evaluate the predicate on post-update values)."""
+            out = base.withColumns(exprs)
+            if gen:
+                out = out.withColumns(
+                    {name: F.expr(expr) for name, expr in gen.items()})
+            return out
+
+        # post-update images must still satisfy the CHECK constraints
+        self._validate_constraints(_post_images(seg.filter(cond)))
         rel_new = self._write_segments(updated)
         cdf_actions: list[dict] = []
         if self.enable_cdf:
-            # Postimage applies the assignments to the PRE-filtered rows
-            # (filtering `updated` by cond would re-evaluate the
-            # predicate against post-update values).
-            post = seg.filter(cond).withColumns(exprs)
+            post = _post_images(seg.filter(cond))
             changes = (
                 seg.filter(cond)
                 .withColumn("_change_type", F.lit("update_preimage"))

@@ -1222,3 +1222,86 @@ def test_count_rows_falls_back_without_stats(spark, tdir):
             f.write(_json.dumps(a) + "\n")
     n, meta = t.count_rows()
     assert (n, meta) == (2, False)
+
+
+def test_engine_sql_select_time_travel(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.merge_upsert(_df(spark, [(2, "b", 99)]), "k")
+    engine.register_txlog("tt", t)
+    # current snapshot vs VERSION AS OF 0 in ONE statement
+    got = engine.sql(
+        "SELECT cur.k, cur.v AS v_now, old.v AS v_then "
+        "FROM tt AS cur JOIN tt VERSION AS OF 0 AS old USING (k) "
+        "ORDER BY cur.k").collect()
+    assert [(r["k"], r["v_now"], r["v_then"]) for r in got] == \
+        [(1, 10, 10), (2, 99, 20)]
+    # TIMESTAMP AS OF resolves through version_at_timestamp
+    ts0 = t.history()[0]["ts"]
+    got0 = engine.sql(
+        f"SELECT k, v FROM tt TIMESTAMP AS OF {ts0} ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in got0] == [(1, 10), (2, 20)]
+    # RESTORE's own VERSION AS OF clause is untouched by the rewrite
+    engine.sql("RESTORE TABLE tt TO VERSION AS OF 0")
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, 10), (2, 20)}
+
+
+# -- generated columns -------------------------------------------------------
+
+def test_generated_column_computed_and_validated(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (6, "b", 20)]),
+                          generated_columns={"parity": "k % 2"})
+    got = {(r["k"], r["parity"]) for r in t.read().collect()}
+    assert got == {(1, 1), (6, 0)}
+    # append without the column: computed
+    t.append(_df(spark, [(3, "c", 30)]))
+    assert {(r["k"], r["parity"]) for r in t.read().collect()} == \
+        {(1, 1), (6, 0), (3, 1)}
+    # append WITH the column: validated (wrong value rejected)
+    bad = _df(spark, [(4, "d", 40)]).withColumn("parity", F.lit(1))
+    with pytest.raises(ValueError, match="generated column"):
+        t.append(bad)
+    ok = _df(spark, [(4, "d", 40)]).withColumn("parity", F.lit(0))
+    t.append(ok)
+    assert t.read().count() == 4
+
+
+def test_generated_column_update_recomputes(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          generated_columns={"parity": "k % 2"})
+    # direct SET of a generated column is refused
+    with pytest.raises(ValueError, match="derived"):
+        t.update_where({"parity": "0"}, F.col("k") == 1)
+    # updating the dependency recomputes the derived value
+    t.update_where({"k": "k + 1"}, F.col("k") == 1)
+    got = {(r["k"], r["parity"]) for r in t.read().collect()}
+    assert got == {(2, 0), (2, 0)} or got == {(2, 0)}
+    assert all(r["parity"] == r["k"] % 2 for r in t.read().collect())
+
+
+def test_generated_column_merge_and_clone_carry(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          generated_columns={"parity": "k % 2"})
+    t.merge_upsert(_df(spark, [(2, "b", 22)]), "k")  # computed on merge
+    assert {(r["k"], r["parity"]) for r in t.read().collect()} == \
+        {(1, 1), (2, 0)}
+    c = t.clone_to(str(tmp_path / "gc"))
+    c.append(_df(spark, [(5, "e", 50)]))  # clone inherits the definition
+    assert {(r["k"], r["parity"]) for r in c.read().collect()} == \
+        {(1, 1), (2, 0), (5, 1)}
+
+
+def test_generated_partition_column(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir, _df(spark, [(i, "g", i * 10) for i in range(8)]),
+        partition_by="parity", generated_columns={"parity": "k % 2"})
+    # Hive layout on the derived column
+    assert any(p.startswith("parity=") for p in os.listdir(tdir))
+    kept, total = t.prune_files([("parity", "=", "1")])
+    assert len(kept) < total
+    got = t.read_where([("parity", "=", "1")])
+    assert sorted(r["k"] for r in got.collect()) == [1, 3, 5, 7]
