@@ -1213,3 +1213,71 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bad_value_rejected", F.lit(rejected))
         .orderBy("key_bucket")
     )
+
+
+@register(
+    "delta_bloom_skipping",
+    # The probe key is data-derived identically on both sides (min key
+    # above 100), so the oracle stays valid across testdata regens.
+    oracle=f"""
+    WITH probe AS (
+      SELECT MIN(o_orderkey) AS pk FROM orders WHERE o_orderkey > 100
+    )
+    SELECT o.o_orderkey                    AS probe_key,
+           COUNT(*)                        AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT)   AS total_cents,
+           TRUE                            AS bloom_files_skipped,
+           TRUE                            AS range_stats_useless
+    FROM orders o JOIN probe p ON o.o_orderkey = p.pk
+    GROUP BY o.o_orderkey
+    """,
+    tags=("acid", "delta", "bloom", "index", "pruning", "point-lookup"),
+)
+def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom filter index (Delta's bloom filter index): the
+    table is HASH-distributed on the key, so every segment's min/max
+    range spans the whole key domain and range stats can prove nothing
+    (second audit flag) — yet a point lookup skips most segments
+    because their blooms prove the key absent (first audit flag; a
+    bloom negative is proof, positives fall through).  The looked-up
+    row itself is value-certified against the raw table.  At 100 TB
+    this is the difference between a point lookup on a non-partition
+    key scanning the table and scanning ~1 file — the write-side cost
+    is one indexed-column read per segment at commit time."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 4000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(8, "o_orderkey"))  # hash layout: ranges overlap
+    t = TxLogTable.create(spark, _table_dir("bloom", sf_dir), base,
+                          overwrite=True,
+                          bloom_filter_columns=["o_orderkey"])
+    probe = (orders.filter(F.col("o_orderkey") > 100)
+             .agg(F.min("o_orderkey")).collect()[0][0])
+    kept, total = t.prune_files([("o_orderkey", "=", probe)])
+    # range-stats-only pruning (blooms masked) keeps everything: the
+    # hash layout makes min/max useless for a point key
+    active, _ = t._snapshot(None)
+    range_kept = [
+        p for p, s in active.items()
+        if _range_only_match(s, "o_orderkey", probe)
+    ]
+    return (
+        t.read_where([("o_orderkey", "=", probe)])
+        .groupBy(F.col("o_orderkey").alias("probe_key"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("bloom_files_skipped", F.lit(len(kept) < total))
+        .withColumn("range_stats_useless",
+                    F.lit(len(range_kept) == len(active)))
+    )
+
+
+def _range_only_match(stats, col, value):
+    """min/max-only view of _file_may_match (blooms masked) — used to
+    certify that range stats alone could not have pruned."""
+    from ..sources.txlog import _file_may_match
+    if stats is None:
+        return True
+    masked = {k: v for k, v in stats.items() if k != "bloom"}
+    return _file_may_match(masked, col, "=", value)

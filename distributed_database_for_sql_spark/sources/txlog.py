@@ -167,6 +167,40 @@ def _file_stats(abs_path: str) -> dict | None:
     }
 
 
+_BLOOM_BITS_PER_ROW = 10  # ~1% false-positive rate with k=3 hashes
+_BLOOM_HASHES = 3
+
+
+def _bloom_hash_indices(value, m: int) -> list[int]:
+    """Deterministic double-hashing (md5-based, engine-portable): the
+    same value always sets/tests the same ``k`` of ``m`` bits, on any
+    host, any process, any PYTHONHASHSEED."""
+    import hashlib
+    digest = hashlib.md5(repr(value).encode()).digest()
+    h1 = int.from_bytes(digest[:8], "big")
+    h2 = int.from_bytes(digest[8:], "big") | 1  # odd: full cycle mod m
+    return [(h1 + i * h2) % m for i in range(_BLOOM_HASHES)]
+
+
+def _build_bloom(values, n_rows: int) -> dict:
+    """Per-file Bloom filter over a column's non-null values →
+    {"m": bits, "b": hex bitset}.  Sized at ~10 bits/row (≈1% FPR)."""
+    m = max(64, n_rows * _BLOOM_BITS_PER_ROW)
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        if v is None:
+            continue
+        for idx in _bloom_hash_indices(v, m):
+            bits[idx // 8] |= 1 << (idx % 8)
+    return {"m": m, "b": bytes(bits).hex()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    bits = bytes.fromhex(bloom["b"])
+    return all(bits[i // 8] & (1 << (i % 8))
+               for i in _bloom_hash_indices(value, bloom["m"]))
+
+
 def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     """Can a file with these footer stats contain a row satisfying
     ``col op value``?  Missing stats → True (conservative: never skip
@@ -182,6 +216,14 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
         if op == "=":
             return pv[col] == str(value)
         return True
+    if op == "=":
+        # Bloom index (Delta's bloom filter index): decisive for point
+        # lookups even when every file's min/max range overlaps the key
+        # (hash-distributed layouts).  A negative is PROOF of absence;
+        # a positive falls through to the range check.
+        bloom = stats.get("bloom", {}).get(col)
+        if bloom is not None and not _bloom_may_contain(bloom, value):
+            return False
     lo = stats.get("minValues", {}).get(col)
     hi = stats.get("maxValues", {}).get(col)
     if lo is None or hi is None:
@@ -584,6 +626,20 @@ class TxLogTable:
                     cols = action["metaData"]["partitionColumns"]
         return cols
 
+    def _bloom_columns(self) -> list[str]:
+        """Bloom-indexed columns from the last metaData action carrying
+        them (same resolution pattern as ``_partition_columns``)."""
+        pending = getattr(self, "_pending_bloom_columns", None)
+        if pending is not None:
+            return pending
+        cols: list[str] = []
+        latest = self.latest_version()
+        for v in range(latest + 1):
+            for action in self._read_commit(v):
+                if "metaData" in action and "bloomFilterColumns" in action["metaData"]:
+                    cols = action["metaData"]["bloomFilterColumns"]
+        return cols
+
     def _generated_columns(self) -> dict[str, str]:
         """Generated-column definitions ({name: SQL expr}) from the last
         metaData action carrying them — same resolution pattern as
@@ -671,9 +727,31 @@ class TxLogTable:
         cost is O(files)."""
         from urllib.parse import unquote
 
+        bloom_cols = self._bloom_columns()
         out = []
         for p in rel_paths:
-            stats = _file_stats(os.path.join(self.path, p))
+            abs_p = os.path.join(self.path, p)
+            stats = _file_stats(abs_p)
+            if bloom_cols and stats is not None:
+                # Per-file Bloom filters (Delta's bloom filter index):
+                # one column read per indexed column at write time — the
+                # write-side cost that buys point-lookup file skipping on
+                # columns whose min/max ranges overlap across every file.
+                import pyarrow.parquet as pq
+                blooms = {}
+                try:
+                    pf = pq.ParquetFile(abs_p)
+                    present = set(pf.schema_arrow.names)
+                    for c in bloom_cols:
+                        if c not in present:
+                            continue
+                        vals = pf.read(columns=[c]).column(c).to_pylist()
+                        blooms[c] = _build_bloom(vals, len(vals))
+                except Exception:
+                    blooms = {}  # unreadable column: keep file unskippable
+                if blooms:
+                    stats = dict(stats)
+                    stats["bloom"] = blooms
             pv = {}
             for comp in p.split(os.sep)[:-1]:
                 if "=" in comp and not comp.startswith("data-"):
@@ -695,7 +773,8 @@ class TxLogTable:
                overwrite: bool = False,
                enable_cdf: bool = False,
                partition_by: str | list[str] | None = None,
-               generated_columns: dict[str, str] | None = None) -> "TxLogTable":
+               generated_columns: dict[str, str] | None = None,
+               bloom_filter_columns: list[str] | None = None) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
@@ -714,6 +793,10 @@ class TxLogTable:
         meta: dict = {"schemaJson": df.schema.json()}
         if gen:
             meta["generatedColumns"] = gen
+        bloom = list(bloom_filter_columns or [])
+        if bloom:
+            meta["bloomFilterColumns"] = bloom
+            t._pending_bloom_columns = bloom
         if parts:
             missing = set(parts) - {f.name for f in df.schema.fields}
             if missing:
@@ -1055,6 +1138,8 @@ class TxLogTable:
         clone_meta: dict = {"schemaJson": schema_json}
         if self._generated_columns():
             clone_meta["generatedColumns"] = self._generated_columns()
+        if self._bloom_columns():
+            clone_meta["bloomFilterColumns"] = self._bloom_columns()
         actions = (
             [{"commit": {"op": "CLONE", "ts": int(time.time() * 1000),
                          "sourcePath": src_abs,

@@ -1305,3 +1305,57 @@ def test_generated_partition_column(spark, tdir):
     assert len(kept) < total
     got = t.read_where([("parity", "=", "1")])
     assert sorted(r["k"] for r in got.collect()) == [1, 3, 5, 7]
+
+
+# -- bloom filter index ------------------------------------------------------
+
+def test_bloom_index_point_lookup_skips(spark, tdir):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t = TxLogTable.create(spark, tdir, df.repartition(8, "k"),
+                          bloom_filter_columns=["k"])
+    # hash layout: min/max overlap everywhere, range stats prune nothing
+    # — but the bloom skips most files for a point key
+    kept, total = t.prune_files([("k", "=", 777)])
+    assert total == 8 and len(kept) < total
+    # no false negatives: every present key's file survives pruning
+    got = t.read_where([("k", "=", 777)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(777, 2331)]
+    # absent key: typically every file pruned (bloom negative is proof)
+    kept_absent, _ = t.prune_files([("k", "=", 999999)])
+    assert len(kept_absent) <= 1  # allow one false positive
+    assert t.read_where([("k", "=", 999999)]).count() == 0
+
+
+def test_bloom_survives_append_checkpoint_and_clone(spark, tdir, tmp_path):
+    df = spark.range(0, 100).select(F.col("id").alias("k"),
+                                    F.col("id").alias("v"))
+    t = TxLogTable.create(spark, tdir, df.repartition(4, "k"),
+                          bloom_filter_columns=["k"])
+    t.checkpoint_interval = 1
+    t.append(spark.range(100, 200).select(
+        F.col("id").alias("k"), F.col("id").alias("v")).repartition(4, "k"))
+    # appended segments got blooms too, and the checkpoint carries them
+    active, _ = t._snapshot(None)
+    assert all(s and s.get("bloom", {}).get("k") for s in active.values())
+    kept, total = t.prune_files([("k", "=", 150)])
+    assert len(kept) < total
+    assert t.read_where([("k", "=", 150)]).count() == 1
+    # shallow clone inherits the index definition for its own writes
+    c = t.clone_to(str(tmp_path / "bc"))
+    c.append(spark.range(200, 250).select(
+        F.col("id").alias("k"), F.col("id").alias("v")))
+    ca, _ = c._snapshot(None)
+    assert all(s and s.get("bloom", {}).get("k") for s in ca.values())
+
+
+def test_bloom_string_column(spark, tdir):
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(i, f"g{i % 13}", i) for i in range(200)])
+        .repartition(6, "grp"),
+        bloom_filter_columns=["grp"])
+    kept, total = t.prune_files([("grp", "=", "g7")])
+    assert len(kept) < total
+    assert t.read_where([("grp", "=", "g7")]).count() == \
+        sum(1 for i in range(200) if i % 13 == 7)
