@@ -651,6 +651,34 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_US = "\x1f"
 
 
+def _bpe_rounds(df: DataFrame, rounds: int = 3):
+    """The shared greedy BPE loop: ``df`` must carry (doc_id, s) with s
+    space-padded.  Each round = one distributed adjacent-pair count
+    (map-side combinable) + a 1-row argmax collect (model state) + a
+    row-local plain-replace merge.  Returns (merges, encoded df) —
+    training reads the merges, encoding reads the df."""
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, rounds + 1):
+        tk = F.split(F.trim(F.col("s")), " ")
+        pair_arr = F.when(
+            F.size(tk) >= 2,
+            F.expr("transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+                   "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
+                   "element_at(split(trim(s), ' '), i + 1)))")
+        ).otherwise(F.array().cast("array<string>"))
+        top = (df.select(F.explode(pair_arr).alias("pair"))
+               .groupBy("pair").agg(F.count("*").alias("c"))
+               .orderBy(F.desc("c"), F.asc("pair"))
+               .limit(1).collect()[0])
+        merges.append((rank, top["pair"], top["c"]))
+        merged = top["pair"].replace(" ", _BPE_US)
+        df = df.withColumn(
+            "s", F.replace(F.col("s"),
+                           F.lit(f" {top['pair']} "),
+                           F.lit(f" {merged} ")))
+    return merges, df
+
+
 @register(
     "tokenizer_bpe_train_merges",
     # Both engines implement the IDENTICAL greedy merge step: count
@@ -720,26 +748,116 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs.select(
         "doc_id",
         F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
-    merges: list[tuple[int, str, int]] = []
-    for rank in (1, 2, 3):
-        tk = F.split(F.trim(F.col("s")), " ")
-        pair_arr = F.when(
-            F.size(tk) >= 2,
-            F.expr("transform(sequence(1, size(split(trim(s), ' ')) - 1), "
-                   "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
-                   "element_at(split(trim(s), ' '), i + 1)))")
-        ).otherwise(F.array().cast("array<string>"))
-        top = (df.select(F.explode(pair_arr).alias("pair"))
-               .groupBy("pair").agg(F.count("*").alias("c"))
-               .orderBy(F.desc("c"), F.asc("pair"))
-               .limit(1).collect()[0])
-        merges.append((rank, top["pair"], top["c"]))
-        merged = top["pair"].replace(" ", _BPE_US)
-        df = df.withColumn(
-            "s", F.replace(F.col("s"),
-                           F.lit(f" {top['pair']} "),
-                           F.lit(f" {merged} ")))
+    merges, _ = _bpe_rounds(df, rounds=3)
     out = spark.createDataFrame(
         [(r, p.replace(_BPE_US, "+"), int(c)) for r, p, c in merges],
         "merge_rank int, merge_pair string, pair_count bigint")
     return out.orderBy("merge_rank")
+
+
+@register(
+    "tokenizer_bpe_encode",
+    # The oracle replays training (t0->t3 chain, identical to the
+    # tokenizer_bpe_train_merges oracle) and then AGGREGATES the encoded
+    # corpus — so the hash certifies the distributed ENCODING itself,
+    # per language: token counts before/after and how many emitted
+    # tokens are merge products.  DuckDB's merge separator is the
+    # literal 4-char '\x1f' while Spark uses the real US control char —
+    # both are space-free and absent from the corpus, so token
+    # structure (and every count) is engine-identical.
+    oracle="""
+    WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents
+                WHERE text IS NOT NULL AND text <> ''),
+    p1 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t0),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b1 AS (SELECT pair, COUNT(*) AS c FROM p1 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1),
+    t1 AS (
+      SELECT doc_id,
+             replace(s, ' ' || (SELECT pair FROM b1) || ' ',
+                     ' ' || replace((SELECT pair FROM b1), ' ', '\x1f')
+                     || ' ') AS s
+      FROM t0
+    ),
+    p2 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t1),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b2 AS (SELECT pair, COUNT(*) AS c FROM p2 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1),
+    t2 AS (
+      SELECT doc_id,
+             replace(s, ' ' || (SELECT pair FROM b2) || ' ',
+                     ' ' || replace((SELECT pair FROM b2), ' ', '\x1f')
+                     || ' ') AS s
+      FROM t1
+    ),
+    p3 AS (
+      SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+      FROM (SELECT string_split(trim(s), ' ') AS tk FROM t2),
+           UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    b3 AS (SELECT pair, COUNT(*) AS c FROM p3 GROUP BY pair
+           ORDER BY c DESC, pair LIMIT 1),
+    t3 AS (
+      SELECT doc_id,
+             replace(s, ' ' || (SELECT pair FROM b3) || ' ',
+                     ' ' || replace((SELECT pair FROM b3), ' ', '\x1f')
+                     || ' ') AS s
+      FROM t2
+    ),
+    enc AS (SELECT doc_id, string_split(trim(s), ' ') AS tk FROM t3)
+    SELECT d.lang,
+           COUNT(*)                                   AS n_docs,
+           CAST(SUM(len(string_split(trim(d.text), ' '))) AS BIGINT)
+                                                      AS tokens_before,
+           CAST(SUM(len(e.tk)) AS BIGINT)             AS tokens_after,
+           CAST(SUM(len(list_filter(e.tk,
+                        x -> contains(x, '\x1f')))) AS BIGINT)
+                                                      AS merged_tokens
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    tags=("text", "llm", "tokenizer", "bpe", "encode"),
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODING, distributed — the apply half of the
+    train→apply pair (tokenizer_bpe_train_merges learns the table, this
+    applies it corpus-wide): after the three greedy merge rounds, every
+    document is re-tokenized with merged tokens, entirely row-local
+    (plain leftmost replace — no shuffle beyond training's pair
+    counts), and the per-language encoding stats are hash-certified
+    against the oracle's full SQL replay.  At 100 TB the merge table is
+    model state (bytes, broadcast in the replace literals) and encoding
+    is a pure map — the exact production shape of corpus tokenization,
+    where compression (tokens_after < tokens_before as merges fire) is
+    the metric being bought."""
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    df = nonempty.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
+    _, encoded = _bpe_rounds(df, rounds=3)
+    tk = F.split(F.trim(F.col("s")), " ")
+    merged_ct = F.size(F.filter(tk, lambda x: x.contains(_BPE_US)))
+    per_doc = encoded.select(
+        "doc_id",
+        F.size(tk).alias("n_after"),
+        merged_ct.alias("n_merged"))
+    before = nonempty.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_before"))
+    return (
+        before.join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_before").cast("bigint").alias("tokens_before"),
+             F.sum("n_after").cast("bigint").alias("tokens_after"),
+             F.sum("n_merged").cast("bigint").alias("merged_tokens"))
+        .orderBy("lang")
+    )
