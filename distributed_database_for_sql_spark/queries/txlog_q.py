@@ -1281,3 +1281,71 @@ def _range_only_match(stats, col, value):
         return True
     masked = {k: v for k, v in stats.items() if k != "bloom"}
     return _file_may_match(masked, col, "=", value)
+
+
+@register(
+    "delta_convert_in_place",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE                       AS adopted_without_copy
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "convert", "adoption", "zero-copy"),
+)
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA in place: a pre-existing PLAIN parquet directory
+    (written by an ordinary spark.write, no log) is adopted as a txlog
+    table — commit 0 lists the existing files with footer stats, no
+    byte copied or rewritten (audit flag: the directory's file set is
+    unchanged by conversion) — and then ordinary ACID MERGE runs on it,
+    with the post-merge state value-certified.  At 100 TB this is the
+    adoption path for an existing parquet lake: ACID from the next
+    commit, zero rewrite."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    plain_dir = _table_dir("convert", sf_dir)
+    shutil.rmtree(plain_dir, ignore_errors=True)
+    (orders.filter(F.col("o_orderkey") <= 1000)
+     .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+     .repartition(4, "o_orderkey")
+     .write.parquet(plain_dir))
+    import os as _os
+    files_before = sorted(f for f in _os.listdir(plain_dir)
+                          if f.endswith(".parquet"))
+    t = TxLogTable.convert_from_parquet(spark, plain_dir)
+    files_after = sorted(f for f in _os.listdir(plain_dir)
+                         if f.endswith(".parquet"))
+    no_copy = files_before == files_after
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    t.merge_upsert(updates, "o_orderkey")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("adopted_without_copy", F.lit(no_copy))
+        .orderBy("o_orderpriority")
+    )

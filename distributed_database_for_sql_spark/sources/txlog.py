@@ -818,6 +818,62 @@ class TxLogTable:
             raise FileExistsError(f"concurrent create at {path}")
         return t
 
+    @classmethod
+    def convert_from_parquet(cls, spark: SparkSession,
+                             path: str) -> "TxLogTable":
+        """CONVERT TO DELTA, in place: adopt an EXISTING plain-parquet
+        directory as a transaction-log table without copying or
+        rewriting a byte — commit 0 lists the directory's current part
+        files as add actions (with footer stats harvested then, so data
+        skipping works immediately) and records the schema; the files
+        themselves never move.  Hive-layout directories (``col=value/``
+        subdirs) convert with their partition columns recognized, so
+        partition pruning works from the first read.  Subsequent DML is
+        ordinary txlog operation: MERGE/DELETE rewrite into new
+        segments and de-list the originals, which VACUUM then collects.
+        At 100 TB this is how an existing parquet lake adopts ACID
+        without a 100 TB rewrite — exactly Delta's CONVERT contract."""
+        t = cls(spark, path)
+        if os.path.exists(t.log_dir):
+            raise FileExistsError(f"already a txlog table: {path}")
+        flat = sorted(
+            os.path.relpath(p, path)
+            for p in glob.glob(os.path.join(path, "*.parquet")))
+        parts: list[str] = []
+        hive = sorted(glob.glob(os.path.join(path, "*=*")))
+        if hive:
+            # one-level Hive layout: partition columns from the dir names
+            cols = sorted({os.path.basename(d).partition("=")[0]
+                           for d in hive if os.path.isdir(d)})
+            if len(cols) == 1:
+                parts = cols
+                flat += sorted(
+                    os.path.relpath(p, path)
+                    for p in glob.glob(os.path.join(path, "*=*", "*.parquet")))
+        if not flat:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        reader = spark.read
+        if parts:
+            reader = reader.option("basePath", path)
+            t._pending_partition_columns = parts
+        schema = reader.parquet(
+            *[os.path.join(path, p) for p in flat]).schema
+        if parts:
+            del t._pending_partition_columns
+        meta: dict = {"schemaJson": schema.json()}
+        if parts:
+            meta["partitionColumns"] = parts
+        actions = (
+            [{"commit": {"op": "CONVERT", "ts": int(time.time() * 1000),
+                         "filesAdopted": len(flat)}},
+             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": meta}]
+            + t._add_actions(flat)
+        )
+        if not t._try_commit(0, actions):
+            raise FileExistsError(f"concurrent convert at {path}")
+        return t
+
     def _schema_evolution_action(self, df: DataFrame) -> list[dict]:
         """If ``df`` introduces columns absent from the table's recorded
         schema, return an updated metaData action (existing fields first,
@@ -1562,6 +1618,15 @@ class TxLogTable:
                        for dvlist in live_dvs.values() for d in dvlist}
         cutoff = time.time() - retention_seconds
         removed = []
+        # root-level parquet (adopted by CONVERT, later de-listed by a
+        # rewrite) is collected under the same liveness + age guard
+        for f in sorted(os.listdir(self.path)):
+            fp = os.path.normpath(os.path.join(self.path, f))
+            if (f.endswith(".parquet") and os.path.isfile(fp)
+                    and fp not in live_set
+                    and os.path.getmtime(fp) <= cutoff):
+                os.remove(fp)
+                removed.append(f)
         for sub in sorted(os.listdir(self.path)):
             # unpartitioned segment dirs (data-*) and Hive partition
             # dirs (col=value) both hold data parquet

@@ -1359,3 +1359,50 @@ def test_bloom_string_column(spark, tdir):
     assert len(kept) < total
     assert t.read_where([("grp", "=", "g7")]).count() == \
         sum(1 for i in range(200) if i % 13 == 7)
+
+
+# -- CONVERT TO DELTA (in-place adoption) ------------------------------------
+
+def test_convert_adopts_flat_parquet_in_place(spark, tdir):
+    _df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]) \
+        .repartition(2).write.parquet(tdir)
+    before = sorted(os.listdir(tdir))
+    t = TxLogTable.convert_from_parquet(spark, tdir)
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    # zero copy: only the log dir appeared
+    after = sorted(p for p in os.listdir(tdir) if p != "_txlog")
+    assert after == before
+    assert t.history()[0]["op"] == "CONVERT"
+    # stats were harvested at adoption: metadata count works immediately
+    assert t.count_rows() == (3, True)
+    # double convert refused
+    with pytest.raises(FileExistsError):
+        TxLogTable.convert_from_parquet(spark, tdir)
+
+
+def test_convert_then_dml_and_vacuum(spark, tdir):
+    _df(spark, [(i, "g", i) for i in range(20)]) \
+        .repartition(2).write.parquet(tdir)
+    t = TxLogTable.convert_from_parquet(spark, tdir)
+    t.merge_upsert(_df(spark, [(5, "g", 555), (99, "x", 99)]), "k")
+    got = dict((r["k"], r["v"]) for r in t.read().collect())
+    assert got[5] == 555 and got[99] == 99 and len(got) == 21
+    # the merge de-listed the adopted root files; vacuum collects them
+    removed = t.vacuum(retention_seconds=0)
+    assert any(p.endswith(".parquet") and "/" not in p for p in removed)
+    assert len(dict((r["k"], r["v"]) for r in t.read().collect())) == 21
+
+
+def test_convert_hive_partitioned_layout(spark, tdir):
+    (_df(spark, [(i, "g" + str(i % 3), i) for i in range(30)])
+     .write.partitionBy("grp").parquet(tdir))
+    t = TxLogTable.convert_from_parquet(spark, tdir)
+    assert t._partition_columns() == ["grp"]
+    assert t.read().count() == 30
+    # partition pruning from adopted metadata
+    kept, total = t.prune_files([("grp", "=", "g1")])
+    assert len(kept) < total
+    got = t.read_where([("grp", "=", "g1")])
+    assert sorted(r["k"] for r in got.collect()) == \
+        [i for i in range(30) if i % 3 == 1]
