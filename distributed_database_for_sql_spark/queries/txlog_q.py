@@ -1349,3 +1349,64 @@ def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("adopted_without_copy", F.lit(no_copy))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "stream_txlog_table_source",
+    oracle=f"""
+    WITH appended AS (
+      SELECT o_orderkey, {_CENTS} AS cents,
+             CASE WHEN o_orderkey <= 1000 THEN 0 ELSE 1 END AS commit_version
+      FROM orders WHERE o_orderkey <= 1500
+    )
+    SELECT commit_version,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM appended
+    GROUP BY commit_version
+    ORDER BY commit_version
+    """,
+    tags=("acid", "delta", "streaming", "source", "append-only",
+          "datasource-api"),
+)
+def stream_txlog_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog TABLE as an append-only Structured Streaming source
+    (``readStream.format("txlogtable")``) — Delta's default table
+    streaming mode, no CDF required: micro-batch N is exactly the rows
+    the N-th commit appended (offsets are commit versions), an
+    interleaved OPTIMIZE is transparent (compaction re-emits NOTHING —
+    only CREATE/APPEND segments are served), and the per-commit
+    aggregate is value-certified against relational recomputation.
+    This is the 100 TB ingest-tailing contract: downstream consumers
+    ride the commit log, and a compaction storm never double-feeds
+    them."""
+    from ..sources.txlog_stream import register_txlog_table_source
+    from ..streaming.jobs import run_to_completion
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    more = (orders
+            .filter((F.col("o_orderkey") > 1000)
+                    & (F.col("o_orderkey") <= 1500))
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("tstream", sf_dir), base,
+                          overwrite=True)
+    t.append(more)                       # v1
+    t.optimize_compact(target_segments=2)  # v2: must be transparent
+    register_txlog_table_source(spark)
+    stream = (spark.readStream.format("txlogtable")
+              .option("path", t.path).load())
+    agg = (stream
+           .groupBy(F.col("_commit_version").alias("commit_version"))
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key")))
+    return (run_to_completion(agg, "complete")
+            .orderBy("commit_version"))

@@ -164,3 +164,104 @@ def register_txlog_cdf_source(spark) -> None:
         spark.dataSource.register(TxLogChangesDataSource)
     except Exception:  # already registered in this session
         pass
+
+
+class TxLogTableStreamReader(SimpleDataSourceStreamReader):
+    """Append-only TABLE streaming (Delta's default ``readStream`` on a
+    table, no CDF needed): each micro-batch is the rows of the segments
+    ADDED by commits [start, end) — offsets are commit versions, so
+    batches are deterministic and failure-replayable.  Non-append
+    commits are Delta-faithful: MERGE/DELETE/UPDATE/RESTORE raise
+    (the stream cannot represent row changes without CDF) unless
+    ``skipchangecommits`` is set (Delta's skipChangeCommits), which
+    serves only the appended segments and ignores rewrites.  OPTIMIZE
+    and metadata-only commits are always transparent: they add no rows,
+    so compaction never re-emits data (rewritten segments are NOT
+    re-served — only segments added by CREATE/APPEND commits count)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.start_version = int(options.get("startversion", 0))
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true")
+        self.fields = [f.name for f in schema.fields]
+        self.data_fields = self.fields[:-1]  # last = _commit_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def read(self, start: dict):
+        latest = _latest_version(self.path)
+        end = {"version": latest + 1}
+        if start["version"] > latest:
+            return iter([]), start
+        return iter(self._rows(start["version"], latest)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["version"], end["version"] - 1))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def _parquet_rows(self, rel_paths: list[str]) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for rel in rel_paths:
+            p = os.path.join(self.path, rel)
+            if os.path.isdir(p):
+                parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+            else:
+                parts = [p]
+            for f in parts:
+                rows.extend(pq.read_table(f).to_pylist())
+        return rows
+
+    def _rows(self, a: int, b: int):
+        out = []
+        for v in range(a, b + 1):
+            actions = _read_commit(self.path, v)
+            op = next((x["commit"]["op"] for x in actions if "commit" in x),
+                      None)
+            if op in ("CREATE", "APPEND", "CONVERT"):
+                adds = [x["add"]["path"] for x in actions if "add" in x]
+                recs = self._parquet_rows(adds)
+            elif op in ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT"):
+                continue  # layout/metadata only: no new rows
+            elif self.skip_change_commits:
+                continue  # Delta skipChangeCommits: ignore rewrites
+            else:
+                raise ValueError(
+                    f"commit {v} ({op}) changes existing rows; an "
+                    "append-only table stream cannot represent it — "
+                    "use the CDF source (format 'txlogcdf') or set "
+                    "skipChangeCommits to ignore rewrites")
+            for r in recs:
+                out.append(tuple([r.get(c) for c in self.data_fields] + [v]))
+        return out
+
+
+class TxLogTableDataSource(DataSource):
+    """``format("txlogtable")``: options path (txlog table root),
+    startversion (default 0), skipchangecommits (default false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlogtable"
+
+    def schema(self) -> T.StructType:
+        base = _table_schema(self.options["path"])
+        return T.StructType(
+            list(base.fields)
+            + [T.StructField("_commit_version", T.IntegerType(), False)])
+
+    def simpleStreamReader(self, schema: T.StructType):
+        return TxLogTableStreamReader(schema, self.options)
+
+
+def register_txlog_table_source(spark) -> None:
+    """Idempotently register the txlogtable source on a session."""
+    try:
+        spark.dataSource.register(TxLogTableDataSource)
+    except Exception:  # already registered in this session
+        pass

@@ -297,3 +297,58 @@ def test_txlog_cdf_source_replay_between_offsets(spark, tmp_path):
         tuple(r) for r in t.read_changes(1, 1)
         .select("k", "grp", "v", "_change_type", "_commit_version").collect())
     assert got == want
+
+
+# -- append-only table streaming source (format "txlogtable") ----------------
+
+def test_table_stream_appends_and_optimize_transparent(spark, tmp_path):
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        register_txlog_table_source)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "ts"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    t.optimize_compact(target_segments=1)  # must re-emit nothing
+    register_txlog_table_source(spark)
+    df = (spark.readStream.format("txlogtable")
+          .option("path", t.path).load())
+    q = (df.writeStream.format("memory").queryName("tbl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tbl_stream").collect()
+    got = sorted((r["k"], r["v"], r["_commit_version"]) for r in rows)
+    assert got == [(1, 10, 0), (2, 20, 0), (3, 30, 1)]
+
+
+def test_table_stream_raises_on_rewrite_unless_skipped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        register_txlog_table_source)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "tr"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.delete_where(F.col("k") == 1)  # rewrite commit
+    t.append(spark.createDataFrame([(9, 90)], "k long, v long"))
+    register_txlog_table_source(spark)
+    # default: the rewrite poisons the append-only contract
+    df = (spark.readStream.format("txlogtable")
+          .option("path", t.path).load())
+    q = (df.writeStream.format("memory").queryName("tbl_fail")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="append-only|changes existing"):
+        q.awaitTermination(120)
+    # skipChangeCommits: rewrites ignored, appends still served
+    df2 = (spark.readStream.format("txlogtable")
+           .option("path", t.path)
+           .option("skipchangecommits", "true").load())
+    q2 = (df2.writeStream.format("memory").queryName("tbl_skip")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tbl_skip").collect()
+    got = sorted((r["k"], r["v"], r["_commit_version"]) for r in rows)
+    assert got == [(1, 10, 0), (2, 20, 0), (9, 90, 2)]

@@ -837,11 +837,23 @@ def test_random_op_sequences_full_dml_surface(spark, tmp_path):
         ("delete_v", 9),                   # deletes k=20 if present
         ("dv_delete_k", 1),
         ("compact", None),
+        ("txn_append", ("job", 0, [(40, "t", 8)])),
+        ("txn_append", ("job", 0, [(41, "t", 9)])),  # replayed: no-op
+        ("zorder", None),
+        ("txn_append", ("job", 1, [(42, "t", 6)])),
     ]
     for op, arg in ops:
         if op == "append":
             t.append(_df(spark, arg))
             model.update({k: (g, v) for k, g, v in arg})
+        elif op == "txn_append":
+            app, ver, rows = arg
+            before = t.txn_version_for(app)
+            t.append(_df(spark, rows), txn_app_id=app, txn_version=ver)
+            if ver > before:  # replays change nothing
+                model.update({k: (g, v) for k, g, v in rows})
+        elif op == "zorder":
+            t.optimize_compact(zorder_by=["k", "v"])
         elif op == "merge":
             t.merge_upsert(_df(spark, arg), "k")
             model.update({k: (g, v) for k, g, v in arg})
