@@ -1227,7 +1227,7 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                        AS n_rows,
            CAST(SUM({_CENTS}) AS BIGINT)   AS total_cents,
            TRUE                            AS bloom_files_skipped,
-           TRUE                            AS range_stats_useless
+           TRUE                            AS bloom_beats_range_stats
     FROM orders o JOIN probe p ON o.o_orderkey = p.pk
     GROUP BY o.o_orderkey
     """,
@@ -1235,11 +1235,14 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file Bloom filter index (Delta's bloom filter index): the
-    table is HASH-distributed on the key, so every segment's min/max
-    range spans the whole key domain and range stats can prove nothing
-    (second audit flag) — yet a point lookup skips most segments
-    because their blooms prove the key absent (first audit flag; a
-    bloom negative is proof, positives fall through).  The looked-up
+    table is HASH-distributed on the key, so segment min/max ranges
+    nearly all span the probe and range stats can prune almost nothing
+    — the second audit flag certifies the bloom kept STRICTLY fewer
+    files than range stats alone (robust across data regens, unlike
+    pinning range pruning to exactly zero, which a lucky file min can
+    break) — while a point lookup skips most segments because their
+    blooms prove the key absent (first audit flag; a bloom negative is
+    proof, positives fall through).  The looked-up
     row itself is value-certified against the raw table.  At 100 TB
     this is the difference between a point lookup on a non-partition
     key scanning the table and scanning ~1 file — the write-side cost
@@ -1255,7 +1258,7 @@ def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (orders.filter(F.col("o_orderkey") > 100)
              .agg(F.min("o_orderkey")).collect()[0][0])
     kept, total = t.prune_files([("o_orderkey", "=", probe)])
-    # range-stats-only pruning (blooms masked) keeps everything: the
+    # range-stats-only pruning (blooms masked) keeps nearly all: the
     # hash layout makes min/max useless for a point key
     active, _ = t._snapshot(None)
     range_kept = [
@@ -1268,8 +1271,8 @@ def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"),
              F.sum("cents").alias("total_cents"))
         .withColumn("bloom_files_skipped", F.lit(len(kept) < total))
-        .withColumn("range_stats_useless",
-                    F.lit(len(range_kept) == len(active)))
+        .withColumn("bloom_beats_range_stats",
+                    F.lit(len(kept) < len(range_kept)))
     )
 
 
