@@ -77,6 +77,17 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t RENAME COLUMN a TO b / DROP COLUMN a — metadata-only
+# schema changes via column mapping (no file rewritten).
+_RENAME_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_DROP_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+DROP\s+COLUMN\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
 # OPTIMIZE t [ZORDER BY (a, b)] — compaction / multi-dimensional layout.
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>\w+)"
@@ -158,6 +169,18 @@ class Engine:
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
             version = self.txlog_tables[target].drop_constraint(
+                m.group("name"))
+            return self._dml_ack(target, version)
+        m = _RENAME_COLUMN_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].rename_column(
+                m.group("old"), m.group("new"))
+            return self._dml_ack(target, version)
+        m = _DROP_COLUMN_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].drop_column(
                 m.group("name"))
             return self._dml_ack(target, version)
         m = _OPTIMIZE_RE.match(command)

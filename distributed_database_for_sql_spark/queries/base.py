@@ -138,6 +138,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "tokenizer_bpe_encode",           # distributed BPE encoding (apply half)
     "delta_convert_in_place",         # CONVERT TO DELTA: adopt parquet dir
     "stream_txlog_table_source",      # append-only table stream (no CDF)
+    "delta_column_mapping",           # metadata-only RENAME/DROP COLUMN
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -172,8 +173,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    # q21_waiting_orders, q22_global_sales_opportunity,
+    # q20_excess_share_suppliers, q21_waiting_orders, q22_global_sales_opportunity,
     # join_anti, join_cross, join_full_outer, join_left_outer_nulls, join_salted_skew,
     # join_self_pairs, join_semi, join_theta_range, set_except,
     # set_intersect, set_intersect_all, set_union, set_union_all,

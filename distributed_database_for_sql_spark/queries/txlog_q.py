@@ -1413,3 +1413,68 @@ def stream_txlog_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").alias("max_key")))
     return (run_to_completion(agg, "complete")
             .orderBy("commit_version"))
+
+
+@register(
+    "delta_column_mapping",
+    oracle=f"""
+    WITH all_rows AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS price_cents
+      FROM orders WHERE o_orderkey <= 1500
+    ), updated AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN price_cents + 55 ELSE price_cents END AS price_cents
+      FROM all_rows
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                         AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS total_price_cents,
+           TRUE                             AS rename_was_metadata_only
+    FROM updated
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "column-mapping", "rename", "sql", "engine"),
+)
+def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (Delta's name-mapping mode): ``ALTER TABLE …
+    RENAME COLUMN cents TO price_cents`` through ``Engine.sql`` touches
+    NO data file (audit flag: the active file set is unchanged by the
+    rename) — reads translate physical→logical on the fly, and a
+    subsequent append AND a copy-on-write UPDATE both operate under the
+    new logical name (their segments store the physical name, proving
+    the write-side translation) — with the final state value-certified
+    under the new name.  At 100 TB this is a rename costing one JSON
+    commit instead of a table rewrite."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("colmap", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders_cm", t)
+    files_before, _ = t._snapshot_files()
+    engine.sql("ALTER TABLE txlog_orders_cm RENAME COLUMN cents "
+               "TO price_cents")
+    files_after, _ = t._snapshot_files()
+    metadata_only = files_before == files_after
+    t.append(orders
+             .filter((F.col("o_orderkey") > 1000)
+                     & (F.col("o_orderkey") <= 1500))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("price_cents")))
+    engine.sql("UPDATE txlog_orders_cm SET price_cents = price_cents + 55 "
+               "WHERE o_orderpriority = '1-URGENT'")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("price_cents").alias("total_price_cents"))
+        .withColumn("rename_was_metadata_only", F.lit(metadata_only))
+        .orderBy("o_orderpriority")
+    )

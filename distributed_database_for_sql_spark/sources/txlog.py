@@ -640,6 +640,119 @@ class TxLogTable:
                     cols = action["metaData"]["bloomFilterColumns"]
         return cols
 
+    def _column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """Column mapping at ``version`` ({logical name: physical name in
+        the parquet files}) plus the retired-physical-name list, from
+        the last metaData action carrying them (Delta's column-mapping
+        mode, name-based).  Empty mapping = identity (the default; every
+        pre-mapping code path is untouched).  Versioned: time travel to
+        before a RENAME reads under the old names."""
+        latest = self.latest_version()
+        v = latest if version is None else version
+        mapping: dict[str, str] = {}
+        for i in range(min(v, latest) + 1):
+            for action in self._read_commit(i):
+                if "metaData" in action and "columnMapping" in action["metaData"]:
+                    mapping = action["metaData"]["columnMapping"]
+        return mapping
+
+    def _retired_physical(self) -> list[str]:
+        """Physical column names retired by DROP COLUMN — a later
+        schema evolution must not reuse one (the old files still carry
+        data under it, which would silently resurrect)."""
+        retired: list[str] = []
+        for i in range(self.latest_version() + 1):
+            for action in self._read_commit(i):
+                if "metaData" in action and "retiredPhysical" in action["metaData"]:
+                    retired = action["metaData"]["retiredPhysical"]
+        return retired
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Rename a LOGICAL frame's mapped columns to their physical
+        names before a segment write (no-op without a mapping)."""
+        mapping = self._column_mapping()
+        renames = {log: phys for log, phys in mapping.items()
+                   if log in df.columns and log != phys}
+        return df.withColumnsRenamed(renames) if renames else df
+
+    def _physical_name(self, col: str) -> str:
+        return self._column_mapping().get(col, col)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN, metadata-only: no file is touched —
+        the commit records the new LOGICAL schema plus a columnMapping
+        entry pointing the new name at the old PHYSICAL name; reads
+        translate on the fly, writes translate back.  At 100 TB this is
+        the difference between a rename costing nothing and costing a
+        full-table rewrite.  Refused for partition / generated /
+        bloom-indexed / constraint-guarded columns (their definitions
+        reference names; Delta guards the same dependencies)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        self._check_column_dependencies(old, "rename")
+        mapping = dict(self._column_mapping())
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        fields = [T.StructField(new, f.dataType, f.nullable)
+                  if f.name == old else f for f in schema.fields]
+        actions = [
+            {"commit": {"op": "RENAME COLUMN",
+                        "ts": int(time.time() * 1000),
+                        "from": old, "to": new}},
+            {"metaData": {"schemaJson": T.StructType(fields).json(),
+                          "columnMapping": mapping,
+                          "retiredPhysical": self._retired_physical()}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN, metadata-only: the column leaves the
+        logical schema; the physical data stays in the immutable files
+        and simply stops being selected.  The physical name is RETIRED —
+        a later append re-introducing a column with that name is
+        refused, because old segments would silently resurrect their
+        stale values under it (real Delta avoids this with GUID physical
+        names; refusing is the honest name-based equivalent)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        self._check_column_dependencies(name, "drop")
+        mapping = dict(self._column_mapping())
+        phys = mapping.pop(name, name)
+        retired = sorted(set(self._retired_physical()) | {phys})
+        fields = [f for f in schema.fields if f.name != name]
+        actions = [
+            {"commit": {"op": "DROP COLUMN",
+                        "ts": int(time.time() * 1000), "column": name}},
+            {"metaData": {"schemaJson": T.StructType(fields).json(),
+                          "columnMapping": mapping,
+                          "retiredPhysical": retired}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def _check_column_dependencies(self, col: str, what: str) -> None:
+        if col in self._partition_columns():
+            raise ValueError(f"cannot {what} partition column {col!r}")
+        if col in self._generated_columns():
+            raise ValueError(f"cannot {what} generated column {col!r}")
+        if col in self._bloom_columns():
+            raise ValueError(f"cannot {what} bloom-indexed column {col!r}")
+        if self._txn_constraint_state()[1]:
+            raise ValueError(
+                f"cannot {what} columns while CHECK constraints exist "
+                "(constraint expressions reference column names; drop "
+                "the constraints first)")
+
     def _generated_columns(self) -> dict[str, str]:
         """Generated-column definitions ({name: SQL expr}) from the last
         metaData action carrying them — same resolution pattern as
@@ -685,6 +798,7 @@ class TxLogTable:
         prefix on the file name (uniqueness without per-commit dirs, so a
         single ``basePath`` read recovers the partition column for ANY
         subset of active files)."""
+        df = self._to_physical(df)
         parts = self._partition_columns()
         seg = uuid.uuid4().hex[:12]
         if not parts:
@@ -891,6 +1005,14 @@ class TxLogTable:
         new = [f for f in df.schema.fields if f.name not in have]
         if not new:
             return []
+        retired = set(self._retired_physical())
+        clash = sorted({f.name for f in new} & retired)
+        if clash:
+            raise ValueError(
+                f"cannot re-introduce dropped column(s) {clash}: old "
+                "segments still carry physical data under those names "
+                "and would silently resurrect stale values; use a "
+                "different column name")
         merged = T.StructType(
             list(cur.fields)
             + [T.StructField(f.name, f.dataType, True) for f in new])
@@ -1089,6 +1211,26 @@ class TxLogTable:
                 drop += ["__relfile", "__rowidx"]
             if drop:
                 out = out.drop(*drop)
+        mapping = self._column_mapping(version)
+        if mapping or set(out.columns) - {
+                f.name for f in T.StructType.fromJson(
+                    json.loads(schema_json)).fields} - {
+                "_file", "__relfile", "__rowidx"}:
+            # column mapping active (or files carry retired/dropped
+            # physical columns): rename physical -> logical, then select
+            # exactly the logical schema (+ requested meta columns) so
+            # renamed columns surface under their current names and
+            # dropped data never resurfaces.
+            renames = {phys: log for log, phys in mapping.items()
+                       if phys in out.columns and phys != log}
+            if renames:
+                out = out.withColumnsRenamed(renames)
+            logical = [f.name for f in T.StructType.fromJson(
+                json.loads(schema_json)).fields]
+            meta_keep = [c for c in ("_file", "__relfile", "__rowidx")
+                         if c in out.columns]
+            out = out.select(*[c for c in logical if c in out.columns],
+                             *meta_keep)
         return out
 
     def version_at_timestamp(self, ts_millis: int) -> int:
@@ -1222,9 +1364,11 @@ class TxLogTable:
         scanning the table and scanning the handful of segments a
         time/key-range query actually touches."""
         active, _ = self._snapshot(version)
+        mapping = self._column_mapping(version)
         kept = [
             os.path.join(self.path, p) for p, stats in active.items()
-            if all(_file_may_match(stats, c, op, v) for (c, op, v) in predicates)
+            if all(_file_may_match(stats, mapping.get(c, c), op, v)
+                   for (c, op, v) in predicates)
         ]
         return kept, len(active)
 

@@ -1418,3 +1418,90 @@ def test_convert_hive_partitioned_layout(spark, tdir):
     got = t.read_where([("grp", "=", "g1")])
     assert sorted(r["k"] for r in got.collect()) == \
         [i for i in range(30) if i % 3 == 1]
+
+
+# -- column mapping (metadata-only RENAME / DROP COLUMN) ---------------------
+
+def test_rename_column_is_metadata_only(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    files_before, _ = t._snapshot_files()
+    t.rename_column("v", "val")
+    files_after, _ = t._snapshot_files()
+    assert files_before == files_after, "rename must touch no data file"
+    got = sorted((r["k"], r["grp"], r["val"]) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20)]
+    assert "v" not in t.read().columns
+    # physical files still carry the OLD name
+    import pyarrow.parquet as pq
+    assert "v" in pq.ParquetFile(files_before[0]).schema_arrow.names
+    # time travel to before the rename shows the old name
+    assert "v" in t.read(version=0).columns
+    assert "val" not in t.read(version=0).columns
+
+
+def test_renamed_column_writes_and_dml(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.rename_column("v", "val")
+    # append + merge under the NEW logical name
+    t.append(spark.createDataFrame([(3, "c", 30)], "k int, grp string, val int"))
+    t.merge_upsert(
+        spark.createDataFrame([(2, "b", 99)], "k int, grp string, val int"),
+        "k")
+    t.update_where({"val": "val + 1"}, F.col("k") == 1)
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: 11, 2: 99, 3: 30}
+    # stats-based pruning translates the logical predicate name
+    kept, total = t.prune_files([("val", "=", 99)])
+    assert kept and len(kept) <= total
+
+
+def test_drop_column_hides_and_retires(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    files_before, _ = t._snapshot_files()
+    t.drop_column("grp")
+    assert t._snapshot_files()[0] == files_before
+    assert sorted(t.read().columns) == ["k", "v"]
+    # re-introducing the dropped name is refused (stale resurrection)
+    with pytest.raises(ValueError, match="re-introduce"):
+        t.append(_df(spark, [(3, "x", 30)]))
+    # a different name evolves fine
+    t.append(spark.createDataFrame([(3, 30, "x")],
+                                   "k int, v int, grp2 string"))
+    assert t.read().count() == 3
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+
+
+def test_rename_drop_refuse_dependent_columns(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          partition_by="grp")
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("grp", "g2")
+    t2 = TxLogTable.create(spark, str(tmp_path / "t2"),
+                           _df(spark, [(1, "a", 10)]),
+                           generated_columns={"parity": "k % 2"})
+    with pytest.raises(ValueError, match="generated"):
+        t2.drop_column("parity")
+    t3 = TxLogTable.create(spark, str(tmp_path / "t3"),
+                           _df(spark, [(1, "a", 10)]))
+    t3.add_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t3.rename_column("v", "val")
+    t3.drop_constraint("v_pos")
+    t3.rename_column("v", "val")  # now fine
+    assert "val" in t3.read().columns
+
+
+def test_engine_sql_rename_drop_column_routes(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    engine.register_txlog("cm", t)
+    engine.sql("ALTER TABLE cm RENAME COLUMN v TO val")
+    got = {(r["k"], r["val"]) for r in engine.sql(
+        "SELECT k, val FROM cm").collect()}
+    assert got == {(1, 10), (2, 20)}
+    engine.sql("ALTER TABLE cm DROP COLUMN grp")
+    assert sorted(engine.sql("SELECT * FROM cm").columns) == ["k", "val"]
