@@ -318,6 +318,25 @@ class TxLogTable:
 
     # -- log plumbing -------------------------------------------------------
 
+    def _next_ts(self) -> int:
+        """Monotonic commit timestamp (Delta's in-commit-timestamp
+        guarantee): max(wall clock, previous commit ts + 1), so
+        ``timestampAsOf`` resolution (version_at_timestamp scans for
+        the newest commit ts <= asked) is total-ordered even when two
+        commits land in the same millisecond or the clock steps
+        backwards.  Reads only the LAST commit file — O(1)."""
+        now = int(time.time() * 1000)
+        latest = self.latest_version()
+        if latest < 0:
+            return now
+        try:
+            for a in self._read_commit(latest):
+                if "commit" in a:
+                    return max(now, int(a["commit"]["ts"]) + 1)
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            pass
+        return now
+
     def _commit_files(self) -> list[str]:
         return sorted(
             p for p in glob.glob(os.path.join(self.log_dir, "[0-9]*.json"))
@@ -703,7 +722,7 @@ class TxLogTable:
                   if f.name == old else f for f in schema.fields]
         actions = [
             {"commit": {"op": "RENAME COLUMN",
-                        "ts": int(time.time() * 1000),
+                        "ts": self._next_ts(),
                         "from": old, "to": new}},
             {"metaData": {"schemaJson": T.StructType(fields).json(),
                           "columnMapping": mapping,
@@ -733,7 +752,7 @@ class TxLogTable:
         fields = [f for f in schema.fields if f.name != name]
         actions = [
             {"commit": {"op": "DROP COLUMN",
-                        "ts": int(time.time() * 1000), "column": name}},
+                        "ts": self._next_ts(), "column": name}},
             {"metaData": {"schemaJson": T.StructType(fields).json(),
                           "columnMapping": mapping,
                           "retiredPhysical": retired}},
@@ -923,7 +942,7 @@ class TxLogTable:
             t._pending_partition_columns = parts
         rel = t._write_segments(df)
         actions = (
-            [{"commit": {"op": "CREATE", "ts": int(time.time() * 1000)}},
+            [{"commit": {"op": "CREATE", "ts": t._next_ts()}},
              {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
              {"metaData": meta}]
             + t._add_actions(rel)
@@ -978,7 +997,7 @@ class TxLogTable:
         if parts:
             meta["partitionColumns"] = parts
         actions = (
-            [{"commit": {"op": "CONVERT", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "CONVERT", "ts": t._next_ts(),
                          "filesAdopted": len(flat)}},
              {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
              {"metaData": meta}]
@@ -1054,7 +1073,7 @@ class TxLogTable:
         self._check_constraint(self._read_active(), name, expr)
         actions = [
             {"commit": {"op": "ADD CONSTRAINT",
-                        "ts": int(time.time() * 1000), "name": name}},
+                        "ts": self._next_ts(), "name": name}},
             {"constraint": {"name": name, "expr": expr}},
         ]
         return self._commit_with_occ(actions, [], base_version)
@@ -1064,7 +1083,7 @@ class TxLogTable:
             raise ValueError(f"no such constraint: {name!r}")
         actions = [
             {"commit": {"op": "DROP CONSTRAINT",
-                        "ts": int(time.time() * 1000), "name": name}},
+                        "ts": self._next_ts(), "name": name}},
             {"constraint": {"name": name, "drop": True}},
         ]
         return self._commit_with_occ(actions, [], self.latest_version())
@@ -1090,7 +1109,7 @@ class TxLogTable:
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
         actions = (
-            [{"commit": {"op": "APPEND", "ts": int(time.time() * 1000)}}]
+            [{"commit": {"op": "APPEND", "ts": self._next_ts()}}]
             + txn_actions
             + self._schema_evolution_action(df)
             + self._add_actions(rel)
@@ -1283,7 +1302,7 @@ class TxLogTable:
             for dv in dvlist:
                 dv_adds.setdefault(dv, []).append(f)
         actions = (
-            [{"commit": {"op": "RESTORE", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "RESTORE", "ts": self._next_ts(),
                          "restoredVersion": version}}]
             + [{"remove": {"path": p}} for p in current_active]
             + [{"add": {"path": p, "stats": s}}
@@ -1339,7 +1358,7 @@ class TxLogTable:
         if self._bloom_columns():
             clone_meta["bloomFilterColumns"] = self._bloom_columns()
         actions = (
-            [{"commit": {"op": "CLONE", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "CLONE", "ts": dest._next_ts(),
                          "sourcePath": src_abs,
                          "sourceVersion": src_version}},
              {"metaData": clone_meta}]
@@ -1490,7 +1509,7 @@ class TxLogTable:
             for p in touched
         ]
         actions = (
-            [{"commit": {"op": "MERGE", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "MERGE", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
@@ -1546,7 +1565,7 @@ class TxLogTable:
             for p in touched
         ]
         actions = (
-            [{"commit": {"op": "DELETE", "ts": int(time.time() * 1000)}}]
+            [{"commit": {"op": "DELETE", "ts": self._next_ts()}}]
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions
@@ -1630,7 +1649,7 @@ class TxLogTable:
             for p in touched
         ]
         actions = (
-            [{"commit": {"op": "UPDATE", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "UPDATE", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new)}}]
             + [{"remove": {"path": p}} for p in rel_removed]
@@ -1672,7 +1691,7 @@ class TxLogTable:
                 "minReaderVersion": 3,
                 "minWriterVersion": _SUPPORTED_WRITER_VERSION}}]
         actions = (
-            [{"commit": {"op": "DELETE", "ts": int(time.time() * 1000),
+            [{"commit": {"op": "DELETE", "ts": self._next_ts(),
                          "mode": "dv", "dvTargets": len(targets)}}]
             + proto_actions
             + [{"dvAdd": {"path": dv_rel, "targets": targets}}]
@@ -1726,7 +1745,7 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in files
         ]
-        commit: dict = {"op": "OPTIMIZE", "ts": int(time.time() * 1000),
+        commit: dict = {"op": "OPTIMIZE", "ts": self._next_ts(),
                         "filesRewritten": len(rel_removed),
                         "filesAdded": len(rel_new)}
         if zorder_by:

@@ -1505,3 +1505,17 @@ def test_engine_sql_rename_drop_column_routes(spark, tdir):
     assert got == {(1, 10), (2, 20)}
     engine.sql("ALTER TABLE cm DROP COLUMN grp")
     assert sorted(engine.sql("SELECT * FROM cm").columns) == ["k", "val"]
+
+
+def test_commit_timestamps_strictly_increase(spark, tdir):
+    """In-commit-timestamp monotonicity: rapid same-millisecond commits
+    (and a stepping clock) must still yield a total order, or
+    timestampAsOf resolution becomes ambiguous."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    for i in range(4):
+        t.append(_df(spark, [(10 + i, "s", i)]))
+    ts = [h["ts"] for h in t.history()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts), ts
+    # timestampAsOf at each commit's exact ts resolves to that version
+    for v, h in enumerate(t.history()):
+        assert t.version_at_timestamp(h["ts"]) == v
