@@ -98,14 +98,20 @@ def register(name: str, oracle: str | None = None,
 #       (first zero-red round since r2).
 #   r6 window (below): the stale-certification drain begins (VERDICT r5
 #       item 3: 86 queries' latest green was r1/r2 and the driver
-#       regenerates testdata between rounds).  Positions 1-21 are the
-#       r6 new/changed queries (thirteen brand-new, one rows-only→oracled
-#       upgrade, one schema change, six re-certs of behavior-touched
-#       paths); positions 22-50 re-front the oldest r1-certified
-#       families (TPC-H q2-q22, the join/set/relational core).  The
-#       remaining r1/r2-stale queries (aggregates tail, windows,
-#       streaming, text, subqueries, time-series, UDF, the eleven
-#       displaced canaries) are the planned r7 window.
+#       regenerates testdata between rounds).  Positions 1-33 are the
+#       r6 new/changed queries (twenty-five brand-new — the completed
+#       lakehouse-protocol surface [idempotent txn sink, constraints,
+#       clone, zorder, streaming MV, metadata count, generated columns,
+#       bloom index, convert, table stream, column mapping] plus the
+#       BPE encode/data-skipping/CDF/DV/RESTORE/partitioning block and
+#       the tokenizer/chunking/HLL ops — one rows-only→oracled upgrade,
+#       one schema change, six re-certs of behavior-touched paths);
+#       positions 34-50 re-front the oldest r1-certified TPC-H queries
+#       (q2-q19).  The remaining r1/r2-stale queries (q20-q22, the
+#       join/set/relational core, aggregates tail, windows, streaming,
+#       text, subqueries, time-series, UDF, the displaced canaries) are
+#       the planned r7 drain window — new-query certification takes
+#       precedence per the policy below.
 #
 # POLICY for new queries: append the name to _FRONT_WINDOW below (displacing
 # a canary if the window is full) so the driver certifies it in the round it
