@@ -98,7 +98,7 @@ def register(name: str, oracle: str | None = None,
 #       (first zero-red round since r2).
 #   r6 window (below): the stale-certification drain begins (VERDICT r5
 #       item 3: 86 queries' latest green was r1/r2 and the driver
-#       regenerates testdata between rounds).  Positions 1-33 are the
+#       regenerates testdata between rounds).  Positions 1-34 are the
 #       r6 new/changed queries (twenty-five brand-new — the completed
 #       lakehouse-protocol surface [idempotent txn sink, constraints,
 #       clone, zorder, streaming MV, metadata count, generated columns,
@@ -106,8 +106,8 @@ def register(name: str, oracle: str | None = None,
 #       BPE encode/data-skipping/CDF/DV/RESTORE/partitioning block and
 #       the tokenizer/chunking/HLL ops — one rows-only→oracled upgrade,
 #       one schema change, six re-certs of behavior-touched paths);
-#       positions 34-50 re-front the oldest r1-certified TPC-H queries
-#       (q2-q19).  The remaining r1/r2-stale queries (q20-q22, the
+#       positions 35-50 re-front the oldest r1-certified TPC-H queries
+#       (q2-q18, excluding the r3-re-certified q12).  The remaining r1/r2-stale queries (q20-q22, the
 #       join/set/relational core, aggregates tail, windows, streaming,
 #       text, subqueries, time-series, UDF, the displaced canaries) are
 #       the planned r7 drain window — new-query certification takes
@@ -145,6 +145,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_convert_in_place",         # CONVERT TO DELTA: adopt parquet dir
     "stream_txlog_table_source",      # append-only table stream (no CDF)
     "delta_column_mapping",           # metadata-only RENAME/DROP COLUMN
+    "sample_domain_cap",              # deterministic per-domain capping
     # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
     "text_compression_ratio",
     # -- output schema changed in r6 (robust boolean audit flag replaces
@@ -178,8 +179,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    # q20_excess_share_suppliers, q21_waiting_orders, q22_global_sales_opportunity,
+    # q19_disjunctive_revenue, q20_excess_share_suppliers,
+    # q21_waiting_orders, q22_global_sales_opportunity,
     # join_anti, join_cross, join_full_outer, join_left_outer_nulls, join_salted_skew,
     # join_self_pairs, join_semi, join_theta_range, set_except,
     # set_intersect, set_intersect_all, set_union, set_union_all,

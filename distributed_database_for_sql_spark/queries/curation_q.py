@@ -888,3 +888,58 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("value") * 100).cast("bigint").alias("hi_cents"))
         .orderBy("event_type", "decile")
     )
+
+
+@register(
+    "sample_domain_cap",
+    # Deterministic hash-rank capping: both engines rank by the same
+    # md5(doc_id || '#cap') string and keep the first 40 per (lang,
+    # source) cell, so the kept set -- not just its size -- is
+    # engine-identical and fully hash-certified.
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#cap'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*)                      AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           MIN(doc_id)                   AS min_doc,
+           MAX(doc_id)                   AS max_doc
+    FROM ranked WHERE rn <= 40
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("sample", "curation", "domain-cap", "llm"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain capping: keep at most N documents per (lang, source)
+    cell, chosen by a DETERMINISTIC md5 rank — the curation step that
+    stops any single domain from dominating a training mix, with a
+    reproducible (and oracle-certifiable) kept set instead of an
+    engine-RNG sample.  One shuffle on the cell key + a bounded
+    window; at 100 TB the hash rank makes the sample stable across
+    re-runs and engines, so downstream dedup/packing stages can cache
+    against it.  (The seeded-RNG variants — sample_seeded /
+    sample_stratified — remain the scan-time zero-shuffle path when
+    reproducibility across ENGINES is not required.)"""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                              F.lit("#cap")))
+    w = W.partitionBy("lang", "source").orderBy(rank_key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("lang", "source")
+    )

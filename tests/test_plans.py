@@ -9,6 +9,7 @@ from distributed_database_for_sql_spark.catalog import load_table
 from distributed_database_for_sql_spark.plans.explain import (
     has_cartesian,
     has_pushed_filters,
+    physical_plan,
     scan_read_schema,
     uses_broadcast_join,
 )
@@ -297,3 +298,36 @@ def test_chunking_is_single_sort_exchange(spark):
 
     df = registry()["text_chunk_overlap"].fn(spark, "/root/testdata/sf0.001")
     assert count_exchanges(df) <= 1
+
+
+def test_dv_read_broadcasts_tombstones(spark, tmp_path):
+    """Deletion-vector reads must apply tombstones via a BROADCAST
+    position anti-join — a shuffled anti-join here would tax every
+    DV'd scan with a full-data exchange at 100 TB."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "dvplan"),
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(4, "k"))
+    t.delete_where(F.col("k") % 7 == 0, use_dv=True)
+    df = t.read()
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert not has_cartesian(df)
+
+
+def test_txlog_read_where_pushes_residual_filter(spark, tmp_path):
+    """Data skipping prunes files driver-side; the residual predicate
+    must still reach the parquet scan as a pushed filter (two layers of
+    the same pruning story)."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "skipplan"),
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(8, "k"))
+    df = t.read_where([("k", "between", (100, 200))])
+    assert has_pushed_filters(df)
