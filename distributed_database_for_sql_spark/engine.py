@@ -99,7 +99,11 @@ _OPTIMIZE_RE = re.compile(
 # snapshot before the statement reaches Spark SQL.
 _TIME_TRAVEL_RE = re.compile(
     r"\b(?P<t>\w+)\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
-    r"(?P<v>\d+)", re.IGNORECASE)
+    r"(?P<v>\d+|'[^']*')", re.IGNORECASE)
+
+# single-quoted SQL string literal ('' = escaped quote); used to keep the
+# time-travel rewrite away from literal contents (ADVICE r6)
+_SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
 # DESCRIBE HISTORY t — the commit log as a result set (Delta's DESCRIBE
 # HISTORY shape: version, op, timestamp + op metrics as JSON).
@@ -220,28 +224,63 @@ class Engine:
         return self.spark.sql(self._rewrite_time_travel(command))
 
     def _rewrite_time_travel(self, command: str) -> str:
-        """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ms`` over
-        registered txlog tables into temp views of the versioned
-        snapshot (Delta's SELECT-level time travel).  Runs only on the
-        plain-SQL fallback, AFTER the statement-specific routes — so
-        RESTORE/CLONE keep their own VERSION AS OF clauses.  Non-txlog
-        names pass through untouched."""
-        def sub(m: re.Match) -> str:
+        """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ms`` /
+        ``t TIMESTAMP AS OF '2024-01-01 00:00:00'`` over registered
+        txlog tables into temp views of the versioned snapshot (Delta's
+        SELECT-level time travel).  Runs only on the plain-SQL fallback,
+        AFTER the statement-specific routes — so RESTORE/CLONE keep
+        their own VERSION AS OF clauses.  Non-txlog names pass through
+        untouched, and so does anything INSIDE a string literal (ADVICE
+        r6: a matching pattern in a literal must not be rewritten).
+        Quoted timestamps are ISO-8601, interpreted as UTC (commit
+        timestamps are epoch millis from time.time())."""
+        def resolve(m: re.Match) -> str:
             name = m.group("t")
-            if name not in self.txlog_tables:
-                return m.group(0)
             table = self.txlog_tables[name]
-            if m.group("kind").upper() == "VERSION":
-                v = int(m.group("v"))
-                snap = table.read(version=v)
+            kind = m.group("kind").upper()
+            raw = m.group("v")
+            if kind == "VERSION":
+                if raw.startswith("'"):
+                    raise ValueError(
+                        f"VERSION AS OF takes an integer version, got "
+                        f"{raw}")
+                snap = table.read(version=int(raw))
+            elif raw.startswith("'"):
+                from datetime import datetime, timezone
+                text = raw[1:-1].replace("''", "'")
+                try:
+                    dt = datetime.fromisoformat(text)
+                except ValueError:
+                    raise ValueError(
+                        f"TIMESTAMP AS OF {raw}: not epoch millis or an "
+                        "ISO-8601 timestamp (e.g. '2024-01-01 00:00:00')")
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                snap = table.read(timestamp=int(dt.timestamp() * 1000))
             else:
-                v = int(m.group("v"))
-                snap = table.read(timestamp=v)
-            alias = f"__tt_{name}_{m.group('kind').lower()}_{v}"
+                snap = table.read(timestamp=int(raw))
+            alias = ("__tt_{}_{}_{}".format(
+                name, kind.lower(), re.sub(r"\W", "_", raw)))
             snap.createOrReplaceTempView(alias)
             return alias
 
-        return _TIME_TRAVEL_RE.sub(sub, command)
+        # literal spans are no-rewrite zones — but a quoted timestamp
+        # OPERAND may extend into one, so instead of splitting the text we
+        # skip only matches that START inside a literal
+        literal_spans = [m.span() for m in _SQL_STRING_RE.finditer(command)]
+        out, pos = [], 0
+        for m in _TIME_TRAVEL_RE.finditer(command):
+            if m.start() < pos:
+                continue  # swallowed by a previous match's operand
+            if any(a <= m.start() < b for a, b in literal_spans):
+                continue
+            if m.group("t") not in self.txlog_tables:
+                continue
+            out.append(command[pos:m.start()])
+            out.append(resolve(m))
+            pos = m.end()
+        out.append(command[pos:])
+        return "".join(out)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""

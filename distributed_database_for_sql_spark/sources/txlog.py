@@ -171,12 +171,46 @@ _BLOOM_BITS_PER_ROW = 10  # ~1% false-positive rate with k=3 hashes
 _BLOOM_HASHES = 3
 
 
+def _bloom_canon(value) -> str:
+    """Type-insensitive canonical form for bloom hashing (ADVICE r6).
+
+    The min/max range path coerces via ``_json_key`` and Python equality
+    treats ``5 == 5.0 == Decimal('5')``, so the bloom must never be
+    STRICTER than the range check: a probe whose literal type differs
+    from the stored column type (float ``5.0`` or string ``'5'`` against
+    an int column) must still hash to the stored value's bits, or the
+    negative becomes a false "proof of absence" and ``prune_files`` /
+    ``read_where`` silently drop files that contain matching rows.
+    Numerics (bool/int/float/Decimal/numpy scalars) fold to one numeric
+    repr; strings that parse as numbers fold to the same.  The folding
+    only ever ADDS collisions (false positives), which are safe — they
+    fall through to the range check; false negatives are wrong results.
+    Dates/decimals stringify exactly the way ``_json_key`` does."""
+    import numbers
+
+    if isinstance(value, bool):
+        value = int(value)
+    if isinstance(value, str):
+        try:
+            value = float(value)
+        except ValueError:
+            return "str:" + value
+    if isinstance(value, numbers.Number):
+        f = float(value)
+        if f.is_integer():
+            return f"num:{int(f)}"
+        return f"num:{f!r}"
+    if isinstance(value, (bytes, bytearray)):
+        return "bytes:" + bytes(value).hex()
+    return "str:" + str(value)  # dates/timestamps: ISO form, same as _json_key
+
+
 def _bloom_hash_indices(value, m: int) -> list[int]:
     """Deterministic double-hashing (md5-based, engine-portable): the
     same value always sets/tests the same ``k`` of ``m`` bits, on any
     host, any process, any PYTHONHASHSEED."""
     import hashlib
-    digest = hashlib.md5(repr(value).encode()).digest()
+    digest = hashlib.md5(_bloom_canon(value).encode()).digest()
     h1 = int.from_bytes(digest[:8], "big")
     h2 = int.from_bytes(digest[8:], "big") | 1  # odd: full cycle mod m
     return [(h1 + i * h2) % m for i in range(_BLOOM_HASHES)]
@@ -296,6 +330,65 @@ def _ranges_intersect(a: dict, b: dict) -> bool:
         return True
 
 
+class LogStore:
+    """Commit-claim primitive behind the transaction log (the shape of
+    Delta Lake's public LogStore API).
+
+    The single correctness-bearing storage operation in the whole log
+    protocol is :meth:`put_if_absent`: publish a fully-written,
+    never-torn file at a path in one atomic step, failing if the path
+    already exists.  Everything else the log does — checkpoint
+    manifests, ``_last_checkpoint`` pointers — is derived data that only
+    needs :meth:`overwrite_atomic` (readers tolerate a stale or missing
+    copy).  ``TxLogTable`` routes every log mutation through its
+    ``log_store``, so the OCC/conflict-detection protocol is
+    store-agnostic and porting to another storage system means
+    implementing these two methods, nothing more:
+
+    * POSIX (this default): temp file + fsync + ``os.link`` — hard-link
+      creation fails atomically if the target exists.
+    * S3: conditional PUT (``If-None-Match: *``) or an external claim
+      coordinator — the reason Delta ships S3DynamoDBLogStore.
+    * GCS / Azure Blob: native write preconditions
+      (``ifGenerationMatch=0`` / ``If-None-Match``) satisfy the contract
+      directly.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data``; False if it exists.
+
+        Readers must never observe a torn file: the content is durable
+        (fsync) before the name is published, and the publish step
+        (hard link) is all-or-nothing."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+    def overwrite_atomic(self, path: str, data: bytes) -> None:
+        """Replace ``path`` with ``data`` in one visible step.  Used only
+        for derived artifacts (checkpoints, ``_last_checkpoint``): losing
+        a race here costs replay length, never correctness."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(path),
+                           f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+
 class TxLogTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
@@ -304,10 +397,15 @@ class TxLogTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  checkpoint_interval: int | None = None,
-                 enable_cdf: bool = False):
+                 enable_cdf: bool = False,
+                 log_store: LogStore | None = None):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        #: all log mutations go through this (LogStore contract above);
+        #: tests inject racing/faulty stores to prove the OCC protocol is
+        #: storage-agnostic.
+        self.log_store = log_store if log_store is not None else LogStore()
         if checkpoint_interval is not None:
             self.checkpoint_interval = checkpoint_interval
         #: when True, MERGE/DELETE persist row-level change data
@@ -355,31 +453,14 @@ class TxLogTable:
             return [json.loads(line) for line in f if line.strip()]
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
-        """Atomically claim ``version`` (put-if-absent).  False = lost the
-        race; caller re-reads the log and retries against the new state.
-
-        CONTENT atomicity, not just name claim: the actions are fully
-        written (and fsync'd) to a uniquely-named temp file first, then
-        published with os.link — which fails if the version exists and
-        otherwise makes the complete file visible in one step.  A reader
-        can never observe a torn commit; a writer killed mid-write leaves
-        only an invisible .tmp."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        """Atomically claim ``version`` via the LogStore's put-if-absent.
+        False = lost the race; caller re-reads the log and retries against
+        the new state.  Content atomicity (a reader can never observe a
+        torn commit; a writer killed mid-write leaves no visible file) is
+        the LogStore's contract, not this method's concern."""
         fp = os.path.join(self.log_dir, f"{version:08d}.json")
-        tmp = os.path.join(self.log_dir,
-                           f".tmp-{version:08d}-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, fp)
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
-        return True
+        data = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        return self.log_store.put_if_absent(fp, data)
 
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
@@ -397,6 +478,17 @@ class TxLogTable:
         commits that touched other files AND disjoint key ranges commute
         and commit fine."""
         while True:
+            # Refresh the in-commit timestamp on EVERY attempt (ADVICE r6):
+            # call sites stamp ts once before calling in, so a writer that
+            # loses a claim race would otherwise retry with a stale ts and
+            # could commit version N+1 with ts earlier than version N —
+            # breaking the strict monotonicity that version_at_timestamp
+            # depends on.  _next_ts re-reads the latest committed ts, so the
+            # value is recomputed against whoever just beat us.
+            for action in actions:
+                c = action.get("commit")
+                if c is not None and "ts" in c:
+                    c["ts"] = max(int(c["ts"]), self._next_ts())
             v = self.latest_version() + 1
             if v > base_version + 1:
                 active, _ = self._snapshot_files()
@@ -455,20 +547,11 @@ class TxLogTable:
                     "txns": txns,
                     "constraints": constraints,
                     "schemaJson": schema_json}
-        tmp = os.path.join(self.log_dir,
-                           f".tmpck-{version:08d}-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._checkpoint_path(version))
-        tmp2 = os.path.join(self.log_dir,
-                            f".tmplc-{uuid.uuid4().hex[:8]}")
-        with open(tmp2, "w") as f:
-            json.dump({"version": version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp2, os.path.join(self.log_dir, _LAST_CHECKPOINT))
+        self.log_store.overwrite_atomic(
+            self._checkpoint_path(version), json.dumps(manifest).encode())
+        self.log_store.overwrite_atomic(
+            os.path.join(self.log_dir, _LAST_CHECKPOINT),
+            json.dumps({"version": version}).encode())
 
     def _best_checkpoint(self, version: int) -> dict | None:
         """Newest checkpoint manifest with checkpoint.version <= version.
@@ -973,16 +1056,41 @@ class TxLogTable:
             os.path.relpath(p, path)
             for p in glob.glob(os.path.join(path, "*.parquet")))
         parts: list[str] = []
-        hive = sorted(glob.glob(os.path.join(path, "*=*")))
+        hive = [d for d in sorted(glob.glob(os.path.join(path, "*=*")))
+                if os.path.isdir(d)]
         if hive:
-            # one-level Hive layout: partition columns from the dir names
+            # one-level Hive layout: partition columns from the dir names.
+            # Anything we don't FULLY recognize is a loud refusal, never a
+            # partial adoption (ADVICE r6: silently skipping unrecognized
+            # subtrees converts a table with missing data):
+            #   * mixed root-level parquet + col=value/ dirs is ambiguous
+            #     (which files are the table?),
+            #   * >1 distinct partition key or nested col=value/ levels are
+            #     layouts this one-level converter does not model.
             cols = sorted({os.path.basename(d).partition("=")[0]
-                           for d in hive if os.path.isdir(d)})
-            if len(cols) == 1:
-                parts = cols
-                flat += sorted(
-                    os.path.relpath(p, path)
-                    for p in glob.glob(os.path.join(path, "*=*", "*.parquet")))
+                           for d in hive})
+            if flat:
+                raise ValueError(
+                    f"mixed layout at {path}: both root-level parquet "
+                    f"({len(flat)} file(s)) and Hive-style partition "
+                    f"dirs {cols}; refusing a partial adoption — "
+                    "separate the two layouts before CONVERT")
+            if len(cols) != 1:
+                raise ValueError(
+                    f"unsupported Hive layout at {path}: multiple "
+                    f"partition keys {cols}; this converter adopts "
+                    "one-level col=value layouts only")
+            nested = sorted(glob.glob(os.path.join(path, "*=*", "*=*")))
+            if nested:
+                raise ValueError(
+                    f"unsupported Hive layout at {path}: nested "
+                    "partition levels "
+                    f"({os.path.relpath(nested[0], path)}...); this "
+                    "converter adopts one-level col=value layouts only")
+            parts = cols
+            flat = sorted(
+                os.path.relpath(p, path)
+                for p in glob.glob(os.path.join(path, "*=*", "*.parquet")))
         if not flat:
             raise FileNotFoundError(f"no parquet files under {path}")
         reader = spark.read
@@ -1115,6 +1223,11 @@ class TxLogTable:
             + self._add_actions(rel)
         )
         while True:
+            # Recompute the commit ts each attempt (ADVICE r6): the loser of
+            # a claim race must not retry with a ts stamped before the
+            # winner's commit, or in-commit timestamps go non-monotonic.
+            actions[0]["commit"]["ts"] = max(
+                int(actions[0]["commit"]["ts"]), self._next_ts())
             v = self.latest_version() + 1
             if txn_app_id is not None and \
                     self.txn_version_for(txn_app_id) >= txn_version:
@@ -1177,24 +1290,82 @@ class TxLogTable:
                            T.StructField("__rowidx", T.LongType(), True)]
             return self.spark.createDataFrame([], T.StructType(fields))
 
-        partitioned = bool(self._partition_columns())
+        pcols = self._partition_columns()
+        partitioned = bool(pcols)
+        # Shallow-cloned-in segments live under ANOTHER table's root
+        # (rel paths escape ours via ".."): basePath cannot span two
+        # roots and substring-from-root cannot produce their rel path,
+        # so they get a recorded-metadata strategy instead — partition
+        # values from the add-action stats, rel paths from a broadcast
+        # file→path map.  Same-root segments keep the zero-overhead
+        # basePath/substring fast path.
+        def escapes(p: str) -> bool:
+            return p.startswith(".." + os.sep) or p == ".."
+
+        def abs_norm(p: str) -> str:
+            return os.path.normpath(os.path.join(base_abs, p))
 
         def load(paths: list[str], meta: bool) -> DataFrame:
-            reader = self.spark.read.option("mergeSchema", "true")
-            if partitioned:
-                # Hive-layout table: basePath recovers the partition
-                # column(s) for any subset of active files.
-                reader = reader.option("basePath", self.path)
-            df = reader.parquet(
-                *[os.path.join(self.path, p) for p in paths])
+            local = [p for p in paths if not escapes(p)]
+            foreign = [p for p in paths if escapes(p)]
+            need_fp = meta or (foreign and partitioned)
+            pieces: list[DataFrame] = []
+            for group, is_foreign in ((local, False), (foreign, True)):
+                if not group:
+                    continue
+                reader = self.spark.read.option("mergeSchema", "true")
+                if partitioned and not is_foreign:
+                    # Hive-layout table: basePath recovers the partition
+                    # column(s) for any subset of active files.
+                    reader = reader.option("basePath", base_abs)
+                df = reader.parquet(*[abs_norm(p) for p in group])
+                if need_fp:
+                    # materialized HERE: _metadata is a scan-relation
+                    # pseudo-column and does not survive union/join.
+                    # file:/abs or file:///abs → /abs
+                    fp = F.regexp_replace(F.col("_metadata.file_path"),
+                                          "^file:/*", "/")
+                    df = (df.withColumn("_file", fp)
+                          .withColumn("__rowidx",
+                                      F.col("_metadata.row_index")))
+                if is_foreign and partitioned:
+                    # recover partition columns from the recorded
+                    # partitionValues (dir-name strings, cast to the
+                    # declared schema types) via a broadcast file map
+                    schema = T.StructType.fromJson(json.loads(schema_json))
+                    types = {f.name: f.dataType for f in schema.fields}
+                    rows = []
+                    for p in group:
+                        pv = (active.get(p) or {}).get("partitionValues", {})
+                        rows.append((abs_norm(p),
+                                     *[pv.get(c) for c in pcols]))
+                    pv_map = self.spark.createDataFrame(
+                        rows, T.StructType(
+                            [T.StructField("_file", T.StringType())]
+                            + [T.StructField(f"__pv_{c}", T.StringType())
+                               for c in pcols]))
+                    df = df.join(F.broadcast(pv_map), "_file", "left")
+                    for c in pcols:
+                        df = df.withColumn(
+                            c, F.col(f"__pv_{c}").cast(
+                                types.get(c, T.StringType()))
+                        ).drop(f"__pv_{c}")
+                pieces.append(df)
+            df = pieces[0]
+            for extra in pieces[1:]:
+                df = df.unionByName(extra, allowMissingColumns=True)
             if meta:
-                # file:/abs or file:///abs → /abs; rel = strip table root
-                fp = F.regexp_replace(F.col("_metadata.file_path"),
-                                      "^file:/*", "/")
-                df = (df.withColumn("_file", fp)
-                      .withColumn("__relfile",
-                                  F.expr(f"substring(_file, {len(base_abs) + 2})"))
-                      .withColumn("__rowidx", F.col("_metadata.row_index")))
+                if not foreign:
+                    df = df.withColumn(
+                        "__relfile",
+                        F.expr(f"substring(_file, {len(base_abs) + 2})"))
+                else:
+                    relmap = self.spark.createDataFrame(
+                        [(abs_norm(p), p) for p in paths],
+                        "_file string, __relfile string")
+                    df = df.join(F.broadcast(relmap), "_file", "left")
+            elif need_fp:
+                df = df.drop("_file", "__rowidx")
             return df
 
         plain = [p for p in sel if p not in dvs]
@@ -1326,23 +1497,16 @@ class TxLogTable:
         its own data dirs, so shared source segments are never collected
         from the clone side (pinned in tests/test_txlog.py).
 
-        Restrictions (documented, not silent): partitioned sources are
-        refused (the Hive-layout read path recovers partition columns
-        via a single basePath, which cannot span two roots), and so are
-        snapshots with outstanding deletion vectors (DV sidecars address
-        rows by table-root-relative file path; run OPTIMIZE first to
-        materialize them — same order Delta imposes)."""
-        if self._partition_columns():
-            raise NotImplementedError(
-                "shallow clone of a partitioned table: partition-column "
-                "recovery needs one basePath, which cannot span the "
-                "clone and source roots")
+        Partitioned sources clone too: the add actions carry the source
+        snapshot's partitionValues in their stats, and the read path
+        recovers partition columns for cloned-in segments from that
+        recorded metadata (basePath cannot span two roots).  Snapshots
+        with outstanding deletion vectors clone by REWRITING THE
+        SIDECARS ONLY — DV row positions address table-root-relative
+        data paths, so each sidecar (O(tombstones), metadata-scale) is
+        re-keyed into the clone's coordinate space; the data segments
+        themselves are still never copied."""
         active, schema_json, dvs = self._snapshot_full(version)
-        if any(dvs.values()):
-            raise ValueError(
-                "shallow clone with outstanding deletion vectors: DV "
-                "row positions address source-relative paths; OPTIMIZE "
-                "first to materialize them")
         dest = TxLogTable(self.spark, dest_path,
                           checkpoint_interval=self.checkpoint_interval,
                           enable_cdf=self.enable_cdf)
@@ -1351,20 +1515,59 @@ class TxLogTable:
         os.makedirs(dest_path, exist_ok=True)
         src_abs = os.path.abspath(self.path)
         dst_abs = os.path.abspath(dest_path)
+
+        def rekey(p: str) -> str:
+            return os.path.relpath(
+                os.path.normpath(os.path.join(src_abs, p)), dst_abs)
+
         src_version = self.latest_version() if version is None else version
         clone_meta: dict = {"schemaJson": schema_json}
+        if self._partition_columns():
+            clone_meta["partitionColumns"] = self._partition_columns()
         if self._generated_columns():
             clone_meta["generatedColumns"] = self._generated_columns()
         if self._bloom_columns():
             clone_meta["bloomFilterColumns"] = self._bloom_columns()
+        if self._column_mapping(src_version):
+            clone_meta["columnMapping"] = self._column_mapping(src_version)
+            clone_meta["retiredPhysical"] = self._retired_physical()
+        dv_actions: list[dict] = []
+        sidecars = sorted({s for ss in dvs.values() for s in ss})
+        if sidecars:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(os.path.join(dst_abs, "_deletion_vectors"),
+                        exist_ok=True)
+            for s in sidecars:
+                src_sidecar = os.path.join(src_abs, s)
+                if os.path.isdir(src_sidecar):
+                    pieces = sorted(
+                        glob.glob(os.path.join(src_sidecar, "*.parquet")))
+                    tbl = pa.concat_tables(
+                        [pq.read_table(f) for f in pieces])
+                else:
+                    tbl = pq.read_table(src_sidecar)
+                idx = tbl.schema.get_field_index("path")
+                tbl = tbl.set_column(
+                    idx, "path",
+                    pa.array([rekey(p)
+                              for p in tbl.column("path").to_pylist()]))
+                new_rel = os.path.join(
+                    "_deletion_vectors",
+                    f"dv-clone-{uuid.uuid4().hex[:12]}.parquet")
+                pq.write_table(tbl, os.path.join(dst_abs, new_rel))
+                targets = [rekey(d) for d, ss in dvs.items() if s in ss]
+                dv_actions.append(
+                    {"dvAdd": {"path": new_rel, "targets": targets}})
         actions = (
             [{"commit": {"op": "CLONE", "ts": dest._next_ts(),
                          "sourcePath": src_abs,
                          "sourceVersion": src_version}},
+             {"protocol": self.protocol(src_version)},
              {"metaData": clone_meta}]
-            + [{"add": {"path": os.path.relpath(
-                    os.path.join(src_abs, p), dst_abs), "stats": s}}
+            + [{"add": {"path": rekey(p), "stats": s}}
                for p, s in active.items()]
+            + dv_actions
         )
         if not dest._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {dest_path}")

@@ -56,6 +56,30 @@ def _read_commit(table_path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+#: commit ops that add no data rows and change no existing rows — always
+#: transparent to BOTH stream readers.  RENAME/DROP COLUMN are
+#: metadata-only by construction (no file is touched); constraint DDL and
+#: protocol changes likewise; CLONE's commit 0 is the destination table's
+#: initial snapshot (zero-copy refs into the source), which an
+#: incremental stream starting at the clone point should not re-emit.
+_NO_ROW_OPS = ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT",
+               "RENAME COLUMN", "DROP COLUMN", "CLONE")
+
+
+def _column_mapping(table_path: str, up_to: int) -> dict:
+    """Latest {logical name: physical parquet column} mapping in commits
+    [0, up_to].  Physical names never change once written (the name-based
+    scheme keeps a column's creation name as its physical name forever),
+    so the latest mapping correctly resolves every segment regardless of
+    which version wrote it."""
+    mapping: dict = {}
+    for v in range(up_to + 1):
+        for action in _read_commit(table_path, v):
+            if "metaData" in action and "columnMapping" in action["metaData"]:
+                mapping = action["metaData"]["columnMapping"]
+    return mapping
+
+
 def _table_schema(table_path: str) -> T.StructType:
     """Last metaData action's schema across the whole log (plain file
     IO; the log is tiny JSON)."""
@@ -114,6 +138,7 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, a: int, b: int):
         out = []
+        mapping = _column_mapping(self.path, b)
         for v in range(a, b + 1):
             actions = _read_commit(self.path, v)
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
@@ -126,15 +151,15 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
                 recs = self._parquet_rows(adds)
                 for r in recs:
                     r["_change_type"] = "insert"
-            elif op == "OPTIMIZE":
-                continue
+            elif op in _NO_ROW_OPS:
+                continue  # metadata/layout only: no row-level changes
             else:
                 raise ValueError(
                     f"commit {v} ({op}) carries no change data — the "
                     "table must run with enable_cdf=True to be streamed")
             for r in recs:
                 out.append(tuple(
-                    [r.get(c) for c in self.data_fields]
+                    [r.get(mapping.get(c, c)) for c in self.data_fields]
                     + [r["_change_type"], v]))
         return out
 
@@ -219,6 +244,7 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, a: int, b: int):
         out = []
+        mapping = _column_mapping(self.path, b)
         for v in range(a, b + 1):
             actions = _read_commit(self.path, v)
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
@@ -226,8 +252,9 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
             if op in ("CREATE", "APPEND", "CONVERT"):
                 adds = [x["add"]["path"] for x in actions if "add" in x]
                 recs = self._parquet_rows(adds)
-            elif op in ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT"):
-                continue  # layout/metadata only: no new rows
+            elif op in _NO_ROW_OPS:
+                continue  # layout/metadata only: no new rows (ADVICE r6:
+                #             includes RENAME/DROP COLUMN and CLONE)
             elif self.skip_change_commits:
                 continue  # Delta skipChangeCommits: ignore rewrites
             else:
@@ -237,7 +264,12 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
                     "use the CDF source (format 'txlogcdf') or set "
                     "skipChangeCommits to ignore rewrites")
             for r in recs:
-                out.append(tuple([r.get(c) for c in self.data_fields] + [v]))
+                # post-rename appends store PHYSICAL column names; serve
+                # them under the logical schema (ADVICE r6: r.get(c) on a
+                # renamed column streamed silent NULLs)
+                out.append(tuple(
+                    [r.get(mapping.get(c, c)) for c in self.data_fields]
+                    + [v]))
         return out
 
 

@@ -352,3 +352,40 @@ def test_table_stream_raises_on_rewrite_unless_skipped(spark, tmp_path):
     rows = spark.sql("SELECT * FROM tbl_skip").collect()
     got = sorted((r["k"], r["v"], r["_commit_version"]) for r in rows)
     assert got == [(1, 10, 0), (2, 20, 0), (9, 90, 2)]
+
+
+def test_table_stream_metadata_commits_transparent_and_rename_mapped(
+        spark, tmp_path):
+    """ADVICE r6: RENAME/DROP COLUMN (metadata-only) and CLONE commits
+    must be transparent to the append-only table stream, and appends
+    AFTER a rename store physical column names — the reader must serve
+    them under the logical schema, not stream silent NULLs."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "tm"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.rename_column("v", "val")              # metadata-only commit (v1)
+    t.append(spark.createDataFrame([(3, 30)], "k long, val long"))  # v2
+    clone = t.clone_to(str(tmp_path / "tm_clone"))
+
+    ds = TxLogTableDataSource({"path": t.path})
+    reader = ds.simpleStreamReader(ds.schema())
+    assert [f.name for f in ds.schema().fields] == \
+        ["k", "val", "_commit_version"]
+    rows, end = reader.read({"version": 0})
+    got = sorted(rows)
+    # rename served no rows; post-rename append serves VALUES under the
+    # logical name (the physical parquet column is still 'v')
+    assert got == [(1, 10, 0), (2, 20, 0), (3, 30, 2)]
+    assert end == {"version": 3}
+
+    # a stream on the CLONE starting past its initial snapshot: the
+    # CLONE commit itself is transparent (no re-emission of the source)
+    clone.append(spark.createDataFrame([(7, 70)], "k long, val long"))
+    ds2 = TxLogTableDataSource({"path": clone.path})
+    reader2 = ds2.simpleStreamReader(ds2.schema())
+    rows2, _ = reader2.read({"version": 0})
+    assert sorted(rows2) == [(7, 70, 1)]

@@ -1084,20 +1084,51 @@ def test_shallow_clone_of_version_snapshot(spark, tdir, tmp_path):
     assert sorted(tuple(r) for r in c.read().collect()) == [(1, "a", 10)]
 
 
-def test_shallow_clone_refuses_partitioned_and_dv(spark, tdir, tmp_path):
-    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+def test_shallow_clone_of_partitioned_source(spark, tdir, tmp_path):
+    # VERDICT r6 item 3: partitioned sources clone now — partition
+    # columns for cloned-in segments come from the recorded
+    # partitionValues, not from basePath (which cannot span two roots).
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20),
+                                                   (3, "a", 30)]),
                           partition_by="grp")
-    with pytest.raises(NotImplementedError):
-        t.clone_to(str(tmp_path / "c1"))
-    t2 = TxLogTable.create(spark, str(tmp_path / "t2"),
-                           _df(spark, [(1, "a", 10), (2, "b", 20)]))
-    t2.delete_where(F.col("k") == 1, use_dv=True)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t2.clone_to(str(tmp_path / "c2"))
-    # materializing the DVs (OPTIMIZE) unblocks the clone
-    t2.optimize_compact()
-    c = t2.clone_to(str(tmp_path / "c2"))
-    assert sorted(tuple(r) for r in c.read().collect()) == [(2, "b", 20)]
+    c = t.clone_to(str(tmp_path / "c1"))
+    assert sorted((r["k"], r["grp"], r["v"]) for r in c.read().collect()) == \
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    # partition column type survives the recorded-metadata recovery
+    assert dict(c.read().dtypes)["grp"] == "string"
+    # clone evolves independently, with its own Hive-layout writes...
+    c.append(_df(spark, [(4, "c", 40)]))
+    assert sorted((r["k"], r["grp"], r["v"]) for r in c.read().collect()) == \
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)]
+    assert t.read().count() == 3
+    # ...and copy-on-write DML against shared segments stays isolated
+    c.delete_where(F.col("k") == 1)
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 3, 4]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # partition pruning from recorded metadata still works on the clone
+    kept, total = c.prune_files([("grp", "=", "a")])
+    assert 0 < len(kept) < total
+
+
+def test_shallow_clone_of_dv_source(spark, tdir, tmp_path):
+    # VERDICT r6 item 3: DV'd sources clone by re-keying the sidecars
+    # (O(tombstones)) into the clone's coordinate space; data segments
+    # are still never copied.
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20),
+                                                   (3, "c", 30)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    c = t.clone_to(str(tmp_path / "c2"))
+    # tombstoned row stays deleted in the clone; no data dirs copied
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 3]
+    assert not any(p.startswith("data-")
+                   for p in os.listdir(str(tmp_path / "c2")))
+    # clone-side DV delete does not leak back to the source
+    c.delete_where(F.col("k") == 2, use_dv=True)
+    assert sorted(r["k"] for r in c.read().collect()) == [3]
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    # source-side OPTIMIZE after the clone: clone still reads version 0
+    t.optimize_compact()
+    assert sorted(r["k"] for r in c.read().collect()) == [3]
 
 
 # -- OPTIMIZE ZORDER ---------------------------------------------------------
@@ -1519,3 +1550,199 @@ def test_commit_timestamps_strictly_increase(spark, tdir):
     # timestampAsOf at each commit's exact ts resolves to that version
     for v, h in enumerate(t.history()):
         assert t.version_at_timestamp(h["ts"]) == v
+
+
+# -- LogStore abstraction (VERDICT r6 item 2) --------------------------------
+
+def test_log_store_race_commuting_append_retries_with_fresh_ts(spark, tdir,
+                                                               tmp_path):
+    """Inject a racing LogStore: a rival 'node' claims the version our
+    append targets, FIRST.  The append must (a) lose the claim, (b)
+    retry and land at the next version, and (c) re-stamp its commit ts
+    so in-commit timestamps stay strictly monotonic even though the
+    rival committed a FUTURE ts while we were writing (ADVICE r6).
+    Proves conflict detection lives in the protocol, not in POSIX."""
+    import json as _json
+
+    from distributed_database_for_sql_spark.sources.txlog import LogStore
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    rival_ts = int(__import__("time").time() * 1000) + 10_000
+
+    class RacingStore(LogStore):
+        fired = False
+
+        def put_if_absent(self, path, data):
+            if not self.fired and os.path.basename(path) == "00000001.json":
+                self.fired = True
+                rival = _json.dumps(
+                    {"commit": {"op": "APPEND", "ts": rival_ts}}) + "\n"
+                assert super().put_if_absent(path, rival.encode())
+            return super().put_if_absent(path, data)
+
+    racy = TxLogTable(spark, tdir, log_store=RacingStore())
+    racy.append(_df(spark, [(2, "b", 20)]))
+    assert racy.latest_version() == 2  # rival took v1; we landed v2
+    assert sorted(r["k"] for r in racy.read().collect()) == [1, 2]
+    ts = [h["ts"] for h in racy.history()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts), \
+        f"non-monotonic in-commit ts after claim race: {ts}"
+    assert ts[-1] > rival_ts
+
+
+def test_log_store_race_conflicting_merge_raises(spark, tdir):
+    """Same injection, conflicting payload: the rival commit records a
+    MERGE key range overlapping ours — the retry must RAISE (write-skew
+    window), with detection driven purely by log content read back
+    through the store."""
+    import json as _json
+
+    from distributed_database_for_sql_spark.sources.txlog import LogStore
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+
+    class RacingStore(LogStore):
+        fired = False
+
+        def put_if_absent(self, path, data):
+            if not self.fired and os.path.basename(path) == "00000001.json":
+                self.fired = True
+                rival = _json.dumps(
+                    {"commit": {"op": "MERGE",
+                                "ts": int(__import__("time").time() * 1000),
+                                "keyRange": {"column": "k",
+                                             "min": 1, "max": 9}}}) + "\n"
+                assert super().put_if_absent(path, rival.encode())
+            return super().put_if_absent(path, data)
+
+    racy = TxLogTable(spark, tdir, log_store=RacingStore())
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        racy.merge_upsert(_df(spark, [(2, "b", 99)]), "k")
+
+
+# -- checkpoint read-path bound (VERDICT r6 item 8) --------------------------
+
+def test_checkpoint_bounds_commit_reads(spark, tdir):
+    """Snapshot resolution on a long log must read ≤ checkpoint_interval
+    commit files (the suffix after the last checkpoint) plus the
+    manifest — read-CALL counting, not wall time.  This is the property
+    that keeps a 100k-commit streaming table's read path O(interval)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          )
+    t.checkpoint_interval = 4
+    for i in range(10):
+        t.append(_df(spark, [(100 + i, "s", i)]))
+    latest = t.latest_version()
+    assert latest == 10
+    fresh = TxLogTable(spark, tdir, checkpoint_interval=4)
+    reads: list[int] = []
+    orig = fresh._read_commit
+
+    def counting_read(v):
+        reads.append(v)
+        return orig(v)
+
+    fresh._read_commit = counting_read
+    active, schema_json = fresh._snapshot()
+    assert len(active) >= 11 and schema_json is not None
+    suffix = [v for v in reads if v <= latest]
+    # last checkpoint at v8 (interval 4): only commits 9..10 replayed
+    assert set(suffix) <= {9, 10}, f"unbounded replay: read {sorted(set(reads))}"
+    assert len(suffix) <= fresh.checkpoint_interval
+
+
+# -- bloom probe type-insensitivity (ADVICE r6, medium) ----------------------
+
+def test_bloom_probe_type_mismatch_is_not_proof_of_absence(spark, tdir):
+    """A point probe whose literal type differs from the stored column
+    type (float 5.0 / string '5' against an int column) must NOT let the
+    bloom prune the file that holds the matching row — that was a wrong-
+    results bug, not a performance bug (ADVICE r6)."""
+    from distributed_database_for_sql_spark.sources.txlog import (
+        _bloom_canon, _bloom_may_contain, _build_bloom)
+
+    bloom = _build_bloom([5, 17, 940], 3)
+    assert _bloom_may_contain(bloom, 5)
+    assert _bloom_may_contain(bloom, 5.0), "float probe vs int column"
+    assert _bloom_may_contain(bloom, "5"), "string probe vs int column"
+    assert not _bloom_may_contain(bloom, 6)
+    # canonical forms collapse exactly the ==-equal family
+    assert _bloom_canon(5) == _bloom_canon(5.0) == _bloom_canon("5")
+    assert _bloom_canon(True) == _bloom_canon(1)  # bool IS 1 under ==
+    assert _bloom_canon("abc") != _bloom_canon(5)
+
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(5, "a", 50), (6, "b", 60)]),
+                          bloom_filter_columns=["k"])
+    t.append(_df(spark, [(900, "z", 1)]))
+    # float/string probes keep the file holding k=5; exact semantics of
+    # read_where (= residual filter) still apply
+    kept_f, total = t.prune_files([("k", "=", 5.0)])
+    assert kept_f, "float probe must not prune the matching file"
+    assert sorted(r["k"] for r in t.read_where([("k", "=", 5.0)]).collect()) \
+        == [5]
+    # a truly-absent key still prunes (the index keeps working)
+    kept_absent, _ = t.prune_files([("k", "=", 777)])
+    assert len(kept_absent) < total
+
+
+# -- convert layout refusals (ADVICE r6) -------------------------------------
+
+def test_convert_refuses_ambiguous_layouts(spark, tmp_path):
+    """CONVERT must loudly refuse layouts it cannot fully model instead
+    of silently adopting a partial file set (ADVICE r6)."""
+    # mixed root parquet + hive dirs
+    mixed = str(tmp_path / "mixed")
+    _df(spark, [(1, "a", 1)]).write.parquet(mixed)
+    (_df(spark, [(2, "b", 2)]).write.mode("append")
+     .partitionBy("grp").parquet(mixed))
+    with pytest.raises(ValueError, match="mixed layout"):
+        TxLogTable.convert_from_parquet(spark, mixed)
+    # two distinct partition keys at the top level
+    multi = str(tmp_path / "multi")
+    os.makedirs(os.path.join(multi, "a=1"))
+    os.makedirs(os.path.join(multi, "b=2"))
+    _df(spark, [(1, "a", 1)]).write.parquet(os.path.join(multi, "a=1", "x"))
+    with pytest.raises(ValueError, match="multiple"):
+        TxLogTable.convert_from_parquet(spark, multi)
+    # nested partition levels
+    nested = str(tmp_path / "nested")
+    (_df(spark, [(1, "a", 1), (2, "b", 2)])
+     .withColumn("g2", F.col("v") % 2).write
+     .partitionBy("grp", "g2").parquet(nested))
+    with pytest.raises(ValueError, match="nested"):
+        TxLogTable.convert_from_parquet(spark, nested)
+
+
+def test_engine_time_travel_literal_safety_and_quoted_ts(spark, tdir):
+    """ADVICE r6: the VERSION/TIMESTAMP AS OF rewrite must not touch
+    matching text INSIDE string literals; TIMESTAMP AS OF accepts an
+    ISO-8601 quoted timestamp (UTC) as well as epoch millis, and a
+    malformed quoted timestamp raises a clear error."""
+    from datetime import datetime, timezone
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    engine.register_txlog("tt", t)
+    # pattern inside a literal: must survive verbatim, not become a view
+    got = engine.sql(
+        "SELECT 'tt VERSION AS OF 0' AS s, count(*) AS n FROM tt GROUP BY s"
+    ).collect()
+    assert [(r["s"], r["n"]) for r in got] == [("tt VERSION AS OF 0", 2)]
+    # quoted ISO timestamp: resolve via version_at_timestamp (UTC)
+    ts0 = t.history()[0]["ts"]
+    iso = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f")
+    got0 = engine.sql(
+        f"SELECT k FROM tt TIMESTAMP AS OF '{iso}' ORDER BY k").collect()
+    assert [r["k"] for r in got0] == [1]
+    # malformed quoted timestamp: clear error, not a silent regex miss
+    with pytest.raises(ValueError, match="ISO-8601"):
+        engine.sql("SELECT * FROM tt TIMESTAMP AS OF 'not a time'")
+    # VERSION AS OF refuses a quoted operand
+    with pytest.raises(ValueError, match="integer version"):
+        engine.sql("SELECT * FROM tt VERSION AS OF '0'")
