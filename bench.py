@@ -66,6 +66,11 @@ EXTRA = [
     "delta_deletion_vectors",
     "delta_cdf_incremental_agg",
     "text_chunk_overlap",
+    # round 7: the newest txlog DML surface gets recorded medians to
+    # regress against (VERDICT r6 item 7) + the atomic txn batch.
+    "delta_streaming_mv",
+    "delta_partitioned_table",
+    "sql_txn_batch",
 ]
 
 

@@ -105,6 +105,10 @@ _TIME_TRAVEL_RE = re.compile(
 # time-travel rewrite away from literal contents (ADVICE r6)
 _SQL_STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
+# BEGIN; stmt; …; COMMIT — multi-statement transaction script: the txlog
+# effects of every statement land as ONE commit per table.
+_BEGIN_RE = re.compile(r"^\s*BEGIN\s*(?:;|$)", re.IGNORECASE)
+
 # DESCRIBE HISTORY t — the commit log as a result set (Delta's DESCRIBE
 # HISTORY shape: version, op, timestamp + op metrics as JSON).
 _HISTORY_RE = re.compile(
@@ -137,7 +141,12 @@ class Engine:
 
     def sql(self, command: str) -> DataFrame:
         """Execute one SQL command (DQL/DDL on temp views; MERGE INTO on
-        registered txlog tables)."""
+        registered txlog tables), or a ``BEGIN; …; COMMIT`` script —
+        several statements whose txlog effects land atomically as ONE
+        commit per table (the reference's log carries arbitrary
+        statement sequences; this is their ACID batching)."""
+        if _BEGIN_RE.match(command):
+            return self._txn_script(command)
         m = _MERGE_RE.match(command)
         if m:
             return self._merge_into(command, m)
@@ -281,6 +290,63 @@ class Engine:
             pos = m.end()
         out.append(command[pos:])
         return "".join(out)
+
+    @staticmethod
+    def _split_statements(script: str) -> list[str]:
+        """Split a script on ``;`` outside single-quoted literals."""
+        stmts: list[str] = []
+        cur: list[str] = []
+        in_str = False
+        for ch in script:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                stmts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        tail = "".join(cur).strip()
+        if tail:
+            stmts.append(tail)
+        return [s for s in stmts if s]
+
+    def _txn_script(self, script: str) -> DataFrame:
+        """Execute ``BEGIN; stmt; …; COMMIT`` atomically: every
+        registered txlog table stages its statements' actions
+        (read-your-writes inside the script) and publishes them as ONE
+        commit at COMMIT — one version per touched table, none for
+        untouched ones.  Any statement failure rolls back every staged
+        table (segments already written are unreferenced; VACUUM's age
+        guard collects them).  Returns one ack row per table that
+        actually committed: (table_name, version, statements)."""
+        stmts = self._split_statements(script)
+        if not stmts or not re.fullmatch(r"BEGIN", stmts[0], re.IGNORECASE):
+            raise ValueError("transaction script must start with BEGIN;")
+        if not re.fullmatch(r"COMMIT", stmts[-1], re.IGNORECASE):
+            raise ValueError("transaction script must end with COMMIT")
+        body = stmts[1:-1]
+        begun = list(self.txlog_tables.items())
+        for _, t in begun:
+            t.begin_transaction()
+        acks: list[tuple[str, int, int]] = []
+        try:
+            for s in body:
+                self.sql(s)
+            for name, t in begun:
+                n = t.staged_statement_count()
+                version = t.commit_transaction()
+                if n:
+                    acks.append((name, version, n))
+                    t.read().createOrReplaceTempView(name)
+        except BaseException:
+            for _, t in begun:
+                try:
+                    t.rollback_transaction()
+                except RuntimeError:
+                    pass  # already committed or rolled back
+            raise
+        return self.spark.createDataFrame(
+            acks or [], "table_name string, version long, statements long")
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""

@@ -343,6 +343,45 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_seeded_det",
+    # Engine-portable deterministic Bernoulli: a row is kept iff the
+    # first 4 hex chars of md5(key || salt) fall under the fraction
+    # threshold (0.1 → 0x199A/0x10000).  Fixed-length lowercase hex
+    # compares lexicographically == numerically, and both engines emit
+    # identical md5 hex — so the KEPT SET (not just its size) is
+    # hash-certified, the oracled twin of the rows-only sample_seeded.
+    oracle="""
+    SELECT COUNT(*)                        AS n_sampled,
+           MIN(o_orderkey)                 AS min_key,
+           MAX(o_orderkey)                 AS max_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#seed42'), 1, 4)
+          < '199a'
+    """,
+    tags=("sample", "deterministic", "hash-bernoulli"),
+)
+def sample_seeded_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by hash threshold (VERDICT r6
+    item 5): scan-time row-local filter, zero shuffle, zero RNG — the
+    same rows are kept on any engine, any partitioning, any run, which
+    is what makes a 100 TB pilot slice CACHEABLE and auditable
+    downstream (the seeded-RNG sample_seeded stays the Spark-native
+    variant; its kept set is engine-specific by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hx = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                       F.lit("#seed42"))), 1, 4)
+    return (
+        orders.filter(hx < "199a")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"),
+             F.sum("o_orderkey").cast("bigint").alias("key_checksum"))
+    )
+
+
+@register(
     "agg_argmax_struct",
     oracle="""
     SELECT c_mktsegment,

@@ -118,77 +118,82 @@ def register(name: str, oracle: str | None = None,
 # ships.  Never park an unverified query outside the window.
 # ---------------------------------------------------------------------------
 
+#   r7 window (below): the drain round the r6 verdict asked for — new
+#       surface frozen except the three judge-mandated queries, and the
+#       other 47 slots all go to the stalest certifications.  Positions
+#       1-3: new in r7 (sql_txn_batch — BEGIN/COMMIT atomic batching;
+#       sample_seeded_det / sample_stratified_det — hash-threshold
+#       oracled twins of the RNG samples, VERDICT items 5-6).  Positions
+#       4-30: ALL 27 remaining r1-certified queries (q19-q22, the
+#       join/set/relational/filter core, agg rollup/cube/count-distinct,
+#       dedup-by-key).  Positions 31-50: the 20 riskiest r2-certified
+#       queries (full subquery family, full window family, 5 streaming,
+#       3 UDF, the SQL entry point, simhash-hamming, sessionize) —
+#       preferring families the r6 judge's independent spot-check did
+#       NOT already cover (it re-verified sql_cte_window,
+#       stream_session_window, embedding_near_dup_pairs,
+#       dedup_connected_components, profile_corpus_stats — those and the
+#       remaining 15 r2 text/ts/dedup/ann rows are the r8 drain,
+#       20 r2-stale left after this window).  Code changed this round
+#       (LogStore, clone-of-partitioned/DV, bloom canonicalization,
+#       stream-reader column mapping, txn staging) keeps every touched
+#       query's OUTPUT identical; all 25 touched queries re-verified
+#       locally via tools/check_oracle.py before landing.
+
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r6 (policy: new queries certify the round they ship) --------
-    "dedup_exact_substring_hashed",   # 8-byte-window ExactSubstr (scale twin)
-    "sql_merge_into_txlog",           # MERGE INTO statement -> txlog ACID
-    "delta_data_skipping",            # file-stats pruning (footer min/max)
-    "delta_change_data_feed",         # CDF: row-level change stream
-    "delta_deletion_vectors",         # merge-on-read DELETE (DV sidecar)
-    "sql_update_delete_txlog",        # UPDATE/DELETE statements -> txlog
-    "text_chunk_overlap",             # RAG overlapping token chunking
-    "delta_cdf_incremental_agg",      # MV maintenance from the change feed
-    "agg_hll_sketch_mergeable",       # DataSketches HLL shard-merge
-    "stream_txlog_cdf_source",        # CDF as a custom streaming source
-    "delta_restore",                  # rollback-as-new-commit
-    "tokenizer_bpe_train_merges",     # distributed BPE merge training
-    "delta_partitioned_table",        # Hive-layout partitioning + pruning
-    "delta_idempotent_stream_sink",   # exactly-once foreachBatch (txn action)
-    "delta_check_constraint",         # write-time CHECK constraint (SQL DDL)
-    "delta_shallow_clone",            # zero-copy clone + isolated evolution
-    "delta_zorder_optimize",          # OPTIMIZE ZORDER BY + 2-D pruning
-    "delta_streaming_mv",             # CDF stream -> ACID MV maintenance
-    "delta_metadata_count",           # COUNT(*) from commit stats, no scan
-    "delta_generated_columns",        # derived partition col + pruning
-    "delta_bloom_skipping",           # per-file bloom index point lookup
-    "tokenizer_bpe_encode",           # distributed BPE encoding (apply half)
-    "delta_convert_in_place",         # CONVERT TO DELTA: adopt parquet dir
-    "stream_txlog_table_source",      # append-only table stream (no CDF)
-    "delta_column_mapping",           # metadata-only RENAME/DROP COLUMN
-    "sample_domain_cap",              # deterministic per-domain capping
-    # -- rows-only -> fully oracled in r6 (zlib sidecar artifact) -----------
-    "text_compression_ratio",
-    # -- output schema changed in r6 (robust boolean audit flag replaces
-    #    the nondeterministic exact segment counts, ADVICE r5) -------------
-    "delta_optimize_compact",
-    # -- behavior-touched in r6, re-certify: txlog gained checkpointing +
-    #    key-range OCC + schema metaData (values unchanged), the MinHash
-    #    and brute-force ANN pipelines were rewritten one-pass, and
-    #    Engine.sql gained the MERGE route ahead of command-log apply ------
-    "delta_merge_upsert",
-    "delta_time_travel",
-    "delta_delete_where",
-    "dedup_minhash_lsh_pairs",
-    "ann_bruteforce_topk",
-    "sql_command_log_apply",
-    # -- stale-drain block: every remaining r1-certified query (testdata
-    #    has been regenerated 5 times since) ---------------------------------
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    # q19_disjunctive_revenue, q20_excess_share_suppliers,
-    # q21_waiting_orders, q22_global_sales_opportunity,
-    # join_anti, join_cross, join_full_outer, join_left_outer_nulls, join_salted_skew,
-    # join_self_pairs, join_semi, join_theta_range, set_except,
-    # set_intersect, set_intersect_all, set_union, set_union_all,
-    # distinct_values, filter_compound_predicates,
-    # filter_like_patterns, null_handling, proj_computed_columns,
-    # sort_multi_key_limit, sql_entry_revenue_by_nation displaced to the
-    # r7 drain block by the twelve new r6 delta/DML/chunking/sketch/
-    # streaming/constraint/clone/zorder queries (policy above).
+    # -- new in r7 (policy: new queries certify the round they ship) --------
+    "sql_txn_batch",            # BEGIN/COMMIT -> ONE atomic txlog commit
+    "sample_seeded_det",        # hash-threshold Bernoulli (kept set oracled)
+    "sample_stratified_det",    # per-stratum hash thresholds (oracled)
+    # -- stale drain I: every remaining r1-certified query ------------------
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer_nulls",
+    "join_salted_skew",
+    "join_self_pairs",
+    "join_semi",
+    "join_theta_range",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all",
+    "distinct_values",
+    "filter_compound_predicates",
+    "filter_like_patterns",
+    "null_handling",
+    "proj_computed_columns",
+    "sort_multi_key_limit",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_rollup",
+    "dedup_keep_first_by_key",
+    # -- stale drain II: the 20 riskiest r2-certified queries ---------------
+    "subq_correlated_exists",
+    "subq_correlated_scalar",
+    "subq_in_nation_region",
+    "subq_scalar_above_avg",
+    "window_ranking",
+    "window_lag_lead",
+    "window_first_last",
+    "window_range_frame",
+    "window_running_frames",
+    "stream_sliding_window",
+    "stream_stateful_dedup",
+    "stream_stateful_user_agg",
+    "stream_static_join",
+    "stream_stream_join",
+    "udf_grouped_agg",
+    "udf_grouped_map_zscore",
+    "udtf_tokenize_positions",
+    "sql_entry_revenue_by_nation",
+    "dedup_simhash_hamming",
+    "ts_sessionize_batch",
 )
 
 

@@ -243,6 +243,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_det",
+    # Engine-portable stratified Bernoulli (oracled twin of the
+    # rows-only sample_stratified): per-stratum hash thresholds on the
+    # first 4 hex chars of md5(doc_id || salt) — en 10% (0x199A),
+    # zh 90% (0xE666), others 50% (0x8000).  Fixed-length lowercase hex
+    # compares numerically, so the kept set is engine-identical and the
+    # hash certifies the stratified-sampling SEMANTICS, not an RNG.
+    oracle="""
+    SELECT lang,
+           COUNT(*)                      AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           MIN(doc_id)                   AS min_doc,
+           MAX(doc_id)                   AS max_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 4)
+          < CASE lang WHEN 'en' THEN '199a'
+                      WHEN 'zh' THEN 'e666'
+                      ELSE '8000' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sample", "stratified", "deterministic", "hash-bernoulli"),
+)
+def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by per-stratum hash thresholds
+    (VERDICT r6 item 5): the training-mix rebalance (upweight
+    low-resource languages) as a scan-time row-local filter with an
+    engine-reproducible kept set — no shuffle, no RNG, cost ∝ rows at
+    100 TB, and downstream stages can cache against the stable slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))),
+        1, 4)
+    thr = (F.when(F.col("lang") == "en", F.lit("199a"))
+           .when(F.col("lang") == "zh", F.lit("e666"))
+           .otherwise(F.lit("8000")))
+    return (
+        docs.filter(hx < thr)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("lang")
+    )
+
+
+@register(
     "source_text_roundtrip",
     oracle="""
     SELECT COUNT(*) AS n_lines,

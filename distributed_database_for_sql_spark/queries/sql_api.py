@@ -169,7 +169,14 @@ def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "cte", "window"),
 )
 def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTE + window over an aggregate: cumulative monthly revenue."""
+    """CTE + window over an aggregate: cumulative monthly revenue.
+
+    The cumulative window is deliberately UNPARTITIONED (WindowExec
+    warning): it runs over the *monthly aggregate* — dozens of rows
+    after the groupBy at any SF, since months don't scale with data —
+    and a ROWS BETWEEN cumulative over a date spine is inherently
+    single-partition.  Not a scale risk; the heavy lifting (the groupBy)
+    is fully distributed."""
     return _sql(spark, sf_dir, """
     WITH monthly AS (
       SELECT DATE_TRUNC('month', o_orderdate) AS mo,

@@ -1478,3 +1478,74 @@ def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rename_was_metadata_only", F.lit(metadata_only))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "sql_txn_batch",
+    # The oracle recomputes the post-transaction state relationally AND
+    # pins the atomicity audit: exactly TWO table versions (CREATE, TXN)
+    # means both DML statements landed in ONE commit; per-statement
+    # commits would show n_versions = 3 and flip the hash.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), updated AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey <= 300 THEN cents + 100 ELSE cents END
+               AS cents
+      FROM base
+    ), final AS (
+      SELECT * FROM updated
+      WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey > 800)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           2                          AS n_versions,
+           'TXN'                      AS last_op,
+           2                          AS txn_statements
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "transaction", "sql", "engine"),
+)
+def sql_txn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transaction batching (VERDICT r6 item 6): a
+    ``BEGIN; UPDATE …; DELETE …; COMMIT`` script goes through
+    ``Engine.sql`` as ONE command — exactly the statement-sequence shape
+    the reference's replicated log carries (/root/reference/src/raft/
+    node.go:16-19) — and its txlog effects land as ONE commit (one
+    version) via staged actions: the DELETE reads the UPDATE's
+    uncommitted effect (read-your-writes), and the log shows CREATE →
+    TXN, never a per-statement commit.  The aggregate certifies the
+    values; n_versions/last_op/txn_statements certify the atomicity."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("txnbatch", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("txlog_orders_txn", t)
+    engine.sql(
+        "BEGIN; "
+        "UPDATE txlog_orders_txn SET cents = cents + 100 "
+        "WHERE o_orderkey <= 300; "
+        "DELETE FROM txlog_orders_txn "
+        "WHERE o_orderpriority = '5-LOW' AND o_orderkey > 800; "
+        "COMMIT")
+    hist = t.history()
+    return (engine.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "       SUM(cents) AS total_cents "
+        "FROM txlog_orders_txn GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority")
+        .withColumn("n_versions", F.lit(len(hist)).cast("int"))
+        .withColumn("last_op", F.lit(hist[-1]["op"]))
+        .withColumn("txn_statements",
+                    F.lit(int(hist[-1].get("statements", 0))).cast("int")))

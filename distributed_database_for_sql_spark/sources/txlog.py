@@ -413,6 +413,12 @@ class TxLogTable:
         #: in the commit; ``read_changes`` serves it back.  Appends need
         #: no extra storage — their change rows ARE the added segments.
         self.enable_cdf = enable_cdf
+        #: multi-statement transaction state (begin_transaction): a list
+        #: of staged {actions, removed, key_range} per operation, served
+        #: back as virtual log versions so reads through this handle see
+        #: the transaction's own effects before commit.
+        self._staged: list[dict] | None = None
+        self._txn_base: int | None = None
 
     # -- log plumbing -------------------------------------------------------
 
@@ -441,13 +447,25 @@ class TxLogTable:
             if _is_commit_name(os.path.basename(p))
         )
 
-    def latest_version(self) -> int:
+    def _disk_latest_version(self) -> int:
         files = self._commit_files()
         if not files:
             return -1
         return int(os.path.splitext(os.path.basename(files[-1]))[0])
 
+    def latest_version(self) -> int:
+        disk = self._disk_latest_version()
+        if self._staged is not None:
+            # staged transaction ops appear as virtual versions past the
+            # disk log, so in-transaction reads are read-your-writes
+            return disk + len(self._staged)
+        return disk
+
     def _read_commit(self, version: int) -> list[dict]:
+        if self._staged is not None:
+            disk = self._disk_latest_version()
+            if version > disk:
+                return self._staged[version - disk - 1]["actions"]
         fp = os.path.join(self.log_dir, f"{version:08d}.json")
         with open(fp) as f:
             return [json.loads(line) for line in f if line.strip()]
@@ -464,7 +482,7 @@ class TxLogTable:
 
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
-                         key_range: dict | None = None) -> int:
+                         key_range: dict | list[dict] | None = None) -> int:
         """Commit actions computed against the snapshot at
         ``base_version``.  If anything committed after that snapshot
         (claim target > base_version + 1, or a claim race is lost),
@@ -477,6 +495,14 @@ class TxLogTable:
         snapshot — classic Delta-style conflict detection.  Concurrent
         commits that touched other files AND disjoint key ranges commute
         and commit fine."""
+        if self._staged is not None:
+            # inside a transaction: stage instead of committing; conflict
+            # detection runs ONCE at commit_transaction, against the
+            # begin snapshot
+            self._staged.append({"actions": actions,
+                                 "removed": list(removed),
+                                 "key_range": key_range})
+            return self.latest_version()
         while True:
             # Refresh the in-commit timestamp on EVERY attempt (ADVICE r6):
             # call sites stamp ts once before calling in, so a writer that
@@ -503,19 +529,28 @@ class TxLogTable:
                         "concurrent commit conflict: segments removed by "
                         f"another writer while this operation ran: {gone}; "
                         "re-run against the current snapshot")
-                if key_range is not None:
+                ours = ([key_range] if isinstance(key_range, dict)
+                        else list(key_range or []))
+                if ours:
                     for i in range(base_version + 1, v):
                         for action in self._read_commit(i):
-                            other = action.get("commit", {}).get("keyRange")
-                            if other and _ranges_intersect(key_range, other):
+                            c = action.get("commit", {})
+                            theirs = ([c["keyRange"]] if "keyRange" in c
+                                      else c.get("keyRanges", []))
+                            for other in theirs:
+                                hit = next(
+                                    (r for r in ours
+                                     if _ranges_intersect(r, other)), None)
+                                if hit is None:
+                                    continue
                                 raise RuntimeError(
                                     "concurrent commit conflict: version "
                                     f"{i} merged key range "
                                     f"[{other['min']}, {other['max']}] on "
                                     f"column {other['column']!r}, which "
                                     "intersects this MERGE's range "
-                                    f"[{key_range['min']}, "
-                                    f"{key_range['max']}]; re-run against "
+                                    f"[{hit['min']}, "
+                                    f"{hit['max']}]; re-run against "
                                     "the current snapshot")
             if self._try_commit(v, actions):
                 self._maybe_checkpoint(v)
@@ -749,6 +784,9 @@ class TxLogTable:
         mode, name-based).  Empty mapping = identity (the default; every
         pre-mapping code path is untouched).  Versioned: time travel to
         before a RENAME reads under the old names."""
+        pending = getattr(self, "_pending_column_mapping", None)
+        if pending is not None:
+            return pending
         latest = self.latest_version()
         v = latest if version is None else version
         mapping: dict[str, str] = {}
@@ -757,6 +795,25 @@ class TxLogTable:
                 if "metaData" in action and "columnMapping" in action["metaData"]:
                     mapping = action["metaData"]["columnMapping"]
         return mapping
+
+    def _column_mapping_mode(self) -> str:
+        """``"name"`` (default: physical name == creation name, dropped
+        names retired forever) or ``"id"`` (physical names are opaque
+        ``col-<uuid>`` ids assigned at create/evolution — Delta's
+        id-based mode, where a dropped logical name CAN be re-introduced
+        because the new column gets a fresh physical id and old segments'
+        data can never resurface under it)."""
+        mode = "name"
+        for i in range(self.latest_version() + 1):
+            for action in self._read_commit(i):
+                if "metaData" in action and \
+                        "columnMappingMode" in action["metaData"]:
+                    mode = action["metaData"]["columnMappingMode"]
+        return mode
+
+    @staticmethod
+    def _new_physical_id() -> str:
+        return f"col-{uuid.uuid4().hex[:12]}"
 
     def _retired_physical(self) -> list[str]:
         """Physical column names retired by DROP COLUMN — a later
@@ -990,13 +1047,26 @@ class TxLogTable:
                enable_cdf: bool = False,
                partition_by: str | list[str] | None = None,
                generated_columns: dict[str, str] | None = None,
-               bloom_filter_columns: list[str] | None = None) -> "TxLogTable":
+               bloom_filter_columns: list[str] | None = None,
+               column_mapping_mode: str = "name") -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
                 raise FileExistsError(f"txlog table already exists at {path}")
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
+        if column_mapping_mode not in ("name", "id"):
+            raise ValueError(
+                f"column_mapping_mode must be 'name' or 'id', got "
+                f"{column_mapping_mode!r}")
+        if column_mapping_mode == "id" and (
+                partition_by or generated_columns or bloom_filter_columns):
+            # v1 scope: id-mode interacts with dir-name layouts and
+            # name-referencing definitions; loud refusal over partial
+            # support (same posture as CONVERT's layout refusals)
+            raise ValueError(
+                "column_mapping_mode='id' does not combine with "
+                "partition_by / generated_columns / bloom_filter_columns")
         gen = dict(generated_columns or {})
         if gen:
             # applied BEFORE partition validation: partitioning by a
@@ -1023,7 +1093,17 @@ class TxLogTable:
             # which does not exist yet at CREATE: pre-commit the metaData
             # via an instance attribute override.
             t._pending_partition_columns = parts
+        if column_mapping_mode == "id":
+            # every column gets an opaque physical id from birth; files
+            # never carry a logical name, so drop + re-introduce is safe
+            mapping = {f.name: cls._new_physical_id()
+                       for f in df.schema.fields}
+            meta["columnMapping"] = mapping
+            meta["columnMappingMode"] = "id"
+            t._pending_column_mapping = mapping
         rel = t._write_segments(df)
+        if column_mapping_mode == "id":
+            del t._pending_column_mapping
         actions = (
             [{"commit": {"op": "CREATE", "ts": t._next_ts()}},
              {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1132,6 +1212,21 @@ class TxLogTable:
         new = [f for f in df.schema.fields if f.name not in have]
         if not new:
             return []
+        if self._column_mapping_mode() == "id":
+            # id mode: a (re-)introduced logical name gets a FRESH
+            # physical id, so old segments' data can never resurface
+            # under it — no retired-name clash possible (Delta's id-based
+            # mode; the name-based branch below must refuse instead)
+            mapping = dict(self._column_mapping())
+            for f in new:
+                mapping[f.name] = self._new_physical_id()
+            merged = T.StructType(
+                list(cur.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in new])
+            return [{"metaData": {"schemaJson": merged.json(),
+                                  "columnMapping": mapping,
+                                  "retiredPhysical":
+                                      self._retired_physical()}}]
         retired = set(self._retired_physical())
         clash = sorted({f.name for f in new} & retired)
         if clash:
@@ -1222,6 +1317,13 @@ class TxLogTable:
             + self._schema_evolution_action(df)
             + self._add_actions(rel)
         )
+        if self._staged is not None:
+            if txn_app_id is not None and \
+                    self.txn_version_for(txn_app_id) >= txn_version:
+                return self.latest_version()
+            self._staged.append({"actions": actions, "removed": [],
+                                 "key_range": None})
+            return self.latest_version()
         while True:
             # Recompute the commit ts each attempt (ADVICE r6): the loser of
             # a claim race must not retry with a ts stamped before the
@@ -1254,6 +1356,86 @@ class TxLogTable:
             self.append(batch_df, txn_app_id=app_id,
                         txn_version=int(batch_id))
         return write_batch
+
+    # -- multi-statement transactions ---------------------------------------
+
+    def begin_transaction(self) -> int:
+        """Start a multi-statement transaction on THIS handle: subsequent
+        operations stage their actions as virtual log versions (visible
+        to reads through this handle — read-your-writes) instead of
+        committing; :meth:`commit_transaction` publishes everything as
+        ONE log commit (one version, atomic, OCC-checked against the
+        begin snapshot); :meth:`rollback_transaction` discards it all.
+        This generalizes Delta's multi-action commit — the commit JSON
+        already carries arbitrarily many actions — to several statements
+        (the reference's replicated log carries arbitrary statement
+        sequences, /root/reference/src/raft/node.go:16-19; batching
+        them into one commit is the ACID analogue).  Data segments
+        written by staged ops become unreferenced files on rollback;
+        VACUUM's age guard collects them.  Returns the begin version."""
+        if self._staged is not None:
+            raise RuntimeError("transaction already in progress")
+        self._txn_base = self.latest_version()
+        self._staged = []
+        return self._txn_base
+
+    def staged_statement_count(self) -> int:
+        """Operations staged by the open transaction (0 if none open)."""
+        return len(self._staged) if self._staged is not None else 0
+
+    def commit_transaction(self) -> int:
+        """Publish the open transaction as one commit; see
+        :meth:`begin_transaction`.  An empty transaction commits
+        nothing.  Returns the resulting table version."""
+        if self._staged is None:
+            raise RuntimeError("no transaction in progress")
+        staged, base = self._staged, self._txn_base
+        self._staged, self._txn_base = None, None
+        if not staged:
+            return self.latest_version()
+        removed: list[str] = []
+        ranges: dict[str, dict] = {}  # per key column, merged
+        tail: list[dict] = []
+        for s in staged:
+            for a in s["actions"]:
+                if "commit" in a:
+                    # one commitInfo per version (Delta's shape): the
+                    # sub-statement's own commit metadata is preserved
+                    # as an informational txnStep action
+                    tail.append({"txnStep": a["commit"]})
+                else:
+                    tail.append(a)
+            removed.extend(s["removed"])
+            r = s.get("key_range")
+            if r is not None:
+                col = r["column"]
+                have = ranges.get(col)
+                if have is None:
+                    ranges[col] = dict(r)
+                else:
+                    try:
+                        ranges[col] = {"column": col,
+                                       "min": min(have["min"], r["min"]),
+                                       "max": max(have["max"], r["max"])}
+                    except TypeError:  # NULL/incomparable bound
+                        ranges[col] = {"column": col,
+                                       "min": None, "max": None}
+        commit: dict = {"op": "TXN", "ts": self._next_ts(),
+                        "statements": len(staged)}
+        if ranges:
+            # advertised so OTHER writers' OCC sees this txn's merge
+            # ranges exactly like a standalone MERGE's keyRange
+            commit["keyRanges"] = list(ranges.values())
+        actions = [{"commit": commit}] + tail
+        return self._commit_with_occ(actions, removed, base,
+                                     list(ranges.values()) or None)
+
+    def rollback_transaction(self) -> None:
+        """Discard the open transaction's staged actions (segments they
+        wrote become unreferenced; VACUUM's age guard collects them)."""
+        if self._staged is None:
+            raise RuntimeError("no transaction in progress")
+        self._staged, self._txn_base = None, None
 
     def _read_active(self, version: int | None = None,
                      with_file: bool = False, with_pos: bool = False,
@@ -1531,6 +1713,8 @@ class TxLogTable:
         if self._column_mapping(src_version):
             clone_meta["columnMapping"] = self._column_mapping(src_version)
             clone_meta["retiredPhysical"] = self._retired_physical()
+        if self._column_mapping_mode() != "name":
+            clone_meta["columnMappingMode"] = self._column_mapping_mode()
         dv_actions: list[dict] = []
         sidecars = sorted({s for ss in dvs.values() for s in ss})
         if sidecars:

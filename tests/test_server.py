@@ -253,3 +253,34 @@ def test_command_log_replays_update_delete_restore(spark, sf_dir, tmp_path):
     assert ack["table_name"] == "dml_target"
     n = eng.sql("SELECT COUNT(*) AS n FROM dml_target").collect()[0]["n"]
     assert n == 3
+
+
+def test_command_log_replays_txn_script_as_one_commit(spark, sf_dir,
+                                                      tmp_path):
+    """A BEGIN; …; COMMIT script is ONE replicated command whose txlog
+    effects land as ONE commit (VERDICT r6 item 6): replaying the log
+    applies the whole batch exactly once, and a second replay is a
+    no-op."""
+    from distributed_database_for_sql_spark.engine import CommandLog, Engine
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    eng = Engine(spark, sf_dir)
+    t = TxLogTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int"))
+    eng.register_txlog("txn_target", t)
+
+    log = CommandLog(eng, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    log.append(
+        "BEGIN; "
+        "UPDATE txn_target SET v = v + 1 WHERE k <= 2; "
+        "DELETE FROM txn_target WHERE k = 3; "
+        "COMMIT")
+    assert len(log.replay()) == 1  # one command, atomically applied
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, 11), (2, 21)]
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["CREATE", "TXN"]
+    assert hist[-1]["statements"] == 2
+    # exactly-once: second replay applies nothing, version unchanged
+    assert log.replay() == []
+    assert t.latest_version() == 1
