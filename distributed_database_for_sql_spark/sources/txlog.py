@@ -2227,11 +2227,64 @@ class TxLogTable:
             raise ValueError(
                 f"change range [{start_version}, {end}] out of bounds "
                 f"[0, {latest}]")
+        def txn_step_frames(actions: list[dict],
+                            v: int) -> list[DataFrame]:
+            """Per-statement change frames of a TXN commit: the flattened
+            actions are grouped by their txnStep marker, so each
+            statement serves its OWN cdf (rewrites) or synthesizes
+            inserts from its OWN adds (appends).  A flat scan would
+            misread a mixed txn — e.g. serve a DELETE's cdf while
+            dropping a sibling APPEND's inserts, or mistake rewrite
+            survivors for inserts."""
+            groups: list[dict] = []
+            cur: dict | None = None
+            for a in actions:
+                if "txnStep" in a:
+                    cur = {"op": a["txnStep"].get("op"),
+                           "adds": [], "cdf": []}
+                    groups.append(cur)
+                elif cur is None:
+                    continue
+                elif "add" in a:
+                    cur["adds"].append(a["add"]["path"])
+                elif "cdf" in a:
+                    cur["cdf"].append(a["cdf"]["path"])
+            frames: list[DataFrame] = []
+            for g in groups:
+                if g["cdf"]:
+                    frames.append(
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(*[os.path.join(self.path, p)
+                                   for p in g["cdf"]]))
+                elif g["op"] in ("CREATE", "APPEND", "CONVERT"):
+                    if g["adds"]:
+                        frames.append(
+                            self.spark.read.option("mergeSchema", "true")
+                            .parquet(*[os.path.join(self.path, p)
+                                       for p in g["adds"]])
+                            .withColumn("_change_type", F.lit("insert")))
+                elif g["op"] in ("OPTIMIZE", "ADD CONSTRAINT",
+                                 "DROP CONSTRAINT", "RENAME COLUMN",
+                                 "DROP COLUMN", "CLONE"):
+                    continue  # layout/metadata only
+                else:
+                    raise ValueError(
+                        f"statement {g['op']!r} in TXN commit {v} "
+                        "carries no change data — it ran with "
+                        "enable_cdf=False; preimages cannot be "
+                        "reconstructed after the fact")
+            return frames
+
         parts: list[DataFrame] = []
         for v in range(start_version, end + 1):
             actions = self._read_commit(v)
             op = next((a["commit"]["op"] for a in actions if "commit" in a),
                       None)
+            if op == "TXN":
+                parts.extend(
+                    df.withColumn("_commit_version", F.lit(v).cast("int"))
+                    for df in txn_step_frames(actions, v))
+                continue
             cdf = [a["cdf"]["path"] for a in actions if "cdf" in a]
             if cdf:
                 df = (self.spark.read.option("mergeSchema", "true")

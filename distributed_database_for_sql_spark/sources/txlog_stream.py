@@ -136,6 +136,41 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
                 rows.extend(pq.read_table(f).to_pylist())
         return rows
 
+    def _txn_step_records(self, actions: list[dict], v: int) -> list[dict]:
+        """Per-statement change rows of a TXN commit: actions are grouped
+        by their txnStep marker — each statement serves its own cdf
+        (rewrites) or synthesizes inserts from its own adds (appends); a
+        flat scan would misread a mixed txn (same logic as
+        TxLogTable.read_changes)."""
+        groups: list[dict] = []
+        cur: dict | None = None
+        for x in actions:
+            if "txnStep" in x:
+                cur = {"op": x["txnStep"].get("op"), "adds": [], "cdf": []}
+                groups.append(cur)
+            elif cur is None:
+                continue
+            elif "add" in x:
+                cur["adds"].append(x["add"]["path"])
+            elif "cdf" in x:
+                cur["cdf"].append(x["cdf"]["path"])
+        recs: list[dict] = []
+        for g in groups:
+            if g["cdf"]:
+                recs.extend(self._parquet_rows(g["cdf"]))
+            elif g["op"] in ("CREATE", "APPEND", "CONVERT"):
+                for r in self._parquet_rows(g["adds"]):
+                    r["_change_type"] = "insert"
+                    recs.append(r)
+            elif g["op"] in _NO_ROW_OPS:
+                continue
+            else:
+                raise ValueError(
+                    f"statement {g['op']!r} in TXN commit {v} carries no "
+                    "change data — the table must run with "
+                    "enable_cdf=True to be streamed")
+        return recs
+
     def _rows(self, a: int, b: int):
         out = []
         mapping = _column_mapping(self.path, b)
@@ -144,7 +179,9 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
                       None)
             cdf = [x["cdf"]["path"] for x in actions if "cdf" in x]
-            if cdf:
+            if op == "TXN":
+                recs = self._txn_step_records(actions, v)
+            elif cdf:
                 recs = self._parquet_rows(cdf)
             elif op in ("CREATE", "APPEND"):
                 adds = [x["add"]["path"] for x in actions if "add" in x]
@@ -249,7 +286,28 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
             actions = _read_commit(self.path, v)
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
                       None)
-            if op in ("CREATE", "APPEND", "CONVERT"):
+            if op == "TXN":
+                # per-statement: serve append steps' adds; a rewrite step
+                # poisons the append-only contract exactly like a
+                # standalone rewrite commit (unless skipChangeCommits)
+                recs = []
+                cur_op = None
+                for x in actions:
+                    if "txnStep" in x:
+                        cur_op = x["txnStep"].get("op")
+                        if cur_op not in ("CREATE", "APPEND", "CONVERT") \
+                                and cur_op not in _NO_ROW_OPS \
+                                and not self.skip_change_commits:
+                            raise ValueError(
+                                f"statement {cur_op!r} in TXN commit {v} "
+                                "changes existing rows; an append-only "
+                                "table stream cannot represent it — use "
+                                "the CDF source (format 'txlogcdf') or "
+                                "set skipChangeCommits")
+                    elif "add" in x and cur_op in ("CREATE", "APPEND",
+                                                   "CONVERT"):
+                        recs.extend(self._parquet_rows([x["add"]["path"]]))
+            elif op in ("CREATE", "APPEND", "CONVERT"):
                 adds = [x["add"]["path"] for x in actions if "add" in x]
                 recs = self._parquet_rows(adds)
             elif op in _NO_ROW_OPS:

@@ -389,3 +389,35 @@ def test_table_stream_metadata_commits_transparent_and_rename_mapped(
     reader2 = ds2.simpleStreamReader(ds2.schema())
     rows2, _ = reader2.read({"version": 0})
     assert sorted(rows2) == [(7, 70, 1)]
+
+
+def test_table_stream_txn_commits(spark, tmp_path):
+    """Append-only table stream over TXN commits: an all-append txn
+    serves its rows; a txn containing a rewrite raises unless
+    skipChangeCommits (which then serves only the append steps)."""
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "txs"),
+        spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.begin_transaction()
+    t.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    t.commit_transaction()                                    # v1: all-append
+    t.begin_transaction()
+    t.append(spark.createDataFrame([(4, 40)], "k long, v long"))
+    t.delete_where(F.col("k") == 1)
+    t.commit_transaction()                                    # v2: mixed
+    ds = TxLogTableDataSource({"path": t.path})
+    reader = ds.simpleStreamReader(ds.schema())
+    with pytest.raises(ValueError, match="changes existing rows"):
+        reader.readBetweenOffsets({"version": 0}, {"version": 3})
+    ds2 = TxLogTableDataSource({"path": t.path,
+                                "skipchangecommits": "true"})
+    reader2 = ds2.simpleStreamReader(ds2.schema())
+    rows = sorted(reader2.readBetweenOffsets({"version": 0}, {"version": 3}))
+    assert rows == [(1, 10, 0), (2, 20, 1), (3, 30, 1), (4, 40, 2)]

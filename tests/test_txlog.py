@@ -1892,3 +1892,32 @@ def test_id_mode_refuses_dependent_features_and_clone_carries_mode(
         [(1, None), (2, 77)]
     # source untouched
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(1, 10)]
+
+
+def test_txn_commit_composes_with_cdf(spark, tdir):
+    """A mixed TXN (APPEND + DELETE) on a CDF table serves BOTH the
+    append's synthesized inserts and the delete's persisted change rows
+    — per txnStep, not a flat scan (which would drop the inserts or
+    mistake rewrite survivors for inserts)."""
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogChangesDataSource)
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          enable_cdf=True)
+    engine.register_txlog("txc", t)
+    t.begin_transaction()
+    t.append(_df(spark, [(9, "z", 90)]))
+    t.delete_where(F.col("k") == 1)
+    v = t.commit_transaction()
+    assert v == 1
+    ch = t.read_changes(1, 1).select("k", "_change_type").collect()
+    got = sorted((r["k"], r["_change_type"]) for r in ch)
+    assert got == [(1, "delete"), (9, "insert")]
+    # the streaming CDF reader agrees (same per-step walk, pyarrow side)
+    ds = TxLogChangesDataSource({"path": t.path})
+    reader = ds.simpleStreamReader(ds.schema())
+    rows = sorted(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    assert [(r[0], r[3]) for r in rows] == [(1, "delete"), (9, "insert")]
