@@ -88,9 +88,12 @@ _DROP_COLUMN_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
-# OPTIMIZE t [ZORDER BY (a, b)] — compaction / multi-dimensional layout.
+# OPTIMIZE t [WHERE pcol = v] [ZORDER BY (a, b)] — compaction (optionally
+# scoped to one partition, Delta's incremental-OPTIMIZE shape) /
+# multi-dimensional layout.
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>\w+)"
+    r"(?:\s+WHERE\s+(?P<wcol>\w+)\s*=\s*'?(?P<wval>[\w.-]+)'?)?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
     re.IGNORECASE)
 
@@ -122,6 +125,15 @@ _CLONE_RE = re.compile(
     r"(?P<src>\w+)(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
     re.IGNORECASE)
 
+# CREATE TABLE t USING TXLOG [LOCATION '...'] AS SELECT ... — CTAS into a
+# NEW ACID txlog table (Delta's CREATE TABLE ... USING DELTA AS SELECT),
+# registered under the name so later DQL/DML statements target it.
+_CTAS_TXLOG_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+USING\s+TXLOG"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+    r"\s+AS\s+(?P<select>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL)
+
 
 class Engine:
     """Thin session wrapper: catalog registration + SQL execution."""
@@ -147,6 +159,9 @@ class Engine:
         statement sequences; this is their ACID batching)."""
         if _BEGIN_RE.match(command):
             return self._txn_script(command)
+        m = _CTAS_TXLOG_RE.match(command)
+        if m:
+            return self._ctas_txlog(m)
         m = _MERGE_RE.match(command)
         if m:
             return self._merge_into(command, m)
@@ -202,8 +217,10 @@ class Engine:
             cols = m.group("cols")
             zorder = ([c.strip() for c in cols.split(",")] if cols
                       else None)
+            where = ({m.group("wcol"): m.group("wval")}
+                     if m.group("wcol") else None)
             version = self.txlog_tables[target].optimize_compact(
-                zorder_by=zorder)
+                zorder_by=zorder, where=where)
             return self._dml_ack(target, version)
         m = _HISTORY_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
@@ -291,6 +308,29 @@ class Engine:
         out.append(command[pos:])
         return "".join(out)
 
+    def _ctas_txlog(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE name USING TXLOG [LOCATION '...'] AS SELECT:
+        evaluate the SELECT (time-travel rewrite applies), materialize
+        it as a NEW ACID txlog table, register it.  Default location is
+        a deterministic staging dir keyed to the engine's data dir (the
+        production shape would be a warehouse path).  Returns
+        (table_name, location, version)."""
+        from .sources.txlog import TxLogTable
+        from .tmpstage import staging_dir
+
+        name = m.group("name")
+        if name in self.txlog_tables:
+            raise ValueError(f"txlog table {name!r} already registered")
+        loc = m.group("loc") or staging_dir(f"engine_ctas_{name}",
+                                            self.sf_dir)
+        df = self.spark.sql(self._rewrite_time_travel(
+            m.group("select").rstrip().rstrip(";")))
+        t = TxLogTable.create(self.spark, loc, df, overwrite=True)
+        self.register_txlog(name, t)
+        return self.spark.createDataFrame(
+            [(name, loc, t.latest_version())],
+            "table_name string, location string, version long")
+
     @staticmethod
     def _split_statements(script: str) -> list[str]:
         """Split a script on ``;`` outside single-quoted literals."""
@@ -332,6 +372,16 @@ class Engine:
         try:
             for s in body:
                 self.sql(s)
+                # a statement may REGISTER a new txlog table (CTAS,
+                # SHALLOW CLONE): begin staging on it too, so the
+                # script's later DML against it batches into one commit
+                # (its CREATE commit already landed — table existence is
+                # not transactional across per-table logs)
+                known = {id(t) for _, t in begun}
+                for name, t in self.txlog_tables.items():
+                    if id(t) not in known:
+                        t.begin_transaction()
+                        begun.append((name, t))
             for name, t in begun:
                 n = t.staged_statement_count()
                 version = t.commit_transaction()

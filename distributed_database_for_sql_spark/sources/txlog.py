@@ -574,6 +574,7 @@ class TxLogTable:
         active, schema_json, dvs = self._snapshot_full(version)
         txns, constraints = self._txn_constraint_state(version)
         manifest = {"protocol": self.protocol(version),
+                    "meta": self._meta_state(version),
                     "version": version,
                     "active": list(active),
                     "adds": [{"path": p, "stats": s}
@@ -747,35 +748,56 @@ class TxLogTable:
 
     # -- segment writing ----------------------------------------------------
 
+    #: metaData keys resolved last-writer-wins by _meta_state (and carried
+    #: forward by checkpoints so resolution stays O(interval) on long logs)
+    _META_KEYS = ("partitionColumns", "columnMapping", "columnMappingMode",
+                  "retiredPhysical", "generatedColumns",
+                  "bloomFilterColumns")
+
+    def _meta_state(self, version: int | None = None) -> dict:
+        """Last-writer-wins metaData keys at ``version`` (partition
+        columns, column mapping + mode, retired physical names,
+        generated columns, bloom columns), resolved CHECKPOINT-FIRST
+        like ``protocol``: best manifest ≤ version seeds the state, only
+        the commit suffix replays.  Without this, every read()'s
+        metadata resolution was a full log replay — O(N) JSON reads per
+        query on a 100k-commit streaming table.  Manifests written
+        before the ``meta`` field existed fall back to full replay
+        (correct, just slower)."""
+        latest = self.latest_version()
+        v = latest if version is None else min(version, latest)
+        state: dict = {}
+        start = 0
+        if v >= 0:
+            ckpt = self._best_checkpoint(v)
+            if ckpt is not None and "meta" in ckpt:
+                state = dict(ckpt["meta"])
+                start = ckpt["version"] + 1
+        for i in range(start, v + 1):
+            for action in self._read_commit(i):
+                md = action.get("metaData")
+                if md:
+                    for k in self._META_KEYS:
+                        if k in md:
+                            state[k] = md[k]
+        return state
+
     def _partition_columns(self) -> list[str]:
-        """Partition columns from the last metaData action carrying them
-        (the log is tiny JSON; this is a metadata read).  During CREATE
-        the log does not exist yet; ``create`` pre-sets the pending
-        attribute instead."""
+        """Partition columns from the metaData state (checkpoint-bounded
+        metadata read).  During CREATE the log does not exist yet;
+        ``create`` pre-sets the pending attribute instead."""
         pending = getattr(self, "_pending_partition_columns", None)
         if pending is not None:
             return pending
-        cols: list[str] = []
-        latest = self.latest_version()
-        for v in range(latest + 1):
-            for action in self._read_commit(v):
-                if "metaData" in action and "partitionColumns" in action["metaData"]:
-                    cols = action["metaData"]["partitionColumns"]
-        return cols
+        return self._meta_state().get("partitionColumns", [])
 
     def _bloom_columns(self) -> list[str]:
-        """Bloom-indexed columns from the last metaData action carrying
-        them (same resolution pattern as ``_partition_columns``)."""
+        """Bloom-indexed columns (same resolution as
+        ``_partition_columns``)."""
         pending = getattr(self, "_pending_bloom_columns", None)
         if pending is not None:
             return pending
-        cols: list[str] = []
-        latest = self.latest_version()
-        for v in range(latest + 1):
-            for action in self._read_commit(v):
-                if "metaData" in action and "bloomFilterColumns" in action["metaData"]:
-                    cols = action["metaData"]["bloomFilterColumns"]
-        return cols
+        return self._meta_state().get("bloomFilterColumns", [])
 
     def _column_mapping(self, version: int | None = None) -> dict[str, str]:
         """Column mapping at ``version`` ({logical name: physical name in
@@ -787,14 +809,7 @@ class TxLogTable:
         pending = getattr(self, "_pending_column_mapping", None)
         if pending is not None:
             return pending
-        latest = self.latest_version()
-        v = latest if version is None else version
-        mapping: dict[str, str] = {}
-        for i in range(min(v, latest) + 1):
-            for action in self._read_commit(i):
-                if "metaData" in action and "columnMapping" in action["metaData"]:
-                    mapping = action["metaData"]["columnMapping"]
-        return mapping
+        return self._meta_state(version).get("columnMapping", {})
 
     def _column_mapping_mode(self) -> str:
         """``"name"`` (default: physical name == creation name, dropped
@@ -803,13 +818,7 @@ class TxLogTable:
         id-based mode, where a dropped logical name CAN be re-introduced
         because the new column gets a fresh physical id and old segments'
         data can never resurface under it)."""
-        mode = "name"
-        for i in range(self.latest_version() + 1):
-            for action in self._read_commit(i):
-                if "metaData" in action and \
-                        "columnMappingMode" in action["metaData"]:
-                    mode = action["metaData"]["columnMappingMode"]
-        return mode
+        return self._meta_state().get("columnMappingMode", "name")
 
     @staticmethod
     def _new_physical_id() -> str:
@@ -819,12 +828,7 @@ class TxLogTable:
         """Physical column names retired by DROP COLUMN — a later
         schema evolution must not reuse one (the old files still carry
         data under it, which would silently resurrect)."""
-        retired: list[str] = []
-        for i in range(self.latest_version() + 1):
-            for action in self._read_commit(i):
-                if "metaData" in action and "retiredPhysical" in action["metaData"]:
-                    retired = action["metaData"]["retiredPhysical"]
-        return retired
+        return self._meta_state().get("retiredPhysical", [])
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
         """Rename a LOGICAL frame's mapped columns to their physical
@@ -919,13 +923,7 @@ class TxLogTable:
         pending = getattr(self, "_pending_generated_columns", None)
         if pending is not None:
             return pending
-        gen: dict[str, str] = {}
-        latest = self.latest_version()
-        for v in range(latest + 1):
-            for action in self._read_commit(v):
-                if "metaData" in action and "generatedColumns" in action["metaData"]:
-                    gen = action["metaData"]["generatedColumns"]
-        return gen
+        return self._meta_state().get("generatedColumns", {})
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Delta generated-column write semantics: a generated column
@@ -2090,7 +2088,8 @@ class TxLogTable:
         return self._commit_with_occ(actions, targets, base_version)
 
     def optimize_compact(self, target_segments: int | None = None,
-                         zorder_by: list[str] | None = None) -> int:
+                         zorder_by: list[str] | None = None,
+                         where: dict | None = None) -> int:
         """OPTIMIZE-style compaction: rewrite the current snapshot into
         ``target_segments`` larger segments — same rows, new layout.  Old
         segments are de-listed (still readable via time travel) so small
@@ -2107,7 +2106,26 @@ class TxLogTable:
         first (demonstrated by tests/test_txlog.py and the
         delta_zorder_optimize query)."""
         base_version = self.latest_version()
-        files, _ = self._snapshot_files()
+        if where:
+            # partition-scoped compaction (Delta's ``OPTIMIZE t WHERE
+            # part = v``): at 100 TB, OPTIMIZE runs incrementally over
+            # the partitions that accumulated small files — never the
+            # whole table.  Only equality predicates on partition
+            # columns select files (exact per-file constants); anything
+            # else is refused loudly.
+            pcols = set(self._partition_columns())
+            bad = sorted(set(where) - pcols)
+            if bad:
+                raise ValueError(
+                    f"OPTIMIZE WHERE supports partition columns only; "
+                    f"{bad} are not partition columns of this table")
+            active, _ = self._snapshot()
+            files = [os.path.join(self.path, p)
+                     for p, stats in active.items()
+                     if all((stats or {}).get("partitionValues", {})
+                            .get(c) == str(v) for c, v in where.items())]
+        else:
+            files, _ = self._snapshot_files()
         if not files:
             return self.latest_version()
         if target_segments is None:
@@ -2118,7 +2136,7 @@ class TxLogTable:
         # DV-applied: compaction MATERIALIZES outstanding deletion
         # vectors (the rewritten segments exclude tombstoned rows) and
         # the removes below retire the DVs from the snapshot.
-        snap = self._read_active()
+        snap = self._read_active(only=files if where else None)
         if zorder_by:
             zval = _zorder_value(zorder_by)
             compacted = (snap.withColumn("__zval", zval)
@@ -2137,6 +2155,8 @@ class TxLogTable:
                         "filesAdded": len(rel_new)}
         if zorder_by:
             commit["zorderBy"] = list(zorder_by)
+        if where:
+            commit["where"] = {c: str(v) for c, v in where.items()}
         actions = (
             [{"commit": commit}]
             + [{"remove": {"path": p}} for p in rel_removed]

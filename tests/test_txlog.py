@@ -1649,6 +1649,17 @@ def test_checkpoint_bounds_commit_reads(spark, tdir):
     # last checkpoint at v8 (interval 4): only commits 9..10 replayed
     assert set(suffix) <= {9, 10}, f"unbounded replay: read {sorted(set(reads))}"
     assert len(suffix) <= fresh.checkpoint_interval
+    # the METADATA readers are checkpoint-bounded too (r7: _meta_state)
+    # — every read() consults them, so an O(N) replay here would defeat
+    # the snapshot bound
+    reads.clear()
+    fresh._partition_columns()
+    fresh._column_mapping()
+    fresh._column_mapping_mode()
+    fresh._generated_columns()
+    fresh.protocol()
+    assert set(reads) <= {9, 10}, \
+        f"metadata resolution replayed the whole log: {sorted(set(reads))}"
 
 
 # -- bloom probe type-insensitivity (ADVICE r6, medium) ----------------------
@@ -1921,3 +1932,78 @@ def test_txn_commit_composes_with_cdf(spark, tdir):
     reader = ds.simpleStreamReader(ds.schema())
     rows = sorted(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
     assert [(r[0], r[3]) for r in rows] == [(1, "delete"), (9, "insert")]
+
+
+def test_engine_ctas_txlog_and_txn_script_with_ctas(spark, tmp_path):
+    """CREATE TABLE … USING TXLOG AS SELECT materializes an ACID table
+    and registers it; inside a BEGIN/COMMIT script, DML AFTER the CTAS
+    stages into ONE commit on the new table (CREATE + TXN = 2 versions,
+    the shape VERDICT r6 item 6 asked to pin)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    loc = str(tmp_path / "ctas_tbl")
+    ack = engine.sql(
+        f"CREATE TABLE ctas_t USING TXLOG LOCATION '{loc}' AS "
+        "SELECT r_regionkey AS k, r_name AS name FROM region").collect()[0]
+    assert ack["table_name"] == "ctas_t" and ack["version"] == 0
+    assert engine.sql(
+        "SELECT COUNT(*) AS n FROM ctas_t").collect()[0]["n"] == 5
+    t = engine.txlog_tables["ctas_t"]
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+    # CTAS inside a transaction script: the two DML statements after it
+    # land as ONE commit on the freshly created table
+    loc2 = str(tmp_path / "ctas_tbl2")
+    engine.sql(
+        f"BEGIN; "
+        f"CREATE TABLE ctas_u USING TXLOG LOCATION '{loc2}' AS "
+        f"SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r "
+        f"FROM nation; "
+        f"UPDATE ctas_u SET r = r + 100 WHERE k < 5; "
+        f"DELETE FROM ctas_u WHERE k >= 20; "
+        f"COMMIT")
+    u = engine.txlog_tables["ctas_u"]
+    hist = u.history()
+    assert [h["op"] for h in hist] == ["CREATE", "TXN"]
+    assert hist[-1]["statements"] == 2
+    rows = {r["k"]: r["r"] for r in u.read().collect()}
+    assert max(rows) == 19 and rows[0] >= 100
+
+
+def test_optimize_where_partition_scoped(spark, tdir):
+    """OPTIMIZE … WHERE pcol = v compacts ONLY the matching partition's
+    segments (Delta's incremental OPTIMIZE — at 100 TB you compact the
+    partitions that accumulated small files, never the table)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), partition_by="grp")
+    # pile small files into grp=a only
+    for i in range(3):
+        t.append(_df(spark, [(10 + i, "a", i)]))
+    files_before, _ = t._snapshot_files()
+    a_before = [f for f in files_before if "grp=a" in f]
+    b_before = [f for f in files_before if "grp=b" in f]
+    assert len(a_before) >= 4 and len(b_before) >= 1
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    engine.register_txlog("popt", t)
+    engine.sql("OPTIMIZE popt WHERE grp = 'a'")
+    files_after, _ = t._snapshot_files()
+    a_after = [f for f in files_after if "grp=a" in f]
+    b_after = [f for f in files_after if "grp=b" in f]
+    # grp=a compacted to fewer segments; grp=b untouched BY REFERENCE
+    assert len(a_after) < len(a_before)
+    assert set(b_after) == set(b_before)
+    assert not (set(a_after) & set(a_before))
+    got = sorted((r["k"], r["grp"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20),
+                   (10, "a", 0), (11, "a", 1), (12, "a", 2)]
+    hist = t.history()
+    assert hist[-1]["op"] == "OPTIMIZE" and hist[-1]["where"] == {"grp": "a"}
+    # non-partition column: loud refusal
+    with pytest.raises(ValueError, match="partition columns only"):
+        t.optimize_compact(where={"v": 1})
