@@ -331,3 +331,24 @@ def test_txlog_read_where_pushes_residual_filter(spark, tmp_path):
         .repartitionByRange(8, "k"))
     df = t.read_where([("k", "between", (100, 200))])
     assert has_pushed_filters(df)
+
+
+def test_cloned_partitioned_read_broadcasts_pv_map(spark, tmp_path):
+    """The clone-of-partitioned read path (r7): foreign segments recover
+    partition columns via a BROADCAST file→partitionValues map — never a
+    shuffle join, never a cartesian — and driver-side partition pruning
+    still works from the recorded metadata."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    src = TxLogTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k int, grp string, v int"),
+        partition_by="grp")
+    c = src.clone_to(str(tmp_path / "clone"))
+    df = c.read()
+    assert uses_broadcast_join(df), physical_plan(df)
+    assert not has_cartesian(df)
+    kept, total = c.prune_files([("grp", "=", "a")])
+    assert 0 < len(kept) < total  # pruning is metadata-only, pre-plan

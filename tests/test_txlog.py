@@ -2007,3 +2007,31 @@ def test_optimize_where_partition_scoped(spark, tdir):
     # non-partition column: loud refusal
     with pytest.raises(ValueError, match="partition columns only"):
         t.optimize_compact(where={"v": 1})
+
+
+def test_txn_script_two_tables_one_commit_each(spark, tdir, tmp_path):
+    """A BEGIN/COMMIT script touching TWO registered tables publishes
+    exactly ONE commit per table (per-table logs: atomic within each
+    table; the ack reports both)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    ta = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    tb = TxLogTable.create(spark, str(tmp_path / "tb"),
+                           _df(spark, [(7, "x", 70)]))
+    engine.register_txlog("two_a", ta)
+    engine.register_txlog("two_b", tb)
+    ack = engine.sql(
+        "BEGIN; "
+        "UPDATE two_a SET v = v + 1 WHERE k = 1; "
+        "DELETE FROM two_a WHERE k = 2; "
+        "UPDATE two_b SET v = 0 WHERE k = 7; "
+        "COMMIT").collect()
+    got = sorted((r["table_name"], r["version"], r["statements"])
+                 for r in ack)
+    assert got == [("two_a", 1, 2), ("two_b", 1, 1)]
+    assert [h["op"] for h in ta.history()] == ["CREATE", "TXN"]
+    assert [h["op"] for h in tb.history()] == ["CREATE", "TXN"]
+    assert sorted(tuple(r) for r in ta.read().collect()) == [(1, "a", 11)]
+    assert sorted(tuple(r) for r in tb.read().collect()) == [(7, "x", 0)]
