@@ -170,3 +170,58 @@ def test_coverage_doc_counts_match_registry():
         (total, oracled, total - oracled), (
         f"COVERAGE.md says {m.group(0)!r} but the registry has "
         f"{total} total / {oracled} oracled / {total - oracled} rows-only")
+
+
+ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("append"), st.integers(6, 9), st.integers(-3, 3)),
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       script=ops)
+def test_txn_staging_equals_sequential_commits(spark, tmp_path_factory,
+                                               data, script):
+    """For ANY op sequence, a BEGIN/COMMIT-staged transaction must leave
+    the table in exactly the state sequential per-op commits produce —
+    staging changes the commit SHAPE (one version), never the values."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"txnprop_{_uuid.uuid4().hex[:6]}")
+
+    def build(path):
+        return TxLogTable.create(
+            spark, os.path.join(str(base), path),
+            spark.createDataFrame(data, "k int, v int"))
+
+    def apply_ops(t):
+        for op, k, d in script:
+            if op == "update":
+                t.update_where({"v": F.col("v") + d}, F.col("k") == k)
+            elif op == "delete":
+                t.delete_where(F.col("k") == k)
+            else:
+                t.append(spark.createDataFrame([(k, d)], "k int, v int"))
+
+    seq = build("seq")
+    apply_ops(seq)
+    txn = build("txn")
+    txn.begin_transaction()
+    apply_ops(txn)
+    txn.commit_transaction()
+    assert sorted(tuple(r) for r in txn.read().collect()) == \
+        sorted(tuple(r) for r in seq.read().collect())
+    # shape: the txn table has at most CREATE + TXN
+    assert txn.latest_version() <= 1
