@@ -46,12 +46,22 @@ _MERGE_RE = re.compile(
 # separate assignments (no commas inside an assignment expression).
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
-    r"\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
-# DELETE FROM t WHERE cond — copy-on-write delete on a txlog table.
+# DELETE FROM t [WHERE cond] — copy-on-write delete on a txlog table
+# (no WHERE = delete all rows, Delta semantics).
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<target>\w+)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<target>\w+)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# INSERT INTO t SELECT ... / INSERT INTO t VALUES (...) — append commit
+# on a registered txlog table (catalog/parquet tables keep the plain
+# spark.sql fallback).
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL)
 
 # RESTORE TABLE t TO VERSION AS OF n — rollback-as-new-commit.
@@ -171,6 +181,9 @@ class Engine:
         m = _DELETE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._delete(m)
+        m = _INSERT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            return self._insert_into(m)
         m = _RESTORE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -414,16 +427,36 @@ class Engine:
             if not eq or not col.strip().isidentifier():
                 raise ValueError(f"unsupported UPDATE SET clause: {part!r}")
             assignments[col.strip()] = expr.strip()
+        cond = m.group("cond")  # no WHERE = update every row (SQL)
         version = self.txlog_tables[target].update_where(
-            assignments, F.expr(m.group("cond")))
+            assignments, F.expr(cond) if cond else F.lit(True))
         return self._dml_ack(target, version)
 
     def _delete(self, m: re.Match) -> DataFrame:
         from pyspark.sql import functions as F
 
         target = m.group("target")
+        cond = m.group("cond")  # no WHERE = delete every row (SQL)
         version = self.txlog_tables[target].delete_where(
-            F.expr(m.group("cond")))
+            F.expr(cond) if cond else F.lit(True))
+        return self._dml_ack(target, version)
+
+    def _insert_into(self, m: re.Match) -> DataFrame:
+        """INSERT INTO t SELECT …/VALUES … → txlog append commit.
+        Positional column semantics (standard SQL INSERT without a
+        column list): the query's output is renamed to the table schema
+        in order, with an arity check."""
+        target = m.group("target")
+        t = self.txlog_tables[target]
+        query = m.group("query").rstrip().rstrip(";")
+        df = self.spark.sql(self._rewrite_time_travel(query))
+        table_cols = t.read().columns
+        if len(df.columns) != len(table_cols):
+            raise ValueError(
+                f"INSERT INTO {target}: query produces {len(df.columns)} "
+                f"column(s), table has {len(table_cols)}")
+        df = df.toDF(*table_cols)
+        version = t.append(df)
         return self._dml_ack(target, version)
 
     def _merge_into(self, command: str, m: re.Match) -> DataFrame:

@@ -2035,3 +2035,33 @@ def test_txn_script_two_tables_one_commit_each(spark, tdir, tmp_path):
     assert [h["op"] for h in tb.history()] == ["CREATE", "TXN"]
     assert sorted(tuple(r) for r in ta.read().collect()) == [(1, "a", 11)]
     assert sorted(tuple(r) for r in tb.read().collect()) == [(7, "x", 0)]
+
+
+def test_engine_insert_into_and_unconditional_dml(spark, tdir):
+    """INSERT INTO t SELECT/VALUES appends as an ACID commit (positional
+    column mapping, arity-checked); UPDATE/DELETE without WHERE touch
+    every row — completing the command-string DML surface.  All of it
+    batches inside BEGIN/COMMIT."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("ins", t)
+    engine.sql("INSERT INTO ins VALUES (2, 'b', 20), (3, 'c', 30)")
+    engine.sql("INSERT INTO ins SELECT n_nationkey + 100, n_name, "
+               "CAST(0 AS INT) FROM nation WHERE n_nationkey < 2")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 100, 101]
+    with pytest.raises(ValueError, match="column"):
+        engine.sql("INSERT INTO ins VALUES (9, 'x')")  # arity mismatch
+    # unconditional UPDATE then DELETE (no WHERE)
+    engine.sql("UPDATE ins SET v = 0")
+    assert {r["v"] for r in t.read().collect()} == {0}
+    # inside a transaction: INSERT + unconditional DELETE, one commit
+    ack = engine.sql("BEGIN; "
+                     "INSERT INTO ins VALUES (7, 'z', 70); "
+                     "DELETE FROM ins; "
+                     "COMMIT").collect()
+    assert [(r["table_name"], r["statements"]) for r in ack] == [("ins", 2)]
+    assert t.read().count() == 0
+    assert t.history()[-1]["op"] == "TXN"
