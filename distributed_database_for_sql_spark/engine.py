@@ -402,11 +402,18 @@ class Engine:
                     acks.append((name, version, n))
                     t.read().createOrReplaceTempView(name)
         except BaseException:
-            for _, t in begun:
+            for name, t in begun:
                 try:
                     t.rollback_transaction()
                 except RuntimeError:
                     pass  # already committed or rolled back
+                try:
+                    # a mid-script _dml_ack may have repointed the temp
+                    # view at the STAGED snapshot; restore the committed
+                    # one so nothing uncommitted stays visible
+                    t.read().createOrReplaceTempView(name)
+                except Exception:
+                    pass  # e.g. table created empty mid-script
             raise
         return self.spark.createDataFrame(
             acks or [], "table_name string, version long, statements long")

@@ -2065,3 +2065,21 @@ def test_engine_insert_into_and_unconditional_dml(spark, tdir):
     assert [(r["table_name"], r["statements"]) for r in ack] == [("ins", 2)]
     assert t.read().count() == 0
     assert t.history()[-1]["op"] == "TXN"
+
+
+def test_txn_rollback_restores_temp_view(spark, tdir):
+    """After a failed script, the temp view must show the COMMITTED
+    snapshot — a mid-script ack repoints it at the staged one."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("txv", t)
+    with pytest.raises(Exception):
+        engine.sql("BEGIN; "
+                   "UPDATE txv SET v = 999 WHERE k = 1; "
+                   "UPDATE txv SET nope = 1 WHERE k = 1; "
+                   "COMMIT")
+    got = engine.sql("SELECT v FROM txv").collect()
+    assert [r["v"] for r in got] == [10], "staged value leaked to the view"
