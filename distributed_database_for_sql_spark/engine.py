@@ -64,10 +64,29 @@ _INSERT_RE = re.compile(
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL)
 
-# RESTORE TABLE t TO VERSION AS OF n — rollback-as-new-commit.
+# RESTORE TABLE t TO VERSION AS OF n / TO TIMESTAMP AS OF ms|'iso' —
+# rollback-as-new-commit (timestamp resolves via version_at_timestamp).
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<target>\w+)\s+TO\s+VERSION\s+AS\s+OF"
-    r"\s+(?P<version>\d+)\s*;?\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>\w+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+|'[^']*'))\s*;?\s*$",
+    re.IGNORECASE)
+
+# DESCRIBE DETAIL t — table metadata as a result set (Delta's shape).
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
+
+# FSCK REPAIR TABLE t [DRY RUN] — drop log references to missing files.
+_FSCK_RE = re.compile(
+    r"^\s*FSCK\s+REPAIR\s+TABLE\s+(?P<target>\w+)"
+    r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$", re.IGNORECASE)
+
+# table_changes('t', start[, end]) — Delta's CDF table-valued function,
+# rewritten to a temp view of read_changes on the plain-SQL fallback.
+# Operands: integer versions or quoted ISO timestamps.
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'(?P<t>\w+)'\s*,\s*"
+    r"(?P<a>\d+|'[^']*')\s*(?:,\s*(?P<b>\d+|'[^']*'))?\s*\)",
     re.IGNORECASE)
 
 # VACUUM t [RETAIN n HOURS] — physical cleanup of unreferenced files.
@@ -187,9 +206,37 @@ class Engine:
         m = _RESTORE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
-            version = self.txlog_tables[target].restore(
-                int(m.group("version")))
-            return self._dml_ack(target, version)
+            t = self.txlog_tables[target]
+            if m.group("version") is not None:
+                v = int(m.group("version"))
+            else:
+                v = t.version_at_timestamp(
+                    self._parse_ts_operand(m.group("ts")))
+            return self._dml_ack(target, t.restore(v))
+        m = _DETAIL_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            d = self.txlog_tables[m.group("target")].detail()
+            return self.spark.createDataFrame(
+                [(m.group("target"), d["location"], d["version"],
+                  d["numFiles"], d["sizeInBytes"],
+                  ",".join(d["partitionColumns"]),
+                  d["columnMappingMode"],
+                  json.dumps(d["protocol"], sort_keys=True))],
+                "table_name string, location string, version long, "
+                "num_files long, size_in_bytes long, "
+                "partition_columns string, column_mapping_mode string, "
+                "protocol string")
+        m = _FSCK_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            dry = m.group("dry") is not None
+            missing = self.txlog_tables[target].repair(dry_run=dry)
+            if not dry:
+                self.txlog_tables[target].read() \
+                    .createOrReplaceTempView(target)
+            return self.spark.createDataFrame(
+                [(target, len(missing), dry)],
+                "table_name string, missing_files long, dry_run boolean")
         m = _VACUUM_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -260,7 +307,71 @@ class Engine:
             return self.spark.createDataFrame(
                 [(dest_name, dest_path, clone.latest_version())],
                 "table_name string, location string, version long")
-        return self.spark.sql(self._rewrite_time_travel(command))
+        return self.spark.sql(
+            self._rewrite_table_changes(self._rewrite_time_travel(command)))
+
+    @staticmethod
+    def _parse_ts_operand(raw: str) -> int:
+        """``12345`` (epoch millis) or ``'2024-01-01 00:00:00'`` (ISO,
+        UTC) → epoch millis; clear error otherwise."""
+        if not raw.startswith("'"):
+            return int(raw)
+        from datetime import datetime, timezone
+
+        text = raw[1:-1].replace("''", "'")
+        try:
+            dt = datetime.fromisoformat(text)
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP operand {raw}: not epoch millis or an "
+                "ISO-8601 timestamp (e.g. '2024-01-01 00:00:00')")
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    def _rewrite_table_changes(self, command: str) -> str:
+        """Rewrite ``table_changes('t', start[, end])`` over registered
+        txlog tables into temp views of ``read_changes`` (Delta's CDF
+        table-valued function).  Operands are versions (integers) or
+        quoted ISO timestamps (resolved via version_at_timestamp).
+        Matches inside string literals are left alone; unknown table
+        names pass through to Spark (which will raise its own error)."""
+        literal_spans = [m.span() for m in _SQL_STRING_RE.finditer(command)]
+
+        def in_literal(pos: int) -> bool:
+            # the function's own quoted table-name argument starts a
+            # literal span; only skip matches that START inside a span
+            # that OPENED BEFORE the match (i.e. the whole call is
+            # quoted text), not the call's own arguments
+            return any(a < pos and pos < b for a, b in literal_spans)
+
+        out, pos = [], 0
+        for m in _TABLE_CHANGES_RE.finditer(command):
+            if m.start() < pos or in_literal(m.start()):
+                continue
+            name = m.group("t")
+            if name not in self.txlog_tables:
+                continue
+            t = self.txlog_tables[name]
+
+            def bound(raw, default):
+                if raw is None:
+                    return default
+                if raw.startswith("'"):
+                    return t.version_at_timestamp(
+                        self._parse_ts_operand(raw))
+                return int(raw)
+
+            a = bound(m.group("a"), 0)
+            b = bound(m.group("b"), None)
+            alias = "__tc_{}_{}_{}".format(
+                name, a, "latest" if b is None else b)
+            t.read_changes(a, b).createOrReplaceTempView(alias)
+            out.append(command[pos:m.start()])
+            out.append(alias)
+            pos = m.end()
+        out.append(command[pos:])
+        return "".join(out)
 
     def _rewrite_time_travel(self, command: str) -> str:
         """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ms`` /

@@ -2164,6 +2164,54 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
+    def detail(self) -> dict:
+        """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,
+        snapshot version, file count, total data bytes, partition
+        columns, protocol, and feature flags.  Driver-side metadata fold
+        — data files are stat'd, never opened."""
+        active, _ = self._snapshot()
+        size = 0
+        for p in active:
+            try:
+                size += os.path.getsize(
+                    os.path.normpath(os.path.join(self.path, p)))
+            except OSError:
+                pass  # cloned-in or missing file: size best-effort
+        meta = self._meta_state()
+        return {
+            "location": os.path.abspath(self.path),
+            "version": self.latest_version(),
+            "numFiles": len(active),
+            "sizeInBytes": size,
+            "partitionColumns": meta.get("partitionColumns", []),
+            "columnMappingMode": meta.get("columnMappingMode", "name"),
+            "protocol": self.protocol(),
+            "enableCdf": bool(self.enable_cdf),
+        }
+
+    def repair(self, dry_run: bool = True) -> list[str]:
+        """FSCK REPAIR TABLE: find active entries whose data file is
+        MISSING on storage (out-of-band deletion, partial restore) and —
+        unless ``dry_run`` — commit removes for them so reads stop
+        failing on ghosts.  Returns the missing table-relative paths.
+        Lossy by definition (the rows are already gone); that is why
+        dry_run is the default, exactly like Delta's FSCK."""
+        active, _ = self._snapshot()
+        missing = [
+            p for p in active
+            if not os.path.exists(
+                os.path.normpath(os.path.join(self.path, p)))
+        ]
+        if missing and not dry_run:
+            base_version = self.latest_version()
+            actions = (
+                [{"commit": {"op": "FSCK", "ts": self._next_ts(),
+                             "filesRemoved": len(missing)}}]
+                + [{"remove": {"path": p}} for p in missing]
+            )
+            self._commit_with_occ(actions, [], base_version)
+        return missing
+
     def vacuum(self, retention_seconds: float = 24 * 3600.0) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST
         snapshot AND older than ``retention_seconds`` (mtime).  The

@@ -2083,3 +2083,54 @@ def test_txn_rollback_restores_temp_view(spark, tdir):
                    "COMMIT")
     got = engine.sql("SELECT v FROM txv").collect()
     assert [r["v"] for r in got] == [10], "staged value leaked to the view"
+
+
+def test_engine_detail_fsck_restore_ts_and_table_changes(spark, tdir):
+    """The rest of the Delta SQL surface: DESCRIBE DETAIL, FSCK REPAIR
+    TABLE [DRY RUN], RESTORE … TIMESTAMP AS OF, and the
+    table_changes('t', a[, b]) CDF table-valued function."""
+    import glob as _glob
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          enable_cdf=True)
+    engine.register_txlog("dft", t)
+    t.delete_where(F.col("k") == 1)                      # v1 (cdf)
+    t.append(_df(spark, [(3, "c", 30)]))                 # v2
+
+    d = engine.sql("DESCRIBE DETAIL dft").collect()[0]
+    assert d["table_name"] == "dft" and d["version"] == 2
+    assert d["num_files"] >= 2 and d["size_in_bytes"] > 0
+
+    # table_changes over [1, 2]: the delete + the insert
+    ch = engine.sql(
+        "SELECT k, _change_type, _commit_version "
+        "FROM table_changes('dft', 1, 2) ORDER BY _commit_version, k"
+    ).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == \
+        [(1, "delete"), (3, "insert")]
+    # the quoted table name inside the call must NOT trip literal-skip
+    ch2 = engine.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('dft', 1)").collect()
+    assert ch2[0]["n"] == 2
+
+    # RESTORE ... TIMESTAMP AS OF <ms of v0's commit>
+    ts0 = t.history()[0]["ts"]
+    engine.sql(f"RESTORE TABLE dft TO TIMESTAMP AS OF {ts0}")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+    # FSCK: delete a live data file out-of-band; DRY RUN reports, the
+    # real run commits removes and reads work again
+    live, _ = t._snapshot_files()
+    os.remove(sorted(live)[0])
+    dry = engine.sql("FSCK REPAIR TABLE dft DRY RUN").collect()[0]
+    assert dry["missing_files"] >= 1 and dry["dry_run"] is True
+    fix = engine.sql("FSCK REPAIR TABLE dft").collect()[0]
+    assert fix["missing_files"] >= 1 and fix["dry_run"] is False
+    assert t.history()[-1]["op"] == "FSCK"
+    t.read().count()  # no ghost-file failure
+    assert engine.sql("FSCK REPAIR TABLE dft DRY RUN").collect()[0][
+        "missing_files"] == 0
