@@ -1685,7 +1685,16 @@ class TxLogTable:
         SIDECARS ONLY — DV row positions address table-root-relative
         data paths, so each sidecar (O(tombstones), metadata-scale) is
         re-keyed into the clone's coordinate space; the data segments
-        themselves are still never copied."""
+        themselves are still never copied.
+
+        Caveat (same as real Delta's shallow clone): the SOURCE table
+        does not know its clones exist, so a source-side VACUUM after a
+        source rewrite can collect segments a clone still references —
+        the clone then fails on ghost files.  Operationally: align the
+        source's VACUUM retention with clone lifetimes (or deep-copy);
+        forensically: ``FSCK REPAIR TABLE`` on the clone restores
+        readability by de-listing the ghosts (lossy, by definition —
+        pinned in tests)."""
         active, schema_json, dvs = self._snapshot_full(version)
         dest = TxLogTable(self.spark, dest_path,
                           checkpoint_interval=self.checkpoint_interval,

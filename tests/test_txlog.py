@@ -2134,3 +2134,24 @@ def test_engine_detail_fsck_restore_ts_and_table_changes(spark, tdir):
     t.read().count()  # no ghost-file failure
     assert engine.sql("FSCK REPAIR TABLE dft DRY RUN").collect()[0][
         "missing_files"] == 0
+
+
+def test_source_vacuum_breaks_clone_fsck_recovers(spark, tdir, tmp_path):
+    """Documented shallow-clone caveat (same as real Delta): a source
+    OPTIMIZE + VACUUM collects segments a clone still references — the
+    clone fails on ghost files, and FSCK REPAIR restores readability by
+    de-listing them (lossy, by definition)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    c = t.clone_to(str(tmp_path / "vc"))
+    t.optimize_compact()          # source de-lists the shared segments
+    t.vacuum(retention_seconds=0)  # ...and collects them
+    with pytest.raises(Exception):
+        c.read().count()
+    missing = c.repair(dry_run=True)
+    assert missing, "ghost files must be detected"
+    c.repair(dry_run=False)
+    assert c.read().count() == 0  # lossy: the referenced data is gone
+    assert c.history()[-1]["op"] == "FSCK"
+    # the repaired clone is a working table again
+    c.append(_df(spark, [(9, "z", 90)]))
+    assert sorted(r["k"] for r in c.read().collect()) == [9]
