@@ -121,8 +121,26 @@ def test_oracled_queries_emit_only_hashable_scalar_columns(spark):
         StructType,
     )
 
+    from distributed_database_for_sql_spark.plans.explain import (
+        physical_plan,
+    )
     from distributed_database_for_sql_spark.queries import registry
     from tools.check_oracle import duck_con
+
+    # Registry-wide plan audit, piggybacked on this loop's builds (each
+    # spec.fn call is the expensive part): NO CartesianProduct anywhere,
+    # and BroadcastNestedLoopJoin only where it is a DELIBERATE bounded
+    # broadcast — 1-row scalar aggregates (q11/q22/HLL exact-compare),
+    # tiny date spines (ts gap-fill/LOCF), non-equi windows over a
+    # broadcast-small side (funnel, near-dup threshold, ADC re-rank),
+    # and the explicit cross-join query.  Anything else is a new
+    # accidental O(n²) and fails the suite.
+    deliberate_bnlj = {
+        "join_cross", "q11_important_stock", "q22_global_sales_opportunity",
+        "agg_hll_sketch_mergeable", "embedding_near_dup_pairs",
+        "ts_rollup_gapfill", "ts_locf_interpolation",
+        "ts_funnel_signup_click_purchase", "ann_pq_adc_topk",
+    }
 
     sf_dir = "/root/testdata/sf0.001"
     con = duck_con(sf_dir)
@@ -132,6 +150,13 @@ def test_oracled_queries_emit_only_hashable_scalar_columns(spark):
         if spec.oracle is None:
             continue
         df = spec.fn(spark, sf_dir)
+        plan = physical_plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "<plan>", "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in deliberate_bnlj:
+            offenders.append(
+                (name, "<plan>",
+                 "BroadcastNestedLoopJoin outside the deliberate set"))
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
