@@ -2155,3 +2155,22 @@ def test_source_vacuum_breaks_clone_fsck_recovers(spark, tdir, tmp_path):
     # the repaired clone is a working table again
     c.append(_df(spark, [(9, "z", 90)]))
     assert sorted(r["k"] for r in c.read().collect()) == [9]
+
+
+def test_id_mode_merge_update_delete(spark, tdir):
+    """Copy-on-write DML on an id-mode table: MERGE/UPDATE/DELETE read
+    logical names, write physical ids, and round-trip exactly."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20),
+                                      (3, "c", 30)]),
+                          column_mapping_mode="id")
+    t.merge_upsert(_df(spark, [(2, "b", 99), (7, "z", 70)]), "k")
+    t.update_where({"v": F.col("v") + 1}, F.col("k") == 1)
+    t.delete_where(F.col("k") == 3)
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 11), (2, "b", 99), (7, "z", 70)]
+    # rename mid-life, then more DML under the new logical name
+    t.rename_column("v", "val")
+    t.update_where({"val": F.lit(0)}, F.col("k") == 7)
+    assert sorted((r["k"], r["val"]) for r in t.read().collect()) == \
+        [(1, 11), (2, 99), (7, 0)]
