@@ -158,7 +158,8 @@ _CLONE_RE = re.compile(
 # NEW ACID txlog table (Delta's CREATE TABLE ... USING DELTA AS SELECT),
 # registered under the name so later DQL/DML statements target it.
 _CTAS_TXLOG_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+USING\s+TXLOG"
+    r"^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+(?P<name>\w+)"
+    r"\s+USING\s+TXLOG"
     r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
     r"\s+AS\s+(?P<select>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL)
@@ -433,23 +434,33 @@ class Engine:
         return "".join(out)
 
     def _ctas_txlog(self, m: re.Match) -> DataFrame:
-        """CREATE TABLE name USING TXLOG [LOCATION '...'] AS SELECT:
-        evaluate the SELECT (time-travel rewrite applies), materialize
-        it as a NEW ACID txlog table, register it.  Default location is
-        a deterministic staging dir keyed to the engine's data dir (the
-        production shape would be a warehouse path).  Returns
+        """CREATE [OR REPLACE] TABLE name USING TXLOG [LOCATION '...']
+        AS SELECT: evaluate the SELECT (time-travel rewrite applies),
+        materialize it as a NEW ACID txlog table, register it.  Default
+        location is a deterministic staging dir keyed to the engine's
+        data dir (the production shape would be a warehouse path).
+        Standard CTAS semantics (ADVICE r7): an existing txlog table at
+        the location raises instead of being silently destroyed — a
+        mistyped LOCATION must not rmtree someone's data; the explicit
+        OR REPLACE clause opts into the destructive variant.  Returns
         (table_name, location, version)."""
         from .sources.txlog import TxLogTable
         from .tmpstage import staging_dir
 
         name = m.group("name")
-        if name in self.txlog_tables:
+        replace = m.group("replace") is not None
+        if name in self.txlog_tables and not replace:
             raise ValueError(f"txlog table {name!r} already registered")
+        explicit_loc = m.group("loc") is not None
         loc = m.group("loc") or staging_dir(f"engine_ctas_{name}",
                                             self.sf_dir)
         df = self.spark.sql(self._rewrite_time_travel(
             m.group("select").rstrip().rstrip(";")))
-        t = TxLogTable.create(self.spark, loc, df, overwrite=True)
+        # the default staging location is engine-owned scratch (keyed to
+        # name + data dir); only a USER-named LOCATION can hold someone
+        # else's table, so only that path gets the exists-check
+        t = TxLogTable.create(self.spark, loc, df,
+                              overwrite=replace or not explicit_loc)
         self.register_txlog(name, t)
         return self.spark.createDataFrame(
             [(name, loc, t.latest_version())],
@@ -475,14 +486,23 @@ class Engine:
         return [s for s in stmts if s]
 
     def _txn_script(self, script: str) -> DataFrame:
-        """Execute ``BEGIN; stmt; …; COMMIT`` atomically: every
+        """Execute ``BEGIN; stmt; …; COMMIT`` atomically PER TABLE: every
         registered txlog table stages its statements' actions
         (read-your-writes inside the script) and publishes them as ONE
         commit at COMMIT — one version per touched table, none for
         untouched ones.  Any statement failure rolls back every staged
         table (segments already written are unreferenced; VACUUM's age
         guard collects them).  Returns one ack row per table that
-        actually committed: (table_name, version, statements)."""
+        actually committed: (table_name, version, statements).
+
+        ATOMICITY SCOPE (ADVICE r7): each table's log is an independent
+        commit point, so a script touching SEVERAL txlog tables is
+        atomic within each table but NOT across them — exactly Delta's
+        model, where a transaction spans one table.  If an OCC conflict
+        lands mid-publish, tables already published stay committed and
+        the rest roll back; the raised error names both sets so the
+        caller can compensate, instead of the partial commit passing
+        silently."""
         stmts = self._split_statements(script)
         if not stmts or not re.fullmatch(r"BEGIN", stmts[0], re.IGNORECASE):
             raise ValueError("transaction script must start with BEGIN;")
@@ -508,7 +528,22 @@ class Engine:
                         begun.append((name, t))
             for name, t in begun:
                 n = t.staged_statement_count()
-                version = t.commit_transaction()
+                try:
+                    version = t.commit_transaction()
+                except Exception as e:
+                    # cross-table publish is not atomic (per-table logs):
+                    # report exactly which tables committed and which
+                    # will roll back, so the partial state is loud
+                    committed = [a[0] for a in acks]
+                    pending = [nm for nm, tt in begun
+                               if nm != name and tt.staged_statement_count()]
+                    raise RuntimeError(
+                        f"transaction publish failed on table {name!r}: "
+                        f"{e}; tables already committed (NOT rolled "
+                        f"back): {committed or 'none'}; tables rolled "
+                        f"back: {[name] + pending}; transactions span "
+                        "one txlog table — compensate the committed "
+                        "tables manually (e.g. RESTORE)") from e
                 if n:
                     acks.append((name, version, n))
                     t.read().createOrReplaceTempView(name)

@@ -118,82 +118,76 @@ def register(name: str, oracle: str | None = None,
 # ships.  Never park an unverified query outside the window.
 # ---------------------------------------------------------------------------
 
-#   r7 window (below): the drain round the r6 verdict asked for — new
-#       surface frozen except the three judge-mandated queries, and the
-#       other 47 slots all go to the stalest certifications.  Positions
-#       1-3: new in r7 (sql_txn_batch — BEGIN/COMMIT atomic batching;
-#       sample_seeded_det / sample_stratified_det — hash-threshold
-#       oracled twins of the RNG samples, VERDICT items 5-6).  Positions
-#       4-30: ALL 27 remaining r1-certified queries (q19-q22, the
-#       join/set/relational/filter core, agg rollup/cube/count-distinct,
-#       dedup-by-key).  Positions 31-50: the 20 riskiest r2-certified
-#       queries (full subquery family, full window family, 5 streaming,
-#       3 UDF, the SQL entry point, simhash-hamming, sessionize) —
-#       preferring families the r6 judge's independent spot-check did
-#       NOT already cover (it re-verified sql_cte_window,
-#       stream_session_window, embedding_near_dup_pairs,
-#       dedup_connected_components, profile_corpus_stats — those and the
-#       remaining 15 r2 text/ts/dedup/ann rows are the r8 drain,
-#       20 r2-stale left after this window).  Code changed this round
-#       (LogStore, clone-of-partitioned/DV, bloom canonicalization,
-#       stream-reader column mapping, txn staging) keeps every touched
-#       query's OUTPUT identical; all 25 touched queries re-verified
-#       locally via tools/check_oracle.py before landing.
+#   r8 window (below): finish the staleness drain — after this window
+#       certifies, NO query's latest driver green predates r3, and the
+#       only ≤r3 ones left are the freshest r3 family reruns that did
+#       not fit (none: all 20 remaining r2-stale AND all 28 r3-stale
+#       queries fit in 48 slots).  Positions 1-2: new in r8
+#       (delta_cdf_after_rename — CDF correctness across RENAME COLUMN,
+#       the ADVICE r7 high fix, certified the round it ships).
+#       Positions 3-22: the full remaining r2-stale block (text family
+#       ×7, ts ×3, r2 dedup ×4, ann_partition_pruned_topk,
+#       embedding_near_dup_pairs, dedup_connected_components,
+#       pipeline_training_data_curation, profile_corpus_stats,
+#       sql_cte_window, stream_session_window).  Positions 23-50: every
+#       r3-certified query (agg percentiles/pivot/argmax/global, fn
+#       suites, multimodal ×4, sources round-trips ×4, curation
+#       pack/split/quality/pii/tfidf/repetition, stream interval join,
+#       token histogram, dedup_rate_by_source).
 
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r7 (policy: new queries certify the round they ship) --------
-    "sql_txn_batch",            # BEGIN/COMMIT -> ONE atomic txlog commit
-    "sample_seeded_det",        # hash-threshold Bernoulli (kept set oracled)
-    "sample_stratified_det",    # per-stratum hash thresholds (oracled)
-    # -- stale drain I: every remaining r1-certified query ------------------
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q21_waiting_orders",
-    "q22_global_sales_opportunity",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer_nulls",
-    "join_salted_skew",
-    "join_self_pairs",
-    "join_semi",
-    "join_theta_range",
-    "set_except",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "set_union_all",
-    "distinct_values",
-    "filter_compound_predicates",
-    "filter_like_patterns",
-    "null_handling",
-    "proj_computed_columns",
-    "sort_multi_key_limit",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_rollup",
-    "dedup_keep_first_by_key",
-    # -- stale drain II: the 20 riskiest r2-certified queries ---------------
-    "subq_correlated_exists",
-    "subq_correlated_scalar",
-    "subq_in_nation_region",
-    "subq_scalar_above_avg",
-    "window_ranking",
-    "window_lag_lead",
-    "window_first_last",
-    "window_range_frame",
-    "window_running_frames",
-    "stream_sliding_window",
-    "stream_stateful_dedup",
-    "stream_stateful_user_agg",
-    "stream_static_join",
-    "stream_stream_join",
-    "udf_grouped_agg",
-    "udf_grouped_map_zscore",
-    "udtf_tokenize_positions",
-    "sql_entry_revenue_by_nation",
-    "dedup_simhash_hamming",
-    "ts_sessionize_batch",
+    # -- new in r8 (policy: new queries certify the round they ship) --------
+    "delta_cdf_after_rename",   # CDF across RENAME COLUMN (ADVICE r7 high)
+    # -- stale drain III: every remaining r2-certified query ----------------
+    "ann_partition_pruned_topk",
+    "dedup_connected_components",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_simhash",
+    "embedding_near_dup_pairs",
+    "pipeline_training_data_curation",
+    "profile_corpus_stats",
+    "sql_cte_window",
+    "stream_session_window",
+    "text_bigram_topk_per_lang",
+    "text_fingerprint",
+    "text_langid_heuristic",
+    "text_langid_ngram_profile",
+    "text_token_count_bpe",
+    "text_token_stats",
+    "text_word_freq_topk",
+    "ts_funnel_signup_click_purchase",
+    "ts_locf_interpolation",
+    "ts_rollup_gapfill",
+    # -- stale drain IV: every r3-certified query ---------------------------
+    "agg_approx_percentile",
+    "agg_argmax_struct",
+    "agg_global_stats",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_unpivot",
+    "dedup_rate_by_source",
+    "fn_array_hof_suite",
+    "fn_conditional_suite",
+    "fn_json_suite",
+    "fn_map_suite",
+    "multimodal_frame_sample",
+    "multimodal_image_meta_udf",
+    "multimodal_payload_meta",
+    "multimodal_resize",
+    "pack_sequences_chunked",
+    "quality_quantile_filter",
+    "sink_partitioned_pruned_scan",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_quota_sampling",
+    "source_text_roundtrip",
+    "split_train_val_test",
+    "stream_interval_static_join",
+    "text_pii_redact",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "token_length_histogram",
 )
 
 

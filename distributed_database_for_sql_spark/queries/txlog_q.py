@@ -1549,3 +1549,92 @@ def sql_txn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_op", F.lit(hist[-1]["op"]))
         .withColumn("txn_statements",
                     F.lit(int(hist[-1].get("statements", 0))).cast("int")))
+
+
+@register(
+    "delta_cdf_after_rename",
+    # The oracle reconstructs every change class across the rename: a
+    # hash match proves the per-version column-mapping translation — CDF
+    # sidecars store logical-AS-OF-WRITE names ('cents' at v1,
+    # 'cents_adj' at v3) while the v4 append's segments store the stable
+    # physical name; serving them all under one schema with values (not
+    # silent NULLs) is exactly the ADVICE r7 high fix.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+    ), app AS (
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 520
+    ), changes AS (
+      SELECT 'insert' AS change_type, 0 AS commit_version,
+             o_orderkey, cents FROM base
+      UNION ALL
+      SELECT 'update_preimage', 1, o_orderkey, cents
+      FROM base WHERE o_orderkey <= 200
+      UNION ALL
+      SELECT 'update_postimage', 1, o_orderkey, cents + 7
+      FROM base WHERE o_orderkey <= 200
+      UNION ALL
+      SELECT 'update_preimage', 3, o_orderkey,
+             CASE WHEN o_orderkey <= 200 THEN cents + 7 ELSE cents END
+      FROM base WHERE o_orderkey > 150 AND o_orderkey <= 400
+      UNION ALL
+      SELECT 'update_postimage', 3, o_orderkey,
+             CASE WHEN o_orderkey <= 200 THEN cents + 7 ELSE cents END + 11
+      FROM base WHERE o_orderkey > 150 AND o_orderkey <= 400
+      UNION ALL
+      SELECT 'insert', 4, o_orderkey, cents FROM app
+    )
+    SELECT change_type, commit_version,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM changes
+    GROUP BY change_type, commit_version
+    ORDER BY change_type, commit_version
+    """,
+    tags=("acid", "delta", "cdf", "column-mapping", "rename"),
+)
+def delta_cdf_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed across RENAME COLUMN (ADVICE r7, high): updates
+    before AND after a metadata-only rename, plus a post-rename append,
+    then one ``read_changes`` over the whole history.  CDF sidecars are
+    written under the logical schema of their commit ('cents' at v1,
+    'cents_adj' at v3) while data segments keep the immutable physical
+    name — the reader translates each commit's rows through the mapping
+    AS OF that version, so the feed serves one coherent current-name
+    schema with no silent NULLs and no widened union.  The second
+    update's range overlaps the first (150 < k <= 400 vs k <= 200), so
+    preimage values at v3 prove v1's effect composed through the
+    rename."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    extra = (orders
+             .filter((F.col("o_orderkey") > 500)
+                     & (F.col("o_orderkey") <= 520))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("cents_adj")))
+    t = TxLogTable.create(spark, _table_dir("cdfren", sf_dir), base,
+                          overwrite=True, enable_cdf=True)
+    t.update_where({"cents": F.col("cents") + 7},
+                   F.col("o_orderkey") <= 200)                       # v1
+    t.rename_column("cents", "cents_adj")                            # v2
+    t.update_where({"cents_adj": F.col("cents_adj") + 11},
+                   (F.col("o_orderkey") > 150)
+                   & (F.col("o_orderkey") <= 400))                   # v3
+    t.append(extra)                                                  # v4
+    return (
+        t.read_changes(0, 4)
+        .groupBy(F.col("_change_type").alias("change_type"),
+                 F.col("_commit_version").alias("commit_version"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents_adj").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .orderBy("change_type", "commit_version")
+    )

@@ -169,6 +169,15 @@ def _file_stats(abs_path: str) -> dict | None:
 
 _BLOOM_BITS_PER_ROW = 10  # ~1% false-positive rate with k=3 hashes
 _BLOOM_HASHES = 3
+#: Persisted bloom format version.  v2 = _bloom_canon hashing (type-
+#: insensitive canonical forms).  Blooms persisted WITHOUT a version
+#: marker were built by the pre-canonicalization code (repr-based
+#: hashing): their bits do not line up with today's hash function, so a
+#: negative probe against one proves nothing — _file_may_match must
+#: ignore them (degrade to range-check-only) instead of treating the
+#: stale negative as proof of absence and silently pruning files that
+#: contain matching rows (ADVICE r7).
+_BLOOM_FORMAT_VERSION = 2
 
 
 def _bloom_canon(value) -> str:
@@ -218,7 +227,9 @@ def _bloom_hash_indices(value, m: int) -> list[int]:
 
 def _build_bloom(values, n_rows: int) -> dict:
     """Per-file Bloom filter over a column's non-null values →
-    {"m": bits, "b": hex bitset}.  Sized at ~10 bits/row (≈1% FPR)."""
+    {"v": format, "m": bits, "b": hex bitset}.  Sized at ~10 bits/row
+    (≈1% FPR).  The "v" marker versions the HASH FUNCTION — see
+    _BLOOM_FORMAT_VERSION."""
     m = max(64, n_rows * _BLOOM_BITS_PER_ROW)
     bits = bytearray((m + 7) // 8)
     for v in values:
@@ -226,7 +237,7 @@ def _build_bloom(values, n_rows: int) -> dict:
             continue
         for idx in _bloom_hash_indices(v, m):
             bits[idx // 8] |= 1 << (idx % 8)
-    return {"m": m, "b": bytes(bits).hex()}
+    return {"v": _BLOOM_FORMAT_VERSION, "m": m, "b": bytes(bits).hex()}
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
@@ -254,9 +265,14 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
         # Bloom index (Delta's bloom filter index): decisive for point
         # lookups even when every file's min/max range overlaps the key
         # (hash-distributed layouts).  A negative is PROOF of absence;
-        # a positive falls through to the range check.
+        # a positive falls through to the range check.  A bloom persisted
+        # under an OLDER hash-function version proves nothing (its bits
+        # were set by a different hash) — ignore it so pre-existing
+        # tables degrade to range-check-only instead of losing rows.
         bloom = stats.get("bloom", {}).get(col)
-        if bloom is not None and not _bloom_may_contain(bloom, value):
+        if (bloom is not None
+                and bloom.get("v") == _BLOOM_FORMAT_VERSION
+                and not _bloom_may_contain(bloom, value)):
             return False
     lo = stats.get("minValues", {}).get(col)
     hi = stats.get("maxValues", {}).get(col)
@@ -860,6 +876,16 @@ class TxLogTable:
             raise ValueError(f"column already exists: {new!r}")
         self._check_column_dependencies(old, "rename")
         mapping = dict(self._column_mapping())
+        # refuse renaming INTO a name that is the physical name of a
+        # DIFFERENT renamed column or of a dropped column (r8): writes
+        # translate logical->physical per column, and two logical
+        # columns sharing a parquet column name corrupt both
+        others_phys = {p for l, p in mapping.items() if l != old and p != l}
+        if new in others_phys or new in set(self._retired_physical()):
+            raise ValueError(
+                f"cannot rename to {new!r}: the name is in use as the "
+                "physical column name of a renamed or dropped column in "
+                "existing segments; pick a different name")
         phys = mapping.pop(old, old)
         mapping[new] = phys
         fields = [T.StructField(new, f.dataType, f.nullable)
@@ -1233,6 +1259,21 @@ class TxLogTable:
                 "segments still carry physical data under those names "
                 "and would silently resurrect stale values; use a "
                 "different column name")
+        # a RENAME vacates its old LOGICAL name but the physical name
+        # stays in use by the renamed column: a new column reusing it
+        # would write under the same physical name and the renamed
+        # column's reads would silently serve the new column's values
+        # from new segments (r8; same corruption class as the retired-
+        # name clash above — id mode is immune by construction)
+        mapping = self._column_mapping()
+        in_use_phys = {phys for log, phys in mapping.items() if phys != log}
+        clash = sorted({f.name for f in new} & in_use_phys)
+        if clash:
+            raise ValueError(
+                f"cannot introduce column(s) {clash}: the name(s) are in "
+                "use as the PHYSICAL name of a renamed column — existing "
+                "segments already carry that column's data under them; "
+                "use a different column name")
         merged = T.StructType(
             list(cur.fields)
             + [T.StructField(f.name, f.dataType, True) for f in new])
@@ -1305,6 +1346,10 @@ class TxLogTable:
             return self.latest_version()  # replayed batch: already applied
         df = self._apply_generated(df)
         self._validate_constraints(df)
+        # evolution guard BEFORE the segment write: a refused column
+        # (retired / vacated-physical clash) must fail loudly here, not
+        # crash mid-write on a duplicate physical name
+        evolution = self._schema_evolution_action(df)
         rel = self._write_segments(df)
         txn_actions = ([] if txn_app_id is None else
                        [{"txn": {"appId": txn_app_id,
@@ -1312,7 +1357,7 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "APPEND", "ts": self._next_ts()}}]
             + txn_actions
-            + self._schema_evolution_action(df)
+            + evolution
             + self._add_actions(rel)
         )
         if self._staged is not None:
@@ -1425,6 +1470,17 @@ class TxLogTable:
             # ranges exactly like a standalone MERGE's keyRange
             commit["keyRanges"] = list(ranges.values())
         actions = [{"commit": commit}] + tail
+        # OCC checks only files that existed at BEGIN: a segment the
+        # transaction itself staged and later rewrote (UPDATE adds Y,
+        # DELETE removes Y) never reaches disk, so leaving it in the
+        # removed list would make the 'gone' check read its absence as a
+        # rival's removal and raise a spurious conflict on any commuting
+        # concurrent commit (ADVICE r7).
+        begin_active = self._snapshot_files(base)[0] if base >= 0 else []
+        begin_rel = {
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in begin_active}
+        removed = [p for p in removed if p in begin_rel]
         return self._commit_with_occ(actions, removed, base,
                                      list(ranges.values()) or None)
 
@@ -2297,15 +2353,39 @@ class TxLogTable:
         asking for one that ran with ``enable_cdf=False`` raises (the
         preimages are unrecoverable — exactly Delta's behavior when CDF
         was off).  Incremental consumers (downstream training-data
-        refresh at 100 TB) read only the delta, never rescan the table."""
+        refresh at 100 TB) read only the delta, never rescan the table.
+
+        Every frame is served under the LOGICAL schema at ``end``
+        (ADVICE r7): data segments store stable PHYSICAL column names,
+        while CDF sidecars store the logical names AS OF the commit that
+        wrote them — after RENAME COLUMN the two differ, and without the
+        per-version translation the union would silently widen the
+        schema and NULL the renamed column."""
         latest = self.latest_version()
         end = latest if end_version is None else end_version
         if end > latest or start_version < 0 or start_version > end:
             raise ValueError(
                 f"change range [{start_version}, {end}] out of bounds "
                 f"[0, {latest}]")
-        def txn_step_frames(actions: list[dict],
-                            v: int) -> list[DataFrame]:
+        end_map = self._column_mapping(end)
+        add_renames = {p: c for c, p in end_map.items() if p != c}
+
+        def adds_to_logical(df: DataFrame) -> DataFrame:
+            """Physical (segment) names -> logical-at-end names."""
+            ren = {p: c for p, c in add_renames.items() if p in df.columns}
+            return df.withColumnsRenamed(ren) if ren else df
+
+        def cdf_to_logical(df: DataFrame, at_v_map: dict) -> DataFrame:
+            """Logical-as-of-v (sidecar) names -> logical-at-end names."""
+            inv = {p: l for l, p in at_v_map.items()}
+            ren = {}
+            for c, p in end_map.items():
+                lv = inv.get(p, p)
+                if lv != c and lv in df.columns:
+                    ren[lv] = c
+            return df.withColumnsRenamed(ren) if ren else df
+        def txn_step_frames(actions: list[dict], v: int,
+                            at_v_map: dict) -> list[DataFrame]:
             """Per-statement change frames of a TXN commit: the flattened
             actions are grouped by their txnStep marker, so each
             statement serves its OWN cdf (rewrites) or synthesizes
@@ -2329,16 +2409,16 @@ class TxLogTable:
             frames: list[DataFrame] = []
             for g in groups:
                 if g["cdf"]:
-                    frames.append(
+                    frames.append(cdf_to_logical(
                         self.spark.read.option("mergeSchema", "true")
                         .parquet(*[os.path.join(self.path, p)
-                                   for p in g["cdf"]]))
+                                   for p in g["cdf"]]), at_v_map))
                 elif g["op"] in ("CREATE", "APPEND", "CONVERT"):
                     if g["adds"]:
-                        frames.append(
+                        frames.append(adds_to_logical(
                             self.spark.read.option("mergeSchema", "true")
                             .parquet(*[os.path.join(self.path, p)
-                                       for p in g["adds"]])
+                                       for p in g["adds"]]))
                             .withColumn("_change_type", F.lit("insert")))
                 elif g["op"] in ("OPTIMIZE", "ADD CONSTRAINT",
                                  "DROP CONSTRAINT", "RENAME COLUMN",
@@ -2353,28 +2433,40 @@ class TxLogTable:
             return frames
 
         parts: list[DataFrame] = []
+        at_v_map = self._column_mapping(start_version)
         for v in range(start_version, end + 1):
             actions = self._read_commit(v)
+            # a commit's own metaData applies to its own change rows
+            # (id-mode schema evolution writes new logical names in the
+            # same commit that introduces their mapping entries)
+            for a in actions:
+                md = a.get("metaData")
+                if md and "columnMapping" in md:
+                    at_v_map = md["columnMapping"]
             op = next((a["commit"]["op"] for a in actions if "commit" in a),
                       None)
             if op == "TXN":
                 parts.extend(
                     df.withColumn("_commit_version", F.lit(v).cast("int"))
-                    for df in txn_step_frames(actions, v))
+                    for df in txn_step_frames(actions, v, at_v_map))
                 continue
             cdf = [a["cdf"]["path"] for a in actions if "cdf" in a]
             if cdf:
-                df = (self.spark.read.option("mergeSchema", "true")
-                      .parquet(*[os.path.join(self.path, p) for p in cdf]))
+                df = cdf_to_logical(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, p) for p in cdf]),
+                    at_v_map)
             elif op in ("CREATE", "APPEND"):
                 adds = [a["add"]["path"] for a in actions if "add" in a]
                 if not adds:
                     continue
-                df = (self.spark.read.option("mergeSchema", "true")
-                      .parquet(*[os.path.join(self.path, p) for p in adds])
-                      .withColumn("_change_type", F.lit("insert")))
-            elif op == "OPTIMIZE":
-                continue
+                df = (adds_to_logical(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, p) for p in adds]))
+                    .withColumn("_change_type", F.lit("insert")))
+            elif op in ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT",
+                        "RENAME COLUMN", "DROP COLUMN", "CLONE"):
+                continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(
                     f"commit {v} ({op}) carries no change data — it ran "

@@ -66,18 +66,57 @@ _NO_ROW_OPS = ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT",
                "RENAME COLUMN", "DROP COLUMN", "CLONE")
 
 
-def _column_mapping(table_path: str, up_to: int) -> dict:
-    """Latest {logical name: physical parquet column} mapping in commits
-    [0, up_to].  Physical names never change once written (the name-based
-    scheme keeps a column's creation name as its physical name forever),
-    so the latest mapping correctly resolves every segment regardless of
-    which version wrote it."""
-    mapping: dict = {}
+def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:
+    """Column-mapping HISTORY over commits [0, up_to]: a list of
+    (version, {logical: physical}) entries, one per commit that changed
+    the mapping, seeded with the identity mapping at version -1.
+
+    Two kinds of files need two different resolutions (ADVICE r7 — the
+    single latest-mapping lookup silently NULLed renamed columns in CDF
+    rows): DATA segments store PHYSICAL column names, which never change
+    once written, so the latest mapping resolves them regardless of
+    writing version; CDF sidecars are written from LOGICAL-named frames
+    (txlog.py _write_change_data runs after the physical->logical
+    rename), so their keys are the logical names AS OF the commit that
+    wrote them — resolving those needs the mapping at that version."""
+    timeline: list[tuple[int, dict]] = [(-1, {})]
     for v in range(up_to + 1):
         for action in _read_commit(table_path, v):
             if "metaData" in action and "columnMapping" in action["metaData"]:
-                mapping = action["metaData"]["columnMapping"]
-    return mapping
+                timeline.append((v, action["metaData"]["columnMapping"]))
+    return timeline
+
+
+def _field_keys(timeline: list[tuple[int, dict]], data_fields: list[str],
+                v: int) -> dict[str, tuple[str, ...]]:
+    """Per served logical field, the parquet keys to probe (in order) for
+    a row from commit ``v``: the logical name AS OF v (CDF sidecar rows),
+    the stable physical name (data-segment rows), and the served name
+    itself (identity fallback).  The first key present in the row dict
+    wins — a parquet file carries either all-physical or all-logical-at-v
+    names, never a mix, so the probe order cannot mis-bind."""
+    latest = timeline[-1][1]
+    at_v: dict = {}
+    for ver, mp in timeline:
+        if ver <= v:
+            at_v = mp
+    inv_at_v = {p: l for l, p in at_v.items()}
+    out: dict[str, tuple[str, ...]] = {}
+    for c in data_fields:
+        p = latest.get(c, c)
+        keys = []
+        for k in (inv_at_v.get(p, p), p, c):
+            if k not in keys:
+                keys.append(k)
+        out[c] = tuple(keys)
+    return out
+
+
+def _pick(r: dict, keys: tuple[str, ...]):
+    for k in keys:
+        if k in r:
+            return r[k]
+    return None
 
 
 def _table_schema(table_path: str) -> T.StructType:
@@ -173,7 +212,7 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, a: int, b: int):
         out = []
-        mapping = _column_mapping(self.path, b)
+        timeline = _mapping_timeline(self.path, b)
         for v in range(a, b + 1):
             actions = _read_commit(self.path, v)
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
@@ -194,9 +233,12 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"commit {v} ({op}) carries no change data — the "
                     "table must run with enable_cdf=True to be streamed")
+            # CDF sidecar rows carry logical-as-of-v names, data-segment
+            # rows physical names (ADVICE r7): probe both per field.
+            keys = _field_keys(timeline, self.data_fields, v)
             for r in recs:
                 out.append(tuple(
-                    [r.get(mapping.get(c, c)) for c in self.data_fields]
+                    [_pick(r, keys[c]) for c in self.data_fields]
                     + [r["_change_type"], v]))
         return out
 
@@ -281,7 +323,7 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, a: int, b: int):
         out = []
-        mapping = _column_mapping(self.path, b)
+        timeline = _mapping_timeline(self.path, b)
         for v in range(a, b + 1):
             actions = _read_commit(self.path, v)
             op = next((x["commit"]["op"] for x in actions if "commit" in x),
@@ -321,13 +363,13 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
                     "append-only table stream cannot represent it — "
                     "use the CDF source (format 'txlogcdf') or set "
                     "skipChangeCommits to ignore rewrites")
+            # appends store PHYSICAL column names; serve them under the
+            # logical schema (ADVICE r6/r7 — probe logical-as-of-v too so
+            # any future logical-named source composes the same way)
+            keys = _field_keys(timeline, self.data_fields, v)
             for r in recs:
-                # post-rename appends store PHYSICAL column names; serve
-                # them under the logical schema (ADVICE r6: r.get(c) on a
-                # renamed column streamed silent NULLs)
                 out.append(tuple(
-                    [r.get(mapping.get(c, c)) for c in self.data_fields]
-                    + [v]))
+                    [_pick(r, keys[c]) for c in self.data_fields] + [v]))
         return out
 
 

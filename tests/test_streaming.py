@@ -421,3 +421,46 @@ def test_table_stream_txn_commits(spark, tmp_path):
     reader2 = ds2.simpleStreamReader(ds2.schema())
     rows = sorted(reader2.readBetweenOffsets({"version": 0}, {"version": 3}))
     assert rows == [(1, 10, 0), (2, 20, 1), (3, 30, 1), (4, 40, 2)]
+
+
+def test_cdf_stream_across_rename(spark, tmp_path):
+    """ADVICE r7 (high): CDF sidecars are written from LOGICAL-named
+    frames, so after RENAME COLUMN their rows carry the new logical name
+    — the stream reader's latest-mapping lookup turned those into silent
+    NULLs.  Per-version mapping must serve values for commits before,
+    between, and after renames."""
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogChangesDataSource)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "cdfren"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        enable_cdf=True)
+    t.update_where({"v": F.lit(99)}, F.col("k") == 1)    # v1: cdf 'v'
+    t.rename_column("v", "val")                          # v2: metadata
+    t.update_where({"val": F.lit(77)}, F.col("k") == 2)  # v3: cdf 'val'
+    t.append(spark.createDataFrame([(3, 30)],
+                                   "k long, val long"))  # v4: physical 'v'
+    t.rename_column("val", "value")                      # v5: metadata
+    t.update_where({"value": F.lit(55)}, F.col("k") == 3)  # v6: cdf 'value'
+
+    ds = TxLogChangesDataSource({"path": t.path})
+    assert [f.name for f in ds.schema().fields] == \
+        ["k", "value", "_change_type", "_commit_version"]
+    reader = ds.simpleStreamReader(ds.schema())
+    rows, end = reader.read({"version": 0})
+    rows = list(rows)
+    assert end == {"version": 7}
+    assert all(r[1] is not None for r in rows), \
+        f"renamed column streamed NULLs: {rows}"
+    by = {(r[0], r[3], r[2]): r[1] for r in rows}
+    assert by[(1, 1, "update_postimage")] == 99   # cdf written as 'v'
+    assert by[(2, 3, "update_postimage")] == 77   # cdf written as 'val'
+    assert by[(3, 4, "insert")] == 30             # segment, physical 'v'
+    assert by[(3, 6, "update_postimage")] == 55   # cdf written as 'value'
+    # replay determinism across the same offsets (failure recovery path)
+    replay = list(reader.readBetweenOffsets({"version": 0}, {"version": 7}))
+    assert sorted(replay) == sorted(rows)

@@ -2174,3 +2174,214 @@ def test_id_mode_merge_update_delete(spark, tdir):
     t.update_where({"val": F.lit(0)}, F.col("k") == 7)
     assert sorted((r["k"], r["val"]) for r in t.read().collect()) == \
         [(1, 11), (2, 99), (7, 0)]
+
+
+# -- ADVICE r7: CDF across RENAME COLUMN (batch) -----------------------------
+
+def test_read_changes_across_rename(spark, tdir):
+    """CDF sidecars store logical-AS-OF-WRITE column names while data
+    segments store physical names; after RENAME COLUMN the batch change
+    feed must serve every commit under the CURRENT logical schema —
+    before the r8 fix the union silently widened the schema and NULLed
+    the renamed column (ADVICE r7, high)."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          enable_cdf=True)
+    t.update_where({"v": F.lit(99)}, F.col("k") == 1)       # v1: cdf 'v'
+    t.rename_column("v", "val")                             # v2: metadata
+    t.update_where({"val": F.lit(77)}, F.col("k") == 2)     # v3: cdf 'val'
+    t.append(_df(spark, [(3, "c", 30)]).withColumnRenamed(
+        "v", "val"))                                        # v4: physical 'v'
+    ch = t.read_changes(0, 4)
+    assert set(ch.columns) == {"k", "grp", "val", "_change_type",
+                               "_commit_version"}, \
+        "changes must serve ONE schema (current logical names)"
+    got = sorted((r["k"], r["val"], r["_change_type"], r["_commit_version"])
+                 for r in ch.collect())
+    assert (1, 10, "update_preimage", 1) in got
+    assert (1, 99, "update_postimage", 1) in got
+    assert (2, 20, "update_preimage", 3) in got
+    assert (2, 77, "update_postimage", 3) in got
+    assert (3, 30, "insert", 4) in got
+    assert all(v is not None for _, v, _ct, _cv in got), \
+        "no silent NULLs in the renamed column"
+    # double-rename chain: a cdf row written between two renames carries
+    # the MIDDLE logical name; per-version mapping still resolves it
+    t.rename_column("val", "value")                         # v5
+    t.update_where({"value": F.lit(55)}, F.col("k") == 3)   # v6: cdf 'value'
+    ch2 = t.read_changes(1, 6)
+    assert set(ch2.columns) == {"k", "grp", "value", "_change_type",
+                                "_commit_version"}
+    vals = {(r["k"], r["_commit_version"], r["_change_type"]): r["value"]
+            for r in ch2.collect()}
+    assert vals[(2, 3, "update_postimage")] == 77   # written as 'val'
+    assert vals[(3, 6, "update_postimage")] == 55   # written as 'value'
+    assert vals[(1, 1, "update_postimage")] == 99   # written as 'v'
+
+
+# -- ADVICE r7: unversioned blooms prove nothing -----------------------------
+
+def test_unversioned_bloom_is_not_trusted(spark, tdir):
+    """Blooms persisted by the pre-canonicalization code (no "v" marker)
+    hash with a different function: a negative probe against one is
+    near-certain on any real key and must NOT prune the file — old
+    tables degrade to range-check-only instead of losing rows."""
+    from distributed_database_for_sql_spark.sources.txlog import (
+        _BLOOM_FORMAT_VERSION, _build_bloom, _file_may_match)
+
+    bloom = _build_bloom([5, 17, 940], 3)
+    assert bloom["v"] == _BLOOM_FORMAT_VERSION
+    stats = {"minValues": {"k": 1}, "maxValues": {"k": 1000},
+             "nullCount": {}, "numRecords": 3, "bloom": {"k": bloom}}
+    # versioned bloom: decisive negative
+    assert not _file_may_match(stats, "k", "=", 6)
+    # strip the marker (simulating an old persisted bloom): the SAME
+    # negative is no longer proof — the file must be kept
+    legacy = {k: v for k, v in bloom.items() if k != "v"}
+    stats_legacy = dict(stats, bloom={"k": legacy})
+    assert _file_may_match(stats_legacy, "k", "=", 6), \
+        "unversioned bloom negative must not prune"
+    # a future format bump is equally untrusted by this reader
+    stats_future = dict(stats, bloom={"k": dict(bloom, v=99)})
+    assert _file_may_match(stats_future, "k", "=", 6)
+    # range check still prunes out-of-range keys without the bloom
+    assert not _file_may_match(stats_legacy, "k", "=", 5000)
+
+
+# -- ADVICE r7: self-staged segments don't trip OCC --------------------------
+
+def test_txn_self_staged_rewrite_commutes_with_concurrent_append(
+        spark, tdir):
+    """A transaction that stages a segment and then rewrites it (UPDATE
+    adds Y, DELETE removes Y) must not report Y to the OCC 'gone' check:
+    Y never reached the disk snapshot, so a commuting concurrent commit
+    made its absence look like a rival's removal and raised a spurious
+    conflict (ADVICE r7, low)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.begin_transaction()
+    t.update_where({"v": F.col("v") + 1}, F.col("k") == 1)  # stages adds Y
+    t.delete_where(F.col("k") == 2)                # rewrites Y, stages rm(Y)
+    # an unrelated writer lands BETWEEN begin and commit
+    rival = TxLogTable(spark, tdir)
+    rival.append(_df(spark, [(9, "z", 90)]))
+    v = t.commit_transaction()                     # must commute, not raise
+    assert t.history()[-1]["op"] == "TXN" and v == 2
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 11), (9, 90)]
+
+    # the check still catches a REAL conflict: rival removes a begin-
+    # snapshot file the transaction also rewrote
+    t2 = TxLogTable(spark, tdir)
+    t2.begin_transaction()
+    t2.update_where({"v": F.lit(0)}, F.col("k") == 9)
+    rival2 = TxLogTable(spark, tdir)
+    rival2.delete_where(F.col("k") == 9)
+    with pytest.raises(RuntimeError, match="conflict"):
+        t2.commit_transaction()
+
+
+# -- ADVICE r7: CTAS must not destroy an existing table ----------------------
+
+def test_ctas_refuses_existing_location_unless_or_replace(spark, tmp_path):
+    """CREATE TABLE ... USING TXLOG LOCATION over an existing txlog
+    table raises (standard CTAS semantics — a mistyped LOCATION must not
+    rmtree someone's data); CREATE OR REPLACE is the explicit
+    destructive variant."""
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    loc = str(tmp_path / "precious")
+    TxLogTable.create(spark, loc, _df(spark, [(1, "a", 10)]))
+    with pytest.raises(FileExistsError):
+        engine.sql(f"CREATE TABLE newt USING TXLOG LOCATION '{loc}' AS "
+                   "SELECT 1 AS x")
+    # the existing table is untouched
+    assert TxLogTable(spark, loc).read().count() == 1
+    engine.sql(f"CREATE OR REPLACE TABLE newt USING TXLOG LOCATION "
+               f"'{loc}' AS SELECT 1 AS x")
+    assert [r["x"] for r in spark.sql("SELECT * FROM newt").collect()] == [1]
+
+
+# -- ADVICE r7: cross-table partial commit is loud ---------------------------
+
+def test_txn_script_partial_commit_names_committed_and_rolled_back(
+        spark, tmp_path):
+    """A BEGIN/COMMIT script touching several txlog tables is atomic per
+    table, not across tables (per-table logs — Delta's model).  When a
+    publish fails mid-loop the error must name which tables committed
+    and which rolled back instead of failing silently-partially."""
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    ta = TxLogTable.create(spark, str(tmp_path / "ta"),
+                           _df(spark, [(1, "a", 10)]))
+    tb = TxLogTable.create(spark, str(tmp_path / "tb"),
+                           _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("tbl_a", ta)
+    engine.register_txlog("tbl_b", tb)
+
+    real = tb.commit_transaction
+
+    def boom():
+        raise RuntimeError("injected publish failure")
+
+    tb.commit_transaction = boom
+    try:
+        with pytest.raises(RuntimeError) as ei:
+            engine.sql("BEGIN; "
+                       "UPDATE tbl_a SET v = v + 1; "
+                       "UPDATE tbl_b SET v = v + 5; "
+                       "COMMIT")
+    finally:
+        tb.commit_transaction = real
+    msg = str(ei.value)
+    assert "tbl_a" in msg and "tbl_b" in msg
+    assert "committed" in msg and "rolled back" in msg
+    # table A committed (per-table atomicity), table B rolled back
+    assert [r["v"] for r in ta.read().collect()] == [11]
+    assert [r["v"] for r in tb.read().collect()] == [10]
+    # and B's staged txn was discarded — it accepts new work
+    tb.append(_df(spark, [(2, "b", 20)]))
+    assert tb.read().count() == 2
+
+
+# -- r8: vacated physical names cannot be reused (name mode) -----------------
+
+def test_vacated_physical_name_cannot_be_reused(spark, tdir):
+    """After RENAME v->val the physical parquet name 'v' is still in use
+    by 'val': re-introducing a LOGICAL column named 'v' (via schema
+    evolution or a second rename) would make two logical columns share
+    one physical name — reads of 'val' would silently serve the new
+    column's values from new segments.  Name mode must refuse; id mode
+    is immune (fresh physical ids)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.rename_column("v", "val")
+    # (a) schema evolution re-introducing the vacated physical name
+    with pytest.raises(ValueError, match="(?i)physical"):
+        t.append(spark.createDataFrame(
+            [(2, "b", 20, 5)], "k int, grp string, val int, v int"))
+    # (b) a second rename INTO the vacated physical name
+    with pytest.raises(ValueError, match="(?i)physical"):
+        t.rename_column("grp", "v")
+    # a non-clashing evolution still works
+    t.append(spark.createDataFrame(
+        [(2, "b", 20, 5)], "k int, grp string, val int, extra int"))
+    got = sorted((r["k"], r["val"], r["extra"])
+                 for r in t.read().collect())
+    assert got == [(1, 10, None), (2, 20, 5)]
+    # id mode: the same shape is allowed and round-trips exactly
+    t2 = TxLogTable.create(spark, tdir + "_id",
+                           _df(spark, [(1, "a", 10)]),
+                           column_mapping_mode="id")
+    t2.rename_column("v", "val")
+    t2.append(spark.createDataFrame(
+        [(2, "b", 20, 5)], "k int, grp string, val int, v int"))
+    got2 = sorted((r["k"], r["val"], r["v"]) for r in t2.read().collect())
+    assert got2 == [(1, 10, None), (2, 20, 5)]
