@@ -71,6 +71,10 @@ EXTRA = [
     "delta_streaming_mv",
     "delta_partitioned_table",
     "sql_txn_batch",
+    # round 8: CDF-across-rename translation, DV purge, idempotent ingest
+    "delta_cdf_after_rename",
+    "delta_reorg_purge",
+    "delta_copy_into",
 ]
 
 

@@ -112,6 +112,13 @@ _RENAME_COLUMN_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+RENAME\s+COLUMN\s+"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
     re.IGNORECASE)
+
+# ALTER TABLE t ADD COLUMN c TYPE — metadata-only schema addition
+# (nullable; existing rows read typed NULL until a write materializes).
+_ADD_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+    r"(?P<name>\w+)\s+(?P<dtype>[\w()<>,\s]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE)
 _DROP_COLUMN_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+DROP\s+COLUMN\s+"
     r"(?P<name>\w+)\s*;?\s*$",
@@ -124,6 +131,20 @@ _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>\w+)"
     r"(?:\s+WHERE\s+(?P<wcol>\w+)\s*=\s*'?(?P<wval>[\w.-]+)'?)?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+# COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON — idempotent
+# bulk file ingest (each source file loaded at most once ever).
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>\w+)\s+FROM\s+'(?P<src>[^']+)'"
+    r"\s+FILEFORMAT\s*=\s*(?P<fmt>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
+# REORG TABLE t APPLY (PURGE) — rewrite only the DV'd segments,
+# materializing deletion-vector tombstones (Delta's REORG ... PURGE).
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+(?P<target>\w+)\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s*;?\s*$",
     re.IGNORECASE)
 
 # t VERSION AS OF n / t TIMESTAMP AS OF ms — time travel inside DQL
@@ -272,6 +293,12 @@ class Engine:
             version = self.txlog_tables[target].drop_column(
                 m.group("name"))
             return self._dml_ack(target, version)
+        m = _ADD_COLUMN_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].add_column(
+                m.group("name"), m.group("dtype"))
+            return self._dml_ack(target, version)
         m = _OPTIMIZE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -283,6 +310,20 @@ class Engine:
             version = self.txlog_tables[target].optimize_compact(
                 zorder_by=zorder, where=where)
             return self._dml_ack(target, version)
+        m = _REORG_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].reorg_purge()
+            return self._dml_ack(target, version)
+        m = _COPY_INTO_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version, n = self.txlog_tables[target].copy_into(
+                m.group("src"), m.group("fmt").lower())
+            self.txlog_tables[target].read().createOrReplaceTempView(target)
+            return self.spark.createDataFrame(
+                [(target, version, n)],
+                "table_name string, version long, files_loaded long")
         m = _HISTORY_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             hist = self.txlog_tables[m.group("target")].history()

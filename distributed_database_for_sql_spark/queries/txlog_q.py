@@ -1638,3 +1638,130 @@ def delta_cdf_after_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("o_orderkey").alias("max_key"))
         .orderBy("change_type", "commit_version")
     )
+
+
+@register(
+    "delta_reorg_purge",
+    # The oracle recomputes the post-delete state; the audit columns pin
+    # that the deletions were MATERIALIZED (no DV remains outstanding),
+    # that the command committed as REORG, and that it was targeted
+    # (some segments rewritten, the DV-free ones carried by reference).
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           0                             AS dvs_outstanding,
+           'REORG'                       AS last_op,
+           TRUE                          AS untouched_carried
+    FROM orders
+    WHERE o_orderkey <= 1000
+      AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= 500)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "deletion-vectors", "reorg", "purge"),
+)
+def delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE): a deletion-vector DELETE leaves
+    merge-on-read tombstones; PURGE rewrites ONLY the DV'd segments,
+    materializing the deletions into clean files and retiring the
+    sidecars — the targeted O(dv'd files) maintenance command that keeps
+    a 100 TB table's read path anti-join-free without a full rewrite.
+    The oracle certifies the post-purge values; the audit columns pin
+    zero outstanding DVs, the REORG commit, and that at least one
+    DV-free segment carried over by reference (file-level targeting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(2, "o_orderkey"))
+    extra = (orders
+             .filter((F.col("o_orderkey") > 500)
+                     & (F.col("o_orderkey") <= 1000))
+             .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+             .repartition(2, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("reorg", sf_dir), base,
+                          overwrite=True)
+    t.append(extra)
+    # tombstone multiples of 7 in the FIRST half only: the second
+    # append's segments stay DV-free and must survive PURGE untouched
+    t.delete_where((F.col("o_orderkey") % 7 == 0)
+                   & (F.col("o_orderkey") <= 500), use_dv=True)
+    active_before, _, dvs_before = t._snapshot_full()
+    dv_free = {p for p in active_before if not dvs_before.get(p)}
+    t.reorg_purge()
+    active_after, _, dvs_after = t._snapshot_full()
+    outstanding = sum(1 for p in active_after if dvs_after.get(p))
+    carried = any(p in active_after for p in dv_free)
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("dvs_outstanding", F.lit(outstanding).cast("int"))
+            .withColumn("last_op", F.lit(t.history()[-1]["op"]))
+            .withColumn("untouched_carried", F.lit(bool(carried)))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_copy_into",
+    # The oracle recomputes the final table state; the audit columns pin
+    # idempotence (the re-run loaded ZERO files and minted no version)
+    # and incrementality (the post-landing run loaded only the new file).
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           0                             AS rerun_files_loaded,
+           TRUE                          AS rerun_was_noop,
+           TRUE                          AS incremental_loaded_new_only
+    FROM orders
+    WHERE o_orderkey <= 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "copy-into", "ingest", "idempotent"),
+)
+def delta_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO — idempotent bulk file ingest (Delta's retry-safe batch
+    front door): a landing directory is copied into an ACID table, the
+    SAME command re-runs as a version-free no-op (each source file loads
+    at most once ever — the ledger is ``txn`` actions committed WITH the
+    data, so it is transactional and checkpoint-bounded), and after a
+    new file lands only THAT file is ingested.  At 100 TB this replaces
+    external did-I-load-it bookkeeping for scheduled ingest jobs.  The
+    oracle certifies the final values; the audit columns pin the no-op
+    re-run and the incremental third run."""
+    from ..tmpstage import staging_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    land = staging_dir("copy_into_landing", sf_dir)
+    (orders.filter(F.col("o_orderkey") <= 800)
+     .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+     .repartition(2, "o_orderkey")
+     .write.mode("overwrite").parquet(land))
+    empty = spark.createDataFrame(
+        [], "o_orderkey long, o_orderpriority string, cents long")
+    t = TxLogTable.create(spark, _table_dir("copyinto", sf_dir), empty,
+                          overwrite=True)
+    _, n1 = t.copy_into(land)
+    v_after_first = t.latest_version()
+    _, n2 = t.copy_into(land)                      # idempotent re-run
+    rerun_noop = (n2 == 0 and t.latest_version() == v_after_first)
+    (orders.filter((F.col("o_orderkey") > 800)
+                   & (F.col("o_orderkey") <= 1000))
+     .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+     .coalesce(1)
+     .write.mode("append").parquet(land))          # one NEW file lands
+    _, n3 = t.copy_into(land)
+    incremental = (n1 == 2 and n3 == 1)  # 2 base files, 1 new
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("rerun_files_loaded", F.lit(n2).cast("int"))
+            .withColumn("rerun_was_noop", F.lit(bool(rerun_noop)))
+            .withColumn("incremental_loaded_new_only",
+                        F.lit(bool(incremental)))
+            .orderBy("o_orderpriority"))

@@ -900,6 +900,50 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN, metadata-only (Delta's ADD COLUMNS):
+        the column joins the logical schema as NULLABLE; no file is
+        touched — rows in existing segments read typed NULL until a
+        write materializes values.  At 100 TB this is the difference
+        between a schema change costing nothing and a full rewrite.
+        Name mode refuses names clashing with retired or rename-vacated
+        physical names (existing segments would resurrect data under
+        them); id mode assigns a fresh physical id, so any name is
+        safe."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column already exists: {name!r}")
+        new_field = T.StructField(name, T.DataType.fromDDL(dtype), True)
+        mapping = dict(self._column_mapping())
+        meta: dict = {
+            "schemaJson": T.StructType(
+                list(schema.fields) + [new_field]).json(),
+            "retiredPhysical": self._retired_physical(),
+        }
+        if self._column_mapping_mode() == "id":
+            mapping[name] = self._new_physical_id()
+            meta["columnMapping"] = mapping
+        else:
+            if name in set(self._retired_physical()):
+                raise ValueError(
+                    f"cannot add column {name!r}: the name was retired "
+                    "by DROP COLUMN and old segments still carry data "
+                    "under it; use a different name")
+            if name in {p for l, p in mapping.items() if p != l}:
+                raise ValueError(
+                    f"cannot add column {name!r}: the name is in use as "
+                    "the physical column name of a renamed column in "
+                    "existing segments; use a different name")
+            meta["columnMapping"] = mapping
+        actions = [
+            {"commit": {"op": "ADD COLUMN", "ts": self._next_ts(),
+                        "column": name, "type": dtype}},
+            {"metaData": meta},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN, metadata-only: the column leaves the
         logical schema; the physical data stays in the immutable files
@@ -1638,12 +1682,15 @@ class TxLogTable:
             if drop:
                 out = out.drop(*drop)
         mapping = self._column_mapping(version)
-        if mapping or set(out.columns) - {
-                f.name for f in T.StructType.fromJson(
-                    json.loads(schema_json)).fields} - {
-                "_file", "__relfile", "__rowidx"}:
-            # column mapping active (or files carry retired/dropped
-            # physical columns): rename physical -> logical, then select
+        logical_fields = T.StructType.fromJson(json.loads(schema_json)).fields
+        logical_names = {f.name for f in logical_fields}
+        extra = (set(out.columns) - logical_names
+                 - {"_file", "__relfile", "__rowidx"})
+        if mapping or extra or logical_names - set(out.columns):
+            # column mapping active, files carry retired/dropped physical
+            # columns, or the schema holds a column no file has yet
+            # (metadata-only ADD COLUMN): rename physical -> logical,
+            # backfill schema-only columns with typed NULLs, then select
             # exactly the logical schema (+ requested meta columns) so
             # renamed columns surface under their current names and
             # dropped data never resurfaces.
@@ -1651,8 +1698,12 @@ class TxLogTable:
                        if phys in out.columns and phys != log}
             if renames:
                 out = out.withColumnsRenamed(renames)
-            logical = [f.name for f in T.StructType.fromJson(
-                json.loads(schema_json)).fields]
+            backfill = {f.name: F.lit(None).cast(f.dataType)
+                        for f in logical_fields
+                        if f.name not in out.columns}
+            if backfill:
+                out = out.withColumns(backfill)
+            logical = [f.name for f in logical_fields]
             meta_keep = [c for c in ("_file", "__relfile", "__rowidx")
                          if c in out.columns]
             out = out.select(*[c for c in logical if c in out.columns],
@@ -2229,6 +2280,108 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
+    def copy_into(self, src_path: str, file_format: str = "parquet",
+                  options: dict | None = None) -> tuple[int, int]:
+        """Idempotent bulk file ingest (Delta's ``COPY INTO``): every
+        SOURCE FILE under ``src_path`` is loaded AT MOST ONCE EVER —
+        re-running after a partial failure, or on a schedule over a
+        landing directory that keeps accumulating files, appends only
+        the files not yet ingested.  This is the batch-ingest front door
+        of a 100 TB lakehouse: retry-safe without an external ledger.
+
+        File identity is the absolute source path, recorded as a Delta
+        ``txn`` action (appId ``copy:<path>``) in the same commit that
+        adds the data — so the already-loaded set is transactional with
+        the load itself and rides the SAME checkpoint-bounded state as
+        streaming-sink watermarks (no extra log replay at scale).
+
+        Source columns are matched BY NAME and cast to the table schema
+        (Delta COPY INTO's default strict-schema behavior); missing
+        columns raise.  Sequential re-runs are exactly-once per file;
+        two COPY INTOs racing on the SAME files are not coordinated
+        beyond last-writer-wins on the txn watermark (single scheduled
+        ingest job per landing dir — the command's operational shape).
+
+        Returns ``(table version, files loaded)``; loading nothing is a
+        version-free no-op."""
+        base_version = self.latest_version()
+        ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json",
+               "jsonl": ".jsonl"}.get(file_format.lower())
+        if ext is None:
+            raise ValueError(f"unsupported COPY INTO format: {file_format!r}")
+        src_abs = os.path.abspath(src_path)
+        candidates = sorted(
+            p for p in glob.glob(os.path.join(src_abs, "*" + ext))
+            if os.path.isfile(p))
+        if not candidates:
+            raise FileNotFoundError(
+                f"no {file_format} files under {src_path}")
+        loaded_state = self._txn_constraint_state()[0]
+        new_files = [p for p in candidates
+                     if loaded_state.get(f"copy:{p}", -1) < 0]
+        if not new_files:
+            return self.latest_version(), 0
+        reader = self.spark.read
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if file_format.lower() == "parquet":
+            src = reader.option("mergeSchema", "true").parquet(*new_files)
+        elif file_format.lower() == "csv":
+            src = reader.option("header", "true").csv(new_files)
+        else:
+            src = reader.json(new_files)
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        gen = self._generated_columns()
+        required = [f for f in schema.fields if f.name not in gen]
+        missing = [f.name for f in required if f.name not in src.columns]
+        if missing:
+            raise ValueError(
+                f"COPY INTO source lacks table column(s) {missing} "
+                "(columns are matched by name)")
+        df = src.select(*[F.col(f.name).cast(f.dataType)
+                          for f in required])
+        df = self._apply_generated(df)
+        self._validate_constraints(df)
+        rel = self._write_segments(df)
+        actions = (
+            [{"commit": {"op": "COPY INTO", "ts": self._next_ts(),
+                         "source": src_abs,
+                         "filesLoaded": len(new_files)}}]
+            + [{"txn": {"appId": f"copy:{p}", "version": 1}}
+               for p in new_files]
+            + self._add_actions(rel)
+        )
+        return self._commit_with_occ(actions, [], base_version), \
+            len(new_files)
+
+    def reorg_purge(self) -> int:
+        """``REORG TABLE t APPLY (PURGE)`` (Delta's DV-materialization
+        command): rewrite ONLY the segments that carry outstanding
+        deletion vectors, excluding their tombstoned rows, and retire
+        the DV sidecars; DV-free segments are untouched.  This is the
+        targeted complement to OPTIMIZE — at 100 TB, DVs accumulate
+        read-side anti-join cost file by file, and PURGE pays exactly
+        O(dv'd files) to clear them instead of a full-table rewrite.
+        Logical content is unchanged (no CDF rows, stream-transparent
+        like OPTIMIZE).  No-op (no new version) when no DVs exist."""
+        base_version = self.latest_version()
+        active, _, dvs = self._snapshot_full()
+        targets = sorted(p for p in active if dvs.get(p))
+        if not targets:
+            return self.latest_version()
+        abs_targets = [os.path.join(self.path, p) for p in targets]
+        clean = self._read_active(only=abs_targets)  # DV-applied survivors
+        rel_new = self._write_segments(clean)
+        actions = (
+            [{"commit": {"op": "REORG", "ts": self._next_ts(),
+                         "filesRewritten": len(targets),
+                         "filesAdded": len(rel_new)}}]
+            + [{"remove": {"path": p}} for p in targets]
+            + self._add_actions(rel_new)
+        )
+        return self._commit_with_occ(actions, targets, base_version)
+
     def detail(self) -> dict:
         """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,
         snapshot version, file count, total data bytes, partition
@@ -2413,16 +2566,17 @@ class TxLogTable:
                         self.spark.read.option("mergeSchema", "true")
                         .parquet(*[os.path.join(self.path, p)
                                    for p in g["cdf"]]), at_v_map))
-                elif g["op"] in ("CREATE", "APPEND", "CONVERT"):
+                elif g["op"] in ("CREATE", "APPEND", "CONVERT",
+                                 "COPY INTO"):
                     if g["adds"]:
                         frames.append(adds_to_logical(
                             self.spark.read.option("mergeSchema", "true")
                             .parquet(*[os.path.join(self.path, p)
                                        for p in g["adds"]]))
                             .withColumn("_change_type", F.lit("insert")))
-                elif g["op"] in ("OPTIMIZE", "ADD CONSTRAINT",
+                elif g["op"] in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                                  "DROP CONSTRAINT", "RENAME COLUMN",
-                                 "DROP COLUMN", "CLONE"):
+                                 "ADD COLUMN", "DROP COLUMN", "CLONE"):
                     continue  # layout/metadata only
                 else:
                     raise ValueError(
@@ -2456,7 +2610,7 @@ class TxLogTable:
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(*[os.path.join(self.path, p) for p in cdf]),
                     at_v_map)
-            elif op in ("CREATE", "APPEND"):
+            elif op in ("CREATE", "APPEND", "CONVERT", "COPY INTO"):
                 adds = [a["add"]["path"] for a in actions if "add" in a]
                 if not adds:
                     continue
@@ -2464,8 +2618,9 @@ class TxLogTable:
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(*[os.path.join(self.path, p) for p in adds]))
                     .withColumn("_change_type", F.lit("insert")))
-            elif op in ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT",
-                        "RENAME COLUMN", "DROP COLUMN", "CLONE"):
+            elif op in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
+                        "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
+                        "DROP COLUMN", "CLONE"):
                 continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(

@@ -62,8 +62,9 @@ def _read_commit(table_path: str, version: int) -> list[dict]:
 #: protocol changes likewise; CLONE's commit 0 is the destination table's
 #: initial snapshot (zero-copy refs into the source), which an
 #: incremental stream starting at the clone point should not re-emit.
-_NO_ROW_OPS = ("OPTIMIZE", "ADD CONSTRAINT", "DROP CONSTRAINT",
-               "RENAME COLUMN", "DROP COLUMN", "CLONE")
+_NO_ROW_OPS = ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
+               "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
+               "DROP COLUMN", "CLONE")
 
 
 def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:
@@ -197,7 +198,8 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
         for g in groups:
             if g["cdf"]:
                 recs.extend(self._parquet_rows(g["cdf"]))
-            elif g["op"] in ("CREATE", "APPEND", "CONVERT"):
+            elif g["op"] in ("CREATE", "APPEND", "CONVERT",
+                             "COPY INTO"):
                 for r in self._parquet_rows(g["adds"]):
                     r["_change_type"] = "insert"
                     recs.append(r)
@@ -222,7 +224,7 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
                 recs = self._txn_step_records(actions, v)
             elif cdf:
                 recs = self._parquet_rows(cdf)
-            elif op in ("CREATE", "APPEND"):
+            elif op in ("CREATE", "APPEND", "CONVERT", "COPY INTO"):
                 adds = [x["add"]["path"] for x in actions if "add" in x]
                 recs = self._parquet_rows(adds)
                 for r in recs:
@@ -337,7 +339,8 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
                 for x in actions:
                     if "txnStep" in x:
                         cur_op = x["txnStep"].get("op")
-                        if cur_op not in ("CREATE", "APPEND", "CONVERT") \
+                        if cur_op not in ("CREATE", "APPEND", "CONVERT",
+                                          "COPY INTO") \
                                 and cur_op not in _NO_ROW_OPS \
                                 and not self.skip_change_commits:
                             raise ValueError(
@@ -347,9 +350,9 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
                                 "the CDF source (format 'txlogcdf') or "
                                 "set skipChangeCommits")
                     elif "add" in x and cur_op in ("CREATE", "APPEND",
-                                                   "CONVERT"):
+                                                   "CONVERT", "COPY INTO"):
                         recs.extend(self._parquet_rows([x["add"]["path"]]))
-            elif op in ("CREATE", "APPEND", "CONVERT"):
+            elif op in ("CREATE", "APPEND", "CONVERT", "COPY INTO"):
                 adds = [x["add"]["path"] for x in actions if "add" in x]
                 recs = self._parquet_rows(adds)
             elif op in _NO_ROW_OPS:

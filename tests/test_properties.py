@@ -250,3 +250,79 @@ def test_txn_staging_equals_sequential_commits(spark, tmp_path_factory,
         sorted(tuple(r) for r in seq.read().collect())
     # shape: the txn table has at most CREATE + TXN
     assert txn.latest_version() <= 1
+
+
+# -- r8: CDF serves values across ANY rename/update/append interleaving ------
+
+_renames = ["v", "val", "value", "metric"]
+
+cdf_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("append"), st.integers(6, 9), st.integers(-3, 3)),
+        st.tuples(st.just("rename"), st.just(0), st.just(0)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=4, unique_by=lambda t: t[0]),
+       script=cdf_ops)
+def test_cdf_values_survive_any_rename_interleaving(spark, tmp_path_factory,
+                                                    data, script):
+    """For ANY interleaving of updates, appends, and renames, the change
+    feed serves the CURRENT logical schema with a value in every change
+    row of the tracked column — the per-version mapping translation can
+    never emit a silent NULL or a widened union schema (ADVICE r7 high,
+    generalized past the example-based pin)."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"cdfprop_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame(data, "k int, v int"), enable_cdf=True)
+    name = "v"
+    ridx = 0
+    changes_made = 0
+    for op, k, d in script:
+        if op == "rename":
+            if ridx + 1 < len(_renames):
+                ridx += 1
+                t.rename_column(name, _renames[ridx])
+                name = _renames[ridx]
+        elif op == "update":
+            v0 = t.latest_version()
+            t.update_where({name: F.col(name) + d}, F.col("k") == k)
+            changes_made += t.latest_version() - v0
+        else:
+            t.append(spark.createDataFrame([(k, d)], f"k int, {name} int"))
+            changes_made += 1
+    ch = t.read_changes(0, t.latest_version())
+    assert set(ch.columns) == {"k", name, "_change_type",
+                               "_commit_version"}, \
+        "change feed must serve exactly the current logical schema"
+    rows = ch.collect()
+    assert all(r[name] is not None for r in rows), \
+        f"NULL in renamed column across {script}"
+    # every change row's value matches a pure-Python replay of the ops
+    state = dict(data)
+    expect: list[tuple[int, int, str]] = [
+        (k, v, "insert") for k, v in data]
+    for op, k, d in script:
+        if op == "update" and k in state:
+            expect.append((k, state[k], "update_preimage"))
+            state[k] += d
+            expect.append((k, state[k], "update_postimage"))
+        elif op == "append":
+            state[k] = state.get(k, 0)  # may collide; appends add a row
+            expect.append((k, d, "insert"))
+    assert sorted((r["k"], r[name], r["_change_type"]) for r in rows) == \
+        sorted(expect)

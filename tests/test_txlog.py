@@ -2385,3 +2385,186 @@ def test_vacated_physical_name_cannot_be_reused(spark, tdir):
         [(2, "b", 20, 5)], "k int, grp string, val int, v int"))
     got2 = sorted((r["k"], r["val"], r["v"]) for r in t2.read().collect())
     assert got2 == [(1, 10, None), (2, 20, 5)]
+
+
+# -- r8: REORG TABLE ... APPLY (PURGE) ---------------------------------------
+
+def test_reorg_purge_materializes_dvs_only_for_dvd_files(spark, tdir):
+    """PURGE rewrites exactly the segments carrying deletion vectors
+    (materializing the tombstones) and leaves DV-free segments untouched
+    by reference; afterwards no DVs are outstanding and the logical
+    content is unchanged.  A second PURGE is a version-free no-op."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.append(_df(spark, [(3, "c", 30), (4, "d", 40)]))
+    t.delete_where(F.col("k") == 3, use_dv=True)          # DV on segment 2
+    active_before, _, dvs_before = t._snapshot_full()
+    assert any(dvs_before.get(p) for p in active_before), "DV expected"
+    dv_free = [p for p in active_before if not dvs_before.get(p)]
+    v = t.reorg_purge()
+    assert t.history()[-1]["op"] == "REORG"
+    active_after, _, dvs_after = t._snapshot_full()
+    assert not any(dvs_after.get(p) for p in active_after), \
+        "PURGE must retire every outstanding DV"
+    for p in dv_free:
+        assert p in active_after, "DV-free segment must carry by reference"
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 10), (2, 20), (4, 40)]
+    assert t.reorg_purge() == v, "no DVs -> no-op, no new version"
+    # the REORG commit is transparent to the append-only table stream
+    # and contributes nothing to the change feed
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+    ds = TxLogTableDataSource({"path": t.path, "skipchangecommits": "true"})
+    reader = ds.simpleStreamReader(ds.schema())
+    rows = list(reader.readBetweenOffsets({"version": v}, {"version": v + 1}))
+    assert rows == [], "REORG must not re-emit rows into the table stream"
+
+
+def test_reorg_purge_via_engine_sql(spark, tmp_path):
+    """REORG TABLE t APPLY (PURGE) routes through Engine.sql."""
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    t = TxLogTable.create(spark, str(tmp_path / "rg"),
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    engine.register_txlog("rg_t", t)
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    ack = engine.sql("REORG TABLE rg_t APPLY (PURGE)").collect()
+    assert ack[0]["table_name"] == "rg_t"
+    assert t.history()[-1]["op"] == "REORG"
+    assert [r["k"] for r in spark.sql("SELECT * FROM rg_t").collect()] == [2]
+
+
+# -- r8: ALTER TABLE ADD COLUMN (metadata-only) ------------------------------
+
+def test_add_column_metadata_only(spark, tdir):
+    """ADD COLUMN touches no file: existing rows read typed NULL, a
+    later write materializes values, time travel to before the ADD
+    lacks the column, and the commit is transparent to streams and the
+    change feed."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          enable_cdf=True)
+    files_before, _ = t._snapshot_files()
+    v = t.add_column("score", "double")
+    assert t.history()[-1]["op"] == "ADD COLUMN"
+    assert t._snapshot_files()[0] == files_before, "no file rewritten"
+    got = t.read().collect()
+    assert got[0]["score"] is None and "score" in t.read().columns
+    assert t.read().schema["score"].dataType.typeName() == "double"
+    # time travel: the column did not exist at v0
+    assert "score" not in t.read(version=v - 1).columns
+    # a later append materializes values; old rows stay NULL
+    t.append(spark.createDataFrame([(2, "b", 20, 0.5)],
+                                   "k int, grp string, v int, score double"))
+    assert sorted((r["k"], r["score"]) for r in t.read().collect()) == \
+        [(1, None), (2, 0.5)]
+    # UPDATE can now target it
+    t.update_where({"score": F.lit(1.0)}, F.col("k") == 1)
+    assert sorted((r["k"], r["score"]) for r in t.read().collect()) == \
+        [(1, 1.0), (2, 0.5)]
+    # the ADD COLUMN commit contributes nothing to the change feed
+    ct = t.read_changes(v, v)
+    assert ct.count() == 0
+    # name mode refuses retired / rename-vacated names
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="(?i)physical"):
+        t.add_column("v", "int")
+    # id mode allows the same shape with a fresh physical id
+    t2 = TxLogTable.create(spark, tdir + "_id",
+                           _df(spark, [(1, "a", 10)]),
+                           column_mapping_mode="id")
+    t2.rename_column("v", "val")
+    t2.add_column("v", "int")
+    t2.append(spark.createDataFrame(
+        [(2, "b", 20, 7)], "k int, grp string, val int, v int"))
+    assert sorted((r["k"], r["val"], r["v"]) for r in t2.read().collect()) \
+        == [(1, 10, None), (2, 20, 7)]
+
+
+def test_add_column_via_engine_sql(spark, tmp_path):
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    t = TxLogTable.create(spark, str(tmp_path / "ac"),
+                          _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("ac_t", t)
+    engine.sql("ALTER TABLE ac_t ADD COLUMN note string")
+    assert "note" in spark.sql("SELECT * FROM ac_t").columns
+    engine.sql("ALTER TABLE ac_t ADD COLUMNS (weight decimal(10,2))")
+    assert t.read().schema["weight"].dataType.simpleString() \
+        == "decimal(10,2)"
+
+
+# -- r8: COPY INTO (idempotent bulk file ingest) -----------------------------
+
+def test_copy_into_idempotent_per_file(spark, tdir, tmp_path):
+    """COPY INTO loads each source file AT MOST ONCE EVER: a re-run is a
+    version-free no-op, and after new files land in the directory only
+    THOSE are ingested.  The loaded-file ledger is transactional with
+    the data (txn actions in the same commit)."""
+    land = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                          "k int, grp string, v int") \
+        .repartition(2).write.parquet(land)
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, grp string, v int"))
+    v1, n1 = t.copy_into(land)
+    assert n1 == 2 and t.history()[-1]["op"] == "COPY INTO"
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    # re-run: nothing new, no new version
+    v2, n2 = t.copy_into(land)
+    assert (v2, n2) == (v1, 0)
+    # a new file lands; only it is ingested
+    spark.createDataFrame([(3, "c", 30)], "k int, grp string, v int") \
+        .coalesce(1).write.mode("append").parquet(land)
+    v3, n3 = t.copy_into(land)
+    assert n3 == 1 and v3 == v1 + 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # column matching is by name with casts; missing columns raise
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(9,)], "k int").write.parquet(bad)
+    with pytest.raises(ValueError, match="lacks table column"):
+        t.copy_into(bad)
+    # the ledger survives checkpointing (txn state is checkpoint-carried)
+    fresh = TxLogTable(spark, tdir)
+    _, n4 = fresh.copy_into(land)
+    assert n4 == 0
+
+
+def test_copy_into_via_engine_sql_and_streams(spark, tdir, tmp_path):
+    """SQL route + the COPY INTO commit streams as plain inserts."""
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    land = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a", 10)], "k int, grp string, v int") \
+        .coalesce(1).write.parquet(land)
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, grp string, v int"))
+    engine.register_txlog("cp_t", t)
+    ack = engine.sql(
+        f"COPY INTO cp_t FROM '{land}' FILEFORMAT = PARQUET").collect()
+    assert ack[0]["files_loaded"] == 1
+    assert [r["k"] for r in spark.sql("SELECT * FROM cp_t").collect()] == [1]
+    ack2 = engine.sql(
+        f"COPY INTO cp_t FROM '{land}' FILEFORMAT = PARQUET").collect()
+    assert ack2[0]["files_loaded"] == 0
+    # table stream serves the copied rows as appends
+    ds = TxLogTableDataSource({"path": t.path})
+    reader = ds.simpleStreamReader(ds.schema())
+    rows = list(reader.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert [(r[0], r[2]) for r in rows] == [(1, 10)]
