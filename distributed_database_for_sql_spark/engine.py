@@ -89,10 +89,12 @@ _TABLE_CHANGES_RE = re.compile(
     r"(?P<a>\d+|'[^']*')\s*(?:,\s*(?P<b>\d+|'[^']*'))?\s*\)",
     re.IGNORECASE)
 
-# VACUUM t [RETAIN n HOURS] — physical cleanup of unreferenced files.
+# VACUUM t [RETAIN n HOURS] [DRY RUN] — physical cleanup of
+# unreferenced files; DRY RUN lists candidates and touches nothing.
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>\w+)"
-    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE)
 
 # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name
@@ -265,10 +267,12 @@ class Engine:
             hours = m.group("hours")
             retention = (float(hours) * 3600.0 if hours is not None
                          else 24 * 3600.0)
-            removed = self.txlog_tables[target].vacuum(retention)
+            dry = m.group("dry") is not None
+            removed = self.txlog_tables[target].vacuum(retention,
+                                                       dry_run=dry)
             return self.spark.createDataFrame(
-                [(target, len(removed))],
-                "table_name string, files_removed long")
+                [(target, len(removed), dry)],
+                "table_name string, files_removed long, dry_run boolean")
         m = _ADD_CONSTRAINT_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

@@ -1710,19 +1710,35 @@ class TxLogTable:
                              *meta_keep)
         return out
 
+    def _commit_ts(self, version: int) -> int:
+        """The in-commit timestamp of ``version`` (one file read)."""
+        for action in self._read_commit(version):
+            if "commit" in action:
+                return int(action["commit"]["ts"])
+        return -1  # commit action missing (foreign/legacy log): treat as -inf
+
     def version_at_timestamp(self, ts_millis: int) -> int:
         """Newest version whose commit timestamp <= ``ts_millis`` —
         Delta's ``timestampAsOf`` resolution.  Raises if the table's
-        first commit is later than the asked-for time."""
-        best = -1
-        for i in range(self.latest_version() + 1):
-            for action in self._read_commit(i):
-                if "commit" in action and action["commit"]["ts"] <= ts_millis:
-                    best = i
-        if best < 0:
+        first commit is later than the asked-for time.
+
+        BINARY SEARCH over the commit files: in-commit timestamps are
+        strictly monotonic by construction (every commit stamps
+        ``max(wall clock, prev ts + 1)``, re-stamped on each OCC retry),
+        so resolution costs O(log N) single-file reads instead of an
+        O(N) full log replay — on a 100k-commit streaming table that is
+        ~17 reads, not 100k."""
+        if self._commit_ts(0) > ts_millis:
             raise ValueError(
                 f"no commit at or before timestamp {ts_millis}")
-        return best
+        lo, hi = 0, self.latest_version()
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._commit_ts(mid) <= ts_millis:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
 
     def read(self, version: int | None = None,
              timestamp: int | None = None) -> DataFrame:
@@ -2430,7 +2446,8 @@ class TxLogTable:
             self._commit_with_occ(actions, [], base_version)
         return missing
 
-    def vacuum(self, retention_seconds: float = 24 * 3600.0) -> list[str]:
+    def vacuum(self, retention_seconds: float = 24 * 3600.0,
+               dry_run: bool = False) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST
         snapshot AND older than ``retention_seconds`` (mtime).  The
         retention window is the concurrent-writer guard (same as real
@@ -2446,7 +2463,10 @@ class TxLogTable:
         ``_change_data/`` is kept too (it IS the audit trail's row
         payload).  Deletion-vector sidecars retired from the LATEST
         snapshot are collected under the same age guard.  Returns the
-        deleted table-relative paths."""
+        deleted table-relative paths.  ``dry_run=True`` (Delta's VACUUM
+        DRY RUN) returns the would-be-deleted list and touches
+        NOTHING — the operator's answer to "what am I about to lose"
+        before an irreversible collection."""
         live, _, live_dvs = self._snapshot_full()
         live_set = {os.path.normpath(os.path.join(self.path, p))
                     for p in live}
@@ -2461,7 +2481,8 @@ class TxLogTable:
             if (f.endswith(".parquet") and os.path.isfile(fp)
                     and fp not in live_set
                     and os.path.getmtime(fp) <= cutoff):
-                os.remove(fp)
+                if not dry_run:
+                    os.remove(fp)
                 removed.append(f)
         for sub in sorted(os.listdir(self.path)):
             # unpartitioned segment dirs (data-*) and Hive partition
@@ -2475,10 +2496,12 @@ class TxLogTable:
                 fp = os.path.normpath(os.path.join(seg_dir, f))
                 if (f.endswith(".parquet") and fp not in live_set
                         and os.path.getmtime(fp) <= cutoff):
-                    os.remove(fp)
+                    if not dry_run:
+                        os.remove(fp)
                     removed.append(os.path.relpath(fp, self.path))
             # only bookkeeping files (_SUCCESS, .crc) left → drop the dir
-            if not any(n.endswith(".parquet") for n in os.listdir(seg_dir)):
+            if not dry_run and not any(n.endswith(".parquet")
+                                       for n in os.listdir(seg_dir)):
                 shutil.rmtree(seg_dir)
         dv_root = os.path.join(self.path, "_deletion_vectors")
         if os.path.isdir(dv_root):
@@ -2488,7 +2511,8 @@ class TxLogTable:
                     continue
                 if os.path.getmtime(dv_dir) > cutoff:
                     continue
-                shutil.rmtree(dv_dir)
+                if not dry_run:
+                    shutil.rmtree(dv_dir)
                 removed.append(os.path.relpath(dv_dir, self.path))
         return removed
 

@@ -2568,3 +2568,69 @@ def test_copy_into_via_engine_sql_and_streams(spark, tdir, tmp_path):
     reader = ds.simpleStreamReader(ds.schema())
     rows = list(reader.readBetweenOffsets({"version": 0}, {"version": 2}))
     assert [(r[0], r[2]) for r in rows] == [(1, 10)]
+
+
+# -- r8: timestampAsOf resolution is O(log N), not O(N) ----------------------
+
+def test_version_at_timestamp_binary_search_read_bound(spark, tdir):
+    """In-commit timestamps are strictly monotonic, so timestampAsOf
+    resolves by binary search: on a 12-commit log the resolution must
+    read O(log N) commit files, not replay all of them — the difference
+    between ~17 reads and 100k on a streaming table."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    for i in range(11):
+        t.append(_df(spark, [(i + 2, "b", i)]))
+    stamps = [t._commit_ts(v) for v in range(12)]
+    assert stamps == sorted(set(stamps)), "strictly monotonic"
+    fresh = TxLogTable(spark, tdir)
+    reads = []
+    orig = fresh._read_commit
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    fresh._read_commit = counting
+    # exact hit, between-commit, and after-last resolutions
+    assert fresh.version_at_timestamp(stamps[7]) == 7
+    assert fresh.version_at_timestamp(stamps[7] - 1) == 6
+    assert fresh.version_at_timestamp(stamps[-1] + 10_000) == 11
+    assert len(reads) <= 3 * (2 + 5), \
+        f"resolution replayed the log: {len(reads)} reads"
+    with pytest.raises(ValueError, match="no commit at or before"):
+        fresh.version_at_timestamp(stamps[0] - 1)
+
+
+# -- r8: VACUUM DRY RUN ------------------------------------------------------
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tdir):
+    """VACUUM ... DRY RUN returns exactly the would-be-deleted set and
+    touches nothing; the real VACUUM then deletes that same set."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.update_where({"v": F.lit(0)}, F.col("k") == 1)  # de-lists v0 segs
+    would = t.vacuum(retention_seconds=0, dry_run=True)
+    assert would, "unreferenced segments expected"
+    assert all(os.path.exists(os.path.join(t.path, p)) for p in would), \
+        "DRY RUN must not delete"
+    assert t.read(version=0).count() == 2, "time travel still works"
+    did = t.vacuum(retention_seconds=0)
+    assert sorted(did) == sorted(would), "dry-run list == real deletion"
+    assert not any(os.path.exists(os.path.join(t.path, p)) for p in did)
+
+
+def test_vacuum_dry_run_via_engine_sql(spark, tmp_path):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    t = TxLogTable.create(spark, str(tmp_path / "vd"),
+                          _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("vd_t", t)
+    t.delete_where(F.col("k") == 1)
+    ack = engine.sql("VACUUM vd_t RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert ack["dry_run"] is True and ack["files_removed"] >= 1
+    assert t.read(version=0).count() == 1  # nothing deleted
+    ack2 = engine.sql("VACUUM vd_t RETAIN 0 HOURS").collect()[0]
+    assert ack2["dry_run"] is False
+    assert ack2["files_removed"] == ack["files_removed"]
