@@ -75,6 +75,7 @@ EXTRA = [
     "delta_cdf_after_rename",
     "delta_reorg_purge",
     "delta_copy_into",
+    "delta_dv_update",
 ]
 
 

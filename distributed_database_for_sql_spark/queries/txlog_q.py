@@ -1765,3 +1765,58 @@ def delta_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("incremental_loaded_new_only",
                         F.lit(bool(incremental)))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_dv_update",
+    # The oracle recomputes the post-update state; the audit columns pin
+    # the merge-on-read mechanics — zero original segments de-listed
+    # (a copy-on-write update would rewrite them) and the row count
+    # still resolvable metadata-only (stats minus tombstones plus adds).
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+                         THEN {_CENTS} + 5 ELSE {_CENTS} END)
+                AS BIGINT)            AS total_cents,
+           TRUE                       AS segments_untouched,
+           'dv'                       AS update_mode,
+           TRUE                       AS count_metadata_only
+    FROM orders
+    WHERE o_orderkey <= 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "deletion-vectors", "update", "merge-on-read"),
+)
+def delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors: the matched rows'
+    positions are tombstoned and their post-images appended in ONE
+    commit — NO existing segment is rewritten, so updating k rows costs
+    O(k) regardless of segment size (at 100 TB, bumping one row in a
+    1 GB segment stops costing a 1 GB rewrite; REORG PURGE materializes
+    later).  The oracle certifies the updated values; the audit columns
+    pin that every original segment survived untouched and that
+    COUNT(*) still resolves metadata-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("dvupd", sf_dir), base,
+                          overwrite=True)
+    files_before = set(t._snapshot_files()[0])
+    t.update_where({"cents": F.col("cents") + 5},
+                   F.col("o_orderkey") % 10 == 0, use_dv=True)
+    files_after = set(t._snapshot_files()[0])
+    untouched = files_before <= files_after
+    n, meta_only = t.count_rows()
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("segments_untouched", F.lit(bool(untouched)))
+            .withColumn("update_mode",
+                        F.lit(t.history()[-1].get("mode", "cow")))
+            .withColumn("count_metadata_only", F.lit(bool(meta_only)))
+            .orderBy("o_orderpriority"))

@@ -2089,15 +2089,43 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
-    def update_where(self, assignments: dict, condition) -> int:
-        """Copy-on-write UPDATE: rows where ``condition`` is TRUE get the
-        ``assignments`` ({column: SQL expression or Column}) applied;
-        only segments holding matches are rewritten (DV-applied read, so
-        tombstoned rows neither match nor survive).  All assignment
-        expressions see PRE-update values (single simultaneous
-        projection — standard SQL UPDATE semantics).  NULL-evaluating
-        rows are untouched."""
+    def _check_update_assignments(self, exprs: dict, columns: list) -> None:
+        """Shared UPDATE guards: unknown columns and direct SET of
+        generated columns are refused (both strategies)."""
+        unknown = set(exprs) - set(columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET of unknown columns: {sorted(unknown)}")
+        direct_gen = set(exprs) & set(self._generated_columns())
+        if direct_gen:
+            raise ValueError(
+                f"UPDATE SET of generated columns {sorted(direct_gen)}: "
+                "generated values are derived, not assigned")
+
+    def update_where(self, assignments: dict, condition,
+                     use_dv: bool = False) -> int:
+        """UPDATE rows where ``condition`` is TRUE with ``assignments``
+        ({column: SQL expression or Column}) — two physical strategies,
+        one logical result (mirror of ``delete_where``):
+
+        - copy-on-write (default): only segments holding matches are
+          rewritten (DV-applied read, so tombstoned rows neither match
+          nor survive).
+        - ``use_dv=True`` — merge-on-read: the matched rows' positions
+          are TOMBSTONED via a deletion-vector sidecar and their
+          post-update images appended as new segments in the SAME
+          commit; no existing segment is rewritten.  Updating k rows
+          costs O(k) regardless of segment size — at 100 TB, bumping
+          one row in a 1 GB segment stops costing a 1 GB rewrite; the
+          next REORG PURGE / OPTIMIZE materializes the layout.
+
+        All assignment expressions see PRE-update values (single
+        simultaneous projection — standard SQL UPDATE semantics).
+        NULL-evaluating rows are untouched."""
         base_version = self.latest_version()
+        if use_dv:
+            return self._update_where_dv(assignments, condition,
+                                         base_version)
         files, _ = self._snapshot_files()
         if not files:
             raise FileNotFoundError("empty table")
@@ -2111,15 +2139,8 @@ class TxLogTable:
         seg = self._read_active(only=touched)
         exprs = {c: (F.expr(e) if isinstance(e, str) else e)
                  for c, e in assignments.items()}
-        unknown = set(exprs) - set(seg.columns)
-        if unknown:
-            raise ValueError(f"UPDATE SET of unknown columns: {sorted(unknown)}")
+        self._check_update_assignments(exprs, seg.columns)
         gen = self._generated_columns()
-        direct_gen = set(exprs) & set(gen)
-        if direct_gen:
-            raise ValueError(
-                f"UPDATE SET of generated columns {sorted(direct_gen)}: "
-                "generated values are derived, not assigned")
         # The match flag is materialized BEFORE assignments: both the
         # assignment guards and the generated-column recompute below
         # must test the PRE-update predicate (an assignment that changes
@@ -2217,6 +2238,63 @@ class TxLogTable:
         # OCC: "removed" carries the DV's target files — a concurrent
         # rewrite (MERGE/OPTIMIZE) of one of them invalidates our row
         # positions, and must surface as a conflict, not silent loss.
+        return self._commit_with_occ(actions, targets, base_version)
+
+    def _update_where_dv(self, assignments: dict, condition,
+                         base_version: int) -> int:
+        """Merge-on-read UPDATE body (see ``update_where``): tombstone
+        the matched positions, append the post-update images — both in
+        ONE commit, no segment rewritten."""
+        live = self._read_active(with_pos=True)
+        cond = F.coalesce(condition, F.lit(False))
+        matches = live.filter(cond)
+        dv_df = (matches
+                 .select(F.col("__relfile").alias("path"),
+                         F.col("__rowidx").alias("row_index")))
+        targets = sorted(r["path"] for r in
+                         dv_df.select("path").distinct().collect())
+        if not targets:
+            return self.latest_version()
+        pre = matches.drop("__relfile", "__rowidx")
+        exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                 for c, e in assignments.items()}
+        self._check_update_assignments(exprs, pre.columns)
+        gen = self._generated_columns()
+        post = pre.withColumns(exprs)
+        if gen:
+            # recompute derived values so an UPDATE of a dependency can
+            # never leave a stale generated column (same as the
+            # copy-on-write path)
+            post = post.withColumns(
+                {name: F.expr(expr) for name, expr in gen.items()})
+        self._validate_constraints(post)
+        rel_new = self._write_segments(post)
+        dv_rel = self._write_dv(dv_df)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type",
+                                    F.lit("update_postimage")),
+                    allowMissingColumns=True))
+            cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
+        proto_actions: list[dict] = []
+        if self.protocol().get("minReaderVersion", 1) < 3:
+            proto_actions = [{"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": _SUPPORTED_WRITER_VERSION}}]
+        actions = (
+            [{"commit": {"op": "UPDATE", "ts": self._next_ts(),
+                         "mode": "dv", "dvTargets": len(targets),
+                         "filesAdded": len(rel_new)}}]
+            + proto_actions
+            + [{"dvAdd": {"path": dv_rel, "targets": targets}}]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        # OCC: a concurrent rewrite of a tombstoned file invalidates our
+        # row positions — same conflict surface as the DV delete.
         return self._commit_with_occ(actions, targets, base_version)
 
     def optimize_compact(self, target_segments: int | None = None,

@@ -2634,3 +2634,49 @@ def test_vacuum_dry_run_via_engine_sql(spark, tmp_path):
     ack2 = engine.sql("VACUUM vd_t RETAIN 0 HOURS").collect()[0]
     assert ack2["dry_run"] is False
     assert ack2["files_removed"] == ack["files_removed"]
+
+
+# -- r8: merge-on-read UPDATE (deletion-vector strategy) ---------------------
+
+def test_update_where_dv_rewrites_nothing(spark, tdir):
+    """DV UPDATE tombstones the matched positions and appends the
+    post-images in ONE commit — no existing segment is rewritten; reads,
+    metadata COUNT(*), CDF, time travel, and a later REORG PURGE all
+    compose."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20),
+                                      (3, "c", 30)]),
+                          enable_cdf=True)
+    files_before = set(t._snapshot_files()[0])
+    v = t.update_where({"v": F.col("v") + 1}, F.col("k") <= 2, use_dv=True)
+    hist = t.history()[-1]
+    assert hist["op"] == "UPDATE" and hist.get("mode") == "dv"
+    files_after = set(t._snapshot_files()[0])
+    assert files_before <= files_after, "no original segment de-listed"
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 11), (2, 21), (3, 30)]
+    # row count is stable and still metadata-only
+    n, meta_only = t.count_rows()
+    assert (n, meta_only) == (3, True)
+    # CDF carries pre/post images
+    ch = t.read_changes(v, v)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, 10, "update_preimage"), (1, 11, "update_postimage"),
+                   (2, 20, "update_preimage"), (2, 21, "update_postimage")]
+    # time travel to before the update sees original values
+    assert sorted((r["k"], r["v"]) for r in t.read(version=0).collect()) == \
+        [(1, 10), (2, 20), (3, 30)]
+    # chained DV update on top of DV state composes (positions are
+    # computed against the DV-applied snapshot)
+    t.update_where({"v": F.lit(0)}, F.col("k") == 1, use_dv=True)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 0), (2, 21), (3, 30)]
+    # PURGE materializes everything
+    t.reorg_purge()
+    _, _, dvs = t._snapshot_full()
+    assert not any(dvs.values())
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 0), (2, 21), (3, 30)]
+    # guards shared with copy-on-write
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where({"nope": F.lit(1)}, F.lit(True), use_dv=True)
