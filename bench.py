@@ -76,6 +76,7 @@ EXTRA = [
     "delta_reorg_purge",
     "delta_copy_into",
     "delta_dv_update",
+    "delta_identity_columns",
 ]
 
 

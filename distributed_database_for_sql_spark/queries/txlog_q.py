@@ -1820,3 +1820,69 @@ def delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(t.history()[-1].get("mode", "cow")))
             .withColumn("count_metadata_only", F.lit(bool(meta_only)))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_identity_columns",
+    # Dense assignment is certified NUMERICALLY: min id = 1, max id =
+    # distinct ids = total rows (dense ⟺ distinct == max-min+1 ==
+    # count), and the second commit's lowest id continues exactly at
+    # first-commit-count + 1 — all recomputable by the oracle from raw
+    # orders, no engine-dependent values involved.
+    oracle=f"""
+    WITH n1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 500),
+         nt AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 700)
+    SELECT o_orderpriority,
+           COUNT(*)                        AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT)   AS total_cents,
+           1                               AS min_id,
+           (SELECT c FROM nt)              AS max_id,
+           (SELECT c FROM nt)              AS n_distinct_ids,
+           (SELECT c FROM n1) + 1          AS second_batch_min_id
+    FROM orders
+    WHERE o_orderkey <= 700
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "identity", "generated"),
+)
+def delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY): ids are
+    engine-assigned at write — dense, monotonic, continuing from a
+    commit-carried high-water mark — via zero-shuffle distributed
+    assignment (per-partition contiguous ranges from broadcast offsets,
+    Arrow-batched).  The oracle certifies density and cross-commit
+    continuation numerically: min=1, max=distinct=row count, and the
+    second append's first id lands exactly at count(first)+1."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    extra = (orders
+             .filter((F.col("o_orderkey") > 500)
+                     & (F.col("o_orderkey") <= 700))
+             .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+             .repartition(2, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("ident", sf_dir), base,
+                          overwrite=True, identity_columns={"rid": 1})
+    t.append(extra)
+    snap = t.read()
+    stats = snap.agg(
+        F.min("rid").alias("mn"), F.max("rid").alias("mx"),
+        F.countDistinct("rid").alias("nd")).collect()[0]
+    second_min = (snap.filter(F.col("o_orderkey") > 500)
+                  .agg(F.min("rid")).collect()[0][0])
+    dense_ok = (stats["mn"] == 1 and stats["mx"] == stats["nd"])
+    assert dense_ok, "identity ids must be dense"
+    return (snap
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("min_id", F.lit(int(stats["mn"])).cast("long"))
+            .withColumn("max_id", F.lit(int(stats["mx"])).cast("long"))
+            .withColumn("n_distinct_ids",
+                        F.lit(int(stats["nd"])).cast("long"))
+            .withColumn("second_batch_min_id",
+                        F.lit(int(second_min)).cast("long"))
+            .orderBy("o_orderpriority"))

@@ -768,7 +768,7 @@ class TxLogTable:
     #: forward by checkpoints so resolution stays O(interval) on long logs)
     _META_KEYS = ("partitionColumns", "columnMapping", "columnMappingMode",
                   "retiredPhysical", "generatedColumns",
-                  "bloomFilterColumns")
+                  "bloomFilterColumns", "identityColumns")
 
     def _meta_state(self, version: int | None = None) -> dict:
         """Last-writer-wins metaData keys at ``version`` (partition
@@ -796,6 +796,16 @@ class TxLogTable:
                     for k in self._META_KEYS:
                         if k in md:
                             state[k] = md[k]
+                ident = action.get("identity")
+                if ident:
+                    # per-column identity high-water mark: max-merge, so
+                    # replay order and OCC retries can never move it
+                    # backwards (checkpoint manifests carry the folded
+                    # state like every other meta key)
+                    hw = dict(state.get("identityHighWater", {}))
+                    c = ident["column"]
+                    hw[c] = max(int(hw.get(c, 0)), int(ident["highWater"]))
+                    state["identityHighWater"] = hw
         return state
 
     def _partition_columns(self) -> list[str]:
@@ -1016,6 +1026,81 @@ class TxLogTable:
                     f"that do not match its expression ({expr})")
         return df
 
+    def _identity_columns(self) -> dict:
+        """IDENTITY column definitions ({name: {"start": s, "step": p}})
+        from the metaData state (checkpoint-bounded)."""
+        pending = getattr(self, "_pending_identity_columns", None)
+        if pending is not None:
+            return pending
+        return self._meta_state().get("identityColumns", {})
+
+    def _assign_identity(self, df: DataFrame):
+        """Delta ``GENERATED ALWAYS AS IDENTITY`` write semantics:
+        identity columns must be ABSENT from the incoming rows (always
+        engine-assigned — explicit values raise, like Delta) and are
+        assigned DENSE monotonically increasing values continuing from
+        the commit-carried high-water mark.
+
+        Distributed assignment, zero extra shuffle: the write set is
+        persisted (pins partitioning across the two passes), one bounded
+        job counts rows per partition, then an Arrow-batched
+        ``mapInPandas`` stamps each partition's contiguous id range from
+        the broadcast offsets — the standard dense-id pattern at scale
+        (a global row_number() would funnel everything through one
+        partition).  Returns (df, identity actions, cleanup) — cleanup
+        unpersists and must run AFTER the segment write.  Concurrency:
+        allocation assumes one writer per table at a time (same posture
+        as COPY INTO racing); OCC still serializes the commits
+        themselves."""
+        defs = self._identity_columns()
+        if not defs:
+            return df, [], None
+        provided = sorted(set(defs) & set(df.columns))
+        if provided:
+            raise ValueError(
+                f"identity column(s) {provided} are GENERATED ALWAYS — "
+                "explicit values are refused; omit them from the write")
+        high = self._meta_state().get("identityHighWater", {})
+        df = df.persist()
+        rows = (df.groupBy(F.spark_partition_id().alias("__pid")).count()
+                .collect())
+        counts = {r["__pid"]: r["count"] for r in rows}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        total = acc
+        firsts = {c: (int(high[c]) + spec["step"] if c in high
+                      else spec["start"])
+                  for c, spec in defs.items()}
+        steps = {c: spec["step"] for c, spec in defs.items()}
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(c, T.LongType(), False) for c in defs])
+
+        def stamp(batches):
+            import numpy as np
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            seen = 0
+            for pdf in batches:
+                n = len(pdf)
+                for c in defs:
+                    first = firsts[c] + steps[c] * (offsets.get(pid, 0)
+                                                    + seen)
+                    pdf[c] = first + steps[c] * np.arange(n, dtype="int64")
+                seen += n
+                yield pdf
+
+        out = df.mapInPandas(stamp, schema)
+        actions = [{"identity": {
+            "column": c,
+            "highWater": firsts[c] + steps[c] * (total - 1)}}
+            for c in defs] if total else []
+        return out, actions, (lambda: df.unpersist())
+
     def _write_segments(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet segments; return table-relative
         paths.  Unpartitioned: each write lands in its own uuid'd subdir so
@@ -1116,7 +1201,8 @@ class TxLogTable:
                partition_by: str | list[str] | None = None,
                generated_columns: dict[str, str] | None = None,
                bloom_filter_columns: list[str] | None = None,
-               column_mapping_mode: str = "name") -> "TxLogTable":
+               column_mapping_mode: str = "name",
+               identity_columns: dict | None = None) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
@@ -1161,6 +1247,26 @@ class TxLogTable:
             # which does not exist yet at CREATE: pre-commit the metaData
             # via an instance attribute override.
             t._pending_partition_columns = parts
+        ident_actions: list = []
+        ident_cleanup = None
+        if identity_columns:
+            # Delta GENERATED ALWAYS AS IDENTITY: {"id": {"start": 1,
+            # "step": 1}} (int shorthand = start, step 1); step >= 1 in
+            # v1.  The identity column is engine-assigned from CREATE on
+            # and joins the schema as a non-null long.
+            defs = {}
+            for c, spec in identity_columns.items():
+                if isinstance(spec, int):
+                    spec = {"start": spec, "step": 1}
+                if int(spec.get("step", 1)) < 1:
+                    raise ValueError(
+                        f"identity column {c!r}: step must be >= 1")
+                defs[c] = {"start": int(spec.get("start", 1)),
+                           "step": int(spec.get("step", 1))}
+            t._pending_identity_columns = defs
+            meta["identityColumns"] = defs
+            df, ident_actions, ident_cleanup = t._assign_identity(df)
+            meta["schemaJson"] = df.schema.json()
         if column_mapping_mode == "id":
             # every column gets an opaque physical id from birth; files
             # never carry a logical name, so drop + re-introduce is safe
@@ -1170,12 +1276,17 @@ class TxLogTable:
             meta["columnMappingMode"] = "id"
             t._pending_column_mapping = mapping
         rel = t._write_segments(df)
+        if ident_cleanup:
+            ident_cleanup()
+        if identity_columns:
+            del t._pending_identity_columns
         if column_mapping_mode == "id":
             del t._pending_column_mapping
         actions = (
             [{"commit": {"op": "CREATE", "ts": t._next_ts()}},
              {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
              {"metaData": meta}]
+            + ident_actions
             + t._add_actions(rel)
         )
         if not t._try_commit(0, actions):
@@ -1389,12 +1500,15 @@ class TxLogTable:
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
         df = self._apply_generated(df)
+        df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
         # evolution guard BEFORE the segment write: a refused column
         # (retired / vacated-physical clash) must fail loudly here, not
         # crash mid-write on a duplicate physical name
         evolution = self._schema_evolution_action(df)
         rel = self._write_segments(df)
+        if ident_cleanup:
+            ident_cleanup()
         txn_actions = ([] if txn_app_id is None else
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
@@ -1402,6 +1516,7 @@ class TxLogTable:
             [{"commit": {"op": "APPEND", "ts": self._next_ts()}}]
             + txn_actions
             + evolution
+            + ident_actions
             + self._add_actions(rel)
         )
         if self._staged is not None:
@@ -1955,7 +2070,18 @@ class TxLogTable:
         records the touched key range in the commit so concurrent
         overlapping MERGEs are detected as conflicts (see
         ``_commit_with_occ``) instead of silently duplicating keys.
+
+        v1 scope: refused on tables with IDENTITY columns (the insert
+        arm would need engine-assigned ids while the update arm carries
+        existing ones — Delta has the same whole-row-MERGE restriction
+        for GENERATED ALWAYS identity; use append + update instead).
         """
+        if self._identity_columns():
+            raise ValueError(
+                "MERGE into a table with IDENTITY columns is not "
+                "supported (GENERATED ALWAYS ids cannot ride a "
+                "whole-row upsert); append new rows and update "
+                "existing ones instead")
         base_version = self.latest_version()
         files, _ = self._snapshot_files()
         stats = updates.agg(
@@ -2091,7 +2217,7 @@ class TxLogTable:
 
     def _check_update_assignments(self, exprs: dict, columns: list) -> None:
         """Shared UPDATE guards: unknown columns and direct SET of
-        generated columns are refused (both strategies)."""
+        generated or identity columns are refused (both strategies)."""
         unknown = set(exprs) - set(columns)
         if unknown:
             raise ValueError(
@@ -2101,6 +2227,11 @@ class TxLogTable:
             raise ValueError(
                 f"UPDATE SET of generated columns {sorted(direct_gen)}: "
                 "generated values are derived, not assigned")
+        direct_ident = set(exprs) & set(self._identity_columns())
+        if direct_ident:
+            raise ValueError(
+                f"UPDATE SET of identity columns {sorted(direct_ident)}: "
+                "GENERATED ALWAYS ids are engine-assigned, never set")
 
     def update_where(self, assignments: dict, condition,
                      use_dv: bool = False) -> int:
@@ -2427,7 +2558,9 @@ class TxLogTable:
         _, schema_json = self._snapshot_files()
         schema = T.StructType.fromJson(json.loads(schema_json))
         gen = self._generated_columns()
-        required = [f for f in schema.fields if f.name not in gen]
+        ident = self._identity_columns()
+        required = [f for f in schema.fields
+                    if f.name not in gen and f.name not in ident]
         missing = [f.name for f in required if f.name not in src.columns]
         if missing:
             raise ValueError(
@@ -2436,14 +2569,18 @@ class TxLogTable:
         df = src.select(*[F.col(f.name).cast(f.dataType)
                           for f in required])
         df = self._apply_generated(df)
+        df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
         rel = self._write_segments(df)
+        if ident_cleanup:
+            ident_cleanup()
         actions = (
             [{"commit": {"op": "COPY INTO", "ts": self._next_ts(),
                          "source": src_abs,
                          "filesLoaded": len(new_files)}}]
             + [{"txn": {"appId": f"copy:{p}", "version": 1}}
                for p in new_files]
+            + ident_actions
             + self._add_actions(rel)
         )
         return self._commit_with_occ(actions, [], base_version), \

@@ -2680,3 +2680,63 @@ def test_update_where_dv_rewrites_nothing(spark, tdir):
     # guards shared with copy-on-write
     with pytest.raises(ValueError, match="unknown columns"):
         t.update_where({"nope": F.lit(1)}, F.lit(True), use_dv=True)
+
+
+# -- r8: IDENTITY columns ----------------------------------------------------
+
+def test_identity_columns_dense_monotonic(spark, tdir):
+    """GENERATED ALWAYS AS IDENTITY: ids are engine-assigned, dense,
+    and continue from the commit-carried high-water mark across appends,
+    COPY INTO, checkpoints, and fresh handles; explicit values and
+    UPDATE SET of the id column are refused; DELETE never reuses ids."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 10), ("b", 20), ("c", 30)],
+                              "grp string, v int"),
+        identity_columns={"id": {"start": 100, "step": 2}})
+    got = sorted((r["id"], r["grp"]) for r in t.read().collect())
+    assert [i for i, _ in got] == [100, 102, 104], f"dense from start: {got}"
+    # append continues from the high-water mark (fresh handle: the mark
+    # rides the log/checkpoint, not the instance)
+    fresh = TxLogTable(spark, tdir)
+    fresh.append(spark.createDataFrame([("d", 40), ("e", 50)],
+                                       "grp string, v int"))
+    ids = sorted(r["id"] for r in fresh.read().collect())
+    assert ids == [100, 102, 104, 106, 108]
+    # delete burns ids; the next append does NOT reuse them
+    fresh.delete_where(F.col("id") >= 106)
+    fresh.append(spark.createDataFrame([("f", 60)], "grp string, v int"))
+    ids2 = sorted(r["id"] for r in fresh.read().collect())
+    assert ids2 == [100, 102, 104, 110]
+    # explicit values refused (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        fresh.append(spark.createDataFrame(
+            [(999, "x", 1)], "id long, grp string, v int"))
+    with pytest.raises(ValueError, match="identity"):
+        fresh.update_where({"id": F.lit(1)}, F.lit(True))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        fresh.merge_upsert(spark.createDataFrame(
+            [("a", 1)], "grp string, v int"), "grp")
+    # non-identity updates still work and never disturb ids
+    fresh.update_where({"v": F.col("v") + 1}, F.col("grp") == "a")
+    assert sorted(r["id"] for r in fresh.read().collect()) == ids2
+
+
+def test_identity_columns_multi_partition_unique(spark, tdir):
+    """Dense assignment across a multi-partition write: ids are unique
+    and exactly 1..n regardless of partitioning."""
+    df = (spark.range(0, 500).selectExpr("CAST(id AS INT) AS v",
+                                         "CAST(id % 7 AS STRING) AS grp")
+          .drop("id").repartition(8))
+    t = TxLogTable.create(spark, tdir, df.select("grp", "v"),
+                          identity_columns={"rid": 1})
+    rows = t.read().select("rid").collect()
+    ids = sorted(r["rid"] for r in rows)
+    assert ids == list(range(1, 501)), "dense 1..n, no dupes, no gaps"
+    # COPY INTO also assigns (identity column not required in source)
+    import tempfile
+    land = tempfile.mkdtemp(prefix="ident_land_")
+    spark.createDataFrame([("z", 1)], "grp string, v int") \
+        .coalesce(1).write.mode("overwrite").parquet(land)
+    t.copy_into(land)
+    assert max(r["rid"] for r in t.read().collect()) == 501
