@@ -548,3 +548,75 @@ def dedup_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shared_windows"))
             .orderBy("doc_id"))
+
+
+@register(
+    "dedup_cluster_representative",
+    # Oracle: brute-force Jaccard pairs -> recursive-CTE transitive
+    # closure -> per-cluster representative by (longest text, then
+    # lowest doc_id) — the deterministic keep-the-best-copy rule.
+    # Singletons (docs in no pair) represent themselves.
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) /
+            (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             LENGTH(d.text) AS len
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT component,
+           COUNT(*)                                      AS cluster_size,
+           FIRST(doc_id ORDER BY len DESC, doc_id ASC)   AS rep_doc_id,
+           CAST(MAX(len) AS BIGINT)                      AS rep_len
+    FROM lab
+    GROUP BY component
+    ORDER BY component
+    """,
+    tags=("dedup", "components", "curation", "llm"),
+)
+def dedup_cluster_representative(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection — the step a real
+    curation pipeline runs AFTER clustering: for every connected
+    component of the near-dup graph, keep exactly one copy by a
+    deterministic quality rule (longest text, ties to the lowest
+    doc_id); documents in no cluster represent themselves.  Composes
+    the banded MinHash-LSH pair generation with the iterative
+    min-label-propagation components — all existing scale-safe
+    operators — plus one per-cluster max_by(struct) aggregate.  The
+    oracle recomputes the closure with a recursive CTE over brute-force
+    Jaccard pairs, so the hash certifies clustering AND selection."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    comps = connected_components(pairs)
+    lab = (docs.select("doc_id", F.length("text").alias("len"))
+           .join(comps, docs.doc_id == comps.node, "left")
+           .select("doc_id", "len",
+                   F.coalesce("component", "doc_id").alias("component")))
+    return (lab.groupBy("component")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.expr("max_by(doc_id, struct(len, -doc_id))")
+                 .alias("rep_doc_id"),
+                 F.max("len").cast("long").alias("rep_len"))
+            .orderBy("component"))
