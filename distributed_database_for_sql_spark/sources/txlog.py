@@ -161,10 +161,42 @@ def _file_stats(abs_path: str) -> dict | None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
     return {
         "numRecords": md.num_rows,
-        "minValues": {k: v for k, v in mins.items() if v is not None},
-        "maxValues": {k: v for k, v in maxs.items() if v is not None},
+        "minValues": {k: _truncate_min(v) for k, v in mins.items()
+                      if v is not None},
+        "maxValues": {k: _truncate_max(v) for k, v in maxs.items()
+                      if v is not None},
         "nullCount": nulls,
     }
+
+
+#: Delta truncates string min/max stats to 32 characters so a text-heavy
+#: table (documents corpora) does not bloat every commit/checkpoint with
+#: kilobytes of min/max payload per file — at 100 TB the log IS the hot
+#: metadata path.  Soundness: a PREFIX of the min is still a lower
+#: bound; the max must be truncated-then-INCREMENTED (smallest string
+#: greater than everything sharing the prefix) to stay an upper bound.
+_STAT_MAX_STRING = 32
+
+
+def _truncate_min(v):
+    if isinstance(v, str) and len(v) > _STAT_MAX_STRING:
+        return v[:_STAT_MAX_STRING]
+    return v
+
+
+def _truncate_max(v):
+    if not (isinstance(v, str) and len(v) > _STAT_MAX_STRING):
+        return v
+    prefix = v[:_STAT_MAX_STRING]
+    # increment the last incrementable character and drop the tail —
+    # yields the smallest string above every string with this prefix
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x10FFFF:
+            nxt = ord(prefix[i]) + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000  # skip the surrogate range (not JSON-safe)
+            return prefix[:i] + chr(nxt)
+    return v  # every char is U+10FFFF: cannot truncate soundly
 
 
 _BLOOM_BITS_PER_ROW = 10  # ~1% false-positive rate with k=3 hashes

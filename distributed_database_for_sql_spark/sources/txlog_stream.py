@@ -139,6 +139,12 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
         self.start_version = int(options.get("startversion", 0))
+        # Delta's maxFilesPerTrigger analogue at the commit granularity:
+        # bound how many versions one micro-batch drains, so a stream
+        # starting against a long backlog catches up in bounded batches
+        # (bounded memory + bounded recovery replay) instead of one
+        # giant batch.  0 = unbounded (default).
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
         # field order fixed by the declared schema; the last two are the
         # CDF metadata columns appended by the data source
         self.fields = [f.name for f in schema.fields]
@@ -149,9 +155,11 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         latest = _latest_version(self.path)
-        end = {"version": latest + 1}
         if start["version"] > latest:
             return iter([]), start
+        if self.max_versions > 0:
+            latest = min(latest, start["version"] + self.max_versions - 1)
+        end = {"version": latest + 1}
         return iter(self._rows(start["version"], latest)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -290,6 +298,7 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
         self.start_version = int(options.get("startversion", 0))
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true")
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
         self.fields = [f.name for f in schema.fields]
         self.data_fields = self.fields[:-1]  # last = _commit_version
 
@@ -298,9 +307,12 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         latest = _latest_version(self.path)
-        end = {"version": latest + 1}
         if start["version"] > latest:
             return iter([]), start
+        if self.max_versions > 0:
+            # catch-up rate limiting (Delta's maxFilesPerTrigger shape)
+            latest = min(latest, start["version"] + self.max_versions - 1)
+        end = {"version": latest + 1}
         return iter(self._rows(start["version"], latest)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

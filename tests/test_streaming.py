@@ -464,3 +464,46 @@ def test_cdf_stream_across_rename(spark, tmp_path):
     # replay determinism across the same offsets (failure recovery path)
     replay = list(reader.readBetweenOffsets({"version": 0}, {"version": 7}))
     assert sorted(replay) == sorted(rows)
+
+
+def test_stream_max_versions_per_trigger(spark, tmp_path):
+    """maxVersionsPerTrigger (Delta's maxFilesPerTrigger shape): a
+    stream starting against a backlog drains it in bounded micro-batches
+    — each read() advances at most N versions — and the batches
+    concatenate to exactly the unbounded result."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogChangesDataSource, TxLogTableDataSource)
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "rl"),
+        spark.createDataFrame([(0, 0)], "k long, v long"), enable_cdf=True)
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+    # table source: 6 commits, 2 per trigger -> 3 batches
+    ds = TxLogTableDataSource({"path": t.path, "maxversionspertrigger": "2"})
+    reader = ds.simpleStreamReader(ds.schema())
+    offsets, rows = [{"version": 0}], []
+    while True:
+        batch, end = reader.read(offsets[-1])
+        batch = list(batch)
+        if end == offsets[-1]:
+            break
+        assert end["version"] - offsets[-1]["version"] <= 2
+        rows.extend(batch)
+        offsets.append(end)
+    assert len(offsets) - 1 == 3, f"expected 3 bounded batches: {offsets}"
+    assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4, 5]
+    # unbounded reader yields the same concatenation
+    ds_all = TxLogTableDataSource({"path": t.path})
+    all_rows = list(ds_all.simpleStreamReader(ds_all.schema())
+                    .read({"version": 0})[0])
+    assert sorted(all_rows) == sorted(rows)
+    # CDF source honors the same option
+    ds_cdf = TxLogChangesDataSource({"path": t.path,
+                                     "maxversionspertrigger": "4"})
+    r_cdf = ds_cdf.simpleStreamReader(ds_cdf.schema())
+    b1, e1 = r_cdf.read({"version": 0})
+    assert e1 == {"version": 4} and len(list(b1)) == 4
+    b2, e2 = r_cdf.read(e1)
+    assert e2 == {"version": 6} and len(list(b2)) == 2

@@ -2740,3 +2740,45 @@ def test_identity_columns_multi_partition_unique(spark, tdir):
         .coalesce(1).write.mode("overwrite").parquet(land)
     t.copy_into(land)
     assert max(r["rid"] for r in t.read().collect()) == 501
+
+
+# -- r8: string stats truncation ---------------------------------------------
+
+def test_string_stats_truncated_but_sound(spark, tdir):
+    """String min/max stats are truncated to 32 chars (text-heavy
+    tables must not bloat every commit with kilobyte stat payloads) and
+    stay SOUND: the min is a prefix lower bound, the max is
+    truncated-then-incremented — a point probe on a long string still
+    keeps its file; clearly-out-of-range probes still prune."""
+    import json as _json
+
+    from distributed_database_for_sql_spark.sources.txlog import (
+        _STAT_MAX_STRING, _truncate_max, _truncate_min)
+
+    long_a = "a" * 100 + "end"
+    long_z = "z" * 100 + "end"
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, long_a), (2, long_z)],
+                              "k int, body string"))
+    t.append(spark.createDataFrame([(3, "mmm")], "k int, body string"))
+    active, _ = t._snapshot()
+    for stats in active.values():
+        for v in list(stats["minValues"].values()) + \
+                list(stats["maxValues"].values()):
+            if isinstance(v, str):
+                assert len(v) <= _STAT_MAX_STRING + 1, \
+                    f"stat payload not truncated: {v!r}"
+    # soundness: exact probes on the long strings keep their file
+    assert sorted(r["k"] for r in
+                  t.read_where([("body", "=", long_a)]).collect()) == [1]
+    assert sorted(r["k"] for r in
+                  t.read_where([("body", "=", long_z)]).collect()) == [2]
+    # pruning still works for clearly-out-of-range probes
+    kept, total = t.prune_files([("body", "=", "~~~beyond-z")])
+    assert len(kept) < total
+    # helper semantics: min is a prefix bound, max strictly dominates
+    v = "x" * 40
+    assert _truncate_min(v) == "x" * 32 and _truncate_min(v) <= v
+    assert _truncate_max(v) > v and len(_truncate_max(v)) <= 32
+    assert _truncate_max("short") == "short"
