@@ -108,6 +108,22 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) / UNSET TBLPROPERTIES
+# ('k', ...) and SHOW TBLPROPERTIES t — Delta table properties.
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<kvs>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"(?:IF\s+EXISTS\s*)?\((?P<keys>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<target>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_PROP_KV_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+_PROP_KEY_RE = re.compile(r"'(?P<k>[^']+)'")
+
 # ALTER TABLE t RENAME COLUMN a TO b / DROP COLUMN a — metadata-only
 # schema changes via column mapping (no file rewritten).
 _RENAME_COLUMN_RE = re.compile(
@@ -303,6 +319,28 @@ class Engine:
             version = self.txlog_tables[target].add_column(
                 m.group("name"), m.group("dtype"))
             return self._dml_ack(target, version)
+        m = _SET_PROPS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            props = {kv.group("k"): kv.group("v")
+                     for kv in _PROP_KV_RE.finditer(m.group("kvs"))}
+            if not props:
+                raise ValueError(
+                    "SET TBLPROPERTIES needs 'key' = 'value' pairs")
+            version = self.txlog_tables[target].set_properties(props)
+            return self._dml_ack(target, version)
+        m = _UNSET_PROPS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            keys = [kv.group("k")
+                    for kv in _PROP_KEY_RE.finditer(m.group("keys"))]
+            version = self.txlog_tables[target].unset_properties(keys)
+            return self._dml_ack(target, version)
+        m = _SHOW_PROPS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            props = self.txlog_tables[m.group("target")].properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()) or [], "key string, value string")
         m = _OPTIMIZE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

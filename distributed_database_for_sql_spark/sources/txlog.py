@@ -90,6 +90,7 @@ import datetime
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -800,7 +801,7 @@ class TxLogTable:
     #: forward by checkpoints so resolution stays O(interval) on long logs)
     _META_KEYS = ("partitionColumns", "columnMapping", "columnMappingMode",
                   "retiredPhysical", "generatedColumns",
-                  "bloomFilterColumns", "identityColumns")
+                  "bloomFilterColumns", "identityColumns", "properties")
 
     def _meta_state(self, version: int | None = None) -> dict:
         """Last-writer-wins metaData keys at ``version`` (partition
@@ -2108,6 +2109,7 @@ class TxLogTable:
         existing ones — Delta has the same whole-row-MERGE restriction
         for GENERATED ALWAYS identity; use append + update instead).
         """
+        self._check_append_only("MERGE")
         if self._identity_columns():
             raise ValueError(
                 "MERGE into a table with IDENTITY columns is not "
@@ -2213,6 +2215,7 @@ class TxLogTable:
 
         SQL DELETE semantics either way: only rows where the predicate is
         TRUE go; NULL-evaluating rows survive."""
+        self._check_append_only("DELETE")
         base_version = self.latest_version()
         if use_dv:
             return self._delete_where_dv(condition, base_version)
@@ -2285,6 +2288,7 @@ class TxLogTable:
         All assignment expressions see PRE-update values (single
         simultaneous projection — standard SQL UPDATE semantics).
         NULL-evaluating rows are untouched."""
+        self._check_append_only("UPDATE")
         base_version = self.latest_version()
         if use_dv:
             return self._update_where_dv(assignments, condition,
@@ -2645,6 +2649,68 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, targets, base_version)
 
+    # -- table properties (Delta TBLPROPERTIES) -----------------------------
+
+    def properties(self) -> dict[str, str]:
+        """Current table properties (checkpoint-bounded resolution)."""
+        return dict(self._meta_state().get("properties", {}))
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """``ALTER TABLE … SET TBLPROPERTIES``: per-key merge into the
+        property map, one metadata-only commit (Delta semantics —
+        properties ride metaData, last writer wins per SET)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        merged = self.properties()
+        merged.update({str(k): str(v) for k, v in props.items()})
+        actions = [
+            {"commit": {"op": "SET TBLPROPERTIES", "ts": self._next_ts(),
+                        "keys": sorted(props)}},
+            {"metaData": {"schemaJson": schema_json,
+                          "properties": merged}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """``ALTER TABLE … UNSET TBLPROPERTIES`` (missing keys are a
+        no-op, like Delta's IF EXISTS form)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        merged = self.properties()
+        for k in keys:
+            merged.pop(str(k), None)
+        actions = [
+            {"commit": {"op": "SET TBLPROPERTIES", "ts": self._next_ts(),
+                        "unset": sorted(keys)}},
+            {"metaData": {"schemaJson": schema_json,
+                          "properties": merged}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def _check_append_only(self, op: str) -> None:
+        """``delta.appendOnly = true`` (Delta's append-only tables):
+        row-changing commands are refused — the audit-log / event-stream
+        contract where history must be immutable.  Appends, metadata
+        DDL, and layout ops (OPTIMIZE/REORG) stay allowed."""
+        if self.properties().get("delta.appendOnly", "").lower() == "true":
+            raise ValueError(
+                f"{op} is not allowed: table property delta.appendOnly "
+                "is true (UNSET it first to change existing rows)")
+
+    def _retention_default(self) -> float:
+        """Default VACUUM retention: the
+        ``delta.deletedFileRetentionDuration`` property ("interval N
+        hours"/"N hours") if set, else 24 h (Delta's default)."""
+        raw = self.properties().get("delta.deletedFileRetentionDuration")
+        if raw:
+            m = re.search(r"(\d+(?:\.\d+)?)\s*hour", raw, re.IGNORECASE)
+            if m:
+                return float(m.group(1)) * 3600.0
+            raise ValueError(
+                "unsupported delta.deletedFileRetentionDuration "
+                f"{raw!r}: use 'interval N hours'")
+        return 24 * 3600.0
+
     def detail(self) -> dict:
         """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,
         snapshot version, file count, total data bytes, partition
@@ -2693,7 +2759,7 @@ class TxLogTable:
             self._commit_with_occ(actions, [], base_version)
         return missing
 
-    def vacuum(self, retention_seconds: float = 24 * 3600.0,
+    def vacuum(self, retention_seconds: float | None = None,
                dry_run: bool = False) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST
         snapshot AND older than ``retention_seconds`` (mtime).  The
@@ -2719,6 +2785,9 @@ class TxLogTable:
                     for p in live}
         live_dv_set = {os.path.normpath(os.path.join(self.path, d))
                        for dvlist in live_dvs.values() for d in dvlist}
+        if retention_seconds is None:
+            # table property delta.deletedFileRetentionDuration, else 24 h
+            retention_seconds = self._retention_default()
         cutoff = time.time() - retention_seconds
         removed = []
         # root-level parquet (adopted by CONVERT, later de-listed by a
@@ -2847,7 +2916,8 @@ class TxLogTable:
                             .withColumn("_change_type", F.lit("insert")))
                 elif g["op"] in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                                  "DROP CONSTRAINT", "RENAME COLUMN",
-                                 "ADD COLUMN", "DROP COLUMN", "CLONE"):
+                                 "ADD COLUMN", "DROP COLUMN", "CLONE",
+                                 "SET TBLPROPERTIES"):
                     continue  # layout/metadata only
                 else:
                     raise ValueError(
@@ -2891,7 +2961,7 @@ class TxLogTable:
                     .withColumn("_change_type", F.lit("insert")))
             elif op in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                         "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
-                        "DROP COLUMN", "CLONE"):
+                        "DROP COLUMN", "CLONE", "SET TBLPROPERTIES"):
                 continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(

@@ -2782,3 +2782,64 @@ def test_string_stats_truncated_but_sound(spark, tdir):
     assert _truncate_min(v) == "x" * 32 and _truncate_min(v) <= v
     assert _truncate_max(v) > v and len(_truncate_max(v)) <= 32
     assert _truncate_max("short") == "short"
+
+
+# -- r8: TBLPROPERTIES -------------------------------------------------------
+
+def test_tblproperties_set_unset_and_append_only(spark, tdir):
+    """SET/UNSET TBLPROPERTIES are metadata-only commits; the
+    delta.appendOnly property refuses row-changing commands while
+    appends and layout/metadata ops stay allowed; retention default
+    honors delta.deletedFileRetentionDuration."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    files_before = t._snapshot_files()[0]
+    t.set_properties({"delta.appendOnly": "true", "team": "data-eng"})
+    assert t._snapshot_files()[0] == files_before, "metadata-only"
+    assert t.properties() == {"delta.appendOnly": "true",
+                              "team": "data-eng"}
+    # appends still fine; row changes refused
+    t.append(_df(spark, [(2, "b", 20)]))
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.delete_where(F.col("k") == 1)
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.update_where({"v": F.lit(0)}, F.lit(True))
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.merge_upsert(_df(spark, [(1, "a", 99)]), "k")
+    t.optimize_compact()  # layout op allowed
+    # per-key merge + unset (missing keys no-op)
+    t.set_properties({"team": "ml"})
+    assert t.properties()["team"] == "ml"
+    assert t.properties()["delta.appendOnly"] == "true"
+    t.unset_properties(["delta.appendOnly", "missing"])
+    assert "delta.appendOnly" not in t.properties()
+    t.delete_where(F.col("k") == 1)  # allowed again
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+    # retention default parses the property
+    t.set_properties({"delta.deletedFileRetentionDuration":
+                      "interval 0 hours"})
+    assert t._retention_default() == 0.0
+    would = t.vacuum(dry_run=True)  # 0-hour retention from the property
+    assert would, "de-listed segments collectible under property default"
+    # properties survive a fresh handle + checkpoint resolution
+    fresh = TxLogTable(spark, tdir)
+    assert fresh.properties()["team"] == "ml"
+
+
+def test_tblproperties_via_engine_sql(spark, tmp_path):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    t = TxLogTable.create(spark, str(tmp_path / "tp"),
+                          _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("tp_t", t)
+    engine.sql("ALTER TABLE tp_t SET TBLPROPERTIES "
+               "('delta.appendOnly' = 'true', 'owner' = 'me')")
+    rows = engine.sql("SHOW TBLPROPERTIES tp_t").collect()
+    assert {(r["key"], r["value"]) for r in rows} == \
+        {("delta.appendOnly", "true"), ("owner", "me")}
+    with pytest.raises(ValueError, match="appendOnly"):
+        engine.sql("DELETE FROM tp_t WHERE k = 1")
+    engine.sql("ALTER TABLE tp_t UNSET TBLPROPERTIES ('delta.appendOnly')")
+    engine.sql("DELETE FROM tp_t WHERE k = 1")
+    assert spark.sql("SELECT * FROM tp_t").count() == 0
