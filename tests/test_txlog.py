@@ -2843,3 +2843,22 @@ def test_tblproperties_via_engine_sql(spark, tmp_path):
     engine.sql("ALTER TABLE tp_t UNSET TBLPROPERTIES ('delta.appendOnly')")
     engine.sql("DELETE FROM tp_t WHERE k = 1")
     assert spark.sql("SELECT * FROM tp_t").count() == 0
+
+
+def test_identity_high_water_survives_checkpoint(spark, tdir):
+    """The identity high-water mark folds into checkpoint manifests like
+    every other meta key: a fresh handle on a checkpointed log continues
+    ids from the suffix-resolved mark, not from a full replay."""
+    t = TxLogTable.create(spark, tdir,
+                          spark.createDataFrame([("a", 1)],
+                                                "grp string, v int"),
+                          identity_columns={"id": 1})
+    t.checkpoint_interval = 3
+    for i in range(7):  # crosses two checkpoints
+        t.append(spark.createDataFrame([(f"g{i}", i)], "grp string, v int"))
+    import glob as _glob
+    assert _glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.json"))
+    fresh = TxLogTable(spark, tdir)
+    fresh.append(spark.createDataFrame([("z", 99)], "grp string, v int"))
+    ids = sorted(r["id"] for r in fresh.read().collect())
+    assert ids == list(range(1, 10)), f"dense across checkpoints: {ids}"
