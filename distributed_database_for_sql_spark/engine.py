@@ -64,6 +64,23 @@ _INSERT_RE = re.compile(
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL)
 
+# INSERT OVERWRITE t [PARTITION (p = v)] SELECT ... — atomic replace of
+# the table (or one partition, Delta's replaceWhere shape).
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<target>\w+)"
+    r"(?:\s+PARTITION\s*\(\s*(?P<pcol>\w+)\s*=\s*"
+    r"'?(?P<pval>[\w.-]+)'?\s*\))?"
+    r"\s+(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
+    re.IGNORECASE | re.DOTALL)
+
+# CREATE TABLE t (col TYPE, ...) USING TXLOG [LOCATION '...'] — empty
+# ACID table DDL (the COPY INTO landing-table shape).
+_CREATE_EMPTY_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*"
+    r"\((?P<cols>.+)\)\s*USING\s+TXLOG"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 # RESTORE TABLE t TO VERSION AS OF n / TO TIMESTAMP AS OF ms|'iso' —
 # rollback-as-new-commit (timestamp resolves via version_at_timestamp).
 _RESTORE_RE = re.compile(
@@ -240,6 +257,43 @@ class Engine:
         m = _DELETE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._delete(m)
+        m = _INSERT_OVERWRITE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            t = self.txlog_tables[target]
+            query = m.group("query").rstrip().rstrip(";")
+            df = self.spark.sql(self._rewrite_time_travel(query))
+            table_cols = t.read().columns
+            ident = t._identity_columns()
+            expect = [c for c in table_cols if c not in ident]
+            if len(df.columns) != len(expect):
+                raise ValueError(
+                    f"INSERT OVERWRITE {target}: query produces "
+                    f"{len(df.columns)} column(s), table expects "
+                    f"{len(expect)}")
+            df = df.toDF(*expect)
+            parts = ({m.group("pcol"): m.group("pval")}
+                     if m.group("pcol") else None)
+            version = t.insert_overwrite(df, partitions=parts)
+            return self._dml_ack(target, version)
+        m = _CREATE_EMPTY_RE.match(command)
+        if m:
+            from .sources.txlog import TxLogTable
+            from .tmpstage import staging_dir
+
+            name = m.group("name")
+            if name in self.txlog_tables:
+                raise ValueError(
+                    f"txlog table {name!r} already registered")
+            loc = m.group("loc") or staging_dir(
+                f"engine_create_{name}", self.sf_dir)
+            empty = self.spark.createDataFrame([], m.group("cols"))
+            t = TxLogTable.create(self.spark, loc, empty,
+                                  overwrite=m.group("loc") is None)
+            self.register_txlog(name, t)
+            return self.spark.createDataFrame(
+                [(name, loc, t.latest_version())],
+                "table_name string, location string, version long")
         m = _INSERT_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._insert_into(m)

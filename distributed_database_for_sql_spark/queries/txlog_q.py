@@ -1886,3 +1886,70 @@ def delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("second_batch_min_id",
                         F.lit(int(second_min)).cast("long"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_insert_overwrite",
+    # The oracle recomputes the post-overwrite state; audit columns pin
+    # atomic partition-scoped replacement: untouched partitions' files
+    # carried by reference, and time travel to v0 still serves the full
+    # original row count.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 900 AND o_orderkey % 3 <> 1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 3 = 1
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           'OVERWRITE'                AS last_op,
+           TRUE                       AS untouched_carried,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 900)
+                                      AS v0_rows
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "overwrite", "partition", "replace-where"),
+)
+def delta_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped INSERT OVERWRITE (Delta's replaceWhere): one
+    partition of a Hive-layout ACID table is atomically replaced — one
+    commit de-lists exactly that partition's segments and adds the new
+    data; the other partitions carry by reference and time travel to the
+    pre-overwrite snapshot still works.  This is the daily-reload shape
+    at 100 TB: replace one day, touch nothing else, readers never see a
+    half-swapped table.  The oracle certifies the merged state; audit
+    columns pin the untouched-partition carry and the v0 row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    bucket = (F.col("o_orderkey") % 3).cast("string")
+    base = (orders.filter(F.col("o_orderkey") <= 900)
+            .select(bucket.alias("bucket"), "o_orderkey",
+                    "o_orderpriority", cents.alias("cents"))
+            .repartition(3, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("overwrite", sf_dir), base,
+                          overwrite=True, partition_by="bucket")
+    active_before, _ = t._snapshot()
+    other = [p for p, s in active_before.items()
+             if (s or {}).get("partitionValues", {}).get("bucket") != "1"]
+    replacement = (orders
+                   .filter((F.col("o_orderkey") <= 1200)
+                           & (F.col("o_orderkey") % 3 == 1))
+                   .select(bucket.alias("bucket"), "o_orderkey",
+                           "o_orderpriority", (cents + 7).alias("cents")))
+    t.insert_overwrite(replacement, partitions={"bucket": "1"})
+    active_after, _ = t._snapshot()
+    carried = all(p in active_after for p in other)
+    v0_rows = t.read(version=0).count()
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("last_op", F.lit(t.history()[-1]["op"]))
+            .withColumn("untouched_carried", F.lit(bool(carried)))
+            .withColumn("v0_rows", F.lit(int(v0_rows)).cast("long"))
+            .orderBy("o_orderpriority"))

@@ -146,11 +146,15 @@ def _file_stats(abs_path: str) -> dict | None:
             name = col.path_in_schema
             if "." in name:  # nested/list leaf: not a top-level column
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no min/max")
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+            except Exception:  # absent stats, or pyarrow cannot decode
+                #                the type's statistics (e.g. decimal)
                 mins[name] = maxs[name] = None
                 continue
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
             if lo is None or hi is None:
                 mins[name] = maxs[name] = None
                 continue
@@ -2249,6 +2253,76 @@ class TxLogTable:
             + cdf_actions
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
+
+    def insert_overwrite(self, df: DataFrame,
+                         partitions: dict | None = None) -> int:
+        """``INSERT OVERWRITE`` as ONE atomic commit: de-list the active
+        segments — ALL of them, or (``partitions={"pcol": value}``,
+        Delta's replaceWhere shape) only those in the matching
+        partitions — and add the new data's segments.  Readers never see
+        an empty or half-replaced table (snapshot isolation: the swap is
+        a single commit), and time travel to before it still works.
+        At 100 TB the partition-scoped form is the daily-reload shape:
+        replace one day's partition atomically, touch nothing else.
+
+        With CDF enabled, the replaced rows are persisted as ``delete``
+        changes and the new rows as ``insert`` — downstream incremental
+        consumers see the overwrite as row-level churn, like Delta."""
+        self._check_append_only("INSERT OVERWRITE")
+        base_version = self.latest_version()
+        active, _ = self._snapshot()
+        if partitions:
+            pcols = set(self._partition_columns())
+            bad = sorted(set(partitions) - pcols)
+            if bad:
+                raise ValueError(
+                    f"INSERT OVERWRITE PARTITION supports partition "
+                    f"columns only; {bad} are not partition columns")
+            removed = [p for p, stats in active.items()
+                       if all((stats or {}).get("partitionValues", {})
+                              .get(c) == str(v)
+                              for c, v in partitions.items())]
+            # rows landing outside the replaced partition would silently
+            # widen the overwrite's scope — refuse, like replaceWhere
+            mismatch = df
+            for c, v in partitions.items():
+                mismatch = mismatch.filter(
+                    ~F.col(c).cast("string").eqNullSafe(str(v)))
+            if mismatch.limit(1).count():
+                raise ValueError(
+                    "INSERT OVERWRITE PARTITION: incoming rows fall "
+                    f"outside the replaced partition {partitions}")
+        else:
+            removed = list(active)
+        df = self._apply_generated(df)
+        df, ident_actions, ident_cleanup = self._assign_identity(df)
+        self._validate_constraints(df)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            old = (self._read_active(
+                only=[os.path.join(self.path, p) for p in removed])
+                .withColumn("_change_type", F.lit("delete"))
+                if removed else None)
+            new = df.withColumn("_change_type", F.lit("insert"))
+            changes = (old.unionByName(new, allowMissingColumns=True)
+                       if old is not None else new)
+            cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
+        rel_new = self._write_segments(df)
+        if ident_cleanup:
+            ident_cleanup()
+        commit: dict = {"op": "OVERWRITE", "ts": self._next_ts(),
+                        "filesRemoved": len(removed),
+                        "filesAdded": len(rel_new)}
+        if partitions:
+            commit["partition"] = {c: str(v) for c, v in partitions.items()}
+        actions = (
+            [{"commit": commit}]
+            + [{"remove": {"path": p}} for p in removed]
+            + ident_actions
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(actions, removed, base_version)
 
     def _check_update_assignments(self, exprs: dict, columns: list) -> None:
         """Shared UPDATE guards: unknown columns and direct SET of

@@ -2862,3 +2862,57 @@ def test_identity_high_water_survives_checkpoint(spark, tdir):
     fresh.append(spark.createDataFrame([("z", 99)], "grp string, v int"))
     ids = sorted(r["id"] for r in fresh.read().collect())
     assert ids == list(range(1, 10)), f"dense across checkpoints: {ids}"
+
+
+# -- r8: INSERT OVERWRITE + empty-table DDL ----------------------------------
+
+def test_insert_overwrite_full_and_partition(spark, tdir):
+    """Full-table INSERT OVERWRITE swaps contents in one atomic commit
+    (time travel intact); the partition-scoped form replaces ONLY the
+    named partition and refuses rows outside it; CDF records the churn
+    as delete+insert."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 1, 10), ("a", 2, 20), ("b", 3, 30)],
+                              "p string, k int, v int"),
+        partition_by="p", enable_cdf=True)
+    # partition-scoped: replace p=a only
+    v = t.insert_overwrite(
+        spark.createDataFrame([("a", 9, 90)], "p string, k int, v int"),
+        partitions={"p": "a"})
+    assert sorted((r["p"], r["k"]) for r in t.read().collect()) == \
+        [("a", 9), ("b", 3)]
+    assert t.history()[-1]["op"] == "OVERWRITE"
+    ch = t.read_changes(v, v)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, "delete"), (2, "delete"), (9, "insert")]
+    # rows outside the partition refuse
+    with pytest.raises(ValueError, match="outside the replaced"):
+        t.insert_overwrite(
+            spark.createDataFrame([("b", 7, 70)], "p string, k int, v int"),
+            partitions={"p": "a"})
+    # full overwrite
+    t.insert_overwrite(
+        spark.createDataFrame([("c", 100, 0)], "p string, k int, v int"))
+    assert [(r["p"], r["k"]) for r in t.read().collect()] == [("c", 100)]
+    # time travel to v0 still serves the original rows
+    assert sorted(r["k"] for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_insert_overwrite_and_create_ddl_via_engine(spark, tmp_path):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    # empty-table DDL (the COPY INTO landing shape), complex types OK
+    loc = str(tmp_path / "empty_t")
+    engine.sql(f"CREATE TABLE land (k INT, d DECIMAL(10,2)) "
+               f"USING TXLOG LOCATION '{loc}'")
+    assert spark.sql("SELECT * FROM land").count() == 0
+    t = engine.txlog_tables["land"]
+    assert t.read().schema["d"].dataType.simpleString() == "decimal(10,2)"
+    engine.sql("INSERT INTO land VALUES (1, 1.50), (2, 2.50)")
+    engine.sql("INSERT OVERWRITE land SELECT 9 AS k, CAST(9.99 AS "
+               "DECIMAL(10,2)) AS d")
+    rows = spark.sql("SELECT * FROM land").collect()
+    assert [(r["k"], str(r["d"])) for r in rows] == [(9, "9.99")]
