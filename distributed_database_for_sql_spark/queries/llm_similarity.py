@@ -269,3 +269,69 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("sqdist_e4").alias("max_sqdist_e4"))
         .orderBy("label")
     )
+
+
+@register(
+    "decontam_embedding_overlap",
+    # Benchmark split = vec_id % 10 == 0 (held-out eval analogue); a
+    # corpus vector is CONTAMINATED if its cosine against ANY benchmark
+    # vector reaches 0.35.  The oracle recomputes the exact max-cosine
+    # per corpus vector; per-label counts + flagged totals hash-certify
+    # the decision boundary, not just the counts.
+    oracle=f"""
+    WITH bench AS (
+      SELECT * FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+      SELECT * FROM embeddings WHERE vec_id % 10 <> 0
+    ), scored AS (
+      SELECT a.vec_id, a.label,
+             MAX({_DUCK_COS}) AS max_cos
+      FROM corpus a CROSS JOIN bench b
+      GROUP BY a.vec_id, a.label
+    )
+    SELECT label,
+           COUNT(*)                                        AS n_vectors,
+           CAST(SUM(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS n_contaminated,
+           CAST(FLOOR(MAX(max_cos) * 1e6 + 0.5) AS BIGINT) AS max_cos_micro
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "decontamination", "curation", "llm"),
+)
+def decontam_embedding_overlap(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Embedding-based benchmark decontamination — the SEMANTIC
+    complement of the n-gram `decontam_benchmark_overlap`: a corpus
+    vector whose cosine against any held-out benchmark vector reaches
+    the threshold is flagged as contaminated (paraphrased leakage that
+    n-gram matching misses).  The benchmark side is broadcast — at
+    100 TB the corpus streams once past the (small) benchmark matrix,
+    exactly the one-pass shape of `ann_bruteforce_topk`; here the
+    per-vector MAX cosine rides a groupBy instead of a top-k window.
+    Flagged totals AND the max-cosine boundary are hash-certified."""
+    from ..functions.vector import cosine_prenormed, norm_fixed
+    from ..operators.minhash import fan_out_small_input
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_b"),
+        as_double(F.col("embedding")).alias("vb"),
+    ).withColumn("nb", norm_fixed("vb"))
+    corpus = fan_out_small_input(
+        emb.filter(F.col("vec_id") % 10 != 0)).select(
+        "vec_id", "label",
+        as_double(F.col("embedding")).alias("va"),
+    ).withColumn("na", norm_fixed("va"))
+    scored = (corpus.join(F.broadcast(bench))
+              .withColumn("cos", cosine_prenormed("va", "vb", "na", "nb"))
+              .groupBy("vec_id", "label")
+              .agg(F.max("cos").alias("max_cos")))
+    return (scored.groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum(F.when(F.col("max_cos") >= 0.35, 1).otherwise(0))
+                 .alias("n_contaminated"),
+                 F.floor(F.max("max_cos") * 1e6 + F.lit(0.5)).cast("bigint")
+                 .alias("max_cos_micro"))
+            .orderBy("label"))
