@@ -77,6 +77,8 @@ EXTRA = [
     "delta_copy_into",
     "delta_dv_update",
     "delta_identity_columns",
+    "delta_insert_overwrite",
+    "decontam_embedding_overlap",
 ]
 
 

@@ -140,6 +140,9 @@ def test_oracled_queries_emit_only_hashable_scalar_columns(spark):
         "agg_hll_sketch_mergeable", "embedding_near_dup_pairs",
         "ts_rollup_gapfill", "ts_locf_interpolation",
         "ts_funnel_signup_click_purchase", "ann_pq_adc_topk",
+        # r8: corpus x broadcast benchmark matrix — deliberately non-equi
+        # (per-vector max cosine), benchmark side broadcast-small
+        "decontam_embedding_overlap",
     }
 
     sf_dir = "/root/testdata/sf0.001"
