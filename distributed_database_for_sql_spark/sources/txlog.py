@@ -619,7 +619,15 @@ class TxLogTable:
         active file set + schema at ``version`` and repoint
         ``_last_checkpoint``.  Both writes are atomic (tmp + rename) and
         the manifest is pure derived data — a crash here costs replay
-        length, never correctness."""
+        length, never correctness.
+
+        Format: JSON by default; ``txlog.checkpoint.format = parquet``
+        (table property) switches to a COLUMNAR manifest — one row per
+        add action, table-level state in the parquet key-value metadata
+        — which is the Delta checkpoint.parquet shape: on a 100k-file
+        table the add list dominates the manifest, and columnar +
+        compressed beats a monolithic JSON parse on every snapshot
+        resolution.  Readers accept both formats interchangeably."""
         if self.checkpoint_interval <= 0 or version <= 0:
             return
         if version % self.checkpoint_interval != 0:
@@ -636,11 +644,73 @@ class TxLogTable:
                     "txns": txns,
                     "constraints": constraints,
                     "schemaJson": schema_json}
-        self.log_store.overwrite_atomic(
-            self._checkpoint_path(version), json.dumps(manifest).encode())
+        fmt = manifest["meta"].get("properties", {}).get(
+            "txlog.checkpoint.format", "json")
+        if fmt == "parquet":
+            self.log_store.overwrite_atomic(
+                self._checkpoint_parquet_path(version),
+                self._encode_checkpoint_parquet(manifest))
+        else:
+            self.log_store.overwrite_atomic(
+                self._checkpoint_path(version),
+                json.dumps(manifest).encode())
         self.log_store.overwrite_atomic(
             os.path.join(self.log_dir, _LAST_CHECKPOINT),
-            json.dumps({"version": version}).encode())
+            json.dumps({"version": version, "format": fmt}).encode())
+
+    def _checkpoint_parquet_path(self, version: int) -> str:
+        return os.path.join(self.log_dir,
+                            f"{version:08d}.checkpoint.parquet")
+
+    @staticmethod
+    def _encode_checkpoint_parquet(manifest: dict) -> bytes:
+        """Columnar manifest: (path, stats-json) rows for the adds —
+        the part that scales with file count — and everything else
+        (protocol/meta/version/dvs/txns/constraints/schemaJson) as one
+        JSON blob in the parquet key-value metadata.  DV maps would
+        move to rows too at tombstone scale; at this SF they are
+        metadata-sized."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        adds = manifest["adds"]
+        head = {k: v for k, v in manifest.items()
+                if k not in ("adds", "active")}
+        table = pa.table(
+            {"path": [a["path"] for a in adds],
+             "stats": [json.dumps(a["stats"]) if a["stats"] is not None
+                       else None for a in adds]})
+        table = table.replace_schema_metadata(
+            {b"manifest": json.dumps(head).encode()})
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf, compression="zstd")
+        return buf.getvalue().to_pybytes()
+
+    def _read_checkpoint_at(self, version: int) -> dict | None:
+        """Load the checkpoint manifest at exactly ``version``, either
+        format; None if absent/torn (full replay still works)."""
+        pq_path = self._checkpoint_parquet_path(version)
+        if os.path.exists(pq_path):
+            try:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(pq_path)
+                head = json.loads(t.schema.metadata[b"manifest"])
+                paths = t.column("path").to_pylist()
+                stats = t.column("stats").to_pylist()
+                head["adds"] = [
+                    {"path": p,
+                     "stats": json.loads(s) if s is not None else None}
+                    for p, s in zip(paths, stats)]
+                head["active"] = paths
+                return head
+            except Exception:
+                return None
+        try:
+            with open(self._checkpoint_path(version)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     def _best_checkpoint(self, version: int) -> dict | None:
         """Newest checkpoint manifest with checkpoint.version <= version.
@@ -651,22 +721,21 @@ class TxLogTable:
             with open(lc) as f:
                 hint = json.load(f)["version"]
             if hint <= version:
-                with open(self._checkpoint_path(hint)) as f:
-                    return json.load(f)
+                loaded = self._read_checkpoint_at(hint)
+                if loaded is not None:
+                    return loaded
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             pass
         best = -1
-        for p in glob.glob(os.path.join(self.log_dir, "*.checkpoint.json")):
+        for p in glob.glob(os.path.join(self.log_dir, "*.checkpoint.json")) \
+                + glob.glob(os.path.join(self.log_dir,
+                                         "*.checkpoint.parquet")):
             cv = int(os.path.basename(p).split(".")[0])
             if best < cv <= version:
                 best = cv
         if best < 0:
             return None
-        try:
-            with open(self._checkpoint_path(best)) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return None  # torn/missing checkpoint: full replay still works
+        return self._read_checkpoint_at(best)
 
     def _snapshot(self, version: int | None = None) -> tuple[dict[str, dict | None], str | None]:
         """Resolve the snapshot at ``version``: start from the best
@@ -1579,6 +1648,7 @@ class TxLogTable:
                 return self.latest_version()
             if self._try_commit(v, actions):
                 self._maybe_checkpoint(v)
+                self._maybe_auto_compact()
                 return v
 
     def streaming_sink(self, app_id: str):
@@ -2693,8 +2763,9 @@ class TxLogTable:
             + ident_actions
             + self._add_actions(rel)
         )
-        return self._commit_with_occ(actions, [], base_version), \
-            len(new_files)
+        version = self._commit_with_occ(actions, [], base_version)
+        self._maybe_auto_compact()
+        return version, len(new_files)
 
     def reorg_purge(self) -> int:
         """``REORG TABLE t APPLY (PURGE)`` (Delta's DV-materialization
@@ -2760,6 +2831,24 @@ class TxLogTable:
                           "properties": merged}},
         ]
         return self._commit_with_occ(actions, [], base_version)
+
+    def _maybe_auto_compact(self) -> None:
+        """``delta.autoOptimize.autoCompact = true``: after an ingest
+        commit, if the active-file count reached
+        ``txlog.autoCompact.minNumFiles`` (default 16), run a
+        compaction — streaming/micro-batch ingest stops accreting small
+        files without an external OPTIMIZE scheduler.  The compaction is
+        its own OPTIMIZE commit (stream-transparent, OCC'd); skipped
+        inside staged transactions."""
+        if self._staged is not None:
+            return
+        props = self.properties()
+        if props.get("delta.autoOptimize.autoCompact", "").lower() != "true":
+            return
+        min_files = int(props.get("txlog.autoCompact.minNumFiles", "16"))
+        active, _ = self._snapshot()
+        if len(active) >= min_files:
+            self.optimize_compact()
 
     def _check_append_only(self, op: str) -> None:
         """``delta.appendOnly = true`` (Delta's append-only tables):

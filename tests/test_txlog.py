@@ -2916,3 +2916,62 @@ def test_insert_overwrite_and_create_ddl_via_engine(spark, tmp_path):
                "DECIMAL(10,2)) AS d")
     rows = spark.sql("SELECT * FROM land").collect()
     assert [(r["k"], str(r["d"])) for r in rows] == [(9, "9.99")]
+
+
+# -- r8: parquet checkpoints + auto-compact ----------------------------------
+
+def test_parquet_checkpoint_format_interop(spark, tdir):
+    """txlog.checkpoint.format = parquet writes the Delta-shaped
+    columnar manifest (adds as rows, table state in key-value metadata);
+    a fresh handle resolves snapshots from it with the same
+    read-call bound as the JSON format, stats-based pruning included."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 4
+    t.set_properties({"txlog.checkpoint.format": "parquet"})
+    for i in range(8):
+        t.append(_df(spark, [(i + 2, "b", (i + 2) * 10)]))
+    import glob as _glob
+    pq_ckpts = _glob.glob(os.path.join(t.path, "_txlog",
+                                       "*.checkpoint.parquet"))
+    assert pq_ckpts, "parquet checkpoints expected"
+    assert not any(os.path.exists(p.replace(".parquet", ".json"))
+                   for p in pq_ckpts), "no duplicate json manifest"
+    fresh = TxLogTable(spark, tdir)
+    fresh.checkpoint_interval = 4
+    reads = []
+    orig = fresh._read_commit
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    fresh._read_commit = counting
+    got = sorted(r["k"] for r in fresh.read().collect())
+    assert got == list(range(1, 10))
+    replayed = [v for v in set(reads) if v <= fresh.latest_version()]
+    assert len(replayed) <= fresh.checkpoint_interval + 1, \
+        f"parquet checkpoint not used: replayed {sorted(replayed)}"
+    # stats survive the columnar round-trip: pruning still works
+    kept, total = fresh.prune_files([("k", "=", 9)])
+    assert len(kept) < total
+    # time travel across the format boundary still resolves
+    # (v0 CREATE: 1 row, v1 SET TBLPROPERTIES, v2 first append: 2 rows)
+    assert fresh.read(version=2).count() == 2
+
+
+def test_auto_compact_property_bounds_file_count(spark, tdir):
+    """delta.autoOptimize.autoCompact keeps micro-batch ingest from
+    accreting small files: once the active count reaches the threshold
+    an OPTIMIZE commit lands automatically; without the property the
+    count grows without bound."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(0, "a", 0)]))
+    t.set_properties({"delta.autoOptimize.autoCompact": "true",
+                      "txlog.autoCompact.minNumFiles": "6"})
+    for i in range(10):
+        t.append(_df(spark, [(i + 1, "b", i)]).coalesce(1))
+    active, _ = t._snapshot()
+    assert len(active) < 6 + 2, f"auto-compact did not bound: {len(active)}"
+    assert any(h["op"] == "OPTIMIZE" for h in t.history())
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(11))
+    # rows and history survive; append return values stayed the append
+    # commit versions (OPTIMIZE slots in between)
