@@ -79,6 +79,7 @@ EXTRA = [
     "delta_identity_columns",
     "delta_insert_overwrite",
     "decontam_embedding_overlap",
+    "delta_apply_changes",
 ]
 
 

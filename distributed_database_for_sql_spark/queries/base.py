@@ -129,8 +129,8 @@ def register(name: str, oracle: str | None = None,
 #       ×7, ts ×3, r2 dedup ×4, ann_partition_pruned_topk,
 #       embedding_near_dup_pairs, dedup_connected_components,
 #       pipeline_training_data_curation, profile_corpus_stats,
-#       sql_cte_window, stream_session_window).  Positions 29-50: every
-#       r3-certified query but the six displaced canaries (agg percentiles/pivot/argmax/global, fn
+#       sql_cte_window, stream_session_window).  Positions 30-50: every
+#       r3-certified query but the seven displaced canaries (agg percentiles/pivot/argmax/global, fn
 #       suites, multimodal ×4, sources round-trips ×4, curation
 #       pack/split/quality/pii/tfidf/repetition, stream interval join,
 #       token histogram, dedup_rate_by_source).
@@ -145,6 +145,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "dedup_cluster_representative",  # keep-best-copy per near-dup cluster
     "delta_insert_overwrite",   # atomic partition replaceWhere overwrite
     "decontam_embedding_overlap",  # semantic decontamination (embeddings)
+    "delta_apply_changes",      # CDC APPLY CHANGES fold (SCD1, atomic)
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -186,7 +187,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "quality_quantile_filter",
     "sink_partitioned_pruned_scan",
     "source_json_roundtrip",
-    "source_text_roundtrip",
     "stream_interval_static_join",
     "text_pii_redact",
 )

@@ -1953,3 +1953,85 @@ def delta_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("untouched_carried", F.lit(bool(carried)))
             .withColumn("v0_rows", F.lit(int(v0_rows)).cast("long"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_apply_changes",
+    # Oracle: recompute the fold directly — highest sequence per key
+    # wins; stale updates lose, winning deletes drop keys, winning
+    # inserts land.  n_versions = 2 (CREATE, TXN) pins that the whole
+    # out-of-order batch applied as ONE atomic commit.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey <= 200                 -- seq-2 update won
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 400
+      UNION ALL                                           -- 401-500 deleted
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 5 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 520
+      UNION ALL                                           -- re-insert won
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 520 AND o_orderkey <= 600
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 680
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           2                          AS n_versions,
+           'TXN'                      AS last_op
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "cdc", "apply-changes", "scd1"),
+)
+def delta_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the DLT ``APPLY CHANGES INTO`` shape (SCD type 1): an
+    OUT-OF-ORDER change batch (stale updates sequenced before their
+    winners, deletes racing re-inserts) folds into the ACID table with
+    per-key highest-sequence-wins semantics, landing as ONE atomic TXN
+    commit (staged MERGE + DELETE).  This is what makes at-least-once
+    CDC transports safe: arrival order never matters, only the sequence.
+    The oracle recomputes the fold relationally; n_versions pins the
+    single-commit atomicity."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 600)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("cdc", sf_dir), base,
+                          overwrite=True)
+    k = F.col("o_orderkey")
+    src = orders.select("o_orderkey", "o_orderpriority",
+                        cents.alias("cents"))
+
+    def batch(flt, dcents, seq, ctype):
+        return (src.filter(flt)
+                .withColumn("cents", F.col("cents") + dcents)
+                .withColumn("seq", F.lit(seq).cast("int"))
+                .withColumn("_change_type", F.lit(ctype)))
+
+    changes = (
+        batch(k <= 200, 7, 2, "update_postimage")          # winner
+        .unionByName(batch(k <= 200, 3, 1, "update_postimage"))  # stale
+        .unionByName(batch((k > 400) & (k <= 500), 1, 1,
+                           "update_postimage"))            # loses to delete
+        .unionByName(batch((k > 400) & (k <= 500), 0, 2, "delete"))
+        .unionByName(batch((k > 500) & (k <= 520), 0, 1, "delete"))
+        .unionByName(batch((k > 500) & (k <= 520), 5, 2, "insert"))
+        .unionByName(batch((k > 600) & (k <= 680), 0, 1, "insert"))
+        # shuffle arrival order: the fold must not care
+        .repartition(8))
+    t.apply_changes(changes, key="o_orderkey", sequence_by="seq")
+    hist = t.history()
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("n_versions", F.lit(len(hist)).cast("int"))
+            .withColumn("last_op", F.lit(hist[-1]["op"]))
+            .orderBy("o_orderpriority"))

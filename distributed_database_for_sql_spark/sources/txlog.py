@@ -2832,6 +2832,59 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
+    def apply_changes(self, changes: DataFrame, key: str,
+                      sequence_by: str,
+                      change_type_col: str = "_change_type") -> int:
+        """CDC apply (the DLT ``APPLY CHANGES INTO`` shape, SCD type 1):
+        fold an out-of-order change batch into this table as ONE atomic
+        commit.  Per key, the row with the HIGHEST ``sequence_by`` value
+        wins (late-arriving stale events lose regardless of arrival
+        order — the property that makes at-least-once CDC transports
+        safe); a winning ``delete`` removes the key, anything else
+        upserts the row.  Requires a unique sequence per key (ties are
+        ambiguous, like DLT).  Upserts ride the copy-on-write MERGE and
+        deletes the copy-on-write DELETE, staged and published as one
+        TXN commit — downstream readers see the batch atomically.
+
+        The winning-delete key set is collected driver-side to build the
+        delete predicate — O(delete keys in the batch), the same scale
+        class as the commit metadata itself (change batches are bounded
+        by the micro-batch contract)."""
+        cols = changes.columns
+        for c in (key, sequence_by, change_type_col):
+            if c not in cols:
+                raise ValueError(f"apply_changes: column {c!r} missing "
+                                 "from the change batch")
+        dup = (changes.groupBy(key, sequence_by).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "apply_changes: duplicate (key, sequence) in the batch — "
+                "sequencing is ambiguous; deduplicate upstream")
+        winners = (changes.groupBy(key)
+                   .agg(F.max_by(F.struct(*[F.col(c) for c in cols]),
+                                 F.col(sequence_by)).alias("__w"))
+                   .select("__w.*"))
+        target_cols = self.read().columns
+        ups = (winners.filter(F.col(change_type_col) != "delete")
+               .select(*target_cols))
+        del_keys = [r[key] for r in
+                    winners.filter(F.col(change_type_col) == "delete")
+                    .select(key).collect()]
+        self.begin_transaction()
+        try:
+            if del_keys:
+                self.delete_where(F.col(key).isin(del_keys))
+            if ups.limit(1).count():
+                self.merge_upsert(ups, key)
+            return self.commit_transaction()
+        except BaseException:
+            try:
+                self.rollback_transaction()
+            except RuntimeError:
+                pass  # commit_transaction already consumed the staging
+            raise
+
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true``: after an ingest
         commit, if the active-file count reached

@@ -2975,3 +2975,42 @@ def test_auto_compact_property_bounds_file_count(spark, tdir):
     assert sorted(r["k"] for r in t.read().collect()) == list(range(11))
     # rows and history survive; append return values stayed the append
     # commit versions (OPTIMIZE slots in between)
+
+
+# -- r8: APPLY CHANGES INTO (CDC fold) ---------------------------------------
+
+def test_apply_changes_out_of_order_cdc(spark, tdir):
+    """Per key the HIGHEST sequence wins regardless of arrival order:
+    stale updates lose, a winning delete removes the key, inserts for
+    new keys land — all as ONE atomic TXN commit."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20),
+                                                   (3, "c", 30)]))
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 99, 2, "update_postimage"),   # wins over seq 1
+            (1, "a", 55, 1, "update_postimage"),   # stale: must lose
+            (2, "b", 0, 1, "update_postimage"),    # loses to delete seq 2
+            (2, "b", 0, 2, "delete"),              # wins: key 2 goes
+            (4, "d", 40, 1, "insert"),             # new key
+            (5, "e", 50, 2, "insert"),             # insert wins ...
+            (5, "e", 50, 1, "delete"),             # ... over stale delete
+        ],
+        "k int, grp string, v int, seq int, _change_type string")
+    v = t.apply_changes(changes, key="k", sequence_by="seq")
+    assert t.history()[-1]["op"] == "TXN", "one atomic commit"
+    assert v == 1
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 99), (3, 30), (4, 40), (5, 50)]
+    # ambiguous sequencing refuses
+    dup = spark.createDataFrame(
+        [(1, "a", 1, 7, "insert"), (1, "a", 2, 7, "insert")],
+        "k int, grp string, v int, seq int, _change_type string")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.apply_changes(dup, key="k", sequence_by="seq")
+    # an all-delete batch works (empty upsert arm)
+    only_del = spark.createDataFrame(
+        [(3, "c", 0, 9, "delete")],
+        "k int, grp string, v int, seq int, _change_type string")
+    t.apply_changes(only_del, key="k", sequence_by="seq")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 4, 5]
