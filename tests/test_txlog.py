@@ -3014,3 +3014,78 @@ def test_apply_changes_out_of_order_cdc(spark, tdir):
         "k int, grp string, v int, seq int, _change_type string")
     t.apply_changes(only_del, key="k", sequence_by="seq")
     assert sorted(r["k"] for r in t.read().collect()) == [1, 4, 5]
+
+
+# -- r8 post-battery pins: cross-feature composition -------------------------
+
+def test_overwrite_stream_semantics(spark, tdir):
+    """An OVERWRITE commit changes existing rows: the append-only table
+    stream must raise on it, and skipChangeCommits must skip it entirely
+    (serving its adds would re-emit replaced data as if appended)."""
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.insert_overwrite(_df(spark, [(2, "b", 20)]))
+    ds = TxLogTableDataSource({"path": t.path})
+    reader = ds.simpleStreamReader(ds.schema())
+    with pytest.raises(ValueError, match="changes existing rows"):
+        list(reader.readBetweenOffsets({"version": 0}, {"version": 2}))
+    ds2 = TxLogTableDataSource({"path": t.path,
+                                "skipchangecommits": "true"})
+    rows = list(ds2.simpleStreamReader(ds2.schema())
+                .readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert [(r[0], r[-1]) for r in rows] == [(1, 0)], \
+        "skipChangeCommits serves the CREATE only, not the overwrite"
+
+
+def test_copy_into_partitioned_table(spark, tdir, tmp_path):
+    """COPY INTO a partitioned table lands Hive-layout segments with
+    partitionValues recorded — pruning works on the copied data."""
+    land = str(tmp_path / "land")
+    spark.createDataFrame([("x", 1, 10), ("y", 2, 20)],
+                          "p string, k int, v int") \
+        .coalesce(1).write.parquet(land)
+    t = TxLogTable.create(
+        spark, tdir, spark.createDataFrame([], "p string, k int, v int"),
+        partition_by="p")
+    _, n = t.copy_into(land)
+    assert n == 1
+    kept, total = t.prune_files([("p", "=", "x")])
+    assert len(kept) < total, "partition pruning on copied segments"
+    assert sorted((r["p"], r["k"]) for r in t.read().collect()) == \
+        [("x", 1), ("y", 2)]
+
+
+def test_apply_changes_with_cdf(spark, tdir):
+    """apply_changes on a CDF table: the TXN commit's per-statement
+    change rows serve the delete and the merge coherently."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]),
+                          enable_cdf=True)
+    changes = spark.createDataFrame(
+        [(1, "a", 99, 1, "update_postimage"), (2, "b", 0, 1, "delete")],
+        "k int, grp string, v int, seq int, _change_type string")
+    v = t.apply_changes(changes, key="k", sequence_by="seq")
+    ch = t.read_changes(v, v)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert (2, 20, "delete") in got
+    assert (1, 99, "update_postimage") in got
+    assert (1, 10, "update_preimage") in got
+
+
+def test_insert_overwrite_identity_table(spark, tdir):
+    """INSERT OVERWRITE on an IDENTITY table: ids are re-assigned for
+    the replacement rows and continue PAST the old high-water mark —
+    replaced ids never come back."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)],
+                              "grp string, v int"),
+        identity_columns={"id": 1})
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    t.insert_overwrite(spark.createDataFrame([("z", 9)],
+                                             "grp string, v int"))
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["id"] == 4, \
+        "fresh id above the burned high-water mark"
