@@ -329,3 +329,56 @@ def test_cdf_values_survive_any_rename_interleaving(spark, tmp_path_factory,
             expect.append((k, d, "insert"))
     assert sorted((r["k"], r[name], r["_change_type"]) for r in rows) == \
         sorted(expect)
+
+
+# -- r8: apply_changes equals a pure-Python CDC fold -------------------------
+
+cdc_events = st.lists(
+    st.tuples(st.integers(0, 5),                     # key
+              st.integers(-5, 5),                    # value
+              st.sampled_from(["update_postimage", "insert", "delete"])),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
+                     min_size=1, max_size=4, unique_by=lambda t: t[0]),
+       events=cdc_events)
+def test_apply_changes_equals_python_fold(spark, tmp_path_factory,
+                                          data, events):
+    """For ANY change batch, apply_changes must leave the table in the
+    state of the sequential highest-sequence-wins fold — arrival order
+    (the batch is shuffled) never matters, only the sequence."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"cdcfold_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame(data, "k int, v int"))
+    # unique sequence per (key): enumerate in order, then SHUFFLE arrival
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    shuffled = list(reversed(rows))  # worst-case arrival inversion
+    changes = spark.createDataFrame(
+        shuffled, "k int, v int, seq int, _change_type string")
+    t.apply_changes(changes, key="k", sequence_by="seq")
+    # pure-Python fold: per key the highest seq wins
+    state = dict(data)
+    winner: dict[int, tuple[int, int, str]] = {}
+    for k, v, s, ct in rows:
+        if k not in winner or s > winner[k][1]:
+            winner[k] = (v, s, ct)
+    for k, (v, _s, ct) in winner.items():
+        if ct == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        sorted(state.items())
