@@ -1982,7 +1982,7 @@ def delta_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                   AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            2                          AS n_versions,
-           'TXN'                      AS last_op
+           'APPLY CHANGES'            AS last_op
     FROM final
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1993,8 +1993,10 @@ def delta_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply — the DLT ``APPLY CHANGES INTO`` shape (SCD type 1): an
     OUT-OF-ORDER change batch (stale updates sequenced before their
     winners, deletes racing re-inserts) folds into the ACID table with
-    per-key highest-sequence-wins semantics, landing as ONE atomic TXN
-    commit (staged MERGE + DELETE).  This is what makes at-least-once
+    per-key highest-sequence-wins semantics, landing as ONE atomic
+    single-pass commit (upserts AND deletes in one copy-on-write rewrite
+    of the touched segments — a staged DELETE-then-MERGE would rewrite
+    them twice).  This is what makes at-least-once
     CDC transports safe: arrival order never matters, only the sequence.
     The oracle recomputes the fold relationally; n_versions pins the
     single-commit atomicity."""

@@ -2842,19 +2842,24 @@ class TxLogTable:
         order — the property that makes at-least-once CDC transports
         safe); a winning ``delete`` removes the key, anything else
         upserts the row.  Requires a unique sequence per key (ties are
-        ambiguous, like DLT).  Upserts ride the copy-on-write MERGE and
-        deletes the copy-on-write DELETE, staged and published as one
-        TXN commit — downstream readers see the batch atomically.
+        ambiguous, like DLT).
 
-        The winning-delete key set is collected driver-side to build the
-        delete predicate — O(delete keys in the batch), the same scale
-        class as the commit metadata itself (change batches are bounded
-        by the micro-batch contract)."""
+        SINGLE-PASS: upserts AND deletes land in one copy-on-write
+        rewrite of exactly the segments holding any winner key — a
+        staged DELETE-then-MERGE would rewrite the touched data twice
+        (2× write amplification that matters at 100 TB).  The winner-key
+        range rides the commit for other writers' OCC like a MERGE."""
+        self._check_append_only("APPLY CHANGES")
+        if self._identity_columns():
+            raise ValueError(
+                "APPLY CHANGES into a table with IDENTITY columns is "
+                "not supported (same whole-row restriction as MERGE)")
         cols = changes.columns
         for c in (key, sequence_by, change_type_col):
             if c not in cols:
                 raise ValueError(f"apply_changes: column {c!r} missing "
                                  "from the change batch")
+        base_version = self.latest_version()
         dup = (changes.groupBy(key, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
@@ -2868,22 +2873,72 @@ class TxLogTable:
         target_cols = self.read().columns
         ups = (winners.filter(F.col(change_type_col) != "delete")
                .select(*target_cols))
-        del_keys = [r[key] for r in
-                    winners.filter(F.col(change_type_col) == "delete")
-                    .select(key).collect()]
-        self.begin_transaction()
-        try:
-            if del_keys:
-                self.delete_where(F.col(key).isin(del_keys))
-            if ups.limit(1).count():
-                self.merge_upsert(ups, key)
-            return self.commit_transaction()
-        except BaseException:
-            try:
-                self.rollback_transaction()
-            except RuntimeError:
-                pass  # commit_transaction already consumed the staging
-            raise
+        ups = self._apply_generated(ups)
+        self._validate_constraints(ups)
+        wkeys = winners.select(key).distinct()
+        stats = wkeys.agg(F.min(key).alias("mn"),
+                          F.max(key).alias("mx")).collect()[0]
+        key_range = {"column": key, "min": _json_key(stats["mn"]),
+                     "max": _json_key(stats["mx"])}
+        # exactly the segments holding any winner key (DV-applied read)
+        base = self._read_active(with_file=True)
+        touched = sorted(
+            r["_file"] for r in
+            base.join(F.broadcast(wkeys), key, "left_semi")
+            .select("_file").distinct().collect())
+        if touched:
+            keep_base = (self._read_active(only=touched)
+                         .join(F.broadcast(wkeys), key, "left_anti"))
+            merged = keep_base.unionByName(ups, allowMissingColumns=True)
+        else:
+            merged = ups
+        rel_new = self._write_segments(merged)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            dkeys = (winners.filter(F.col(change_type_col) == "delete")
+                     .select(key).distinct())
+            pre = (self._read_active(only=touched)
+                   .join(F.broadcast(wkeys), key, "left_semi")
+                   if touched else None)
+            pieces = []
+            if pre is not None:
+                pieces.append(
+                    pre.join(F.broadcast(dkeys), key, "left_semi")
+                    .withColumn("_change_type", F.lit("delete")))
+                matched = pre.join(F.broadcast(dkeys), key, "left_anti")
+                pieces.append(matched.withColumn(
+                    "_change_type", F.lit("update_preimage")))
+                mkeys = matched.select(key).distinct()
+                pieces.append(
+                    ups.join(F.broadcast(mkeys), key, "left_semi")
+                    .withColumn("_change_type",
+                                F.lit("update_postimage")))
+                pieces.append(
+                    ups.join(F.broadcast(mkeys), key, "left_anti")
+                    .withColumn("_change_type", F.lit("insert")))
+            else:
+                pieces.append(ups.withColumn("_change_type",
+                                             F.lit("insert")))
+            ch = pieces[0]
+            for p in pieces[1:]:
+                ch = ch.unionByName(p, allowMissingColumns=True)
+            cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in touched
+        ]
+        actions = (
+            [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new),
+                         "keyRange": key_range}}]
+            + self._schema_evolution_action(ups)
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(actions, rel_removed, base_version,
+                                     key_range=key_range)
 
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true``: after an ingest

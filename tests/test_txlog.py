@@ -2998,7 +2998,7 @@ def test_apply_changes_out_of_order_cdc(spark, tdir):
         ],
         "k int, grp string, v int, seq int, _change_type string")
     v = t.apply_changes(changes, key="k", sequence_by="seq")
-    assert t.history()[-1]["op"] == "TXN", "one atomic commit"
+    assert t.history()[-1]["op"] == "APPLY CHANGES", "one atomic commit"
     assert v == 1
     got = sorted((r["k"], r["v"]) for r in t.read().collect())
     assert got == [(1, 99), (3, 30), (4, 40), (5, 50)]
