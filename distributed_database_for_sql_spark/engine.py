@@ -41,6 +41,36 @@ _MERGE_RE = re.compile(
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
     re.IGNORECASE)
 
+# Full-clause MERGE (Delta's three-arm statement): ordered WHEN MATCHED
+# [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT MATCHED [AND cond] THEN
+# INSERT, WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE.
+# The simple upsert shape above stays the fast path (merge_upsert); this
+# grammar routes everything else to TxLogTable.merge_full.  v1 parser
+# limitation: clause conditions may not contain CASE…WHEN…THEN (the
+# clause splitter keys on WHEN/THEN keywords).
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
+    r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_CLAUSE_START_RE = re.compile(
+    r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
+_MERGE_CLAUSE_RE = re.compile(
+    r"^WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<action>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_ACT_UPDATE_STAR_RE = re.compile(r"^UPDATE\s+SET\s+\*$",
+                                       re.IGNORECASE)
+_MERGE_ACT_UPDATE_RE = re.compile(r"^UPDATE\s+SET\s+(?P<sets>.+)$",
+                                  re.IGNORECASE | re.DOTALL)
+_MERGE_ACT_DELETE_RE = re.compile(r"^DELETE$", re.IGNORECASE)
+_MERGE_ACT_INSERT_STAR_RE = re.compile(r"^INSERT\s+\*$", re.IGNORECASE)
+_MERGE_ACT_INSERT_RE = re.compile(
+    r"^INSERT\s*\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*"
+    r"VALUES\s*\(\s*(?P<vals>.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL)
+
 # UPDATE t SET c1 = expr[, c2 = expr ...] WHERE cond — copy-on-write
 # update on a registered txlog table.  v1 surface: top-level commas
 # separate assignments (no commas inside an assignment expression).
@@ -60,7 +90,9 @@ _DELETE_RE = re.compile(
 # on a registered txlog table (catalog/parquet tables keep the plain
 # spark.sql fallback).
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+"
+    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s*"
+    r"(?:\(\s*(?!SELECT\b|VALUES\b|WITH\b|TABLE\b)"
+    r"(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?"
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL)
 
@@ -159,6 +191,31 @@ _DROP_COLUMN_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t ALTER COLUMN c TYPE <wider> — metadata-only type widening
+# (Delta's type-widening table feature; old segments read wide in place).
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<name>\w+)\s+TYPE\s+(?P<dtype>[\w()<>,\s]+?)\s*;?\s*$",
+    re.IGNORECASE)
+
+# ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT —
+# defaults apply to writes that omit the column (never to existing rows).
+_SET_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<name>\w+)\s+SET\s+DEFAULT\s+(?P<expr>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<name>\w+)\s+DROP\s+DEFAULT\s*;?\s*$",
+    re.IGNORECASE)
+
+# ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE — liquid-clustering
+# metadata; plain OPTIMIZE re-clusters on the recorded columns.
+_CLUSTER_BY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+CLUSTER\s+BY\s+"
+    r"(?:NONE|\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\))\s*;?\s*$",
+    re.IGNORECASE)
+
 # OPTIMIZE t [WHERE pcol = v] [ZORDER BY (a, b)] — compaction (optionally
 # scoped to one partition, Delta's incremental-OPTIMIZE shape) /
 # multi-dimensional layout.
@@ -251,6 +308,9 @@ class Engine:
         m = _MERGE_RE.match(command)
         if m:
             return self._merge_into(command, m)
+        m = _MERGE_HEAD_RE.match(command)
+        if m:
+            return self._merge_into_full(command, m)
         m = _UPDATE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._update(m)
@@ -372,6 +432,31 @@ class Engine:
             target = m.group("target")
             version = self.txlog_tables[target].add_column(
                 m.group("name"), m.group("dtype"))
+            return self._dml_ack(target, version)
+        m = _ALTER_TYPE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].alter_column_type(
+                m.group("name"), m.group("dtype"))
+            return self._dml_ack(target, version)
+        m = _SET_DEFAULT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].set_column_default(
+                m.group("name"), m.group("expr"))
+            return self._dml_ack(target, version)
+        m = _DROP_DEFAULT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].unset_column_default(
+                m.group("name"))
+            return self._dml_ack(target, version)
+        m = _CLUSTER_BY_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            cols = m.group("cols")
+            version = self.txlog_tables[target].set_cluster_by(
+                [c.strip() for c in cols.split(",")] if cols else None)
             return self._dml_ack(target, version)
         m = _SET_PROPS_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
@@ -732,20 +817,42 @@ class Engine:
         return self._dml_ack(target, version)
 
     def _insert_into(self, m: re.Match) -> DataFrame:
-        """INSERT INTO t SELECT …/VALUES … → txlog append commit.
-        Positional column semantics (standard SQL INSERT without a
-        column list): the query's output is renamed to the table schema
-        in order, with an arity check."""
+        """INSERT INTO t [(col, …)] SELECT …/VALUES … → txlog append
+        commit.  Without a column list: positional semantics, the query's
+        output renamed to the table schema in order (arity-checked).
+        With a column list: the query's output binds to the NAMED columns
+        in order; omitted columns materialize their DEFAULT if one is set
+        (append fills them), else read as NULL — standard SQL INSERT
+        column-list semantics."""
         target = m.group("target")
         t = self.txlog_tables[target]
         query = m.group("query").rstrip().rstrip(";")
         df = self.spark.sql(self._rewrite_time_travel(query))
-        table_cols = t.read().columns
-        if len(df.columns) != len(table_cols):
-            raise ValueError(
-                f"INSERT INTO {target}: query produces {len(df.columns)} "
-                f"column(s), table has {len(table_cols)}")
-        df = df.toDF(*table_cols)
+        cols = m.group("cols")
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+            table_cols = t.read().columns
+            bad = [c for c in names if c not in table_cols]
+            if bad:
+                raise ValueError(
+                    f"INSERT INTO {target}: unknown column(s) {bad}")
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {target}: duplicate column in list")
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {target}: query produces "
+                    f"{len(df.columns)} column(s), list names "
+                    f"{len(names)}")
+            df = df.toDF(*names)
+        else:
+            table_cols = t.read().columns
+            if len(df.columns) != len(table_cols):
+                raise ValueError(
+                    f"INSERT INTO {target}: query produces "
+                    f"{len(df.columns)} column(s), table has "
+                    f"{len(table_cols)}")
+            df = df.toDF(*table_cols)
         version = t.append(df)
         return self._dml_ack(target, version)
 
@@ -771,6 +878,130 @@ class Engine:
         table.read().createOrReplaceTempView(target)
         return self.spark.createDataFrame(
             [(target, version)], "table_name string, version long")
+
+    @staticmethod
+    def _split_top_level(s: str, sep: str = ",") -> list[str]:
+        """Split on ``sep`` outside parentheses and string literals —
+        SET a = f(x, y), b = 2 has exactly one top-level comma."""
+        out, depth, start, i, q = [], 0, 0, 0, None
+        while i < len(s):
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in ("'", '"'):
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+            i += 1
+        out.append(s[start:])
+        return [p.strip() for p in out if p.strip()]
+
+    def _merge_into_full(self, command: str, m: re.Match) -> DataFrame:
+        """Full-clause MERGE → TxLogTable.merge_full.  Alias-qualified
+        references in clause conditions / SET / VALUES expressions are
+        rewritten onto the ``t``/``s`` struct columns merge_full
+        evaluates against (so ``tgt.v < src.v`` becomes ``t.v < s.v``)."""
+        g = m.groupdict()
+        target, source = g["target"], g["source"]
+        if target not in self.txlog_tables:
+            raise ValueError(
+                f"MERGE INTO target {target!r} is not a registered txlog "
+                "table (register_txlog first)")
+        t_names = {target, (g["talias"] or target)}
+        s_names = {source, (g["salias"] or source)}
+        sides = {g["q1"]: g["k1"], g["q2"]: g["k2"]}
+        t_key = next((k for q, k in sides.items() if q in t_names), None)
+        s_key = next((k for q, k in sides.items() if q in s_names), None)
+        if t_key is None or s_key is None or t_key != s_key:
+            raise ValueError(
+                f"unsupported MERGE ON clause in {command!r}: need "
+                "target.<key> = source.<key> with the same column name")
+
+        alias_re = re.compile(
+            r"\b(" + "|".join(re.escape(a) for a in
+                              sorted(t_names | s_names, key=len,
+                                     reverse=True)) + r")\s*\.",
+            re.IGNORECASE)
+
+        def rebind(expr: str) -> str:
+            return alias_re.sub(
+                lambda am: ("t." if am.group(1) in t_names else "s."),
+                expr)
+
+        clauses_text = g["clauses"]
+        starts = [c.start() for c in
+                  _MERGE_CLAUSE_START_RE.finditer(clauses_text)]
+        if not starts or starts[0] != 0:
+            raise ValueError(f"cannot parse MERGE clauses in {command!r}")
+        pieces = [clauses_text[a:b].strip()
+                  for a, b in zip(starts, starts[1:] + [len(clauses_text)])]
+        matched, not_matched, by_source = [], [], []
+        for piece in pieces:
+            cm = _MERGE_CLAUSE_RE.match(piece)
+            if not cm:
+                raise ValueError(f"cannot parse MERGE clause: {piece!r}")
+            kind = re.sub(r"\s+", " ", cm.group("kind").upper())
+            cond = cm.group("cond")
+            cond = rebind(cond.strip()) if cond else None
+            action = cm.group("action").strip()
+            if kind in ("MATCHED", "NOT MATCHED BY SOURCE"):
+                bucket = matched if kind == "MATCHED" else by_source
+                if _MERGE_ACT_DELETE_RE.match(action):
+                    bucket.append({"action": "delete", "condition": cond})
+                elif _MERGE_ACT_UPDATE_STAR_RE.match(action):
+                    if kind == "NOT MATCHED BY SOURCE":
+                        raise ValueError(
+                            "UPDATE SET * is meaningless on the NOT "
+                            "MATCHED BY SOURCE arm (no source row)")
+                    bucket.append({"action": "update", "condition": cond,
+                                   "set": "*"})
+                else:
+                    am = _MERGE_ACT_UPDATE_RE.match(action)
+                    if not am:
+                        raise ValueError(
+                            f"cannot parse MERGE action: {action!r}")
+                    sets: dict[str, str] = {}
+                    for part in self._split_top_level(am.group("sets")):
+                        col, eq, expr = part.partition("=")
+                        col = re.sub(r"^\s*\w+\s*\.\s*", "",
+                                     col.strip())  # t.col = … allowed
+                        if not eq or not col.isidentifier():
+                            raise ValueError(
+                                f"unsupported MERGE SET clause: {part!r}")
+                        sets[col] = rebind(expr.strip())
+                    bucket.append({"action": "update", "condition": cond,
+                                   "set": sets})
+            else:  # NOT MATCHED → INSERT
+                if _MERGE_ACT_INSERT_STAR_RE.match(action):
+                    not_matched.append({"action": "insert",
+                                        "condition": cond, "values": "*"})
+                else:
+                    am = _MERGE_ACT_INSERT_RE.match(action)
+                    if not am:
+                        raise ValueError(
+                            f"cannot parse MERGE action: {action!r}")
+                    cols = [c.strip() for c in am.group("cols").split(",")]
+                    vals = self._split_top_level(am.group("vals"))
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            f"MERGE INSERT arity mismatch: {len(cols)} "
+                            f"column(s), {len(vals)} value(s)")
+                    not_matched.append(
+                        {"action": "insert", "condition": cond,
+                         "values": {c: rebind(v)
+                                    for c, v in zip(cols, vals)}})
+        table = self.txlog_tables[target]
+        version = table.merge_full(
+            self.spark.table(source), t_key,
+            when_matched=matched, when_not_matched=not_matched,
+            when_not_matched_by_source=by_source)
+        return self._dml_ack(target, version)
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]

@@ -146,6 +146,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_insert_overwrite",   # atomic partition replaceWhere overwrite
     "decontam_embedding_overlap",  # semantic decontamination (embeddings)
     "delta_apply_changes",      # CDC APPLY CHANGES fold (SCD1, atomic)
+    "delta_merge_full_clauses",  # three-arm MERGE (matched AND / BY SOURCE)
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,7 +189,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sink_partitioned_pruned_scan",
     "source_json_roundtrip",
     "stream_interval_static_join",
-    "text_pii_redact",
+    # text_pii_redact displaced by delta_merge_full_clauses (new-query
+    # policy); it joins the r9 canary list with the other seven.
 )
 
 

@@ -300,6 +300,89 @@ def sql_merge_into_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_merge_full_clauses",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    ), src AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), tgt AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                  ELSE b.o_orderpriority END AS o_orderpriority,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.cents + 1
+                  WHEN b.o_orderkey % 10 = 0 THEN b.cents + 100
+                  ELSE b.cents END AS cents
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL OR b.o_orderkey % 3 <> 0
+    ), final AS (
+      SELECT * FROM tgt
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, cents FROM src
+      WHERE o_orderkey > 1000 AND o_orderkey <= 1400
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(o_orderkey)            AS min_key,
+           MAX(o_orderkey)            AS max_key
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "merge", "sql", "engine"),
+)
+def delta_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-clause MERGE (Delta's three-arm statement) end-to-end through
+    the SQL surface: ordered WHEN MATCHED clauses (conditional DELETE
+    first, UPDATE fallthrough), a conditional NOT MATCHED INSERT, and a
+    conditional NOT MATCHED BY SOURCE UPDATE — all in ONE statement and
+    ONE commit.  The DuckDB oracle recomputes every arm relationally
+    (LEFT JOIN + CASE), so a hash match certifies clause ORDER, per-arm
+    conditions, and the parser's alias rebinding simultaneously.
+
+    Physical shape at 100 TB: the source is broadcast, one pass decides
+    each row's clause, and only segments containing a row that actually
+    CHANGES are rewritten (a matched row whose conditions all fail never
+    touches its file) — see TxLogTable.merge_full."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("mergefull", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("mf_orders", t)
+    (orders.filter((F.col("o_orderkey") > 500)
+                   & (F.col("o_orderkey") <= 1500))
+     .select("o_orderkey", "o_orderpriority", (cents + 7).alias("cents"))
+     .createOrReplaceTempView("merge_full_src"))
+    engine.sql(
+        "MERGE INTO mf_orders AS t USING merge_full_src AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderkey % 3 = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents + 1, "
+        "                             o_orderpriority = s.o_orderpriority "
+        "WHEN NOT MATCHED AND s.o_orderkey <= 1400 THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 0 "
+        "    THEN UPDATE SET cents = t.cents + 100")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_data_skipping",
     # files_were_skipped is a robust BOOLEAN audit (pruning kept fewer
     # files than the snapshot holds) — exact file counts depend on range

@@ -874,7 +874,8 @@ class TxLogTable:
     #: forward by checkpoints so resolution stays O(interval) on long logs)
     _META_KEYS = ("partitionColumns", "columnMapping", "columnMappingMode",
                   "retiredPhysical", "generatedColumns",
-                  "bloomFilterColumns", "identityColumns", "properties")
+                  "bloomFilterColumns", "identityColumns", "properties",
+                  "typeWidened", "columnDefaults", "clusteringColumns")
 
     def _meta_state(self, version: int | None = None) -> dict:
         """Last-writer-wins metaData keys at ``version`` (partition
@@ -922,6 +923,41 @@ class TxLogTable:
         if pending is not None:
             return pending
         return self._meta_state().get("partitionColumns", [])
+
+    def clustering_columns(self) -> list[str]:
+        """Liquid-clustering columns recorded in table metadata (empty =
+        unclustered).  Plain OPTIMIZE re-clusters on them."""
+        return self._meta_state().get("clusteringColumns", [])
+
+    def set_cluster_by(self, cols: list[str] | None) -> int:
+        """ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE — metadata
+        only: changes which columns future OPTIMIZE runs cluster on.
+        Existing layout is untouched (re-clustering happens at the next
+        OPTIMIZE — Delta liquid's incremental model, never an eager
+        100 TB rewrite)."""
+        base_version = self.latest_version()
+        cols = list(cols or [])
+        if cols:
+            _, schema_json = self._snapshot_files()
+            have = {f.name for f in
+                    T.StructType.fromJson(json.loads(schema_json)).fields}
+            missing = set(cols) - have
+            if missing:
+                raise ValueError(
+                    f"clustering columns not in schema: {sorted(missing)}")
+            overlap = set(cols) & set(self._partition_columns())
+            if overlap:
+                raise ValueError(
+                    f"columns {sorted(overlap)} cannot be both partition "
+                    "and clustering columns")
+        _, schema_json = self._snapshot_files()
+        actions = [
+            {"commit": {"op": "CLUSTER BY", "ts": self._next_ts(),
+                        "columns": cols}},
+            {"metaData": {"schemaJson": schema_json,
+                          "clusteringColumns": cols}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
 
     def _bloom_columns(self) -> list[str]:
         """Bloom-indexed columns (same resolution as
@@ -1089,6 +1125,138 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
+    #: lossless widenings the parquet reader serves IN PLACE (probe-verified
+    #: on this Spark: an explicit requested schema reads int32 segments as
+    #: LONG or DOUBLE and float32 as DOUBLE) — Delta's type-widening table
+    #: feature set for integral/floating types.  Everything else (narrowing,
+    #: string/date changes) needs a rewrite and is refused.
+    _WIDENINGS = {
+        "tinyint": ("smallint", "int", "bigint", "double"),
+        "smallint": ("int", "bigint", "double"),
+        "int": ("bigint", "double"),
+        "float": ("double",),
+    }
+
+    def alter_column_type(self, name: str, dtype: str) -> int:
+        """ALTER TABLE t ALTER COLUMN c TYPE <wider>, metadata-only
+        (Delta's type-widening table feature): ONE JSON commit changes
+        the declared type; no file is touched.  Existing segments keep
+        their narrow physical encoding and the read path serves them
+        through an explicit requested schema (the parquet reader widens
+        int32→long/double and float→double in place); new writes land
+        wide.  At 100 TB this turns "the int column overflowed" from a
+        full-table rewrite into a metadata operation.  Only lossless
+        widenings are allowed; time travel to before the ALTER reads the
+        narrow type."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        new_type = T.DataType.fromDDL(dtype)
+        cur_s, new_s = field.dataType.simpleString(), new_type.simpleString()
+        if new_s == cur_s:
+            raise ValueError(f"column {name!r} is already {cur_s}")
+        if new_s not in self._WIDENINGS.get(cur_s, ()):
+            raise ValueError(
+                f"unsupported type change {cur_s} -> {new_s} for column "
+                f"{name!r}: only lossless widenings "
+                f"({dict(self._WIDENINGS)}) are metadata-only; anything "
+                "else requires rewriting the data")
+        if name in self._partition_columns():
+            raise ValueError(f"cannot widen partition column {name!r} "
+                             "(partition values live in directory names)")
+        if name in self._generated_columns():
+            raise ValueError(f"cannot widen generated column {name!r}")
+        if name in self._bloom_columns():
+            raise ValueError(f"cannot widen bloom-indexed column {name!r}")
+        if name in self._identity_columns():
+            raise ValueError(f"cannot widen IDENTITY column {name!r}")
+        fields = [T.StructField(f.name,
+                                new_type if f.name == name else f.dataType,
+                                f.nullable)
+                  for f in schema.fields]
+        actions = [
+            {"commit": {"op": "ALTER COLUMN", "ts": self._next_ts(),
+                        "column": name, "from": cur_s, "to": new_s}},
+            {"metaData": {"schemaJson": T.StructType(fields).json(),
+                          "typeWidened": True}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def _column_defaults(self) -> dict[str, str]:
+        """Column DEFAULT expressions ({name: SQL expr}) applied when an
+        INSERT / COPY INTO / append omits the column (future writes only
+        — existing rows are untouched, Delta's semantics)."""
+        return self._meta_state().get("columnDefaults", {})
+
+    def set_column_default(self, name: str, expr: str) -> int:
+        """ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>, metadata-only:
+        subsequent writes that omit the column materialize the expression
+        instead of NULL.  Existing rows are untouched (time travel and
+        current reads of old segments still serve NULL for rows written
+        without the column — exactly Delta's column-default contract)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        if name in self._generated_columns():
+            raise ValueError(
+                f"column {name!r} is GENERATED; defaults do not apply")
+        if name in self._identity_columns():
+            raise ValueError(
+                f"column {name!r} is IDENTITY; defaults do not apply")
+        try:
+            probe = self.spark.range(1).select(
+                F.expr(expr).cast(field.dataType).alias(name))
+            probe.collect()
+        except Exception as exc:
+            raise ValueError(
+                f"bad DEFAULT expression {expr!r} for column {name!r} "
+                f"({field.dataType.simpleString()}): {exc}") from exc
+        defaults = dict(self._column_defaults())
+        defaults[name] = expr
+        actions = [
+            {"commit": {"op": "SET DEFAULT", "ts": self._next_ts(),
+                        "column": name, "expr": expr}},
+            {"metaData": {"schemaJson": schema_json,
+                          "columnDefaults": defaults}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def unset_column_default(self, name: str) -> int:
+        defaults = dict(self._column_defaults())
+        if name not in defaults:
+            raise ValueError(f"column {name!r} has no DEFAULT")
+        del defaults[name]
+        _, schema_json = self._snapshot_files()
+        actions = [
+            {"commit": {"op": "DROP DEFAULT", "ts": self._next_ts(),
+                        "column": name}},
+            {"metaData": {"schemaJson": schema_json,
+                          "columnDefaults": defaults}},
+        ]
+        return self._commit_with_occ(actions, [], self.latest_version())
+
+    def _fill_defaults(self, df: DataFrame) -> DataFrame:
+        """Materialize DEFAULT expressions for declared columns absent
+        from an incoming write frame (columns with no default keep the
+        existing write-without-the-column → read-NULL behavior)."""
+        defaults = self._column_defaults()
+        if not defaults:
+            return df
+        _, schema_json = self._snapshot_files()
+        if schema_json is None:
+            return df
+        types = {f.name: f.dataType
+                 for f in T.StructType.fromJson(json.loads(schema_json))}
+        fill = {c: F.expr(e).cast(types[c]) for c, e in defaults.items()
+                if c not in df.columns and c in types}
+        return df.withColumns(fill) if fill else df
+
     def _check_column_dependencies(self, col: str, what: str) -> None:
         if col in self._partition_columns():
             raise ValueError(f"cannot {what} partition column {col!r}")
@@ -1207,6 +1375,32 @@ class TxLogTable:
             for c in defs] if total else []
         return out, actions, (lambda: df.unpersist())
 
+    def _widen_cast(self, df: DataFrame) -> DataFrame:
+        """After ALTER COLUMN TYPE, incoming frames may still carry the
+        pre-widening narrow type: cast them up so NEW segments land wide
+        (reads are correct either way — the requested schema widens — but
+        uniform new files keep CDF unions and footer stats exact).  Never
+        down-casts: a frame already wider than declared is left alone."""
+        try:
+            if not self._meta_state().get("typeWidened"):
+                return df
+            _, schema_json = self._snapshot_files()
+        except FileNotFoundError:
+            return df
+        if schema_json is None:
+            return df
+        declared = {f.name: f.dataType
+                    for f in T.StructType.fromJson(json.loads(schema_json))}
+        casts = {}
+        for f in df.schema.fields:
+            want = declared.get(f.name)
+            if want is None or want == f.dataType:
+                continue
+            if want.simpleString() in self._WIDENINGS.get(
+                    f.dataType.simpleString(), ()):
+                casts[f.name] = F.col(f.name).cast(want)
+        return df.withColumns(casts) if casts else df
+
     def _write_segments(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet segments; return table-relative
         paths.  Unpartitioned: each write lands in its own uuid'd subdir so
@@ -1216,6 +1410,7 @@ class TxLogTable:
         prefix on the file name (uniqueness without per-commit dirs, so a
         single ``basePath`` read recovers the partition column for ANY
         subset of active files)."""
+        df = self._widen_cast(df)
         df = self._to_physical(df)
         parts = self._partition_columns()
         seg = uuid.uuid4().hex[:12]
@@ -1308,7 +1503,8 @@ class TxLogTable:
                generated_columns: dict[str, str] | None = None,
                bloom_filter_columns: list[str] | None = None,
                column_mapping_mode: str = "name",
-               identity_columns: dict | None = None) -> "TxLogTable":
+               identity_columns: dict | None = None,
+               cluster_by: list[str] | None = None) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
@@ -1343,6 +1539,21 @@ class TxLogTable:
         if bloom:
             meta["bloomFilterColumns"] = bloom
             t._pending_bloom_columns = bloom
+        if cluster_by:
+            # Delta liquid-clustering shape: the clustering columns are
+            # TABLE METADATA, not a per-OPTIMIZE argument — every plain
+            # OPTIMIZE re-clusters incrementally on them (see
+            # optimize_compact); writes stay cheap (clustering is lazy).
+            missing = set(cluster_by) - {f.name for f in df.schema.fields}
+            if missing:
+                raise ValueError(
+                    f"clustering columns not in schema: {sorted(missing)}")
+            overlap = set(cluster_by) & set(parts)
+            if overlap:
+                raise ValueError(
+                    f"columns {sorted(overlap)} cannot be both partition "
+                    "and clustering columns")
+            meta["clusteringColumns"] = list(cluster_by)
         if parts:
             missing = set(parts) - {f.name for f in df.schema.fields}
             if missing:
@@ -1605,6 +1816,7 @@ class TxLogTable:
         if txn_app_id is not None and \
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
+        df = self._fill_defaults(df)
         df = self._apply_generated(df)
         df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
@@ -1807,6 +2019,21 @@ class TxLogTable:
         def abs_norm(p: str) -> str:
             return os.path.normpath(os.path.join(base_abs, p))
 
+        # After ALTER COLUMN TYPE (type widening), segments written before
+        # the ALTER keep their narrow physical encoding and mergeSchema
+        # refuses to merge int32 with int64 — so widened tables read with
+        # an EXPLICIT requested schema (physical names, declared-at-version
+        # types): the parquet reader widens in place, missing columns
+        # backfill typed NULL (which also covers metadata-only ADD COLUMN).
+        requested: T.StructType | None = None
+        if self._meta_state(version).get("typeWidened"):
+            mapping_v = self._column_mapping(version)
+            requested = T.StructType([
+                T.StructField(mapping_v.get(f.name, f.name), f.dataType,
+                              True)
+                for f in T.StructType.fromJson(
+                    json.loads(schema_json)).fields])
+
         def load(paths: list[str], meta: bool) -> DataFrame:
             local = [p for p in paths if not escapes(p)]
             foreign = [p for p in paths if escapes(p)]
@@ -1815,7 +2042,9 @@ class TxLogTable:
             for group, is_foreign in ((local, False), (foreign, True)):
                 if not group:
                     continue
-                reader = self.spark.read.option("mergeSchema", "true")
+                reader = (self.spark.read.schema(requested)
+                          if requested is not None
+                          else self.spark.read.option("mergeSchema", "true"))
                 if partitioned and not is_foreign:
                     # Hive-layout table: basePath recovers the partition
                     # column(s) for any subset of active files.
@@ -2272,6 +2501,269 @@ class TxLogTable:
         return self._commit_with_occ(actions, rel_removed, base_version,
                                      key_range=key_range)
 
+    def merge_full(self, source: DataFrame, key: str,
+                   when_matched: list[dict] | tuple = (),
+                   when_not_matched: list[dict] | tuple = (),
+                   when_not_matched_by_source: list[dict] | tuple = ()
+                   ) -> int:
+        """Full-clause MERGE (Delta's three-arm statement): ordered
+        WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE clauses,
+        WHEN NOT MATCHED [AND cond] THEN INSERT clauses, and
+        WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE
+        clauses, evaluated per row with first-matching-clause-wins
+        semantics.  ``merge_upsert`` stays as the fast path for the
+        plain upsert shape.
+
+        Clause dicts:
+
+        - matched:   ``{"action": "update"|"delete", "condition": sql?,
+          "set": {col: sql} | "*"}``
+        - not matched: ``{"action": "insert", "condition": sql?,
+          "values": {col: sql} | "*"}``
+        - not matched by source: same as matched (conditions may only
+          see the target row — source fields read NULL there).
+
+        Condition / SET / VALUES expressions are SQL strings over two
+        struct columns: ``t.<col>`` (target row) and ``s.<col>``
+        (source row; NULL structs on the by-source arm) — the same
+        aliasing surface Delta's SQL MERGE exposes.
+
+        Physical shape at 100 TB: the source is broadcast (small side
+        by MERGE's nature), ONE pass over the snapshot decides each
+        row's clause, and only segments containing at least one row
+        whose clause CHANGES it (update/delete on either arm) are
+        rewritten — a matched row whose conditions all fail leaves its
+        segment untouched.  A by-source clause with a broad condition
+        legitimately touches every segment holding such rows; that cost
+        is inherent to the semantics, not the plan.  Same OCC surface
+        as ``merge_upsert`` (key-range recorded, removed files
+        conflict-checked); CDF emits insert/delete/update pre+post
+        images per arm.  v1 scope: no schema evolution (set/values must
+        bind to current columns) and the same IDENTITY-table refusal as
+        ``merge_upsert``."""
+        self._check_append_only("MERGE")
+        if self._identity_columns():
+            raise ValueError(
+                "MERGE into a table with IDENTITY columns is not "
+                "supported (GENERATED ALWAYS ids cannot ride a "
+                "whole-row upsert); append new rows and update "
+                "existing ones instead")
+        when_matched = list(when_matched)
+        when_not_matched = list(when_not_matched)
+        when_not_matched_by_source = list(when_not_matched_by_source)
+        if not (when_matched or when_not_matched
+                or when_not_matched_by_source):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        for cl in when_matched + when_not_matched_by_source:
+            if cl.get("action") not in ("update", "delete"):
+                raise ValueError(f"bad matched/by-source clause: {cl!r}")
+        for cl in when_not_matched:
+            if cl.get("action") != "insert":
+                raise ValueError(f"bad NOT MATCHED clause: {cl!r}")
+        if key not in source.columns:
+            raise ValueError(f"MERGE source lacks key column {key!r}")
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        tcols = [f.name for f in schema.fields]
+        stats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("nd"),
+            F.min(key).alias("mn"),
+            F.max(key).alias("mx")).collect()[0]
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"MERGE source has duplicate keys on {key!r}: "
+                f"{stats['n']} rows but {stats['nd']} distinct keys — "
+                "like Delta MERGE with multiple source matches, this is "
+                "ambiguous; de-duplicate the updates first")
+        key_range = {"column": key, "min": _json_key(stats["mn"]),
+                     "max": _json_key(stats["mx"])}
+
+        def clause_cond(cl) -> "F.Column":
+            c = cl.get("condition")
+            return F.expr(c) if c else F.lit(True)
+
+        # one decision pass: every target row gets the code of its first
+        # applicable clause (matched codes 0..n-1; by-source 100+j;
+        # -1 = carry unchanged).  A by-source condition referencing s.*
+        # evaluates NULL there and correctly never fires.
+        src_struct = source.select(
+            F.col(key).alias("_mk"),
+            F.struct(*[F.col(c) for c in source.columns]).alias("s"),
+            F.lit(True).alias("_m"))
+        base = self._read_active(with_file=True)
+        joined = (base
+                  .select(F.col("_file"), F.col(key).alias("_mk"),
+                          F.struct(*[F.col(c) for c in tcols]).alias("t"))
+                  .join(F.broadcast(src_struct), "_mk", "left_outer"))
+        act = None
+        for i, cl in enumerate(when_matched):
+            c = F.col("_m").isNotNull() & clause_cond(cl)
+            act = F.when(c, i) if act is None else act.when(c, i)
+        for j, cl in enumerate(when_not_matched_by_source):
+            c = F.col("_m").isNull() & clause_cond(cl)
+            act = F.when(c, 100 + j) if act is None else act.when(c, 100 + j)
+        decided = joined.withColumn(
+            "_act", act.otherwise(F.lit(-1)) if act is not None
+            else F.lit(-1))
+        touched = sorted(
+            r["_file"] for r in decided.filter(F.col("_act") != -1)
+            .select("_file").distinct().collect())
+
+        del_codes = (
+            [i for i, cl in enumerate(when_matched)
+             if cl["action"] == "delete"]
+            + [100 + j for j, cl in enumerate(when_not_matched_by_source)
+               if cl["action"] == "delete"])
+        upd_specs = {i: cl for i, cl in enumerate(when_matched)
+                     if cl["action"] == "update"}
+        upd_specs.update(
+            {100 + j: cl for j, cl in enumerate(when_not_matched_by_source)
+             if cl["action"] == "update"})
+        for code, cl in upd_specs.items():
+            st = cl.get("set", "*")
+            if st != "*":
+                bad = [c for c in st if c not in tcols]
+                if bad:
+                    raise ValueError(
+                        f"MERGE SET references unknown column(s) {bad}")
+
+        def out_projection(frame: DataFrame) -> DataFrame:
+            cols = []
+            for f in schema.fields:
+                tval = F.col("t").getField(f.name)
+                e = None
+                for code, cl in upd_specs.items():
+                    st = cl.get("set", "*")
+                    if st == "*":
+                        v = (F.col("s").getField(f.name)
+                             if f.name in source.columns else tval)
+                    elif f.name in st:
+                        v = F.expr(st[f.name]).cast(f.dataType)
+                    else:
+                        v = tval
+                    hit = F.col("_act") == code
+                    e = F.when(hit, v) if e is None else e.when(hit, v)
+                cols.append((e.otherwise(tval) if e is not None
+                             else tval).alias(f.name))
+            return frame.select(*cols)
+
+        rewritten = None
+        if touched:
+            rw = decided.filter(F.col("_file").isin(touched))
+            keep = (rw.filter(~F.col("_act").isin(del_codes))
+                    if del_codes else rw)
+            rewritten = out_projection(keep)
+            if upd_specs:
+                self._validate_constraints(
+                    out_projection(keep.filter(F.col("_act") != -1)))
+
+        inserts = None
+        if when_not_matched:
+            matched_keys = (base.select(F.col(key))
+                            .join(F.broadcast(source.select(key).distinct()),
+                                  key, "left_semi").distinct())
+            s_f = (source.join(matched_keys, key, "left_anti")
+                   .select(F.struct(*[F.col(c) for c in source.columns])
+                           .alias("s")))
+            e = None
+            for idx, cl in enumerate(when_not_matched):
+                c = clause_cond(cl)
+                e = F.when(c, idx) if e is None else e.when(c, idx)
+            s_f = (s_f.withColumn("_act", e.otherwise(F.lit(-1)))
+                   .filter(F.col("_act") != -1))
+            frames = []
+            for idx, cl in enumerate(when_not_matched):
+                vals = cl.get("values", "*")
+                if vals != "*":
+                    bad = [c for c in vals if c not in tcols]
+                    if bad:
+                        raise ValueError(
+                            f"MERGE INSERT references unknown column(s) "
+                            f"{bad}")
+                sel = []
+                for f in schema.fields:
+                    if vals == "*":
+                        if f.name not in source.columns:
+                            continue
+                        v = F.col("s").getField(f.name)
+                    else:
+                        if f.name not in vals:
+                            continue
+                        v = F.expr(vals[f.name])
+                    sel.append(v.cast(f.dataType).alias(f.name))
+                if not sel:
+                    raise ValueError(
+                        f"MERGE INSERT clause {idx} binds no table column")
+                fr = s_f.filter(F.col("_act") == idx).select(*sel)
+                fr = self._fill_defaults(fr)
+                fr = self._apply_generated(fr)
+                frames.append(fr)
+            inserts = frames[0]
+            for fr in frames[1:]:
+                inserts = inserts.unionByName(fr, allowMissingColumns=True)
+            self._validate_constraints(inserts)
+
+        if not touched and inserts is None:
+            return self.latest_version()
+
+        if rewritten is not None and inserts is not None:
+            merged = rewritten.unionByName(inserts,
+                                           allowMissingColumns=True)
+        else:
+            merged = rewritten if rewritten is not None else inserts
+        rel_new = self._write_segments(merged)
+
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            parts = []
+            if touched:
+                rw = decided.filter(F.col("_file").isin(touched))
+                if upd_specs:
+                    upd = rw.filter(F.col("_act").isin(list(upd_specs)))
+                    pre = upd.select(
+                        *[F.col("t").getField(c).alias(c) for c in tcols]
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                    post = out_projection(upd).withColumn(
+                        "_change_type", F.lit("update_postimage"))
+                    parts += [pre, post]
+                if del_codes:
+                    dels = (rw.filter(F.col("_act").isin(del_codes))
+                            .select(*[F.col("t").getField(c).alias(c)
+                                      for c in tcols])
+                            .withColumn("_change_type", F.lit("delete")))
+                    parts.append(dels)
+            if inserts is not None:
+                parts.append(
+                    inserts.withColumn("_change_type", F.lit("insert")))
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(p, allowMissingColumns=True)
+            cdf_actions = [
+                {"cdf": {"path": self._write_change_data(changes)}}]
+
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in touched
+        ]
+        actions = (
+            [{"commit": {"op": "MERGE", "ts": self._next_ts(),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new),
+                         "keyRange": key_range,
+                         "clauses": {
+                             "matched": len(when_matched),
+                             "notMatched": len(when_not_matched),
+                             "notMatchedBySource":
+                                 len(when_not_matched_by_source)}}}]
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(actions, rel_removed, base_version,
+                                     key_range=key_range)
+
     def delete_where(self, condition, use_dv: bool = False) -> int:
         """DELETE rows matching ``condition`` — two physical strategies,
         one logical result:
@@ -2649,6 +3141,14 @@ class TxLogTable:
             files, _ = self._snapshot_files()
         if not files:
             return self.latest_version()
+        if zorder_by is None:
+            # liquid clustering: a plain OPTIMIZE on a CLUSTER BY table
+            # re-clusters on the recorded columns (Delta liquid's model —
+            # clustering is table metadata, OPTIMIZE applies it
+            # incrementally; an explicit ZORDER BY still overrides)
+            clustered = self.clustering_columns()
+            if clustered:
+                zorder_by = clustered
         if target_segments is None:
             # plain OPTIMIZE compacts; ZORDER is a re-LAYOUT — it keeps
             # the segment count (≙ Delta's size-targeted rewrite) so the
@@ -2741,13 +3241,18 @@ class TxLogTable:
         ident = self._identity_columns()
         required = [f for f in schema.fields
                     if f.name not in gen and f.name not in ident]
-        missing = [f.name for f in required if f.name not in src.columns]
+        defaults = self._column_defaults()
+        missing = [f.name for f in required
+                   if f.name not in src.columns and f.name not in defaults]
         if missing:
             raise ValueError(
                 f"COPY INTO source lacks table column(s) {missing} "
-                "(columns are matched by name)")
-        df = src.select(*[F.col(f.name).cast(f.dataType)
-                          for f in required])
+                "(columns are matched by name; columns with a DEFAULT "
+                "may be omitted)")
+        df = src.select(*[
+            (F.col(f.name) if f.name in src.columns
+             else F.expr(defaults[f.name])).cast(f.dataType).alias(f.name)
+            for f in required])
         df = self._apply_generated(df)
         df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
@@ -3002,6 +3507,7 @@ class TxLogTable:
             "numFiles": len(active),
             "sizeInBytes": size,
             "partitionColumns": meta.get("partitionColumns", []),
+            "clusteringColumns": meta.get("clusteringColumns", []),
             "columnMappingMode": meta.get("columnMappingMode", "name"),
             "protocol": self.protocol(),
             "enableCdf": bool(self.enable_cdf),
@@ -3188,7 +3694,9 @@ class TxLogTable:
                 elif g["op"] in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                                  "DROP CONSTRAINT", "RENAME COLUMN",
                                  "ADD COLUMN", "DROP COLUMN", "CLONE",
-                                 "SET TBLPROPERTIES"):
+                                 "SET TBLPROPERTIES", "ALTER COLUMN",
+                                 "SET DEFAULT", "DROP DEFAULT",
+                                 "CLUSTER BY"):
                     continue  # layout/metadata only
                 else:
                     raise ValueError(
@@ -3232,7 +3740,9 @@ class TxLogTable:
                     .withColumn("_change_type", F.lit("insert")))
             elif op in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                         "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
-                        "DROP COLUMN", "CLONE", "SET TBLPROPERTIES"):
+                        "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
+                        "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT",
+                        "CLUSTER BY"):
                 continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(

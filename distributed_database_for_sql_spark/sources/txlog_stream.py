@@ -64,7 +64,8 @@ def _read_commit(table_path: str, version: int) -> list[dict]:
 #: incremental stream starting at the clone point should not re-emit.
 _NO_ROW_OPS = ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
-               "DROP COLUMN", "CLONE", "SET TBLPROPERTIES")
+               "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
+               "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT", "CLUSTER BY")
 
 
 def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:

@@ -3089,3 +3089,372 @@ def test_insert_overwrite_identity_table(spark, tdir):
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["id"] == 4, \
         "fresh id above the burned high-water mark"
+
+
+# -- r8: type widening (ALTER COLUMN TYPE, metadata-only) --------------------
+
+def test_type_widening_metadata_only(spark, tdir):
+    """ALTER COLUMN TYPE rewrites NOTHING: the commit is one JSON file,
+    old int32 segments read as BIGINT in place, a later append lands
+    values past int range, and time travel to before the ALTER serves
+    the narrow type.  Narrowing and non-numeric changes are refused."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    files_before, _ = t._snapshot_files()
+    v = t.alter_column_type("v", "bigint")
+    assert t.history()[-1]["op"] == "ALTER COLUMN"
+    assert t._snapshot_files()[0] == files_before, "no file rewritten"
+    assert t.read().schema["v"].dataType.simpleString() == "bigint"
+    # old rows served wide, values intact
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 10), (2, 20)]
+    # new writes land past int32 range
+    t.append(spark.createDataFrame([(3, "c", 2**40)],
+                                   "k int, grp string, v bigint"))
+    assert t.read().agg(F.sum("v")).collect()[0][0] == 30 + 2**40
+    # time travel: narrow type before the ALTER
+    assert t.read(version=v - 1).schema["v"].dataType.simpleString() == "int"
+    # refusals: narrowing, non-numeric, unknown column
+    with pytest.raises(ValueError, match="unsupported type change"):
+        t.alter_column_type("v", "int")
+    with pytest.raises(ValueError, match="unsupported type change"):
+        t.alter_column_type("grp", "int")
+    with pytest.raises(ValueError, match="no such column"):
+        t.alter_column_type("zz", "bigint")
+    # int -> double is also a lossless widening
+    t2 = TxLogTable.create(spark, tdir + "_d", _df(spark, [(1, "a", 7)]))
+    t2.alter_column_type("v", "double")
+    assert t2.read().collect()[0]["v"] == 7.0
+
+
+def test_type_widening_composes_with_dml_and_skipping(spark, tdir):
+    """Widening composes with the rest of the format: copy-on-write
+    UPDATE/DELETE over mixed narrow+wide segments, file-stats skipping
+    still prunes (footer stats compare numerically across widths), DV
+    deletes apply, and a frame still carrying the narrow type upcasts at
+    write so new segments land wide."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.alter_column_type("v", "bigint")
+    # narrow-typed incoming frame upcasts at write (no int32 regression)
+    t.append(spark.createDataFrame([(3, "c", 30)],
+                                   "k int, grp string, v int"))
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    newest = max(_glob.glob(tdir + "/data-*/part-*.parquet"),
+                 key=lambda p: __import__("os").path.getmtime(p))
+    assert _pq.read_schema(newest).field("v").type == "int64"
+    # copy-on-write DML over mixed segments
+    t.update_where({"v": F.col("v") + 1}, F.col("k") == 1)
+    t.delete_where(F.col("k") == 2)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 11), (3, 30)]
+    # DV delete on a widened table
+    t.delete_where(F.col("k") == 3, use_dv=True)
+    assert [r["k"] for r in t.read().collect()] == [1]
+    # stats skipping: point probe on the widened column opens a subset
+    t3 = TxLogTable.create(
+        spark, tdir + "_s",
+        spark.range(0, 100).selectExpr("cast(id as int) as k",
+                                       "cast(id as int) as v"))
+    t3.append(spark.range(1000, 1100).selectExpr("cast(id as int) as k",
+                                                 "cast(id as int) as v"))
+    t3.alter_column_type("v", "bigint")
+    pruned = t3.prune_files([("v", ">=", 1000)])
+    assert len(pruned) < len(t3._snapshot_files()[0]), \
+        "footer stats still prune across the width change"
+    assert t3.read_where([("v", ">=", 1000)]).count() == 100
+
+
+def test_type_widening_after_rename_and_engine_sql(spark, tmp_path):
+    """Widening resolves through column mapping (the requested read
+    schema uses PHYSICAL names), and the ALTER TABLE ... ALTER COLUMN
+    ... TYPE statement routes through Engine.sql."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(spark, str(tmp_path / "w"),
+                          _df(spark, [(1, "a", 10)]))
+    t.rename_column("v", "val")
+    t.alter_column_type("val", "bigint")
+    t.append(spark.createDataFrame([(2, "b", 2**35)],
+                                   "k int, grp string, val bigint"))
+    assert sorted((r["k"], r["val"]) for r in t.read().collect()) == \
+        [(1, 10), (2, 2**35)]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    t2 = TxLogTable.create(spark, str(tmp_path / "w2"),
+                           _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("wt", t2)
+    engine.sql("ALTER TABLE wt ALTER COLUMN v TYPE BIGINT")
+    assert spark.sql("SELECT * FROM wt").schema["v"].dataType \
+        .simpleString() == "bigint"
+
+
+# -- r8: column DEFAULT values -----------------------------------------------
+
+def test_column_defaults(spark, tdir):
+    """SET DEFAULT applies to writes that OMIT the column; existing rows
+    and explicit values are untouched; DROP DEFAULT restores NULL
+    semantics.  Generated/identity columns refuse defaults."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.add_column("status", "string")
+    t.set_column_default("status", "'pending'")
+    # rows written before the default stay NULL
+    assert t.read().filter(F.col("k") == 1).collect()[0]["status"] is None
+    # an append omitting the column materializes the default
+    t.append(spark.createDataFrame([(2, "b", 20)],
+                                   "k int, grp string, v int"))
+    assert t.read().filter(F.col("k") == 2).collect()[0]["status"] \
+        == "pending"
+    # explicit values win
+    t.append(spark.createDataFrame([(3, "c", 30, "done")],
+                                   "k int, grp string, v int, status string"))
+    assert t.read().filter(F.col("k") == 3).collect()[0]["status"] == "done"
+    # DROP DEFAULT: back to NULL for omitting writes
+    t.unset_column_default("status")
+    t.append(spark.createDataFrame([(4, "d", 40)],
+                                   "k int, grp string, v int"))
+    assert t.read().filter(F.col("k") == 4).collect()[0]["status"] is None
+    # refusals
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_column_default("zz", "1")
+    with pytest.raises(ValueError, match="bad DEFAULT"):
+        t.set_column_default("status", "no_such_fn(")
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        t.unset_column_default("status")
+    tg = TxLogTable.create(spark, tdir + "_g",
+                           _df(spark, [(1, "a", 10)]),
+                           generated_columns={"v2": "v * 2"})
+    with pytest.raises(ValueError, match="GENERATED"):
+        tg.set_column_default("v2", "1")
+
+
+def test_column_defaults_copy_into_and_insert_list(spark, tdir, tmp_path):
+    """COPY INTO fills a defaulted column the source lacks (instead of
+    refusing), and INSERT INTO t (col, …) binds named columns with
+    defaults for the rest — including through Engine.sql."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, grp string, src string"))
+    t.set_column_default("src", "'landed'")
+    land = str(tmp_path / "land")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, grp string") \
+        .coalesce(1).write.parquet(land)
+    _, n = t.copy_into(land, "parquet")
+    assert n == 1 or n == 2  # files loaded (layout-dependent count)
+    assert sorted((r["k"], r["src"]) for r in t.read().collect()) == \
+        [(1, "landed"), (2, "landed")]
+    # a column with NO default still refuses when absent
+    t2 = TxLogTable.create(
+        spark, tdir + "_n",
+        spark.createDataFrame([], "k int, grp string, src string"))
+    with pytest.raises(ValueError, match="lacks table column"):
+        t2.copy_into(land, "parquet")
+    # engine: column-list INSERT
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    engine.register_txlog("dft", t)
+    engine.sql("ALTER TABLE dft ALTER COLUMN src SET DEFAULT 'manual'")
+    engine.sql("INSERT INTO dft (k, grp) VALUES (9, 'z')")
+    assert t.read().filter(F.col("k") == 9).collect()[0]["src"] == "manual"
+    engine.sql("INSERT INTO dft (src, k, grp) VALUES ('explicit', 10, 'y')")
+    assert t.read().filter(F.col("k") == 10).collect()[0]["src"] \
+        == "explicit"
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.sql("INSERT INTO dft (k, nope) VALUES (1, 2)")
+    engine.sql("ALTER TABLE dft ALTER COLUMN src DROP DEFAULT")
+    engine.sql("INSERT INTO dft (k, grp) VALUES (11, 'x')")
+    assert t.read().filter(F.col("k") == 11).collect()[0]["src"] is None
+
+
+# -- r8: liquid clustering (CLUSTER BY table metadata) ------------------------
+
+def test_cluster_by_optimize_reclusters(spark, tdir):
+    """CLUSTER BY records clustering columns as TABLE METADATA: a plain
+    OPTIMIZE (no ZORDER argument) re-clusters on them, so predicates on
+    EITHER clustered dimension prune files afterwards — Delta liquid's
+    incremental model (writes stay cheap; clustering happens at
+    maintenance time)."""
+    df = spark.range(0, 4096).selectExpr(
+        "cast(id % 64 as int) as x",
+        "cast(pmod(cast(id / 64 as int), 64) as int) as y",
+        "cast(id as long) as v")
+    t = TxLogTable.create(spark, tdir, df.repartition(8),
+                          cluster_by=["x", "y"])
+    assert t.clustering_columns() == ["x", "y"]
+    assert t.detail()["clusteringColumns"] == ["x", "y"]
+    # unclustered layout: a point probe on either dim keeps ~all files
+    before_x = len(t.prune_files([("x", "between", (0, 7))])[0])
+    t.optimize_compact()  # plain OPTIMIZE picks up the clustering columns
+    assert t.history()[-1]["op"] == "OPTIMIZE"
+    assert t.history()[-1].get("zorderBy") == ["x", "y"]
+    total = len(t._snapshot_files()[0])
+    kept_x = len(t.prune_files([("x", "between", (0, 7))])[0])
+    kept_y = len(t.prune_files([("y", "between", (0, 7))])[0])
+    assert kept_x < total and kept_y < total, \
+        "post-OPTIMIZE layout prunes on BOTH clustered dimensions"
+    assert kept_x <= before_x
+    # values survive the re-layout
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(range(4096))
+
+
+def test_cluster_by_alter_and_refusals(spark, tdir, tmp_path):
+    """ALTER TABLE … CLUSTER BY changes the metadata only (no rewrite);
+    CLUSTER BY NONE drops it; unknown and partition columns refuse; the
+    commit is transparent to the change feed."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          enable_cdf=True)
+    files_before, _ = t._snapshot_files()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    engine = Engine(spark, sf)
+    engine.register_txlog("ct", t)
+    engine.sql("ALTER TABLE ct CLUSTER BY (k, v)")
+    assert t.clustering_columns() == ["k", "v"]
+    assert t._snapshot_files()[0] == files_before, "metadata only"
+    v = t.latest_version()
+    assert t.read_changes(v, v).count() == 0, "no change rows"
+    engine.sql("ALTER TABLE ct CLUSTER BY NONE")
+    assert t.clustering_columns() == []
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_cluster_by(["zz"])
+    tp = TxLogTable.create(spark, str(tmp_path / "p"),
+                           _df(spark, [(1, "a", 10)]),
+                           partition_by="grp")
+    with pytest.raises(ValueError, match="partition"):
+        tp.set_cluster_by(["grp"])
+    with pytest.raises(ValueError, match="partition"):
+        TxLogTable.create(spark, str(tmp_path / "q"),
+                          _df(spark, [(1, "a", 10)]),
+                          partition_by="grp", cluster_by=["grp"])
+
+
+# -- r8: full-clause MERGE (matched AND/DELETE, not-matched-by-source) -------
+
+def test_merge_full_three_arms(spark, tdir):
+    """All three MERGE arms in one statement, first-matching-clause-wins:
+    a conditional matched UPDATE, a fallthrough matched DELETE, a
+    conditional NOT MATCHED INSERT, and a conditional NOT MATCHED BY
+    SOURCE DELETE — plus the copy-on-write guarantee that a segment with
+    no changed row is carried by reference, and CDF images per arm."""
+    base = _df(spark, [(1, "a", 10), (2, "b", 20),
+                       (3, "c", 30), (4, "d", 40)])
+    t = TxLogTable.create(spark, tdir, base.repartition(4, "k"),
+                          enable_cdf=True)
+    src = _df(spark, [(2, "B", 200), (3, "C", 5),
+                      (5, "E", 50), (6, "F", 60)])
+    v = t.merge_full(
+        src, "k",
+        when_matched=[
+            {"action": "update", "condition": "s.v > t.v",
+             "set": {"v": "s.v + 1", "grp": "s.grp"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"action": "insert", "condition": "s.k <= 5", "values": "*"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.k = 1"}])
+    got = sorted(tuple(r) for r in t.read().collect())
+    # k=1 by-source-deleted; k=2 matched+updated (s.v>t.v); k=3 matched,
+    # first clause fails → DELETE; k=4 untouched; k=5 inserted; k=6 not
+    # (insert condition)
+    assert got == [(2, "B", 201), (4, "d", 40), (5, "E", 50)]
+    ch = {r["_change_type"]: r["n"]
+          for r in t.read_changes(v, v).groupBy("_change_type")
+          .agg(F.count("*").alias("n")).collect()}
+    assert ch == {"delete": 2, "insert": 1,
+                  "update_preimage": 1, "update_postimage": 1}
+    # time travel: pre-merge snapshot intact
+    assert sorted(r["k"] for r in t.read(version=v - 1).collect()) == \
+        [1, 2, 3, 4]
+
+
+def test_merge_full_untouched_segment_carried(spark, tdir):
+    """A segment none of whose rows hits ANY clause survives by
+    reference (matched rows whose conditions all fail do NOT touch
+    their file)."""
+    lo = _df(spark, [(1, "a", 10), (2, "a", 20)]).coalesce(1)
+    hi = _df(spark, [(100, "z", 1000)]).coalesce(1)
+    t = TxLogTable.create(spark, tdir, lo)
+    t.append(hi)
+    files_before = set(t._snapshot_files()[0])
+    # source matches k=100 but the condition is false there; k=1 updates
+    src = _df(spark, [(1, "a", 99), (100, "z", 1)])
+    t.merge_full(src, "k", when_matched=[
+        {"action": "update", "condition": "s.v > t.v", "set": "*"}])
+    files_after = set(t._snapshot_files()[0])
+    hi_files = {f for f in files_before if f in files_after}
+    assert hi_files, "the hi segment (condition-false match) carried over"
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a", 99), (2, "a", 20), (100, "z", 1000)]
+
+
+def test_merge_full_sql_route_and_ordering(spark, tmp_path):
+    """Engine SQL: full grammar parses, aliases rebind onto t/s, clause
+    ORDER is honored (first match wins), column-list INSERT leaves
+    omitted columns NULL, and a no-op merge returns the same version."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, str(tmp_path / "t"),
+                          _df(spark, [(1, "a", 10), (2, "b", 20),
+                                      (4, "d", 40)]))
+    eng.register_txlog("tgt", t)
+    _df(spark, [(2, "B", 200), (6, "F", 60)]) \
+        .createOrReplaceTempView("src")
+    eng.sql("""
+        MERGE INTO tgt AS x USING src AS y ON x.k = y.k
+        WHEN MATCHED AND y.v > x.v THEN UPDATE SET v = y.v + 1,
+                                                   grp = upper(y.grp)
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND y.k = 6
+            THEN INSERT (k, v) VALUES (y.k, y.v * 2)
+        WHEN NOT MATCHED BY SOURCE AND x.k = 1 THEN DELETE
+    """)
+    got = sorted((r["k"], r["grp"], r["v"]) for r in t.read().collect())
+    assert got == [(2, "B", 201), (4, "d", 40), (6, None, 120)]
+    # clause order matters: DELETE-first would have removed k=2
+    t2 = TxLogTable.create(spark, str(tmp_path / "t2"),
+                           _df(spark, [(2, "b", 20)]))
+    eng.register_txlog("tgt2", t2)
+    eng.sql("""
+        MERGE INTO tgt2 USING src ON tgt2.k = src.k
+        WHEN MATCHED THEN DELETE
+        WHEN MATCHED AND src.v > tgt2.v THEN UPDATE SET *
+    """)
+    assert t2.read().count() == 0, "first clause (DELETE) wins"
+    # no clause applies anywhere -> no new commit
+    v0 = t.latest_version()
+    t.merge_full(_df(spark, [(999, "q", 1)]), "k", when_matched=[
+        {"action": "delete"}])
+    assert t.latest_version() == v0
+
+
+def test_merge_full_refusals(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    src = _df(spark, [(1, "a", 5)])
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        t.merge_full(src, "k")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_full(_df(spark, [(1, "a", 5), (1, "b", 6)]), "k",
+                     when_matched=[{"action": "delete"}])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_full(src, "k", when_matched=[
+            {"action": "update", "set": {"nope": "1"}}])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_full(src, "k", when_not_matched=[
+            {"action": "insert", "values": {"nope": "1"}}])
+    with pytest.raises(ValueError, match="lacks key"):
+        t.merge_full(src.select("grp", "v"), "k",
+                     when_matched=[{"action": "delete"}])
+    ti = TxLogTable.create(
+        spark, tdir + "_i",
+        spark.createDataFrame([("a", 1)], "grp string, v int"),
+        identity_columns={"id": {"start": 1, "step": 1}})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        ti.merge_full(spark.createDataFrame([("a", 1)],
+                                            "grp string, v int"),
+                      "grp", when_matched=[{"action": "delete"}])
