@@ -147,6 +147,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "decontam_embedding_overlap",  # semantic decontamination (embeddings)
     "delta_apply_changes",      # CDC APPLY CHANGES fold (SCD1, atomic)
     "delta_merge_full_clauses",  # three-arm MERGE (matched AND / BY SOURCE)
+    "delta_apply_changes_scd2",  # CDC fold with history rows (SCD2)
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,9 +189,9 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "quality_quantile_filter",
     "sink_partitioned_pruned_scan",
     "source_json_roundtrip",
-    "stream_interval_static_join",
-    # text_pii_redact displaced by delta_merge_full_clauses (new-query
-    # policy); it joins the r9 canary list with the other seven.
+    # text_pii_redact displaced by delta_merge_full_clauses and
+    # stream_interval_static_join by delta_apply_changes_scd2 (new-query
+    # policy); both join the r9 canary list.
 )
 
 

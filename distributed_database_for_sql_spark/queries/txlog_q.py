@@ -2120,3 +2120,120 @@ def delta_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_versions", F.lit(len(hist)).cast("int"))
             .withColumn("last_op", F.lit(hist[-1]["op"]))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_apply_changes_scd2",
+    # Oracle: recompute the SCD2 fold relationally — per key the batch's
+    # events order by sequence, each non-delete event becomes a history
+    # row ended by the NEXT event's sequence, deletes close without
+    # adding, and the key's existing open row closes at the batch's
+    # first sequence.  n_versions = 2 pins single-commit atomicity.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents,
+             0 AS start_at, CAST(NULL AS INTEGER) AS end_at
+      FROM orders WHERE o_orderkey <= 300
+    ), ev AS (
+      SELECT o_orderkey AS k, {_CENTS} + 10 AS cents, 1 AS seq, 'u' AS typ
+      FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 20, 2, 'u'
+      FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT o_orderkey, {_CENTS}, 1, 'delete'
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 150
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 5, 2, 'u'
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 130
+      UNION ALL
+      SELECT o_orderkey, {_CENTS}, 1, 'u'
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 350
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 1, 2, 'u'
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 320
+    ), seqd AS (
+      SELECT k, cents, seq, typ,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS nxt
+      FROM ev
+    ), newrows AS (
+      SELECT k, cents, seq AS start_at, nxt AS end_at
+      FROM seqd WHERE typ <> 'delete'
+    ), firsts AS (
+      SELECT k, MIN(seq) AS fs FROM ev GROUP BY k
+    ), closedb AS (
+      SELECT b.k, b.cents, b.start_at, f.fs AS end_at
+      FROM base b JOIN firsts f ON b.k = f.k
+    ), carried AS (
+      SELECT b.k, b.cents, b.start_at, b.end_at
+      FROM base b LEFT JOIN firsts f ON b.k = f.k WHERE f.k IS NULL
+    ), final AS (
+      SELECT * FROM closedb UNION ALL
+      SELECT * FROM carried UNION ALL
+      SELECT * FROM newrows
+    )
+    SELECT start_at,
+           CAST(end_at IS NULL AS INTEGER) AS is_open,
+           COUNT(*)                        AS n_rows,
+           COUNT(DISTINCT k)               AS n_keys,
+           CAST(SUM(cents) AS BIGINT)      AS total_cents,
+           2                               AS n_versions,
+           'APPLY CHANGES SCD2'            AS last_op
+    FROM final
+    GROUP BY start_at, is_open
+    ORDER BY start_at, is_open
+    """,
+    tags=("acid", "delta", "cdc", "apply-changes", "scd2"),
+)
+def delta_apply_changes_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with full history tracking — the DLT ``APPLY CHANGES
+    INTO … STORED AS SCD TYPE 2`` shape: an out-of-order change batch
+    (two-event update chains, deletes, re-inserts, brand-new keys) folds
+    into the ACID table as ONE atomic commit that KEEPS every row
+    version — each non-delete event lands as a history row
+    ``[__START_AT, __END_AT)``, deletes close the chain, the existing
+    open row closes at the batch's first sequence, and closed history is
+    immutable (only segments holding OPEN rows of batch keys are
+    rewritten — the property that keeps SCD2 copy-on-write viable at
+    100 TB).  The oracle recomputes the fold with window functions;
+    grouping by (start, open-flag) certifies every chain edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 300)
+            .select("o_orderkey", cents.alias("cents"))
+            .withColumn("__START_AT", F.lit(0).cast("int"))
+            .withColumn("__END_AT", F.lit(None).cast("int"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("scd2", sf_dir), base,
+                          overwrite=True)
+    src = orders.select("o_orderkey", cents.alias("cents"))
+
+    def batch(flt, dcents, seq, ctype):
+        return (src.filter(flt)
+                .withColumn("cents", F.col("cents") + dcents)
+                .withColumn("seq", F.lit(seq).cast("int"))
+                .withColumn("_change_type", F.lit(ctype)))
+
+    changes = (
+        batch(k <= 100, 20, 2, "update_postimage")           # chain tail
+        .unionByName(batch(k <= 100, 10, 1, "update_postimage"))
+        .unionByName(batch((k > 100) & (k <= 150), 0, 1, "delete"))
+        .unionByName(batch((k > 100) & (k <= 130), 5, 2, "insert"))
+        .unionByName(batch((k > 300) & (k <= 350), 0, 1, "insert"))
+        .unionByName(batch((k > 300) & (k <= 320), 1, 2,
+                           "update_postimage"))
+        # shuffle arrival order: the fold must not care
+        .repartition(8))
+    t.apply_changes_scd2(changes, key="o_orderkey", sequence_by="seq")
+    hist = t.history()
+    return (t.read()
+            .groupBy(F.col("__START_AT").alias("start_at"),
+                     F.col("__END_AT").isNull().cast("int")
+                     .alias("is_open"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.count_distinct("o_orderkey").alias("n_keys"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("n_versions", F.lit(len(hist)).cast("int"))
+            .withColumn("last_op", F.lit(hist[-1]["op"]))
+            .orderBy("start_at", "is_open"))

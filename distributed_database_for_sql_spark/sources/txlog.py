@@ -98,6 +98,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 _LOG_DIR = "_txlog"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -3438,6 +3439,169 @@ class TxLogTable:
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
             + self._schema_evolution_action(ups)
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(actions, rel_removed, base_version,
+                                     key_range=key_range)
+
+    def apply_changes_scd2(self, changes: DataFrame, key: str,
+                           sequence_by: str,
+                           change_type_col: str = "_change_type",
+                           start_col: str = "__START_AT",
+                           end_col: str = "__END_AT") -> int:
+        """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
+        … STORED AS SCD TYPE 2`` shape): fold a change batch into this
+        table as ONE atomic commit, keeping EVERY version of every key.
+        The target carries two sequence-typed columns: ``start_col`` =
+        the sequence at which the row version became current and
+        ``end_col`` = the sequence at which it was superseded (NULL =
+        still current).
+
+        Per key, the batch's events are ordered by ``sequence_by``
+        (arrival order never matters): each non-delete event becomes a
+        history row whose ``end_col`` is the NEXT event's sequence (NULL
+        for the last), a ``delete`` event closes the preceding row and
+        adds nothing (a later event re-opens the key), and the key's
+        existing OPEN row is closed at the batch's first sequence.
+        Settled history is immutable: every batch sequence must be
+        strictly greater than the key's frontier (its max ``start_col``)
+        — a batch that would rewrite closed rows raises instead of
+        silently reordering history (v1 scope; DLT's late-history
+        backfill is out).
+
+        SINGLE-PASS like SCD1: only segments holding an OPEN row of a
+        batch key are rewritten (closed history rows never change, so a
+        well-maintained table rewrites only its "current" tail — the
+        property that keeps SCD2 viable at 100 TB); the batch-key range
+        rides the commit for other writers' OCC.  CDF emits
+        update_pre/postimages for the closed open-rows and inserts for
+        the new history rows (no ``delete`` images — SCD2 never removes
+        rows)."""
+        self._check_append_only("APPLY CHANGES")
+        if self._identity_columns():
+            raise ValueError(
+                "APPLY CHANGES into a table with IDENTITY columns is "
+                "not supported (same whole-row restriction as MERGE)")
+        cols = changes.columns
+        for c in (key, sequence_by, change_type_col):
+            if c not in cols:
+                raise ValueError(f"apply_changes_scd2: column {c!r} "
+                                 "missing from the change batch")
+        for c in (start_col, end_col):
+            if c in cols:
+                raise ValueError(
+                    f"apply_changes_scd2: change batch must not carry "
+                    f"the history column {c!r} (the fold assigns it)")
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        have = {f.name: f.dataType for f in schema.fields}
+        for c in (start_col, end_col):
+            if c not in have:
+                raise ValueError(
+                    f"apply_changes_scd2: target table lacks the history "
+                    f"column {c!r}; create it with {start_col}/{end_col} "
+                    "(sequence-typed, end NULL = current)")
+        seq_type = have[start_col]
+        dup = (changes.groupBy(key, sequence_by).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "apply_changes_scd2: duplicate (key, sequence) in the "
+                "batch — sequencing is ambiguous; deduplicate upstream")
+        target_cols = [f.name for f in schema.fields]
+        payload_cols = [c for c in target_cols
+                        if c not in (start_col, end_col)]
+        missing = [c for c in payload_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"apply_changes_scd2: change batch lacks target "
+                f"column(s) {missing}")
+
+        seq = F.col(sequence_by).cast(seq_type)
+        w = Window.partitionBy(key).orderBy(seq)
+        # one shuffle by key orders each chain; everything after is
+        # row-local: each non-delete event's end = the NEXT event's seq.
+        ev = changes.withColumn("__nxt", F.lead(seq).over(w))
+        new_rows = (ev.filter(F.col(change_type_col) != "delete")
+                    .select(*payload_cols,
+                            seq.alias(start_col),
+                            F.col("__nxt").alias(end_col)))
+        firsts = changes.groupBy(key).agg(F.min(seq).alias("__first"))
+        stats = firsts.agg(F.min(key).alias("mn"),
+                           F.max(key).alias("mx")).collect()[0]
+        key_range = {"column": key, "min": _json_key(stats["mn"]),
+                     "max": _json_key(stats["mx"])}
+
+        base = self._read_active(with_file=True)
+        # frontier guard: rewriting settled history is refused loudly.
+        late = (base.select(key, F.col(start_col).alias("__fr"))
+                .join(F.broadcast(firsts), key)
+                .filter(F.col("__first") <= F.col("__fr"))
+                .limit(1).count())
+        if late:
+            raise ValueError(
+                "apply_changes_scd2: batch contains a sequence at or "
+                "below an existing history row's start — rewriting "
+                "settled history is not supported; sequence new events "
+                "past the key's frontier")
+        # only segments holding an OPEN row of a batch key are touched —
+        # closed history never changes.
+        open_hits = (base.filter(F.col(end_col).isNull())
+                     .join(F.broadcast(firsts.select(key)), key,
+                           "left_semi"))
+        touched = sorted(r["_file"] for r in
+                         open_hits.select("_file").distinct().collect())
+        closed = None
+        if touched:
+            seg = self._read_active(only=touched)
+            # carry: all closed rows, plus open rows of NON-batch keys
+            # (an all-column anti-join would mis-carry NULL payloads —
+            # NULL never equals NULL in a join — so scope by end+key).
+            keep = (seg.filter(F.col(end_col).isNotNull())
+                    .unionByName(
+                        seg.filter(F.col(end_col).isNull())
+                        .join(F.broadcast(firsts.select(key)), key,
+                              "left_anti")))
+            closed = (seg.filter(F.col(end_col).isNull())
+                      .join(F.broadcast(firsts), key)
+                      .withColumn(end_col, F.col("__first"))
+                      .select(*target_cols))
+            merged = (keep.unionByName(closed)
+                      .unionByName(new_rows, allowMissingColumns=True))
+        else:
+            merged = new_rows
+        merged = self._apply_generated(merged)
+        self._validate_constraints(merged)
+        rel_new = self._write_segments(merged)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            pieces = [new_rows.withColumn("_change_type", F.lit("insert"))]
+            if touched:
+                pre = (self._read_active(only=touched)
+                       .filter(F.col(end_col).isNull())
+                       .join(F.broadcast(firsts.select(key)), key,
+                             "left_semi"))
+                pieces.append(pre.withColumn(
+                    "_change_type", F.lit("update_preimage")))
+                pieces.append(closed.withColumn(
+                    "_change_type", F.lit("update_postimage")))
+            ch = pieces[0]
+            for p in pieces[1:]:
+                ch = ch.unionByName(p, allowMissingColumns=True)
+            cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in touched
+        ]
+        actions = (
+            [{"commit": {"op": "APPLY CHANGES SCD2",
+                         "ts": self._next_ts(),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new),
+                         "keyRange": key_range}}]
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions

@@ -3016,6 +3016,128 @@ def test_apply_changes_out_of_order_cdc(spark, tdir):
     assert sorted(r["k"] for r in t.read().collect()) == [1, 4, 5]
 
 
+def _scd2_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v int, __START_AT int, __END_AT int")
+
+
+def _scd2_changes(spark, rows):
+    return spark.createDataFrame(rows,
+                                 "k int, v int, seq int, _change_type string")
+
+
+def test_apply_changes_scd2_chains(spark, tdir):
+    """SCD2 fold: per key the batch's events order by sequence — each
+    non-delete event becomes a history row ended by the next event's
+    sequence, deletes close without adding, the existing open row closes
+    at the batch's first sequence, untouched keys carry — all ONE atomic
+    commit."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(
+        spark, [(1, 10, 0, None), (2, 20, 0, None), (3, 30, 0, None)]))
+    changes = _scd2_changes(spark, [
+        (1, 12, 2, "update_postimage"),   # chain tail (arrives first)
+        (1, 11, 1, "update_postimage"),
+        (2, 0, 1, "delete"),              # close, then ...
+        (2, 21, 3, "insert"),             # ... re-open at seq 3
+        (4, 40, 1, "insert"),             # brand-new key
+    ])
+    v = t.apply_changes_scd2(changes, key="k", sequence_by="seq")
+    assert v == 1
+    hist = t.history()
+    assert hist[-1]["op"] == "APPLY CHANGES SCD2"
+    got = sorted((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [
+        (1, 10, 0, 1), (1, 11, 1, 2), (1, 12, 2, None),
+        (2, 20, 0, 1), (2, 21, 3, None),
+        (3, 30, 0, None),
+        (4, 40, 1, None),
+    ]
+    # time travel still serves the pre-fold state
+    assert sorted(r["k"] for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_apply_changes_scd2_refusals(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, [(1, 10, 0, None)]))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.apply_changes_scd2(
+            _scd2_changes(spark, [(1, 11, 1, "insert"),
+                                  (1, 12, 1, "insert")]),
+            key="k", sequence_by="seq")
+    # batch must not carry the history columns
+    bad = spark.createDataFrame(
+        [(1, 11, 1, "insert", 9)],
+        "k int, v int, seq int, _change_type string, __START_AT int")
+    with pytest.raises(ValueError, match="history column"):
+        t.apply_changes_scd2(bad, key="k", sequence_by="seq")
+    # target without the history columns refuses
+    t2 = TxLogTable.create(spark, tdir + "_plain",
+                           _df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="lacks the history column"):
+        t2.apply_changes_scd2(
+            _scd2_changes(spark, [(1, 11, 1, "insert")]),
+            key="k", sequence_by="seq")
+
+
+def test_apply_changes_scd2_frontier_guard(spark, tdir):
+    """Settled history is immutable: a batch sequence at or below a
+    key's max __START_AT refuses loudly instead of reordering history."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, [(1, 10, 0, None)]))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 11, 2, "update_postimage")]),
+        key="k", sequence_by="seq")
+    with pytest.raises(ValueError, match="settled history"):
+        t.apply_changes_scd2(
+            _scd2_changes(spark, [(1, 99, 1, "update_postimage")]),
+            key="k", sequence_by="seq")
+    # past the frontier it applies, closing the open row
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 13, 3, "update_postimage")]),
+        key="k", sequence_by="seq")
+    got = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [(10, 0, 2), (11, 2, 3), (13, 3, None)]
+
+
+def test_apply_changes_scd2_closed_history_not_rewritten(spark, tdir):
+    """Only segments holding an OPEN row of a batch key are rewritten —
+    a batch touching no existing open row (new keys only) carries every
+    segment by reference (filesRewritten = 0)."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, [(1, 10, 0, None)]))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(5, 50, 1, "insert")]),
+        key="k", sequence_by="seq")
+    last = t.history()[-1]
+    assert last["op"] == "APPLY CHANGES SCD2"
+    assert last["filesRewritten"] == 0
+    assert sorted((r["k"], r["__END_AT"] is None)
+                  for r in t.read().collect()) == [(1, True), (5, True)]
+
+
+def test_apply_changes_scd2_with_cdf(spark, tdir):
+    """CDF composition: closed open-rows serve update_pre/postimages,
+    new history rows serve inserts; no delete images (SCD2 never removes
+    rows)."""
+    t = TxLogTable.create(spark, tdir,
+                          _scd2_df(spark, [(1, 10, 0, None)]),
+                          enable_cdf=True)
+    v = t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 11, 1, "update_postimage"),
+                              (2, 20, 1, "insert")]),
+        key="k", sequence_by="seq")
+    ch = t.read_changes(v, v)
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"],
+                   r["_change_type"]) for r in ch.collect()),
+                 key=lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0,
+                                x[4]))
+    assert got == [
+        (1, 10, 0, 1, "update_postimage"),
+        (1, 10, 0, None, "update_preimage"),
+        (1, 11, 1, None, "insert"),
+        (2, 20, 1, None, "insert"),
+    ]
+
+
 # -- r8 post-battery pins: cross-feature composition -------------------------
 
 def test_overwrite_stream_semantics(spark, tdir):
