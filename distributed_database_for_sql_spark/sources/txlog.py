@@ -536,7 +536,8 @@ class TxLogTable:
 
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
-                         key_range: dict | list[dict] | None = None) -> int:
+                         key_range: dict | list[dict] | None = None,
+                         txn: tuple[str, int] | None = None) -> int:
         """Commit actions computed against the snapshot at
         ``base_version``.  If anything committed after that snapshot
         (claim target > base_version + 1, or a claim race is lost),
@@ -570,6 +571,13 @@ class TxLogTable:
                 if c is not None and "ts" in c:
                     c["ts"] = max(int(c["ts"]), self._next_ts())
             v = self.latest_version() + 1
+            if txn is not None and \
+                    self.txn_version_for(txn[0]) >= txn[1]:
+                # lost a claim race to a writer that committed this very
+                # batch (e.g. the pre-restart attempt of the same
+                # streaming epoch): drop ours — the staged segments are
+                # unreferenced and vacuum's age guard collects them.
+                return self.latest_version()
             if v > base_version + 1:
                 active, _ = self._snapshot_files()
                 active_rel = {
@@ -3340,7 +3348,9 @@ class TxLogTable:
 
     def apply_changes(self, changes: DataFrame, key: str,
                       sequence_by: str,
-                      change_type_col: str = "_change_type") -> int:
+                      change_type_col: str = "_change_type",
+                      txn_app_id: str | None = None,
+                      txn_version: int | None = None) -> int:
         """CDC apply (the DLT ``APPLY CHANGES INTO`` shape, SCD type 1):
         fold an out-of-order change batch into this table as ONE atomic
         commit.  Per key, the row with the HIGHEST ``sequence_by`` value
@@ -3349,6 +3359,12 @@ class TxLogTable:
         safe); a winning ``delete`` removes the key, anything else
         upserts the row.  Requires a unique sequence per key (ties are
         ambiguous, like DLT).
+
+        With ``txn_app_id`` + ``txn_version`` the apply is IDEMPOTENT
+        (the same txnAppId/txnVersion contract as ``append``): a
+        replayed batch — a restarted streaming query re-delivering its
+        last micro-batch — is a no-op, including when a rival writer
+        wins the commit race with the same epoch.  See ``cdc_sink``.
 
         SINGLE-PASS: upserts AND deletes land in one copy-on-write
         rewrite of exactly the segments holding any winner key — a
@@ -3360,6 +3376,11 @@ class TxLogTable:
             raise ValueError(
                 "APPLY CHANGES into a table with IDENTITY columns is "
                 "not supported (same whole-row restriction as MERGE)")
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if txn_app_id is not None and \
+                self.txn_version_for(txn_app_id) >= txn_version:
+            return self.latest_version()  # replayed batch: already applied
         cols = changes.columns
         for c in (key, sequence_by, change_type_col):
             if c not in cols:
@@ -3433,24 +3454,32 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
         ]
+        txn_actions = ([] if txn_app_id is None else
+                       [{"txn": {"appId": txn_app_id,
+                                 "version": int(txn_version)}}])
         actions = (
             [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
+            + txn_actions
             + self._schema_evolution_action(ups)
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions
         )
-        return self._commit_with_occ(actions, rel_removed, base_version,
-                                     key_range=key_range)
+        return self._commit_with_occ(
+            actions, rel_removed, base_version, key_range=key_range,
+            txn=None if txn_app_id is None
+            else (txn_app_id, int(txn_version)))
 
     def apply_changes_scd2(self, changes: DataFrame, key: str,
                            sequence_by: str,
                            change_type_col: str = "_change_type",
                            start_col: str = "__START_AT",
-                           end_col: str = "__END_AT") -> int:
+                           end_col: str = "__END_AT",
+                           txn_app_id: str | None = None,
+                           txn_version: int | None = None) -> int:
         """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
         … STORED AS SCD TYPE 2`` shape): fold a change batch into this
         table as ONE atomic commit, keeping EVERY version of every key.
@@ -3478,12 +3507,21 @@ class TxLogTable:
         rides the commit for other writers' OCC.  CDF emits
         update_pre/postimages for the closed open-rows and inserts for
         the new history rows (no ``delete`` images — SCD2 never removes
-        rows)."""
+        rows).  With ``txn_app_id`` + ``txn_version`` the apply is
+        IDEMPOTENT (``append``'s txnAppId/txnVersion contract) — the
+        exactly-once foundation for streaming CDC, where a replayed
+        micro-batch would otherwise refuse on its own frontier.  See
+        ``cdc_sink``."""
         self._check_append_only("APPLY CHANGES")
         if self._identity_columns():
             raise ValueError(
                 "APPLY CHANGES into a table with IDENTITY columns is "
                 "not supported (same whole-row restriction as MERGE)")
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if txn_app_id is not None and \
+                self.txn_version_for(txn_app_id) >= txn_version:
+            return self.latest_version()  # replayed batch: already applied
         cols = changes.columns
         for c in (key, sequence_by, change_type_col):
             if c not in cols:
@@ -3596,18 +3634,49 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
         ]
+        txn_actions = ([] if txn_app_id is None else
+                       [{"txn": {"appId": txn_app_id,
+                                 "version": int(txn_version)}}])
         actions = (
             [{"commit": {"op": "APPLY CHANGES SCD2",
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
+            + txn_actions
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions
         )
-        return self._commit_with_occ(actions, rel_removed, base_version,
-                                     key_range=key_range)
+        return self._commit_with_occ(
+            actions, rel_removed, base_version, key_range=key_range,
+            txn=None if txn_app_id is None
+            else (txn_app_id, int(txn_version)))
+
+    def cdc_sink(self, app_id: str, key: str, sequence_by: str,
+                 scd_type: int = 1):
+        """foreachBatch writer applying CDC micro-batches exactly once —
+        ``streaming_sink``'s shape for APPLY CHANGES: Structured
+        Streaming guarantees at-least-once foreachBatch invocation with
+        a deterministic batch_id per epoch; recording it as the
+        idempotent txn version turns replays into no-ops, so each change
+        batch folds exactly once no matter how often the query restarts.
+        ``scd_type`` 1 = highest-sequence-wins upsert fold, 2 = full
+        history tracking.  Usage::
+
+            q = (changes.writeStream
+                 .foreachBatch(table.cdc_sink("job1", "id", "seq"))
+                 .option("checkpointLocation", ckpt).start())
+        """
+        if scd_type not in (1, 2):
+            raise ValueError(f"scd_type must be 1 or 2, got {scd_type!r}")
+        fold = (self.apply_changes if scd_type == 1
+                else self.apply_changes_scd2)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            fold(batch_df, key=key, sequence_by=sequence_by,
+                 txn_app_id=app_id, txn_version=int(batch_id))
+        return write_batch
 
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true``: after an ingest

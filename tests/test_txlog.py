@@ -3138,6 +3138,44 @@ def test_apply_changes_scd2_with_cdf(spark, tdir):
     ]
 
 
+def test_apply_changes_idempotent_replay(spark, tdir):
+    """txnAppId/txnVersion on both CDC folds: a replayed micro-batch
+    (same app + epoch) is a no-op — for SCD2 the replay would otherwise
+    REFUSE on its own frontier, so idempotence is what makes streaming
+    CDC restarts safe."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    b0 = spark.createDataFrame([(1, "a", 11, 1, "update_postimage")],
+                               "k int, grp string, v int, seq int, "
+                               "_change_type string")
+    v = t.apply_changes(b0, key="k", sequence_by="seq",
+                        txn_app_id="cdc1", txn_version=0)
+    assert v == 1
+    # replay: no-op, no new version
+    v2 = t.apply_changes(b0, key="k", sequence_by="seq",
+                         txn_app_id="cdc1", txn_version=0)
+    assert v2 == 1 and t.latest_version() == 1
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, 11)]
+    with pytest.raises(ValueError, match="go together"):
+        t.apply_changes(b0, key="k", sequence_by="seq", txn_app_id="x")
+
+    t2 = TxLogTable.create(spark, tdir + "_scd2",
+                           _scd2_df(spark, [(1, 10, 0, None)]))
+    sink = t2.cdc_sink("cdc2", "k", "seq", scd_type=2)
+    b1 = _scd2_changes(spark, [(1, 11, 1, "update_postimage")])
+    sink(b1, 0)
+    assert t2.latest_version() == 1
+    # replay of epoch 0: no-op (a raw re-apply would refuse on the
+    # frontier — seq 1 is no longer past it)
+    sink(b1, 0)
+    assert t2.latest_version() == 1
+    sink(_scd2_changes(spark, [(1, 12, 2, "update_postimage")]), 1)
+    got = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t2.read().collect())
+    assert got == [(10, 0, 1), (11, 1, 2), (12, 2, None)]
+    with pytest.raises(ValueError, match="scd_type"):
+        t2.cdc_sink("x", "k", "seq", scd_type=3)
+
+
 # -- r8 post-battery pins: cross-feature composition -------------------------
 
 def test_overwrite_stream_semantics(spark, tdir):
