@@ -1339,28 +1339,53 @@ class TxLogTable:
         if not defs:
             return df, [], None
         provided = sorted(set(defs) & set(df.columns))
-        if provided:
+        bad = [c for c in provided if defs[c].get("always", True)]
+        if bad:
             raise ValueError(
-                f"identity column(s) {provided} are GENERATED ALWAYS — "
+                f"identity column(s) {bad} are GENERATED ALWAYS — "
                 "explicit values are refused; omit them from the write")
+        # BY DEFAULT columns present in the frame keep their explicit
+        # values; only NULL slots are engine-assigned.  Absent columns
+        # (either kind) are assigned for every row.
+        all_cols = [c for c in defs if c not in df.columns]
+        null_cols = [c for c in defs if c in df.columns]
         high = self._meta_state().get("identityHighWater", {})
         df = df.persist()
-        rows = (df.groupBy(F.spark_partition_id().alias("__pid")).count()
-                .collect())
-        counts = {r["__pid"]: r["count"] for r in rows}
-        offsets: dict[int, int] = {}
-        acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        total = acc
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in null_cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                        .alias(f"__nn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (df.groupBy(F.spark_partition_id().alias("__pid"))
+                .agg(*aggs).collect())
+        counts = {r["__pid"]: r["__n"] for r in rows}
+
+        def offsets_of(cnt: dict) -> tuple[dict, int]:
+            off, acc = {}, 0
+            for pid in sorted(cnt):
+                off[pid] = acc
+                acc += cnt[pid]
+            return off, acc
+
+        offsets, total = offsets_of(counts)
+        null_offsets, null_totals = {}, {}
+        explicit_max = {}
+        for c in null_cols:
+            off, tot = offsets_of(
+                {r["__pid"]: (r[f"__nn_{c}"] or 0) for r in rows})
+            null_offsets[c], null_totals[c] = off, tot
+            mxs = [r[f"__mx_{c}"] for r in rows
+                   if r[f"__mx_{c}"] is not None]
+            explicit_max[c] = max(mxs) if mxs else None
         firsts = {c: (int(high[c]) + spec["step"] if c in high
                       else spec["start"])
                   for c, spec in defs.items()}
         steps = {c: spec["step"] for c, spec in defs.items()}
         schema = T.StructType(
-            list(df.schema.fields)
-            + [T.StructField(c, T.LongType(), False) for c in defs])
+            [T.StructField(f.name, T.LongType() if f.name in null_cols
+                           else f.dataType, f.nullable)
+             for f in df.schema.fields]
+            + [T.StructField(c, T.LongType(), False) for c in all_cols])
 
         def stamp(batches):
             import numpy as np
@@ -1368,20 +1393,45 @@ class TxLogTable:
 
             pid = TaskContext.get().partitionId()
             seen = 0
+            seen_null = {c: 0 for c in null_cols}
             for pdf in batches:
                 n = len(pdf)
-                for c in defs:
+                for c in all_cols:
                     first = firsts[c] + steps[c] * (offsets.get(pid, 0)
                                                     + seen)
                     pdf[c] = first + steps[c] * np.arange(n, dtype="int64")
+                for c in null_cols:
+                    mask = pdf[c].isna().to_numpy()
+                    k = int(mask.sum())
+                    if k:
+                        first = firsts[c] + steps[c] * (
+                            null_offsets[c].get(pid, 0) + seen_null[c])
+                        s = pdf[c].copy()
+                        s[mask] = first + steps[c] * np.arange(
+                            k, dtype="int64")
+                        pdf[c] = s
+                        seen_null[c] += k
+                    pdf[c] = pdf[c].astype("int64")
                 seen += n
                 yield pdf
 
         out = df.mapInPandas(stamp, schema)
-        actions = [{"identity": {
-            "column": c,
-            "highWater": firsts[c] + steps[c] * (total - 1)}}
-            for c in defs] if total else []
+        actions = []
+        for c in defs:
+            if c in all_cols:
+                hw = (firsts[c] + steps[c] * (total - 1)) if total else None
+            else:
+                hw = (firsts[c] + steps[c] * (null_totals[c] - 1)
+                      if null_totals[c] else None)
+                if explicit_max[c] is not None:
+                    # max-merge explicit values into the high-water mark
+                    # so future engine assignments can never collide with
+                    # user-supplied ids (no SYNC IDENTITY step needed)
+                    hw = (int(explicit_max[c]) if hw is None
+                          else max(hw, int(explicit_max[c])))
+            if hw is not None:
+                actions.append(
+                    {"identity": {"column": c, "highWater": hw}})
         return out, actions, (lambda: df.unpersist())
 
     def _widen_cast(self, df: DataFrame) -> DataFrame:
@@ -1579,7 +1629,9 @@ class TxLogTable:
             # Delta GENERATED ALWAYS AS IDENTITY: {"id": {"start": 1,
             # "step": 1}} (int shorthand = start, step 1); step >= 1 in
             # v1.  The identity column is engine-assigned from CREATE on
-            # and joins the schema as a non-null long.
+            # and joins the schema as a non-null long.  "always": False
+            # = GENERATED BY DEFAULT AS IDENTITY — explicit values are
+            # accepted and only absent/NULL slots are engine-assigned.
             defs = {}
             for c, spec in identity_columns.items():
                 if isinstance(spec, int):
@@ -1588,7 +1640,8 @@ class TxLogTable:
                     raise ValueError(
                         f"identity column {c!r}: step must be >= 1")
                 defs[c] = {"start": int(spec.get("start", 1)),
-                           "step": int(spec.get("step", 1))}
+                           "step": int(spec.get("step", 1)),
+                           "always": bool(spec.get("always", True))}
             t._pending_identity_columns = defs
             meta["identityColumns"] = defs
             df, ident_actions, ident_cleanup = t._assign_identity(df)
@@ -2416,18 +2469,29 @@ class TxLogTable:
         overlapping MERGEs are detected as conflicts (see
         ``_commit_with_occ``) instead of silently duplicating keys.
 
-        v1 scope: refused on tables with IDENTITY columns (the insert
-        arm would need engine-assigned ids while the update arm carries
-        existing ones — Delta has the same whole-row-MERGE restriction
-        for GENERATED ALWAYS identity; use append + update instead).
+        v1 scope: refused on tables with GENERATED ALWAYS identity
+        columns (the insert arm would need engine-assigned ids while
+        the update arm carries existing ones — Delta has the same
+        whole-row-MERGE restriction; use append + update instead).
+        GENERATED BY DEFAULT identity composes: the source carries the
+        ids (required), and NULL slots are engine-assigned past the
+        high-water mark.
         """
         self._check_append_only("MERGE")
-        if self._identity_columns():
+        ident = self._identity_columns()
+        if any(s.get("always", True) for s in ident.values()):
             raise ValueError(
-                "MERGE into a table with IDENTITY columns is not "
-                "supported (GENERATED ALWAYS ids cannot ride a "
-                "whole-row upsert); append new rows and update "
+                "MERGE into a table with GENERATED ALWAYS IDENTITY "
+                "columns is not supported (engine-assigned ids cannot "
+                "ride a whole-row upsert); append new rows and update "
                 "existing ones instead")
+        if ident:
+            missing_ident = [c for c in ident if c not in updates.columns]
+            if missing_ident:
+                raise ValueError(
+                    "MERGE source must carry the BY DEFAULT identity "
+                    f"column(s) {missing_ident} (use NULL for "
+                    "engine-assigned slots)")
         base_version = self.latest_version()
         files, _ = self._snapshot_files()
         stats = updates.agg(
@@ -2446,6 +2510,8 @@ class TxLogTable:
         # CHECK constraints gate the incoming rows only — carried-over
         # segment rows already passed at their own write time.
         updates = self._apply_generated(updates)
+        updates, ident_actions, ident_cleanup = \
+            self._assign_identity(updates)
         self._validate_constraints(updates)
         upd_keys = updates.select(key).distinct()
         touched: list[str] = []
@@ -2497,11 +2563,14 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
         ]
+        if ident_cleanup:
+            ident_cleanup()
         actions = (
             [{"commit": {"op": "MERGE", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
+            + ident_actions
             + self._schema_evolution_action(updates)
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
@@ -2553,10 +2622,10 @@ class TxLogTable:
         self._check_append_only("MERGE")
         if self._identity_columns():
             raise ValueError(
-                "MERGE into a table with IDENTITY columns is not "
-                "supported (GENERATED ALWAYS ids cannot ride a "
-                "whole-row upsert); append new rows and update "
-                "existing ones instead")
+                "full-clause MERGE into a table with IDENTITY columns "
+                "is not supported in v1 (per-arm identity assignment is "
+                "ambiguous); use the plain upsert shape, which composes "
+                "with BY DEFAULT identity, or append + update")
         when_matched = list(when_matched)
         when_not_matched = list(when_not_matched)
         when_not_matched_by_source = list(when_not_matched_by_source)
@@ -2911,7 +2980,8 @@ class TxLogTable:
         if direct_ident:
             raise ValueError(
                 f"UPDATE SET of identity columns {sorted(direct_ident)}: "
-                "GENERATED ALWAYS ids are engine-assigned, never set")
+                "identity values are never updated (Delta refuses this "
+                "for both ALWAYS and BY DEFAULT identity)")
 
     def update_where(self, assignments: dict, condition,
                      use_dv: bool = False) -> int:
@@ -3248,8 +3318,14 @@ class TxLogTable:
         schema = T.StructType.fromJson(json.loads(schema_json))
         gen = self._generated_columns()
         ident = self._identity_columns()
+        # BY DEFAULT identity columns present in the source files keep
+        # their values (NULL slots engine-assigned); ALWAYS identity and
+        # absent BY DEFAULT columns are engine-assigned wholesale.
         required = [f for f in schema.fields
-                    if f.name not in gen and f.name not in ident]
+                    if f.name not in gen
+                    and (f.name not in ident
+                         or (not ident[f.name].get("always", True)
+                             and f.name in src.columns))]
         defaults = self._column_defaults()
         missing = [f.name for f in required
                    if f.name not in src.columns and f.name not in defaults]
@@ -3372,10 +3448,12 @@ class TxLogTable:
         (2× write amplification that matters at 100 TB).  The winner-key
         range rides the commit for other writers' OCC like a MERGE."""
         self._check_append_only("APPLY CHANGES")
-        if self._identity_columns():
+        if any(s.get("always", True)
+               for s in self._identity_columns().values()):
             raise ValueError(
-                "APPLY CHANGES into a table with IDENTITY columns is "
-                "not supported (same whole-row restriction as MERGE)")
+                "APPLY CHANGES into a table with GENERATED ALWAYS "
+                "IDENTITY columns is not supported (same whole-row "
+                "restriction as MERGE); BY DEFAULT identity composes")
         if (txn_app_id is None) != (txn_version is None):
             raise ValueError("txn_app_id and txn_version go together")
         if txn_app_id is not None and \
@@ -3401,6 +3479,7 @@ class TxLogTable:
         ups = (winners.filter(F.col(change_type_col) != "delete")
                .select(*target_cols))
         ups = self._apply_generated(ups)
+        ups, ident_actions, ident_cleanup = self._assign_identity(ups)
         self._validate_constraints(ups)
         wkeys = winners.select(key).distinct()
         stats = wkeys.agg(F.min(key).alias("mn"),
@@ -3454,6 +3533,8 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
         ]
+        if ident_cleanup:
+            ident_cleanup()
         txn_actions = ([] if txn_app_id is None else
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
@@ -3463,6 +3544,7 @@ class TxLogTable:
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
             + txn_actions
+            + ident_actions
             + self._schema_evolution_action(ups)
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
@@ -3513,10 +3595,12 @@ class TxLogTable:
         micro-batch would otherwise refuse on its own frontier.  See
         ``cdc_sink``."""
         self._check_append_only("APPLY CHANGES")
-        if self._identity_columns():
+        if any(s.get("always", True)
+               for s in self._identity_columns().values()):
             raise ValueError(
-                "APPLY CHANGES into a table with IDENTITY columns is "
-                "not supported (same whole-row restriction as MERGE)")
+                "APPLY CHANGES into a table with GENERATED ALWAYS "
+                "IDENTITY columns is not supported (same whole-row "
+                "restriction as MERGE); BY DEFAULT identity composes")
         if (txn_app_id is None) != (txn_version is None):
             raise ValueError("txn_app_id and txn_version go together")
         if txn_app_id is not None and \
@@ -3567,6 +3651,8 @@ class TxLogTable:
                     .select(*payload_cols,
                             seq.alias(start_col),
                             F.col("__nxt").alias(end_col)))
+        new_rows, ident_actions, ident_cleanup = \
+            self._assign_identity(new_rows)
         firsts = changes.groupBy(key).agg(F.min(seq).alias("__first"))
         stats = firsts.agg(F.min(key).alias("mn"),
                            F.max(key).alias("mx")).collect()[0]
@@ -3634,6 +3720,8 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
         ]
+        if ident_cleanup:
+            ident_cleanup()
         txn_actions = ([] if txn_app_id is None else
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
@@ -3644,6 +3732,7 @@ class TxLogTable:
                          "filesAdded": len(rel_new),
                          "keyRange": key_range}}]
             + txn_actions
+            + ident_actions
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions

@@ -2742,6 +2742,61 @@ def test_identity_columns_multi_partition_unique(spark, tdir):
     assert max(r["rid"] for r in t.read().collect()) == 501
 
 
+def test_identity_by_default(spark, tdir):
+    """GENERATED BY DEFAULT AS IDENTITY: explicit values are accepted,
+    only absent columns / NULL slots are engine-assigned, and the
+    high-water mark max-merges explicit values so later engine
+    assignments never collide (no SYNC IDENTITY step)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 10), ("b", 20)], "grp string, v int"),
+        identity_columns={"id": {"start": 1, "step": 1, "always": False}})
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    # explicit values (incl. a NULL slot) are accepted: NULLs fill past
+    # the high-water mark, explicit values keep
+    t.append(spark.createDataFrame(
+        [(100, "c", 30), (None, "d", 40)], "id long, grp string, v int"))
+    got = sorted((r["grp"], r["id"]) for r in t.read().collect())
+    assert got == [("a", 1), ("b", 2), ("c", 100), ("d", 3)]
+    # high-water max-merged with the explicit 100: next assign is 101
+    t.append(spark.createDataFrame([("e", 50)], "grp string, v int"))
+    assert max(r["id"] for r in t.read().collect()) == 101
+    # identity values still never update
+    with pytest.raises(ValueError, match="identity"):
+        t.update_where({"id": F.lit(1)}, F.lit(True))
+
+
+def test_identity_by_default_merge_and_cdc(spark, tdir):
+    """BY DEFAULT identity composes with MERGE and APPLY CHANGES: the
+    source carries the ids (required — a missing column refuses), NULL
+    slots are engine-assigned, GENERATED ALWAYS still refuses."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 10)], "grp string, v int"),
+        identity_columns={"id": {"start": 1, "always": False}})
+    # whole-row upsert: update keeps its id, insert with NULL id assigns
+    t.merge_upsert(spark.createDataFrame(
+        [(1, "a", 11), (None, "b", 20)], "id long, grp string, v int"),
+        "grp")
+    got = sorted((r["grp"], r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("a", 1, 11), ("b", 2, 20)]
+    with pytest.raises(ValueError, match="must carry"):
+        t.merge_upsert(spark.createDataFrame(
+            [("c", 30)], "grp string, v int"), "grp")
+    # CDC fold on the BY DEFAULT table
+    t.apply_changes(spark.createDataFrame(
+        [(None, "c", 30, 1, "insert"), (1, "a", 12, 1, "update_postimage")],
+        "id long, grp string, v int, seq int, _change_type string"),
+        key="grp", sequence_by="seq")
+    got = sorted((r["grp"], r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("a", 1, 12), ("b", 2, 20), ("c", 3, 30)]
+    # full-clause MERGE keeps its v1 refusal for any identity table
+    with pytest.raises(ValueError, match="full-clause MERGE"):
+        t.merge_full(spark.createDataFrame(
+            [(None, "d", 4)], "id long, grp string, v int"), "grp",
+            when_not_matched=[{"action": "insert"}])
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
