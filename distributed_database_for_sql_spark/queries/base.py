@@ -148,6 +148,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_apply_changes",      # CDC APPLY CHANGES fold (SCD1, atomic)
     "delta_merge_full_clauses",  # three-arm MERGE (matched AND / BY SOURCE)
     "delta_apply_changes_scd2",  # CDC fold with history rows (SCD2)
+    "delta_row_tracking",        # stable row ids (baseRowId + position)
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,10 +189,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "pack_sequences_chunked",
     "quality_quantile_filter",
     "sink_partitioned_pruned_scan",
-    "source_json_roundtrip",
-    # text_pii_redact displaced by delta_merge_full_clauses and
-    # stream_interval_static_join by delta_apply_changes_scd2 (new-query
-    # policy); both join the r9 canary list.
+    # text_pii_redact displaced by delta_merge_full_clauses,
+    # stream_interval_static_join by delta_apply_changes_scd2, and
+    # source_json_roundtrip by delta_row_tracking (new-query policy);
+    # all three join the r9 canary list.
 )
 
 

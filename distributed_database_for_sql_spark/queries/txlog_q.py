@@ -2123,6 +2123,91 @@ def delta_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_row_tracking",
+    # Row tracking is certified NUMERICALLY (engine-assigned ids are
+    # partition-order-dependent, so the oracle pins the invariants, not
+    # the values): initial assignment is dense 1..n (distinct == count,
+    # min 1, max n), OPTIMIZE changes ZERO ids, a DV delete changes ZERO
+    # surviving ids while max stays n (ids burn, never reuse), and the
+    # commit count pins the exact operation sequence.
+    oracle="""
+    WITH nt AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 600),
+         ns AS (SELECT COUNT(*) AS c FROM orders
+                WHERE o_orderkey > 100 AND o_orderkey <= 600)
+    SELECT CAST(ns.c + 1 AS BIGINT) AS n_rows,
+           CAST(ns.c + 1 AS BIGINT) AS n_ids,
+           CAST(1 AS BIGINT)        AS min_id_initial,
+           CAST(nt.c AS BIGINT)     AS max_id_initial,
+           CAST(1 AS BIGINT)        AS append_id_past_burned,
+           CAST(0 AS BIGINT)        AS changed_by_optimize,
+           CAST(0 AS BIGINT)        AS changed_by_delete,
+           4                        AS n_versions,
+           'APPEND'                 AS last_op
+    FROM nt, ns
+    """,
+    tags=("acid", "delta", "row-tracking"),
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (Delta's baseRowId feature): every row carries a
+    stable engine-assigned ``_row_id`` (file baseRowId + physical
+    position, allocated from a max-merged high-water mark inside the
+    commit claim loop).  The query certifies the full contract: dense
+    initial assignment, OPTIMIZE preserving every id through the rewrite
+    (ids are materialized into the compacted segments), and a DV DELETE
+    keeping all surviving ids while the burned ids never return.  At
+    100 TB stable row ids are what incremental consumers key on without
+    a CDF subscription — and the allocation is metadata-only (footer
+    counts), never a data pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 600)
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("rowtrack", sf_dir), base,
+                          overwrite=True, row_tracking=True)
+    ids0 = t.read_with_row_ids().select("o_orderkey", "_row_id")
+    stats0 = ids0.agg(
+        F.min("_row_id").alias("mn"), F.max("_row_id").alias("mx")
+    ).collect()[0]
+    t.optimize_compact(target_segments=2)
+    ids1 = t.read_with_row_ids().select("o_orderkey", "_row_id")
+    changed_opt = (ids0.withColumnRenamed("_row_id", "id0")
+                   .join(ids1, "o_orderkey")
+                   .filter(F.col("id0") != F.col("_row_id")).count())
+    t.delete_where(k <= 100, use_dv=True)
+    ids2 = t.read_with_row_ids().select("o_orderkey", "_row_id")
+    changed_del = (ids1.withColumnRenamed("_row_id", "id1")
+                   .join(ids2, "o_orderkey")
+                   .filter(F.col("id1") != F.col("_row_id")).count())
+    # burned ids never return: the next append allocates strictly PAST
+    # the whole burned/assigned range (the high-water mark advances
+    # monotonically, including through rewrites — Delta assigns fresh
+    # baseRowIds to OPTIMIZE'd files while reads serve the materialized
+    # originals), never into the freed ids
+    t.append(spark.createDataFrame([(9999999, "0-PROBE")],
+                                   "o_orderkey long, o_orderpriority "
+                                   "string"))
+    ids3 = t.read_with_row_ids()
+    hist = t.history()
+    return (ids3.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("_row_id").alias("n_ids"),
+        (F.max(F.when(F.col("o_orderkey") == 9999999, F.col("_row_id")))
+         > F.max(F.when(F.col("o_orderkey") != 9999999, F.col("_row_id")))
+         ).cast("long").alias("append_id_past_burned"))
+        .withColumn("min_id_initial", F.lit(int(stats0["mn"])).cast("long"))
+        .withColumn("max_id_initial", F.lit(int(stats0["mx"])).cast("long"))
+        .withColumn("changed_by_optimize",
+                    F.lit(changed_opt).cast("long"))
+        .withColumn("changed_by_delete", F.lit(changed_del).cast("long"))
+        .withColumn("n_versions", F.lit(len(hist)).cast("int"))
+        .withColumn("last_op", F.lit(hist[-1]["op"]))
+        .select("n_rows", "n_ids", "min_id_initial", "max_id_initial",
+                "append_id_past_burned", "changed_by_optimize",
+                "changed_by_delete", "n_versions", "last_op"))
+
+
+@register(
     "delta_apply_changes_scd2",
     # Oracle: recompute the SCD2 fold relationally — per key the batch's
     # events order by sequence, each non-delete event becomes a history

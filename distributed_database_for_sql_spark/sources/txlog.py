@@ -534,6 +534,44 @@ class TxLogTable:
         data = "".join(json.dumps(a) + "\n" for a in actions).encode()
         return self.log_store.put_if_absent(fp, data)
 
+    def _row_tracking_enabled(self) -> bool:
+        if getattr(self, "_pending_row_tracking", False):
+            return True
+        try:
+            return bool(self._meta_state().get("rowTracking"))
+        except FileNotFoundError:
+            return False
+
+    def _stamp_row_ids(self, actions: list[dict]) -> None:
+        """Row tracking (Delta's baseRowId): assign each added file a
+        fresh, contiguous row-id range from the table's max-merged
+        high-water mark.  A row's stable id = the file's ``baseRowId`` +
+        its physical position — metadata-only at write time (the counts
+        come from the footer stats already harvested), O(files) driver
+        work.  Called INSIDE the commit claim loop so an OCC retry
+        re-allocates past whatever a racing writer just claimed (same
+        re-stamp discipline as the in-commit timestamp).  Files whose
+        stats harvest failed (numRecords unknown) carry no baseRowId and
+        their rows read a NULL ``_row_id`` — conservative, documented."""
+        if not self._row_tracking_enabled():
+            return
+        actions[:] = [a for a in actions if "rowid" not in a]
+        base = int(self._meta_state().get("rowIdHighWater", 0)) + 1 \
+            if not getattr(self, "_pending_row_tracking", False) else 1
+        start = base
+        for a in actions:
+            add = a.get("add")
+            if not add:
+                continue
+            st = add.get("stats")
+            n = (st or {}).get("numRecords")
+            if st is None or n is None:
+                continue
+            st["baseRowId"] = base
+            base += int(n)
+        if base != start:
+            actions.append({"rowid": {"highWater": base - 1}})
+
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
                          key_range: dict | list[dict] | None = None,
@@ -570,6 +608,7 @@ class TxLogTable:
                 c = action.get("commit")
                 if c is not None and "ts" in c:
                     c["ts"] = max(int(c["ts"]), self._next_ts())
+            self._stamp_row_ids(actions)
             v = self.latest_version() + 1
             if txn is not None and \
                     self.txn_version_for(txn[0]) >= txn[1]:
@@ -884,7 +923,8 @@ class TxLogTable:
     _META_KEYS = ("partitionColumns", "columnMapping", "columnMappingMode",
                   "retiredPhysical", "generatedColumns",
                   "bloomFilterColumns", "identityColumns", "properties",
-                  "typeWidened", "columnDefaults", "clusteringColumns")
+                  "typeWidened", "columnDefaults", "clusteringColumns",
+                  "rowTracking")
 
     def _meta_state(self, version: int | None = None) -> dict:
         """Last-writer-wins metaData keys at ``version`` (partition
@@ -922,6 +962,14 @@ class TxLogTable:
                     c = ident["column"]
                     hw[c] = max(int(hw.get(c, 0)), int(ident["highWater"]))
                     state["identityHighWater"] = hw
+                rid = action.get("rowid")
+                if rid:
+                    # row-tracking high-water mark: max-merged like the
+                    # identity marks, so OCC retries and replay order can
+                    # never move allocation backwards
+                    state["rowIdHighWater"] = max(
+                        int(state.get("rowIdHighWater", 0)),
+                        int(rid["highWater"]))
         return state
 
     def _partition_columns(self) -> list[str]:
@@ -1563,7 +1611,8 @@ class TxLogTable:
                bloom_filter_columns: list[str] | None = None,
                column_mapping_mode: str = "name",
                identity_columns: dict | None = None,
-               cluster_by: list[str] | None = None) -> "TxLogTable":
+               cluster_by: list[str] | None = None,
+               row_tracking: bool = False) -> "TxLogTable":
         t = cls(spark, path, enable_cdf=enable_cdf)
         if os.path.exists(t.log_dir):
             if not overwrite:
@@ -1661,6 +1710,9 @@ class TxLogTable:
             del t._pending_identity_columns
         if column_mapping_mode == "id":
             del t._pending_column_mapping
+        if row_tracking:
+            meta["rowTracking"] = True
+            t._pending_row_tracking = True
         actions = (
             [{"commit": {"op": "CREATE", "ts": t._next_ts()}},
              {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1668,6 +1720,9 @@ class TxLogTable:
             + ident_actions
             + t._add_actions(rel)
         )
+        if row_tracking:
+            t._stamp_row_ids(actions)
+            del t._pending_row_tracking
         if not t._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {path}")
         return t
@@ -1912,6 +1967,7 @@ class TxLogTable:
             # winner's commit, or in-commit timestamps go non-monotonic.
             actions[0]["commit"]["ts"] = max(
                 int(actions[0]["commit"]["ts"]), self._next_ts())
+            self._stamp_row_ids(actions)
             v = self.latest_version() + 1
             if txn_app_id is not None and \
                     self.txn_version_for(txn_app_id) >= txn_version:
@@ -2033,7 +2089,8 @@ class TxLogTable:
 
     def _read_active(self, version: int | None = None,
                      with_file: bool = False, with_pos: bool = False,
-                     only: list[str] | None = None) -> DataFrame:
+                     only: list[str] | None = None,
+                     with_rid: bool = False) -> DataFrame:
         """The canonical snapshot reader: mergeSchema parquet scan of the
         active files with DELETION VECTORS applied (merge-on-read).
 
@@ -2095,6 +2152,11 @@ class TxLogTable:
                               True)
                 for f in T.StructType.fromJson(
                     json.loads(schema_json)).fields])
+            if with_rid:
+                # keep the materialized row-id column visible under the
+                # explicit requested schema (absent files backfill NULL)
+                requested = requested.add(
+                    T.StructField("__rid", T.LongType(), True))
 
         def load(paths: list[str], meta: bool) -> DataFrame:
             local = [p for p in paths if not escapes(p)]
@@ -2197,8 +2259,12 @@ class TxLogTable:
         mapping = self._column_mapping(version)
         logical_fields = T.StructType.fromJson(json.loads(schema_json)).fields
         logical_names = {f.name for f in logical_fields}
+        # "__rid" is the materialized row-id column layout ops write into
+        # rewritten segments (row tracking): invisible to normal reads
+        # (the extra-column select below drops it), kept on request.
+        keep_extra = {"__rid"} if with_rid else set()
         extra = (set(out.columns) - logical_names
-                 - {"_file", "__relfile", "__rowidx"})
+                 - {"_file", "__relfile", "__rowidx"} - keep_extra)
         if mapping or extra or logical_names - set(out.columns):
             # column mapping active, files carry retired/dropped physical
             # columns, or the schema holds a column no file has yet
@@ -2217,10 +2283,13 @@ class TxLogTable:
             if backfill:
                 out = out.withColumns(backfill)
             logical = [f.name for f in logical_fields]
-            meta_keep = [c for c in ("_file", "__relfile", "__rowidx")
+            meta_keep = [c for c in ("_file", "__relfile", "__rowidx",
+                                     *sorted(keep_extra))
                          if c in out.columns]
             out = out.select(*[c for c in logical if c in out.columns],
                              *meta_keep)
+        elif not with_rid and "__rid" in out.columns:
+            out = out.drop("__rid")
         return out
 
     def _commit_ts(self, version: int) -> int:
@@ -2265,6 +2334,41 @@ class TxLogTable:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at_timestamp(timestamp)
         return self._read_active(version)
+
+    def _attach_row_ids(self, df: DataFrame,
+                        version: int | None = None) -> DataFrame:
+        """Add ``_row_id`` to a frame carrying ``__relfile``/``__rowidx``:
+        the file's committed ``baseRowId`` + the row's physical position,
+        preferring a materialized ``__rid`` column when the segment has
+        one (layout-op rewrites).  The file→base map is metadata-sized
+        and broadcast."""
+        active, _ = self._snapshot(version)
+        rows = [(p, (st or {}).get("baseRowId")) for p, st in active.items()]
+        bmap = self.spark.createDataFrame(
+            rows, "__relfile string, __base long")
+        df = df.join(F.broadcast(bmap), "__relfile", "left")
+        rid = (F.col("__base") + F.col("__rowidx")).cast("long")
+        if "__rid" in df.columns:
+            rid = F.coalesce(F.col("__rid").cast("long"), rid)
+        return df.withColumn("_row_id", rid)
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """Snapshot read with a stable ``_row_id`` column (Delta row
+        tracking): ids are assigned once per row at commit time
+        (file ``baseRowId`` + physical position), survive OPTIMIZE /
+        REORG PURGE (layout rewrites materialize them) and DV deletes
+        (survivor positions are physical, so base+position is unchanged),
+        and are fresh for rows REWRITTEN by logical DML — v1 scope;
+        Delta additionally preserves ids through copy-on-write DML.
+        The id→row binding is what incremental consumers key on without
+        a CDF subscription."""
+        if not self._row_tracking_enabled():
+            raise ValueError(
+                "row tracking is not enabled on this table; create it "
+                "with row_tracking=True")
+        df = self._read_active(version, with_pos=True, with_rid=True)
+        df = self._attach_row_ids(df, version)
+        return df.drop("_file", "__relfile", "__rowidx", "__rid", "__base")
 
     def restore(self, version: int) -> int:
         """Delta RESTORE: roll the table back to ``version`` AS A NEW
@@ -3236,7 +3340,19 @@ class TxLogTable:
         # DV-applied: compaction MATERIALIZES outstanding deletion
         # vectors (the rewritten segments exclude tombstoned rows) and
         # the removes below retire the DVs from the snapshot.
-        snap = self._read_active(only=files if where else None)
+        if self._row_tracking_enabled():
+            # row tracking: a layout op must PRESERVE row ids — resolve
+            # each row's current id (base+position or an earlier
+            # materialization) and write it into the new segments as the
+            # physical __rid column, which reads prefer over base+pos.
+            snap = self._read_active(only=files if where else None,
+                                     with_pos=True, with_rid=True)
+            snap = (self._attach_row_ids(snap)
+                    .drop("_file", "__relfile", "__rowidx", "__rid",
+                          "__base")
+                    .withColumnRenamed("_row_id", "__rid"))
+        else:
+            snap = self._read_active(only=files if where else None)
         if zorder_by:
             zval = _zorder_value(zorder_by)
             compacted = (snap.withColumn("__zval", zval)
@@ -3373,7 +3489,17 @@ class TxLogTable:
         if not targets:
             return self.latest_version()
         abs_targets = [os.path.join(self.path, p) for p in targets]
-        clean = self._read_active(only=abs_targets)  # DV-applied survivors
+        if self._row_tracking_enabled():
+            # layout op: preserve row ids via the materialized __rid
+            # column (same contract as OPTIMIZE)
+            clean = self._read_active(only=abs_targets, with_pos=True,
+                                      with_rid=True)
+            clean = (self._attach_row_ids(clean)
+                     .drop("_file", "__relfile", "__rowidx", "__rid",
+                           "__base")
+                     .withColumnRenamed("_row_id", "__rid"))
+        else:
+            clean = self._read_active(only=abs_targets)  # DV-applied
         rel_new = self._write_segments(clean)
         actions = (
             [{"commit": {"op": "REORG", "ts": self._next_ts(),

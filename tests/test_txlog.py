@@ -2797,6 +2797,67 @@ def test_identity_by_default_merge_and_cdc(spark, tdir):
             when_not_matched=[{"action": "insert"}])
 
 
+# -- r8: row tracking ---------------------------------------------------------
+
+def test_row_tracking_stable_ids(spark, tdir):
+    """Row tracking (Delta baseRowId): every row gets a stable _row_id =
+    file baseRowId + physical position; ids are unique, appends continue
+    past the high-water mark, OPTIMIZE and REORG PURGE preserve them
+    (materialized __rid), and DV deletes keep survivors' ids."""
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+        .repartition(2, "k"),
+        row_tracking=True)
+    ids0 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert sorted(ids0.values()) == [1, 2, 3], f"dense from 1: {ids0}"
+    # plain read never exposes the machinery
+    assert "_row_id" not in t.read().columns
+    assert "__rid" not in t.read().columns
+    # append continues past the high-water mark
+    t.append(_df(spark, [(4, "d", 40), (5, "e", 50)]))
+    ids1 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert {ids1[k] for k in (4, 5)} == {4, 5}
+    assert all(ids1[k] == ids0[k] for k in ids0), "old rows untouched"
+    # OPTIMIZE preserves every id (materialized through the rewrite)
+    t.optimize_compact(target_segments=1)
+    ids2 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert ids2 == ids1, f"OPTIMIZE must preserve row ids: {ids2} != {ids1}"
+    # DV delete: survivors keep their ids (positions are physical)
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    ids3 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert ids3 == {k: v for k, v in ids2.items() if k != 2}
+    # REORG PURGE materializes the DV and still preserves ids
+    t.reorg_purge()
+    ids4 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert ids4 == ids3, "REORG PURGE must preserve row ids"
+    # a second append after the rewrites allocates fresh, non-colliding ids
+    t.append(_df(spark, [(6, "f", 60)]))
+    ids5 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert len(set(ids5.values())) == len(ids5), f"no collisions: {ids5}"
+    assert ids5[6] > max(ids2.values())
+
+
+def test_row_tracking_refusal_and_checkpoint(spark, tdir):
+    """read_with_row_ids refuses on untracked tables; the high-water mark
+    and per-file baseRowIds survive checkpoints and fresh handles."""
+    t0 = TxLogTable.create(spark, tdir + "_plain",
+                           _df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="row tracking"):
+        t0.read_with_row_ids()
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          row_tracking=True)
+    t.checkpoint_interval = 2
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, "x", i * 10)]))
+    fresh = TxLogTable(spark, tdir)
+    ids = sorted(r["_row_id"] for r in fresh.read_with_row_ids().collect())
+    assert ids == [1, 2, 3, 4, 5]
+    fresh.append(_df(spark, [(9, "z", 90)]))
+    assert max(r["_row_id"]
+               for r in fresh.read_with_row_ids().collect()) == 6
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
