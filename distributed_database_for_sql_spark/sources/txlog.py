@@ -1822,7 +1822,10 @@ class TxLogTable:
             return [{"metaData": {"schemaJson": df.schema.json()}}]
         cur = T.StructType.fromJson(json.loads(schema_json))
         have = {f.name for f in cur.fields}
-        new = [f for f in df.schema.fields if f.name not in have]
+        # "__rid" is row tracking's materialized physical column — never
+        # part of the logical schema
+        new = [f for f in df.schema.fields
+               if f.name not in have and f.name != "__rid"]
         if not new:
             return []
         if self._column_mapping_mode() == "id":
@@ -2352,16 +2355,37 @@ class TxLogTable:
             rid = F.coalesce(F.col("__rid").cast("long"), rid)
         return df.withColumn("_row_id", rid)
 
+    def _read_active_tracked(self, only: list[str] | None = None
+                             ) -> DataFrame:
+        """DV-applied snapshot read that, when row tracking is enabled,
+        carries each row's CURRENT id as the physical ``__rid`` column —
+        the id-preserving input for every copy-on-write rewrite path
+        (rows written back keep their ids; rows a path adds without a
+        ``__rid`` read fresh base+position ids, which is exactly the
+        fresh-row contract)."""
+        if not self._row_tracking_enabled():
+            return self._read_active(only=only)
+        df = self._read_active(only=only, with_pos=True, with_rid=True)
+        return (self._attach_row_ids(df)
+                .drop("_file", "__relfile", "__rowidx", "__rid", "__base")
+                .withColumnRenamed("_row_id", "__rid"))
+
+    @staticmethod
+    def _drop_rid(df: DataFrame) -> DataFrame:
+        return df.drop("__rid") if "__rid" in df.columns else df
+
     def read_with_row_ids(self, version: int | None = None) -> DataFrame:
         """Snapshot read with a stable ``_row_id`` column (Delta row
         tracking): ids are assigned once per row at commit time
-        (file ``baseRowId`` + physical position), survive OPTIMIZE /
-        REORG PURGE (layout rewrites materialize them) and DV deletes
-        (survivor positions are physical, so base+position is unchanged),
-        and are fresh for rows REWRITTEN by logical DML — v1 scope;
-        Delta additionally preserves ids through copy-on-write DML.
-        The id→row binding is what incremental consumers key on without
-        a CDF subscription."""
+        (file ``baseRowId`` + physical position) and PRESERVED through
+        every operation that keeps the logical row alive — OPTIMIZE /
+        REORG PURGE (layout rewrites materialize them), DV deletes
+        (survivor positions are physical), copy-on-write UPDATE/DELETE
+        carries, MERGE and APPLY CHANGES updates (the matched target
+        row's id rides the upsert), and SCD2 chain closures.  Inserted
+        rows get fresh ids; deleted ids burn and never return.  The
+        id→row binding is what incremental consumers key on without a
+        CDF subscription."""
         if not self._row_tracking_enabled():
             raise ValueError(
                 "row tracking is not enabled on this table; create it "
@@ -2631,9 +2655,18 @@ class TxLogTable:
         if touched:
             # mergeSchema + allowMissingColumns: rewriting a pre-evolution
             # segment must not drop (or trip over) columns added later.
-            keep_base = (self._read_active(only=touched)
-                         .join(F.broadcast(upd_keys), key, "left_anti"))
-            merged = keep_base.unionByName(updates,
+            seg = self._read_active_tracked(only=touched)
+            keep_base = seg.join(F.broadcast(upd_keys), key, "left_anti")
+            write_updates = updates
+            if self._row_tracking_enabled():
+                # an updated row keeps the matched target row's id (it is
+                # the same logical row); the insert arm stays NULL __rid
+                # and reads fresh base+position ids
+                idmap = (seg.join(F.broadcast(upd_keys), key, "left_semi")
+                         .select(key, "__rid"))
+                write_updates = updates.join(F.broadcast(idmap), key,
+                                             "left")
+            merged = keep_base.unionByName(write_updates,
                                            allowMissingColumns=True)
         else:
             merged = updates
@@ -2774,10 +2807,21 @@ class TxLogTable:
             F.col(key).alias("_mk"),
             F.struct(*[F.col(c) for c in source.columns]).alias("s"),
             F.lit(True).alias("_m"))
-        base = self._read_active(with_file=True)
-        joined = (base
-                  .select(F.col("_file"), F.col(key).alias("_mk"),
-                          F.struct(*[F.col(c) for c in tcols]).alias("t"))
+        if self._row_tracking_enabled():
+            # carried AND updated rows keep their row ids through the
+            # rewrite; insert-arm rows read fresh base+position ids
+            base = self._read_active(with_file=True, with_pos=True,
+                                     with_rid=True)
+            base = (self._attach_row_ids(base)
+                    .drop("__relfile", "__rowidx", "__rid", "__base")
+                    .withColumnRenamed("_row_id", "__rid"))
+        else:
+            base = self._read_active(with_file=True)
+        tsel = [F.col("_file"), F.col(key).alias("_mk"),
+                F.struct(*[F.col(c) for c in tcols]).alias("t")]
+        if "__rid" in base.columns:
+            tsel.append(F.col("__rid"))
+        joined = (base.select(*tsel)
                   .join(F.broadcast(src_struct), "_mk", "left_outer"))
         act = None
         for i, cl in enumerate(when_matched):
@@ -2829,7 +2873,8 @@ class TxLogTable:
                     e = F.when(hit, v) if e is None else e.when(hit, v)
                 cols.append((e.otherwise(tval) if e is not None
                              else tval).alias(f.name))
-            return frame.select(*cols)
+            extra = ([F.col("__rid")] if "__rid" in frame.columns else [])
+            return frame.select(*cols, *extra)
 
         rewritten = None
         if touched:
@@ -2907,7 +2952,7 @@ class TxLogTable:
                     pre = upd.select(
                         *[F.col("t").getField(c).alias(c) for c in tcols]
                     ).withColumn("_change_type", F.lit("update_preimage"))
-                    post = out_projection(upd).withColumn(
+                    post = self._drop_rid(out_projection(upd)).withColumn(
                         "_change_type", F.lit("update_postimage"))
                     parts += [pre, post]
                 if del_codes:
@@ -2977,7 +3022,9 @@ class TxLogTable:
         )
         if not touched:
             return self.latest_version()
-        survivors = (self._read_active(only=touched)
+        # tracked read: surviving rows keep their row ids through the
+        # rewrite (copy-on-write DELETE never changes surviving rows)
+        survivors = (self._read_active_tracked(only=touched)
                      .filter(~F.coalesce(condition, F.lit(False))))
         rel_new = self._write_segments(survivors)
         cdf_actions: list[dict] = []
@@ -3122,7 +3169,9 @@ class TxLogTable:
             for r in base.filter(cond).select("_file").distinct().collect())
         if not touched:
             return self.latest_version()
-        seg = self._read_active(only=touched)
+        # tracked read: carried AND updated rows keep their row ids
+        # through the rewrite (an updated row is the same logical row)
+        seg = self._read_active_tracked(only=touched)
         exprs = {c: (F.expr(e) if isinstance(e, str) else e)
                  for c, e in assignments.items()}
         self._check_update_assignments(exprs, seg.columns)
@@ -3161,11 +3210,11 @@ class TxLogTable:
         if self.enable_cdf:
             post = _post_images(seg.filter(cond))
             changes = (
-                seg.filter(cond)
+                self._drop_rid(seg.filter(cond))
                 .withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
-                    post.withColumn("_change_type",
-                                    F.lit("update_postimage")),
+                    self._drop_rid(post)
+                    .withColumn("_change_type", F.lit("update_postimage")),
                     allowMissingColumns=True))
             cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
         rel_removed = [
@@ -3230,8 +3279,16 @@ class TxLogTable:
                          base_version: int) -> int:
         """Merge-on-read UPDATE body (see ``update_where``): tombstone
         the matched positions, append the post-update images — both in
-        ONE commit, no segment rewritten."""
-        live = self._read_active(with_pos=True)
+        ONE commit, no segment rewritten.  Under row tracking the
+        post-images carry the tombstoned row's id (materialized __rid),
+        so an updated row keeps its identity across the tombstone+append."""
+        if self._row_tracking_enabled():
+            live = self._read_active(with_pos=True, with_rid=True)
+            live = (self._attach_row_ids(live)
+                    .drop("__rid", "__base")
+                    .withColumnRenamed("_row_id", "__rid"))
+        else:
+            live = self._read_active(with_pos=True)
         cond = F.coalesce(condition, F.lit(False))
         matches = live.filter(cond)
         dv_df = (matches
@@ -3259,10 +3316,11 @@ class TxLogTable:
         cdf_actions: list[dict] = []
         if self.enable_cdf:
             changes = (
-                pre.withColumn("_change_type", F.lit("update_preimage"))
+                self._drop_rid(pre)
+                .withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
-                    post.withColumn("_change_type",
-                                    F.lit("update_postimage")),
+                    self._drop_rid(post)
+                    .withColumn("_change_type", F.lit("update_postimage")),
                     allowMissingColumns=True))
             cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
         proto_actions: list[dict] = []
@@ -3340,19 +3398,10 @@ class TxLogTable:
         # DV-applied: compaction MATERIALIZES outstanding deletion
         # vectors (the rewritten segments exclude tombstoned rows) and
         # the removes below retire the DVs from the snapshot.
-        if self._row_tracking_enabled():
-            # row tracking: a layout op must PRESERVE row ids — resolve
-            # each row's current id (base+position or an earlier
-            # materialization) and write it into the new segments as the
-            # physical __rid column, which reads prefer over base+pos.
-            snap = self._read_active(only=files if where else None,
-                                     with_pos=True, with_rid=True)
-            snap = (self._attach_row_ids(snap)
-                    .drop("_file", "__relfile", "__rowidx", "__rid",
-                          "__base")
-                    .withColumnRenamed("_row_id", "__rid"))
-        else:
-            snap = self._read_active(only=files if where else None)
+        # row tracking: a layout op must PRESERVE row ids — the tracked
+        # read resolves each row's current id and the rewrite carries it
+        # as the physical __rid column, which reads prefer over base+pos.
+        snap = self._read_active_tracked(only=files if where else None)
         if zorder_by:
             zval = _zorder_value(zorder_by)
             compacted = (snap.withColumn("__zval", zval)
@@ -3489,17 +3538,8 @@ class TxLogTable:
         if not targets:
             return self.latest_version()
         abs_targets = [os.path.join(self.path, p) for p in targets]
-        if self._row_tracking_enabled():
-            # layout op: preserve row ids via the materialized __rid
-            # column (same contract as OPTIMIZE)
-            clean = self._read_active(only=abs_targets, with_pos=True,
-                                      with_rid=True)
-            clean = (self._attach_row_ids(clean)
-                     .drop("_file", "__relfile", "__rowidx", "__rid",
-                           "__base")
-                     .withColumnRenamed("_row_id", "__rid"))
-        else:
-            clean = self._read_active(only=abs_targets)  # DV-applied
+        # DV-applied survivors; id-preserving under row tracking
+        clean = self._read_active_tracked(only=abs_targets)
         rel_new = self._write_segments(clean)
         actions = (
             [{"commit": {"op": "REORG", "ts": self._next_ts(),
@@ -3619,9 +3659,17 @@ class TxLogTable:
             base.join(F.broadcast(wkeys), key, "left_semi")
             .select("_file").distinct().collect())
         if touched:
-            keep_base = (self._read_active(only=touched)
-                         .join(F.broadcast(wkeys), key, "left_anti"))
-            merged = keep_base.unionByName(ups, allowMissingColumns=True)
+            seg = self._read_active_tracked(only=touched)
+            keep_base = seg.join(F.broadcast(wkeys), key, "left_anti")
+            write_ups = ups
+            if self._row_tracking_enabled():
+                # upserted rows of EXISTING keys keep their row ids;
+                # inserted keys stay NULL __rid → fresh base+position
+                idmap = (seg.join(F.broadcast(wkeys), key, "left_semi")
+                         .select(key, "__rid"))
+                write_ups = ups.join(F.broadcast(idmap), key, "left")
+            merged = keep_base.unionByName(write_ups,
+                                           allowMissingColumns=True)
         else:
             merged = ups
         rel_new = self._write_segments(merged)
@@ -3806,7 +3854,7 @@ class TxLogTable:
                          open_hits.select("_file").distinct().collect())
         closed = None
         if touched:
-            seg = self._read_active(only=touched)
+            seg = self._read_active_tracked(only=touched)
             # carry: all closed rows, plus open rows of NON-batch keys
             # (an all-column anti-join would mis-carry NULL payloads —
             # NULL never equals NULL in a join — so scope by end+key).
@@ -3815,10 +3863,12 @@ class TxLogTable:
                         seg.filter(F.col(end_col).isNull())
                         .join(F.broadcast(firsts.select(key)), key,
                               "left_anti")))
+            closed_cols = target_cols + (
+                ["__rid"] if "__rid" in seg.columns else [])
             closed = (seg.filter(F.col(end_col).isNull())
                       .join(F.broadcast(firsts), key)
                       .withColumn(end_col, F.col("__first"))
-                      .select(*target_cols))
+                      .select(*closed_cols))
             merged = (keep.unionByName(closed)
                       .unionByName(new_rows, allowMissingColumns=True))
         else:
@@ -3836,7 +3886,7 @@ class TxLogTable:
                              "left_semi"))
                 pieces.append(pre.withColumn(
                     "_change_type", F.lit("update_preimage")))
-                pieces.append(closed.withColumn(
+                pieces.append(self._drop_rid(closed).withColumn(
                     "_change_type", F.lit("update_postimage")))
             ch = pieces[0]
             for p in pieces[1:]:

@@ -2858,6 +2858,56 @@ def test_row_tracking_refusal_and_checkpoint(spark, tdir):
                for r in fresh.read_with_row_ids().collect()) == 6
 
 
+def test_row_tracking_preserved_through_dml(spark, tdir):
+    """Row ids survive every operation that keeps the logical row alive:
+    copy-on-write UPDATE (updated AND carried rows), CoW DELETE
+    survivors, DV UPDATE post-images, MERGE updates, APPLY CHANGES
+    upserts, and full-clause MERGE arms; only genuinely new rows get
+    fresh ids."""
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30),
+                    (4, "d", 40)]).repartition(2, "k"),
+        row_tracking=True)
+    ids = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+
+    def current():
+        return {r["k"]: (r["_row_id"], r["v"])
+                for r in t.read_with_row_ids().collect()}
+
+    # CoW UPDATE: the updated row keeps its id, carried rows untouched
+    t.update_where({"v": F.col("v") + 1}, F.col("k") == 1)
+    got = current()
+    assert got[1] == (ids[1], 11) and got[2][0] == ids[2]
+    # DV UPDATE: post-image keeps the tombstoned row's id
+    t.update_where({"v": F.col("v") + 1}, F.col("k") == 2, use_dv=True)
+    got = current()
+    assert got[2] == (ids[2], 21)
+    # CoW DELETE: survivors keep ids
+    t.delete_where(F.col("k") == 3)
+    got = current()
+    assert 3 not in got and got[4][0] == ids[4]
+    # MERGE: updated row keeps its id, inserted key gets a fresh one
+    t.merge_upsert(_df(spark, [(4, "d", 44), (5, "e", 50)]), "k")
+    got = current()
+    assert got[4] == (ids[4], 44)
+    assert got[5][0] not in set(ids.values()), "insert id is fresh"
+    # APPLY CHANGES: upsert of an existing key keeps its id
+    t.apply_changes(spark.createDataFrame(
+        [(4, "d", 45, 1, "update_postimage")],
+        "k int, grp string, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq")
+    got = current()
+    assert got[4] == (ids[4], 45)
+    # full-clause MERGE: conditional update arm keeps the id
+    t.merge_full(_df(spark, [(4, "d", 46)]), "k",
+                 when_matched=[{"action": "update", "set": "*"}])
+    got = current()
+    assert got[4] == (ids[4], 46)
+    # all ids still unique
+    assert len({i for i, _ in got.values()}) == len(got)
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
