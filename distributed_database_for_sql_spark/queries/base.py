@@ -149,6 +149,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_merge_full_clauses",  # three-arm MERGE (matched AND / BY SOURCE)
     "delta_apply_changes_scd2",  # CDC fold with history rows (SCD2)
     "delta_row_tracking",        # stable row ids (baseRowId + position)
+    "dedup_span_removal",        # C4-style duplicate-span removal
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,11 +189,11 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "multimodal_resize",
     "pack_sequences_chunked",
     "quality_quantile_filter",
-    "sink_partitioned_pruned_scan",
     # text_pii_redact displaced by delta_merge_full_clauses,
-    # stream_interval_static_join by delta_apply_changes_scd2, and
-    # source_json_roundtrip by delta_row_tracking (new-query policy);
-    # all three join the r9 canary list.
+    # stream_interval_static_join by delta_apply_changes_scd2,
+    # source_json_roundtrip by delta_row_tracking, and
+    # sink_partitioned_pruned_scan by dedup_span_removal (new-query
+    # policy); all four join the r9 canary list.
 )
 
 

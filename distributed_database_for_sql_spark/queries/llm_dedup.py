@@ -620,3 +620,85 @@ def dedup_cluster_representative(spark: SparkSession,
                  .alias("rep_doc_id"),
                  F.max("len").cast("long").alias("rep_len"))
             .orderBy("component"))
+
+
+@register(
+    "dedup_span_removal",
+    # The oracle replays the exact fold: split each doc into consecutive
+    # 8-word segments, keep only the corpus-wide FIRST occurrence of
+    # each segment text (ordered by doc_id, then position), reassemble
+    # the survivors in order.  Hash-matching the reconstructed text
+    # certifies splitting, the global first-wins rule, AND ordered
+    # reassembly at once.
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, t.seg,
+             array_to_string(w[t.seg*8+1 : t.seg*8+8], ' ') AS seg_text
+      FROM words, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(seg)
+    ), ranked AS (
+      SELECT doc_id, seg, seg_text,
+             ROW_NUMBER() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_segments,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+                               ' ' ORDER BY seg), '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "llm", "curation"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-span REMOVAL — the C4 line-dedup /
+    Lee-et-al. ExactSubstr-removal shape, producing CLEANED TEXT rather
+    than just flagging duplicates: every document splits into
+    consecutive 8-word segments, each segment text survives only at its
+    corpus-wide first occurrence (deterministic first-wins by (doc_id,
+    position) — boilerplate repeated across documents disappears from
+    every later copy), and each document is reassembled from its
+    surviving segments in order.
+
+    Distributed shape at 100 TB: segmentation is row-local (split +
+    explode over a generated index — no UDF), the first-wins rule is
+    ONE shuffle by segment-text hash (window row_number, the same
+    partitioning a groupBy would use), and reassembly is ONE shuffle
+    back by doc_id with an order-preserving array_sort(collect_list) —
+    two computational exchanges on natural keys (plus the output
+    ORDER BY's range exchange), no driver involvement."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    segs = (words
+            .select("doc_id", "w",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        (F.ceil(F.size("w") / F.lit(8.0)) - 1).cast("int")
+                    )).alias("seg"))
+            .select("doc_id", "seg",
+                    F.expr("array_join(slice(w, seg*8 + 1, 8), ' ')")
+                    .alias("seg_text")))
+    rn = F.row_number().over(
+        Window.partitionBy("seg_text").orderBy("doc_id", "seg"))
+    ranked = segs.withColumn("rn", rn)
+    return (ranked.groupBy("doc_id")
+            .agg(F.sum((F.col("rn") == 1).cast("long"))
+                 .alias("kept_segments"),
+                 F.sum((F.col("rn") > 1).cast("long"))
+                 .alias("dropped_segments"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("rn") == 1,
+                                    F.struct("seg", "seg_text")))),
+                         lambda x: x["seg_text"]),
+                     " ").alias("clean_text"))
+            .orderBy("doc_id"))
