@@ -466,7 +466,15 @@ class Engine:
             if not props:
                 raise ValueError(
                     "SET TBLPROPERTIES needs 'key' = 'value' pairs")
-            version = self.txlog_tables[target].set_properties(props)
+            t = self.txlog_tables[target]
+            # Delta's enablement property: backfills baseRowIds for the
+            # existing files (its own metadata commit), then any other
+            # keys land as an ordinary property merge.
+            if props.pop("delta.enableRowTracking", "").lower() == "true":
+                version = t.enable_row_tracking()
+                if not props:
+                    return self._dml_ack(target, version)
+            version = t.set_properties(props)
             return self._dml_ack(target, version)
         m = _UNSET_PROPS_RE.match(command)
         if m and m.group("target") in self.txlog_tables:

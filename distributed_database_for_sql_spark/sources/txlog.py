@@ -2355,6 +2355,35 @@ class TxLogTable:
             rid = F.coalesce(F.col("__rid").cast("long"), rid)
         return df.withColumn("_row_id", rid)
 
+    def enable_row_tracking(self) -> int:
+        """Enable row tracking on an EXISTING table: ONE metadata commit
+        re-lists every active file with a freshly stamped ``baseRowId``
+        — O(files) driver metadata, zero data moved or rewritten — so
+        rows in previously-written segments get stable ids immediately
+        (Delta enables the feature the same way: a backfill that
+        assigns base ids to existing files).  Outstanding deletion
+        vectors keep applying (re-adding a path never clears its DV
+        state), and the commit is transparent to streams and CDF like
+        OPTIMIZE.  Idempotent: enabling twice is a no-op."""
+        if self._row_tracking_enabled():
+            return self.latest_version()
+        base_version = self.latest_version()
+        active, schema_json = self._snapshot()
+        adds = [{"add": {"path": p,
+                         "stats": dict(s) if s is not None else None}}
+                for p, s in active.items()]
+        actions = (
+            [{"commit": {"op": "SET ROW TRACKING", "ts": self._next_ts(),
+                         "filesStamped": len(adds)}},
+             {"metaData": {"schemaJson": schema_json,
+                           "rowTracking": True}}]
+            + adds)
+        self._pending_row_tracking = True
+        try:
+            return self._commit_with_occ(actions, [], base_version)
+        finally:
+            self._pending_row_tracking = False
+
     def _read_active_tracked(self, only: list[str] | None = None
                              ) -> DataFrame:
         """DV-applied snapshot read that, when row tracking is enabled,
@@ -4194,7 +4223,7 @@ class TxLogTable:
                                  "ADD COLUMN", "DROP COLUMN", "CLONE",
                                  "SET TBLPROPERTIES", "ALTER COLUMN",
                                  "SET DEFAULT", "DROP DEFAULT",
-                                 "CLUSTER BY"):
+                                 "CLUSTER BY", "SET ROW TRACKING"):
                     continue  # layout/metadata only
                 else:
                     raise ValueError(
@@ -4240,7 +4269,7 @@ class TxLogTable:
                         "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
                         "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
                         "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT",
-                        "CLUSTER BY"):
+                        "CLUSTER BY", "SET ROW TRACKING"):
                 continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(

@@ -65,7 +65,8 @@ def _read_commit(table_path: str, version: int) -> list[dict]:
 _NO_ROW_OPS = ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
                "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
-               "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT", "CLUSTER BY")
+               "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT", "CLUSTER BY",
+               "SET ROW TRACKING")
 
 
 def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:

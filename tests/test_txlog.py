@@ -2908,6 +2908,47 @@ def test_row_tracking_preserved_through_dml(spark, tdir):
     assert len({i for i, _ in got.values()}) == len(got)
 
 
+def test_enable_row_tracking_on_existing_table(spark, tdir):
+    """Enabling row tracking on an existing table backfills baseRowIds
+    with ONE metadata commit (zero data moved): existing rows get ids,
+    DVs keep applying, streams/CDF treat the commit as layout-only, and
+    the SQL surface is Delta's delta.enableRowTracking property."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20),
+                                      (3, "c", 30)]).repartition(2, "k"),
+                          enable_cdf=True)
+    t.append(_df(spark, [(4, "d", 40)]))
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    files_before = sorted(t._snapshot()[0])
+    v = t.enable_row_tracking()
+    assert sorted(t._snapshot()[0]) == files_before, "zero files moved"
+    ids = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert sorted(ids) == [1, 3, 4], "DV still applies after backfill"
+    # backfill stamps PHYSICAL rows: the DV-tombstoned row burns one id,
+    # survivors are unique within the 1..4 range
+    assert len(set(ids.values())) == 3
+    assert set(ids.values()) <= {1, 2, 3, 4}
+    assert t.enable_row_tracking() == v, "idempotent"
+    # the backfill commit is CDF/stream transparent (no synthetic inserts)
+    ch = t.read_changes(v, v)
+    assert ch.count() == 0
+    # appends continue past the backfilled high-water mark (4 physical
+    # rows stamped, so the next id is 5)
+    t.append(_df(spark, [(5, "e", 50)]))
+    ids2 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert ids2[5] == 5 and all(ids2[k] == ids[k] for k in ids)
+    # SQL surface: Delta's property name routes to the backfill
+    t2 = TxLogTable.create(spark, tdir + "_sql",
+                           _df(spark, [(7, "x", 70)]))
+    eng = Engine(spark, tdir + "_data")
+    eng.register_txlog("rt_sql", t2)
+    eng.sql("ALTER TABLE rt_sql SET TBLPROPERTIES "
+            "('delta.enableRowTracking' = 'true')")
+    assert [r["_row_id"] for r in t2.read_with_row_ids().collect()] == [1]
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
