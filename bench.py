@@ -80,6 +80,13 @@ EXTRA = [
     "delta_insert_overwrite",
     "decontam_embedding_overlap",
     "delta_apply_changes",
+    # round 8 late additions: three-arm MERGE, SCD2 CDC fold, stable
+    # row ids, and duplicate-span removal — the newest surface gets
+    # recorded medians to regress against.
+    "delta_merge_full_clauses",
+    "delta_apply_changes_scd2",
+    "delta_row_tracking",
+    "dedup_span_removal",
 ]
 
 

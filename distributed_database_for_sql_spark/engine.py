@@ -474,6 +474,17 @@ class Engine:
                 version = t.enable_row_tracking()
                 if not props:
                     return self._dml_ack(target, version)
+            # Delta's feature-enablement properties:
+            # 'delta.feature.<name>' = 'supported' → protocol commit
+            feat_keys = [k for k in props if k.startswith("delta.feature.")]
+            version = None
+            for k in feat_keys:
+                if props.pop(k).lower() != "supported":
+                    raise ValueError(
+                        f"{k}: the only valid value is 'supported'")
+                version = t.add_feature(k[len("delta.feature."):])
+            if not props and version is not None:
+                return self._dml_ack(target, version)
             version = t.set_properties(props)
             return self._dml_ack(target, version)
         m = _UNSET_PROPS_RE.match(command)

@@ -111,6 +111,23 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 _SUPPORTED_READER_VERSION = 3
 _SUPPORTED_WRITER_VERSION = 7
 
+# Delta 3.x table features (protocol actions at (3, 7) carry explicit
+# readerFeatures/writerFeatures string sets): a reader must refuse a
+# table listing a READER feature it does not implement (silently
+# ignoring one — say deletionVectors — would return wrong rows), while
+# an unknown WRITER feature only fences writes — reads stay legal.
+# That split is the whole point of the feature model: adding a
+# writer-only feature (e.g. identity columns) no longer locks old
+# readers out.
+_SUPPORTED_READER_FEATURES = frozenset({
+    "deletionVectors", "columnMapping", "typeWidening",
+})
+_SUPPORTED_WRITER_FEATURES = frozenset({
+    "deletionVectors", "columnMapping", "typeWidening", "identityColumns",
+    "generatedColumns", "checkConstraints", "changeDataFeed", "appendOnly",
+    "rowTracking", "clustering", "allowColumnDefaults",
+})
+
 
 def _stat_value(v):
     """Coerce a parquet-footer statistic to a JSON-storable value whose
@@ -596,6 +613,7 @@ class TxLogTable:
                                  "removed": list(removed),
                                  "key_range": key_range})
             return self.latest_version()
+        self._assert_writable()
         while True:
             # Refresh the in-commit timestamp on EVERY attempt (ADVICE r6):
             # call sites stamp ts once before calling in, so a writer that
@@ -904,6 +922,13 @@ class TxLogTable:
         deletion vectors) would return WRONG rows; failing loudly is the
         contract."""
         proto = self.protocol(version)
+        unknown = (set(proto.get("readerFeatures", []))
+                   - _SUPPORTED_READER_FEATURES)
+        if unknown:
+            raise RuntimeError(
+                f"table requires reader feature(s) {sorted(unknown)} this "
+                "reader does not implement; silently ignoring a reader "
+                "feature would return wrong rows")
         if proto.get("minReaderVersion", 1) > _SUPPORTED_READER_VERSION:
             raise RuntimeError(
                 f"table at {self.path} requires minReaderVersion="
@@ -911,6 +936,68 @@ class TxLogTable:
                 f"{_SUPPORTED_READER_VERSION}; upgrade the engine "
                 "before reading (ignoring the feature would drop or "
                 "resurrect rows)")
+
+    def _assert_writable(self) -> None:
+        """Refuse to COMMIT to a table whose protocol lists a writer
+        feature this engine does not implement — the write-side half of
+        Delta's table-features fence.  Note the asymmetry with
+        ``_assert_readable``: an unknown WRITER feature leaves the table
+        perfectly readable (that split is why writer-only features like
+        identity columns don't lock old readers out); it only blocks
+        commits, which could otherwise break the feature's invariants."""
+        try:
+            proto = self.protocol()
+        except FileNotFoundError:
+            return  # table being created: nothing to fence yet
+        unknown = (set(proto.get("writerFeatures", []))
+                   - _SUPPORTED_WRITER_FEATURES)
+        if unknown:
+            raise RuntimeError(
+                f"table requires writer feature(s) {sorted(unknown)} this "
+                "writer does not implement; committing could break the "
+                "feature's invariants (reads remain allowed)")
+
+    def add_feature(self, name: str, reader: bool = False) -> int:
+        """ALTER TABLE-style feature enablement (Delta's
+        ``delta.feature.<name> = 'supported'`` TBLPROPERTIES shape): one
+        protocol commit upgrades the table to (3, 7) and adds ``name``
+        to writerFeatures (and readerFeatures too when ``reader`` —
+        reader features fence BOTH sides).  Refuses features this engine
+        itself does not implement (a table this engine can neither read
+        nor write helps no one); DROP FEATURE (history truncation) is
+        deliberately out of scope."""
+        if name not in _SUPPORTED_WRITER_FEATURES:
+            raise ValueError(
+                f"unknown table feature {name!r}; this engine supports "
+                f"{sorted(_SUPPORTED_WRITER_FEATURES)}")
+        if reader and name not in _SUPPORTED_READER_FEATURES:
+            raise ValueError(
+                f"{name!r} is not a reader feature here; supported "
+                f"reader features: {sorted(_SUPPORTED_READER_FEATURES)}")
+        base_version = self.latest_version()
+        proto = self.protocol()
+        rf = set(proto.get("readerFeatures", []))
+        wf = set(proto.get("writerFeatures", []))
+        if name in wf and (not reader or name in rf):
+            return self.latest_version()  # idempotent
+        wf.add(name)
+        if reader:
+            rf.add(name)
+        new_proto = {"minReaderVersion": max(
+                         proto.get("minReaderVersion", 1),
+                         3 if reader else proto.get("minReaderVersion", 1)),
+                     "minWriterVersion": _SUPPORTED_WRITER_VERSION,
+                     "writerFeatures": sorted(wf)}
+        if rf:
+            new_proto["readerFeatures"] = sorted(rf)
+            new_proto["minReaderVersion"] = max(
+                new_proto["minReaderVersion"], 3)
+        actions = [
+            {"commit": {"op": "ADD FEATURE", "ts": self._next_ts(),
+                        "feature": name, "reader": bool(reader)}},
+            {"protocol": new_proto},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
 
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints ({name: SQL expression})."""
@@ -1964,6 +2051,7 @@ class TxLogTable:
             self._staged.append({"actions": actions, "removed": [],
                                  "key_range": None})
             return self.latest_version()
+        self._assert_writable()
         while True:
             # Recompute the commit ts each attempt (ADVICE r6): the loser of
             # a claim race must not retry with a ts stamped before the
@@ -3260,6 +3348,24 @@ class TxLogTable:
         )
         return self._commit_with_occ(actions, rel_removed, base_version)
 
+    def _dv_protocol_actions(self) -> list[dict]:
+        """First DV on a table: upgrade the protocol to (3, 7) AND list
+        deletionVectors as an explicit reader+writer feature (Delta's
+        table-features model) — merged with whatever features the table
+        already lists, never overwritten (the protocol fold is
+        last-action-wins)."""
+        proto = self.protocol()
+        if "deletionVectors" in proto.get("readerFeatures", []):
+            return []
+        rf = sorted(set(proto.get("readerFeatures", []))
+                    | {"deletionVectors"})
+        wf = sorted(set(proto.get("writerFeatures", []))
+                    | {"deletionVectors"})
+        return [{"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": _SUPPORTED_WRITER_VERSION,
+            "readerFeatures": rf, "writerFeatures": wf}}]
+
     def _write_dv(self, dv_df: DataFrame) -> str:
         """Persist a deletion-vector sidecar (columns: path, row_index)."""
         sub = os.path.join("_deletion_vectors", f"dv-{uuid.uuid4().hex[:12]}")
@@ -3287,11 +3393,7 @@ class TxLogTable:
         # first DV on the table bumps the protocol (Delta: deletion
         # vectors require reader 3 / writer 7) so pre-DV readers fail
         # loudly instead of resurrecting tombstoned rows
-        proto_actions: list[dict] = []
-        if self.protocol().get("minReaderVersion", 1) < 3:
-            proto_actions = [{"protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": _SUPPORTED_WRITER_VERSION}}]
+        proto_actions = self._dv_protocol_actions()
         actions = (
             [{"commit": {"op": "DELETE", "ts": self._next_ts(),
                          "mode": "dv", "dvTargets": len(targets)}}]
@@ -3352,11 +3454,7 @@ class TxLogTable:
                     .withColumn("_change_type", F.lit("update_postimage")),
                     allowMissingColumns=True))
             cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
-        proto_actions: list[dict] = []
-        if self.protocol().get("minReaderVersion", 1) < 3:
-            proto_actions = [{"protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": _SUPPORTED_WRITER_VERSION}}]
+        proto_actions = self._dv_protocol_actions()
         actions = (
             [{"commit": {"op": "UPDATE", "ts": self._next_ts(),
                          "mode": "dv", "dvTargets": len(targets),
@@ -4038,6 +4136,10 @@ class TxLogTable:
             "columnMappingMode": meta.get("columnMappingMode", "name"),
             "protocol": self.protocol(),
             "enableCdf": bool(self.enable_cdf),
+            "rowTracking": bool(meta.get("rowTracking")),
+            "tableFeatures": sorted(
+                set(self.protocol().get("readerFeatures", []))
+                | set(self.protocol().get("writerFeatures", []))),
         }
 
     def repair(self, dry_run: bool = True) -> list[str]:
@@ -4223,7 +4325,7 @@ class TxLogTable:
                                  "ADD COLUMN", "DROP COLUMN", "CLONE",
                                  "SET TBLPROPERTIES", "ALTER COLUMN",
                                  "SET DEFAULT", "DROP DEFAULT",
-                                 "CLUSTER BY", "SET ROW TRACKING"):
+                                 "CLUSTER BY", "SET ROW TRACKING", "ADD FEATURE"):
                     continue  # layout/metadata only
                 else:
                     raise ValueError(
@@ -4269,7 +4371,7 @@ class TxLogTable:
                         "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
                         "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
                         "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT",
-                        "CLUSTER BY", "SET ROW TRACKING"):
+                        "CLUSTER BY", "SET ROW TRACKING", "ADD FEATURE"):
                 continue  # layout/metadata only: no row-level changes
             else:
                 raise ValueError(

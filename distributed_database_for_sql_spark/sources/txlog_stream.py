@@ -66,7 +66,7 @@ _NO_ROW_OPS = ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
                "DROP COLUMN", "CLONE", "SET TBLPROPERTIES",
                "ALTER COLUMN", "SET DEFAULT", "DROP DEFAULT", "CLUSTER BY",
-               "SET ROW TRACKING")
+               "SET ROW TRACKING", "ADD FEATURE")
 
 
 def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:

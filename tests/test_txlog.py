@@ -2949,6 +2949,80 @@ def test_enable_row_tracking_on_existing_table(spark, tdir):
     assert [r["_row_id"] for r in t2.read_with_row_ids().collect()] == [1]
 
 
+def test_table_features_model(spark, tdir):
+    """Delta 3.x table features: protocol actions carry explicit
+    readerFeatures/writerFeatures sets; an unknown WRITER feature fences
+    only commits (reads stay legal — the point of the split), an unknown
+    READER feature fences reads too; the DV bump lists deletionVectors
+    and MERGES with already-listed features."""
+    import json as _json
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    v = t.add_feature("rowTracking")
+    proto = t.protocol()
+    assert proto["minWriterVersion"] == 7
+    assert proto["writerFeatures"] == ["rowTracking"]
+    assert "readerFeatures" not in proto
+    assert proto["minReaderVersion"] == 1, "writer-only: readers stay free"
+    assert t.add_feature("rowTracking") == v, "idempotent"
+    # DV bump merges, never overwrites
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    proto = t.protocol()
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    assert proto["writerFeatures"] == ["deletionVectors", "rowTracking"]
+    assert "deletionVectors" in t.detail()["tableFeatures"]
+    # refusals
+    with pytest.raises(ValueError, match="unknown table feature"):
+        t.add_feature("futureMagic")
+    with pytest.raises(ValueError, match="not a reader feature"):
+        t.add_feature("identityColumns", reader=True)
+
+    # inject a protocol listing a feature this engine does not know
+    def raw_commit(table, actions):
+        ver = table.latest_version() + 1
+        with open(os.path.join(table.log_dir, f"{ver:08d}.json"),
+                  "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    t2 = TxLogTable.create(spark, tdir + "_w",
+                           _df(spark, [(1, "a", 10)]))
+    raw_commit(t2, [
+        {"commit": {"op": "ADD FEATURE", "ts": 10 ** 15}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["futureWriterMagic"]}}])
+    assert t2.read().count() == 1, "unknown WRITER feature: reads legal"
+    with pytest.raises(RuntimeError, match="writer feature"):
+        t2.append(_df(spark, [(2, "b", 20)]))
+    t3 = TxLogTable.create(spark, tdir + "_r",
+                           _df(spark, [(1, "a", 10)]))
+    raw_commit(t3, [
+        {"commit": {"op": "ADD FEATURE", "ts": 10 ** 15}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["futureReaderMagic"],
+                      "writerFeatures": ["futureReaderMagic"]}}])
+    with pytest.raises(RuntimeError, match="reader feature"):
+        t3.read().collect()
+    # time travel to before the feature still reads
+    assert t3.read(version=0).count() == 1
+
+
+def test_table_features_sql_route(spark, tdir):
+    """Delta's 'delta.feature.<name>' = 'supported' TBLPROPERTIES shape
+    routes to add_feature through Engine.sql."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    eng = Engine(spark, tdir + "_data")
+    eng.register_txlog("ft", t)
+    eng.sql("ALTER TABLE ft SET TBLPROPERTIES "
+            "('delta.feature.clustering' = 'supported')")
+    assert t.protocol()["writerFeatures"] == ["clustering"]
+    with pytest.raises(ValueError, match="supported"):
+        eng.sql("ALTER TABLE ft SET TBLPROPERTIES "
+                "('delta.feature.clustering' = 'enabled')")
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
