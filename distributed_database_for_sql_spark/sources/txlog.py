@@ -2591,18 +2591,25 @@ class TxLogTable:
                 os.path.normpath(os.path.join(src_abs, p)), dst_abs)
 
         src_version = self.latest_version() if version is None else version
+        # carry the FULL metadata state at the cloned version — every
+        # last-writer-wins meta key (partitioning, mapping, generated/
+        # bloom/identity/default/clustering columns, properties, type
+        # widening, row tracking) — plus the identity and row-id
+        # high-water marks as their own actions (they fold separately),
+        # so the clone's future writes continue allocation where the
+        # source left off instead of colliding with carried ids.
+        src_meta = self._meta_state(src_version)
         clone_meta: dict = {"schemaJson": schema_json}
-        if self._partition_columns():
-            clone_meta["partitionColumns"] = self._partition_columns()
-        if self._generated_columns():
-            clone_meta["generatedColumns"] = self._generated_columns()
-        if self._bloom_columns():
-            clone_meta["bloomFilterColumns"] = self._bloom_columns()
-        if self._column_mapping(src_version):
-            clone_meta["columnMapping"] = self._column_mapping(src_version)
-            clone_meta["retiredPhysical"] = self._retired_physical()
-        if self._column_mapping_mode() != "name":
-            clone_meta["columnMappingMode"] = self._column_mapping_mode()
+        for k in self._META_KEYS:
+            if src_meta.get(k):
+                clone_meta[k] = src_meta[k]
+        hw_actions: list[dict] = []
+        for c, h in src_meta.get("identityHighWater", {}).items():
+            hw_actions.append(
+                {"identity": {"column": c, "highWater": int(h)}})
+        if src_meta.get("rowIdHighWater"):
+            hw_actions.append(
+                {"rowid": {"highWater": int(src_meta["rowIdHighWater"])}})
         dv_actions: list[dict] = []
         sidecars = sorted({s for ss in dvs.values() for s in ss})
         if sidecars:
@@ -2637,6 +2644,7 @@ class TxLogTable:
                          "sourceVersion": src_version}},
              {"protocol": self.protocol(src_version)},
              {"metaData": clone_meta}]
+            + hw_actions
             + [{"add": {"path": rekey(p), "stats": s}}
                for p, s in active.items()]
             + dv_actions

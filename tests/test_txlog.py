@@ -3023,6 +3023,57 @@ def test_table_features_sql_route(spark, tdir):
                 "('delta.feature.clustering' = 'enabled')")
 
 
+def test_row_tracking_clone_and_scd2_composition(spark, tdir):
+    """Composition pins: SHALLOW CLONE of a tracked table serves the
+    SOURCE's row ids zero-copy (baseRowIds ride the carried stats, the
+    materialized __rid column rides the foreign segments); SCD2 chain
+    closures keep their ids while new history rows get fresh ones."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          row_tracking=True)
+    t.optimize_compact(target_segments=1)  # materialized __rid segments
+    ids = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    c = t.clone_to(tdir + "_clone")
+    got = {r["k"]: r["_row_id"] for r in c.read_with_row_ids().collect()}
+    assert got == ids, "clone serves the source's row ids zero-copy"
+
+    # appends to the clone continue allocation PAST the carried
+    # high-water mark — never colliding with the carried ids
+    c.append(_df(spark, [(9, "z", 90)]))
+    got2 = {r["k"]: r["_row_id"] for r in c.read_with_row_ids().collect()}
+    assert got2[9] not in set(ids.values())
+
+    t2 = TxLogTable.create(spark, tdir + "_scd2",
+                           _scd2_df(spark, [(1, 10, 0, None)]),
+                           row_tracking=True)
+    ids0 = {(r["k"], r["__START_AT"]): r["_row_id"]
+            for r in t2.read_with_row_ids().collect()}
+    t2.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 11, 1, "update_postimage")]),
+        key="k", sequence_by="seq")
+    got = {(r["k"], r["__START_AT"]): r["_row_id"]
+           for r in t2.read_with_row_ids().collect()}
+    assert got[(1, 0)] == ids0[(1, 0)], "closed chain row keeps its id"
+    assert got[(1, 1)] != ids0[(1, 0)], "new history row gets a fresh id"
+
+
+def test_clone_carries_identity_and_properties(spark, tdir):
+    """Clone metadata carry: a clone of an IDENTITY table keeps
+    assigning ids (continuing past the source's high-water mark — the
+    old selective carry silently dropped the identity definition), and
+    table properties ride too."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 10), ("b", 20)], "grp string, v int"),
+        identity_columns={"id": 1})
+    t.set_properties({"delta.appendOnly": "false", "team": "curation"})
+    c = t.clone_to(tdir + "_clone")
+    assert c.properties().get("team") == "curation"
+    c.append(spark.createDataFrame([("c", 30)], "grp string, v int"))
+    ids = sorted(r["id"] for r in c.read().collect())
+    assert ids == [1, 2, 3], f"identity continues on the clone: {ids}"
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
