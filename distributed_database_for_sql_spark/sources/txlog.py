@@ -710,9 +710,32 @@ class TxLogTable:
                     "txns": txns,
                     "constraints": constraints,
                     "schemaJson": schema_json}
-        fmt = manifest["meta"].get("properties", {}).get(
-            "txlog.checkpoint.format", "json")
-        if fmt == "parquet":
+        props = manifest["meta"].get("properties", {})
+        fmt = props.get("txlog.checkpoint.format", "json")
+        part_size = int(props.get("txlog.checkpoint.partSize", "0"))
+        pointer: dict = {"version": version, "format": fmt}
+        if fmt == "parquet" and part_size > 0 and \
+                len(manifest["adds"]) > part_size:
+            # MULTI-PART checkpoint (Delta's <v>.checkpoint.<i>.<n>
+            # shape): the add list — the only part that scales with file
+            # count — splits across n parquet parts of ≤ partSize rows
+            # each, so on a 100k-file table the checkpoint write AND the
+            # snapshot-resolution read parallelize instead of funneling
+            # through one monolithic file.  Table-level state (protocol/
+            # meta/dvs/txns/schema) rides every part's key-value
+            # metadata, so any single part is self-describing and a torn
+            # multi-part write (missing part) is detected and falls back
+            # to log replay.
+            adds = manifest["adds"]
+            n = (len(adds) + part_size - 1) // part_size
+            for i in range(n):
+                piece = dict(manifest)
+                piece["adds"] = adds[i * part_size:(i + 1) * part_size]
+                self.log_store.overwrite_atomic(
+                    self._checkpoint_part_path(version, i, n),
+                    self._encode_checkpoint_parquet(piece))
+            pointer["parts"] = n
+        elif fmt == "parquet":
             self.log_store.overwrite_atomic(
                 self._checkpoint_parquet_path(version),
                 self._encode_checkpoint_parquet(manifest))
@@ -722,11 +745,16 @@ class TxLogTable:
                 json.dumps(manifest).encode())
         self.log_store.overwrite_atomic(
             os.path.join(self.log_dir, _LAST_CHECKPOINT),
-            json.dumps({"version": version, "format": fmt}).encode())
+            json.dumps(pointer).encode())
 
     def _checkpoint_parquet_path(self, version: int) -> str:
         return os.path.join(self.log_dir,
                             f"{version:08d}.checkpoint.parquet")
+
+    def _checkpoint_part_path(self, version: int, i: int, n: int) -> str:
+        return os.path.join(
+            self.log_dir,
+            f"{version:08d}.checkpoint.{i:04d}.{n:04d}.parquet")
 
     @staticmethod
     def _encode_checkpoint_parquet(manifest: dict) -> bytes:
@@ -753,8 +781,36 @@ class TxLogTable:
         return buf.getvalue().to_pybytes()
 
     def _read_checkpoint_at(self, version: int) -> dict | None:
-        """Load the checkpoint manifest at exactly ``version``, either
-        format; None if absent/torn (full replay still works)."""
+        """Load the checkpoint manifest at exactly ``version``, any
+        format (JSON, single parquet, or multi-part parquet); None if
+        absent/torn — including a MISSING PART of a multi-part
+        checkpoint — in which case full log replay still works."""
+        parts = sorted(glob.glob(os.path.join(
+            self.log_dir, f"{version:08d}.checkpoint.[0-9]*.parquet")))
+        if parts:
+            try:
+                import pyarrow.parquet as pq
+
+                n_expect = int(os.path.basename(parts[0]).split(".")[-2])
+                if len(parts) != n_expect:
+                    return None  # torn multi-part write: replay instead
+                head = None
+                all_adds: list[dict] = []
+                for p in parts:
+                    t = pq.read_table(p)
+                    if head is None:
+                        head = json.loads(t.schema.metadata[b"manifest"])
+                    paths = t.column("path").to_pylist()
+                    stats = t.column("stats").to_pylist()
+                    all_adds.extend(
+                        {"path": pp,
+                         "stats": json.loads(s) if s is not None else None}
+                        for pp, s in zip(paths, stats))
+                head["adds"] = all_adds
+                head["active"] = [a["path"] for a in all_adds]
+                return head
+            except Exception:
+                return None
         pq_path = self._checkpoint_parquet_path(version)
         if os.path.exists(pq_path):
             try:
@@ -792,16 +848,23 @@ class TxLogTable:
                     return loaded
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             pass
-        best = -1
-        for p in glob.glob(os.path.join(self.log_dir, "*.checkpoint.json")) \
-                + glob.glob(os.path.join(self.log_dir,
-                                         "*.checkpoint.parquet")):
-            cv = int(os.path.basename(p).split(".")[0])
-            if best < cv <= version:
-                best = cv
-        if best < 0:
-            return None
-        return self._read_checkpoint_at(best)
+        cands = sorted({
+            int(os.path.basename(p).split(".")[0])
+            for p in glob.glob(os.path.join(self.log_dir,
+                                            "*.checkpoint.json"))
+            + glob.glob(os.path.join(self.log_dir, "*.checkpoint.parquet"))
+            + glob.glob(os.path.join(self.log_dir,
+                                     "*.checkpoint.[0-9]*.parquet"))
+            if int(os.path.basename(p).split(".")[0]) <= version
+        }, reverse=True)
+        for cv in cands:
+            # newest first; a torn/corrupt manifest (e.g. a missing part
+            # of a multi-part checkpoint) falls back to the NEXT OLDER
+            # intact one — full replay only when none loads
+            loaded = self._read_checkpoint_at(cv)
+            if loaded is not None:
+                return loaded
+        return None
 
     def _snapshot(self, version: int | None = None) -> tuple[dict[str, dict | None], str | None]:
         """Resolve the snapshot at ``version``: start from the best

@@ -3291,6 +3291,49 @@ def test_parquet_checkpoint_format_interop(spark, tdir):
     assert fresh.read(version=2).count() == 2
 
 
+def test_multipart_parquet_checkpoint(spark, tdir):
+    """txlog.checkpoint.partSize splits the columnar manifest's add list
+    across <v>.checkpoint.<i>.<n>.parquet parts (Delta's multi-part
+    shape — write and resolution parallelize on 100k-file tables); a
+    fresh handle resolves from the parts with the checkpoint-bounded
+    read count, and a TORN multi-part write (missing part) falls back
+    to full replay instead of serving a partial file list."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 4
+    t.set_properties({"txlog.checkpoint.format": "parquet",
+                      "txlog.checkpoint.partSize": "2"})
+    for i in range(8):
+        t.append(_df(spark, [(i + 2, "b", (i + 2) * 10)]))
+    import glob as _glob
+    parts = sorted(_glob.glob(os.path.join(
+        t.path, "_txlog", "*.checkpoint.[0-9]*.parquet")))
+    assert parts, "multi-part checkpoint expected"
+    n = int(os.path.basename(parts[-1]).split(".")[-2])
+    assert n >= 2 and len({p.rsplit(".", 3)[0] for p in parts}) >= 1
+    fresh = TxLogTable(spark, tdir)
+    fresh.checkpoint_interval = 4
+    reads = []
+    orig = fresh._read_commit
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    fresh._read_commit = counting
+    assert sorted(r["k"] for r in fresh.read().collect()) == \
+        list(range(1, 10))
+    replayed = [v for v in set(reads) if v <= fresh.latest_version()]
+    assert len(replayed) <= fresh.checkpoint_interval + 1, \
+        f"multi-part checkpoint not used: replayed {sorted(replayed)}"
+    # torn write: delete one part of the NEWEST checkpoint — resolution
+    # must fall back to replay and still serve the right rows
+    newest = sorted(parts)[-1]
+    os.remove(newest)
+    fresh2 = TxLogTable(spark, tdir)
+    assert sorted(r["k"] for r in fresh2.read().collect()) == \
+        list(range(1, 10)), "torn multi-part checkpoint: replay fallback"
+
+
 def test_auto_compact_property_bounds_file_count(spark, tdir):
     """delta.autoOptimize.autoCompact keeps micro-batch ingest from
     accreting small files: once the active count reaches the threshold
