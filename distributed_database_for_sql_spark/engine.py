@@ -170,6 +170,11 @@ _UNSET_PROPS_RE = re.compile(
 _SHOW_PROPS_RE = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<target>\w+)\s*;?\s*$",
     re.IGNORECASE)
+# SHOW PARTITIONS t — the partitions present in the CURRENT snapshot,
+# resolved from commit metadata (partitionValues) without opening a file.
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<target>\w+)\s*;?\s*$",
+    re.IGNORECASE)
 _PROP_KV_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
 _PROP_KEY_RE = re.compile(r"'(?P<k>[^']+)'")
 
@@ -499,6 +504,22 @@ class Engine:
             props = self.txlog_tables[m.group("target")].properties()
             return self.spark.createDataFrame(
                 sorted(props.items()) or [], "key string, value string")
+        m = _SHOW_PARTS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            t = self.txlog_tables[m.group("target")]
+            pcols = t._partition_columns()
+            if not pcols:
+                raise ValueError(
+                    f"SHOW PARTITIONS {m.group('target')}: table is not "
+                    "partitioned")
+            active, _ = t._snapshot()
+            seen = sorted({
+                tuple((stats or {}).get("partitionValues", {}).get(c)
+                      for c in pcols)
+                for stats in active.values()})
+            return self.spark.createDataFrame(
+                [row for row in seen if all(v is not None for v in row)],
+                ", ".join(f"{c} string" for c in pcols))
         m = _OPTIMIZE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

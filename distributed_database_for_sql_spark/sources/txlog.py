@@ -129,6 +129,17 @@ _SUPPORTED_WRITER_FEATURES = frozenset({
 })
 
 
+def _parse_size(s: str) -> int:
+    """'134217728' / '128mb' / '1gb' / '512kb' → bytes."""
+    m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*(b|kb|mb|gb)?\s*$", s,
+                 re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad size {s!r}: use bytes or kb/mb/gb suffix")
+    mult = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}[
+        (m.group(2) or "b").lower()]
+    return int(float(m.group(1)) * mult)
+
+
 def _stat_value(v):
     """Coerce a parquet-footer statistic to a JSON-storable value whose
     ordering matches the column's value ordering (dates/timestamps →
@@ -3589,10 +3600,30 @@ class TxLogTable:
             if clustered:
                 zorder_by = clustered
         if target_segments is None:
-            # plain OPTIMIZE compacts; ZORDER is a re-LAYOUT — it keeps
-            # the segment count (≙ Delta's size-targeted rewrite) so the
-            # per-file stat ranges it tightens stay fine-grained.
-            target_segments = len(files) if zorder_by else 2
+            tfs = self.properties().get("delta.targetFileSize")
+            if tfs:
+                # size-targeted compaction (Delta's targetFileSize): pick
+                # the segment count from the snapshot's actual bytes so
+                # output files land near the configured size — the knob
+                # that matters at 100 TB, where "2 segments" is
+                # meaningless but "~1 GB files" is the scan-planning
+                # sweet spot.  Sizes come from os.stat (O(files) driver
+                # metadata, files never opened).
+                target = _parse_size(tfs)
+                total = 0
+                for p in files:
+                    try:
+                        total += os.path.getsize(os.path.normpath(p))
+                    except OSError:
+                        pass
+                target_segments = max(1, round(total / target)) if total \
+                    else 1
+            else:
+                # plain OPTIMIZE compacts; ZORDER is a re-LAYOUT — it
+                # keeps the segment count (≙ Delta's size-targeted
+                # rewrite) so the per-file stat ranges it tightens stay
+                # fine-grained.
+                target_segments = len(files) if zorder_by else 2
         # DV-applied: compaction MATERIALIZES outstanding deletion
         # vectors (the rewritten segments exclude tombstoned rows) and
         # the removes below retire the DVs from the snapshot.

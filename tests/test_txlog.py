@@ -3334,6 +3334,56 @@ def test_multipart_parquet_checkpoint(spark, tdir):
         list(range(1, 10)), "torn multi-part checkpoint: replay fallback"
 
 
+def test_optimize_target_file_size(spark, tdir):
+    """delta.targetFileSize drives the compaction's segment count from
+    the snapshot's actual bytes — the knob that matters at scale, where
+    a fixed segment count is meaningless but a target file size is the
+    scan-planning sweet spot."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    for i in range(7):
+        t.append(_df(spark, [(i + 2, "b", i)]))
+    active, _ = t._snapshot()
+    total = sum(os.path.getsize(os.path.join(t.path, p)) for p in active)
+    # a target of ~half the table → 2 output segments
+    t.set_properties({"delta.targetFileSize": str(max(1, total // 2))})
+    t.optimize_compact()
+    active2, _ = t._snapshot()
+    assert len(active2) == 2, f"size-targeted count: {len(active2)}"
+    assert t.read().count() == 8
+    # explicit target_segments still overrides the property
+    t.optimize_compact(target_segments=1)
+    assert len(t._snapshot()[0]) == 1
+    with pytest.raises(ValueError, match="bad size"):
+        t.set_properties({"delta.targetFileSize": "huge"})
+        t.append(_df(spark, [(99, "z", 0)]))
+        t.optimize_compact()
+
+
+def test_show_partitions(spark, tdir):
+    """SHOW PARTITIONS lists the current snapshot's partitions from
+    commit metadata — no data file opened; unpartitioned tables refuse."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("x", 1), ("y", 2), ("x", 3)],
+                              "p string, v int"),
+        partition_by="p")
+    eng = Engine(spark, tdir + "_data")
+    eng.register_txlog("parts", t)
+    got = sorted(r["p"] for r in eng.sql("SHOW PARTITIONS parts").collect())
+    assert got == ["x", "y"]
+    # a partition fully deleted disappears from the listing
+    t.delete_where(F.col("p") == "y")
+    got = sorted(r["p"] for r in eng.sql("SHOW PARTITIONS parts").collect())
+    assert got == ["x"]
+    t2 = TxLogTable.create(spark, tdir + "_flat",
+                           _df(spark, [(1, "a", 10)]))
+    eng.register_txlog("flat", t2)
+    with pytest.raises(ValueError, match="not partitioned"):
+        eng.sql("SHOW PARTITIONS flat")
+
+
 def test_auto_compact_property_bounds_file_count(spark, tdir):
     """delta.autoOptimize.autoCompact keeps micro-batch ingest from
     accreting small files: once the active count reaches the threshold
