@@ -150,6 +150,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_apply_changes_scd2",  # CDC fold with history rows (SCD2)
     "delta_row_tracking",        # stable row ids (baseRowId + position)
     "dedup_span_removal",        # C4-style duplicate-span removal
+    "delta_streaming_scd2",      # streaming CDC -> SCD2 fold, exactly-once
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,12 +189,12 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "multimodal_payload_meta",
     "multimodal_resize",
     "pack_sequences_chunked",
-    "quality_quantile_filter",
     # text_pii_redact displaced by delta_merge_full_clauses,
     # stream_interval_static_join by delta_apply_changes_scd2,
-    # source_json_roundtrip by delta_row_tracking, and
-    # sink_partitioned_pruned_scan by dedup_span_removal (new-query
-    # policy); all four join the r9 canary list.
+    # source_json_roundtrip by delta_row_tracking,
+    # sink_partitioned_pruned_scan by dedup_span_removal, and
+    # quality_quantile_filter by delta_streaming_scd2 (new-query
+    # policy); all five join the r9 canary list.
 )
 
 

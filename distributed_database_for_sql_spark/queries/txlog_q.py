@@ -2322,3 +2322,123 @@ def delta_apply_changes_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_versions", F.lit(len(hist)).cast("int"))
             .withColumn("last_op", F.lit(hist[-1]["op"]))
             .orderBy("start_at", "is_open"))
+
+
+@register(
+    "delta_streaming_scd2",
+    # Same fold as delta_apply_changes_scd2's oracle, but the events
+    # arrive through a REAL Structured Streaming query into cdc_sink
+    # (foreachBatch + txn idempotence); replay_was_noop pins that a
+    # re-delivered epoch commits nothing, n_versions = 2 pins that the
+    # whole stream landed as ONE atomic commit.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, {cents} AS cents,
+             0 AS start_at, CAST(NULL AS INTEGER) AS end_at
+      FROM orders WHERE o_orderkey <= 300
+    ), ev AS (
+      SELECT o_orderkey AS k, {cents} + 10 AS cents, 1 AS seq, 'u' AS typ
+      FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT o_orderkey, {cents} + 20, 2, 'u'
+      FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT o_orderkey, {cents}, 1, 'delete'
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 150
+      UNION ALL
+      SELECT o_orderkey, {cents} + 5, 2, 'u'
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 130
+    ), seqd AS (
+      SELECT k, cents, seq, typ,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS nxt
+      FROM ev
+    ), newrows AS (
+      SELECT k, cents, seq AS start_at, nxt AS end_at
+      FROM seqd WHERE typ <> 'delete'
+    ), firsts AS (
+      SELECT k, MIN(seq) AS fs FROM ev GROUP BY k
+    ), closedb AS (
+      SELECT b.k, b.cents, b.start_at, f.fs AS end_at
+      FROM base b JOIN firsts f ON b.k = f.k
+    ), carried AS (
+      SELECT b.k, b.cents, b.start_at, b.end_at
+      FROM base b LEFT JOIN firsts f ON b.k = f.k WHERE f.k IS NULL
+    ), final AS (
+      SELECT * FROM closedb UNION ALL
+      SELECT * FROM carried UNION ALL
+      SELECT * FROM newrows
+    )
+    SELECT start_at,
+           CAST(end_at IS NULL AS INTEGER) AS is_open,
+           COUNT(*)                        AS n_rows,
+           CAST(SUM(cents) AS BIGINT)      AS total_cents,
+           1                               AS replay_was_noop,
+           2                               AS n_versions
+    FROM final
+    GROUP BY start_at, is_open
+    ORDER BY start_at, is_open
+    """.replace("{cents}", _CENTS),
+    tags=("acid", "delta", "cdc", "scd2", "streaming"),
+)
+def delta_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 — the DLT ``APPLY CHANGES INTO … STORED AS SCD
+    TYPE 2`` pipeline end-to-end: CDC events arrive through a real
+    Structured Streaming query (file source, availableNow) into
+    ``cdc_sink(scd_type=2)``, which folds each micro-batch with full
+    history tracking and records the epoch id as an idempotent ``txn``
+    action.  A deliberately REPLAYED epoch commits nothing
+    (``replay_was_noop`` audit flag — without idempotence the replay
+    would REFUSE on its own frontier and a restarted stream would
+    crash-loop), and the whole event set lands as ONE atomic commit
+    (n_versions).  The oracle recomputes every chain edge with window
+    functions — the streaming transport must be value-invisible."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 300)
+            .select("o_orderkey", cents.alias("cents"))
+            .withColumn("__START_AT", F.lit(0).cast("int"))
+            .withColumn("__END_AT", F.lit(None).cast("int"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("scd2stream", sf_dir), base,
+                          overwrite=True)
+    src = orders.select("o_orderkey", cents.alias("cents"))
+
+    def batch(flt, dcents, seq, ctype):
+        return (src.filter(flt)
+                .withColumn("cents", F.col("cents") + dcents)
+                .withColumn("seq", F.lit(seq).cast("int"))
+                .withColumn("_change_type", F.lit(ctype)))
+
+    changes = (
+        batch(k <= 100, 10, 1, "update_postimage")
+        .unionByName(batch(k <= 100, 20, 2, "update_postimage"))
+        .unionByName(batch((k > 100) & (k <= 150), 0, 1, "delete"))
+        .unionByName(batch((k > 100) & (k <= 130), 5, 2, "insert"))
+        .repartition(4))
+    events_dir = _table_dir("scd2events", sf_dir)
+    changes.write.mode("overwrite").parquet(events_dir)
+    ck = _table_dir("scd2ck", sf_dir)
+    shutil.rmtree(ck, ignore_errors=True)
+    sink = t.cdc_sink("scd2_stream", "o_orderkey", "seq", scd_type=2)
+    stream = spark.readStream.schema(changes.schema).parquet(events_dir)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    v_before = t.latest_version()
+    sink(spark.read.parquet(events_dir), 0)  # replayed epoch 0
+    replay_noop = t.latest_version() == v_before
+    return (t.read()
+            .groupBy(F.col("__START_AT").alias("start_at"),
+                     F.col("__END_AT").isNull().cast("int")
+                     .alias("is_open"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("replay_was_noop",
+                        F.lit(replay_noop).cast("int"))
+            .withColumn("n_versions",
+                        F.lit(t.latest_version() + 1).cast("int"))
+            .orderBy("start_at", "is_open"))
