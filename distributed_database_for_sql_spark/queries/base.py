@@ -151,6 +151,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_row_tracking",        # stable row ids (baseRowId + position)
     "dedup_span_removal",        # C4-style duplicate-span removal
     "delta_streaming_scd2",      # streaming CDC -> SCD2 fold, exactly-once
+    "split_leakage_free",        # near-dup clusters split atomically
     # -- stale drain III: every remaining r2-certified query ----------------
     "ann_partition_pruned_topk",
     "dedup_connected_components",
@@ -188,13 +189,13 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "multimodal_image_meta_udf",
     "multimodal_payload_meta",
     "multimodal_resize",
-    "pack_sequences_chunked",
     # text_pii_redact displaced by delta_merge_full_clauses,
     # stream_interval_static_join by delta_apply_changes_scd2,
     # source_json_roundtrip by delta_row_tracking,
-    # sink_partitioned_pruned_scan by dedup_span_removal, and
-    # quality_quantile_filter by delta_streaming_scd2 (new-query
-    # policy); all five join the r9 canary list.
+    # sink_partitioned_pruned_scan by dedup_span_removal,
+    # quality_quantile_filter by delta_streaming_scd2, and
+    # pack_sequences_chunked by split_leakage_free (new-query policy);
+    # all six join the r9 canary list.
 )
 
 

@@ -702,3 +702,108 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda x: x["seg_text"]),
                      " ").alias("clean_text"))
             .orderBy("doc_id"))
+
+
+@register(
+    "split_leakage_free",
+    # Oracle: same transitive closure as dedup_cluster_representative,
+    # then each COMPONENT (not each doc) draws its split by md5-hex
+    # threshold (~80% train) — near-dup docs land on the same side by
+    # construction.  The cross-split near-dup pair count is recomputed
+    # relationally and must be ZERO; per-split counts/checksums certify
+    # the exact assignment.
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) /
+            (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), assigned AS (
+      SELECT doc_id, component,
+             CASE WHEN substr(md5(CAST(component AS VARCHAR) || '#split'),
+                              1, 4) < 'cccd'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM lab
+    ), leaks AS (
+      SELECT COUNT(*) AS n
+      FROM pairs p
+      JOIN assigned a ON p.id_a = a.doc_id
+      JOIN assigned b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split
+    )
+    SELECT split,
+           COUNT(*)                          AS n_docs,
+           COUNT(DISTINCT component)         AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT)       AS doc_checksum,
+           (SELECT CAST(n AS BIGINT) FROM leaks)
+               AS cross_split_neardup_pairs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("curation", "split", "dedup", "llm"),
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val split — the assignment rule a real
+    training pipeline needs after near-dedup: splitting by document
+    hash puts near-duplicate docs on OPPOSITE sides (the classic
+    contamination bug — val examples with train near-copies), so the
+    split unit must be the NEAR-DUP CLUSTER.  Banded MinHash-LSH pairs
+    → min-label connected components → each COMPONENT draws train/val
+    by deterministic md5-hex threshold (~80/20) → every member inherits
+    its component's side.  The cross-split near-dup pair count is
+    recomputed as an audit column and the oracle proves it is ZERO by
+    construction — impossible for any per-doc rule.
+
+    Scale shape: the pair/component machinery is the existing bucketed
+    LSH + iterative min-label propagation (never all-pairs); the split
+    itself is a row-local hash on the component id (zero shuffle beyond
+    the component join); the audit is two broadcast-size joins over the
+    pair list."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    comps = connected_components(pairs)
+    lab = (docs.select("doc_id")
+           .join(comps, docs.doc_id == comps.node, "left")
+           .select("doc_id",
+                   F.coalesce("component", "doc_id").alias("component")))
+    hx = F.substring(
+        F.md5(F.concat(F.col("component").cast("string"),
+                       F.lit("#split"))), 1, 4)
+    assigned = lab.withColumn(
+        "split", F.when(hx < "cccd", "train").otherwise("val"))
+    a = assigned.select(F.col("doc_id").alias("id_a"),
+                        F.col("split").alias("__sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("__sb"))
+    leaks = (pairs.join(a, "id_a").join(b, "id_b")
+             .filter(F.col("__sa") != F.col("__sb")).count())
+    return (assigned.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count_distinct("component").alias("n_clusters"),
+                 F.sum("doc_id").cast("bigint").alias("doc_checksum"))
+            .withColumn("cross_split_neardup_pairs",
+                        F.lit(leaks).cast("long"))
+            .orderBy("split"))
