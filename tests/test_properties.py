@@ -382,3 +382,133 @@ def test_apply_changes_equals_python_fold(spark, tmp_path_factory,
             state[k] = v
     assert sorted(tuple(r) for r in t.read().collect()) == \
         sorted(state.items())
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
+                     min_size=1, max_size=4, unique_by=lambda t: t[0]),
+       events=cdc_events)
+def test_apply_changes_scd2_equals_python_fold(spark, tmp_path_factory,
+                                               data, events):
+    """For ANY change batch, apply_changes_scd2 must leave the table in
+    the state of the sequential SCD2 fold: per key the events apply in
+    sequence order — each non-delete event opens a history row closed by
+    the next event, deletes close without opening, the pre-existing open
+    row closes at the key's first event — regardless of arrival order
+    (the batch is delivered fully inverted)."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"scd2fold_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, v, 0, None) for k, v in data],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    shuffled = list(reversed(rows))  # worst-case arrival inversion
+    changes = spark.createDataFrame(
+        shuffled, "k int, v int, seq int, _change_type string")
+    t.apply_changes_scd2(changes, key="k", sequence_by="seq")
+    # pure-Python sequential SCD2 fold over the ORDERED events
+    hist: list[tuple[int, int, int, int | None]] = [
+        (k, v, 0, None) for k, v in data]
+    by_key: dict[int, list[tuple[int, int, str]]] = {}
+    for k, v, s, ct in rows:
+        by_key.setdefault(k, []).append((s, v, ct))
+    for k, evs in by_key.items():
+        evs.sort()
+        first = evs[0][0]
+        hist = [(kk, vv, st_, first if (kk == k and en is None) else en)
+                for kk, vv, st_, en in hist]
+        for i, (s, v, ct) in enumerate(evs):
+            if ct == "delete":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            hist.append((k, v, s, nxt))
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t.read().collect()),
+        key=lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0)) == \
+        sorted(hist,
+               key=lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0))
+
+
+# -- r8: row-tracking invariants under arbitrary DML -------------------------
+
+rt_ops = st.lists(
+    st.tuples(st.sampled_from(["update", "delete", "dv_delete", "append",
+                               "optimize", "merge"]),
+              st.integers(0, 9)),
+    min_size=1, max_size=5)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=rt_ops)
+def test_row_tracking_invariants_under_random_dml(spark, tmp_path_factory,
+                                                  ops):
+    """For ANY DML sequence, row tracking must satisfy: (1) a row whose
+    key survives an operation keeps its id unless the op REPLACED the
+    row's value via upsert — and even then the id is preserved by
+    design; (2) ids are globally unique at every step; (3) a deleted
+    key's id never reappears."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"rtprop_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, k * 10) for k in range(4)],
+                              "k int, v int"),
+        row_tracking=True)
+
+    def ids_now():
+        return {r["k"]: r["_row_id"]
+                for r in t.read_with_row_ids().collect()}
+
+    prev = ids_now()
+    burned: set[int] = set()
+    next_key = 10
+    for op, karg in ops:
+        k = karg % 10
+        if op == "update":
+            t.update_where({"v": F.col("v") + 1}, F.col("k") == k)
+        elif op == "delete":
+            t.delete_where(F.col("k") == k)
+        elif op == "dv_delete":
+            t.delete_where(F.col("k") == k, use_dv=True)
+        elif op == "append":
+            t.append(spark.createDataFrame([(next_key, 1)], "k int, v int"))
+            next_key += 1
+        elif op == "optimize":
+            t.optimize_compact(target_segments=2)
+        elif op == "merge":
+            t.merge_upsert(
+                spark.createDataFrame([(k, 99), (next_key, 7)],
+                                      "k int, v int"), "k")
+            next_key += 1
+        cur = ids_now()
+        # surviving keys keep their ids
+        for kk in set(prev) & set(cur):
+            assert cur[kk] == prev[kk], \
+                f"{op}: key {kk} id changed {prev[kk]} -> {cur[kk]}"
+        # global uniqueness
+        assert len(set(cur.values())) == len(cur), f"{op}: id collision"
+        # burned ids never return
+        for kk in set(prev) - set(cur):
+            burned.add(prev[kk])
+        assert not (set(cur.values()) & burned), \
+            f"{op}: burned id resurfaced"
+        prev = cur
