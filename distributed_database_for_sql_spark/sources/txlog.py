@@ -570,26 +570,37 @@ class TxLogTable:
         except FileNotFoundError:
             return False
 
-    def _stamp_row_ids(self, actions: list[dict]) -> None:
-        """Row tracking (Delta's baseRowId): assign each added file a
-        fresh, contiguous row-id range from the table's max-merged
-        high-water mark.  A row's stable id = the file's ``baseRowId`` +
-        its physical position — metadata-only at write time (the counts
-        come from the footer stats already harvested), O(files) driver
-        work.  Called INSIDE the commit claim loop so an OCC retry
-        re-allocates past whatever a racing writer just claimed (same
+    def _stamp_row_ids(self, actions: list[dict],
+                       fresh: set[str] | None = None) -> None:
+        """Row tracking (Delta's baseRowId): assign each NEWLY WRITTEN
+        file a fresh, contiguous row-id range from the table's
+        max-merged high-water mark.  A row's stable id = the file's
+        ``baseRowId`` + its physical position — metadata-only at write
+        time (the counts come from the footer stats already harvested),
+        O(files) driver work.
+
+        ``fresh`` is the set of add paths that need allocation —
+        computed ONCE by the caller BEFORE its claim loop as "adds whose
+        stats carry no baseRowId yet".  Re-listed files (RESTORE,
+        SET ROW TRACKING idempotent re-runs, carried clone segments)
+        already carry their baseRowId and are NEVER re-stamped — that
+        stability is the entire feature.  The stamping itself is called
+        INSIDE the claim loop so an OCC retry re-allocates the SAME
+        fresh set past whatever a racing writer just claimed (the same
         re-stamp discipline as the in-commit timestamp).  Files whose
         stats harvest failed (numRecords unknown) carry no baseRowId and
         their rows read a NULL ``_row_id`` — conservative, documented."""
         if not self._row_tracking_enabled():
             return
+        if fresh is None:
+            fresh = self._fresh_add_paths(actions)
         actions[:] = [a for a in actions if "rowid" not in a]
         base = int(self._meta_state().get("rowIdHighWater", 0)) + 1 \
             if not getattr(self, "_pending_row_tracking", False) else 1
         start = base
         for a in actions:
             add = a.get("add")
-            if not add:
+            if not add or add["path"] not in fresh:
                 continue
             st = add.get("stats")
             n = (st or {}).get("numRecords")
@@ -599,6 +610,13 @@ class TxLogTable:
             base += int(n)
         if base != start:
             actions.append({"rowid": {"highWater": base - 1}})
+
+    @staticmethod
+    def _fresh_add_paths(actions: list[dict]) -> set[str]:
+        """Add paths with no baseRowId yet (the allocation set)."""
+        return {a["add"]["path"] for a in actions
+                if "add" in a
+                and (a["add"].get("stats") or {}).get("baseRowId") is None}
 
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
@@ -625,6 +643,8 @@ class TxLogTable:
                                  "key_range": key_range})
             return self.latest_version()
         self._assert_writable()
+        rid_fresh = (self._fresh_add_paths(actions)
+                     if self._row_tracking_enabled() else None)
         while True:
             # Refresh the in-commit timestamp on EVERY attempt (ADVICE r6):
             # call sites stamp ts once before calling in, so a writer that
@@ -637,7 +657,7 @@ class TxLogTable:
                 c = action.get("commit")
                 if c is not None and "ts" in c:
                     c["ts"] = max(int(c["ts"]), self._next_ts())
-            self._stamp_row_ids(actions)
+            self._stamp_row_ids(actions, rid_fresh)
             v = self.latest_version() + 1
             if txn is not None and \
                     self.txn_version_for(txn[0]) >= txn[1]:
@@ -2126,13 +2146,15 @@ class TxLogTable:
                                  "key_range": None})
             return self.latest_version()
         self._assert_writable()
+        rid_fresh = (self._fresh_add_paths(actions)
+                     if self._row_tracking_enabled() else None)
         while True:
             # Recompute the commit ts each attempt (ADVICE r6): the loser of
             # a claim race must not retry with a ts stamped before the
             # winner's commit, or in-commit timestamps go non-monotonic.
             actions[0]["commit"]["ts"] = max(
                 int(actions[0]["commit"]["ts"]), self._next_ts())
-            self._stamp_row_ids(actions)
+            self._stamp_row_ids(actions, rid_fresh)
             v = self.latest_version() + 1
             if txn_app_id is not None and \
                     self.txn_version_for(txn_app_id) >= txn_version:

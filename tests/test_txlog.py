@@ -3074,6 +3074,49 @@ def test_clone_carries_identity_and_properties(spark, tdir):
     assert ids == [1, 2, 3], f"identity continues on the clone: {ids}"
 
 
+def test_row_tracking_restore_and_time_travel(spark, tdir):
+    """RESTORE and time travel compose with row tracking: restoring to
+    a pre-DML version re-lists the old segments, whose baseRowIds ride
+    the carried stats — the restored rows serve their ORIGINAL ids, and
+    read_with_row_ids(version=...) time-travels the id mapping too."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          row_tracking=True)
+    ids0 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    t.delete_where(F.col("k") == 1)
+    assert sorted(r["k"] for r in t.read_with_row_ids().collect()) == [2]
+    # time travel serves the pre-delete id mapping
+    past = {r["k"]: r["_row_id"]
+            for r in t.read_with_row_ids(version=0).collect()}
+    assert past == ids0
+    t.restore(0)
+    got = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert got == ids0, "restored rows keep their original ids"
+    # post-restore appends still allocate past the high-water mark
+    t.append(_df(spark, [(3, "c", 30)]))
+    got2 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert got2[3] not in set(ids0.values())
+
+
+def test_set_row_tracking_stream_transparent(spark, tdir):
+    """The SET ROW TRACKING backfill commit (re-add of every active
+    file) must be invisible to the append-only table stream — serving
+    its adds would re-emit the whole table as if appended."""
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        TxLogTableDataSource)
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    v = t.enable_row_tracking()
+    t.append(_df(spark, [(2, "b", 20)]))
+    ds = TxLogTableDataSource({"path": t.path})
+    rows = list(ds.simpleStreamReader(ds.schema())
+                .readBetweenOffsets({"version": 0},
+                                    {"version": t.latest_version() + 1}))
+    ks = sorted(r[0] for r in rows)
+    assert ks == [1, 2], \
+        f"backfill commit (v{v}) must not re-emit rows: {ks}"
+
+
 # -- r8: string stats truncation ---------------------------------------------
 
 def test_string_stats_truncated_but_sound(spark, tdir):
