@@ -513,13 +513,16 @@ class Engine:
                     f"SHOW PARTITIONS {m.group('target')}: table is not "
                     "partitioned")
             active, _ = t._snapshot()
+            # drop None-bearing tuples (files missing stats/partition
+            # values) BEFORE sorted() — None doesn't compare to str
             seen = sorted({
-                tuple((stats or {}).get("partitionValues", {}).get(c)
-                      for c in pcols)
-                for stats in active.values()})
+                row for row in (
+                    tuple((stats or {}).get("partitionValues", {}).get(c)
+                          for c in pcols)
+                    for stats in active.values())
+                if all(v is not None for v in row)})
             return self.spark.createDataFrame(
-                [row for row in seen if all(v is not None for v in row)],
-                ", ".join(f"{c} string" for c in pcols))
+                seen, ", ".join(f"{c} string" for c in pcols))
         m = _OPTIMIZE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -968,11 +971,22 @@ class Engine:
                               sorted(t_names | s_names, key=len,
                                      reverse=True)) + r")\s*\.",
             re.IGNORECASE)
+        # the regex matches case-insensitively, so membership must too:
+        # `TGT.v` for alias `tgt` must rebind to t., never silently to s.
+        t_lower = {a.lower() for a in t_names}
+        s_lower = {a.lower() for a in s_names}
 
         def rebind(expr: str) -> str:
-            return alias_re.sub(
-                lambda am: ("t." if am.group(1) in t_names else "s."),
-                expr)
+            def _side(am: re.Match) -> str:
+                a = am.group(1).lower()
+                if a in t_lower:
+                    return "t."
+                if a in s_lower:
+                    return "s."
+                raise ValueError(
+                    f"MERGE expression qualifier {am.group(1)!r} matches "
+                    "neither the target nor the source alias")
+            return alias_re.sub(_side, expr)
 
         clauses_text = g["clauses"]
         starts = [c.start() for c in

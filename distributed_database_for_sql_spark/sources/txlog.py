@@ -87,8 +87,10 @@ that make real Delta viable at scale.
 from __future__ import annotations
 
 import datetime
+import functools
 import glob
 import json
+import operator
 import os
 import re
 import shutil
@@ -2564,7 +2566,12 @@ class TxLogTable:
             + adds)
         self._pending_row_tracking = True
         try:
-            return self._commit_with_occ(actions, [], base_version)
+            # The re-listed paths are the conflict set: a concurrent
+            # OPTIMIZE/DELETE that removed one of them between the
+            # snapshot and the claim must fail this commit (re-adding
+            # its segments would resurrect compacted/deleted rows).
+            return self._commit_with_occ(actions, list(active),
+                                         base_version)
         finally:
             self._pending_row_tracking = False
 
@@ -3295,12 +3302,16 @@ class TxLogTable:
                               .get(c) == str(v)
                               for c, v in partitions.items())]
             # rows landing outside the replaced partition would silently
-            # widen the overwrite's scope — refuse, like replaceWhere
-            mismatch = df
-            for c, v in partitions.items():
-                mismatch = mismatch.filter(
-                    ~F.col(c).cast("string").eqNullSafe(str(v)))
-            if mismatch.limit(1).count():
+            # widen the overwrite's scope — refuse, like replaceWhere.
+            # A row is out of scope if ANY partition column mismatches
+            # (OR of per-column mismatches, not a chain of filters —
+            # chaining would AND the negations and only catch rows that
+            # mismatch EVERY column).
+            out_of_scope = functools.reduce(
+                operator.or_,
+                [~F.col(c).cast("string").eqNullSafe(str(v))
+                 for c, v in partitions.items()])
+            if df.filter(out_of_scope).limit(1).count():
                 raise ValueError(
                     "INSERT OVERWRITE PARTITION: incoming rows fall "
                     f"outside the replaced partition {partitions}")
@@ -3724,10 +3735,33 @@ class TxLogTable:
         reader = self.spark.read
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
+        user_keys = {k.lower() for k in (options or {})}
         if file_format.lower() == "parquet":
             src = reader.option("mergeSchema", "true").parquet(*new_files)
         elif file_format.lower() == "csv":
-            src = reader.option("header", "true").csv(new_files)
+            # header defaults to true but a caller's explicit
+            # header=false must win (headerless landing files would
+            # otherwise lose their first data row)
+            if "header" not in user_keys:
+                reader = reader.option("header", "true")
+            src = reader.csv(new_files)
+            # headerless CSVs (explicit header=false) infer _c0.._cN —
+            # names that can never match the table; bind POSITIONALLY to
+            # the table's user-supplied columns, in schema order
+            if all(re.fullmatch(r"_c\d+", c) for c in src.columns):
+                _, sj = self._snapshot_files()
+                user_cols = [
+                    f.name for f in
+                    T.StructType.fromJson(json.loads(sj)).fields
+                    if f.name not in self._generated_columns()
+                    and f.name not in self._identity_columns()]
+                if len(src.columns) != len(user_cols):
+                    raise ValueError(
+                        f"COPY INTO headerless CSV has "
+                        f"{len(src.columns)} columns; the table takes "
+                        f"{len(user_cols)} user-supplied columns "
+                        f"{user_cols} (positional binding)")
+                src = src.toDF(*user_cols)
         else:
             src = reader.json(new_files)
         _, schema_json = self._snapshot_files()

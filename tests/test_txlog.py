@@ -4086,3 +4086,144 @@ def test_merge_full_refusals(spark, tdir):
         ti.merge_full(spark.createDataFrame([("a", 1)],
                                             "grp string, v int"),
                       "grp", when_matched=[{"action": "delete"}])
+
+
+# -- r9: ADVICE fixes ---------------------------------------------------------
+
+def test_insert_overwrite_multicolumn_partition_scope_guard(spark, tdir):
+    """ADVICE r8 (medium): with a MULTI-column partitions dict, a row
+    mismatching only SOME partition columns (a=1,b=99 vs {a:1,b:2}) is
+    out of scope and must refuse — the old chained-filter guard ANDed
+    the negations and only caught rows mismatching EVERY column."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 2, 10), (1, 3, 20), (9, 9, 30)],
+                              "a int, b int, v int"),
+        partition_by=["a", "b"])
+    # a matches, b does not: must refuse (the old bug let this through,
+    # silently widening the overwrite)
+    with pytest.raises(ValueError, match="outside the replaced"):
+        t.insert_overwrite(
+            spark.createDataFrame([(1, 99, 0)], "a int, b int, v int"),
+            partitions={"a": 1, "b": 2})
+    # fully in-scope rows still work and replace exactly that partition
+    t.insert_overwrite(
+        spark.createDataFrame([(1, 2, 99)], "a int, b int, v int"),
+        partitions={"a": 1, "b": 2})
+    got = sorted((r["a"], r["b"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 2, 99), (1, 3, 20), (9, 9, 30)]
+
+
+def test_merge_full_sql_case_variant_alias_rebind(spark, tmp_path):
+    """ADVICE r8 (medium): the alias regex matches case-insensitively,
+    so `TGT.v` for alias `tgt` must rebind to the TARGET side — the old
+    case-sensitive membership test silently rewrote it to `s.` and read
+    source values where target values were meant."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, str(tmp_path / "t"),
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    eng.register_txlog("cvt", t)
+    _df(spark, [(1, "A", 100), (2, "B", 5)]) \
+        .createOrReplaceTempView("cvs")
+    # condition + SET use case variants of both aliases; correct
+    # binding updates ONLY k=1 (src.v > TGT.v there) to TGT.v + SRC.v
+    eng.sql("""
+        MERGE INTO cvt AS tgt USING cvs AS src ON tgt.k = src.k
+        WHEN MATCHED AND SRC.v > TGT.v THEN UPDATE SET v = Tgt.v + sRc.v
+    """)
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 110), (2, 20)]
+
+
+def test_enable_row_tracking_conflicts_with_concurrent_remove(spark, tdir):
+    """ADVICE r8 (low): enable_row_tracking re-lists every active file;
+    a concurrent OPTIMIZE/DELETE landing between its snapshot and its
+    claim must raise an OCC conflict — silently re-adding the removed
+    segments would resurrect deleted/compacted rows."""
+    t = TxLogTable.create(spark, tdir,
+                          _df(spark, [(1, "a", 10)]).coalesce(1))
+    t.append(_df(spark, [(2, "b", 20)]).coalesce(1))
+    files, _ = t._snapshot_files()
+    seg = os.path.relpath(files[0], t.path)
+    orig_snapshot, raced = t._snapshot, {"done": False}
+
+    def snapshot_then_race(*a, **kw):
+        res = orig_snapshot(*a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            assert t._try_commit(
+                t.latest_version() + 1,
+                [{"commit": {"op": "DELETE", "ts": t._next_ts()}},
+                 {"remove": {"path": seg}}])
+        return res
+
+    t._snapshot = snapshot_then_race
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+            t.enable_row_tracking()
+    finally:
+        t._snapshot = orig_snapshot
+    # a clean re-run against the fresh snapshot succeeds
+    t.enable_row_tracking()
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+    assert t.read_with_row_ids().count() == 1
+
+
+def test_show_partitions_tolerates_missing_partition_stats(spark, tdir):
+    """ADVICE r8 (low): one active file with missing partitionValues
+    yields a None-bearing tuple; sorted() over mixed None/str raises
+    TypeError — such files must be dropped BEFORE the sort."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("x", 1), ("y", 2)], "p string, v int"),
+        partition_by="p")
+    # inject a REAL segment whose add action carries no stats (and so
+    # no partitionValues)
+    files, _ = t._snapshot_files()
+    hive_dir = os.path.dirname(os.path.relpath(files[0], t.path))
+    seg_dir = os.path.join(t.path, hive_dir)
+    spark.createDataFrame([(9,)], "v int") \
+        .coalesce(1).write.mode("append").parquet(seg_dir)
+    part = sorted(
+        f for f in os.listdir(seg_dir) if f.endswith(".parquet")
+        and os.path.join(hive_dir, f) not in
+        {os.path.relpath(p, t.path) for p in files})[0]
+    assert t._try_commit(
+        t.latest_version() + 1,
+        [{"commit": {"op": "APPEND", "ts": t._next_ts()}},
+         {"add": {"path": os.path.join(hive_dir, part), "stats": None}}])
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    eng.register_txlog("sp9", t)
+    rows = eng.sql("SHOW PARTITIONS sp9").collect()
+    assert sorted(r["p"] for r in rows) == ["x", "y"]
+
+
+def test_copy_into_respects_explicit_header_false(spark, tdir, tmp_path):
+    """ADVICE r8 (low): COPY INTO defaulted header=true AFTER applying
+    user options, eating the first data row of headerless CSVs; an
+    explicit header=false must win (the default stays true)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, grp string, v int"))
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("1,a,10\n2,b,20\n")
+    t.copy_into(str(land), "csv",
+                options={"header": "false",
+                         "inferSchema": "true"})
+    got = sorted((r["k"], r["grp"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20)]
+    # default path still treats the first line as a header
+    t2 = TxLogTable.create(
+        spark, tdir + "_h",
+        spark.createDataFrame([], "k int, grp string, v int"))
+    land2 = tmp_path / "land2"
+    land2.mkdir()
+    (land2 / "a.csv").write_text("k,grp,v\n1,a,10\n")
+    t2.copy_into(str(land2), "csv", options={"inferSchema": "true"})
+    assert [(r["k"], r["grp"], r["v"]) for r in t2.read().collect()] == \
+        [(1, "a", 10)]
