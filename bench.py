@@ -87,6 +87,28 @@ EXTRA = [
     "delta_apply_changes_scd2",
     "delta_row_tracking",
     "dedup_span_removal",
+    # round 9: MERGE schema evolution, identity-composed MERGE, SCD2
+    # sequenced backfill — plus the streaming SCD2 pipeline (r8 query,
+    # first recorded median here).
+    "delta_merge_schema_evolution",
+    "delta_merge_full_identity",
+    "delta_scd2_backfill",
+    "delta_streaming_scd2",
+]
+
+# The CDC / row-tracking family regresses as ONE tracked aggregate
+# (VERDICT r8 item 7): the newest heavy surface, summed from the same
+# medians recorded in extra_queries.
+CDC_FAMILY = [
+    "delta_apply_changes",
+    "delta_apply_changes_scd2",
+    "delta_scd2_backfill",
+    "delta_streaming_scd2",
+    "delta_streaming_mv",
+    "delta_row_tracking",
+    "delta_merge_full_clauses",
+    "delta_merge_schema_evolution",
+    "delta_merge_full_identity",
 ]
 
 
@@ -166,6 +188,8 @@ def main() -> None:
         "spread_min_med_max": spread,
         "total_min_sec": round(sum(spread[n][0] for n in timings), 3),
         "total_max_sec": round(sum(spread[n][2] for n in timings), 3),
+        "total_cdc_family_sec": round(
+            sum(extra[n] for n in CDC_FAMILY if n in extra), 3),
         # min-of-3 sums are the noise-robust cross-round statistic on a
         # co-tenant host; prior-round values recorded here so a comparison
         # never depends on digging old BENCH files out of git.

@@ -49,7 +49,8 @@ _MERGE_RE = re.compile(
 # limitation: clause conditions may not contain CASE…WHEN…THEN (the
 # clause splitter keys on WHEN/THEN keywords).
 _MERGE_HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+(?P<salias>\w+))?"
     r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
     r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
@@ -1054,7 +1055,8 @@ class Engine:
         version = table.merge_full(
             self.spark.table(source), t_key,
             when_matched=matched, when_not_matched=not_matched,
-            when_not_matched_by_source=by_source)
+            when_not_matched_by_source=by_source,
+            schema_evolution=bool(g.get("evolve")))
         return self._dml_ack(target, version)
 
     def table(self, name: str) -> DataFrame:

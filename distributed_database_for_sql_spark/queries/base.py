@@ -135,67 +135,71 @@ def register(name: str, oracle: str | None = None,
 #       pack/split/quality/pii/tfidf/repetition, stream interval join,
 #       token histogram, dedup_rate_by_source).
 
+#   r9 window (below): close the certification ledger.  Positions 1-3:
+#       new in r9 (MERGE schema evolution, full-clause MERGE × BY
+#       DEFAULT identity, SCD2 sequenced backfill — certified the round
+#       they ship).  Positions 4-16: the thirteen r3-stale canaries the
+#       r8 new-query policy displaced (the ONLY queries whose latest
+#       driver green predates r4).  Positions 17-31: every r4-certified
+#       query.  After this window certifies: zero queries with latest
+#       green ≤ r4.  Positions 32-50: nineteen r5-certified canaries
+#       (oldest remaining, drawn across families).
+
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r8 (policy: new queries certify the round they ship) --------
-    "delta_cdf_after_rename",   # CDF across RENAME COLUMN (ADVICE r7 high)
-    "delta_reorg_purge",        # REORG APPLY (PURGE): DV materialization
-    "delta_copy_into",          # idempotent bulk file ingest (COPY INTO)
-    "delta_dv_update",          # merge-on-read UPDATE (DV tombstones)
-    "delta_identity_columns",   # GENERATED ALWAYS AS IDENTITY (dense ids)
-    "dedup_cluster_representative",  # keep-best-copy per near-dup cluster
-    "delta_insert_overwrite",   # atomic partition replaceWhere overwrite
-    "decontam_embedding_overlap",  # semantic decontamination (embeddings)
-    "delta_apply_changes",      # CDC APPLY CHANGES fold (SCD1, atomic)
-    "delta_merge_full_clauses",  # three-arm MERGE (matched AND / BY SOURCE)
-    "delta_apply_changes_scd2",  # CDC fold with history rows (SCD2)
-    "delta_row_tracking",        # stable row ids (baseRowId + position)
-    "dedup_span_removal",        # C4-style duplicate-span removal
-    "delta_streaming_scd2",      # streaming CDC -> SCD2 fold, exactly-once
-    "split_leakage_free",        # near-dup clusters split atomically
-    # -- stale drain III: every remaining r2-certified query ----------------
-    "ann_partition_pruned_topk",
-    "dedup_connected_components",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard_blocked",
-    "dedup_simhash",
-    "embedding_near_dup_pairs",
-    "pipeline_training_data_curation",
-    "profile_corpus_stats",
-    "sql_cte_window",
-    "stream_session_window",
-    "text_bigram_topk_per_lang",
-    "text_fingerprint",
-    "text_langid_heuristic",
-    "text_langid_ngram_profile",
-    "text_token_count_bpe",
-    "text_token_stats",
-    "text_word_freq_topk",
-    "ts_funnel_signup_click_purchase",
-    "ts_locf_interpolation",
-    "ts_rollup_gapfill",
-    # -- stale drain IV: every r3-certified query ---------------------------
-    "agg_approx_percentile",
-    "agg_argmax_struct",
-    "agg_global_stats",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_unpivot",
-    "dedup_rate_by_source",
-    "fn_array_hof_suite",
-    "fn_conditional_suite",
-    "fn_json_suite",
-    "fn_map_suite",
-    "multimodal_frame_sample",
-    "multimodal_image_meta_udf",
-    "multimodal_payload_meta",
-    "multimodal_resize",
-    # text_pii_redact displaced by delta_merge_full_clauses,
-    # stream_interval_static_join by delta_apply_changes_scd2,
-    # source_json_roundtrip by delta_row_tracking,
-    # sink_partitioned_pruned_scan by dedup_span_removal,
-    # quality_quantile_filter by delta_streaming_scd2, and
-    # pack_sequences_chunked by split_leakage_free (new-query policy);
-    # all six join the r9 canary list.
+    # -- new in r9 (policy: new queries certify the round they ship) --------
+    "delta_merge_schema_evolution",  # MERGE WITH SCHEMA EVOLUTION
+    "delta_merge_full_identity",     # three-arm MERGE × BY DEFAULT identity
+    "delta_scd2_backfill",           # sequenced SCD2 late-history splice
+    # -- stale drain V: the thirteen r3-stale canaries -----------------------
+    "token_length_histogram",
+    "text_tfidf_top_terms",
+    "text_repetition_score",
+    "split_train_val_test",
+    "source_quota_sampling",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "text_pii_redact",
+    "stream_interval_static_join",
+    "source_json_roundtrip",
+    "sink_partitioned_pruned_scan",
+    "quality_quantile_filter",
+    "pack_sequences_chunked",
+    # -- stale drain VI: every r4-certified query ----------------------------
+    "embedding_centroid_drift",
+    "feature_quantile_binning",
+    "fn_regex_suite",
+    "join_fuzzy_levenshtein",
+    "layout_zorder_clustering",
+    "quality_lm_perplexity",
+    "scd_upsert_classify",
+    "source_xml_roundtrip",
+    "sql_distribute_cluster_by",
+    "sql_lateral_topn",
+    "stats_key_skew",
+    "stats_table_profile",
+    "stream_anomaly_zscore",
+    "stream_dedup_within_watermark",
+    "ts_anomaly_zscore",
+    # -- canaries: oldest (r5-certified) queries, drawn across families -----
+    "q1_pricing_summary",
+    "q12_shipping_delay_priority",
+    "fn_array_suite",
+    "fn_datetime_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "fn_variant_suite",
+    "multimodal_feature_extract",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "source_csv_roundtrip",
+    "source_jsonl_corrupt_tolerant",
+    "source_python_datasource",
+    "source_schema_evolution",
+    "sql_recursive_cte",
+    "sql_udf_scalar",
+    "mv_incremental_refresh",
+    "udf_pandas_over_window",
+    "stream_tumbling_window",
 )
 
 

@@ -668,11 +668,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape at 100 TB: segmentation is row-local (split +
     explode over a generated index — no UDF), the first-wins rule is
-    ONE shuffle by segment-text hash (window row_number, the same
-    partitioning a groupBy would use), and reassembly is ONE shuffle
-    back by doc_id with an order-preserving array_sort(collect_list) —
-    two computational exchanges on natural keys (plus the output
-    ORDER BY's range exchange), no driver involvement."""
+    ONE shuffle (window row_number partitioned by the 8-byte
+    ``xxhash64(seg_text)`` with the text itself as the exactness
+    tie-break — in-partition sort comparisons resolve on the long and
+    touch the string only on 64-bit hash ties, the same key discipline
+    as ``dedup_exact_substring_hashed`` but collision-exact), and
+    reassembly is ONE shuffle back by doc_id with an order-preserving
+    array_sort(collect_list) — two computational exchanges on natural
+    keys (plus the output ORDER BY's range exchange), no driver
+    involvement."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
@@ -687,7 +691,8 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("array_join(slice(w, seg*8 + 1, 8), ' ')")
                     .alias("seg_text")))
     rn = F.row_number().over(
-        Window.partitionBy("seg_text").orderBy("doc_id", "seg"))
+        Window.partitionBy(F.xxhash64("seg_text"), F.col("seg_text"))
+        .orderBy("doc_id", "seg"))
     ranked = segs.withColumn("rn", rn)
     return (ranked.groupBy("doc_id")
             .agg(F.sum((F.col("rn") == 1).cast("long"))

@@ -2442,3 +2442,246 @@ def delta_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_versions",
                         F.lit(t.latest_version() + 1).cast("int"))
             .orderBy("start_at", "is_open"))
+
+
+@register(
+    "delta_merge_schema_evolution",
+    # The oracle recomputes the post-merge state INCLUDING the evolved
+    # column: pre-evolution rows read typed NULL (COUNT(bonus) excludes
+    # them), updated + inserted rows materialize values — a hash match
+    # certifies the same-commit schema change, the NULL backfill on old
+    # segments, and both star arms binding the new column.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents,
+             CAST(NULL AS BIGINT) AS bonus
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents,
+             o_orderkey % 5 AS bonus
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n_rows,
+           CAST(SUM(cents) AS BIGINT)  AS total_cents,
+           COUNT(bonus)                AS n_with_bonus,
+           CAST(SUM(bonus) AS BIGINT)  AS total_bonus,
+           FALSE                       AS pre_merge_had_column
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "merge", "schema-evolution", "sql", "engine"),
+)
+def delta_merge_schema_evolution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta's automatic merge evolution):
+    a source column absent from the target evolves the schema in the
+    SAME commit as the merge — appended nullable through exactly
+    append's evolution path (same retired/vacated-name guards).
+    Updated and inserted rows materialize the new column; every
+    pre-evolution row — including rows in segments the merge never
+    touched — reads typed NULL; time travel to before the merge lacks
+    the column entirely (pinned by the audit flag).
+
+    At 100 TB this is the CDC-source-adds-a-column event: the pipeline
+    keeps flowing with a metadata-only schema change instead of a
+    blocking backfill."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("mergevo", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("mse_orders", t)
+    pre_cols = set(t.read().columns)
+    (orders.filter((F.col("o_orderkey") > 500)
+                   & (F.col("o_orderkey") <= 1500))
+     .select("o_orderkey", "o_orderpriority", (cents + 7).alias("cents"),
+             (F.col("o_orderkey") % 5).cast("long").alias("bonus"))
+     .createOrReplaceTempView("mse_src"))
+    v = engine.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO mse_orders AS t "
+        "USING mse_src AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *").collect()[0]["version"]
+    had_before = ("bonus" in pre_cols
+                  or "bonus" in t.read(version=v - 1).columns)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").alias("total_cents"),
+             F.count("bonus").alias("n_with_bonus"),
+             F.sum("bonus").alias("total_bonus"))
+        .withColumn("pre_merge_had_column", F.lit(bool(had_before)))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_merge_full_identity",
+    # Identity composition with the three-arm MERGE, certified
+    # NUMERICALLY like delta_identity_columns: ids stay dense across
+    # the statement (min=1, max=distinct=row count), every FIRST-batch
+    # row — updated or carried — keeps a first-batch id (max id over
+    # keys <= 500 equals count(<=500)), and the insert arm continues
+    # exactly at count(<=500)+1.
+    oracle=f"""
+    WITH n1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 500),
+         nt AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 900),
+         final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 400
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 900
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1                          AS min_id,
+           (SELECT c FROM nt)         AS max_id,
+           (SELECT c FROM nt)         AS n_distinct_ids,
+           (SELECT c FROM n1)         AS first_batch_max_id,
+           (SELECT c FROM n1) + 1     AS insert_arm_min_id
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "identity", "merge"),
+)
+def delta_merge_full_identity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Full-clause MERGE composed with GENERATED BY DEFAULT identity:
+    the update arm keeps each matched row's engine-assigned id (SET *
+    never overwrites identity), the insert arm's absent id slots are
+    engine-assigned continuing past the commit-carried high-water mark
+    — dense, collision-free, zero extra shuffle (per-partition ranges
+    from broadcast offsets; the partition binding rides a materialized
+    column so the union with the rewrite arm cannot shift it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    src = (orders
+           .filter((F.col("o_orderkey") > 400)
+                   & (F.col("o_orderkey") <= 900))
+           .select("o_orderkey", "o_orderpriority",
+                   (cents + 7).alias("cents"))
+           .repartition(3, "o_orderkey"))
+    t = TxLogTable.create(
+        spark, _table_dir("mfident", sf_dir), base, overwrite=True,
+        identity_columns={"rid": {"start": 1, "step": 1, "always": False}})
+    t.merge_full(
+        src, "o_orderkey",
+        when_matched=[{"action": "update", "set": "*"}],
+        when_not_matched=[{"action": "insert", "values": "*"}])
+    snap = t.read()
+    stats = snap.agg(
+        F.min("rid").alias("mn"), F.max("rid").alias("mx"),
+        F.countDistinct("rid").alias("nd"),
+        F.max(F.when(F.col("o_orderkey") <= 500, F.col("rid")))
+        .alias("b1mx"),
+        F.min(F.when(F.col("o_orderkey") > 500, F.col("rid")))
+        .alias("insmn")).collect()[0]
+    assert stats["mn"] == 1 and stats["mx"] == stats["nd"], \
+        "identity ids must stay dense across the merge"
+    return (snap
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("min_id", F.lit(int(stats["mn"])).cast("long"))
+            .withColumn("max_id", F.lit(int(stats["mx"])).cast("long"))
+            .withColumn("n_distinct_ids",
+                        F.lit(int(stats["nd"])).cast("long"))
+            .withColumn("first_batch_max_id",
+                        F.lit(int(stats["b1mx"])).cast("long"))
+            .withColumn("insert_arm_min_id",
+                        F.lit(int(stats["insmn"])).cast("long"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_scd2_backfill",
+    # The DuckDB oracle folds the ENTIRE event set in sequence order
+    # with one window pass — the defining contract of sequenced
+    # backfill: applying {seq 10, 30} first and splicing {seq 20,
+    # delete 40} later must equal the in-order fold.  Full spliced
+    # chains are returned row-by-row, so the hash certifies every
+    # moved end bound, every spliced row, and every delete closure.
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents, 10 AS seq, FALSE AS del
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 5, 30, FALSE
+      FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} + 2, 20, FALSE
+      FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), 40, TRUE
+      FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 7 = 0
+    ), folded AS (
+      SELECT k, cents, seq AS start_at,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS end_at,
+             del
+      FROM ev
+    )
+    SELECT k, cents, start_at, end_at
+    FROM folded WHERE NOT del
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "scd2", "backfill"),
+)
+def delta_scd2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced SCD2 late-history backfill (DLT's backfill shape):
+    settled history is immutable by default, but ``allow_backfill=True``
+    splices a below-frontier batch by re-folding each affected key's
+    full reconstructed event timeline — rewriting only the segments
+    holding those keys' chains.  Here {seq 10, seq 30} apply first,
+    then a LATE batch {seq 20 upserts, seq 40 deletes} splices in; the
+    oracle folds all events in order at once, so a hash match proves
+    splice-equals-in-order-arrival for every chain edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    keys = orders.filter(F.col("o_orderkey") <= 300)
+    empty = spark.createDataFrame(
+        [], "k bigint, cents bigint, __START_AT int, __END_AT int")
+    t = TxLogTable.create(spark, _table_dir("scd2bf", sf_dir), empty,
+                          overwrite=True)
+    ev1 = (keys.select(F.col("o_orderkey").alias("k"),
+                       cents.alias("cents"),
+                       F.lit(10).alias("seq"),
+                       F.lit("insert").alias("_change_type"))
+           .unionByName(
+               keys.filter(F.col("o_orderkey") % 3 == 0)
+               .select(F.col("o_orderkey").alias("k"),
+                       (cents + 5).alias("cents"),
+                       F.lit(30).alias("seq"),
+                       F.lit("update_postimage").alias("_change_type"))))
+    t.apply_changes_scd2(ev1, key="k", sequence_by="seq")
+    late = (keys.filter(F.col("o_orderkey") % 5 == 0)
+            .select(F.col("o_orderkey").alias("k"),
+                    (cents + 2).alias("cents"),
+                    F.lit(20).alias("seq"),
+                    F.lit("update_postimage").alias("_change_type"))
+            .unionByName(
+                keys.filter(F.col("o_orderkey") % 7 == 0)
+                .select(F.col("o_orderkey").alias("k"),
+                        F.lit(None).cast("bigint").alias("cents"),
+                        F.lit(40).alias("seq"),
+                        F.lit("delete").alias("_change_type"))))
+    t.apply_changes_scd2(late, key="k", sequence_by="seq",
+                         allow_backfill=True)
+    return (t.read()
+            .select("k", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .orderBy("k", "start_at"))

@@ -1581,15 +1581,20 @@ class TxLogTable:
         all_cols = [c for c in defs if c not in df.columns]
         null_cols = [c for c in defs if c in df.columns]
         high = self._meta_state().get("identityHighWater", {})
-        df = df.persist()
+        # The partition id is materialized as a COLUMN inside the cached
+        # frame, not read from TaskContext at stamp time: a caller that
+        # unions the stamped frame with another before writing (MERGE's
+        # rewritten+inserts) shifts task partition ids by the other
+        # side's partition count, which would silently mis-bind every
+        # offset (duplicate ids); a column rides the rows and is immune.
+        df = df.withColumn("__id_pid", F.spark_partition_id()).persist()
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in null_cols:
             aggs.append(F.sum(F.col(c).isNull().cast("long"))
                         .alias(f"__nn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
-        rows = (df.groupBy(F.spark_partition_id().alias("__pid"))
-                .agg(*aggs).collect())
-        counts = {r["__pid"]: r["__n"] for r in rows}
+        rows = df.groupBy("__id_pid").agg(*aggs).collect()
+        counts = {r["__id_pid"]: r["__n"] for r in rows}
 
         def offsets_of(cnt: dict) -> tuple[dict, int]:
             off, acc = {}, 0
@@ -1603,7 +1608,7 @@ class TxLogTable:
         explicit_max = {}
         for c in null_cols:
             off, tot = offsets_of(
-                {r["__pid"]: (r[f"__nn_{c}"] or 0) for r in rows})
+                {r["__id_pid"]: (r[f"__nn_{c}"] or 0) for r in rows})
             null_offsets[c], null_totals[c] = off, tot
             mxs = [r[f"__mx_{c}"] for r in rows
                    if r[f"__mx_{c}"] is not None]
@@ -1615,17 +1620,19 @@ class TxLogTable:
         schema = T.StructType(
             [T.StructField(f.name, T.LongType() if f.name in null_cols
                            else f.dataType, f.nullable)
-             for f in df.schema.fields]
+             for f in df.schema.fields if f.name != "__id_pid"]
             + [T.StructField(c, T.LongType(), False) for c in all_cols])
 
         def stamp(batches):
             import numpy as np
-            from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            pid = None
             seen = 0
             seen_null = {c: 0 for c in null_cols}
             for pdf in batches:
+                if pid is None and len(pdf):
+                    pid = int(pdf["__id_pid"].iloc[0])
+                pdf = pdf.drop(columns="__id_pid")
                 n = len(pdf)
                 for c in all_cols:
                     first = firsts[c] + steps[c] * (offsets.get(pid, 0)
@@ -2947,8 +2954,8 @@ class TxLogTable:
     def merge_full(self, source: DataFrame, key: str,
                    when_matched: list[dict] | tuple = (),
                    when_not_matched: list[dict] | tuple = (),
-                   when_not_matched_by_source: list[dict] | tuple = ()
-                   ) -> int:
+                   when_not_matched_by_source: list[dict] | tuple = (),
+                   schema_evolution: bool = False) -> int:
         """Full-clause MERGE (Delta's three-arm statement): ordered
         WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE clauses,
         WHEN NOT MATCHED [AND cond] THEN INSERT clauses, and
@@ -2981,16 +2988,33 @@ class TxLogTable:
         is inherent to the semantics, not the plan.  Same OCC surface
         as ``merge_upsert`` (key-range recorded, removed files
         conflict-checked); CDF emits insert/delete/update pre+post
-        images per arm.  v1 scope: no schema evolution (set/values must
-        bind to current columns) and the same IDENTITY-table refusal as
-        ``merge_upsert``."""
+        images per arm.
+
+        ``schema_evolution=True`` (Delta's ``WITH SCHEMA EVOLUTION``):
+        source columns absent from the target evolve the table schema
+        — appended nullable, one metaData action in the SAME commit,
+        exactly append's evolution path (same retired-name and
+        vacated-physical-name refusals, fresh physical ids in id
+        mapping mode).  Existing rows read typed NULL in the new
+        columns; ``SET *`` / ``INSERT *`` and explicit SET/VALUES may
+        then bind them.  Default (False) keeps Delta's strict posture:
+        extra source columns are ignored on star actions and explicit
+        references to unknown columns raise.
+
+        IDENTITY: GENERATED ALWAYS tables refuse (per-arm
+        engine-assignment of a whole-row statement is ambiguous —
+        ``merge_upsert``'s posture); GENERATED BY DEFAULT composes —
+        insert-arm rows with NULL/absent identity slots are
+        engine-assigned past the high-water mark, update arms must not
+        SET an identity column."""
         self._check_append_only("MERGE")
-        if self._identity_columns():
+        ident = self._identity_columns()
+        if any(s.get("always", True) for s in ident.values()):
             raise ValueError(
-                "full-clause MERGE into a table with IDENTITY columns "
-                "is not supported in v1 (per-arm identity assignment is "
-                "ambiguous); use the plain upsert shape, which composes "
-                "with BY DEFAULT identity, or append + update")
+                "full-clause MERGE into a table with GENERATED ALWAYS "
+                "IDENTITY columns is not supported (engine-assigned ids "
+                "cannot ride a whole-row statement); use GENERATED BY "
+                "DEFAULT, or append + update")
         when_matched = list(when_matched)
         when_not_matched = list(when_not_matched)
         when_not_matched_by_source = list(when_not_matched_by_source)
@@ -3008,6 +3032,16 @@ class TxLogTable:
         base_version = self.latest_version()
         _, schema_json = self._snapshot_files()
         schema = T.StructType.fromJson(json.loads(schema_json))
+        evo_actions: list[dict] = []
+        new_fields: list[T.StructField] = []
+        if schema_evolution:
+            # same guards + metaData shape as append's evolution path
+            evo_actions = self._schema_evolution_action(source)
+            have = {f.name for f in schema.fields}
+            new_fields = [T.StructField(f.name, f.dataType, True)
+                          for f in source.schema.fields
+                          if f.name not in have and f.name != "__rid"]
+            schema = T.StructType(list(schema.fields) + new_fields)
         tcols = [f.name for f in schema.fields]
         stats = source.agg(
             F.count(F.lit(1)).alias("n"),
@@ -3045,6 +3079,10 @@ class TxLogTable:
                     .withColumnRenamed("_row_id", "__rid"))
         else:
             base = self._read_active(with_file=True)
+        if new_fields:
+            # evolved columns read typed NULL on every pre-evolution row
+            base = base.withColumns({f.name: F.lit(None).cast(f.dataType)
+                                     for f in new_fields})
         tsel = [F.col("_file"), F.col(key).alias("_mk"),
                 F.struct(*[F.col(c) for c in tcols]).alias("t")]
         if "__rid" in base.columns:
@@ -3082,6 +3120,12 @@ class TxLogTable:
                 if bad:
                     raise ValueError(
                         f"MERGE SET references unknown column(s) {bad}")
+                bad_ident = sorted(set(st) & set(ident))
+                if bad_ident:
+                    raise ValueError(
+                        f"MERGE SET of identity column(s) {bad_ident}: "
+                        "identity values are engine-managed and never "
+                        "updated")
 
         def out_projection(frame: DataFrame) -> DataFrame:
             cols = []
@@ -3091,8 +3135,11 @@ class TxLogTable:
                 for code, cl in upd_specs.items():
                     st = cl.get("set", "*")
                     if st == "*":
+                        # identity values are engine-managed: SET * keeps
+                        # the matched target row's id, never the source's
                         v = (F.col("s").getField(f.name)
-                             if f.name in source.columns else tval)
+                             if f.name in source.columns
+                             and f.name not in ident else tval)
                     elif f.name in st:
                         v = F.expr(st[f.name]).cast(f.dataType)
                     else:
@@ -3158,7 +3205,13 @@ class TxLogTable:
             inserts = frames[0]
             for fr in frames[1:]:
                 inserts = inserts.unionByName(fr, allowMissingColumns=True)
+            # BY DEFAULT identity: NULL/absent slots engine-assigned past
+            # the high-water mark (ALWAYS tables were refused above)
+            inserts, ident_actions, ident_cleanup = \
+                self._assign_identity(inserts)
             self._validate_constraints(inserts)
+        else:
+            ident_actions, ident_cleanup = [], None
 
         if not touched and inserts is None:
             return self.latest_version()
@@ -3169,6 +3222,8 @@ class TxLogTable:
         else:
             merged = rewritten if rewritten is not None else inserts
         rel_new = self._write_segments(merged)
+        if ident_cleanup:
+            ident_cleanup()
 
         cdf_actions: list[dict] = []
         if self.enable_cdf:
@@ -3212,6 +3267,8 @@ class TxLogTable:
                              "notMatched": len(when_not_matched),
                              "notMatchedBySource":
                                  len(when_not_matched_by_source)}}}]
+            + ident_actions
+            + evo_actions
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions
@@ -3519,7 +3576,9 @@ class TxLogTable:
         # OCC: "removed" carries the DV's target files — a concurrent
         # rewrite (MERGE/OPTIMIZE) of one of them invalidates our row
         # positions, and must surface as a conflict, not silent loss.
-        return self._commit_with_occ(actions, targets, base_version)
+        v = self._commit_with_occ(actions, targets, base_version)
+        self._maybe_auto_reorg()
+        return v
 
     def _update_where_dv(self, assignments: dict, condition,
                          base_version: int) -> int:
@@ -3581,7 +3640,9 @@ class TxLogTable:
         )
         # OCC: a concurrent rewrite of a tombstoned file invalidates our
         # row positions — same conflict surface as the DV delete.
-        return self._commit_with_occ(actions, targets, base_version)
+        v = self._commit_with_occ(actions, targets, base_version)
+        self._maybe_auto_reorg()
+        return v
 
     def optimize_compact(self, target_segments: int | None = None,
                          zorder_by: list[str] | None = None,
@@ -3807,7 +3868,7 @@ class TxLogTable:
         self._maybe_auto_compact()
         return version, len(new_files)
 
-    def reorg_purge(self) -> int:
+    def reorg_purge(self, min_deleted_ratio: float | None = None) -> int:
         """``REORG TABLE t APPLY (PURGE)`` (Delta's DV-materialization
         command): rewrite ONLY the segments that carry outstanding
         deletion vectors, excluding their tombstoned rows, and retire
@@ -3816,10 +3877,31 @@ class TxLogTable:
         read-side anti-join cost file by file, and PURGE pays exactly
         O(dv'd files) to clear them instead of a full-table rewrite.
         Logical content is unchanged (no CDF rows, stream-transparent
-        like OPTIMIZE).  No-op (no new version) when no DVs exist."""
+        like OPTIMIZE).  No-op (no new version) when no DVs exist.
+
+        ``min_deleted_ratio``: purge only segments whose tombstoned
+        fraction (DV positions / footer numRecords) reached the ratio —
+        the density-targeted form the auto-maintenance hook uses, so a
+        file with one tombstone out of a million rows is not rewritten
+        just because a DV exists.  Files without recorded numRecords
+        are skipped (unknown density — conservative)."""
         base_version = self.latest_version()
         active, _, dvs = self._snapshot_full()
         targets = sorted(p for p in active if dvs.get(p))
+        if targets and min_deleted_ratio is not None:
+            sidecars = sorted({s for p in targets for s in dvs[p]})
+            counts = {
+                r["path"]: r["n"]
+                for r in self.spark.read.parquet(
+                    *[os.path.join(self.path, s) for s in sidecars])
+                .filter(F.col("path").isin(targets))
+                .groupBy("path").agg(F.count("*").alias("n")).collect()}
+            dense = []
+            for p in targets:
+                n_rec = (active.get(p) or {}).get("numRecords")
+                if n_rec and counts.get(p, 0) / n_rec >= min_deleted_ratio:
+                    dense.append(p)
+            targets = dense
         if not targets:
             return self.latest_version()
         abs_targets = [os.path.join(self.path, p) for p in targets]
@@ -4020,7 +4102,8 @@ class TxLogTable:
                            start_col: str = "__START_AT",
                            end_col: str = "__END_AT",
                            txn_app_id: str | None = None,
-                           txn_version: int | None = None) -> int:
+                           txn_version: int | None = None,
+                           allow_backfill: bool = False) -> int:
         """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
         … STORED AS SCD TYPE 2`` shape): fold a change batch into this
         table as ONE atomic commit, keeping EVERY version of every key.
@@ -4035,11 +4118,18 @@ class TxLogTable:
         for the last), a ``delete`` event closes the preceding row and
         adds nothing (a later event re-opens the key), and the key's
         existing OPEN row is closed at the batch's first sequence.
-        Settled history is immutable: every batch sequence must be
-        strictly greater than the key's frontier (its max ``start_col``)
-        — a batch that would rewrite closed rows raises instead of
-        silently reordering history (v1 scope; DLT's late-history
-        backfill is out).
+        Settled history is immutable BY DEFAULT: every batch sequence
+        must be strictly greater than the key's frontier (its max
+        ``start_col``) — a batch that would rewrite closed rows raises
+        instead of silently reordering history.  With
+        ``allow_backfill=True`` (DLT's sequenced late-history backfill)
+        a below-frontier batch is accepted and SPLICED: each affected
+        key's full event timeline (reconstructed from its history rows
+        — deletes reappear as the end-sequences no successor row starts
+        at) is merged with the batch and re-folded, rewriting exactly
+        the segments holding those keys' chains; every other key's
+        history carries by reference.  The result equals what the chain
+        would have been had all events arrived in sequence order.
 
         SINGLE-PASS like SCD1: only segments holding an OPEN row of a
         batch key are rewritten (closed history rows never change, so a
@@ -4102,6 +4192,11 @@ class TxLogTable:
                 f"column(s) {missing}")
 
         seq = F.col(sequence_by).cast(seq_type)
+        if allow_backfill:
+            return self._scd2_splice(
+                changes, key, seq, change_type_col, start_col, end_col,
+                payload_cols, target_cols, base_version,
+                txn_app_id, txn_version)
         w = Window.partitionBy(key).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
@@ -4203,6 +4298,158 @@ class TxLogTable:
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
 
+    def _scd2_splice(self, changes: DataFrame, key: str, seq,
+                     change_type_col: str, start_col: str, end_col: str,
+                     payload_cols: list[str], target_cols: list[str],
+                     base_version: int, txn_app_id: str | None,
+                     txn_version: int | None) -> int:
+        """Sequenced SCD2 backfill (``allow_backfill=True``): splice a
+        (possibly below-frontier) batch into each affected key's chain
+        by re-folding the key's FULL event timeline.  The timeline is
+        reconstructed losslessly from the history rows themselves: every
+        row is an upsert event at its ``start_col``, and every non-NULL
+        ``end_col`` that no same-key row starts at is a delete event
+        (normal supersessions chain end==next start).  Batch events
+        merge in by sequence and the standard fold re-runs — so the
+        result equals the chain had all events arrived in order.
+
+        Cost shape: rewrites exactly the segments holding an affected
+        key's rows (closed history of OTHER keys carries by reference);
+        the pair space is one key-shuffle over the affected chains plus
+        the batch.  Row tracking: existing history rows keep their row
+        ids through the re-fold (they are the same logical row versions,
+        even when their end bound moves); only genuinely new rows read
+        fresh ids.  v1 scope: refused on IDENTITY tables (re-folded
+        rows carry ids; batch rows would need engine slots mid-chain)."""
+        if self._identity_columns():
+            raise ValueError(
+                "SCD2 backfill into a table with IDENTITY columns is "
+                "not supported (engine-assigned ids cannot be spliced "
+                "mid-chain); drop the identity column or apply without "
+                "backfill")
+        _, schema_json = self._snapshot_files()
+        have = {f.name: f.dataType
+                for f in T.StructType.fromJson(json.loads(schema_json))}
+        keys = changes.select(key).distinct()
+        stats = keys.agg(F.min(key).alias("mn"),
+                         F.max(key).alias("mx")).collect()[0]
+        key_range = {"column": key, "min": _json_key(stats["mn"]),
+                     "max": _json_key(stats["mx"])}
+        base = self._read_active(with_file=True)
+        touched = sorted(
+            r["_file"] for r in
+            base.join(F.broadcast(keys), key, "left_semi")
+            .select("_file").distinct().collect())
+        existing = carry = None
+        rid: list[str] = []
+        if touched:
+            seg = self._read_active_tracked(only=touched)
+            rid = ["__rid"] if "__rid" in seg.columns else []
+            carry = seg.join(F.broadcast(keys), key, "left_anti")
+            existing = seg.join(F.broadcast(keys), key, "left_semi")
+
+        def null_payload(frame: DataFrame) -> list:
+            return [F.lit(None).cast(have[c]).alias(c)
+                    for c in payload_cols if c != key]
+
+        events = (changes.filter(F.col(change_type_col) != "delete")
+                  .select(*payload_cols, seq.alias("__seq"),
+                          F.lit(False).alias("__del")))
+        dels_new = (changes.filter(F.col(change_type_col) == "delete")
+                    .select(F.col(key), *null_payload(changes),
+                            seq.alias("__seq"),
+                            F.lit(True).alias("__del")))
+        events = events.unionByName(dels_new)
+        if existing is not None:
+            ups_exist = existing.select(
+                *payload_cols, F.col(start_col).alias("__seq"),
+                F.lit(False).alias("__del"), *rid)
+            ends = existing.filter(F.col(end_col).isNotNull()).select(
+                F.col(key), F.col(end_col).alias("__seq"))
+            starts = existing.select(
+                F.col(key), F.col(start_col).alias("__seq"))
+            dels_exist = (ends.join(starts, [key, "__seq"], "left_anti")
+                          .select(F.col(key), *null_payload(existing),
+                                  F.col("__seq"),
+                                  F.lit(True).alias("__del")))
+            events = (events
+                      .unionByName(ups_exist, allowMissingColumns=True)
+                      .unionByName(dels_exist, allowMissingColumns=True))
+        dup = (events.groupBy(key, "__seq").count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "SCD2 backfill: a batch sequence collides with an "
+                "existing event at the same (key, sequence) — splicing "
+                "is ambiguous; re-sequence the backfill batch")
+        w = Window.partitionBy(key).orderBy("__seq")
+        ev = events.withColumn("__nxt", F.lead("__seq").over(w))
+        refold_cols = (payload_cols
+                       + [F.col("__seq").alias(start_col),
+                          F.col("__nxt").alias(end_col)]
+                       + ([F.col(c) for c in rid]
+                          if existing is not None else []))
+        refolded = ev.filter(~F.col("__del")).select(*refold_cols)
+        merged = (carry.unionByName(refolded, allowMissingColumns=True)
+                  if carry is not None else refolded)
+        merged = self._apply_generated(merged)
+        self._validate_constraints(merged)
+        rel_new = self._write_segments(merged)
+        cdf_actions: list[dict] = []
+        if self.enable_cdf:
+            new_plain = refolded.select(*target_cols)
+            if existing is not None:
+                old_plain = existing.select(*target_cols)
+                o = old_plain.select(
+                    *[F.col(c).alias(f"o_{c}") for c in target_cols])
+                n = new_plain.select(
+                    *[F.col(c).alias(f"n_{c}") for c in target_cols])
+                j = o.join(
+                    n, (F.col(f"o_{key}").eqNullSafe(F.col(f"n_{key}")))
+                    & (F.col(f"o_{start_col}")
+                       .eqNullSafe(F.col(f"n_{start_col}"))),
+                    "full_outer")
+                changed = j.filter(
+                    F.col(f"o_{start_col}").isNotNull()
+                    & F.col(f"n_{start_col}").isNotNull()
+                    & ~F.col(f"o_{end_col}")
+                    .eqNullSafe(F.col(f"n_{end_col}")))
+                pre = changed.select(
+                    *[F.col(f"o_{c}").alias(c) for c in target_cols]
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = changed.select(
+                    *[F.col(f"n_{c}").alias(c) for c in target_cols]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = j.filter(F.col(f"o_{start_col}").isNull()).select(
+                    *[F.col(f"n_{c}").alias(c) for c in target_cols]
+                ).withColumn("_change_type", F.lit("insert"))
+                ch = pre.unionByName(post).unionByName(ins)
+            else:
+                ch = new_plain.withColumn("_change_type", F.lit("insert"))
+            cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
+        rel_removed = [
+            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+            for p in touched
+        ]
+        txn_actions = ([] if txn_app_id is None else
+                       [{"txn": {"appId": txn_app_id,
+                                 "version": int(txn_version)}}])
+        actions = (
+            [{"commit": {"op": "APPLY CHANGES SCD2 BACKFILL",
+                         "ts": self._next_ts(),
+                         "filesRewritten": len(rel_removed),
+                         "filesAdded": len(rel_new),
+                         "keyRange": key_range}}]
+            + txn_actions
+            + [{"remove": {"path": p}} for p in rel_removed]
+            + self._add_actions(rel_new)
+            + cdf_actions
+        )
+        return self._commit_with_occ(
+            actions, rel_removed, base_version, key_range=key_range,
+            txn=None if txn_app_id is None
+            else (txn_app_id, int(txn_version)))
+
     def cdc_sink(self, app_id: str, key: str, sequence_by: str,
                  scd_type: int = 1):
         """foreachBatch writer applying CDC micro-batches exactly once —
@@ -4245,6 +4492,22 @@ class TxLogTable:
         active, _ = self._snapshot()
         if len(active) >= min_files:
             self.optimize_compact()
+
+    def _maybe_auto_reorg(self) -> None:
+        """``txlog.autoReorg.maxDeletedRowsRatio = 0.3``: after a
+        DV-writing commit, purge exactly the segments whose tombstone
+        density crossed the threshold (one REORG commit, stream/CDF
+        transparent) — the managed-maintenance loop a merge-on-read
+        table needs at 100 TB, where unbounded DV accumulation turns
+        every read into a wide anti-join.  Off unless the property is
+        set; skipped inside staged transactions (the REORG would
+        commit outside the transaction's snapshot)."""
+        if self._staged is not None:
+            return
+        raw = self.properties().get("txlog.autoReorg.maxDeletedRowsRatio")
+        if not raw:
+            return
+        self.reorg_purge(min_deleted_ratio=float(raw))
 
     def _check_append_only(self, op: str) -> None:
         """``delta.appendOnly = true`` (Delta's append-only tables):

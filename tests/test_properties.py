@@ -512,3 +512,30 @@ def test_row_tracking_invariants_under_random_dml(spark, tmp_path_factory,
         assert not (set(cur.values()) & burned), \
             f"{op}: burned id resurfaced"
         prev = cur
+
+
+def test_sql_grammar_documented():
+    """SQL.md is the engine's grammar reference: every top-level
+    statement regex Engine.sql routes must appear there by name (helper
+    sub-regexes — clause/action/literal parsers — are exempt)."""
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    eng = open(os.path.join(
+        root, "distributed_database_for_sql_spark", "engine.py")).read()
+    doc = open(os.path.join(root, "SQL.md")).read()
+    helpers = {
+        # sub-parsers of a routed statement, not statements themselves
+        "_MERGE_CLAUSE_START_RE", "_MERGE_CLAUSE_RE",
+        "_MERGE_ACT_UPDATE_STAR_RE", "_MERGE_ACT_UPDATE_RE",
+        "_MERGE_ACT_DELETE_RE", "_MERGE_ACT_INSERT_STAR_RE",
+        "_MERGE_ACT_INSERT_RE", "_PROP_KV_RE", "_PROP_KEY_RE",
+    }
+    routed = [m for m in _re.findall(r"^(_[A-Z_]+_RE) = re\.compile",
+                                     eng, _re.MULTILINE)
+              if m not in helpers]
+    assert len(routed) >= 25, f"grammar shrank unexpectedly: {routed}"
+    missing = [name for name in routed if name not in doc]
+    assert not missing, \
+        f"SQL.md lacks routed statement form(s): {missing}"

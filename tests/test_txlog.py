@@ -2790,11 +2790,13 @@ def test_identity_by_default_merge_and_cdc(spark, tdir):
         key="grp", sequence_by="seq")
     got = sorted((r["grp"], r["id"], r["v"]) for r in t.read().collect())
     assert got == [("a", 1, 12), ("b", 2, 20), ("c", 3, 30)]
-    # full-clause MERGE keeps its v1 refusal for any identity table
-    with pytest.raises(ValueError, match="full-clause MERGE"):
-        t.merge_full(spark.createDataFrame(
-            [(None, "d", 4)], "id long, grp string, v int"), "grp",
-            when_not_matched=[{"action": "insert"}])
+    # full-clause MERGE now composes with BY DEFAULT identity (r9):
+    # the insert arm's NULL slot is engine-assigned past the high water
+    t.merge_full(spark.createDataFrame(
+        [(None, "d", 4)], "id long, grp string, v int"), "grp",
+        when_not_matched=[{"action": "insert", "values": "*"}])
+    got = sorted((r["grp"], r["id"], r["v"]) for r in t.read().collect())
+    assert got == [("a", 1, 12), ("b", 2, 20), ("c", 3, 30), ("d", 4, 4)]
 
 
 # -- r8: row tracking ---------------------------------------------------------
@@ -4227,3 +4229,319 @@ def test_copy_into_respects_explicit_header_false(spark, tdir, tmp_path):
     t2.copy_into(str(land2), "csv", options={"inferSchema": "true"})
     assert [(r["k"], r["grp"], r["v"]) for r in t2.read().collect()] == \
         [(1, "a", 10)]
+
+
+# -- r9: MERGE schema evolution + identity composition ------------------------
+
+def test_merge_full_schema_evolution(spark, tdir):
+    """WITH SCHEMA EVOLUTION: source columns absent from the target
+    evolve the schema in the SAME commit (appended nullable) — updated
+    and inserted rows materialize values, pre-evolution rows and
+    untouched segments read typed NULL, and time travel to before the
+    merge lacks the column entirely."""
+    t = TxLogTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+        .repartition(3, "k"))
+    src = spark.createDataFrame([(2, "B", 200, "hot"), (9, "i", 90, "new")],
+                                "k int, grp string, v int, note string")
+    v = t.merge_full(
+        src, "k",
+        when_matched=[{"action": "update", "set": "*"}],
+        when_not_matched=[{"action": "insert", "values": "*"}],
+        schema_evolution=True)
+    got = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert got == {1: (10, None), 2: (200, "hot"),
+                   3: (30, None), 9: (90, "new")}
+    assert "note" in [f.name for f in t.read().schema.fields]
+    # time travel: the pre-merge snapshot has no such column
+    assert "note" not in t.read(version=v - 1).columns
+    # explicit SET may bind the evolved column too
+    t.merge_full(spark.createDataFrame([(1, "x")], "k int, note string"),
+                 "k",
+                 when_matched=[{"action": "update",
+                                "set": {"note": "s.note"}}],
+                 schema_evolution=False)
+    got = {r["k"]: r["note"] for r in t.read().collect()}
+    assert got[1] == "x" and got[3] is None
+
+
+def test_merge_full_without_evolution_ignores_extra_columns(spark, tdir):
+    """Default posture (no evolution): extra source columns are ignored
+    on star actions, and explicit SET/VALUES of an unknown column still
+    raises — the schema never changes implicitly."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    src = spark.createDataFrame([(1, "A", 11, "zz"), (2, "b", 22, "yy")],
+                                "k int, grp string, v int, note string")
+    t.merge_full(src, "k",
+                 when_matched=[{"action": "update", "set": "*"}],
+                 when_not_matched=[{"action": "insert", "values": "*"}])
+    assert "note" not in t.read().columns
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 11, 2: 22}
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_full(src, "k", when_matched=[
+            {"action": "update", "set": {"note": "s.note"}}])
+
+
+def test_merge_evolution_respects_mapping_guards(spark, tdir):
+    """The evolution path reuses append's guards: in name mapping mode a
+    column whose name is retired (DROPped) or in use as a renamed
+    column's physical name refuses loudly instead of corrupting reads."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                          column_mapping_mode="name")
+    t.rename_column("grp", "label")
+    # "grp" is the physical name behind "label": evolving it back in
+    # would alias two logical columns onto one physical name
+    src = spark.createDataFrame([(2, "b", 20, "x")],
+                                "k int, label string, v int, grp string")
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        t.merge_full(src, "k",
+                     when_not_matched=[{"action": "insert", "values": "*"}],
+                     schema_evolution=True)
+    t.drop_column("label")
+    # dropping "label" retires its PHYSICAL name "grp"; evolving a new
+    # "grp" back in would resurrect the dropped column's stale data
+    src2 = spark.createDataFrame([(2, "x", 20)],
+                                 "k int, grp string, v int")
+    with pytest.raises(ValueError, match="re-introduce"):
+        t.merge_full(src2, "k",
+                     when_not_matched=[{"action": "insert", "values": "*"}],
+                     schema_evolution=True)
+
+
+def test_merge_full_by_default_identity(spark, tdir):
+    """Full-clause MERGE composes with GENERATED BY DEFAULT identity:
+    insert-arm rows with absent/NULL id slots are engine-assigned past
+    the high-water mark, SET * keeps the matched target row's id, SET of
+    an identity column refuses, and GENERATED ALWAYS still refuses."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 10), ("b", 20)], "grp string, v int"),
+        identity_columns={"id": {"start": 1, "step": 1,
+                                 "always": False}})
+    ids0 = {r["grp"]: r["id"] for r in t.read().collect()}
+    assert sorted(ids0.values()) == [1, 2]
+    # source omits the id column entirely: update keeps ids, insert
+    # assigns fresh ones past the high-water mark
+    src = spark.createDataFrame([("a", 100), ("c", 30), ("d", 40)],
+                                "grp string, v int")
+    t.merge_full(src, "grp",
+                 when_matched=[{"action": "update", "set": "*"}],
+                 when_not_matched=[{"action": "insert", "values": "*"}])
+    rows = {r["grp"]: (r["id"], r["v"]) for r in t.read().collect()}
+    assert rows["a"] == (ids0["a"], 100), "SET * keeps the target id"
+    assert rows["b"] == (ids0["b"], 20)
+    new_ids = sorted(rows[g][0] for g in ("c", "d"))
+    assert new_ids == [3, 4], "insert-arm ids continue past high water"
+    assert len({i for i, _ in rows.values()}) == 4, "ids stay unique"
+    # explicit NULL slots in a carried id column engine-assign too
+    src2 = spark.createDataFrame([(None, "e", 50), (99, "f", 60)],
+                                 "id long, grp string, v int")
+    t.merge_full(src2, "grp",
+                 when_not_matched=[{"action": "insert", "values": "*"}])
+    rows = {r["grp"]: r["id"] for r in t.read().collect()}
+    assert rows["f"] == 99 and rows["e"] == 5
+    # a later engine assignment never collides with the explicit 99
+    t.merge_full(spark.createDataFrame([("g", 70)], "grp string, v int"),
+                 "grp",
+                 when_not_matched=[{"action": "insert", "values": "*"}])
+    rows = {r["grp"]: r["id"] for r in t.read().collect()}
+    assert rows["g"] == 100 and len(set(rows.values())) == 7
+    # SET of the identity column refuses
+    with pytest.raises(ValueError, match="identity column"):
+        t.merge_full(src, "grp", when_matched=[
+            {"action": "update", "set": {"id": "1"}}])
+    # GENERATED ALWAYS refuses the statement outright
+    ta = TxLogTable.create(
+        spark, tdir + "_a",
+        spark.createDataFrame([("a", 1)], "grp string, v int"),
+        identity_columns={"id": {"start": 1, "step": 1}})
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        ta.merge_full(src, "grp",
+                      when_matched=[{"action": "delete"}])
+
+
+def test_merge_with_schema_evolution_sql_route(spark, tmp_path):
+    """Engine SQL: MERGE WITH SCHEMA EVOLUTION INTO … parses and routes
+    schema_evolution=True; without the clause the grammar keeps the
+    strict posture."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, str(tmp_path / "t"),
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    eng.register_txlog("evt", t)
+    spark.createDataFrame([(2, "B", 22, 7), (3, "c", 33, 8)],
+                          "k int, grp string, v int, score int") \
+        .createOrReplaceTempView("evs")
+    eng.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO evt AS t USING evs AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: (10, None), 2: (22, 7), 3: (33, 8)}
+
+
+# -- r9: SCD2 sequenced backfill ----------------------------------------------
+
+def test_scd2_backfill_splices_history(spark, tdir):
+    """allow_backfill=True accepts a below-frontier batch and SPLICES it:
+    the affected key's chain re-folds as if every event had arrived in
+    sequence order — existing bounds move, the spliced row lands between
+    its neighbors, other keys carry untouched; the immutability default
+    is unchanged (same batch refuses without the flag)."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(
+        spark, [(1, 10, 0, None), (2, 20, 0, None)]))
+    # build history: key 1 at seq 0 -> 4; key 2 untouched
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 14, 4, "update_postimage")]),
+        key="k", sequence_by="seq")
+    # late event at seq 2 (below the frontier 4): default refuses ...
+    late = _scd2_changes(spark, [(1, 12, 2, "update_postimage")])
+    with pytest.raises(ValueError, match="settled history"):
+        t.apply_changes_scd2(late, key="k", sequence_by="seq")
+    # ... backfill splices
+    v = t.apply_changes_scd2(late, key="k", sequence_by="seq",
+                             allow_backfill=True)
+    assert t.history()[-1]["op"] == "APPLY CHANGES SCD2 BACKFILL"
+    got = sorted((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [
+        (1, 10, 0, 2), (1, 12, 2, 4), (1, 14, 4, None),
+        (2, 20, 0, None),
+    ]
+    # time travel: pre-splice chain intact
+    pre = sorted((r["k"], r["v"], r["__END_AT"])
+                 for r in t.read(version=v - 1).collect())
+    assert pre == [(1, 10, 4), (1, 14, None), (2, 20, None)]
+
+
+def test_scd2_backfill_preserves_deletes_and_reopens(spark, tdir):
+    """The timeline reconstruction keeps delete events: a chain closed by
+    a delete (end with no successor start) stays closed through the
+    splice, and a backfilled event BEFORE the delete ends at the delete's
+    sequence rather than re-opening the key."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, []))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 10, 0, "insert"),
+                              (1, 0, 5, "delete"),
+                              (1, 17, 7, "insert")]),
+        key="k", sequence_by="seq")
+    base = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect())
+    assert base == [(10, 0, 5), (17, 7, None)]
+    # splice at seq 3: must end at the DELETE (5), not at 7
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 13, 3, "update_postimage")]),
+        key="k", sequence_by="seq", allow_backfill=True)
+    got = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [(10, 0, 3), (13, 3, 5), (17, 7, None)]
+    # a backfilled DELETE splices too: close (7, 9) then nothing re-opens
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 0, 9, "delete")]),
+        key="k", sequence_by="seq", allow_backfill=True)
+    got = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [(10, 0, 3), (13, 3, 5), (17, 7, 9)]
+
+
+def test_scd2_backfill_refusals_and_cow_scope(spark, tdir):
+    """A backfill sequence colliding with an existing event refuses
+    (splicing is ambiguous); keys NOT in the batch never rewrite (their
+    segments carry by reference); CDF emits exact splice images."""
+    lo = _scd2_df(spark, [(1, 10, 0, None)]).coalesce(1)
+    hi = _scd2_df(spark, [(9, 90, 0, None)]).coalesce(1)
+    t = TxLogTable.create(spark, tdir, lo, enable_cdf=True)
+    t.append(hi)
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 14, 4, "update_postimage")]),
+        key="k", sequence_by="seq")
+    with pytest.raises(ValueError, match="collides"):
+        t.apply_changes_scd2(
+            _scd2_changes(spark, [(1, 99, 4, "update_postimage")]),
+            key="k", sequence_by="seq", allow_backfill=True)
+    files_before = set(t._snapshot_files()[0])
+    v = t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 12, 2, "update_postimage")]),
+        key="k", sequence_by="seq", allow_backfill=True)
+    files_after = set(t._snapshot_files()[0])
+    assert files_before & files_after, \
+        "the k=9 segment (untouched key) must carry by reference"
+    ch = sorted((r["_change_type"], r["v"], r["__START_AT"])
+                for r in t.read_changes(v, v).collect())
+    # splice diffs: row (10,[0,4)) end moves to 2 (update pre+post),
+    # the spliced (12,[2,4)) row is an insert
+    assert ch == [("insert", 12, 2),
+                  ("update_postimage", 10, 0),
+                  ("update_preimage", 10, 0)]
+
+
+def test_scd2_backfill_row_tracking_ids_survive(spark, tdir):
+    """Row tracking × backfill: existing history rows keep their row ids
+    through the re-fold (even the row whose end bound moves); only the
+    spliced row reads a fresh id."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(
+        spark, [(1, 10, 0, None), (2, 20, 0, None)]),
+        row_tracking=True)
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 14, 4, "update_postimage")]),
+        key="k", sequence_by="seq")
+    ids0 = {(r["k"], r["v"]): r["_row_id"]
+            for r in t.read_with_row_ids().collect()}
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 12, 2, "update_postimage")]),
+        key="k", sequence_by="seq", allow_backfill=True)
+    ids1 = {(r["k"], r["v"]): r["_row_id"]
+            for r in t.read_with_row_ids().collect()}
+    for kv in ids0:
+        assert ids1[kv] == ids0[kv], f"row id changed for {kv}"
+    assert ids1[(1, 12)] not in set(ids0.values()), \
+        "the spliced row must read a fresh id"
+    assert len(set(ids1.values())) == len(ids1)
+
+
+# -- r9: DV density-triggered auto-REORG --------------------------------------
+
+def test_auto_reorg_on_dv_density(spark, tdir):
+    """txlog.autoReorg.maxDeletedRowsRatio: a DV commit that pushes a
+    file's tombstone fraction past the threshold triggers exactly ONE
+    REORG commit purging exactly THAT file's DVs — files below the
+    threshold keep theirs, reads stay correct, streams see no row ops."""
+    lo = _df(spark, [(i, "a", i * 10) for i in range(1, 11)]).coalesce(1)
+    hi = _df(spark, [(i, "b", i * 10) for i in range(100, 110)]).coalesce(1)
+    t = TxLogTable.create(spark, tdir, lo)
+    t.append(hi)
+    t.set_properties({"txlog.autoReorg.maxDeletedRowsRatio": "0.3"})
+    # below threshold everywhere: 1/10 of the lo file — no REORG
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    ops = [h["op"] for h in t.history()]
+    assert "REORG" not in ops
+    assert t.read().count() == 19
+    # cross the threshold on the lo file only (4/10 total tombstoned);
+    # hi file gets 1/10 — stays merge-on-read
+    t.delete_where(F.col("k").isin(2, 3, 4) | (F.col("k") == 100),
+                   use_dv=True)
+    hist = t.history()
+    assert [h["op"] for h in hist].count("REORG") == 1
+    assert hist[-1]["op"] == "REORG" and hist[-1]["filesRewritten"] == 1
+    _, _, dvs = t._snapshot_full()
+    assert len(dvs) == 1, "the hi file keeps its low-density DV"
+    assert sorted(r["k"] for r in t.read().collect()) == \
+        list(range(5, 11)) + list(range(101, 110))
+    # a DV UPDATE crossing the hi file's threshold purges it too
+    t.update_where({"v": "v + 1"},
+                   F.col("k").isin(101, 102, 103), use_dv=True)
+    _, _, dvs = t._snapshot_full()
+    assert not dvs, "auto-REORG drained the hi file's DVs"
+    assert sorted(r["k"] for r in t.read().collect()) == \
+        list(range(5, 11)) + list(range(101, 110))
+    # without the property: DVs accumulate (default behavior unchanged)
+    t2 = TxLogTable.create(spark, tdir + "_off",
+                           _df(spark, [(1, "a", 1), (2, "b", 2)]))
+    t2.delete_where(F.col("k") == 1, use_dv=True)
+    assert "REORG" not in [h["op"] for h in t2.history()]
+    _, _, dvs2 = t2._snapshot_full()
+    assert dvs2
