@@ -539,3 +539,66 @@ def test_sql_grammar_documented():
     missing = [name for name in routed if name not in doc]
     assert not missing, \
         f"SQL.md lacks routed statement form(s): {missing}"
+
+
+# -- r9: SCD2 backfill splice ≡ in-order arrival ------------------------------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
+                     min_size=1, max_size=3, unique_by=lambda t: t[0]),
+       events=cdc_events, salt=st.integers(0, 3))
+def test_scd2_backfill_equals_in_order_fold(spark, tmp_path_factory,
+                                            data, events, salt):
+    """The defining backfill contract: for ANY event set split into an
+    on-time batch and a LATE batch (arbitrary interleaving — the late
+    batch may hold sequences below the applied frontier), applying the
+    on-time batch normally and splicing the late batch with
+    allow_backfill=True must equal the pure sequential SCD2 fold of ALL
+    events in order."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"scd2bf_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, v, 0, None) for k, v in data],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    batch1 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 0]
+    batch2 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 1]
+    schema = "k int, v int, seq int, _change_type string"
+    if batch1:
+        t.apply_changes_scd2(spark.createDataFrame(batch1, schema),
+                             key="k", sequence_by="seq")
+    if batch2:
+        t.apply_changes_scd2(spark.createDataFrame(batch2, schema),
+                             key="k", sequence_by="seq",
+                             allow_backfill=True)
+    # pure-Python sequential fold over ALL events in order
+    hist: list[tuple[int, int, int, int | None]] = [
+        (k, v, 0, None) for k, v in data]
+    by_key: dict[int, list[tuple[int, int, str]]] = {}
+    for k, v, s, ct in rows:
+        by_key.setdefault(k, []).append((s, v, ct))
+    for k, evs in by_key.items():
+        evs.sort()
+        first = evs[0][0]
+        hist = [(kk, vv, st_, first if (kk == k and en is None) else en)
+                for kk, vv, st_, en in hist]
+        for i, (s, v, ct) in enumerate(evs):
+            if ct == "delete":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            hist.append((k, v, s, nxt))
+    key_fn = lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0)  # noqa: E731
+    assert sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                   for r in t.read().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
