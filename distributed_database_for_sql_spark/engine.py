@@ -33,13 +33,16 @@ from .catalog import register_views
 # exactly the DML shape the reference's replicated command strings carry
 # (/root/reference/src/raft/node.go:16-19 passes opaque SQL through the
 # log; here the statement lands on an ACID table instead of nowhere).
+_ON_EQS = r"\w+\.\w+\s*=\s*\w+\.\w+(?:\s+AND\s+\w+\.\w+\s*=\s*\w+\.\w+)*"
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+(?P<salias>\w+))?"
-    r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
+    r"\s+ON\s+(?P<on>" + _ON_EQS + r")"
     r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
     re.IGNORECASE)
+_ON_EQ_RE = re.compile(
+    r"^(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)$")
 
 # Full-clause MERGE (Delta's three-arm statement): ordered WHEN MATCHED
 # [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT MATCHED [AND cond] THEN
@@ -52,7 +55,7 @@ _MERGE_HEAD_RE = re.compile(
     r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
     r"INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+(?P<salias>\w+))?"
-    r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
+    r"\s+ON\s+(?P<on>" + _ON_EQS + r")"
     r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _MERGE_CLAUSE_START_RE = re.compile(
@@ -900,6 +903,36 @@ class Engine:
         version = t.append(df)
         return self._dml_ack(target, version)
 
+    @staticmethod
+    def _parse_on_keys(on_text: str, t_names: set, s_names: set,
+                       command: str) -> list[str]:
+        """Parse a MERGE ON clause of one or more AND-joined equalities
+        into the ordered key-column list.  Each equality must bind one
+        target-side and one source-side reference (case-insensitive
+        alias match) with the SAME column name on both sides."""
+        t_lower = {a.lower() for a in t_names}
+        s_lower = {a.lower() for a in s_names}
+        keys: list[str] = []
+        for part in re.split(r"\s+AND\s+", on_text.strip(),
+                             flags=re.IGNORECASE):
+            em = _ON_EQ_RE.match(part.strip())
+            if not em:
+                raise ValueError(
+                    f"unsupported MERGE ON term {part!r} in {command!r}")
+            sides = {em.group("q1").lower(): em.group("k1"),
+                     em.group("q2").lower(): em.group("k2")}
+            t_key = next((k for q, k in sides.items() if q in t_lower),
+                         None)
+            s_key = next((k for q, k in sides.items() if q in s_lower),
+                         None)
+            if t_key is None or s_key is None or t_key != s_key:
+                raise ValueError(
+                    f"unsupported MERGE ON clause in {command!r}: each "
+                    "term needs target.<key> = source.<key> with the "
+                    "same column name")
+            keys.append(t_key)
+        return keys
+
     def _merge_into(self, command: str, m: re.Match) -> DataFrame:
         g = m.groupdict()
         target, source = g["target"], g["source"]
@@ -909,15 +942,10 @@ class Engine:
                 "table (register_txlog first)")
         t_names = {target, (g["talias"] or target)}
         s_names = {source, (g["salias"] or source)}
-        sides = {g["q1"]: g["k1"], g["q2"]: g["k2"]}
-        t_key = next((k for q, k in sides.items() if q in t_names), None)
-        s_key = next((k for q, k in sides.items() if q in s_names), None)
-        if t_key is None or s_key is None or t_key != s_key:
-            raise ValueError(
-                f"unsupported MERGE ON clause in {command!r}: need "
-                "target.<key> = source.<key> with the same column name")
+        keys = self._parse_on_keys(g["on"], t_names, s_names, command)
         table = self.txlog_tables[target]
-        version = table.merge_upsert(self.spark.table(source), t_key)
+        version = table.merge_upsert(
+            self.spark.table(source), keys if len(keys) > 1 else keys[0])
         # keep subsequent SELECTs over the view consistent with the commit
         table.read().createOrReplaceTempView(target)
         return self.spark.createDataFrame(
@@ -959,13 +987,7 @@ class Engine:
                 "table (register_txlog first)")
         t_names = {target, (g["talias"] or target)}
         s_names = {source, (g["salias"] or source)}
-        sides = {g["q1"]: g["k1"], g["q2"]: g["k2"]}
-        t_key = next((k for q, k in sides.items() if q in t_names), None)
-        s_key = next((k for q, k in sides.items() if q in s_names), None)
-        if t_key is None or s_key is None or t_key != s_key:
-            raise ValueError(
-                f"unsupported MERGE ON clause in {command!r}: need "
-                "target.<key> = source.<key> with the same column name")
+        keys = self._parse_on_keys(g["on"], t_names, s_names, command)
 
         alias_re = re.compile(
             r"\b(" + "|".join(re.escape(a) for a in
@@ -1053,7 +1075,7 @@ class Engine:
                                     for c, v in zip(cols, vals)}})
         table = self.txlog_tables[target]
         version = table.merge_full(
-            self.spark.table(source), t_key,
+            self.spark.table(source), keys if len(keys) > 1 else keys[0],
             when_matched=matched, when_not_matched=not_matched,
             when_not_matched_by_source=by_source,
             schema_evolution=bool(g.get("evolve")))

@@ -135,21 +135,23 @@ def register(name: str, oracle: str | None = None,
 #       pack/split/quality/pii/tfidf/repetition, stream interval join,
 #       token histogram, dedup_rate_by_source).
 
-#   r9 window (below): close the certification ledger.  Positions 1-3:
+#   r9 window (below): close the certification ledger.  Positions 1-4:
 #       new in r9 (MERGE schema evolution, full-clause MERGE × BY
-#       DEFAULT identity, SCD2 sequenced backfill — certified the round
-#       they ship).  Positions 4-16: the thirteen r3-stale canaries the
-#       r8 new-query policy displaced (the ONLY queries whose latest
-#       driver green predates r4).  Positions 17-31: every r4-certified
-#       query.  After this window certifies: zero queries with latest
-#       green ≤ r4.  Positions 32-50: nineteen r5-certified canaries
-#       (oldest remaining, drawn across families).
+#       DEFAULT identity, SCD2 sequenced backfill, composite-key MERGE
+#       — certified the round they ship).  Positions 5-17: the thirteen
+#       r3-stale canaries the r8 new-query policy displaced (the ONLY
+#       queries whose latest driver green predates r4).  Positions
+#       18-32: every r4-certified query.  After this window certifies:
+#       zero queries with latest green ≤ r4.  Rest: eighteen
+#       r5-certified canaries (oldest remaining, drawn across
+#       families).
 
 _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r9 (policy: new queries certify the round they ship) --------
     "delta_merge_schema_evolution",  # MERGE WITH SCHEMA EVOLUTION
     "delta_merge_full_identity",     # three-arm MERGE × BY DEFAULT identity
     "delta_scd2_backfill",           # sequenced SCD2 late-history splice
+    "delta_merge_composite_key",     # MERGE on a multi-column key
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -199,7 +201,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sql_udf_scalar",
     "mv_incremental_refresh",
     "udf_pandas_over_window",
-    "stream_tumbling_window",
+    # stream_tumbling_window displaced by delta_merge_composite_key
+    # (new-query policy); it joins the r10 canary list.
 )
 
 

@@ -2685,3 +2685,80 @@ def delta_scd2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("__START_AT").alias("start_at"),
                     F.col("__END_AT").alias("end_at"))
             .orderBy("k", "start_at"))
+
+
+@register(
+    "delta_merge_composite_key",
+    # Composite-key MERGE certified value-exactly: the oracle recomputes
+    # the post-merge state from raw lineitem on the natural two-column
+    # PK (l_orderkey, l_linenumber) — a hash match proves matching
+    # resolves on the PAIR (rows sharing only one key column are
+    # distinct keys), through the SQL route's AND-joined ON clause.
+    # the synthetic lineitem does not enforce the PK, so both sides
+    # reduce to one row per pair first (MIN per column — deterministic)
+    oracle="""
+    WITH final AS (
+      SELECT l_orderkey, l_linenumber,
+             MIN(CAST(l_quantity AS BIGINT)) AS qty,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS cents
+      FROM lineitem WHERE l_orderkey <= 300
+      GROUP BY l_orderkey, l_linenumber
+      UNION ALL
+      SELECT l_orderkey, l_linenumber,
+             MIN(CAST(l_quantity AS BIGINT)) + 1,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) + 7
+      FROM lineitem WHERE l_orderkey > 300 AND l_orderkey <= 900
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_linenumber,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(qty) AS BIGINT)   AS total_qty,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+    tags=("acid", "delta", "merge", "composite-key", "sql", "engine"),
+)
+def delta_merge_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on a COMPOSITE key — TPC-H lineitem's natural two-column
+    primary key (l_orderkey, l_linenumber), the shape real CDC feeds
+    have.  The ON clause carries AND-joined equalities; matching
+    resolves on the full pair (one shared column is NOT a match), the
+    commit records per-column keyRanges for concurrent-writer conflict
+    detection, and copy-on-write still rewrites only segments holding a
+    matched pair."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("bigint")
+    qty = F.col("l_quantity").cast("long")
+    # the synthetic lineitem does not enforce the PK: reduce to one row
+    # per (l_orderkey, l_linenumber) deterministically (MIN per column)
+    base = (li.filter(F.col("l_orderkey") <= 600)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(F.min(qty).alias("qty"), F.min(cents).alias("cents"))
+            .repartition(4, "l_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("mergeck", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("ck_lineitem", t)
+    (li.filter((F.col("l_orderkey") > 300) & (F.col("l_orderkey") <= 900))
+     .groupBy("l_orderkey", "l_linenumber")
+     .agg((F.min(qty) + 1).alias("qty"),
+          (F.min(cents) + 7).alias("cents"))
+     .createOrReplaceTempView("ck_src"))
+    engine.sql(
+        "MERGE INTO ck_lineitem AS t USING ck_src AS s "
+        "ON t.l_orderkey = s.l_orderkey "
+        "AND t.l_linenumber = s.l_linenumber "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    return (t.read()
+            .groupBy("l_linenumber")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("qty").alias("total_qty"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("l_linenumber"))

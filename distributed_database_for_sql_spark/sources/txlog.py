@@ -2817,9 +2817,47 @@ class TxLogTable:
         df = self._read_active(version, only=kept)
         return df.filter(residual) if residual is not None else df
 
-    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+    @staticmethod
+    def _key_list(key) -> list[str]:
+        """Normalize a merge/CDC key spec: one column name or a list of
+        them (composite keys — TPC-H lineitem's (l_orderkey,
+        l_linenumber) shape)."""
+        return [key] if isinstance(key, str) else list(key)
+
+    def _key_range_stats(self, df: DataFrame, keys: list[str],
+                         what: str) -> list[dict]:
+        """One aggregate over the batch: duplicate-key refusal (count vs
+        distinct over the composite) + per-column min/max ranges for the
+        commit's OCC record.  Returns the keyRanges list."""
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+                .alias("nd")]
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        stats = df.agg(*aggs).collect()[0]
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"{what} source has duplicate keys on {keys!r}: "
+                f"{stats['n']} rows but {stats['nd']} distinct keys — "
+                "like Delta MERGE with multiple source matches, this is "
+                "ambiguous; de-duplicate the updates first")
+        return [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                 "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+
+    @staticmethod
+    def _key_range_commit(key_range) -> dict:
+        """Commit-record fragment for the OCC key range(s): single-key
+        commits keep the original ``keyRange`` field; composite keys
+        record ``keyRanges`` (one per column — conflict detection is
+        per-column and conservative: overlap on any shared column reads
+        as a conflict)."""
+        return ({"keyRange": key_range} if isinstance(key_range, dict)
+                else {"keyRanges": key_range})
+
+    def merge_upsert(self, updates: DataFrame, key) -> int:
         """Copy-on-write MERGE (upsert): rows of ``updates`` replace
-        same-key rows; unmatched update rows are inserted.
+        same-key rows; unmatched update rows are inserted.  ``key``:
+        one column name or a list (composite key).
 
         Only segments that contain at least one matched key are rewritten:
         a semi-join of the snapshot against the update keys (broadcast —
@@ -2857,33 +2895,27 @@ class TxLogTable:
                     "engine-assigned slots)")
         base_version = self.latest_version()
         files, _ = self._snapshot_files()
-        stats = updates.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("nd"),
-            F.min(key).alias("mn"),
-            F.max(key).alias("mx")).collect()[0]
-        if stats["n"] != stats["nd"]:
-            raise ValueError(
-                f"MERGE source has duplicate keys on {key!r}: "
-                f"{stats['n']} rows but {stats['nd']} distinct keys — "
-                "like Delta MERGE with multiple source matches, this is "
-                "ambiguous; de-duplicate the updates first")
-        key_range = {"column": key, "min": _json_key(stats["mn"]),
-                     "max": _json_key(stats["mx"])}
+        keys = self._key_list(key)
+        missing_keys = [k for k in keys if k not in updates.columns]
+        if missing_keys:
+            raise ValueError(f"MERGE source lacks key column(s) "
+                             f"{missing_keys}")
+        ranges = self._key_range_stats(updates, keys, "MERGE")
+        key_range = ranges[0] if len(ranges) == 1 else ranges
         # CHECK constraints gate the incoming rows only — carried-over
         # segment rows already passed at their own write time.
         updates = self._apply_generated(updates)
         updates, ident_actions, ident_cleanup = \
             self._assign_identity(updates)
         self._validate_constraints(updates)
-        upd_keys = updates.select(key).distinct()
+        upd_keys = updates.select(*keys).distinct()
         touched: list[str] = []
         if files:
             # DV-applied base: rows already deleted by a deletion vector
             # must neither match (touch a file) nor survive a rewrite.
             base = self._read_active(with_file=True)
             touched_rows = (
-                base.join(F.broadcast(upd_keys), key, "left_semi")
+                base.join(F.broadcast(upd_keys), keys, "left_semi")
                 .select("_file").distinct().collect()
             )
             touched = sorted(r["_file"] for r in touched_rows)
@@ -2891,15 +2923,15 @@ class TxLogTable:
             # mergeSchema + allowMissingColumns: rewriting a pre-evolution
             # segment must not drop (or trip over) columns added later.
             seg = self._read_active_tracked(only=touched)
-            keep_base = seg.join(F.broadcast(upd_keys), key, "left_anti")
+            keep_base = seg.join(F.broadcast(upd_keys), keys, "left_anti")
             write_updates = updates
             if self._row_tracking_enabled():
                 # an updated row keeps the matched target row's id (it is
                 # the same logical row); the insert arm stays NULL __rid
                 # and reads fresh base+position ids
-                idmap = (seg.join(F.broadcast(upd_keys), key, "left_semi")
-                         .select(key, "__rid"))
-                write_updates = updates.join(F.broadcast(idmap), key,
+                idmap = (seg.join(F.broadcast(upd_keys), keys, "left_semi")
+                         .select(*keys, "__rid"))
+                write_updates = updates.join(F.broadcast(idmap), keys,
                                              "left")
             merged = keep_base.unionByName(write_updates,
                                            allowMissingColumns=True)
@@ -2913,11 +2945,11 @@ class TxLogTable:
             ct = F.lit("insert")
             if touched:
                 pre = (self._read_active(only=touched)
-                       .join(F.broadcast(upd_keys), key, "left_semi"))
-                matched_keys = pre.select(key).distinct()
-                post = updates.join(F.broadcast(matched_keys), key,
+                       .join(F.broadcast(upd_keys), keys, "left_semi"))
+                matched_keys = pre.select(*keys).distinct()
+                post = updates.join(F.broadcast(matched_keys), keys,
                                     "left_semi")
-                ins = updates.join(F.broadcast(matched_keys), key,
+                ins = updates.join(F.broadcast(matched_keys), keys,
                                    "left_anti")
                 changes = (
                     pre.withColumn("_change_type",
@@ -2941,7 +2973,7 @@ class TxLogTable:
             [{"commit": {"op": "MERGE", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
-                         "keyRange": key_range}}]
+                         **self._key_range_commit(key_range)}}]
             + ident_actions
             + self._schema_evolution_action(updates)
             + [{"remove": {"path": p}} for p in rel_removed]
@@ -2951,7 +2983,7 @@ class TxLogTable:
         return self._commit_with_occ(actions, rel_removed, base_version,
                                      key_range=key_range)
 
-    def merge_full(self, source: DataFrame, key: str,
+    def merge_full(self, source: DataFrame, key,
                    when_matched: list[dict] | tuple = (),
                    when_not_matched: list[dict] | tuple = (),
                    when_not_matched_by_source: list[dict] | tuple = (),
@@ -3027,8 +3059,11 @@ class TxLogTable:
         for cl in when_not_matched:
             if cl.get("action") != "insert":
                 raise ValueError(f"bad NOT MATCHED clause: {cl!r}")
-        if key not in source.columns:
-            raise ValueError(f"MERGE source lacks key column {key!r}")
+        keys = self._key_list(key)
+        missing_keys = [k for k in keys if k not in source.columns]
+        if missing_keys:
+            raise ValueError(
+                f"MERGE source lacks key column(s) {missing_keys}")
         base_version = self.latest_version()
         _, schema_json = self._snapshot_files()
         schema = T.StructType.fromJson(json.loads(schema_json))
@@ -3043,19 +3078,8 @@ class TxLogTable:
                           if f.name not in have and f.name != "__rid"]
             schema = T.StructType(list(schema.fields) + new_fields)
         tcols = [f.name for f in schema.fields]
-        stats = source.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("nd"),
-            F.min(key).alias("mn"),
-            F.max(key).alias("mx")).collect()[0]
-        if stats["n"] != stats["nd"]:
-            raise ValueError(
-                f"MERGE source has duplicate keys on {key!r}: "
-                f"{stats['n']} rows but {stats['nd']} distinct keys — "
-                "like Delta MERGE with multiple source matches, this is "
-                "ambiguous; de-duplicate the updates first")
-        key_range = {"column": key, "min": _json_key(stats["mn"]),
-                     "max": _json_key(stats["mx"])}
+        ranges = self._key_range_stats(source, keys, "MERGE")
+        key_range = ranges[0] if len(ranges) == 1 else ranges
 
         def clause_cond(cl) -> "F.Column":
             c = cl.get("condition")
@@ -3066,7 +3090,7 @@ class TxLogTable:
         # -1 = carry unchanged).  A by-source condition referencing s.*
         # evaluates NULL there and correctly never fires.
         src_struct = source.select(
-            F.col(key).alias("_mk"),
+            F.struct(*[F.col(k) for k in keys]).alias("_mk"),
             F.struct(*[F.col(c) for c in source.columns]).alias("s"),
             F.lit(True).alias("_m"))
         if self._row_tracking_enabled():
@@ -3083,7 +3107,8 @@ class TxLogTable:
             # evolved columns read typed NULL on every pre-evolution row
             base = base.withColumns({f.name: F.lit(None).cast(f.dataType)
                                      for f in new_fields})
-        tsel = [F.col("_file"), F.col(key).alias("_mk"),
+        tsel = [F.col("_file"),
+                F.struct(*[F.col(k) for k in keys]).alias("_mk"),
                 F.struct(*[F.col(c) for c in tcols]).alias("t")]
         if "__rid" in base.columns:
             tsel.append(F.col("__rid"))
@@ -3163,10 +3188,11 @@ class TxLogTable:
 
         inserts = None
         if when_not_matched:
-            matched_keys = (base.select(F.col(key))
-                            .join(F.broadcast(source.select(key).distinct()),
-                                  key, "left_semi").distinct())
-            s_f = (source.join(matched_keys, key, "left_anti")
+            matched_keys = (base.select(*keys)
+                            .join(F.broadcast(
+                                source.select(*keys).distinct()),
+                                keys, "left_semi").distinct())
+            s_f = (source.join(matched_keys, keys, "left_anti")
                    .select(F.struct(*[F.col(c) for c in source.columns])
                            .alias("s")))
             e = None
@@ -3261,7 +3287,7 @@ class TxLogTable:
             [{"commit": {"op": "MERGE", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
-                         "keyRange": key_range,
+                         **self._key_range_commit(key_range),
                          "clauses": {
                              "matched": len(when_matched),
                              "notMatched": len(when_not_matched),
@@ -3955,7 +3981,7 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
-    def apply_changes(self, changes: DataFrame, key: str,
+    def apply_changes(self, changes: DataFrame, key,
                       sequence_by: str,
                       change_type_col: str = "_change_type",
                       txn_app_id: str | None = None,
@@ -3993,18 +4019,19 @@ class TxLogTable:
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
         cols = changes.columns
-        for c in (key, sequence_by, change_type_col):
+        keys = self._key_list(key)
+        for c in (*keys, sequence_by, change_type_col):
             if c not in cols:
                 raise ValueError(f"apply_changes: column {c!r} missing "
                                  "from the change batch")
         base_version = self.latest_version()
-        dup = (changes.groupBy(key, sequence_by).count()
+        dup = (changes.groupBy(*keys, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
             raise ValueError(
                 "apply_changes: duplicate (key, sequence) in the batch — "
                 "sequencing is ambiguous; deduplicate upstream")
-        winners = (changes.groupBy(key)
+        winners = (changes.groupBy(*keys)
                    .agg(F.max_by(F.struct(*[F.col(c) for c in cols]),
                                  F.col(sequence_by)).alias("__w"))
                    .select("__w.*"))
@@ -4014,27 +4041,30 @@ class TxLogTable:
         ups = self._apply_generated(ups)
         ups, ident_actions, ident_cleanup = self._assign_identity(ups)
         self._validate_constraints(ups)
-        wkeys = winners.select(key).distinct()
-        stats = wkeys.agg(F.min(key).alias("mn"),
-                          F.max(key).alias("mx")).collect()[0]
-        key_range = {"column": key, "min": _json_key(stats["mn"]),
-                     "max": _json_key(stats["mx"])}
+        wkeys = winners.select(*keys).distinct()
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        stats = wkeys.agg(*aggs).collect()[0]
+        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        key_range = ranges[0] if len(ranges) == 1 else ranges
         # exactly the segments holding any winner key (DV-applied read)
         base = self._read_active(with_file=True)
         touched = sorted(
             r["_file"] for r in
-            base.join(F.broadcast(wkeys), key, "left_semi")
+            base.join(F.broadcast(wkeys), keys, "left_semi")
             .select("_file").distinct().collect())
         if touched:
             seg = self._read_active_tracked(only=touched)
-            keep_base = seg.join(F.broadcast(wkeys), key, "left_anti")
+            keep_base = seg.join(F.broadcast(wkeys), keys, "left_anti")
             write_ups = ups
             if self._row_tracking_enabled():
                 # upserted rows of EXISTING keys keep their row ids;
                 # inserted keys stay NULL __rid → fresh base+position
-                idmap = (seg.join(F.broadcast(wkeys), key, "left_semi")
-                         .select(key, "__rid"))
-                write_ups = ups.join(F.broadcast(idmap), key, "left")
+                idmap = (seg.join(F.broadcast(wkeys), keys, "left_semi")
+                         .select(*keys, "__rid"))
+                write_ups = ups.join(F.broadcast(idmap), keys, "left")
             merged = keep_base.unionByName(write_ups,
                                            allowMissingColumns=True)
         else:
@@ -4043,25 +4073,25 @@ class TxLogTable:
         cdf_actions: list[dict] = []
         if self.enable_cdf:
             dkeys = (winners.filter(F.col(change_type_col) == "delete")
-                     .select(key).distinct())
+                     .select(*keys).distinct())
             pre = (self._read_active(only=touched)
-                   .join(F.broadcast(wkeys), key, "left_semi")
+                   .join(F.broadcast(wkeys), keys, "left_semi")
                    if touched else None)
             pieces = []
             if pre is not None:
                 pieces.append(
-                    pre.join(F.broadcast(dkeys), key, "left_semi")
+                    pre.join(F.broadcast(dkeys), keys, "left_semi")
                     .withColumn("_change_type", F.lit("delete")))
-                matched = pre.join(F.broadcast(dkeys), key, "left_anti")
+                matched = pre.join(F.broadcast(dkeys), keys, "left_anti")
                 pieces.append(matched.withColumn(
                     "_change_type", F.lit("update_preimage")))
-                mkeys = matched.select(key).distinct()
+                mkeys = matched.select(*keys).distinct()
                 pieces.append(
-                    ups.join(F.broadcast(mkeys), key, "left_semi")
+                    ups.join(F.broadcast(mkeys), keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_postimage")))
                 pieces.append(
-                    ups.join(F.broadcast(mkeys), key, "left_anti")
+                    ups.join(F.broadcast(mkeys), keys, "left_anti")
                     .withColumn("_change_type", F.lit("insert")))
             else:
                 pieces.append(ups.withColumn("_change_type",
@@ -4083,7 +4113,7 @@ class TxLogTable:
             [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
-                         "keyRange": key_range}}]
+                         **self._key_range_commit(key_range)}}]
             + txn_actions
             + ident_actions
             + self._schema_evolution_action(ups)
@@ -4096,7 +4126,7 @@ class TxLogTable:
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
 
-    def apply_changes_scd2(self, changes: DataFrame, key: str,
+    def apply_changes_scd2(self, changes: DataFrame, key,
                            sequence_by: str,
                            change_type_col: str = "_change_type",
                            start_col: str = "__START_AT",
@@ -4156,7 +4186,8 @@ class TxLogTable:
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
         cols = changes.columns
-        for c in (key, sequence_by, change_type_col):
+        keys = self._key_list(key)
+        for c in (*keys, sequence_by, change_type_col):
             if c not in cols:
                 raise ValueError(f"apply_changes_scd2: column {c!r} "
                                  "missing from the change batch")
@@ -4176,7 +4207,7 @@ class TxLogTable:
                     f"column {c!r}; create it with {start_col}/{end_col} "
                     "(sequence-typed, end NULL = current)")
         seq_type = have[start_col]
-        dup = (changes.groupBy(key, sequence_by).count()
+        dup = (changes.groupBy(*keys, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
             raise ValueError(
@@ -4194,10 +4225,10 @@ class TxLogTable:
         seq = F.col(sequence_by).cast(seq_type)
         if allow_backfill:
             return self._scd2_splice(
-                changes, key, seq, change_type_col, start_col, end_col,
+                changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
                 txn_app_id, txn_version)
-        w = Window.partitionBy(key).orderBy(seq)
+        w = Window.partitionBy(*keys).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
         ev = changes.withColumn("__nxt", F.lead(seq).over(w))
@@ -4207,16 +4238,19 @@ class TxLogTable:
                             F.col("__nxt").alias(end_col)))
         new_rows, ident_actions, ident_cleanup = \
             self._assign_identity(new_rows)
-        firsts = changes.groupBy(key).agg(F.min(seq).alias("__first"))
-        stats = firsts.agg(F.min(key).alias("mn"),
-                           F.max(key).alias("mx")).collect()[0]
-        key_range = {"column": key, "min": _json_key(stats["mn"]),
-                     "max": _json_key(stats["mx"])}
+        firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        stats = firsts.agg(*aggs).collect()[0]
+        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        key_range = ranges[0] if len(ranges) == 1 else ranges
 
         base = self._read_active(with_file=True)
         # frontier guard: rewriting settled history is refused loudly.
-        late = (base.select(key, F.col(start_col).alias("__fr"))
-                .join(F.broadcast(firsts), key)
+        late = (base.select(*keys, F.col(start_col).alias("__fr"))
+                .join(F.broadcast(firsts), keys)
                 .filter(F.col("__first") <= F.col("__fr"))
                 .limit(1).count())
         if late:
@@ -4228,7 +4262,7 @@ class TxLogTable:
         # only segments holding an OPEN row of a batch key are touched —
         # closed history never changes.
         open_hits = (base.filter(F.col(end_col).isNull())
-                     .join(F.broadcast(firsts.select(key)), key,
+                     .join(F.broadcast(firsts.select(*keys)), keys,
                            "left_semi"))
         touched = sorted(r["_file"] for r in
                          open_hits.select("_file").distinct().collect())
@@ -4241,12 +4275,12 @@ class TxLogTable:
             keep = (seg.filter(F.col(end_col).isNotNull())
                     .unionByName(
                         seg.filter(F.col(end_col).isNull())
-                        .join(F.broadcast(firsts.select(key)), key,
+                        .join(F.broadcast(firsts.select(*keys)), keys,
                               "left_anti")))
             closed_cols = target_cols + (
                 ["__rid"] if "__rid" in seg.columns else [])
             closed = (seg.filter(F.col(end_col).isNull())
-                      .join(F.broadcast(firsts), key)
+                      .join(F.broadcast(firsts), keys)
                       .withColumn(end_col, F.col("__first"))
                       .select(*closed_cols))
             merged = (keep.unionByName(closed)
@@ -4262,7 +4296,7 @@ class TxLogTable:
             if touched:
                 pre = (self._read_active(only=touched)
                        .filter(F.col(end_col).isNull())
-                       .join(F.broadcast(firsts.select(key)), key,
+                       .join(F.broadcast(firsts.select(*keys)), keys,
                              "left_semi"))
                 pieces.append(pre.withColumn(
                     "_change_type", F.lit("update_preimage")))
@@ -4286,7 +4320,7 @@ class TxLogTable:
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
-                         "keyRange": key_range}}]
+                         **self._key_range_commit(key_range)}}]
             + txn_actions
             + ident_actions
             + [{"remove": {"path": p}} for p in rel_removed]
@@ -4298,7 +4332,7 @@ class TxLogTable:
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
 
-    def _scd2_splice(self, changes: DataFrame, key: str, seq,
+    def _scd2_splice(self, changes: DataFrame, keys: list[str], seq,
                      change_type_col: str, start_col: str, end_col: str,
                      payload_cols: list[str], target_cols: list[str],
                      base_version: int, txn_app_id: str | None,
@@ -4330,33 +4364,37 @@ class TxLogTable:
         _, schema_json = self._snapshot_files()
         have = {f.name: f.dataType
                 for f in T.StructType.fromJson(json.loads(schema_json))}
-        keys = changes.select(key).distinct()
-        stats = keys.agg(F.min(key).alias("mn"),
-                         F.max(key).alias("mx")).collect()[0]
-        key_range = {"column": key, "min": _json_key(stats["mn"]),
-                     "max": _json_key(stats["mx"])}
+        kset = changes.select(*keys).distinct()
         base = self._read_active(with_file=True)
         touched = sorted(
             r["_file"] for r in
-            base.join(F.broadcast(keys), key, "left_semi")
+            base.join(F.broadcast(kset), keys, "left_semi")
             .select("_file").distinct().collect())
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        stats = kset.agg(*aggs).collect()[0]
+        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        key_range = ranges[0] if len(ranges) == 1 else ranges
         existing = carry = None
         rid: list[str] = []
         if touched:
             seg = self._read_active_tracked(only=touched)
             rid = ["__rid"] if "__rid" in seg.columns else []
-            carry = seg.join(F.broadcast(keys), key, "left_anti")
-            existing = seg.join(F.broadcast(keys), key, "left_semi")
+            carry = seg.join(F.broadcast(kset), keys, "left_anti")
+            existing = seg.join(F.broadcast(kset), keys, "left_semi")
 
         def null_payload(frame: DataFrame) -> list:
             return [F.lit(None).cast(have[c]).alias(c)
-                    for c in payload_cols if c != key]
+                    for c in payload_cols if c not in keys]
 
         events = (changes.filter(F.col(change_type_col) != "delete")
                   .select(*payload_cols, seq.alias("__seq"),
                           F.lit(False).alias("__del")))
         dels_new = (changes.filter(F.col(change_type_col) == "delete")
-                    .select(F.col(key), *null_payload(changes),
+                    .select(*[F.col(k) for k in keys],
+                            *null_payload(changes),
                             seq.alias("__seq"),
                             F.lit(True).alias("__del")))
         events = events.unionByName(dels_new)
@@ -4365,24 +4403,25 @@ class TxLogTable:
                 *payload_cols, F.col(start_col).alias("__seq"),
                 F.lit(False).alias("__del"), *rid)
             ends = existing.filter(F.col(end_col).isNotNull()).select(
-                F.col(key), F.col(end_col).alias("__seq"))
+                *[F.col(k) for k in keys], F.col(end_col).alias("__seq"))
             starts = existing.select(
-                F.col(key), F.col(start_col).alias("__seq"))
-            dels_exist = (ends.join(starts, [key, "__seq"], "left_anti")
-                          .select(F.col(key), *null_payload(existing),
+                *[F.col(k) for k in keys], F.col(start_col).alias("__seq"))
+            dels_exist = (ends.join(starts, [*keys, "__seq"], "left_anti")
+                          .select(*[F.col(k) for k in keys],
+                                  *null_payload(existing),
                                   F.col("__seq"),
                                   F.lit(True).alias("__del")))
             events = (events
                       .unionByName(ups_exist, allowMissingColumns=True)
                       .unionByName(dels_exist, allowMissingColumns=True))
-        dup = (events.groupBy(key, "__seq").count()
+        dup = (events.groupBy(*keys, "__seq").count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
             raise ValueError(
                 "SCD2 backfill: a batch sequence collides with an "
                 "existing event at the same (key, sequence) — splicing "
                 "is ambiguous; re-sequence the backfill batch")
-        w = Window.partitionBy(key).orderBy("__seq")
+        w = Window.partitionBy(*keys).orderBy("__seq")
         ev = events.withColumn("__nxt", F.lead("__seq").over(w))
         refold_cols = (payload_cols
                        + [F.col("__seq").alias(start_col),
@@ -4404,11 +4443,11 @@ class TxLogTable:
                     *[F.col(c).alias(f"o_{c}") for c in target_cols])
                 n = new_plain.select(
                     *[F.col(c).alias(f"n_{c}") for c in target_cols])
-                j = o.join(
-                    n, (F.col(f"o_{key}").eqNullSafe(F.col(f"n_{key}")))
-                    & (F.col(f"o_{start_col}")
-                       .eqNullSafe(F.col(f"n_{start_col}"))),
-                    "full_outer")
+                jc = F.col(f"o_{start_col}").eqNullSafe(
+                    F.col(f"n_{start_col}"))
+                for k in keys:
+                    jc = jc & F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
+                j = o.join(n, jc, "full_outer")
                 changed = j.filter(
                     F.col(f"o_{start_col}").isNotNull()
                     & F.col(f"n_{start_col}").isNotNull()
@@ -4439,7 +4478,7 @@ class TxLogTable:
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
-                         "keyRange": key_range}}]
+                         **self._key_range_commit(key_range)}}]
             + txn_actions
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
@@ -4450,7 +4489,7 @@ class TxLogTable:
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
 
-    def cdc_sink(self, app_id: str, key: str, sequence_by: str,
+    def cdc_sink(self, app_id: str, key, sequence_by: str,
                  scd_type: int = 1):
         """foreachBatch writer applying CDC micro-batches exactly once —
         ``streaming_sink``'s shape for APPLY CHANGES: Structured

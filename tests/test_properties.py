@@ -530,7 +530,8 @@ def test_sql_grammar_documented():
         "_MERGE_CLAUSE_START_RE", "_MERGE_CLAUSE_RE",
         "_MERGE_ACT_UPDATE_STAR_RE", "_MERGE_ACT_UPDATE_RE",
         "_MERGE_ACT_DELETE_RE", "_MERGE_ACT_INSERT_STAR_RE",
-        "_MERGE_ACT_INSERT_RE", "_PROP_KV_RE", "_PROP_KEY_RE",
+        "_MERGE_ACT_INSERT_RE", "_ON_EQ_RE",
+        "_PROP_KV_RE", "_PROP_KEY_RE",
     }
     routed = [m for m in _re.findall(r"^(_[A-Z_]+_RE) = re\.compile",
                                      eng, _re.MULTILINE)

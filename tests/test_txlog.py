@@ -4545,3 +4545,118 @@ def test_auto_reorg_on_dv_density(spark, tdir):
     assert "REORG" not in [h["op"] for h in t2.history()]
     _, _, dvs2 = t2._snapshot_full()
     assert dvs2
+
+
+# -- r9: composite merge / CDC keys -------------------------------------------
+
+def test_merge_upsert_composite_key(spark, tdir):
+    """merge_upsert on a list of key columns: rows matching on ALL key
+    columns update, others insert; two rows sharing only one key column
+    are distinct keys; duplicate-composite sources refuse; the commit
+    records per-column keyRanges for OCC."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 1, 10), (1, 2, 20), (2, 1, 30)],
+                              "a int, b int, v int"))
+    t.merge_upsert(
+        spark.createDataFrame([(1, 2, 99), (2, 2, 40)],
+                              "a int, b int, v int"), ["a", "b"])
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, 1, 10), (1, 2, 99), (2, 1, 30), (2, 2, 40)]
+    last = t.history()[-1]
+    assert [r["column"] for r in last["keyRanges"]] == ["a", "b"]
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, 1, 5), (1, 1, 6)],
+                                  "a int, b int, v int"), ["a", "b"])
+    with pytest.raises(ValueError, match="lacks key"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, 5)], "a int, v int"), ["a", "b"])
+
+
+def test_merge_full_composite_key(spark, tdir):
+    """Full-clause MERGE on a composite key: matched/not-matched/by-
+    source arms all resolve on the (a, b) pair."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 1, 10), (1, 2, 20), (2, 1, 30)],
+                              "a int, b int, v int"))
+    src = spark.createDataFrame([(1, 2, 200), (3, 1, 50)],
+                                "a int, b int, v int")
+    t.merge_full(
+        src, ["a", "b"],
+        when_matched=[{"action": "update", "condition": "s.v > t.v",
+                       "set": {"v": "s.v"}}],
+        when_not_matched=[{"action": "insert", "values": "*"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.a = 2"}])
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, 1, 10), (1, 2, 200), (3, 1, 50)]
+
+
+def test_apply_changes_composite_key(spark, tdir):
+    """Both CDC folds on composite keys: SCD1 highest-sequence-wins per
+    (a, b); SCD2 chains + backfill splice per (a, b)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 1, 10), (1, 2, 20)],
+                              "a int, b int, v int"))
+    t.apply_changes(
+        spark.createDataFrame(
+            [(1, 1, 11, 2, "update_postimage"),
+             (1, 1, 99, 1, "update_postimage"),   # stale, loses
+             (1, 2, 0, 1, "delete"),
+             (2, 2, 40, 1, "insert")],
+            "a int, b int, v int, seq int, _change_type string"),
+        key=["a", "b"], sequence_by="seq")
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, 1, 11), (2, 2, 40)]
+    # SCD2 with a composite key, including a backfill splice
+    t2 = TxLogTable.create(
+        spark, tdir + "_s2",
+        spark.createDataFrame(
+            [(1, 1, 10, 0, None), (1, 2, 20, 0, None)],
+            "a int, b int, v int, __START_AT int, __END_AT int"))
+    sch = "a int, b int, v int, seq int, _change_type string"
+    t2.apply_changes_scd2(
+        spark.createDataFrame([(1, 1, 14, 4, "update_postimage")], sch),
+        key=["a", "b"], sequence_by="seq")
+    t2.apply_changes_scd2(
+        spark.createDataFrame([(1, 1, 12, 2, "update_postimage")], sch),
+        key=["a", "b"], sequence_by="seq", allow_backfill=True)
+    got = sorted((r["a"], r["b"], r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t2.read().collect())
+    assert got == [(1, 1, 10, 0, 2), (1, 1, 12, 2, 4),
+                   (1, 1, 14, 4, None), (1, 2, 20, 0, None)]
+
+
+def test_merge_composite_key_sql_route(spark, tmp_path):
+    """Both MERGE grammars accept AND-joined ON equalities and route the
+    ordered composite key list; mixed-term clauses still refuse."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, 1, 10), (1, 2, 20)],
+                              "a int, b int, v int"))
+    eng.register_txlog("ck", t)
+    spark.createDataFrame([(1, 2, 99), (3, 3, 30)], "a int, b int, v int") \
+        .createOrReplaceTempView("cks")
+    eng.sql("MERGE INTO ck AS t USING cks AS s "
+            "ON t.a = s.a AND t.b = s.b "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, 1, 10), (1, 2, 99), (3, 3, 30)]
+    # full grammar with a clause condition on the composite key
+    eng.sql("MERGE INTO ck AS t USING cks AS s "
+            "ON t.a = s.a AND t.b = s.b "
+            "WHEN MATCHED AND s.v < t.v THEN DELETE")
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, 1, 10), (1, 2, 99), (3, 3, 30)]
+    # a term binding the same side twice refuses
+    with pytest.raises(ValueError, match="ON"):
+        eng.sql("MERGE INTO ck AS t USING cks AS s "
+                "ON t.a = t.a AND t.b = s.b "
+                "WHEN MATCHED THEN UPDATE SET *")
