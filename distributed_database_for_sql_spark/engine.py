@@ -146,6 +146,7 @@ _TABLE_CHANGES_RE = re.compile(
 # unreferenced files; DRY RUN lists candidates and touches nothing.
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>\w+)"
+    r"(?:\s+(?P<lite>LITE))?"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE)
@@ -218,6 +219,20 @@ _DROP_DEFAULT_RE = re.compile(
     r"(?P<name>\w+)\s+DROP\s+DEFAULT\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
+# on-disk state is provably absent (live DVs refuse; REORG PURGE first).
+_DROP_FEATURE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+DROP\s+FEATURE\s+"
+    r"(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+
+# ALTER TABLE t ALTER COLUMN c SET NOT NULL / DROP NOT NULL — column
+# invariant: SET validates existing data (one scan, refused on NULLs),
+# then every write enforces it; DROP is metadata-only.
+_NOT_NULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<name>\w+)\s+(?P<action>SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
+    re.IGNORECASE)
+
 # ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE — liquid-clustering
 # metadata; plain OPTIMIZE re-clusters on the recorded columns.
 _CLUSTER_BY_RE = re.compile(
@@ -268,11 +283,16 @@ _BEGIN_RE = re.compile(r"^\s*BEGIN\s*(?:;|$)", re.IGNORECASE)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
 
-# CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n] — zero-copy clone
-# of a registered txlog table; dest registers under the new name, rooted
-# next to the source (dir name = dest table name).
+# CREATE [OR REPLACE] TABLE dest (SHALLOW|DEEP) CLONE src [VERSION AS OF n]
+# — clone of a registered txlog table; dest registers under the new name,
+# rooted next to the source (dir name = dest table name).  SHALLOW is
+# zero-copy (by-reference); DEEP copies segment bytes executor-side.
+# CREATE OR REPLACE on an EXISTING pristine deep clone of the same source
+# is the Databricks re-clone idiom: it runs the INCREMENTAL refresh
+# (only segments new since the recorded sourceVersion are copied).
 _CLONE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<dest>\w+)\s+SHALLOW\s+CLONE\s+"
+    r"^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+(?P<dest>\w+)\s+"
+    r"(?P<mode>SHALLOW|DEEP)\s+CLONE\s+"
     r"(?P<src>\w+)(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
     re.IGNORECASE)
 
@@ -407,8 +427,8 @@ class Engine:
             retention = (float(hours) * 3600.0 if hours is not None
                          else 24 * 3600.0)
             dry = m.group("dry") is not None
-            removed = self.txlog_tables[target].vacuum(retention,
-                                                       dry_run=dry)
+            removed = self.txlog_tables[target].vacuum(
+                retention, dry_run=dry, lite=m.group("lite") is not None)
             return self.spark.createDataFrame(
                 [(target, len(removed), dry)],
                 "table_name string, files_removed long, dry_run boolean")
@@ -459,6 +479,21 @@ class Engine:
             target = m.group("target")
             version = self.txlog_tables[target].unset_column_default(
                 m.group("name"))
+            return self._dml_ack(target, version)
+        m = _DROP_FEATURE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            version = self.txlog_tables[target].drop_feature(
+                m.group("name"))
+            return self._dml_ack(target, version)
+        m = _NOT_NULL_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            t = self.txlog_tables[target]
+            if m.group("action").upper() == "SET":
+                version = t.set_not_null(m.group("name"))
+            else:
+                version = t.drop_not_null(m.group("name"))
             return self._dml_ack(target, version)
         m = _CLUSTER_BY_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
@@ -567,13 +602,30 @@ class Engine:
         m = _CLONE_RE.match(command)
         if m and m.group("src") in self.txlog_tables:
             src_name, dest_name = m.group("src"), m.group("dest")
+            mode = m.group("mode").lower()
             src = self.txlog_tables[src_name]
             dest_path = os.path.join(os.path.dirname(
                 os.path.abspath(src.path)), dest_name)
             v = m.group("version")
-            clone = src.clone_to(dest_path,
-                                 version=int(v) if v is not None else None)
-            self.register_txlog(dest_name, clone)
+            if (m.group("replace") and mode == "deep"
+                    and dest_name in self.txlog_tables):
+                # re-clone idiom → incremental refresh of the existing
+                # deep clone (refuses if it isn't one / has diverged)
+                clone = self.txlog_tables[dest_name]
+                if v is not None:
+                    raise ValueError(
+                        "CREATE OR REPLACE ... DEEP CLONE refresh cannot "
+                        "pin VERSION AS OF; drop the clause to sync to "
+                        "the source head")
+                clone.clone_refresh()
+                # re-register: SELECTs resolve through a temp-view
+                # snapshot taken at registration time
+                self.register_txlog(dest_name, clone)
+            else:
+                clone = src.clone_to(
+                    dest_path, version=int(v) if v is not None else None,
+                    mode=mode)
+                self.register_txlog(dest_name, clone)
             return self.spark.createDataFrame(
                 [(dest_name, dest_path, clone.latest_version())],
                 "table_name string, location string, version long")

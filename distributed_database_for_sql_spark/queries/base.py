@@ -152,6 +152,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_merge_full_identity",     # three-arm MERGE × BY DEFAULT identity
     "delta_scd2_backfill",           # sequenced SCD2 late-history splice
     "delta_merge_composite_key",     # MERGE on a multi-column key
+    "delta_deep_clone",              # DEEP CLONE + incremental refresh
+    "sql_group_by_all_topn",         # GROUP BY ALL + QUALIFY-equivalent
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -198,11 +200,11 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "source_schema_evolution",
     "sql_recursive_cte",
-    "sql_udf_scalar",
     "mv_incremental_refresh",
-    "udf_pandas_over_window",
-    # stream_tumbling_window displaced by delta_merge_composite_key
-    # (new-query policy); it joins the r10 canary list.
+    # stream_tumbling_window displaced by delta_merge_composite_key,
+    # sql_udf_scalar by delta_deep_clone, and udf_pandas_over_window by
+    # sql_group_by_all_topn (new-query policy); all three join the r10
+    # canary list.
 )
 
 

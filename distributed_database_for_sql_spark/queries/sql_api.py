@@ -193,6 +193,53 @@ def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_group_by_all_topn",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ALL
+    )
+    SELECT region, nation, cents
+    FROM rev
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY region
+                               ORDER BY cents DESC, nation) <= 2
+    ORDER BY region, cents DESC, nation
+    """,
+    tags=("sql", "group-by-all", "window", "topn"),
+)
+def sql_group_by_all_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` (every non-aggregate select item becomes
+    a grouping key — no drift between the projection and the GROUP BY
+    list) feeding a top-2-nations-per-region window filter.  OSS Spark
+    has no QUALIFY clause yet, so the filter is a wrapped subquery here;
+    the DuckDB oracle states the identical semantics WITH QUALIFY —
+    certifying the rewrite is meaning-preserving.  All distributed: one
+    shuffle for the agg, one for the tiny per-region window."""
+    return _sql(spark, sf_dir, """
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ALL
+    )
+    SELECT region, nation, cents FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY region
+                                   ORDER BY cents DESC, nation) AS rn
+      FROM rev
+    ) WHERE rn <= 2
+    ORDER BY region, cents DESC, nation
+    """)
+
+
+@register(
     "sql_command_log_apply",
     oracle="""
     SELECT src, COUNT(*) AS n, ROUND(SUM(val), 2) AS total

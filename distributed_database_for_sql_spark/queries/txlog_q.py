@@ -1044,6 +1044,69 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_deep_clone",
+    oracle=f"""
+    SELECT COUNT(*)                   AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           TRUE AS deep_copy, TRUE AS incremental_refresh,
+           TRUE AS survives_source_vacuum
+    FROM orders
+    WHERE o_orderkey <= 2000
+      AND NOT (o_orderkey <= 1000 AND o_orderkey % 7 = 0)
+    """,
+    tags=("acid", "delta", "clone", "deep", "sql", "engine"),
+)
+def delta_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE + INCREMENTAL refresh, end-to-end: (1) clone copies
+    segment bytes executor-side (audited: the clone root holds its own
+    data files); (2) the source moves on — an append plus a DV delete —
+    and ``clone_refresh`` fast-forwards the clone by copying ONLY the
+    new segments (audited: every pre-refresh copy is still there
+    untouched and the copy count grew — cost ∝ change, not table size);
+    (3) the source compacts and VACUUMs at retention 0, which would
+    ghost a SHALLOW clone — the deep clone still reads (audited by the
+    hash itself).  The final state the oracle certifies: source keys
+    ≤ 2000 minus the DV-deleted (k ≤ 1000 AND k % 7 = 0) rows."""
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    src_t = TxLogTable.create(spark, _table_dir("deepsrc", sf_dir), base,
+                              overwrite=True)
+    src_t.delete_where(
+        (F.col("o_orderkey") <= 1000) & (F.col("o_orderkey") % 7 == 0),
+        use_dv=True)
+    clone_path = _table_dir("deepdst", sf_dir)
+    import shutil
+    shutil.rmtree(clone_path, ignore_errors=True)
+    clone = src_t.clone_to(clone_path, mode="deep")
+    deep_copy = any(p.startswith("data-") for p in _os.listdir(clone_path))
+    copies_before = {p for p in _os.listdir(clone_path)
+                     if p.startswith("data-")}
+    src_t.append(orders
+                 .filter((F.col("o_orderkey") > 1000)
+                         & (F.col("o_orderkey") <= 2000))
+                 .select("o_orderkey", cents.alias("cents"))
+                 .repartition(4, "o_orderkey"))
+    clone.clone_refresh()
+    copies_after = {p for p in _os.listdir(clone_path)
+                    if p.startswith("data-")}
+    incremental = (copies_before <= copies_after
+                   and len(copies_after) > len(copies_before))
+    src_t.optimize_compact()
+    src_t.vacuum(retention_seconds=0)
+    return (clone.read().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("total_cents"))
+        .withColumn("deep_copy", F.lit(bool(deep_copy)))
+        .withColumn("incremental_refresh", F.lit(bool(incremental)))
+        .withColumn("survives_source_vacuum", F.lit(True)))
+
+
+@register(
     "delta_zorder_optimize",
     oracle=f"""
     WITH t AS (

@@ -89,6 +89,7 @@ from __future__ import annotations
 import datetime
 import functools
 import glob
+import hashlib
 import json
 import operator
 import os
@@ -1060,8 +1061,8 @@ class TxLogTable:
         to writerFeatures (and readerFeatures too when ``reader`` —
         reader features fence BOTH sides).  Refuses features this engine
         itself does not implement (a table this engine can neither read
-        nor write helps no one); DROP FEATURE (history truncation) is
-        deliberately out of scope."""
+        nor write helps no one).  See ``drop_feature`` for the
+        downgrade path."""
         if name not in _SUPPORTED_WRITER_FEATURES:
             raise ValueError(
                 f"unknown table feature {name!r}; this engine supports "
@@ -1095,6 +1096,67 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
+    #: features whose on-disk state this engine can prove absent, making
+    #: the protocol downgrade safe (ALTER TABLE ... DROP FEATURE).
+    _DROPPABLE_FEATURES = ("deletionVectors", "rowTracking")
+
+    def drop_feature(self, name: str) -> int:
+        """``ALTER TABLE t DROP FEATURE name``: remove a table feature
+        from the protocol so pre-feature readers/writers can use the
+        table again.  Refused while the feature still has LIVE state —
+        outstanding deletion vectors (``REORG ... PURGE`` first) or
+        row-tracking metadata still being stamped — because an old
+        writer ignorant of that state would corrupt it.  Unlike real
+        Delta (whose readers see ONE protocol for the whole log and
+        therefore need a 24 h history-truncation dance), protocol here
+        resolves PER VERSION: time travel to before the drop still
+        applies the old fencing, so the drop is one commit."""
+        if name not in self._DROPPABLE_FEATURES:
+            raise ValueError(
+                f"feature {name!r} cannot be dropped; droppable: "
+                f"{sorted(self._DROPPABLE_FEATURES)}")
+        base_version = self.latest_version()
+        proto = self.protocol()
+        rf = set(proto.get("readerFeatures", []))
+        wf = set(proto.get("writerFeatures", []))
+        rt_live = name == "rowTracking" and self._row_tracking_enabled()
+        if name not in wf and name not in rf and not rt_live:
+            return self.latest_version()  # idempotent
+        if name == "deletionVectors":
+            _, _, dvs = self._snapshot_full()
+            if dvs:
+                raise ValueError(
+                    "cannot drop deletionVectors: the current snapshot "
+                    f"has {len(dvs)} file(s) with live DVs — run "
+                    "REORG TABLE ... APPLY (PURGE) first")
+        extra_meta: list[dict] = []
+        if name == "rowTracking" and self._row_tracking_enabled():
+            # disabling IS the drop: stop stamping ids on future writes
+            # (already-stamped per-file stats stay — harmless, and a
+            # later re-enable backfills under the monotone high-water)
+            _, schema_json = self._snapshot_files()
+            extra_meta.append({"metaData": {"schemaJson": schema_json,
+                                            "rowTracking": False}})
+        rf.discard(name)
+        wf.discard(name)
+        if rf or wf:
+            new_proto = {"minReaderVersion": proto["minReaderVersion"],
+                         "minWriterVersion": proto["minWriterVersion"],
+                         "writerFeatures": sorted(wf)}
+            if rf:
+                new_proto["readerFeatures"] = sorted(rf)
+            else:
+                # no reader features left: legacy readers can come back
+                new_proto["minReaderVersion"] = 1
+        else:
+            new_proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions = ([
+            {"commit": {"op": "DROP FEATURE", "ts": self._next_ts(),
+                        "feature": name}},
+            {"protocol": new_proto},
+        ] + extra_meta)
+        return self._commit_with_occ(actions, [], base_version)
+
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints ({name: SQL expression})."""
         return self._txn_constraint_state()[1]
@@ -1107,7 +1169,7 @@ class TxLogTable:
                   "retiredPhysical", "generatedColumns",
                   "bloomFilterColumns", "identityColumns", "properties",
                   "typeWidened", "columnDefaults", "clusteringColumns",
-                  "rowTracking")
+                  "rowTracking", "notNullColumns")
 
     def _meta_state(self, version: int | None = None) -> dict:
         """Last-writer-wins metaData keys at ``version`` (partition
@@ -1504,6 +1566,10 @@ class TxLogTable:
             raise ValueError(f"cannot {what} generated column {col!r}")
         if col in self._bloom_columns():
             raise ValueError(f"cannot {what} bloom-indexed column {col!r}")
+        if col in self.not_null_columns():
+            raise ValueError(
+                f"cannot {what} NOT NULL column {col!r}; drop the "
+                "invariant first")
         if self._txn_constraint_state()[1]:
             raise ValueError(
                 f"cannot {what} columns while CHECK constraints exist "
@@ -2078,12 +2144,63 @@ class TxLogTable:
                 f"({expr})")
 
     def _validate_constraints(self, df: DataFrame) -> None:
-        """Enforce every active CHECK constraint against the rows about
-        to be written (append / merge updates / post-UPDATE images) —
-        Delta's write-time enforcement.  Compaction and restore skip
-        this: they rearrange rows that already passed."""
+        """Enforce every active CHECK constraint — and every NOT NULL
+        column invariant — against the rows about to be written (append
+        / merge updates / post-UPDATE images) — Delta's write-time
+        enforcement.  Compaction and restore skip this: they rearrange
+        rows that already passed."""
         for name, expr in self._txn_constraint_state()[1].items():
             self._check_constraint(df, name, expr)
+        for c in self.not_null_columns():
+            if c in df.columns:
+                self._check_constraint(
+                    df, f"NOT NULL ({c})", f"{c} IS NOT NULL")
+
+    def not_null_columns(self) -> list[str]:
+        """Columns carrying a NOT NULL invariant (Delta's column
+        invariants / non-nullable schema fields)."""
+        return self._meta_state().get("notNullColumns", [])
+
+    def set_not_null(self, name: str) -> int:
+        """``ALTER TABLE t ALTER COLUMN c SET NOT NULL``: validates the
+        CURRENT snapshot first (one scan — refused if existing rows hold
+        NULL, same as Delta), then records the invariant in table
+        metadata; every subsequent write refuses rows with a NULL in the
+        column.  Metadata-only on the happy path; idempotent."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name!r}")
+        current = self.not_null_columns()
+        if name in current:
+            return self.latest_version()
+        self._check_constraint(self._read_active(), f"NOT NULL ({name})",
+                               f"{name} IS NOT NULL")
+        actions = [
+            {"commit": {"op": "SET NOT NULL",
+                        "ts": self._next_ts(), "column": name}},
+            {"metaData": {"schemaJson": schema_json,
+                          "notNullColumns": sorted(set(current) | {name})}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def drop_not_null(self, name: str) -> int:
+        """``ALTER TABLE t ALTER COLUMN c DROP NOT NULL`` — metadata
+        only; missing invariant is a no-op (like Delta)."""
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        current = self.not_null_columns()
+        if name not in current:
+            return self.latest_version()
+        actions = [
+            {"commit": {"op": "DROP NOT NULL",
+                        "ts": self._next_ts(), "column": name}},
+            {"metaData": {"schemaJson": schema_json,
+                          "notNullColumns": [c for c in current
+                                             if c != name]}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
@@ -2329,7 +2446,10 @@ class TxLogTable:
         # file→path map.  Same-root segments keep the zero-overhead
         # basePath/substring fast path.
         def escapes(p: str) -> bool:
-            return p.startswith(".." + os.sep) or p == ".."
+            # deep-clone "imported/" landings are same-root but carry no
+            # hive dirs — they use the recorded-metadata strategy too
+            return (p.startswith(".." + os.sep) or p == ".."
+                    or p.startswith("imported" + os.sep))
 
         def abs_norm(p: str) -> str:
             return os.path.normpath(os.path.join(base_abs, p))
@@ -2655,8 +2775,38 @@ class TxLogTable:
         return self._commit_with_occ(actions, list(current_active),
                                      base_version)
 
+    @staticmethod
+    def _deep_rel(p: str) -> str:
+        """Destination-relative path for a source segment under DEEP
+        CLONE.  Segments inside the source root keep their relative
+        layout verbatim (so a partitioned table's hive dirs — and the
+        basePath fast read path — survive the copy, and incremental
+        refresh can diff by path).  Segments that ESCAPE the source root
+        (the source was itself a shallow clone) land under ``imported/``
+        with a DETERMINISTIC content-address-style name — deterministic
+        so a later ``clone_refresh`` recognizes already-copied files."""
+        if not (p.startswith(".." + os.sep) or p == ".."):
+            return p
+        digest = hashlib.md5(os.path.normpath(p).encode()).hexdigest()[:16]
+        return os.path.join("imported", f"seg-{digest}.parquet")
+
+    def _copy_files_distributed(self, pairs: list[tuple[str, str]]) -> None:
+        """Byte-copy (src_abs, dst_abs) data files on the EXECUTORS: the
+        driver touches only the metadata-scale directory set; segment
+        bytes never funnel through the driver, so a DEEP CLONE of a
+        100 TB table parallelizes across the cluster (on shared storage
+        — object store / DBFS — exactly like real Delta's deep clone)."""
+        if not pairs:
+            return
+        for d in sorted({os.path.dirname(t) for _, t in pairs}):
+            os.makedirs(d, exist_ok=True)
+        sc = self.spark.sparkContext
+        sc.parallelize(pairs, min(len(pairs), 64)).foreach(
+            lambda st: shutil.copyfile(st[0], st[1]))
+
     def clone_to(self, dest_path: str,
-                 version: int | None = None) -> "TxLogTable":
+                 version: int | None = None,
+                 mode: str = "shallow") -> "TxLogTable":
         """SHALLOW CLONE (Delta's zero-copy clone): create a NEW table at
         ``dest_path`` whose commit 0 references the source snapshot's
         segments BY PATH — no data is copied, so cloning a 100 TB table
@@ -2685,7 +2835,19 @@ class TxLogTable:
         source's VACUUM retention with clone lifetimes (or deep-copy);
         forensically: ``FSCK REPAIR TABLE`` on the clone restores
         readability by de-listing the ghosts (lossy, by definition —
-        pinned in tests)."""
+        pinned in tests).
+
+        ``mode="deep"`` is DEEP CLONE: segment bytes are copied into the
+        clone's own root (executor-side, never through the driver), so
+        the clone is fully independent — a source rewrite + VACUUM can
+        never ghost it.  Copied segments keep the source's RELATIVE
+        layout (hive partition dirs included) and the add actions carry
+        the same footer stats, so data skipping and partition pruning
+        work unchanged on the clone.  Deep clones support INCREMENTAL
+        ``clone_refresh()``: re-sync copies only the segments (and DV
+        sidecars) the source added since the recorded sourceVersion."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"clone mode must be shallow|deep, got {mode!r}")
         active, schema_json, dvs = self._snapshot_full(version)
         dest = TxLogTable(self.spark, dest_path,
                           checkpoint_interval=self.checkpoint_interval,
@@ -2700,7 +2862,13 @@ class TxLogTable:
             return os.path.relpath(
                 os.path.normpath(os.path.join(src_abs, p)), dst_abs)
 
+        mapfn = rekey if mode == "shallow" else self._deep_rel
         src_version = self.latest_version() if version is None else version
+        if mode == "deep":
+            self._copy_files_distributed(
+                [(os.path.normpath(os.path.join(src_abs, p)),
+                  os.path.join(dst_abs, self._deep_rel(p)))
+                 for p in active])
         # carry the FULL metadata state at the cloned version — every
         # last-writer-wins meta key (partitioning, mapping, generated/
         # bloom/identity/default/clustering columns, properties, type
@@ -2739,29 +2907,144 @@ class TxLogTable:
                 idx = tbl.schema.get_field_index("path")
                 tbl = tbl.set_column(
                     idx, "path",
-                    pa.array([rekey(p)
+                    pa.array([mapfn(p)
                               for p in tbl.column("path").to_pylist()]))
+                # deep clones name rewritten sidecars DETERMINISTICALLY
+                # from the source sidecar path, so clone_refresh can tell
+                # already-synced sidecars from new ones by name alone
+                tag = (uuid.uuid4().hex[:12] if mode == "shallow" else
+                       hashlib.md5(os.path.normpath(s).encode())
+                       .hexdigest()[:16])
                 new_rel = os.path.join(
-                    "_deletion_vectors",
-                    f"dv-clone-{uuid.uuid4().hex[:12]}.parquet")
+                    "_deletion_vectors", f"dv-clone-{tag}.parquet")
                 pq.write_table(tbl, os.path.join(dst_abs, new_rel))
-                targets = [rekey(d) for d, ss in dvs.items() if s in ss]
+                targets = [mapfn(d) for d, ss in dvs.items() if s in ss]
                 dv_actions.append(
                     {"dvAdd": {"path": new_rel, "targets": targets}})
         actions = (
             [{"commit": {"op": "CLONE", "ts": dest._next_ts(),
+                         "mode": mode,
                          "sourcePath": src_abs,
                          "sourceVersion": src_version}},
              {"protocol": self.protocol(src_version)},
              {"metaData": clone_meta}]
             + hw_actions
-            + [{"add": {"path": rekey(p), "stats": s}}
+            + [{"add": {"path": mapfn(p), "stats": s}}
                for p, s in active.items()]
             + dv_actions
         )
         if not dest._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {dest_path}")
         return dest
+
+    def clone_refresh(self) -> int:
+        """INCREMENTAL DEEP CLONE sync (Databricks' re-run of
+        ``CREATE OR REPLACE TABLE dst DEEP CLONE src``): fast-forward
+        THIS table — which must be a pristine deep clone (its history is
+        exactly one CLONE mode=deep commit plus prior CLONE_REFRESHes;
+        any local write makes the diff ill-defined and refuses) — to the
+        source's current snapshot.  Cost is proportional to the CHANGE:
+        only segments (and DV sidecars) new in the source since the
+        recorded sourceVersion are copied (executor-side); segments the
+        source de-listed are removed from the clone's log (the local
+        copies become vacuum-collectible).  Schema evolution, metadata
+        changes, protocol bumps, and identity/row-id high-water advances
+        ride the same commit.  No-op (no commit) when the source hasn't
+        moved.  Returns the clone's latest version."""
+        hist = self.history()
+        if (not hist or hist[0].get("op") != "CLONE"
+                or hist[0].get("mode") != "deep"):
+            raise ValueError("clone_refresh: table is not a deep clone")
+        if any(h.get("op") != "CLONE_REFRESH" for h in hist[1:]):
+            raise ValueError(
+                "clone_refresh: clone has diverged (local writes after "
+                "CLONE); refresh would clobber them — re-clone instead")
+        src_abs = hist[0]["sourcePath"]
+        last_synced = int(hist[-1]["sourceVersion"])
+        source = TxLogTable(self.spark, src_abs,
+                            checkpoint_interval=self.checkpoint_interval,
+                            enable_cdf=self.enable_cdf)
+        src_version = source.latest_version()
+        if src_version == last_synced:
+            return self.latest_version()
+        dst_abs = os.path.abspath(self.path)
+        base = self.latest_version()
+        src_active, schema_json, src_dvs = source._snapshot_full()
+        dest_active, _, dest_dvs = self._snapshot_full()
+        desired = {self._deep_rel(p): (p, s) for p, s in src_active.items()}
+        new_rels = [r for r in desired if r not in dest_active]
+        gone = [p for p in dest_active if p not in desired]
+        self._copy_files_distributed(
+            [(os.path.normpath(os.path.join(src_abs, desired[r][0])),
+              os.path.join(dst_abs, r)) for r in new_rels])
+        # DV delta: deep-clone sidecar names are deterministic in the
+        # SOURCE sidecar path, so "already synced" is a name test.  Per
+        # file, DV sets only grow until the file is removed (REORG/
+        # OPTIMIZE rewrite it under a new path), so the delta is purely
+        # additive here; removed files retire their DVs in the fold.
+        have_sidecars = {s for ss in dest_dvs.values() for s in ss}
+        dv_actions: list[dict] = []
+        src_sidecars = sorted({s for ss in src_dvs.values() for s in ss})
+        todo = []
+        for s in src_sidecars:
+            tag = hashlib.md5(os.path.normpath(s).encode()).hexdigest()[:16]
+            new_rel = os.path.join("_deletion_vectors",
+                                   f"dv-clone-{tag}.parquet")
+            if new_rel not in have_sidecars:
+                todo.append((s, new_rel))
+        if todo:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(os.path.join(dst_abs, "_deletion_vectors"),
+                        exist_ok=True)
+            for s, new_rel in todo:
+                src_sidecar = os.path.join(src_abs, s)
+                if os.path.isdir(src_sidecar):
+                    pieces = sorted(
+                        glob.glob(os.path.join(src_sidecar, "*.parquet")))
+                    tbl = pa.concat_tables(
+                        [pq.read_table(f) for f in pieces])
+                else:
+                    tbl = pq.read_table(src_sidecar)
+                idx = tbl.schema.get_field_index("path")
+                tbl = tbl.set_column(
+                    idx, "path",
+                    pa.array([self._deep_rel(p)
+                              for p in tbl.column("path").to_pylist()]))
+                pq.write_table(tbl, os.path.join(dst_abs, new_rel))
+                targets = [self._deep_rel(d)
+                           for d, ss in src_dvs.items() if s in ss]
+                dv_actions.append(
+                    {"dvAdd": {"path": new_rel, "targets": targets}})
+        src_meta = source._meta_state()
+        clone_meta: dict = {"schemaJson": schema_json}
+        for k in self._META_KEYS:
+            if src_meta.get(k):
+                clone_meta[k] = src_meta[k]
+        hw_actions: list[dict] = []
+        for c, h in src_meta.get("identityHighWater", {}).items():
+            hw_actions.append(
+                {"identity": {"column": c, "highWater": int(h)}})
+        if src_meta.get("rowIdHighWater"):
+            hw_actions.append(
+                {"rowid": {"highWater": int(src_meta["rowIdHighWater"])}})
+        actions = (
+            [{"commit": {"op": "CLONE_REFRESH", "ts": self._next_ts(),
+                         "mode": "deep", "sourcePath": src_abs,
+                         "sourceVersion": src_version}},
+             {"protocol": source.protocol()},
+             {"metaData": clone_meta}]
+            + hw_actions
+            + [{"add": {"path": r, "stats": desired[r][1]}}
+               for r in new_rels]
+            + [{"remove": {"path": p}} for p in gone]
+            + dv_actions
+        )
+        if not self._try_commit(base + 1, actions):
+            raise RuntimeError(
+                "clone_refresh lost a commit race (concurrent write on "
+                "the clone); re-run against the fresh state")
+        return base + 1
 
     # -- data skipping (Delta's file-statistics pruning) --------------------
 
@@ -4626,7 +4909,7 @@ class TxLogTable:
         return missing
 
     def vacuum(self, retention_seconds: float | None = None,
-               dry_run: bool = False) -> list[str]:
+               dry_run: bool = False, lite: bool = False) -> list[str]:
         """Physically delete data files no longer referenced by the LATEST
         snapshot AND older than ``retention_seconds`` (mtime).  The
         retention window is the concurrent-writer guard (same as real
@@ -4645,7 +4928,19 @@ class TxLogTable:
         deleted table-relative paths.  ``dry_run=True`` (Delta's VACUUM
         DRY RUN) returns the would-be-deleted list and touches
         NOTHING — the operator's answer to "what am I about to lose"
-        before an irreversible collection."""
+        before an irreversible collection.
+
+        ``lite=True`` is Delta's VACUUM LITE: candidates come from the
+        LOG's ``remove`` actions instead of a filesystem walk.  At
+        100 TB the recursive listing is the vacuum bottleneck (millions
+        of LIST calls on an object store); LITE replays the tiny JSON
+        log instead — O(commits), zero listing.  The age guard uses the
+        REMOVING commit's in-commit timestamp (the moment the file
+        became garbage — Delta's ``remove.deletionTimestamp``), which is
+        strictly safer than mtime for the concurrent-writer window.
+        Tradeoff (same as Delta): LITE never sees files no commit ever
+        referenced (aborted writers' orphans) — run a full VACUUM
+        occasionally to catch those."""
         live, _, live_dvs = self._snapshot_full()
         live_set = {os.path.normpath(os.path.join(self.path, p))
                     for p in live}
@@ -4656,6 +4951,52 @@ class TxLogTable:
             retention_seconds = self._retention_default()
         cutoff = time.time() - retention_seconds
         removed = []
+        if lite:
+            cutoff_ms = cutoff * 1000.0
+            # one log replay: every removed data path with the ts of the
+            # commit that removed it (last remove wins), plus each DV
+            # sidecar's target set so retired sidecars collect too
+            removes: dict[str, int] = {}
+            dv_targets: dict[str, set[str]] = {}
+            for i in range(self.latest_version() + 1):
+                ts = -1
+                acts = self._read_commit(i)
+                for a in acts:
+                    if "commit" in a:
+                        ts = int(a["commit"].get("ts", -1))
+                for a in acts:
+                    if "remove" in a:
+                        removes[a["remove"]["path"]] = ts
+                    elif "dvAdd" in a:
+                        dv_targets.setdefault(
+                            a["dvAdd"]["path"],
+                            set()).update(a["dvAdd"]["targets"])
+            for p, ts in sorted(removes.items()):
+                fp = os.path.normpath(os.path.join(self.path, p))
+                if fp in live_set or ts > cutoff_ms:
+                    continue  # re-added later, or still in retention
+                if not os.path.exists(fp):
+                    continue  # already collected by an earlier run
+                if not dry_run:
+                    os.remove(fp)
+                removed.append(p)
+            for s, targets in sorted(dv_targets.items()):
+                sp = os.path.normpath(os.path.join(self.path, s))
+                if sp in live_dv_set or not os.path.exists(sp):
+                    continue
+                # retired when every target is gone; garbage since the
+                # LAST target's removal
+                ts = max((removes.get(t, -1) for t in targets),
+                         default=-1)
+                if any(t not in removes for t in targets) or ts > cutoff_ms:
+                    continue
+                if not dry_run:
+                    if os.path.isdir(sp):
+                        shutil.rmtree(sp)
+                    else:
+                        os.remove(sp)
+                removed.append(s)
+            return removed
         # root-level parquet (adopted by CONVERT, later de-listed by a
         # rewrite) is collected under the same liveness + age guard
         for f in sorted(os.listdir(self.path)):
@@ -4694,7 +5035,12 @@ class TxLogTable:
                 if os.path.getmtime(dv_dir) > cutoff:
                     continue
                 if not dry_run:
-                    shutil.rmtree(dv_dir)
+                    # Spark-written sidecars are directories; clone-
+                    # rewritten ones are single parquet files
+                    if os.path.isdir(dv_dir):
+                        shutil.rmtree(dv_dir)
+                    else:
+                        os.remove(dv_dir)
                 removed.append(os.path.relpath(dv_dir, self.path))
         return removed
 

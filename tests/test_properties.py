@@ -255,6 +255,62 @@ def test_txn_staging_equals_sequential_commits(spark, tmp_path_factory,
     assert txn.latest_version() <= 1
 
 
+# -- r9: DEEP CLONE refresh equals the source snapshot for ANY evolution -----
+
+clone_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("dv_delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("append"), st.integers(6, 9), st.integers(-3, 3)),
+        st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       script=clone_ops)
+def test_deep_clone_refresh_equals_source(spark, tmp_path_factory, data,
+                                          script):
+    """For ANY source evolution (copy-on-write updates/deletes,
+    merge-on-read DV deletes, appends, compactions), one clone_refresh
+    fast-forwards a deep clone to EXACTLY the source's current state —
+    and the clone keeps reading that state even after the source
+    vacuums everything it de-listed."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"cloneprop_{_uuid.uuid4().hex[:6]}")
+    src = TxLogTable.create(
+        spark, os.path.join(str(base), "src"),
+        spark.createDataFrame(data, "k int, v int"))
+    clone = src.clone_to(os.path.join(str(base), "dst"), mode="deep")
+    for op, k, d in script:
+        if op == "update":
+            src.update_where({"v": F.col("v") + d}, F.col("k") == k)
+        elif op == "delete":
+            src.delete_where(F.col("k") == k)
+        elif op == "dv_delete":
+            src.delete_where(F.col("k") == k, use_dv=True)
+        elif op == "optimize":
+            src.optimize_compact()
+        else:
+            src.append(spark.createDataFrame([(k, d)], "k int, v int"))
+    clone.clone_refresh()
+    want = sorted(tuple(r) for r in src.read().collect())
+    assert sorted(tuple(r) for r in clone.read().collect()) == want
+    src.vacuum(retention_seconds=0)
+    assert sorted(tuple(r) for r in clone.read().collect()) == want
+
+
 # -- r8: CDF serves values across ANY rename/update/append interleaving ------
 
 _renames = ["v", "val", "value", "metric"]

@@ -1056,6 +1056,118 @@ def test_engine_sql_constraint_route(spark, tdir):
     assert t.constraints() == {}
 
 
+# -- VACUUM LITE ---------------------------------------------------------------
+
+def test_vacuum_lite_collects_from_log_not_listing(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.append(_df(spark, [(3, "c", 30)]))
+    t.optimize_compact()  # de-lists the two originals
+    # an orphan no commit ever referenced: full VACUUM's job, invisible
+    # to LITE by design
+    orphan = os.path.join(tdir, "orphan-never-committed.parquet")
+    open(orphan, "wb").write(b"x")
+    dry = t.vacuum(retention_seconds=0, dry_run=True, lite=True)
+    assert dry and all("orphan" not in p for p in dry)
+    assert os.path.exists(orphan)
+    got = t.vacuum(retention_seconds=0, lite=True)
+    assert sorted(got) == sorted(dry)
+    assert t.read().count() == 3  # live segments untouched
+    assert os.path.exists(orphan)  # LITE never lists, never sees it
+    # idempotent: a second LITE run finds nothing new
+    assert t.vacuum(retention_seconds=0, lite=True) == []
+    # the full walk still catches the orphan
+    t.vacuum(retention_seconds=0)
+    assert not os.path.exists(orphan)
+
+
+def test_vacuum_lite_age_guard_uses_commit_ts(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.optimize_compact()
+    # removal happened "now"; a 1-hour retention must keep the file
+    assert t.vacuum(retention_seconds=3600, lite=True) == []
+    assert t.vacuum(retention_seconds=0, lite=True) != []
+
+
+def test_vacuum_lite_collects_retired_dv_sidecars(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    # REORG rewrites the segment → the DV sidecar is retired
+    t.reorg_purge()
+    got = t.vacuum(retention_seconds=0, lite=True)
+    assert any("_deletion_vectors" in p for p in got)
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_vacuum_lite_sql_route(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("vl", t)
+    t.optimize_compact()
+    out = engine.sql("VACUUM vl LITE RETAIN 0 HOURS").collect()
+    assert out[0]["files_removed"] >= 1
+
+
+# -- NOT NULL column invariants ----------------------------------------------
+
+def test_not_null_invariant_enforced_on_writes(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.set_not_null("v")
+    assert t.not_null_columns() == ["v"]
+    with pytest.raises(ValueError, match="NOT NULL"):
+        t.append(spark.createDataFrame([(2, "b", None)],
+                                       "k int, grp string, v int"))
+    # MERGE updates are validated too
+    with pytest.raises(ValueError, match="NOT NULL"):
+        t.merge_upsert(spark.createDataFrame([(1, "a", None)],
+                                             "k int, grp string, v int"), "k")
+    t.drop_not_null("v")
+    t.append(spark.createDataFrame([(2, "b", None)],
+                                   "k int, grp string, v int"))
+    assert t.read().count() == 2
+
+
+def test_set_not_null_refuses_existing_nulls_and_guards_ddl(spark, tdir):
+    t = TxLogTable.create(spark, tdir, spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None)], "k int, grp string, v int"))
+    with pytest.raises(ValueError, match="NOT NULL"):
+        t.set_not_null("v")
+    t.set_not_null("k")
+    # idempotent; unknown column refused
+    assert t.set_not_null("k") == t.latest_version()
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_not_null("nope")
+    # rename/drop of a NOT NULL column refused until the invariant drops
+    with pytest.raises(ValueError, match="NOT NULL column"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="NOT NULL column"):
+        t.rename_column("k", "kk")
+    # survives checkpoint-based metadata resolution
+    t.checkpoint_interval = 2
+    for i in range(4):
+        t.append(spark.createDataFrame([(10 + i, "s", 1)],
+                                       "k int, grp string, v int"))
+    assert t.not_null_columns() == ["k"]
+
+
+def test_engine_sql_not_null_route(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("nn", t)
+    engine.sql("ALTER TABLE nn ALTER COLUMN v SET NOT NULL")
+    assert t.not_null_columns() == ["v"]
+    with pytest.raises(ValueError, match="NOT NULL"):
+        t.append(spark.createDataFrame([(2, "b", None)],
+                                       "k int, grp string, v int"))
+    engine.sql("ALTER TABLE nn ALTER COLUMN v DROP NOT NULL")
+    assert t.not_null_columns() == []
+
+
 # -- shallow clone -----------------------------------------------------------
 
 def test_shallow_clone_zero_copy_and_isolation(spark, tdir, tmp_path):
@@ -1129,6 +1241,96 @@ def test_shallow_clone_of_dv_source(spark, tdir, tmp_path):
     # source-side OPTIMIZE after the clone: clone still reads version 0
     t.optimize_compact()
     assert sorted(r["k"] for r in c.read().collect()) == [3]
+
+
+# -- deep clone + incremental refresh ----------------------------------------
+
+def test_deep_clone_survives_source_vacuum(spark, tdir, tmp_path):
+    # DEEP CLONE copies segment bytes into the clone root, so a source
+    # rewrite + retention-0 VACUUM (which ghosts a shallow clone) leaves
+    # the deep clone fully readable.
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20),
+                                                   (3, "c", 30)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    dest = str(tmp_path / "deep")
+    c = t.clone_to(dest, mode="deep")
+    # deep: the clone root DOES hold its own data files
+    assert any(p.startswith("data-") for p in os.listdir(dest))
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 3]
+    t.optimize_compact()
+    t.vacuum(retention_seconds=0)
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 3]
+
+
+def test_deep_clone_incremental_refresh(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    dest = str(tmp_path / "deep")
+    c = t.clone_to(dest, mode="deep")
+    before = {p for p in os.listdir(dest) if p.startswith("data-")}
+    # source gains a segment and a DV tombstone
+    t.append(_df(spark, [(3, "c", 30), (4, "d", 40)]))
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    v = c.clone_refresh()
+    assert v == c.latest_version()
+    assert sorted(r["k"] for r in c.read().collect()) == [1, 3, 4]
+    # incremental: pre-existing copies were NOT re-copied, only new
+    # segments landed
+    after = {p for p in os.listdir(dest) if p.startswith("data-")}
+    assert before <= after and len(after) > len(before)
+    # idempotent: source unchanged → no-op, no new commit
+    assert c.clone_refresh() == v
+    # source compaction de-lists old segments; refresh follows suit
+    t.optimize_compact()
+    v2 = c.clone_refresh()
+    assert v2 == v + 1
+    assert sorted(r["k"] for r in c.read().collect()) == [1, 3, 4]
+    # de-listed local copies are vacuum-collectible on the CLONE side
+    c.vacuum(retention_seconds=0)
+    assert sorted(r["k"] for r in c.read().collect()) == [1, 3, 4]
+
+
+def test_deep_clone_refresh_refusals(spark, tdir, tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    shallow = t.clone_to(str(tmp_path / "sh"))
+    with pytest.raises(ValueError, match="not a deep clone"):
+        shallow.clone_refresh()
+    deep = t.clone_to(str(tmp_path / "dp"), mode="deep")
+    deep.append(_df(spark, [(9, "z", 90)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    with pytest.raises(ValueError, match="diverged"):
+        deep.clone_refresh()
+
+
+def test_deep_clone_carries_schema_evolution_on_refresh(spark, tdir,
+                                                        tmp_path):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    c = t.clone_to(str(tmp_path / "dp"), mode="deep")
+    t.add_column("extra", "bigint")
+    t.append(spark.createDataFrame([(2, "b", 20, 99)],
+                                   "k int, grp string, v int, extra bigint"))
+    c.clone_refresh()
+    rows = sorted((r["k"], r["extra"]) for r in c.read().collect())
+    assert rows == [(1, None), (2, 99)]
+
+
+def test_deep_clone_sql_route_and_or_replace_refresh(spark, tdir, tmp_path):
+    from distributed_database_for_sql_spark.engine import Engine
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, str(tmp_path / "srct"),
+                          _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    engine.register_txlog("srct", t)
+    out = engine.sql("CREATE TABLE deept DEEP CLONE srct").collect()
+    assert out[0]["table_name"] == "deept"
+    assert sorted(r["k"] for r in
+                  engine.sql("SELECT k FROM deept").collect()) == [1, 2]
+    t.append(_df(spark, [(3, "c", 30)]))
+    # the Databricks re-clone idiom runs the INCREMENTAL refresh
+    engine.sql("CREATE OR REPLACE TABLE deept DEEP CLONE srct")
+    assert sorted(r["k"] for r in
+                  engine.sql("SELECT k FROM deept").collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="VERSION AS OF"):
+        engine.sql(
+            "CREATE OR REPLACE TABLE deept DEEP CLONE srct VERSION AS OF 0")
 
 
 # -- OPTIMIZE ZORDER ---------------------------------------------------------
@@ -2949,6 +3151,51 @@ def test_enable_row_tracking_on_existing_table(spark, tdir):
     eng.sql("ALTER TABLE rt_sql SET TBLPROPERTIES "
             "('delta.enableRowTracking' = 'true')")
     assert [r["_row_id"] for r in t2.read_with_row_ids().collect()] == [1]
+
+
+def test_drop_feature_downgrades_protocol(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    # live DVs fence the drop
+    with pytest.raises(ValueError, match="live DVs"):
+        t.drop_feature("deletionVectors")
+    t.reorg_purge()
+    v = t.drop_feature("deletionVectors")
+    proto = t.protocol()
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert t.drop_feature("deletionVectors") == v, "idempotent"
+    # per-version fencing: time travel BEFORE the drop still shows the
+    # feature protocol
+    assert "deletionVectors" in t.protocol(1).get("readerFeatures", [])
+    # a later DV write simply re-adds the feature
+    t.delete_where(F.col("k") == 2, use_dv=True)
+    assert "deletionVectors" in t.protocol().get("readerFeatures", [])
+    with pytest.raises(ValueError, match="cannot be dropped"):
+        t.drop_feature("columnMapping")
+
+
+def test_drop_feature_row_tracking_stops_stamping(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.enable_row_tracking()
+    assert t._row_tracking_enabled()
+    t.drop_feature("rowTracking")
+    assert not t._row_tracking_enabled()
+    assert "rowTracking" not in t.protocol().get("writerFeatures", [])
+    t.append(_df(spark, [(2, "b", 20)]))
+    assert t.read().count() == 2
+
+
+def test_drop_feature_sql_route(spark, tdir):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.001"))
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    engine.register_txlog("dft", t)
+    t.delete_where(F.col("k") == 1, use_dv=True)
+    t.reorg_purge()
+    engine.sql("ALTER TABLE dft DROP FEATURE deletionVectors")
+    assert t.protocol() == {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def test_table_features_model(spark, tdir):
