@@ -94,6 +94,9 @@ EXTRA = [
     "delta_merge_full_identity",
     "delta_scd2_backfill",
     "delta_streaming_scd2",
+    # round 9b: deep clone + incremental refresh, CDF-maintained MV
+    "delta_deep_clone",
+    "delta_materialized_view",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

@@ -219,6 +219,21 @@ _DROP_DEFAULT_RE = re.compile(
     r"(?P<name>\w+)\s+DROP\s+DEFAULT\s*;?\s*$",
     re.IGNORECASE)
 
+# CREATE MATERIALIZED VIEW mv AS SELECT <groups + COUNT(*)/SUM(expr) AS
+# alias...> FROM <txlog table> GROUP BY <groups> — an INCREMENTALLY
+# maintained aggregate stored as its own ACID txlog table.
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>\w+)\s+"
+    r"GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# REFRESH MATERIALIZED VIEW mv — fold the source's CDF since the last
+# refreshed version into the stored aggregate (cost ∝ change volume).
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -480,6 +495,12 @@ class Engine:
             version = self.txlog_tables[target].unset_column_default(
                 m.group("name"))
             return self._dml_ack(target, version)
+        m = _CREATE_MV_RE.match(command)
+        if m and m.group("src") in self.txlog_tables:
+            return self._create_mv(m)
+        m = _REFRESH_MV_RE.match(command)
+        if m and m.group("name") in self.txlog_tables:
+            return self.refresh_materialized_view(m.group("name"))
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -884,6 +905,158 @@ class Engine:
             raise
         return self.spark.createDataFrame(
             acks or [], "table_name string, version long, statements long")
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        """Split a select list on commas not inside parentheses."""
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+    _MV_COUNT_ITEM = re.compile(r"^COUNT\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$",
+                                re.IGNORECASE)
+    _MV_SUM_ITEM = re.compile(r"^SUM\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
+                              re.IGNORECASE | re.DOTALL)
+
+    def _create_mv(self, m: re.Match) -> DataFrame:
+        """CREATE MATERIALIZED VIEW: an aggregate over ONE txlog table,
+        stored as its own ACID txlog table and maintained INCREMENTALLY
+        from the source's Change Data Feed — refresh cost scales with
+        the change volume, never the source size (the 100 TB contract;
+        see ``refresh_materialized_view``).  v1 supports the
+        self-maintainable aggregate class: grouping columns, COUNT(*)
+        (at least one — it detects group death), and SUM(expr).
+        MIN/MAX are NOT incrementally maintainable under deletes and
+        refuse; AVG is derivable from SUM/COUNT and refuses with that
+        hint.  The definition rides the MV table's TBLPROPERTIES, so a
+        fresh engine can keep refreshing it."""
+        name, src_name = m.group("name"), m.group("src")
+        if name in self.txlog_tables:
+            raise ValueError(f"table {name!r} already exists")
+        src = self.txlog_tables[src_name]
+        groups = [g.strip() for g in m.group("group").split(",")]
+        counts: list[str] = []
+        sums: dict[str, str] = {}
+        seen_groups: list[str] = []
+        for item in self._split_top_level(m.group("select")):
+            cm = self._MV_COUNT_ITEM.match(item)
+            sm = self._MV_SUM_ITEM.match(item)
+            if cm:
+                counts.append(cm.group("a"))
+            elif sm:
+                sums[sm.group("a")] = sm.group("e").strip()
+            elif re.match(r"^\w+$", item) and item in groups:
+                seen_groups.append(item)
+            else:
+                raise ValueError(
+                    f"materialized view select item {item!r} is not "
+                    "incrementally maintainable: use grouping columns, "
+                    "COUNT(*) AS a, or SUM(expr) AS a (AVG = SUM/COUNT "
+                    "in the reader; MIN/MAX need a full recompute)")
+        if not counts:
+            raise ValueError(
+                "materialized view needs a COUNT(*) AS <alias> item — "
+                "the count detects when a group dies (deletes)")
+        dest_path = os.path.join(
+            os.path.dirname(os.path.abspath(src.path)), name)
+        from .sources.txlog import TxLogTable
+        from pyspark.sql import functions as F
+        empty = (src.read().limit(0).groupBy(*groups).agg(
+            *([F.count("*").alias(c) for c in counts]
+              + [F.sum(F.expr(e)).alias(a) for a, e in sums.items()])))
+        mv = TxLogTable.create(self.spark, dest_path, empty)
+        mv.set_properties({
+            "mv.source": src_name,
+            "mv.groupBy": ",".join(groups),
+            "mv.counts": ",".join(counts),
+            "mv.sums": json.dumps(sums, sort_keys=True),
+        })
+        self.register_txlog(name, mv)
+        return self.refresh_materialized_view(name)
+
+    def refresh_materialized_view(self, name: str) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW: advance the stored aggregate to
+        the source's current version.  First refresh (no fold marker)
+        computes the aggregate with ONE full scan; every later refresh
+        folds ONLY the source's CDF rows since the last refreshed
+        version into signed per-group deltas and MERGEs them in (dead
+        groups delete, changed groups update arithmetically, new groups
+        insert).  The fold position rides the MERGE commit itself as a
+        ``txn`` action (appId ``mv::<name>``), so a crashed/replayed
+        refresh can never double-apply — the same exactly-once contract
+        as the streaming sinks."""
+        from pyspark.sql import functions as F
+
+        mv = self.txlog_tables[name]
+        props = mv.properties()
+        if "mv.source" not in props:
+            raise ValueError(f"{name!r} is not a materialized view")
+        src = self.txlog_tables[props["mv.source"]]
+        groups = props["mv.groupBy"].split(",")
+        counts = [c for c in props["mv.counts"].split(",") if c]
+        sums = json.loads(props.get("mv.sums", "{}"))
+        app = f"mv::{name}"
+        last = mv.txn_version_for(app)
+        cur = src.latest_version()
+        if last >= cur:
+            return self._dml_ack(name, mv.latest_version())  # up to date
+        if last < 0:
+            # initial fill: one full scan of the CURRENT snapshot
+            delta = (src.read(version=cur).groupBy(*groups).agg(
+                *([F.count("*").alias(f"__d_{c}") for c in counts]
+                  + [F.sum(F.expr(e)).alias(f"__d_{a}")
+                     for a, e in sums.items()])))
+        else:
+            ch = src.read_changes(last + 1, cur)
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1)).otherwise(F.lit(-1))
+            delta = (ch.groupBy(*groups).agg(
+                *([F.sum(sign).alias(f"__d_{c}") for c in counts]
+                  + [F.sum(sign * F.expr(e)).alias(f"__d_{a}")
+                     for a, e in sums.items()])))
+            # drop no-op groups (count unchanged AND every sum delta
+            # zero/NULL): their segments must not be rewritten
+            nonzero = " OR ".join(
+                [f"__d_{c} <> 0" for c in counts]
+                + [f"(__d_{a} IS NOT NULL AND __d_{a} <> 0)" for a in sums])
+            delta = delta.filter(F.expr(nonzero))
+        c0 = counts[0]
+        dead = " AND ".join(f"t.{c} + s.__d_{c} = 0" for c in counts)
+        upd = {c: f"t.{c} + s.__d_{c}" for c in counts}
+        upd.update({
+            a: (f"CASE WHEN t.{a} IS NULL AND s.__d_{a} IS NULL THEN "
+                f"CAST(NULL AS {dict(mv.read().dtypes)[a]}) ELSE "
+                f"COALESCE(t.{a}, 0) + COALESCE(s.__d_{a}, 0) END")
+            for a in sums})
+        ins = {g: f"s.{g}" for g in groups}
+        ins.update({c: f"s.__d_{c}" for c in counts})
+        ins.update({a: f"s.__d_{a}" for a in sums})
+        mv.merge_full(
+            delta, groups,
+            when_matched=[
+                {"action": "delete", "condition": dead},
+                {"action": "update", "set": upd},
+            ],
+            when_not_matched=[
+                # a purely-negative delta for an unseen group cannot
+                # happen (CDF preimages imply the group existed); a
+                # zero-count insert would be a dead group — skip it
+                {"action": "insert", "condition": f"s.__d_{c0} > 0",
+                 "values": ins},
+            ],
+            txn_app_id=app, txn_version=cur)
+        return self._dml_ack(name, mv.latest_version())
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""

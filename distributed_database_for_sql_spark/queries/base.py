@@ -154,6 +154,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_merge_composite_key",     # MERGE on a multi-column key
     "delta_deep_clone",              # DEEP CLONE + incremental refresh
     "sql_group_by_all_topn",         # GROUP BY ALL + QUALIFY-equivalent
+    "delta_materialized_view",       # CREATE/REFRESH MATERIALIZED VIEW
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -200,10 +201,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "source_schema_evolution",
     "sql_recursive_cte",
-    "mv_incremental_refresh",
     # stream_tumbling_window displaced by delta_merge_composite_key,
-    # sql_udf_scalar by delta_deep_clone, and udf_pandas_over_window by
-    # sql_group_by_all_topn (new-query policy); all three join the r10
+    # sql_udf_scalar by delta_deep_clone, udf_pandas_over_window by
+    # sql_group_by_all_topn, and mv_incremental_refresh by
+    # delta_materialized_view (new-query policy); all four join the r10
     # canary list.
 )
 

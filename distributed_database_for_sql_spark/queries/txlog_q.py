@@ -1044,6 +1044,73 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_materialized_view",
+    oracle=f"""
+    WITH fin AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey > 500 THEN {_CENTS} + 7
+                  ELSE {_CENTS} END AS cents
+      FROM orders
+      WHERE o_orderkey <= 1500 AND o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS fold_at_source_head
+    FROM fin
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "mv", "cdf", "incremental", "sql", "engine"),
+)
+def delta_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW / REFRESH MATERIALIZED VIEW end-to-end
+    through the SQL surface: the per-priority (count, cents) aggregate
+    is stored as its OWN ACID txlog table, filled once from the source
+    snapshot, then advanced to the post-MERGE/post-DELETE state purely
+    by folding the source's CDF rows — the mutated source is never
+    rescanned (the fold marker rides the MERGE commit as a txn action,
+    audited at the source head).  The oracle recomputes the final state
+    from scratch, so the hash certifies incremental == full — the
+    100 TB derived-table contract: refresh cost ∝ change volume."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvsqlsrc", sf_dir)
+    mv_path = os.path.join(os.path.dirname(os.path.abspath(src_path)),
+                           "mvsqlview")
+    shutil.rmtree(mv_path, ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("mvsqlsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvsqlview AS "
+               "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+               "SUM(cents) AS total_cents FROM mvsqlsrc "
+               "GROUP BY o_orderpriority")
+    updates = (orders
+               .filter((F.col("o_orderkey") > 500)
+                       & (F.col("o_orderkey") <= 1500))
+               .select("o_orderkey", "o_orderpriority",
+                       (cents + 7).alias("cents"))
+               .repartition(4, "o_orderkey"))
+    src.merge_upsert(updates, "o_orderkey")
+    src.delete_where(F.col("o_orderkey") % 7 == 0)
+    engine.sql("REFRESH MATERIALIZED VIEW mvsqlview")
+    mv = engine.txlog_tables["mvsqlview"]
+    at_head = mv.txn_version_for("mv::mvsqlview") == src.latest_version()
+    return (mv.read()
+            .withColumn("fold_at_source_head", F.lit(bool(at_head)))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "delta_deep_clone",
     oracle=f"""
     SELECT COUNT(*)                   AS n_rows,

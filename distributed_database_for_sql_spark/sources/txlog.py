@@ -3270,7 +3270,9 @@ class TxLogTable:
                    when_matched: list[dict] | tuple = (),
                    when_not_matched: list[dict] | tuple = (),
                    when_not_matched_by_source: list[dict] | tuple = (),
-                   schema_evolution: bool = False) -> int:
+                   schema_evolution: bool = False,
+                   txn_app_id: str | None = None,
+                   txn_version: int | None = None) -> int:
         """Full-clause MERGE (Delta's three-arm statement): ordered
         WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE clauses,
         WHEN NOT MATCHED [AND cond] THEN INSERT clauses, and
@@ -3321,7 +3323,17 @@ class TxLogTable:
         ``merge_upsert``'s posture); GENERATED BY DEFAULT composes —
         insert-arm rows with NULL/absent identity slots are
         engine-assigned past the high-water mark, update arms must not
-        SET an identity column."""
+        SET an identity column.
+
+        ``txn_app_id``/``txn_version``: the append-path idempotence
+        contract on a MERGE — an equal-or-lower version for the app is
+        a no-op, so a restarted incremental-refresh job that replays
+        its last fold cannot double-apply it."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if txn_app_id is not None and \
+                self.txn_version_for(txn_app_id) >= txn_version:
+            return self.latest_version()  # replayed fold: already applied
         self._check_append_only("MERGE")
         ident = self._identity_columns()
         if any(s.get("always", True) for s in ident.values()):
@@ -3576,6 +3588,9 @@ class TxLogTable:
                              "notMatched": len(when_not_matched),
                              "notMatchedBySource":
                                  len(when_not_matched_by_source)}}}]
+            + ([] if txn_app_id is None else
+               [{"txn": {"appId": txn_app_id,
+                         "version": int(txn_version)}}])
             + ident_actions
             + evo_actions
             + [{"remove": {"path": p}} for p in rel_removed]

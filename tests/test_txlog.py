@@ -1056,6 +1056,83 @@ def test_engine_sql_constraint_route(spark, tdir):
     assert t.constraints() == {}
 
 
+# -- materialized views --------------------------------------------------------
+
+def _mv_engine(spark):
+    from distributed_database_for_sql_spark.engine import Engine
+
+    return Engine(spark, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                        "/root/testdata/sf0.001"))
+
+
+def test_materialized_view_incremental_fold(spark, tdir):
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "a", 20),
+                                                     (3, "b", 30)]),
+                            enable_cdf=True)
+    engine.register_txlog("mvsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvagg AS "
+               "SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+               "FROM mvsrc GROUP BY grp")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM mvagg").collect()) == \
+        [("a", 2, 30), ("b", 1, 30)]
+    # group update, group death, group birth — all via CDF fold
+    src.merge_upsert(_df(spark, [(2, "a", 99), (4, "c", 40)]), "k")
+    src.delete_where(F.col("grp") == "b")
+    engine.sql("REFRESH MATERIALIZED VIEW mvagg")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM mvagg").collect()) == \
+        [("a", 2, 109), ("c", 1, 40)]
+    # up-to-date refresh commits nothing (exactly-once marker)
+    mv = engine.txlog_tables["mvagg"]
+    v = mv.latest_version()
+    engine.sql("REFRESH MATERIALIZED VIEW mvagg")
+    assert mv.latest_version() == v
+    # the MV is itself ACID: time travel to the pre-refresh state
+    assert sorted(tuple(r) for r in mv.read(version=v - 1).collect()) == \
+        [("a", 2, 30), ("b", 1, 30)]
+
+
+def test_materialized_view_definition_survives_engine_restart(spark, tdir,
+                                                              tmp_path):
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                            enable_cdf=True)
+    engine.register_txlog("rsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW rmv AS "
+               "SELECT grp, COUNT(*) AS n FROM rsrc GROUP BY grp")
+    src.append(_df(spark, [(2, "a", 20), (3, "z", 30)]))
+    # a FRESH engine re-registers from disk and keeps refreshing: the
+    # definition + fold position live in the MV table itself
+    engine2 = _mv_engine(spark)
+    engine2.register_txlog("rsrc", TxLogTable(spark, src.path))
+    engine2.register_txlog(
+        "rmv", TxLogTable(spark, engine.txlog_tables["rmv"].path))
+    engine2.sql("REFRESH MATERIALIZED VIEW rmv")
+    assert sorted(tuple(r) for r in
+                  engine2.sql("SELECT * FROM rmv").collect()) == \
+        [("a", 2), ("z", 1)]
+
+
+def test_materialized_view_refusals(spark, tdir):
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                            enable_cdf=True)
+    engine.register_txlog("fsrc", src)
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        engine.sql("CREATE MATERIALIZED VIEW bad1 AS "
+                   "SELECT grp, COUNT(*) AS n, MIN(v) AS lo "
+                   "FROM fsrc GROUP BY grp")
+    with pytest.raises(ValueError, match="COUNT"):
+        engine.sql("CREATE MATERIALIZED VIEW bad2 AS "
+                   "SELECT grp, SUM(v) AS total FROM fsrc GROUP BY grp")
+    engine.sql("CREATE MATERIALIZED VIEW okmv AS "
+               "SELECT grp, COUNT(*) AS n FROM fsrc GROUP BY grp")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        engine.refresh_materialized_view("fsrc")
+
+
 # -- VACUUM LITE ---------------------------------------------------------------
 
 def test_vacuum_lite_collects_from_log_not_listing(spark, tdir):
