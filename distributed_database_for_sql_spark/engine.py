@@ -224,9 +224,15 @@ _DROP_DEFAULT_RE = re.compile(
 # maintained aggregate stored as its own ACID txlog table.
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+"
-    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>\w+)\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>\w+)"
+    r"(?P<joins>(?:\s+JOIN\s+\w+\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+)*)\s+"
     r"GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+# one JOIN clause inside _CREATE_MV_RE's joins blob
+_MV_JOIN_RE = re.compile(
+    r"JOIN\s+(?P<dim>\w+)\s+ON\s+(?P<lt>\w+)\.(?P<lc>\w+)\s*=\s*"
+    r"(?P<rt>\w+)\.(?P<rc>\w+)", re.IGNORECASE)
 
 # REFRESH MATERIALIZED VIEW mv — fold the source's CDF since the last
 # refreshed version into the stored aggregate (cost ∝ change volume).
@@ -939,7 +945,16 @@ class Engine:
         MIN/MAX are NOT incrementally maintainable under deletes and
         refuse; AVG is derivable from SUM/COUNT and refuses with that
         hint.  The definition rides the MV table's TBLPROPERTIES, so a
-        fresh engine can keep refreshing it."""
+        fresh engine can keep refreshing it.
+
+        STAR-JOIN shape: ``FROM fact JOIN dim ON fact.k = dim.k ...``
+        composes — the fact side must be the txlog table (its CDF
+        drives maintenance); every joined side is a STATIC registered
+        view, broadcast into both the initial scan and each delta fold.
+        Select/group columns stay unqualified (must be unambiguous
+        post-join).  A dim that mutates invalidates the MV — the
+        documented contract, same as dimension SCD handling in any
+        incremental-view system."""
         name, src_name = m.group("name"), m.group("src")
         if name in self.txlog_tables:
             raise ValueError(f"table {name!r} already exists")
@@ -967,11 +982,30 @@ class Engine:
             raise ValueError(
                 "materialized view needs a COUNT(*) AS <alias> item — "
                 "the count detects when a group dies (deletes)")
+        joins: list[dict] = []
+        for jm in _MV_JOIN_RE.finditer(m.group("joins") or ""):
+            dim = jm.group("dim")
+            if dim in self.txlog_tables:
+                raise ValueError(
+                    f"MV join side {dim!r} is a txlog table; only the "
+                    "FROM side's changes drive maintenance — joined "
+                    "sides must be static registered views")
+            sides = {jm.group("lt"): jm.group("lc"),
+                     jm.group("rt"): jm.group("rc")}
+            if dim not in sides or len(sides) != 2:
+                raise ValueError(
+                    f"MV join ON must equate the joined view {dim!r} "
+                    "with the fact side")
+            dim_col = sides.pop(dim)
+            fact_col = next(iter(sides.values()))
+            joins.append({"dim": dim, "fact_col": fact_col,
+                          "dim_col": dim_col})
         dest_path = os.path.join(
             os.path.dirname(os.path.abspath(src.path)), name)
         from .sources.txlog import TxLogTable
         from pyspark.sql import functions as F
-        empty = (src.read().limit(0).groupBy(*groups).agg(
+        empty = (self._mv_row_source(src.read().limit(0), joins)
+                 .groupBy(*groups).agg(
             *([F.count("*").alias(c) for c in counts]
               + [F.sum(F.expr(e)).alias(a) for a, e in sums.items()])))
         mv = TxLogTable.create(self.spark, dest_path, empty)
@@ -980,9 +1014,25 @@ class Engine:
             "mv.groupBy": ",".join(groups),
             "mv.counts": ",".join(counts),
             "mv.sums": json.dumps(sums, sort_keys=True),
+            "mv.joins": json.dumps(joins, sort_keys=True),
         })
         self.register_txlog(name, mv)
         return self.refresh_materialized_view(name)
+
+    def _mv_row_source(self, fact: DataFrame, joins: list[dict]) -> DataFrame:
+        """The MV's input row set: the fact frame (snapshot or CDF
+        batch) inner-joined to each static dim, dims BROADCAST — a CDF
+        delta batch keeps its ``_change_type`` column through the
+        joins, so one code path serves the initial scan and every
+        fold."""
+        from pyspark.sql import functions as F
+
+        out = fact
+        for j in joins:
+            dim = self.spark.table(j["dim"])
+            out = out.join(F.broadcast(dim),
+                           out[j["fact_col"]] == dim[j["dim_col"]], "inner")
+        return out
 
     def refresh_materialized_view(self, name: str) -> DataFrame:
         """REFRESH MATERIALIZED VIEW: advance the stored aggregate to
@@ -1005,6 +1055,7 @@ class Engine:
         groups = props["mv.groupBy"].split(",")
         counts = [c for c in props["mv.counts"].split(",") if c]
         sums = json.loads(props.get("mv.sums", "{}"))
+        joins = json.loads(props.get("mv.joins", "[]"))
         app = f"mv::{name}"
         last = mv.txn_version_for(app)
         cur = src.latest_version()
@@ -1012,12 +1063,13 @@ class Engine:
             return self._dml_ack(name, mv.latest_version())  # up to date
         if last < 0:
             # initial fill: one full scan of the CURRENT snapshot
-            delta = (src.read(version=cur).groupBy(*groups).agg(
+            rows = self._mv_row_source(src.read(version=cur), joins)
+            delta = (rows.groupBy(*groups).agg(
                 *([F.count("*").alias(f"__d_{c}") for c in counts]
                   + [F.sum(F.expr(e)).alias(f"__d_{a}")
                      for a, e in sums.items()])))
         else:
-            ch = src.read_changes(last + 1, cur)
+            ch = self._mv_row_source(src.read_changes(last + 1, cur), joins)
             sign = F.when(
                 F.col("_change_type").isin("insert", "update_postimage"),
                 F.lit(1)).otherwise(F.lit(-1))

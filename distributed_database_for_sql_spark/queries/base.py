@@ -155,6 +155,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_deep_clone",              # DEEP CLONE + incremental refresh
     "sql_group_by_all_topn",         # GROUP BY ALL + QUALIFY-equivalent
     "delta_materialized_view",       # CREATE/REFRESH MATERIALIZED VIEW
+    "delta_materialized_view_join",  # star-join MV, CDF-folded
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -200,12 +201,12 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_jsonl_corrupt_tolerant",
     "source_python_datasource",
     "source_schema_evolution",
-    "sql_recursive_cte",
     # stream_tumbling_window displaced by delta_merge_composite_key,
     # sql_udf_scalar by delta_deep_clone, udf_pandas_over_window by
-    # sql_group_by_all_topn, and mv_incremental_refresh by
-    # delta_materialized_view (new-query policy); all four join the r10
-    # canary list.
+    # sql_group_by_all_topn, mv_incremental_refresh by
+    # delta_materialized_view, and sql_recursive_cte by
+    # delta_materialized_view_join (new-query policy); all five join
+    # the r10 canary list.
 )
 
 

@@ -1111,6 +1111,73 @@ def delta_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_materialized_view_join",
+    oracle=f"""
+    WITH fin AS (
+      SELECT o_custkey, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 1000 AND o_orderkey % 3 <> 0)
+         OR (o_orderkey > 1000 AND o_orderkey <= 1400)
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS fold_at_source_head
+    FROM fin JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("acid", "delta", "mv", "cdf", "join", "incremental", "sql",
+          "engine"),
+)
+def delta_materialized_view_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STAR-JOIN materialized view: the MV definition joins the txlog
+    FACT table to the static ``customer`` dimension (broadcast) and
+    groups by a DIM attribute — the canonical analytics rollup.
+    Maintenance is still purely CDF-driven: each refresh joins only the
+    fact's change rows (delete batch + append batch here) to the dim
+    and folds signed deltas; the fact snapshot is never rescanned.  The
+    oracle recomputes the rollup from scratch — the hash certifies the
+    incremental join-fold equals the full join."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_custkey", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvjoinsrc", sf_dir)
+    mv_path = os.path.join(os.path.dirname(os.path.abspath(src_path)),
+                           "mvjoinview")
+    shutil.rmtree(mv_path, ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("mvjoinsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvjoinview AS "
+               "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+               "SUM(cents) AS total_cents FROM mvjoinsrc "
+               "JOIN customer ON mvjoinsrc.o_custkey = customer.c_custkey "
+               "GROUP BY c_mktsegment")
+    src.delete_where(F.col("o_orderkey") % 3 == 0)
+    src.append(orders
+               .filter((F.col("o_orderkey") > 1000)
+                       & (F.col("o_orderkey") <= 1400))
+               .select("o_orderkey", "o_custkey", cents.alias("cents"))
+               .repartition(4, "o_orderkey"))
+    engine.sql("REFRESH MATERIALIZED VIEW mvjoinview")
+    mv = engine.txlog_tables["mvjoinview"]
+    at_head = (mv.txn_version_for("mv::mvjoinview")
+               == src.latest_version())
+    return (mv.read()
+            .withColumn("fold_at_source_head", F.lit(bool(at_head)))
+            .orderBy("c_mktsegment"))
+
+
+@register(
     "delta_deep_clone",
     oracle=f"""
     SELECT COUNT(*)                   AS n_rows,

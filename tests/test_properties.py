@@ -588,6 +588,7 @@ def test_sql_grammar_documented():
         "_MERGE_ACT_DELETE_RE", "_MERGE_ACT_INSERT_STAR_RE",
         "_MERGE_ACT_INSERT_RE", "_ON_EQ_RE",
         "_PROP_KV_RE", "_PROP_KEY_RE",
+        "_MV_JOIN_RE",  # JOIN-clause sub-parser of _CREATE_MV_RE
     }
     routed = [m for m in _re.findall(r"^(_[A-Z_]+_RE) = re\.compile",
                                      eng, _re.MULTILINE)

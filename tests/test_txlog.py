@@ -1115,6 +1115,21 @@ def test_materialized_view_definition_survives_engine_restart(spark, tdir,
         [("a", 2), ("z", 1)]
 
 
+def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
+    engine = _mv_engine(spark)
+    fact = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                             enable_cdf=True)
+    dim = TxLogTable.create(spark, str(tmp_path / "dim"),
+                            _df(spark, [(1, "x", 0)]))
+    engine.register_txlog("jfact", fact)
+    engine.register_txlog("jdim", dim)
+    # a mutable (txlog) dim cannot drive maintenance — refuse loudly
+    with pytest.raises(ValueError, match="static registered views"):
+        engine.sql("CREATE MATERIALIZED VIEW jmv AS "
+                   "SELECT grp, COUNT(*) AS n FROM jfact "
+                   "JOIN jdim ON jfact.k = jdim.k GROUP BY grp")
+
+
 def test_materialized_view_refusals(spark, tdir):
     engine = _mv_engine(spark)
     src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
