@@ -156,6 +156,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "sql_group_by_all_topn",         # GROUP BY ALL + QUALIFY-equivalent
     "delta_materialized_view",       # CREATE/REFRESH MATERIALIZED VIEW
     "delta_materialized_view_join",  # star-join MV, CDF-folded
+    "source_python_datasource_stream",  # DataSourceStreamReader ingest
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -193,7 +194,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_datetime_suite",
     "fn_math_suite",
     "fn_string_suite",
-    "fn_variant_suite",
     "multimodal_feature_extract",
     "multimodal_image_features",
     "multimodal_audio_features",
@@ -204,8 +204,9 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # stream_tumbling_window displaced by delta_merge_composite_key,
     # sql_udf_scalar by delta_deep_clone, udf_pandas_over_window by
     # sql_group_by_all_topn, mv_incremental_refresh by
-    # delta_materialized_view, and sql_recursive_cte by
-    # delta_materialized_view_join (new-query policy); all five join
+    # delta_materialized_view, sql_recursive_cte by
+    # delta_materialized_view_join, and fn_variant_suite by
+    # source_python_datasource_stream (new-query policy); all six join
     # the r10 canary list.
 )
 

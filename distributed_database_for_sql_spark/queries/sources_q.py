@@ -422,6 +422,67 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_datasource_stream",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "datasource-api", "arrow", "streaming"),
+)
+def source_python_datasource_stream(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """STREAMING ingest through the custom Python DataSource (PySpark
+    4's ``DataSourceStreamReader`` half of the extension point): the
+    documents table is staged as TWO immutable landing files; the
+    stream consumes file 1, a second landing file arrives, and a second
+    micro-batch consumes exactly the delta (directory-position offsets,
+    one executor-side Arrow read per row group — the batch reader's
+    split discipline, per micro-batch).  The aggregate over the memory
+    sink hash-matches the full-table oracle, proving the two
+    incremental batches reassemble the table value-exactly."""
+    import glob
+    import shutil
+
+    from ..sources.python_datasource import register_arrow_source
+
+    register_arrow_source(spark)
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "lang", "n_chars"))
+    stage = _stage_dir("pds_stream", sf_dir)
+    land = os.path.join(stage, "landing")
+    ck = os.path.join(stage, "ck")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(land)
+
+    def stage_file(df, n: int) -> None:
+        tmp = os.path.join(stage, f"w{n}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(os.path.join(tmp, "*.parquet"))[0],
+                    os.path.join(land, f"part-{n:05d}.parquet"))
+
+    half = F.crc32(F.col("doc_id").cast("string")) % 2
+    stage_file(docs.filter(half == 0), 0)
+    name = "pds_stream_sink"
+    q = (spark.readStream.format("arrowpq").option("dir", land).load()
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()          # micro-batch 1: file 0 only
+        stage_file(docs.filter(half == 1), 1)
+        q.processAllAvailable()          # micro-batch 2: just the delta
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))
+
+
+@register(
     "source_xml_roundtrip",
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,

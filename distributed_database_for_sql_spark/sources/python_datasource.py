@@ -22,7 +22,12 @@ point path.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _RowGroupPartition(InputPartition):
@@ -52,18 +57,29 @@ class ArrowParquetReader(DataSourceReader):
 
 
 class ArrowParquetDataSource(DataSource):
-    """`format("arrowpq")`: options path (required), columns (csv list)."""
+    """``format("arrowpq")``: batch reads take ``path`` (one parquet
+    file); streaming reads take ``dir`` (a landing directory of
+    immutable parquet files); ``columns`` (csv list) prunes both."""
 
     @classmethod
     def name(cls) -> str:
         return "arrowpq"
 
     def schema(self):
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        sch = pq.read_schema(self.options["path"])
+        path = self.options.get("path")
+        if path is None:
+            # streaming form: schema from the first landing file
+            d = self.options["dir"]
+            first = sorted(f for f in os.listdir(d)
+                           if f.endswith(".parquet"))[0]
+            path = os.path.join(d, first)
+        sch = pq.read_schema(path)
         cols = self._columns()
         if cols:
             sch = pa.schema([sch.field(c) for c in cols])
@@ -75,6 +91,74 @@ class ArrowParquetDataSource(DataSource):
 
     def reader(self, schema) -> ArrowParquetReader:
         return ArrowParquetReader(self.options["path"], self._columns())
+
+    def streamReader(self, schema) -> "ArrowParquetStreamReader":
+        return ArrowParquetStreamReader(self.options["dir"],
+                                        self._columns())
+
+
+class _FileRowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class ArrowParquetStreamReader(DataSourceStreamReader):
+    """Streaming half of the extension point (PySpark 4
+    ``DataSourceStreamReader``): treats a DIRECTORY of immutable parquet
+    landing files as an append-only feed.
+
+    Offsets are ``{"files": n}`` — the count of files consumed in
+    lexicographic order, so the landing contract is the classic one:
+    files are immutable once visible and named in arrival order
+    (``part-00001…``).  ``latestOffset`` lists the directory (driver,
+    metadata-scale); ``partitions`` splits each newly arrived file into
+    one InputPartition PER ROW GROUP, and ``read`` streams that row
+    group's Arrow batches on an EXECUTOR — planning-time split list,
+    per-split streaming reads, zero driver row materialization: the
+    same 100 TB split discipline as the batch reader, now per
+    micro-batch.  Exactly-once falls out of deterministic offsets +
+    Spark's checkpointed commit log."""
+
+    def __init__(self, dir_path: str, columns: list[str] | None):
+        self.dir_path = dir_path
+        self.columns = columns
+
+    def _files(self) -> list[str]:
+        import os
+
+        return sorted(
+            os.path.join(self.dir_path, f)
+            for f in os.listdir(self.dir_path) if f.endswith(".parquet"))
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.parquet as pq
+
+        out = []
+        for path in self._files()[start["files"]:end["files"]]:
+            for g in range(pq.ParquetFile(path).num_row_groups):
+                out.append(_FileRowGroupPartition(path, g))
+        # a drained range still needs one (empty) partition: Spark
+        # requires at least one partition per micro-batch plan
+        return out or [_FileRowGroupPartition("", -1)]
+
+    def read(self, partition: _FileRowGroupPartition):
+        import pyarrow.parquet as pq
+
+        if partition.row_group < 0:
+            return
+        pf = pq.ParquetFile(partition.path)
+        yield from pf.iter_batches(row_groups=[partition.row_group],
+                                   columns=self.columns)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: offsets are directory positions
 
 
 def register_arrow_source(spark) -> None:
