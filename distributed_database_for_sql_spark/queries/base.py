@@ -157,6 +157,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_materialized_view",       # CREATE/REFRESH MATERIALIZED VIEW
     "delta_materialized_view_join",  # star-join MV, CDF-folded
     "source_python_datasource_stream",  # DataSourceStreamReader ingest
+    "dedup_signature_store",         # persisted LSH band-index state
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -194,7 +195,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_datetime_suite",
     "fn_math_suite",
     "fn_string_suite",
-    "multimodal_feature_extract",
     "multimodal_image_features",
     "multimodal_audio_features",
     "source_csv_roundtrip",
@@ -205,9 +205,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # sql_udf_scalar by delta_deep_clone, udf_pandas_over_window by
     # sql_group_by_all_topn, mv_incremental_refresh by
     # delta_materialized_view, sql_recursive_cte by
-    # delta_materialized_view_join, and fn_variant_suite by
-    # source_python_datasource_stream (new-query policy); all six join
-    # the r10 canary list.
+    # delta_materialized_view_join, fn_variant_suite by
+    # source_python_datasource_stream, and multimodal_feature_extract
+    # by dedup_signature_store (new-query policy); all seven join the
+    # r10 canary list.
 )
 
 

@@ -568,6 +568,96 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_signature_store",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+                        FOR i IN generate_series(1, len(string_split(text,' '))-2)])
+                  ELSE [text] END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jacc,
+           (SELECT COUNT(*) * 64 FROM documents) AS store_rows
+    FROM sh a JOIN sh b
+      ON a.source <> 'src0' AND b.source = 'src0'
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ORDER BY corpus_id, new_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "state", "acid", "llm"),
+)
+def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-STATE ingestion dedup: the LSH band index lives in an
+    ACID txlog table that outlives any one job — ingest N stores the
+    corpus's (id, band, band_key) rows; ingest N+1 joins ONLY its batch
+    bands against the stored index (cost ∝ batch, never corpus), exact-
+    jaccard-verifies the candidates against the raw docs, and APPENDS
+    its own bands so the state advances for ingest N+2.  This is the
+    100 TB production shape `minhash_lsh_pairs_cross` recomputes for
+    self-containment: signatures computed once per document EVER, the
+    store versioned/time-travelable like any table.  The oracle is the
+    brute-force cross-pairs exact Jaccard plus the store's final row
+    count (64 bands × every document) — certifying both the pairs and
+    that the state actually persisted."""
+    from ..operators.minhash import (
+        banded_frame,
+        fan_out_small_input,
+        jaccard,
+        signature_only,
+        word_shingles,
+    )
+    from ..sources.txlog import TxLogTable
+    from ..tmpstage import staging_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = fan_out_small_input(docs.filter(F.col("source") != "src0"))
+    batch = fan_out_small_input(docs.filter(F.col("source") == "src0"))
+
+    def bands_of(side: DataFrame) -> DataFrame:
+        return banded_frame(
+            signature_only(side, num_hashes=128, fast_hash=True),
+            bands=64, rows_per_band=2)
+
+    # ingest 1: the corpus's band index becomes the persisted store
+    store = TxLogTable.create(
+        spark, staging_dir("dedup_sigstore", sf_dir), bands_of(corpus),
+        overwrite=True)
+    # ingest 2: batch bands probe the STORE (not the corpus docs)
+    bands_b = bands_of(batch).withColumnRenamed("id", "id_new")
+    candidates = (store.read().join(bands_b, ["band", "band_key"])
+                  .select(F.col("id").alias("corpus_id"),
+                          F.col("id_new").alias("new_id"))
+                  .distinct())
+    shingler = lambda c: word_shingles(c, w=3)  # noqa: E731
+
+    def survivors(side: DataFrame, key: str, out: str) -> DataFrame:
+        ids = candidates.select(F.col(key).alias("doc_id")).distinct()
+        return (side.join(F.broadcast(ids), "doc_id", "left_semi")
+                .select(F.col("doc_id").alias(key),
+                        shingler(F.col("text")).alias(out)))
+
+    pairs = (survivors(corpus, "corpus_id", "sh_a")
+             .join(F.broadcast(candidates), "corpus_id")
+             .join(F.broadcast(survivors(batch, "new_id", "sh_b")),
+                   "new_id")
+             .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("jacc") >= 0.5))
+    # the state advances: the batch's bands join the store
+    store.append(bands_b.withColumnRenamed("id_new", "id"))
+    n_store, _ = store.count_rows()
+    return (pairs
+            .select("corpus_id", "new_id",
+                    F.round("jacc", 6).alias("jacc"))
+            .withColumn("store_rows", F.lit(int(n_store)))
+            .orderBy("corpus_id", "new_id"))
+
+
+@register(
     "source_quota_sampling",
     oracle="""
     WITH ranked AS (

@@ -36,6 +36,30 @@ def test_q5_star_join_broadcasts_dims(spark):
     assert not has_cartesian(df)
 
 
+def test_mv_join_fold_broadcasts_dim(spark, tmp_path):
+    """The star-join MV's row source (initial scan AND every CDF fold)
+    must broadcast the static dim — a shuffle join per refresh would
+    dominate at 100 TB fact scale."""
+    import os
+
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    fact = TxLogTable.create(
+        spark, os.path.join(str(tmp_path), "fact"),
+        spark.createDataFrame([(1, 10), (2, 20)], "c int, v int"),
+        enable_cdf=True)
+    engine.register_txlog("planfact", fact)
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk int, seg string")
+    dim.createOrReplaceTempView("plandim")
+    joins = [{"dim": "plandim", "fact_col": "c", "dim_col": "dk"}]
+    rows = engine._mv_row_source(fact.read(), joins)
+    assert uses_broadcast_join(rows)
+    fold = engine._mv_row_source(fact.read_changes(0, 0), joins)
+    assert uses_broadcast_join(fold)
+
+
 def test_no_cartesian_in_relational_queries(spark):
     specs = registry()
     for name in ["q1_pricing_summary", "q3_shipping_priority",
