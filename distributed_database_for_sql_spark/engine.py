@@ -240,6 +240,12 @@ _REFRESH_MV_RE = re.compile(
     r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# DROP MATERIALIZED VIEW mv — deregister and delete the MV's storage
+# (plain tables refuse: DROP of a base table is out of scope).
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -507,6 +513,20 @@ class Engine:
         m = _REFRESH_MV_RE.match(command)
         if m and m.group("name") in self.txlog_tables:
             return self.refresh_materialized_view(m.group("name"))
+        m = _DROP_MV_RE.match(command)
+        if m and m.group("name") in self.txlog_tables:
+            import shutil
+            name = m.group("name")
+            mv = self.txlog_tables[name]
+            if "mv.source" not in mv.properties():
+                raise ValueError(
+                    f"{name!r} is not a materialized view; DROP of a "
+                    "base table is out of scope")
+            self.spark.catalog.dropTempView(name)
+            del self.txlog_tables[name]
+            shutil.rmtree(mv.path, ignore_errors=True)
+            return self.spark.createDataFrame(
+                [(name, True)], "table_name string, dropped boolean")
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

@@ -1130,6 +1130,22 @@ def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
                    "JOIN jdim ON jfact.k = jdim.k GROUP BY grp")
 
 
+def test_drop_materialized_view(spark, tdir):
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                            enable_cdf=True)
+    engine.register_txlog("dsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW dmv AS "
+               "SELECT grp, COUNT(*) AS n FROM dsrc GROUP BY grp")
+    mv_path = engine.txlog_tables["dmv"].path
+    out = engine.sql("DROP MATERIALIZED VIEW dmv").collect()
+    assert out[0]["dropped"] and "dmv" not in engine.txlog_tables
+    assert not os.path.exists(mv_path)
+    # DROP of a base table refuses loudly
+    with pytest.raises(ValueError, match="not a materialized view"):
+        engine.sql("DROP MATERIALIZED VIEW dsrc")
+
+
 def test_materialized_view_refusals(spark, tdir):
     engine = _mv_engine(spark)
     src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
@@ -1379,6 +1395,37 @@ def test_deep_clone_incremental_refresh(spark, tdir, tmp_path):
     # de-listed local copies are vacuum-collectible on the CLONE side
     c.vacuum(retention_seconds=0)
     assert sorted(r["k"] for r in c.read().collect()) == [1, 3, 4]
+
+
+def test_deep_clone_of_shallow_clone_flattens_foreign_segments(spark, tdir,
+                                                               tmp_path):
+    # A deep clone OF a shallow clone copies the shallow clone's
+    # FOREIGN (source-rooted) segments into its own imported/ landing —
+    # deterministic names so refresh recognizes them — and recovers
+    # partition columns from the recorded stats (imported files carry
+    # no hive dirs).
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                     (2, "b", 20),
+                                                     (3, "a", 30)]),
+                            partition_by="grp")
+    sh = src.clone_to(str(tmp_path / "sh"))
+    deep = sh.clone_to(str(tmp_path / "deep"), mode="deep")
+    assert sorted((r["k"], r["grp"]) for r in deep.read().collect()) == \
+        [(1, "a"), (2, "b"), (3, "a")]
+    assert dict(deep.read().dtypes)["grp"] == "string"
+    assert os.path.isdir(str(tmp_path / "deep" / "imported"))
+    # partition pruning still works from the recorded partitionValues
+    kept, total = deep.prune_files([("grp", "=", "a")])
+    assert 0 < len(kept) < total
+    # the ORIGINAL source rewriting + vacuuming ghosts the shallow
+    # clone but never the deep one
+    src.optimize_compact()
+    src.vacuum(retention_seconds=0)
+    assert deep.read().count() == 3
+    # refresh follows the SHALLOW source's own evolution
+    sh.append(_df(spark, [(4, "c", 40)]))
+    deep.clone_refresh()
+    assert sorted(r["k"] for r in deep.read().collect()) == [1, 2, 3, 4]
 
 
 def test_deep_clone_refresh_refusals(spark, tdir, tmp_path):
