@@ -158,6 +158,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "delta_materialized_view_join",  # star-join MV, CDF-folded
     "source_python_datasource_stream",  # DataSourceStreamReader ingest
     "dedup_signature_store",         # persisted LSH band-index state
+    "source_python_datasource_pushdown",  # pushFilters row-group pruning
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -195,7 +196,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_datetime_suite",
     "fn_math_suite",
     "fn_string_suite",
-    "multimodal_image_features",
     "multimodal_audio_features",
     "source_csv_roundtrip",
     "source_jsonl_corrupt_tolerant",
@@ -206,9 +206,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # sql_group_by_all_topn, mv_incremental_refresh by
     # delta_materialized_view, sql_recursive_cte by
     # delta_materialized_view_join, fn_variant_suite by
-    # source_python_datasource_stream, and multimodal_feature_extract
-    # by dedup_signature_store (new-query policy); all seven join the
-    # r10 canary list.
+    # source_python_datasource_stream, multimodal_feature_extract
+    # by dedup_signature_store, and multimodal_image_features by
+    # source_python_datasource_pushdown (new-query policy); all eight
+    # join the r10 canary list.
 )
 
 

@@ -422,6 +422,45 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_datasource_pushdown",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 500
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "datasource-api", "arrow", "pushdown"),
+)
+def source_python_datasource_pushdown(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Filtered ingest through the custom Python DataSource with FILTER
+    PUSHDOWN enabled (PySpark 4.1 ``pushFilters``): the ``n_chars >
+    500`` comparison reaches the reader, which prunes parquet row
+    groups whose footer min/max range cannot match and keeps the filter
+    residual for row-level re-application.  The hash match against the
+    natively filtered oracle certifies pruning never drops a matching
+    row — the conservative-skipping contract, certified end-to-end
+    (row-group pruning is pinned unit-level in tests/test_catalog.py)."""
+    from ..sources.python_datasource import register_arrow_source
+
+    register_arrow_source(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    back = (spark.read.format("arrowpq")
+            .option("path", path)
+            .option("columns", "lang,n_chars")
+            .load()
+            .filter(F.col("n_chars") > 500))
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
     "source_python_datasource_stream",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,

@@ -40,16 +40,82 @@ class ArrowParquetReader(DataSourceReader):
     def __init__(self, path: str, columns: list[str] | None):
         self.path = path
         self.columns = columns
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        """Filter pushdown (the PySpark 4.1 half of the extension
+        point): comparison filters on top-level columns are recorded
+        for ROW-GROUP pruning — ``partitions()`` consults the parquet
+        footer statistics and never plans a split whose min/max range
+        cannot match.  EVERY filter is yielded back as unsupported, so
+        Spark still applies it row-level: footer stats only prove which
+        row groups CANNOT match (the same conservative contract as the
+        txlog's file-level data skipping)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        comparable = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                      LessThan, LessThanOrEqual)
+        self.filters = [f for f in filters
+                        if isinstance(f, comparable)
+                        and len(f.attribute) == 1]
+        yield from filters
+
+    @staticmethod
+    def _group_may_match(md_rg, col_idx: dict, f) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        name = f.attribute[0]
+        if name not in col_idx:
+            return True
+        stats = md_rg.column(col_idx[name]).statistics
+        if stats is None or not stats.has_min_max:
+            return True  # no stats → cannot prove absence, keep
+        lo, hi, v = stats.min, stats.max, f.value
+        try:
+            if isinstance(f, EqualTo):
+                return lo <= v <= hi
+            if isinstance(f, GreaterThan):
+                return hi > v
+            if isinstance(f, GreaterThanOrEqual):
+                return hi >= v
+            if isinstance(f, LessThan):
+                return lo < v
+            return lo <= v  # LessThanOrEqual
+        except TypeError:
+            return True  # incomparable types (e.g. decimal vs str): keep
 
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).num_row_groups
-        return [_RowGroupPartition(self.path, g) for g in range(n)]
+        md = pq.ParquetFile(self.path).metadata
+        col_idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+        out = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if all(self._group_may_match(rg, col_idx, f)
+                   for f in self.filters):
+                out.append(_RowGroupPartition(self.path, g))
+        # an all-pruned scan still needs one (empty) partition
+        return out or [_RowGroupPartition(self.path, -1)]
 
     def read(self, partition: _RowGroupPartition):
         import pyarrow.parquet as pq
 
+        if partition.row_group < 0:
+            return  # every row group was stats-pruned
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches(row_groups=[partition.row_group],
                                      columns=self.columns):
@@ -162,7 +228,10 @@ class ArrowParquetStreamReader(DataSourceStreamReader):
 
 
 def register_arrow_source(spark) -> None:
-    """Idempotently register the arrowpq source on a session."""
+    """Idempotently register the arrowpq source on a session (and turn
+    on Python-data-source filter pushdown, off by default in Spark —
+    without it a reader implementing pushFilters refuses to plan)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(ArrowParquetDataSource)
     except Exception:  # already registered in this session

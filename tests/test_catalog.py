@@ -54,3 +54,42 @@ def test_events_loader_handles_both_timestamp_layouts(spark, tmp_path):
             dt.datetime.fromtimestamp(v / 1_000_000, dt.timezone.utc)
             .replace(tzinfo=None) for v in base)
         assert got == want, unit
+
+
+def test_arrowpq_pushdown_prunes_row_groups(spark, tmp_path):
+    """The custom Python DataSource's pushFilters: comparison filters
+    prune parquet ROW GROUPS via footer stats at planning time (fewer
+    input partitions), every filter stays residual (Spark re-applies it
+    row-level), and values are exact including the all-pruned case."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from distributed_database_for_sql_spark.sources.python_datasource import (
+        ArrowParquetReader,
+        register_arrow_source,
+    )
+
+    path = str(tmp_path / "f.parquet")
+    tbl = pa.table({"id": list(range(1000)),
+                    "v": [i * 2 for i in range(1000)]})
+    pq.write_table(tbl, path, row_group_size=100)  # 10 sorted row groups
+
+    r = ArrowParquetReader(path, None)
+    residual = list(r.pushFilters([GreaterThan(("id",), 850)]))
+    assert len(residual) == 1, "every filter must stay residual"
+    assert len(r.partitions()) == 2  # groups [800,900) and [900,1000)
+
+    r2 = ArrowParquetReader(path, None)
+    list(r2.pushFilters([GreaterThan(("id",), 120),
+                         LessThanOrEqual(("id",), 180)]))
+    assert len(r2.partitions()) == 1  # only group [100,200)
+
+    register_arrow_source(spark)
+    df = (spark.read.format("arrowpq").option("path", path).load()
+          .filter("id > 850"))
+    assert df.count() == 149
+    assert df.agg({"id": "sum"}).collect()[0][0] == sum(range(851, 1000))
+    empty = (spark.read.format("arrowpq").option("path", path).load()
+             .filter("id > 5000"))
+    assert empty.count() == 0
