@@ -1028,7 +1028,11 @@ class Engine:
                  .groupBy(*groups).agg(
             *([F.count("*").alias(c) for c in counts]
               + [F.sum(F.expr(e)).alias(a) for a, e in sums.items()])))
-        mv = TxLogTable.create(self.spark, dest_path, empty)
+        # the MV records its own CDF, so MVs CASCADE: a second MV (or
+        # any CDF consumer) can maintain itself from this one's change
+        # feed — the multi-stage incremental-pipeline shape
+        mv = TxLogTable.create(self.spark, dest_path, empty,
+                               enable_cdf=True)
         mv.set_properties({
             "mv.source": src_name,
             "mv.groupBy": ",".join(groups),

@@ -1130,6 +1130,38 @@ def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
                    "JOIN jdim ON jfact.k = jdim.k GROUP BY grp")
 
 
+def test_materialized_view_cascade(spark, tdir):
+    """MVs chain: mv2 is defined OVER mv1 and maintains itself from
+    mv1's own CDF — the multi-stage incremental-pipeline shape.  After
+    source mutations, refreshing mv1 then mv2 reproduces the full
+    recompute at both stages."""
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "a", 20),
+                                                     (3, "b", 30), (4, "c", 40)]),
+                            enable_cdf=True)
+    engine.register_txlog("csrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW cmv1 AS "
+               "SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+               "FROM csrc GROUP BY grp")
+    # histogram of group sizes, maintained from cmv1's change feed
+    engine.sql("CREATE MATERIALIZED VIEW cmv2 AS "
+               "SELECT n, COUNT(*) AS n_groups, SUM(total) AS sum_total "
+               "FROM cmv1 GROUP BY n")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM cmv2").collect()) == \
+        [(1, 2, 70), (2, 1, 30)]
+    # source churn: group a shrinks, b dies, d is born
+    src.delete_where(F.col("k") == 1)
+    src.delete_where(F.col("grp") == "b")
+    src.append(_df(spark, [(5, "d", 50), (6, "d", 60)]))
+    engine.sql("REFRESH MATERIALIZED VIEW cmv1")
+    engine.sql("REFRESH MATERIALIZED VIEW cmv2")
+    # state: a={2}, c={4}, d={5,6} → sizes 1,1,2
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM cmv2").collect()) == \
+        [(1, 2, 60), (2, 1, 110)]
+
+
 def test_drop_materialized_view(spark, tdir):
     engine = _mv_engine(spark)
     src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
