@@ -237,7 +237,8 @@ _MV_JOIN_RE = re.compile(
 # REFRESH MATERIALIZED VIEW mv — fold the source's CDF since the last
 # refreshed version into the stored aggregate (cost ∝ change volume).
 _REFRESH_MV_RE = re.compile(
-    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$",
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)"
+    r"(?:\s+(?P<full>FULL))?\s*;?\s*$",
     re.IGNORECASE)
 
 # DROP MATERIALIZED VIEW mv — deregister and delete the MV's storage
@@ -512,7 +513,8 @@ class Engine:
             return self._create_mv(m)
         m = _REFRESH_MV_RE.match(command)
         if m and m.group("name") in self.txlog_tables:
-            return self.refresh_materialized_view(m.group("name"))
+            return self.refresh_materialized_view(
+                m.group("name"), full=m.group("full") is not None)
         m = _DROP_MV_RE.match(command)
         if m and m.group("name") in self.txlog_tables:
             import shutil
@@ -1058,7 +1060,8 @@ class Engine:
                            out[j["fact_col"]] == dim[j["dim_col"]], "inner")
         return out
 
-    def refresh_materialized_view(self, name: str) -> DataFrame:
+    def refresh_materialized_view(self, name: str,
+                                  full: bool = False) -> DataFrame:
         """REFRESH MATERIALIZED VIEW: advance the stored aggregate to
         the source's current version.  First refresh (no fold marker)
         computes the aggregate with ONE full scan; every later refresh
@@ -1068,7 +1071,13 @@ class Engine:
         insert).  The fold position rides the MERGE commit itself as a
         ``txn`` action (appId ``mv::<name>``), so a crashed/replayed
         refresh can never double-apply — the same exactly-once contract
-        as the streaming sinks."""
+        as the streaming sinks.
+
+        ``full=True`` (``REFRESH ... FULL``) recomputes the aggregate
+        from scratch and REPLACES the stored state (matched groups set,
+        absent groups delete via the by-source arm) — the repair path
+        after something outside the CDF contract changed, e.g. a static
+        dimension was edited."""
         from pyspark.sql import functions as F
 
         mv = self.txlog_tables[name]
@@ -1083,6 +1092,32 @@ class Engine:
         app = f"mv::{name}"
         last = mv.txn_version_for(app)
         cur = src.latest_version()
+        if full:
+            recompute = (self._mv_row_source(src.read(version=cur), joins)
+                         .groupBy(*groups).agg(
+                *([F.count("*").alias(f"__d_{c}") for c in counts]
+                  + [F.sum(F.expr(e)).alias(f"__d_{a}")
+                     for a, e in sums.items()])))
+            repl = {c: f"s.__d_{c}" for c in counts}
+            repl.update({a: f"s.__d_{a}" for a in sums})
+            ins = dict(repl)
+            ins.update({g: f"s.{g}" for g in groups})
+            # A FULL refresh is idempotent by construction (replace
+            # semantics), so it needs no replay guard of its own — the
+            # fold marker only advances when the recompute also covers
+            # source versions the incremental path hasn't folded yet.
+            # When the marker is already at head (repairing a changed
+            # dim), commit WITHOUT the marker so the replace is never
+            # skipped as a replayed fold.
+            txn = {"txn_app_id": app, "txn_version": cur} if last < cur \
+                else {}
+            mv.merge_full(
+                recompute, groups,
+                when_matched=[{"action": "update", "set": repl}],
+                when_not_matched=[{"action": "insert", "values": ins}],
+                when_not_matched_by_source=[{"action": "delete"}],
+                **txn)
+            return self._dml_ack(name, mv.latest_version())
         if last >= cur:
             return self._dml_ack(name, mv.latest_version())  # up to date
         if last < 0:

@@ -1130,6 +1130,45 @@ def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
                    "JOIN jdim ON jfact.k = jdim.k GROUP BY grp")
 
 
+def test_materialized_view_full_refresh_repairs_dim_change(spark, tdir,
+                                                           tmp_path):
+    """REFRESH ... FULL: a static dim changed under a join MV (outside
+    the CDF contract), so the incremental path is blind to it — the
+    FULL refresh recomputes and REPLACES (set/insert/by-source-delete),
+    and the incremental path still works afterwards."""
+    engine = _mv_engine(spark)
+    fact = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 1, 10), (2, 1, 20), (3, 2, 30)],
+                              "k int, dk int, v int"),
+        enable_cdf=True)
+    engine.register_txlog("ffact", fact)
+    spark.createDataFrame([(1, "x"), (2, "y")], "dk int, seg string") \
+        .createOrReplaceTempView("fdim")
+    engine.sql("CREATE MATERIALIZED VIEW fmv AS "
+               "SELECT seg, COUNT(*) AS n, SUM(v) AS total "
+               "FROM ffact JOIN fdim ON ffact.dk = fdim.dk GROUP BY seg")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM fmv").collect()) == \
+        [("x", 2, 30), ("y", 1, 30)]
+    # the dim is EDITED: dk=2 re-segments y→z (invisible to fact CDF)
+    spark.createDataFrame([(1, "x"), (2, "z")], "dk int, seg string") \
+        .createOrReplaceTempView("fdim")
+    engine.sql("REFRESH MATERIALIZED VIEW fmv")   # incremental: blind
+    assert sorted(r["seg"] for r in
+                  engine.sql("SELECT seg FROM fmv").collect()) == ["x", "y"]
+    engine.sql("REFRESH MATERIALIZED VIEW fmv FULL")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM fmv").collect()) == \
+        [("x", 2, 30), ("z", 1, 30)]
+    # incremental keeps working after the repair
+    fact.append(spark.createDataFrame([(4, 2, 40)], "k int, dk int, v int"))
+    engine.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM fmv").collect()) == \
+        [("x", 2, 30), ("z", 2, 70)]
+
+
 def test_materialized_view_cascade(spark, tdir):
     """MVs chain: mv2 is defined OVER mv1 and maintains itself from
     mv1's own CDF — the multi-stage incremental-pipeline shape.  After
