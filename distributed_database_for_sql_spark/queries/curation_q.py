@@ -627,9 +627,13 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TxLogTable.create(
         spark, staging_dir("dedup_sigstore", sf_dir), bands_of(corpus),
         overwrite=True)
-    # ingest 2: batch bands probe the STORE (not the corpus docs)
+    # ingest 2: batch bands probe the STORE (not the corpus docs) —
+    # batch side broadcast, so the stored index is ONE scanned pass
+    # and never shuffles (the property that keeps per-ingest cost flat
+    # as the store grows toward corpus × bands rows)
     bands_b = bands_of(batch).withColumnRenamed("id", "id_new")
-    candidates = (store.read().join(bands_b, ["band", "band_key"])
+    candidates = (store.read()
+                  .join(F.broadcast(bands_b), ["band", "band_key"])
                   .select(F.col("id").alias("corpus_id"),
                           F.col("id_new").alias("new_id"))
                   .distinct())

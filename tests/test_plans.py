@@ -60,6 +60,15 @@ def test_mv_join_fold_broadcasts_dim(spark, tmp_path):
     assert uses_broadcast_join(fold)
 
 
+def test_signature_store_probe_broadcasts_batch(spark):
+    """The persisted-band-store probe must broadcast the BATCH side —
+    a store-side shuffle would grow with the corpus and defeat the
+    cost-∝-batch contract."""
+    spec = registry()["dedup_signature_store"]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+
+
 def test_no_cartesian_in_relational_queries(spark):
     specs = registry()
     for name in ["q1_pricing_summary", "q3_shipping_priority",
