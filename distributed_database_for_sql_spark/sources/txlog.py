@@ -5023,9 +5023,11 @@ class TxLogTable:
                     os.remove(fp)
                 removed.append(f)
         for sub in sorted(os.listdir(self.path)):
-            # unpartitioned segment dirs (data-*) and Hive partition
-            # dirs (col=value) both hold data parquet
-            if not (sub.startswith("data-") or "=" in sub):
+            # unpartitioned segment dirs (data-*), Hive partition dirs
+            # (col=value), and the deep-clone foreign-segment landing
+            # (imported/) all hold data parquet
+            if not (sub.startswith("data-") or "=" in sub
+                    or sub == "imported"):
                 continue
             seg_dir = os.path.join(self.path, sub)
             if not os.path.isdir(seg_dir):

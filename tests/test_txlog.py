@@ -1488,14 +1488,24 @@ def test_deep_clone_of_shallow_clone_flattens_foreign_segments(spark, tdir,
     # partition pruning still works from the recorded partitionValues
     kept, total = deep.prune_files([("grp", "=", "a")])
     assert 0 < len(kept) < total
+    # refresh follows the SHALLOW source's own evolution
+    sh.append(_df(spark, [(4, "c", 40)]))
+    deep.clone_refresh()
+    assert sorted(r["k"] for r in deep.read().collect()) == [1, 2, 3, 4]
+    # once the shallow source compacts (its segments become its own),
+    # refresh de-lists the imported copies and the clone's FULL vacuum
+    # collects them (the walk covers the imported/ landing)
+    sh.optimize_compact()
+    deep.clone_refresh()
+    deep.vacuum(retention_seconds=0)
+    imp = str(tmp_path / "deep" / "imported")
+    leftover = ([f for f in os.listdir(imp) if f.endswith(".parquet")]
+                if os.path.isdir(imp) else [])
+    assert leftover == []
     # the ORIGINAL source rewriting + vacuuming ghosts the shallow
     # clone but never the deep one
     src.optimize_compact()
     src.vacuum(retention_seconds=0)
-    assert deep.read().count() == 3
-    # refresh follows the SHALLOW source's own evolution
-    sh.append(_df(spark, [(4, "c", 40)]))
-    deep.clone_refresh()
     assert sorted(r["k"] for r in deep.read().collect()) == [1, 2, 3, 4]
 
 
