@@ -1056,6 +1056,30 @@ def test_engine_sql_constraint_route(spark, tdir):
     assert t.constraints() == {}
 
 
+def test_merge_full_txn_idempotence(spark, tdir):
+    """merge_full's txnAppId/Version contract (the append-path
+    exactly-once guarantee on a MERGE): a replayed fold with an
+    equal-or-lower version is a no-op — the incremental-MV crash/replay
+    foundation."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    upd = _df(spark, [(1, "a", 99), (2, "b", 20)])
+    clauses = dict(
+        when_matched=[{"action": "update", "set": "*"}],
+        when_not_matched=[{"action": "insert", "values": "*"}])
+    v = t.merge_full(upd, "k", **clauses, txn_app_id="fold", txn_version=7)
+    assert sorted(r["v"] for r in t.read().collect()) == [20, 99]
+    # replay: same version → no-op, no new commit, values unchanged
+    assert t.merge_full(_df(spark, [(1, "a", 1000)]), "k", **clauses,
+                        txn_app_id="fold", txn_version=7) == v
+    assert sorted(r["v"] for r in t.read().collect()) == [20, 99]
+    # a NEWER version applies
+    t.merge_full(_df(spark, [(1, "a", 1000)]), "k", **clauses,
+                 txn_app_id="fold", txn_version=8)
+    assert sorted(r["v"] for r in t.read().collect()) == [20, 1000]
+    with pytest.raises(ValueError, match="go together"):
+        t.merge_full(upd, "k", **clauses, txn_app_id="fold")
+
+
 # -- materialized views --------------------------------------------------------
 
 def _mv_engine(spark):
