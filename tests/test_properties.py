@@ -311,6 +311,67 @@ def test_deep_clone_refresh_equals_source(spark, tmp_path_factory, data,
     assert sorted(tuple(r) for r in clone.read().collect()) == want
 
 
+# -- r9: MV refresh == full recompute for ANY churn ---------------------------
+
+mv_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("append"), st.integers(0, 9), st.integers(-3, 3)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       script=mv_ops)
+def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
+                                          script):
+    """For ANY source churn (updates, deletes incl. group death,
+    appends incl. duplicate keys and group birth), one incremental
+    REFRESH brings the MV to exactly the from-scratch aggregate —
+    count and sum, per group."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"mvprop_{_uuid.uuid4().hex[:6]}")
+    rows = [(k, f"g{k % 3}", v) for k, v in data]
+    src = TxLogTable.create(
+        spark, os.path.join(str(base), "src"),
+        spark.createDataFrame(rows, "k int, grp string, v int"),
+        enable_cdf=True)
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    nm = f"mv_{_uuid.uuid4().hex[:8]}"
+    engine.register_txlog(f"src_{nm}", src)
+    engine.sql(f"CREATE MATERIALIZED VIEW {nm} AS "
+               f"SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+               f"FROM src_{nm} GROUP BY grp")
+    for op, k, d in script:
+        if op == "update":
+            src.update_where({"v": F.col("v") + d}, F.col("k") == k)
+        elif op == "delete":
+            src.delete_where(F.col("k") == k)
+        else:
+            src.append(spark.createDataFrame(
+                [(k, f"g{k % 3}", d)], "k int, grp string, v int"))
+    engine.sql(f"REFRESH MATERIALIZED VIEW {nm}")
+    got = sorted(tuple(r) for r in
+                 engine.txlog_tables[nm].read().collect())
+    want = sorted(tuple(r) for r in
+                  src.read().groupBy("grp")
+                  .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+                  .collect())
+    assert got == want
+
+
 # -- r8: CDF serves values across ANY rename/update/append interleaving ------
 
 _renames = ["v", "val", "value", "metric"]
