@@ -247,6 +247,11 @@ _DROP_MV_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# SHOW MATERIALIZED VIEWS — every registered MV with its source, fold
+# position, and staleness (source commits not yet folded).
+_SHOW_MV_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -515,6 +520,22 @@ class Engine:
         if m and m.group("name") in self.txlog_tables:
             return self.refresh_materialized_view(
                 m.group("name"), full=m.group("full") is not None)
+        if _SHOW_MV_RE.match(command):
+            rows = []
+            for name, t in sorted(self.txlog_tables.items()):
+                props = t.properties()
+                if "mv.source" not in props:
+                    continue
+                src = self.txlog_tables.get(props["mv.source"])
+                last = t.txn_version_for(f"mv::{name}")
+                cur = src.latest_version() if src is not None else -1
+                rows.append((name, props["mv.source"], props["mv.groupBy"],
+                             int(last), int(cur),
+                             max(0, cur - last) if src is not None else -1))
+            return self.spark.createDataFrame(
+                rows, "view_name string, source string, group_by string, "
+                      "folded_source_version long, source_version long, "
+                      "stale_commits long")
         m = _DROP_MV_RE.match(command)
         if m and m.group("name") in self.txlog_tables:
             import shutil
@@ -1044,6 +1065,33 @@ class Engine:
         })
         self.register_txlog(name, mv)
         return self.refresh_materialized_view(name)
+
+    def stream_refresh(self, name: str, checkpoint_dir: str):
+        """Keep a materialized view CONTINUOUSLY fresh: a Structured
+        Streaming query over the source's CDF (``txlogcdf``) triggers
+        ``refresh_materialized_view`` per micro-batch.  The stream is
+        only the TRIGGER — the refresh itself re-reads the CDF range
+        from the fold marker, so exactly-once still rests on the txn
+        marker riding each fold's MERGE commit: a replayed micro-batch
+        after a crash/restart finds the marker advanced and no-ops.
+        Returns the StreamingQuery (caller stops it / awaits
+        termination; ``trigger(availableNow=True)`` gives catch-up-
+        then-stop batch-drain semantics)."""
+        from .sources.txlog_stream import register_txlog_cdf_source
+
+        mv = self.txlog_tables[name]
+        props = mv.properties()
+        if "mv.source" not in props:
+            raise ValueError(f"{name!r} is not a materialized view")
+        src = self.txlog_tables[props["mv.source"]]
+        register_txlog_cdf_source(self.spark)
+        stream = (self.spark.readStream.format("txlogcdf")
+                  .option("path", src.path).load())
+        return (stream.writeStream
+                .foreachBatch(
+                    lambda _df, _bid: self.refresh_materialized_view(name))
+                .option("checkpointLocation", checkpoint_dir)
+                .start())
 
     def _mv_row_source(self, fact: DataFrame, joins: list[dict]) -> DataFrame:
         """The MV's input row set: the fact frame (snapshot or CDF

@@ -1225,6 +1225,49 @@ def test_materialized_view_cascade(spark, tdir):
         [(1, 2, 60), (2, 1, 110)]
 
 
+def test_show_materialized_views_staleness(spark, tdir):
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
+                            enable_cdf=True)
+    engine.register_txlog("ssrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW smv AS "
+               "SELECT grp, COUNT(*) AS n FROM ssrc GROUP BY grp")
+    row = engine.sql("SHOW MATERIALIZED VIEWS").collect()[0]
+    assert (row["view_name"], row["source"], row["stale_commits"]) == \
+        ("smv", "ssrc", 0)
+    src.append(_df(spark, [(2, "b", 20)]))
+    src.append(_df(spark, [(3, "c", 30)]))
+    row = engine.sql("SHOW MATERIALIZED VIEWS").collect()[0]
+    assert row["stale_commits"] == 2
+    engine.sql("REFRESH MATERIALIZED VIEW smv")
+    row = engine.sql("SHOW MATERIALIZED VIEWS").collect()[0]
+    assert row["stale_commits"] == 0
+
+
+def test_stream_refresh_keeps_mv_fresh(spark, tdir, tmp_path):
+    """The managed continuous-refresh stream: a txlogcdf-triggered
+    foreachBatch refresh drains source commits with availableNow
+    batch semantics; the fold markers make replays no-ops."""
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                     (2, "b", 20)]),
+                            enable_cdf=True)
+    engine.register_txlog("stsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW stmv AS "
+               "SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+               "FROM stsrc GROUP BY grp")
+    src.append(_df(spark, [(3, "a", 30)]))
+    src.delete_where(F.col("k") == 2)
+    q = engine.stream_refresh("stmv", str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(tuple(r) for r in
+                  engine.txlog_tables["stmv"].read().collect()) == \
+        [("a", 2, 40)]
+
+
 def test_drop_materialized_view(spark, tdir):
     engine = _mv_engine(spark)
     src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
