@@ -252,6 +252,12 @@ _DROP_MV_RE = re.compile(
 _SHOW_MV_RE = re.compile(
     r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 
+# GENERATE symlink_format_manifest FOR TABLE t — external-reader interop
+# (Presto/Trino/Athena/DuckDB read the listed files without the log).
+_GENERATE_RE = re.compile(
+    r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+    r"(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -550,6 +556,12 @@ class Engine:
             shutil.rmtree(mv.path, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name, True)], "table_name string, dropped boolean")
+        m = _GENERATE_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            path = self.txlog_tables[target].generate_manifest()
+            return self.spark.createDataFrame(
+                [(target, path)], "table_name string, manifest string")
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

@@ -159,6 +159,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "source_python_datasource_stream",  # DataSourceStreamReader ingest
     "dedup_signature_store",         # persisted LSH band-index state
     "source_python_datasource_pushdown",  # pushFilters row-group pruning
+    "delta_generate_manifest",       # symlink manifest interop
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -196,7 +197,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_datetime_suite",
     "fn_math_suite",
     "fn_string_suite",
-    "multimodal_audio_features",
     "source_csv_roundtrip",
     "source_jsonl_corrupt_tolerant",
     "source_python_datasource",
@@ -207,9 +207,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # delta_materialized_view, sql_recursive_cte by
     # delta_materialized_view_join, fn_variant_suite by
     # source_python_datasource_stream, multimodal_feature_extract
-    # by dedup_signature_store, and multimodal_image_features by
-    # source_python_datasource_pushdown (new-query policy); all eight
-    # join the r10 canary list.
+    # by dedup_signature_store, multimodal_image_features by
+    # source_python_datasource_pushdown, and multimodal_audio_features
+    # by delta_generate_manifest (new-query policy); all nine join
+    # the r10 canary list.
 )
 
 

@@ -1178,6 +1178,62 @@ def delta_materialized_view_join(spark: SparkSession,
 
 
 @register(
+    "delta_generate_manifest",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_orderkey, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), fin AS (
+      SELECT o_orderkey, cents FROM upd
+      UNION ALL
+      SELECT o_orderkey, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 500
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS via_manifest
+    FROM fin WHERE o_orderkey % 7 <> 0
+    """,
+    tags=("acid", "delta", "manifest", "interop", "sql", "engine"),
+)
+def delta_generate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest: after a MERGE and a
+    copy-on-write DELETE, the manifest lists exactly the data files
+    active at the head — and the query reads the snapshot THROUGH the
+    manifest (plain ``spark.read.parquet`` of the listed files, no log
+    involved), the way Presto/Trino/Athena consume Delta tables.  The
+    oracle recomputes the expected state from ``orders``; a stale or
+    over-complete manifest would hash-mismatch."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("manifest", sf_dir), base,
+                          overwrite=True)
+    t.merge_upsert(
+        orders.filter((F.col("o_orderkey") > 500)
+                      & (F.col("o_orderkey") <= 1500))
+        .select("o_orderkey", (cents + 7).alias("cents"))
+        .repartition(4, "o_orderkey"), "o_orderkey")
+    t.delete_where(F.col("o_orderkey") % 7 == 0)  # copy-on-write
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("manifest_t", t)
+    manifest = engine.sql(
+        "GENERATE symlink_format_manifest FOR TABLE manifest_t"
+    ).collect()[0]["manifest"]
+    files = [ln for ln in open(manifest).read().splitlines() if ln]
+    return (spark.read.parquet(*files)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("via_manifest", F.lit(True)))
+
+
+@register(
     "delta_deep_clone",
     oracle=f"""
     SELECT COUNT(*)                   AS n_rows,

@@ -4870,6 +4870,45 @@ class TxLogTable:
                 f"{raw!r}: use 'interval N hours'")
         return 24 * 3600.0
 
+    def generate_manifest(self, version: int | None = None) -> str:
+        """``GENERATE symlink_format_manifest`` (Delta's external-reader
+        interop): write ``_symlink_format_manifest/manifest`` listing
+        the ABSOLUTE path of every data file active at ``version`` —
+        the exact contract Presto/Trino/Athena/DuckDB consume to read a
+        snapshot without understanding the log.  Metadata-scale (one
+        text line per active file); files carrying deletion vectors are
+        REFUSED (a symlink reader would resurrect tombstoned rows —
+        same restriction as real Delta, which blocks manifests on
+        DV-enabled tables; REORG PURGE first).  Returns the manifest
+        path.  Partitioned tables emit one manifest per partition dir
+        under the same root (the Hive-compatible layout external
+        engines expect)."""
+        active, _, dvs = self._snapshot_full(version)
+        if dvs:
+            raise ValueError(
+                "cannot generate a symlink manifest while files carry "
+                f"deletion vectors ({len(dvs)} file(s)) — a symlink "
+                "reader would resurrect deleted rows; run REORG TABLE "
+                "... APPLY (PURGE) first")
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        by_dir: dict[str, list[str]] = {}
+        for p in active:
+            ap = os.path.normpath(os.path.join(self.path, p))
+            # group by HIVE PARTITION (key=value components), not the
+            # physical segment dir: unpartitioned tables get ONE root
+            # manifest, partitioned ones one per partition dir
+            hive = [c for c in os.path.dirname(p).split(os.sep)
+                    if "=" in c]
+            by_dir.setdefault(os.sep.join(hive), []).append(ap)
+        for rel_dir, files in by_dir.items():
+            d = os.path.join(root, rel_dir) if rel_dir else root
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                fh.write("\n".join(sorted(files)) + "\n")
+        return os.path.join(root, "manifest")
+
     def detail(self) -> dict:
         """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,
         snapshot version, file count, total data bytes, partition

@@ -1056,6 +1056,35 @@ def test_engine_sql_constraint_route(spark, tdir):
     assert t.constraints() == {}
 
 
+def test_generate_manifest_lists_active_snapshot(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
+    t.delete_where(F.col("k") == 1)  # copy-on-write rewrite
+    path = t.generate_manifest()
+    files = [ln for ln in open(path).read().splitlines() if ln]
+    live, _ = t._snapshot_files()
+    assert sorted(files) == sorted(os.path.normpath(p) for p in live)
+    got = sorted(r["k"] for r in spark.read.parquet(*files).collect())
+    assert got == [2]
+    # DV'd snapshots refuse (a symlink reader would resurrect rows)
+    t.delete_where(F.col("v") == 20, use_dv=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.generate_manifest()
+    t.reorg_purge()
+    t.generate_manifest()
+
+
+def test_generate_manifest_partitioned_per_dir(spark, tdir):
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20),
+                                                   (3, "a", 30)]),
+                          partition_by="grp")
+    t.generate_manifest()
+    root = os.path.join(tdir, "_symlink_format_manifest")
+    assert sorted(os.listdir(root)) == ["grp=a", "grp=b"]
+    files_a = [ln for ln in open(os.path.join(
+        root, "grp=a", "manifest")).read().splitlines() if ln]
+    assert files_a and all("grp=a" in f for f in files_a)
+
+
 def test_merge_full_txn_idempotence(spark, tdir):
     """merge_full's txnAppId/Version contract (the append-path
     exactly-once guarantee on a MERGE): a replayed fold with an
