@@ -1772,10 +1772,35 @@ class TxLogTable:
         under ``col=value/`` dirs at the table root with a per-write uuid
         prefix on the file name (uniqueness without per-commit dirs, so a
         single ``basePath`` read recovers the partition column for ANY
-        subset of active files)."""
+        subset of active files).
+
+        OPTIMIZED WRITE (``txlog.optimizeWrite.enabled`` — Delta's
+        ``delta.autoOptimize.optimizeWrite``): pre-write shuffle so a
+        commit lands FEW WELL-SIZED files instead of one file per input
+        task — the small-file killer.  Partitioned tables repartition
+        on the partition columns (each partition's rows converge on one
+        task instead of every task writing into every partition: a
+        32-task append into 100 partitions writes 100 files, not
+        3 200); unpartitioned tables repartition to
+        ``txlog.optimizeWrite.numFiles`` (default 4).  A pre-write
+        exchange trades one shuffle for the avoided downstream
+        compaction — exactly the trade auto-compaction makes after the
+        fact, paid before the fact."""
         df = self._widen_cast(df)
         df = self._to_physical(df)
         parts = self._partition_columns()
+        try:
+            props = self.properties()
+        except FileNotFoundError:  # during CREATE: no log yet
+            props = getattr(self, "_pending_properties", None) or {}
+        if str(props.get("txlog.optimizeWrite.enabled",
+                         "false")).lower() == "true":
+            if parts:
+                phys_parts = [self._physical_name(c) for c in parts]
+                df = df.repartition(*[F.col(c) for c in phys_parts])
+            else:
+                df = df.repartition(
+                    int(props.get("txlog.optimizeWrite.numFiles", "4")))
         seg = uuid.uuid4().hex[:12]
         if not parts:
             sub = f"data-{seg}"

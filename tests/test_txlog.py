@@ -1056,6 +1056,40 @@ def test_engine_sql_constraint_route(spark, tdir):
     assert t.constraints() == {}
 
 
+def test_optimize_write_bins_output_files(spark, tdir, tmp_path):
+    """txlog.optimizeWrite.enabled: a pre-write shuffle bins a wide
+    append into few files (unpartitioned: numFiles; partitioned: one
+    task per partition value) instead of one file per input task."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(0, "a", 0)]))
+    wide = spark.range(1000).selectExpr(
+        "cast(id as int) k", "'s' grp", "cast(id as int) v"
+    ).repartition(32)
+    t.append(wide)  # off by default: one file per input task
+    many = len(t._snapshot_files()[0])
+    assert many > 30
+    t.set_properties({"txlog.optimizeWrite.enabled": "true",
+                      "txlog.optimizeWrite.numFiles": "2"})
+    before = len(t._snapshot_files()[0])
+    t.append(wide)
+    assert len(t._snapshot_files()[0]) == before + 2
+    assert t.read().count() == 2001
+    # partitioned: one file per partition value, not per (task ×
+    # partition)
+    p = TxLogTable.create(
+        spark, str(tmp_path / "pt"),
+        spark.createDataFrame([(0, "a", 0)], "k int, grp string, v int"),
+        partition_by="grp")
+    p.set_properties({"txlog.optimizeWrite.enabled": "true"})
+    wide3 = spark.range(300).selectExpr(
+        "cast(id as int) k",
+        "concat('g', cast(id % 3 as string)) grp",
+        "cast(id as int) v").repartition(32)
+    before_p = len(p._snapshot_files()[0])
+    p.append(wide3)
+    assert len(p._snapshot_files()[0]) == before_p + 3  # one per value
+    assert p.read().count() == 301
+
+
 def test_generate_manifest_lists_active_snapshot(spark, tdir):
     t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20)]))
     t.delete_where(F.col("k") == 1)  # copy-on-write rewrite
