@@ -160,6 +160,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "dedup_signature_store",         # persisted LSH band-index state
     "source_python_datasource_pushdown",  # pushFilters row-group pruning
     "delta_generate_manifest",       # symlink manifest interop
+    "delta_materialized_view_cascade",  # MV-over-MV two-stage fold
     # -- stale drain V: the thirteen r3-stale canaries -----------------------
     "token_length_histogram",
     "text_tfidf_top_terms",
@@ -197,7 +198,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "fn_datetime_suite",
     "fn_math_suite",
     "fn_string_suite",
-    "source_csv_roundtrip",
     "source_jsonl_corrupt_tolerant",
     "source_python_datasource",
     "source_schema_evolution",
@@ -208,9 +208,10 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # delta_materialized_view_join, fn_variant_suite by
     # source_python_datasource_stream, multimodal_feature_extract
     # by dedup_signature_store, multimodal_image_features by
-    # source_python_datasource_pushdown, and multimodal_audio_features
-    # by delta_generate_manifest (new-query policy); all nine join
-    # the r10 canary list.
+    # source_python_datasource_pushdown, multimodal_audio_features
+    # by delta_generate_manifest, and source_csv_roundtrip by
+    # delta_materialized_view_cascade (new-query policy); all ten
+    # join the r10 canary list.
 )
 
 

@@ -1178,6 +1178,79 @@ def delta_materialized_view_join(spark: SparkSession,
 
 
 @register(
+    "delta_materialized_view_cascade",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} + 7 AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+    ), fin AS (
+      SELECT * FROM upd WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 500 AND o_orderkey % 7 <> 0
+    ), l1 AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS total
+      FROM fin GROUP BY o_orderpriority
+    )
+    SELECT n, COUNT(*) AS n_groups,
+           CAST(SUM(total) AS BIGINT) AS sum_total,
+           TRUE AS cascaded
+    FROM l1 GROUP BY n
+    ORDER BY n
+    """,
+    tags=("acid", "delta", "mv", "cdf", "cascade", "incremental", "sql",
+          "engine"),
+)
+def delta_materialized_view_cascade(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CASCADING materialized views: mv2 (a histogram of mv1's group
+    sizes) is defined OVER mv1 and maintains itself from MV1'S OWN
+    change feed — after source churn, refreshing mv1 then mv2
+    propagates the deltas through TWO incremental stages without
+    rescanning either input.  The oracle recomputes the two-level
+    aggregate from scratch; the hash certifies the cascaded folds equal
+    the full pipeline — the multi-stage DLT-style shape."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = (orders.filter(F.col("o_orderkey") <= 1000)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvcascsrc", sf_dir)
+    for nm in ("mvcasc1", "mvcasc2"):
+        shutil.rmtree(os.path.join(
+            os.path.dirname(os.path.abspath(src_path)), nm),
+            ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("mvcascsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvcasc1 AS "
+               "SELECT o_orderpriority, COUNT(*) AS n, "
+               "SUM(cents) AS total FROM mvcascsrc "
+               "GROUP BY o_orderpriority")
+    engine.sql("CREATE MATERIALIZED VIEW mvcasc2 AS "
+               "SELECT n, COUNT(*) AS n_groups, SUM(total) AS sum_total "
+               "FROM mvcasc1 GROUP BY n")
+    src.merge_upsert(
+        orders.filter((F.col("o_orderkey") > 500)
+                      & (F.col("o_orderkey") <= 1500))
+        .select("o_orderkey", "o_orderpriority",
+                (cents + 7).alias("cents"))
+        .repartition(4, "o_orderkey"), "o_orderkey")
+    src.delete_where(F.col("o_orderkey") % 7 == 0)
+    engine.sql("REFRESH MATERIALIZED VIEW mvcasc1")
+    engine.sql("REFRESH MATERIALIZED VIEW mvcasc2")
+    return (engine.txlog_tables["mvcasc2"].read()
+            .withColumn("cascaded", F.lit(True))
+            .orderBy("n"))
+
+
+@register(
     "delta_generate_manifest",
     oracle=f"""
     WITH upd AS (

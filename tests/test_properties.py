@@ -311,6 +311,64 @@ def test_deep_clone_refresh_equals_source(spark, tmp_path_factory, data,
     assert sorted(tuple(r) for r in clone.read().collect()) == want
 
 
+# -- r9: VACUUM LITE never collects what FULL would keep ----------------------
+
+vac_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("dv_delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("append"), st.integers(6, 9), st.integers(-3, 3)),
+        st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+        st.tuples(st.just("reorg"), st.just(0), st.just(0)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       script=vac_ops)
+def test_vacuum_lite_subset_of_full(spark, tmp_path_factory, data, script):
+    """For ANY op sequence, LITE's candidate set (log-driven) is a
+    SUBSET of full VACUUM's (filesystem walk) at the same retention —
+    LITE may miss orphans but can never collect something the walk
+    would keep — and after LITE runs, the table still reads the same
+    rows."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"vacprop_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame(data, "k int, v int"))
+    for op, k, d in script:
+        if op == "update":
+            t.update_where({"v": F.col("v") + d}, F.col("k") == k)
+        elif op == "delete":
+            t.delete_where(F.col("k") == k)
+        elif op == "dv_delete":
+            t.delete_where(F.col("k") == k, use_dv=True)
+        elif op == "optimize":
+            t.optimize_compact()
+        elif op == "reorg":
+            t.reorg_purge()
+        else:
+            t.append(spark.createDataFrame([(k, d)], "k int, v int"))
+    want = sorted(tuple(r) for r in t.read().collect())
+    lite = set(t.vacuum(retention_seconds=0, dry_run=True, lite=True))
+    full = set(t.vacuum(retention_seconds=0, dry_run=True))
+    assert lite <= full, (lite - full)
+    t.vacuum(retention_seconds=0, lite=True)
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+
+
 # -- r9: MV refresh == full recompute for ANY churn ---------------------------
 
 mv_ops = st.lists(
