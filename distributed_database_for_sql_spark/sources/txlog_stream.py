@@ -69,6 +69,45 @@ _NO_ROW_OPS = ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                "SET ROW TRACKING", "ADD FEATURE")
 
 
+def _commit_ts(table_path: str, version: int) -> int:
+    for a in _read_commit(table_path, version):
+        if "commit" in a:
+            return int(a["commit"].get("ts", -1))
+    return -1
+
+
+def _resolve_start_version(options: dict) -> int:
+    """``startversion`` (commit number) or ``startingtimestamp`` (epoch
+    millis, or ``YYYY-MM-DD[ HH:MM:SS]`` UTC) — Delta's mutually
+    exclusive stream-start options.  A timestamp resolves to the FIRST
+    commit at-or-after it (Delta's startingTimestamp contract: begin
+    with changes committed at or after the given time); in-commit
+    timestamps are monotonic, so this is a simple ordered scan of the
+    tiny JSON log."""
+    ts = options.get("startingtimestamp")
+    if ts is None:
+        return int(options.get("startversion", 0))
+    if "startversion" in options:
+        raise ValueError(
+            "startversion and startingtimestamp are mutually exclusive")
+    raw = str(ts).strip().strip("'\"")
+    if raw.isdigit():
+        target = int(raw)
+    else:
+        import datetime as _dt
+
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in raw else "%Y-%m-%d"
+        dt = _dt.datetime.strptime(raw, fmt).replace(
+            tzinfo=_dt.timezone.utc)
+        target = int(dt.timestamp() * 1000)
+    path = options["path"]
+    latest = _latest_version(path)
+    for v in range(latest + 1):
+        if _commit_ts(path, v) >= target:
+            return v
+    return latest + 1  # nothing committed yet at/after the time
+
+
 def _mapping_timeline(table_path: str, up_to: int) -> list[tuple[int, dict]]:
     """Column-mapping HISTORY over commits [0, up_to]: a list of
     (version, {logical: physical}) entries, one per commit that changed
@@ -140,7 +179,7 @@ class TxLogChangesStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
-        self.start_version = int(options.get("startversion", 0))
+        self.start_version = _resolve_start_version(options)
         # Delta's maxFilesPerTrigger analogue at the commit granularity:
         # bound how many versions one micro-batch drains, so a stream
         # starting against a long backlog catches up in bounded batches
@@ -297,7 +336,7 @@ class TxLogTableStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
-        self.start_version = int(options.get("startversion", 0))
+        self.start_version = _resolve_start_version(options)
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true")
         self.max_versions = int(options.get("maxversionspertrigger", 0))

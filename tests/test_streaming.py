@@ -507,3 +507,41 @@ def test_stream_max_versions_per_trigger(spark, tmp_path):
     assert e1 == {"version": 4} and len(list(b1)) == 4
     b2, e2 = r_cdf.read(e1)
     assert e2 == {"version": 6} and len(list(b2)) == 2
+
+
+def test_cdf_stream_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp stream option: the CDF stream begins
+    with the first commit at-or-after the given time (in-commit
+    timestamps are monotonic); mutually exclusive with startversion."""
+    import pytest as _pytest
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+    from distributed_database_for_sql_spark.sources.txlog_stream import (
+        _resolve_start_version,
+        register_txlog_cdf_source,
+    )
+
+    t = TxLogTable.create(
+        spark, str(tmp_path / "ts"),
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        enable_cdf=True)
+    t.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    ts_v2 = t._commit_ts(2)
+    register_txlog_cdf_source(spark)
+    df = (spark.readStream.format("txlogcdf")
+          .option("path", t.path)
+          .option("startingtimestamp", str(ts_v2)).load())
+    q = (df.writeStream.format("memory").queryName("cdf_ts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["_commit_version"]) for r in
+                 spark.sql("SELECT * FROM cdf_ts").collect())
+    assert got == [(3, 2)]
+    # exclusivity + a time after every commit = empty stream start
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        _resolve_start_version({"path": t.path, "startversion": "0",
+                                "startingtimestamp": str(ts_v2)})
+    assert _resolve_start_version(
+        {"path": t.path,
+         "startingtimestamp": str(ts_v2 + 10_000)}) == 3
