@@ -311,6 +311,60 @@ def test_deep_clone_refresh_equals_source(spark, tmp_path_factory, data,
     assert sorted(tuple(r) for r in clone.read().collect()) == want
 
 
+# -- r9: the symlink manifest always equals the live snapshot -----------------
+
+manifest_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 5), st.just(0)),
+        st.tuples(st.just("append"), st.integers(6, 9), st.integers(-3, 3)),
+        st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                     min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       script=manifest_ops)
+def test_manifest_equals_snapshot(spark, tmp_path_factory, data, script):
+    """For ANY (DV-free) op sequence, GENERATE's manifest lists exactly
+    the live snapshot's files, and a plain parquet read of the listed
+    files equals the table read — the external-reader contract can
+    never serve resurrected or missing rows."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"manprop_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame(data, "k int, v int"))
+    for op, k, d in script:
+        if op == "update":
+            t.update_where({"v": F.col("v") + d}, F.col("k") == k)
+        elif op == "delete":
+            t.delete_where(F.col("k") == k)
+        elif op == "optimize":
+            t.optimize_compact()
+        else:
+            t.append(spark.createDataFrame([(k, d)], "k int, v int"))
+    path = t.generate_manifest()
+    files = [ln for ln in open(path).read().splitlines() if ln]
+    live, _ = t._snapshot_files()
+    assert sorted(files) == sorted(os.path.normpath(p) for p in live)
+    want = sorted(tuple(r) for r in t.read().collect())
+    got = sorted(tuple(r)
+                 for r in spark.read.parquet(*files).collect()) if files \
+        else []
+    assert got == want
+
+
 # -- r9: VACUUM LITE never collects what FULL would keep ----------------------
 
 vac_ops = st.lists(
