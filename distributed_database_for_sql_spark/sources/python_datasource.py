@@ -142,9 +142,16 @@ class ArrowParquetDataSource(DataSource):
         if path is None:
             # streaming form: schema from the first landing file
             d = self.options["dir"]
-            first = sorted(f for f in os.listdir(d)
-                           if f.endswith(".parquet"))[0]
-            path = os.path.join(d, first)
+            landed = sorted(f for f in os.listdir(d)
+                            if f.endswith(".parquet"))
+            if not landed:
+                raise ValueError(
+                    f"arrowpq stream: landing directory {d!r} holds no "
+                    ".parquet file yet, so the schema cannot be "
+                    "inferred — land the first file before starting "
+                    "the stream, or pass an explicit .schema(...) to "
+                    "the reader")
+            path = os.path.join(d, landed[0])
         sch = pq.read_schema(path)
         cols = self._columns()
         if cols:

@@ -3320,6 +3320,13 @@ class TxLogTable:
         (source row; NULL structs on the by-source arm) — the same
         aliasing surface Delta's SQL MERGE exposes.
 
+        Key matching is NULL-SAFE (``<=>`` semantics): a NULL key value
+        on both sides is a match — the contract an incremental
+        materialized-view fold grouping by a nullable column needs
+        (null-unsafe matching would re-insert the NULL-key group every
+        refresh).  Keys are compared as a packed struct, so all arms —
+        matched, not-matched, by-source — agree.
+
         Physical shape at 100 TB: the source is broadcast (small side
         by MERGE's nature), ONE pass over the snapshot decides each
         row's clause, and only segments containing at least one row
@@ -3508,13 +3515,23 @@ class TxLogTable:
 
         inserts = None
         if when_not_matched:
-            matched_keys = (base.select(*keys)
-                            .join(F.broadcast(
-                                source.select(*keys).distinct()),
-                                keys, "left_semi").distinct())
-            s_f = (source.join(matched_keys, keys, "left_anti")
-                   .select(F.struct(*[F.col(c) for c in source.columns])
-                           .alias("s")))
+            # NULL-SAFE key matching, same struct packing as the decision
+            # pass above: a plain column-equality semi/anti join would
+            # never match NULL key values, so a source row with a NULL
+            # key would re-insert forever even though the matched arm
+            # (struct join) updates its target row — the two arms must
+            # agree on what "matched" means (incremental MV folds group
+            # by nullable columns and hit this every refresh).
+            mk = F.struct(*[F.col(k) for k in keys]).alias("_mk")
+            matched_keys = (base.select(mk)
+                            .join(F.broadcast(source.select(mk).distinct()),
+                                  "_mk", "left_semi").distinct())
+            s_f = (source.select(
+                       mk,
+                       F.struct(*[F.col(c) for c in source.columns])
+                       .alias("s"))
+                   .join(F.broadcast(matched_keys), "_mk", "left_anti")
+                   .select("s"))
             e = None
             for idx, cl in enumerate(when_not_matched):
                 c = clause_cond(cl)
@@ -4470,7 +4487,16 @@ class TxLogTable:
         history row whose ``end_col`` is the NEXT event's sequence (NULL
         for the last), a ``delete`` event closes the preceding row and
         adds nothing (a later event re-opens the key), and the key's
-        existing OPEN row is closed at the batch's first sequence.
+        existing OPEN row is closed at the batch's first sequence.  A
+        delete that closes NOTHING (no open row and no preceding batch
+        event, or preceded by another delete) persists as a ZERO-WIDTH
+        tombstone row ``[seq, seq)`` — inert for every as-of predicate
+        (``start <= t < end`` matches no ``t``) but a lossless trace,
+        without which a later sequenced backfill re-folding the key's
+        timeline from its history rows would silently drop the delete
+        and resurrect the row it kept closed (``start == end`` is
+        unambiguous: every real history row has ``start < end``, since
+        duplicate (key, sequence) events are refused).
         Settled history is immutable BY DEFAULT: every batch sequence
         must be strictly greater than the key's frontier (its max
         ``start_col``) — a batch that would rewrite closed rows raises
@@ -4554,13 +4580,14 @@ class TxLogTable:
         w = Window.partitionBy(*keys).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
-        ev = changes.withColumn("__nxt", F.lead(seq).over(w))
-        new_rows = (ev.filter(F.col(change_type_col) != "delete")
-                    .select(*payload_cols,
-                            seq.alias(start_col),
-                            F.col("__nxt").alias(end_col)))
-        new_rows, ident_actions, ident_cleanup = \
-            self._assign_identity(new_rows)
+        ev = (changes
+              .withColumn("__nxt", F.lead(seq).over(w))
+              .withColumn("__pdel", F.lag(
+                  F.col(change_type_col) == "delete").over(w)))
+        ups = (ev.filter(F.col(change_type_col) != "delete")
+               .select(*payload_cols,
+                       seq.alias(start_col),
+                       F.col("__nxt").alias(end_col)))
         firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
         aggs = []
         for k in keys:
@@ -4589,6 +4616,35 @@ class TxLogTable:
                            "left_semi"))
         touched = sorted(r["_file"] for r in
                          open_hits.select("_file").distinct().collect())
+        # TOMBSTONES: a delete that closes NOTHING (its predecessor in
+        # the key's merged timeline is another delete, or it is the
+        # key's first event and the key has no open row) must still
+        # leave a trace, or a later sequenced backfill reconstructing
+        # the timeline from history rows would silently lose it (splice
+        # would re-open the chain the delete had kept closed).  It lands
+        # as a ZERO-WIDTH history row [seq, seq) — inert for any as-of
+        # predicate (start <= t < end matches no t) and recognizable by
+        # start == end, so the splice reads it back as a delete event.
+        dels = ev.filter(F.col(change_type_col) == "delete")
+        tomb_first = dels.filter(F.col("__pdel").isNull())
+        if touched:
+            open_keyset = (self._read_active(only=touched)
+                           .filter(F.col(end_col).isNull())
+                           .join(F.broadcast(firsts.select(*keys)), keys,
+                                 "left_semi")
+                           .select(*keys).distinct())
+            tomb_first = tomb_first.join(F.broadcast(open_keyset), keys,
+                                         "left_anti")
+        tombstones = (dels.filter(F.col("__pdel").eqNullSafe(F.lit(True)))
+                      .unionByName(tomb_first)
+                      .select(*[F.col(c) if c in keys
+                                else F.lit(None).cast(have[c]).alias(c)
+                                for c in payload_cols],
+                              seq.alias(start_col),
+                              seq.alias(end_col)))
+        new_rows = ups.unionByName(tombstones)
+        new_rows, ident_actions, ident_cleanup = \
+            self._assign_identity(new_rows)
         closed = None
         if touched:
             seg = self._read_active_tracked(only=touched)
@@ -4664,10 +4720,14 @@ class TxLogTable:
         (possibly below-frontier) batch into each affected key's chain
         by re-folding the key's FULL event timeline.  The timeline is
         reconstructed losslessly from the history rows themselves: every
-        row is an upsert event at its ``start_col``, and every non-NULL
+        real row is an upsert event at its ``start_col``, every non-NULL
         ``end_col`` that no same-key row starts at is a delete event
-        (normal supersessions chain end==next start).  Batch events
-        merge in by sequence and the standard fold re-runs — so the
+        (normal supersessions chain end==next start), and every
+        ZERO-WIDTH tombstone row ``[s, s)`` — the persisted trace of a
+        delete that closed nothing (see ``apply_changes_scd2``) — is a
+        delete event at ``s``.  Batch events merge in by sequence and
+        the standard fold re-runs (deletes that still close nothing
+        re-emit as tombstones, so the output stays re-foldable) — the
         result equals the chain had all events arrived in order.
 
         Cost shape: rewrites exactly the segments holding an affected
@@ -4722,21 +4782,35 @@ class TxLogTable:
                             F.lit(True).alias("__del")))
         events = events.unionByName(dels_new)
         if existing is not None:
-            ups_exist = existing.select(
+            # zero-width rows [s, s) are TOMBSTONES — the persisted
+            # trace of deletes that closed nothing (see
+            # apply_changes_scd2); they read back as delete events (rid
+            # carried so the marker row keeps its id through re-folds),
+            # never as upserts, and never feed dangling-end detection.
+            is_tomb = (F.col(end_col).isNotNull()
+                       & (F.col(start_col) == F.col(end_col)))
+            real = existing.filter(~is_tomb)
+            tomb = existing.filter(is_tomb)
+            ups_exist = real.select(
                 *payload_cols, F.col(start_col).alias("__seq"),
                 F.lit(False).alias("__del"), *rid)
-            ends = existing.filter(F.col(end_col).isNotNull()).select(
+            ends = real.filter(F.col(end_col).isNotNull()).select(
                 *[F.col(k) for k in keys], F.col(end_col).alias("__seq"))
-            starts = existing.select(
+            starts = real.select(
                 *[F.col(k) for k in keys], F.col(start_col).alias("__seq"))
             dels_exist = (ends.join(starts, [*keys, "__seq"], "left_anti")
                           .select(*[F.col(k) for k in keys],
                                   *null_payload(existing),
                                   F.col("__seq"),
                                   F.lit(True).alias("__del")))
+            dels_tomb = tomb.select(
+                *[F.col(k) for k in keys], *null_payload(existing),
+                F.col(start_col).alias("__seq"),
+                F.lit(True).alias("__del"), *rid)
             events = (events
                       .unionByName(ups_exist, allowMissingColumns=True)
-                      .unionByName(dels_exist, allowMissingColumns=True))
+                      .unionByName(dels_exist, allowMissingColumns=True)
+                      .unionByName(dels_tomb, allowMissingColumns=True))
         dup = (events.groupBy(*keys, "__seq").count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
@@ -4745,13 +4819,29 @@ class TxLogTable:
                 "existing event at the same (key, sequence) — splicing "
                 "is ambiguous; re-sequence the backfill batch")
         w = Window.partitionBy(*keys).orderBy("__seq")
-        ev = events.withColumn("__nxt", F.lead("__seq").over(w))
+        ev = (events
+              .withColumn("__nxt", F.lead("__seq").over(w))
+              .withColumn("__pdel", F.lag("__del").over(w)))
+        rid_cols = [F.col(c) for c in rid] if existing is not None else []
         refold_cols = (payload_cols
                        + [F.col("__seq").alias(start_col),
                           F.col("__nxt").alias(end_col)]
-                       + ([F.col(c) for c in rid]
-                          if existing is not None else []))
-        refolded = ev.filter(~F.col("__del")).select(*refold_cols)
+                       + rid_cols)
+        # deletes that close nothing in the re-folded timeline (first
+        # event for the key, or preceded by another delete) re-emit as
+        # zero-width tombstone rows — the splice output stays losslessly
+        # re-foldable by the NEXT backfill (delete events already carry
+        # NULL payload, so the same projection works).
+        tomb_cols = (payload_cols
+                     + [F.col("__seq").alias(start_col),
+                        F.col("__seq").alias(end_col)]
+                     + rid_cols)
+        refolded = (ev.filter(~F.col("__del")).select(*refold_cols)
+                    .unionByName(
+                        ev.filter(F.col("__del")
+                                  & (F.col("__pdel").isNull()
+                                     | F.col("__pdel")))
+                        .select(*tomb_cols)))
         merged = (carry.unionByName(refolded, allowMissingColumns=True)
                   if carry is not None else refolded)
         merged = self._apply_generated(merged)
@@ -4904,10 +4994,12 @@ class TxLogTable:
         text line per active file); files carrying deletion vectors are
         REFUSED (a symlink reader would resurrect tombstoned rows —
         same restriction as real Delta, which blocks manifests on
-        DV-enabled tables; REORG PURGE first).  Returns the manifest
-        path.  Partitioned tables emit one manifest per partition dir
-        under the same root (the Hive-compatible layout external
-        engines expect)."""
+        DV-enabled tables; REORG PURGE first).  Partitioned tables emit
+        one manifest per partition dir under the same root (the
+        Hive-compatible layout external engines expect).  Returns the
+        manifest FILE path for unpartitioned tables, and the manifest
+        ROOT directory for partitioned (or empty) tables — the
+        per-partition ``grp=a/manifest`` files live under it."""
         active, _, dvs = self._snapshot_full(version)
         if dvs:
             raise ValueError(
@@ -4927,12 +5019,27 @@ class TxLogTable:
             hive = [c for c in os.path.dirname(p).split(os.sep)
                     if "=" in c]
             by_dir.setdefault(os.sep.join(hive), []).append(ap)
+        written: list[str] = []
         for rel_dir, files in by_dir.items():
             d = os.path.join(root, rel_dir) if rel_dir else root
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, "manifest"), "w") as fh:
+            mp = os.path.join(d, "manifest")
+            with open(mp, "w") as fh:
                 fh.write("\n".join(sorted(files)) + "\n")
-        return os.path.join(root, "manifest")
+            written.append(mp)
+        # unpartitioned: the single '<root>/manifest' path; partitioned:
+        # the manifest ROOT (the per-partition 'grp=a/manifest' files
+        # live under it) — returning '<root>/manifest' would name a file
+        # that does not exist
+        if len(written) == 1 and written[0] == os.path.join(root,
+                                                            "manifest"):
+            return written[0]
+        if not written:  # empty snapshot: an empty root manifest
+            os.makedirs(root, exist_ok=True)
+            mp = os.path.join(root, "manifest")
+            open(mp, "w").close()
+            return mp
+        return root
 
     def detail(self) -> dict:
         """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,

@@ -93,3 +93,23 @@ def test_arrowpq_pushdown_prunes_row_groups(spark, tmp_path):
     empty = (spark.read.format("arrowpq").option("path", path).load()
              .filter("id > 5000"))
     assert empty.count() == 0
+
+
+def test_arrowpq_stream_empty_landing_dir_refuses_clearly(spark, tmp_path):
+    """A stream started before the first landing file arrives must fail
+    with a descriptive error naming the directory and the remedy — not
+    an opaque IndexError from sorted(listdir)[0]."""
+    import pytest
+
+    from distributed_database_for_sql_spark.sources.python_datasource import (
+        register_arrow_source,
+    )
+
+    register_arrow_source(spark)
+    d = tmp_path / "landing"
+    d.mkdir()
+    with pytest.raises(Exception, match="no\\s+.parquet file yet"):
+        (spark.readStream.format("arrowpq").option("dir", str(d)).load()
+         .writeStream.format("memory").queryName("empty_landing")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())

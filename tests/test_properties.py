@@ -9,8 +9,22 @@ that matter (empty relations, all-duplicate keys, NULLs).
 
 from __future__ import annotations
 
+import os as _os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# The fold/splice/refresh equivalence properties guard the hardest
+# engine invariants; 5 examples per run is too few (the r9 backfill bug
+# shipped green under it).  SPARK_GRAFT_EXAMPLES raises the budget for a
+# battery run (tools/run_battery.sh uses 100); the checked-in
+# .hypothesis/examples DB replays previously-found counterexamples first.
+_FOLD_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_EXAMPLES", "5"))
+fold_prop = settings(
+    max_examples=_FOLD_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 
 rows = st.lists(
     st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(-3, 3))),
@@ -210,8 +224,7 @@ ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=6, unique_by=lambda t: t[0]),
        script=ops)
@@ -269,8 +282,7 @@ clone_ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=6, unique_by=lambda t: t[0]),
        script=clone_ops)
@@ -324,8 +336,7 @@ manifest_ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=6, unique_by=lambda t: t[0]),
        script=manifest_ops)
@@ -380,8 +391,7 @@ vac_ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=6, unique_by=lambda t: t[0]),
        script=vac_ops)
@@ -435,8 +445,7 @@ mv_ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=6, unique_by=lambda t: t[0]),
        script=mv_ops)
@@ -444,8 +453,13 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
                                           script):
     """For ANY source churn (updates, deletes incl. group death,
     appends incl. duplicate keys and group birth), one incremental
-    REFRESH brings the MV to exactly the from-scratch aggregate —
-    count and sum, per group."""
+    REFRESH brings the MV to exactly the from-scratch aggregate — the
+    FULL widened class: count, sum, avg, min, max, per group.  NULL
+    values (k % 5 == 0 seeds NULL v; appends with d == 0 append NULL)
+    exercise the hidden non-NULL counters (sum back to NULL when the
+    last contributor dies), NULL group keys (k % 4 == 0) exercise the
+    null-safe fold MERGE, and every delete/update forces the bounded
+    MIN/MAX repair path."""
     import os
     import uuid as _uuid
 
@@ -455,7 +469,11 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
     from distributed_database_for_sql_spark.sources.txlog import TxLogTable
 
     base = tmp_path_factory.mktemp(f"mvprop_{_uuid.uuid4().hex[:6]}")
-    rows = [(k, f"g{k % 3}", v) for k, v in data]
+
+    def grp_of(k):
+        return None if k % 4 == 0 else f"g{k % 3}"
+
+    rows = [(k, grp_of(k), None if k % 5 == 0 else v) for k, v in data]
     src = TxLogTable.create(
         spark, os.path.join(str(base), "src"),
         spark.createDataFrame(rows, "k int, grp string, v int"),
@@ -464,7 +482,8 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
     nm = f"mv_{_uuid.uuid4().hex[:8]}"
     engine.register_txlog(f"src_{nm}", src)
     engine.sql(f"CREATE MATERIALIZED VIEW {nm} AS "
-               f"SELECT grp, COUNT(*) AS n, SUM(v) AS total "
+               f"SELECT grp, COUNT(*) AS n, SUM(v) AS total, "
+               f"AVG(v) AS mean, MIN(v) AS lo, MAX(v) AS hi "
                f"FROM src_{nm} GROUP BY grp")
     for op, k, d in script:
         if op == "update":
@@ -473,14 +492,20 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
             src.delete_where(F.col("k") == k)
         else:
             src.append(spark.createDataFrame(
-                [(k, f"g{k % 3}", d)], "k int, grp string, v int"))
+                [(k, grp_of(k), None if d == 0 else d)],
+                "k int, grp string, v int"))
     engine.sql(f"REFRESH MATERIALIZED VIEW {nm}")
-    got = sorted(tuple(r) for r in
-                 engine.txlog_tables[nm].read().collect())
-    want = sorted(tuple(r) for r in
-                  src.read().groupBy("grp")
-                  .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
-                  .collect())
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in
+                  engine.txlog_tables[nm].read()
+                  .select("grp", "n", "total", "mean", "lo", "hi")
+                  .collect()), key=key)
+    want = sorted((tuple(r) for r in
+                   src.read().groupBy("grp")
+                   .agg(F.count("*").alias("n"), F.sum("v").alias("total"),
+                        F.avg("v").alias("mean"), F.min("v").alias("lo"),
+                        F.max("v").alias("hi"))
+                   .collect()), key=key)
     assert got == want
 
 
@@ -498,8 +523,7 @@ cdf_ops = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
                      min_size=1, max_size=4, unique_by=lambda t: t[0]),
        script=cdf_ops)
@@ -569,8 +593,7 @@ cdc_events = st.lists(
     min_size=1, max_size=8)
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
                      min_size=1, max_size=4, unique_by=lambda t: t[0]),
        events=cdc_events)
@@ -613,8 +636,7 @@ def test_apply_changes_equals_python_fold(spark, tmp_path_factory,
         sorted(state.items())
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
                      min_size=1, max_size=4, unique_by=lambda t: t[0]),
        events=cdc_events)
@@ -646,8 +668,11 @@ def test_apply_changes_scd2_equals_python_fold(spark, tmp_path_factory,
     changes = spark.createDataFrame(
         shuffled, "k int, v int, seq int, _change_type string")
     t.apply_changes_scd2(changes, key="k", sequence_by="seq")
-    # pure-Python sequential SCD2 fold over the ORDERED events
-    hist: list[tuple[int, int, int, int | None]] = [
+    # pure-Python sequential SCD2 fold over the ORDERED events; deletes
+    # that close nothing persist as zero-width tombstone rows [s, s)
+    # (the lossless trace a later sequenced backfill re-folds from)
+    seeded = {k for k, _v in data}
+    hist: list[tuple[int, int | None, int, int | None]] = [
         (k, v, 0, None) for k, v in data]
     by_key: dict[int, list[tuple[int, int, str]]] = {}
     for k, v, s, ct in rows:
@@ -659,15 +684,18 @@ def test_apply_changes_scd2_equals_python_fold(spark, tmp_path_factory,
                 for kk, vv, st_, en in hist]
         for i, (s, v, ct) in enumerate(evs):
             if ct == "delete":
+                if ((i > 0 and evs[i - 1][2] == "delete")
+                        or (i == 0 and k not in seeded)):
+                    hist.append((k, None, s, s))
                 continue
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             hist.append((k, v, s, nxt))
+    key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
+                        x[3] is None, x[3] or 0)
     assert sorted(
         ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
-         for r in t.read().collect()),
-        key=lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0)) == \
-        sorted(hist,
-               key=lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0))
+         for r in t.read().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
 
 
 # -- r8: row-tracking invariants under arbitrary DML -------------------------
@@ -679,8 +707,7 @@ rt_ops = st.lists(
     min_size=1, max_size=5)
 
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(ops=rt_ops)
 def test_row_tracking_invariants_under_random_dml(spark, tmp_path_factory,
                                                   ops):
@@ -774,8 +801,7 @@ def test_sql_grammar_documented():
 
 # -- r9: SCD2 backfill splice ≡ in-order arrival ------------------------------
 
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@fold_prop
 @given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
                      min_size=1, max_size=3, unique_by=lambda t: t[0]),
        events=cdc_events, salt=st.integers(0, 3))
@@ -813,8 +839,14 @@ def test_scd2_backfill_equals_in_order_fold(spark, tmp_path_factory,
         t.apply_changes_scd2(spark.createDataFrame(batch2, schema),
                              key="k", sequence_by="seq",
                              allow_backfill=True)
-    # pure-Python sequential fold over ALL events in order
-    hist: list[tuple[int, int, int, int | None]] = [
+    # pure-Python sequential fold over ALL events in order.  A delete
+    # that closes nothing (first event of an unseeded key, or preceded
+    # by another delete) leaves a zero-width tombstone row [s, s) — the
+    # engine persists these so a later splice can reconstruct the
+    # timeline losslessly (without them, trace-less deletes vanish and
+    # backfill resurrects the rows they kept closed — the r9 bug).
+    seeded = {k for k, _v in data}
+    hist: list[tuple[int, int | None, int, int | None]] = [
         (k, v, 0, None) for k, v in data]
     by_key: dict[int, list[tuple[int, int, str]]] = {}
     for k, v, s, ct in rows:
@@ -826,10 +858,77 @@ def test_scd2_backfill_equals_in_order_fold(spark, tmp_path_factory,
                 for kk, vv, st_, en in hist]
         for i, (s, v, ct) in enumerate(evs):
             if ct == "delete":
+                traceless = ((i > 0 and evs[i - 1][2] == "delete")
+                             or (i == 0 and k not in seeded))
+                if traceless:
+                    hist.append((k, None, s, s))
                 continue
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             hist.append((k, v, s, nxt))
-    key_fn = lambda x: (x[0], x[1], x[2], x[3] is None, x[3] or 0)  # noqa: E731
+    key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
+                        x[3] is None, x[3] or 0)
     assert sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
                    for r in t.read().collect()), key=key_fn) == \
         sorted(hist, key=key_fn)
+
+
+# -- r10: backfill splice preserves row ids (row tracking × backfill) ---------
+
+@fold_prop
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
+                     min_size=1, max_size=3, unique_by=lambda t: t[0]),
+       events=cdc_events, salt=st.integers(0, 3))
+def test_scd2_backfill_preserves_row_ids(spark, tmp_path_factory,
+                                         data, events, salt):
+    """Row tracking × backfill, for ANY event split: a history row that
+    exists both before and after a splice (same key + start + value —
+    the same logical row version, even when its END bound moves) keeps
+    its row id; ids stay unique throughout.  Zero-width tombstone rows
+    are version markers, not row versions — exempt from stability (a
+    splice may consume them when the delete they trace starts closing a
+    real row)."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"scd2rid_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, v, 0, None) for k, v in data],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"),
+        row_tracking=True)
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    batch1 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 0]
+    batch2 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 1]
+    schema = "k int, v int, seq int, _change_type string"
+    if batch1:
+        t.apply_changes_scd2(spark.createDataFrame(batch1, schema),
+                             key="k", sequence_by="seq")
+    if not batch2:
+        return
+
+    def snap():
+        out = {}
+        for r in t.read_with_row_ids().collect():
+            if r["__END_AT"] is not None and \
+                    r["__START_AT"] == r["__END_AT"]:
+                continue  # tombstone marker
+            out[(r["k"], r["__START_AT"], r["v"])] = r["_row_id"]
+        return out
+
+    before = snap()
+    t.apply_changes_scd2(spark.createDataFrame(batch2, schema),
+                         key="k", sequence_by="seq",
+                         allow_backfill=True)
+    after = snap()
+    for key, rid_ in before.items():
+        if key in after:
+            assert after[key] == rid_, f"row id changed for {key}"
+    ids = list(after.values())
+    assert len(set(ids)) == len(ids), "duplicate row ids after splice"

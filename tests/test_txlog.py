@@ -1111,12 +1111,35 @@ def test_generate_manifest_partitioned_per_dir(spark, tdir):
     t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10), (2, "b", 20),
                                                    (3, "a", 30)]),
                           partition_by="grp")
-    t.generate_manifest()
+    ret = t.generate_manifest()
     root = os.path.join(tdir, "_symlink_format_manifest")
+    # partitioned: the returned path is the manifest ROOT (it exists);
+    # '<root>/manifest' is NOT written — only per-partition manifests
+    assert os.path.normpath(ret) == os.path.normpath(root)
+    assert os.path.isdir(ret)
+    assert not os.path.exists(os.path.join(root, "manifest"))
     assert sorted(os.listdir(root)) == ["grp=a", "grp=b"]
     files_a = [ln for ln in open(os.path.join(
         root, "grp=a", "manifest")).read().splitlines() if ln]
     assert files_a and all("grp=a" in f for f in files_a)
+    # unpartitioned: the returned path is the manifest FILE itself
+    t2 = TxLogTable.create(spark, tdir + "_flat",
+                           _df(spark, [(1, "a", 10)]))
+    ret2 = t2.generate_manifest()
+    assert os.path.isfile(ret2) and ret2.endswith("manifest")
+    # delete-all keeps the rewritten (zero-row) segments active: the
+    # manifest still lists exactly the active snapshot, and a reader
+    # through it sees zero rows
+    t3 = TxLogTable.create(spark, tdir + "_empty",
+                           _df(spark, [(1, "a", 10)]))
+    t3.delete_where(F.lit(True))
+    ret3 = t3.generate_manifest()
+    assert os.path.isfile(ret3)
+    live3, _ = t3._snapshot_files()
+    listed = [ln for ln in open(ret3).read().splitlines() if ln]
+    assert len(listed) == len(live3)
+    if listed:
+        assert spark.read.parquet(*listed).count() == 0
 
 
 def test_merge_full_txn_idempotence(spark, tdir):
@@ -1177,7 +1200,9 @@ def test_materialized_view_incremental_fold(spark, tdir):
     engine.sql("REFRESH MATERIALIZED VIEW mvagg")
     assert mv.latest_version() == v
     # the MV is itself ACID: time travel to the pre-refresh state
-    assert sorted(tuple(r) for r in mv.read(version=v - 1).collect()) == \
+    # (select the public columns — read() also carries __mv_* state)
+    assert sorted(tuple(r) for r in mv.read(version=v - 1)
+                  .select("grp", "n", "total").collect()) == \
         [("a", 2, 30), ("b", 1, 30)]
 
 
@@ -1327,7 +1352,8 @@ def test_stream_refresh_keeps_mv_fresh(spark, tdir, tmp_path):
     finally:
         q.stop()
     assert sorted(tuple(r) for r in
-                  engine.txlog_tables["stmv"].read().collect()) == \
+                  engine.txlog_tables["stmv"].read()
+                  .select("grp", "n", "total").collect()) == \
         [("a", 2, 40)]
 
 
@@ -1354,15 +1380,101 @@ def test_materialized_view_refusals(spark, tdir):
     engine.register_txlog("fsrc", src)
     with pytest.raises(ValueError, match="not incrementally maintainable"):
         engine.sql("CREATE MATERIALIZED VIEW bad1 AS "
-                   "SELECT grp, COUNT(*) AS n, MIN(v) AS lo "
+                   "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT v) AS d "
                    "FROM fsrc GROUP BY grp")
     with pytest.raises(ValueError, match="COUNT"):
         engine.sql("CREATE MATERIALIZED VIEW bad2 AS "
                    "SELECT grp, SUM(v) AS total FROM fsrc GROUP BY grp")
+    with pytest.raises(ValueError, match="unique"):
+        engine.sql("CREATE MATERIALIZED VIEW bad3 AS "
+                   "SELECT grp, COUNT(*) AS n, SUM(v) AS n "
+                   "FROM fsrc GROUP BY grp")
     engine.sql("CREATE MATERIALIZED VIEW okmv AS "
                "SELECT grp, COUNT(*) AS n FROM fsrc GROUP BY grp")
     with pytest.raises(ValueError, match="not a materialized view"):
         engine.refresh_materialized_view("fsrc")
+    # ADVICE r9: a CDF-less source refuses at CREATE (the first
+    # incremental refresh would otherwise fail with lost preimages)
+    nocdf = TxLogTable.create(spark, tdir + "_nocdf",
+                              _df(spark, [(1, "a", 10)]))
+    engine.register_txlog("nocdfsrc", nocdf)
+    with pytest.raises(ValueError, match="CDF"):
+        engine.sql("CREATE MATERIALIZED VIEW bad4 AS "
+                   "SELECT grp, COUNT(*) AS n FROM nocdfsrc GROUP BY grp")
+
+
+def test_materialized_view_null_sum_and_null_group_key(spark, tdir):
+    """ADVICE r9 NULL edges, both pinned: (1) a group whose LAST
+    non-NULL SUM contributor is deleted returns to SUM = NULL (full
+    recompute parity), not an arithmetic 0 — the hidden non-NULL counter
+    decides; (2) a NULL grouping key folds into ONE row across repeated
+    refreshes (null-safe MERGE key matching), never duplicating."""
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([("a", 5), ("a", None), (None, 1)],
+                              "grp string, v int"),
+        enable_cdf=True)
+    engine.register_txlog("nsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW nmv AS "
+               "SELECT grp, COUNT(*) AS n, SUM(v) AS total, "
+               "AVG(v) AS mean FROM nsrc GROUP BY grp")
+    src.delete_where(F.col("v") == 5)
+    engine.sql("REFRESH MATERIALIZED VIEW nmv")
+    got = {r["grp"]: (r["n"], r["total"], r["mean"])
+           for r in engine.sql("SELECT * FROM nmv").collect()}
+    assert got["a"] == (1, None, None), \
+        "deleting the last non-NULL contributor must NULL the SUM/AVG"
+    assert got[None] == (1, 1, 1.0)
+    # NULL-key group: two more folds must UPDATE the same row
+    src.append(spark.createDataFrame([(None, 10)], "grp string, v int"))
+    engine.sql("REFRESH MATERIALIZED VIEW nmv")
+    src.append(spark.createDataFrame([(None, 100)], "grp string, v int"))
+    engine.sql("REFRESH MATERIALIZED VIEW nmv")
+    rows = engine.sql("SELECT * FROM nmv WHERE grp IS NULL").collect()
+    assert len(rows) == 1, "NULL-key group duplicated across folds"
+    assert (rows[0]["n"], rows[0]["total"]) == (3, 111)
+    # hidden maintenance state stays out of the SQL-visible view
+    assert not [c for c in engine.sql("SELECT * FROM nmv").columns
+                if c.startswith("__mv_")]
+    mv = engine.txlog_tables["nmv"]
+    assert "__mv_nn_total" in mv.read().columns  # but it IS maintained
+
+
+def test_materialized_view_minmax_repair_and_where(spark, tdir):
+    """MIN/MAX maintenance: inserts fold arithmetically; a delete or
+    update that removes a group's extremum triggers the bounded
+    per-group repair (recompute scoped to affected keys); the MV WHERE
+    clause filters the initial scan AND every fold."""
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 9), (3, "b", 4), (4, "b", -7)],
+            "k int, grp string, v int"),
+        enable_cdf=True)
+    engine.register_txlog("msrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mmv AS "
+               "SELECT grp, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi "
+               "FROM msrc WHERE v >= 0 GROUP BY grp")
+    got = {r["grp"]: (r["n"], r["lo"], r["hi"])
+           for r in engine.sql("SELECT * FROM mmv").collect()}
+    assert got == {"a": (2, 1, 9), "b": (1, 4, 4)}  # -7 filtered out
+    # delete the max of 'a' -> repair must find the surviving 1;
+    # insert a new max for 'b' -> pure arithmetic fold (GREATEST)
+    src.delete_where(F.col("v") == 9)
+    src.append(spark.createDataFrame([(5, "b", 6), (6, "b", -1)],
+                                     "k int, grp string, v int"))
+    engine.sql("REFRESH MATERIALIZED VIEW mmv")
+    got = {r["grp"]: (r["n"], r["lo"], r["hi"])
+           for r in engine.sql("SELECT * FROM mmv").collect()}
+    assert got == {"a": (1, 1, 1), "b": (2, 4, 6)}
+    # an update that RAISES a min repairs too (preimage removes 4)
+    src.update_where({"v": "v + 100"}, F.col("k") == 3)
+    engine.sql("REFRESH MATERIALIZED VIEW mmv")
+    got = {r["grp"]: (r["n"], r["lo"], r["hi"])
+           for r in engine.sql("SELECT * FROM mmv").collect()}
+    assert got == {"a": (1, 1, 1), "b": (2, 6, 104)}
 
 
 # -- VACUUM LITE ---------------------------------------------------------------
@@ -1681,6 +1793,13 @@ def test_deep_clone_sql_route_and_or_replace_refresh(spark, tdir, tmp_path):
     with pytest.raises(ValueError, match="VERSION AS OF"):
         engine.sql(
             "CREATE OR REPLACE TABLE deept DEEP CLONE srct VERSION AS OF 0")
+    # OR REPLACE is ONLY the deep re-clone idiom: a SHALLOW mode or an
+    # unregistered dest refuses with a clear message (not clone_to's
+    # misleading concurrent-create FileExistsError)
+    with pytest.raises(ValueError, match="SHALLOW clones track"):
+        engine.sql("CREATE OR REPLACE TABLE deept SHALLOW CLONE srct")
+    with pytest.raises(ValueError, match="not a registered table"):
+        engine.sql("CREATE OR REPLACE TABLE fresh_dest DEEP CLONE srct")
 
 
 # -- OPTIMIZE ZORDER ---------------------------------------------------------
@@ -5098,6 +5217,60 @@ def test_scd2_backfill_row_tracking_ids_survive(spark, tdir):
     assert ids1[(1, 12)] not in set(ids0.values()), \
         "the spliced row must read a fresh id"
     assert len(set(ids1.values())) == len(ids1)
+
+
+def test_scd2_traceless_delete_leaves_tombstone(spark, tdir):
+    """A delete that closes NOTHING (unknown key, or preceded by another
+    delete) persists as a zero-width tombstone row [seq, seq) — NULL
+    payload, start == end — so the timeline stays losslessly
+    re-foldable; tombstones are inert for as-of predicates."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(
+        spark, [(1, 10, 0, None)]))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(7, 0, 3, "delete"),      # unknown key
+                              (1, 0, 4, "delete"),      # closes open row
+                              (1, 0, 6, "delete")]),    # double delete
+        key="k", sequence_by="seq")
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()),
+                 key=lambda x: (x[0], x[2]))
+    assert got == [(1, 10, 0, 4),      # closed by the real delete
+                   (1, None, 6, 6),    # double delete -> tombstone
+                   (7, None, 3, 3)]    # unknown key -> tombstone
+    # zero-width rows never satisfy an as-of predicate
+    asof = t.read().filter((F.col("__START_AT") <= 3)
+                           & ((F.col("__END_AT") > 3)
+                              | F.col("__END_AT").isNull()))
+    assert [(r["k"], r["v"]) for r in asof.collect()] == [(1, 10)]
+
+
+def test_scd2_backfill_traceless_delete_not_lost(spark, tdir):
+    """Pinned r9 falsifying example (hypothesis found it): an on-time
+    delete for a key with NO open row left no history trace, so a later
+    backfill re-folding the key's timeline silently dropped it and
+    re-opened the chain.  With tombstones the splice equals the in-order
+    fold: seed key 0; on-time {(0,upd,1), (1,delete,2)}; backfill
+    {(1,upd,1)} — key 1 must end CLOSED at 2, not open."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, [(0, 5, 0, None)]))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(0, 6, 1, "update_postimage"),
+                              (1, 0, 2, "delete")]),
+        key="k", sequence_by="seq")
+    # the trace the r9 splice lost: key 1's delete, as a tombstone
+    mid = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()),
+                 key=lambda x: (x[0], x[2]))
+    assert (1, None, 2, 2) in mid
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 7, 1, "update_postimage")]),
+        key="k", sequence_by="seq", allow_backfill=True)
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()),
+                 key=lambda x: (x[0], x[2]))
+    # in-order fold: up(1)@1 opens key 1, delete@2 closes it -> [1, 2);
+    # the tombstone is CONSUMED by the splice (the delete now closes a
+    # real row, so it no longer needs a marker)
+    assert got == [(0, 5, 0, 1), (0, 6, 1, None), (1, 7, 1, 2)]
 
 
 # -- r9: DV density-triggered auto-REORG --------------------------------------
