@@ -225,7 +225,8 @@ _DROP_DEFAULT_RE = re.compile(
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+"
     r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>\w+)"
-    r"(?P<joins>(?:\s+JOIN\s+\w+\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+)*)\s+"
+    r"(?P<joins>(?:\s+JOIN\s+\w+\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+)*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s+"
     r"GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -355,12 +356,21 @@ class Engine:
         self.tables = register_views(spark, sf_dir, TABLES)
         self.txlog_tables: dict[str, object] = {}
 
+    @staticmethod
+    def _public_view(df: DataFrame) -> DataFrame:
+        """The SQL-visible projection of a table snapshot: hidden MV
+        maintenance state (``__mv_*`` non-NULL counters / running sums)
+        stays out of SELECT results; ``read()`` on the TxLogTable still
+        exposes everything for the refresh fold."""
+        internal = [c for c in df.columns if c.startswith("__mv_")]
+        return df.drop(*internal) if internal else df
+
     def register_txlog(self, name: str, table) -> None:
         """Expose a TxLogTable under ``name``: SELECTs see its current
         snapshot as a temp view, and MERGE INTO statements route to its
         ACID merge_upsert."""
         self.txlog_tables[name] = table
-        table.read().createOrReplaceTempView(name)
+        self._public_view(table.read()).createOrReplaceTempView(name)
 
     def sql(self, command: str) -> DataFrame:
         """Execute one SQL command (DQL/DDL on temp views; MERGE INTO on
@@ -454,7 +464,7 @@ class Engine:
             dry = m.group("dry") is not None
             missing = self.txlog_tables[target].repair(dry_run=dry)
             if not dry:
-                self.txlog_tables[target].read() \
+                self._public_view(self.txlog_tables[target].read()) \
                     .createOrReplaceTempView(target)
             return self.spark.createDataFrame(
                 [(target, len(missing), dry)],
@@ -665,7 +675,8 @@ class Engine:
             target = m.group("target")
             version, n = self.txlog_tables[target].copy_into(
                 m.group("src"), m.group("fmt").lower())
-            self.txlog_tables[target].read().createOrReplaceTempView(target)
+            self._public_view(self.txlog_tables[target].read()) \
+                .createOrReplaceTempView(target)
             return self.spark.createDataFrame(
                 [(target, version, n)],
                 "table_name string, version long, files_loaded long")
@@ -704,6 +715,22 @@ class Engine:
                 # snapshot taken at registration time
                 self.register_txlog(dest_name, clone)
             else:
+                if m.group("replace"):
+                    # OR REPLACE is ONLY the deep re-clone (incremental
+                    # refresh) idiom over an existing registered deep
+                    # clone; promising replace semantics and then failing
+                    # clone_to's concurrent-create guard would mislead
+                    raise ValueError(
+                        "CREATE OR REPLACE ... CLONE only refreshes an "
+                        "EXISTING registered DEEP clone (the re-clone "
+                        "idiom); "
+                        + ("SHALLOW clones track the source live and "
+                           "need no refresh — use CREATE TABLE ... "
+                           "SHALLOW CLONE for a first clone"
+                           if mode == "shallow" else
+                           f"{dest_name!r} is not a registered table — "
+                           "use CREATE TABLE ... DEEP CLONE for the "
+                           "first clone"))
                 clone = src.clone_to(
                     dest_path, version=int(v) if v is not None else None,
                     mode=mode)
@@ -949,7 +976,7 @@ class Engine:
                         "tables manually (e.g. RESTORE)") from e
                 if n:
                     acks.append((name, version, n))
-                    t.read().createOrReplaceTempView(name)
+                    self._public_view(t.read()).createOrReplaceTempView(name)
         except BaseException:
             for name, t in begun:
                 try:
@@ -960,7 +987,8 @@ class Engine:
                     # a mid-script _dml_ack may have repointed the temp
                     # view at the STAGED snapshot; restore the committed
                     # one so nothing uncommitted stays visible
-                    t.read().createOrReplaceTempView(name)
+                    self._public_view(t.read()) \
+                        .createOrReplaceTempView(name)
                 except Exception:
                     pass  # e.g. table created empty mid-script
             raise
@@ -986,21 +1014,30 @@ class Engine:
 
     _MV_COUNT_ITEM = re.compile(r"^COUNT\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$",
                                 re.IGNORECASE)
-    _MV_SUM_ITEM = re.compile(r"^SUM\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
-                              re.IGNORECASE | re.DOTALL)
+    _MV_AGG_ITEM = re.compile(
+        r"^(?P<fn>SUM|AVG|MIN|MAX)\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
+        re.IGNORECASE | re.DOTALL)
 
     def _create_mv(self, m: re.Match) -> DataFrame:
         """CREATE MATERIALIZED VIEW: an aggregate over ONE txlog table,
         stored as its own ACID txlog table and maintained INCREMENTALLY
         from the source's Change Data Feed — refresh cost scales with
         the change volume, never the source size (the 100 TB contract;
-        see ``refresh_materialized_view``).  v1 supports the
-        self-maintainable aggregate class: grouping columns, COUNT(*)
-        (at least one — it detects group death), and SUM(expr).
-        MIN/MAX are NOT incrementally maintainable under deletes and
-        refuse; AVG is derivable from SUM/COUNT and refuses with that
-        hint.  The definition rides the MV table's TBLPROPERTIES, so a
-        fresh engine can keep refreshing it.
+        see ``refresh_materialized_view``).  Supported select items:
+        grouping columns, COUNT(*) (at least one — it detects group
+        death), SUM(expr), AVG(expr), MIN(expr), MAX(expr), plus an
+        optional WHERE clause filtering the source rows (applied to the
+        initial scan AND every delta fold).  SUM/AVG ride hidden
+        non-NULL counters (``__mv_nn_<alias>``, plus ``__mv_sum_`` for
+        AVG) so a group whose last non-NULL contributor is deleted
+        correctly returns to NULL instead of 0; MIN/MAX fold inserts
+        arithmetically (LEAST/GREATEST) and repair groups that saw a
+        delete/update-preimage with a bounded per-group recompute (semi
+        join of the source against exactly the affected group keys).
+        The definition rides the MV table's TBLPROPERTIES, so a fresh
+        engine can keep refreshing it.  The source must have CDF
+        enabled — refused at CREATE (the first incremental refresh
+        would otherwise fail with unrecoverable preimages).
 
         STAR-JOIN shape: ``FROM fact JOIN dim ON fact.k = dim.k ...``
         composes — the fact side must be the txlog table (its CDF
@@ -1014,29 +1051,45 @@ class Engine:
         if name in self.txlog_tables:
             raise ValueError(f"table {name!r} already exists")
         src = self.txlog_tables[src_name]
+        if not src.enable_cdf:
+            raise ValueError(
+                f"materialized view source {src_name!r} does not have "
+                "CDF enabled (enable_cdf=True / delta.enableChangeDataFeed"
+                ") — incremental refresh folds the source's change feed, "
+                "so the MV cannot be maintained without it")
         groups = [g.strip() for g in m.group("group").split(",")]
         counts: list[str] = []
         sums: dict[str, str] = {}
+        avgs: dict[str, str] = {}
+        mins: dict[str, str] = {}
+        maxs: dict[str, str] = {}
+        by_fn = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs}
         seen_groups: list[str] = []
         for item in self._split_top_level(m.group("select")):
             cm = self._MV_COUNT_ITEM.match(item)
-            sm = self._MV_SUM_ITEM.match(item)
+            am = self._MV_AGG_ITEM.match(item)
             if cm:
                 counts.append(cm.group("a"))
-            elif sm:
-                sums[sm.group("a")] = sm.group("e").strip()
+            elif am:
+                by_fn[am.group("fn").upper()][am.group("a")] = \
+                    am.group("e").strip()
             elif re.match(r"^\w+$", item) and item in groups:
                 seen_groups.append(item)
             else:
                 raise ValueError(
                     f"materialized view select item {item!r} is not "
                     "incrementally maintainable: use grouping columns, "
-                    "COUNT(*) AS a, or SUM(expr) AS a (AVG = SUM/COUNT "
-                    "in the reader; MIN/MAX need a full recompute)")
+                    "COUNT(*) AS a, or SUM/AVG/MIN/MAX(expr) AS a")
         if not counts:
             raise ValueError(
                 "materialized view needs a COUNT(*) AS <alias> item — "
                 "the count detects when a group dies (deletes)")
+        aliases = (counts + list(sums) + list(avgs) + list(mins)
+                   + list(maxs) + groups)
+        dup = {a for a in aliases if aliases.count(a) > 1}
+        if dup:
+            raise ValueError(
+                f"materialized view aliases must be unique: {sorted(dup)}")
         joins: list[dict] = []
         for jm in _MV_JOIN_RE.finditer(m.group("joins") or ""):
             dim = jm.group("dim")
@@ -1055,14 +1108,13 @@ class Engine:
             fact_col = next(iter(sides.values()))
             joins.append({"dim": dim, "fact_col": fact_col,
                           "dim_col": dim_col})
+        where = (m.group("where") or "").strip()
         dest_path = os.path.join(
             os.path.dirname(os.path.abspath(src.path)), name)
         from .sources.txlog import TxLogTable
-        from pyspark.sql import functions as F
-        empty = (self._mv_row_source(src.read().limit(0), joins)
-                 .groupBy(*groups).agg(
-            *([F.count("*").alias(c) for c in counts]
-              + [F.sum(F.expr(e)).alias(a) for a, e in sums.items()])))
+        empty = (self._mv_row_source(src.read().limit(0), joins, where)
+                 .groupBy(*groups)
+                 .agg(*self._mv_full_aggs(counts, sums, avgs, mins, maxs)))
         # the MV records its own CDF, so MVs CASCADE: a second MV (or
         # any CDF consumer) can maintain itself from this one's change
         # feed — the multi-stage incremental-pipeline shape
@@ -1073,10 +1125,36 @@ class Engine:
             "mv.groupBy": ",".join(groups),
             "mv.counts": ",".join(counts),
             "mv.sums": json.dumps(sums, sort_keys=True),
+            "mv.avgs": json.dumps(avgs, sort_keys=True),
+            "mv.mins": json.dumps(mins, sort_keys=True),
+            "mv.maxs": json.dumps(maxs, sort_keys=True),
             "mv.joins": json.dumps(joins, sort_keys=True),
+            **({"mv.where": where} if where else {}),
         })
         self.register_txlog(name, mv)
         return self.refresh_materialized_view(name)
+
+    @staticmethod
+    def _mv_full_aggs(counts, sums, avgs, mins, maxs, prefix=""):
+        """The from-scratch aggregate list shared by CREATE's schema
+        probe, the initial fill, and FULL recompute: visible aggregates
+        plus the hidden SUM/AVG maintenance state (``__mv_nn_<a>``
+        non-NULL counters; ``__mv_sum_<a>`` running sums for AVG)."""
+        from pyspark.sql import functions as F
+        p = prefix
+        aggs = [F.count("*").alias(f"{p}{c}") for c in counts]
+        for a, e in sums.items():
+            aggs += [F.sum(F.expr(e)).alias(f"{p}{a}"),
+                     F.count(F.expr(e)).alias(f"{p}__mv_nn_{a}")]
+        for a, e in avgs.items():
+            aggs += [F.avg(F.expr(e)).alias(f"{p}{a}"),
+                     F.sum(F.expr(e)).alias(f"{p}__mv_sum_{a}"),
+                     F.count(F.expr(e)).alias(f"{p}__mv_nn_{a}")]
+        for a, e in mins.items():
+            aggs.append(F.min(F.expr(e)).alias(f"{p}{a}"))
+        for a, e in maxs.items():
+            aggs.append(F.max(F.expr(e)).alias(f"{p}{a}"))
+        return aggs
 
     def stream_refresh(self, name: str, checkpoint_dir: str):
         """Keep a materialized view CONTINUOUSLY fresh: a Structured
@@ -1105,12 +1183,14 @@ class Engine:
                 .option("checkpointLocation", checkpoint_dir)
                 .start())
 
-    def _mv_row_source(self, fact: DataFrame, joins: list[dict]) -> DataFrame:
+    def _mv_row_source(self, fact: DataFrame, joins: list[dict],
+                       where: str = "") -> DataFrame:
         """The MV's input row set: the fact frame (snapshot or CDF
-        batch) inner-joined to each static dim, dims BROADCAST — a CDF
-        delta batch keeps its ``_change_type`` column through the
-        joins, so one code path serves the initial scan and every
-        fold."""
+        batch) inner-joined to each static dim, dims BROADCAST, then the
+        definition's WHERE filter — a CDF delta batch keeps its
+        ``_change_type`` column through both, so one code path serves
+        the initial scan, every fold, and the MIN/MAX repair
+        recompute."""
         from pyspark.sql import functions as F
 
         out = fact
@@ -1118,6 +1198,8 @@ class Engine:
             dim = self.spark.table(j["dim"])
             out = out.join(F.broadcast(dim),
                            out[j["fact_col"]] == dim[j["dim_col"]], "inner")
+        if where:
+            out = out.filter(F.expr(where))
         return out
 
     def refresh_materialized_view(self, name: str,
@@ -1148,18 +1230,29 @@ class Engine:
         groups = props["mv.groupBy"].split(",")
         counts = [c for c in props["mv.counts"].split(",") if c]
         sums = json.loads(props.get("mv.sums", "{}"))
+        avgs = json.loads(props.get("mv.avgs", "{}"))
+        mins = json.loads(props.get("mv.mins", "{}"))
+        maxs = json.loads(props.get("mv.maxs", "{}"))
         joins = json.loads(props.get("mv.joins", "[]"))
+        where = props.get("mv.where", "")
+        dnn = lambda a: f"__d___mv_nn_{a}"    # noqa: E731
+        dsum = lambda a: f"__d___mv_sum_{a}"  # noqa: E731
         app = f"mv::{name}"
         last = mv.txn_version_for(app)
         cur = src.latest_version()
         if full:
-            recompute = (self._mv_row_source(src.read(version=cur), joins)
-                         .groupBy(*groups).agg(
-                *([F.count("*").alias(f"__d_{c}") for c in counts]
-                  + [F.sum(F.expr(e)).alias(f"__d_{a}")
-                     for a, e in sums.items()])))
+            recompute = (self._mv_row_source(src.read(version=cur), joins,
+                                             where)
+                         .groupBy(*groups)
+                         .agg(*self._mv_full_aggs(counts, sums, avgs,
+                                                  mins, maxs,
+                                                  prefix="__d_")))
             repl = {c: f"s.__d_{c}" for c in counts}
-            repl.update({a: f"s.__d_{a}" for a in sums})
+            repl.update({a: f"s.__d_{a}" for a in
+                         list(sums) + list(avgs) + list(mins) + list(maxs)})
+            repl.update({f"__mv_nn_{a}": f"s.{dnn(a)}"
+                         for a in list(sums) + list(avgs)})
+            repl.update({f"__mv_sum_{a}": f"s.{dsum(a)}" for a in avgs})
             ins = dict(repl)
             ins.update({g: f"s.{g}" for g in groups})
             # A FULL refresh is idempotent by construction (replace
@@ -1180,39 +1273,141 @@ class Engine:
             return self._dml_ack(name, mv.latest_version())
         if last >= cur:
             return self._dml_ack(name, mv.latest_version())  # up to date
+        dt = dict(mv.read().dtypes)
         if last < 0:
-            # initial fill: one full scan of the CURRENT snapshot
-            rows = self._mv_row_source(src.read(version=cur), joins)
+            # initial fill: one full scan of the CURRENT snapshot;
+            # MIN/MAX land under their insert-fold names (__i_/__x_)
+            # so the shared merge expressions below serve both paths
+            rows = self._mv_row_source(src.read(version=cur), joins, where)
             delta = (rows.groupBy(*groups).agg(
                 *([F.count("*").alias(f"__d_{c}") for c in counts]
-                  + [F.sum(F.expr(e)).alias(f"__d_{a}")
-                     for a, e in sums.items()])))
+                  + [x for a, e in sums.items()
+                     for x in (F.sum(F.expr(e)).alias(f"__d_{a}"),
+                               F.count(F.expr(e)).alias(dnn(a)))]
+                  + [x for a, e in avgs.items()
+                     for x in (F.sum(F.expr(e)).alias(dsum(a)),
+                               F.count(F.expr(e)).alias(dnn(a)))]
+                  + [F.min(F.expr(e)).alias(f"__i_{a}")
+                     for a, e in mins.items()]
+                  + [F.max(F.expr(e)).alias(f"__x_{a}")
+                     for a, e in maxs.items()])))
+            repair = False
         else:
-            ch = self._mv_row_source(src.read_changes(last + 1, cur), joins)
-            sign = F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit(1)).otherwise(F.lit(-1))
+            ch = self._mv_row_source(src.read_changes(last + 1, cur),
+                                     joins, where)
+            added = F.col("_change_type").isin("insert", "update_postimage")
+            sign = F.when(added, F.lit(1)).otherwise(F.lit(-1))
+            nn_of = lambda e: sign * F.expr(e).isNotNull().cast("long")  # noqa: E731
+            minmax_aggs = (
+                [F.min(F.when(added, F.expr(e))).alias(f"__i_{a}")
+                 for a, e in mins.items()]
+                + [F.max(F.when(added, F.expr(e))).alias(f"__x_{a}")
+                   for a, e in maxs.items()])
+            if mins or maxs:
+                # any removed row (delete / update preimage) can lower a
+                # MAX or raise a MIN — those groups need a bounded
+                # recompute (repair), identified right here in the CDF
+                minmax_aggs.append(
+                    F.max(F.when(added, F.lit(0)).otherwise(F.lit(1)))
+                    .alias("__rep"))
             delta = (ch.groupBy(*groups).agg(
                 *([F.sum(sign).alias(f"__d_{c}") for c in counts]
-                  + [F.sum(sign * F.expr(e)).alias(f"__d_{a}")
-                     for a, e in sums.items()])))
-            # drop no-op groups (count unchanged AND every sum delta
-            # zero/NULL): their segments must not be rewritten
+                  + [x for a, e in sums.items()
+                     for x in (F.sum(sign * F.expr(e)).alias(f"__d_{a}"),
+                               F.sum(nn_of(e)).alias(dnn(a)))]
+                  + [x for a, e in avgs.items()
+                     for x in (F.sum(sign * F.expr(e)).alias(dsum(a)),
+                               F.sum(nn_of(e)).alias(dnn(a)))]
+                  + minmax_aggs)))
+            # drop no-op groups (count unchanged, every sum/avg delta and
+            # non-NULL-count delta zero, no MIN/MAX-relevant change):
+            # their segments must not be rewritten
             nonzero = " OR ".join(
                 [f"__d_{c} <> 0" for c in counts]
-                + [f"(__d_{a} IS NOT NULL AND __d_{a} <> 0)" for a in sums])
+                + [f"(__d_{a} IS NOT NULL AND __d_{a} <> 0)"
+                   for a in sums]
+                + [f"({dsum(a)} IS NOT NULL AND {dsum(a)} <> 0)"
+                   for a in avgs]
+                + [f"{dnn(a)} <> 0" for a in list(sums) + list(avgs)]
+                + (["__rep = 1"] if (mins or maxs) else [])
+                + [f"__i_{a} IS NOT NULL" for a in mins]
+                + [f"__x_{a} IS NOT NULL" for a in maxs])
             delta = delta.filter(F.expr(nonzero))
+            repair = bool(mins or maxs) and \
+                delta.filter("__rep = 1").limit(1).count() > 0
+        rcol = lambda a: f"__r_{a}"  # noqa: E731
+        if (mins or maxs) and repair:
+            # bounded repair: recompute MIN/MAX from the CURRENT source
+            # snapshot for EXACTLY the groups that saw a removal — a
+            # null-safe (struct-packed) semi join prunes the scan to
+            # affected groups; cost ∝ their row share, never table size
+            mk = F.struct(*[F.col(g) for g in groups]).alias("_mk")
+            rep_keys = (delta.filter("__rep = 1")
+                        .select(mk).distinct())
+            rec = (self._mv_row_source(src.read(version=cur), joins, where)
+                   .withColumn("_mk", F.struct(*groups))
+                   .join(F.broadcast(rep_keys), "_mk", "left_semi")
+                   .groupBy(*groups)
+                   .agg(*([F.min(F.expr(e)).alias(rcol(a))
+                           for a, e in mins.items()]
+                          + [F.max(F.expr(e)).alias(rcol(a))
+                             for a, e in maxs.items()])))
+            delta = (delta.withColumn("_mk", F.struct(*groups))
+                     .join(F.broadcast(rec.withColumn(
+                         "_mk", F.struct(*groups)).drop(*groups)),
+                         "_mk", "left")
+                     .drop("_mk"))
+        elif mins or maxs:
+            delta = delta.withColumns(
+                {rcol(a): F.expr(f"CAST(NULL AS {dt[a]})")
+                 for a in list(mins) + list(maxs)})
+        if (mins or maxs) and "__rep" not in delta.columns:
+            delta = delta.withColumn("__rep", F.lit(0))
         c0 = counts[0]
         dead = " AND ".join(f"t.{c} + s.__d_{c} = 0" for c in counts)
         upd = {c: f"t.{c} + s.__d_{c}" for c in counts}
-        upd.update({
-            a: (f"CASE WHEN t.{a} IS NULL AND s.__d_{a} IS NULL THEN "
-                f"CAST(NULL AS {dict(mv.read().dtypes)[a]}) ELSE "
-                f"COALESCE(t.{a}, 0) + COALESCE(s.__d_{a}, 0) END")
-            for a in sums})
+        for a in sums:
+            nn_new = f"(COALESCE(t.__mv_nn_{a}, 0) + COALESCE(s.{dnn(a)}, 0))"
+            upd[f"__mv_nn_{a}"] = nn_new
+            # a group whose last non-NULL contributor is deleted returns
+            # to NULL (full-recompute parity), not to an arithmetic 0
+            upd[a] = (f"CASE WHEN {nn_new} <= 0 THEN "
+                      f"CAST(NULL AS {dt[a]}) ELSE "
+                      f"COALESCE(t.{a}, 0) + COALESCE(s.__d_{a}, 0) END")
+        for a in avgs:
+            nn_new = f"(COALESCE(t.__mv_nn_{a}, 0) + COALESCE(s.{dnn(a)}, 0))"
+            sum_new = (f"(COALESCE(t.__mv_sum_{a}, 0) + "
+                       f"COALESCE(s.{dsum(a)}, 0))")
+            upd[f"__mv_nn_{a}"] = nn_new
+            upd[f"__mv_sum_{a}"] = (
+                f"CASE WHEN {nn_new} <= 0 THEN "
+                f"CAST(NULL AS {dt[f'__mv_sum_{a}']}) ELSE {sum_new} END")
+            upd[a] = (f"CASE WHEN {nn_new} <= 0 THEN "
+                      f"CAST(NULL AS {dt[a]}) ELSE "
+                      f"{sum_new} / {nn_new} END")
+        for a in mins:
+            upd[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
+                      f"ELSE LEAST(t.{a}, s.__i_{a}) END")
+        for a in maxs:
+            upd[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
+                      f"ELSE GREATEST(t.{a}, s.__x_{a}) END")
         ins = {g: f"s.{g}" for g in groups}
         ins.update({c: f"s.__d_{c}" for c in counts})
-        ins.update({a: f"s.__d_{a}" for a in sums})
+        for a in sums:
+            ins[a] = f"s.__d_{a}"
+            ins[f"__mv_nn_{a}"] = f"s.{dnn(a)}"
+        for a in avgs:
+            ins[a] = (f"CASE WHEN COALESCE(s.{dnn(a)}, 0) <= 0 THEN "
+                      f"CAST(NULL AS {dt[a]}) ELSE "
+                      f"s.{dsum(a)} / s.{dnn(a)} END")
+            ins[f"__mv_sum_{a}"] = f"s.{dsum(a)}"
+            ins[f"__mv_nn_{a}"] = f"s.{dnn(a)}"
+        for a in mins:
+            ins[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
+                      f"ELSE s.__i_{a} END")
+        for a in maxs:
+            ins[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
+                      f"ELSE s.__x_{a} END")
         mv.merge_full(
             delta, groups,
             when_matched=[
@@ -1231,7 +1426,8 @@ class Engine:
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""
-        self.txlog_tables[target].read().createOrReplaceTempView(target)
+        self._public_view(
+            self.txlog_tables[target].read()).createOrReplaceTempView(target)
         return self.spark.createDataFrame(
             [(target, version)], "table_name string, version long")
 
@@ -1343,7 +1539,7 @@ class Engine:
         version = table.merge_upsert(
             self.spark.table(source), keys if len(keys) > 1 else keys[0])
         # keep subsequent SELECTs over the view consistent with the commit
-        table.read().createOrReplaceTempView(target)
+        self._public_view(table.read()).createOrReplaceTempView(target)
         return self.spark.createDataFrame(
             [(target, version)], "table_name string, version long")
 

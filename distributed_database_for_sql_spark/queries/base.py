@@ -146,72 +146,72 @@ def register(name: str, oracle: str | None = None,
 #       r5-certified canaries (oldest remaining, drawn across
 #       families).
 
+#   r10 window (below): drain the LAST staleness tier.  Position 1: new
+#       in r10 (delta_materialized_view_minmax — the widened MV
+#       aggregate class, certified the round it ships).  Positions 2-35:
+#       ALL 34 queries whose latest driver green is r5 (the only
+#       remaining tier; every one re-verified locally at sf0.01 this
+#       round).  Positions 36-50: fifteen r6-certified canaries across
+#       families.  After this window certifies: min latest-driver-green
+#       = r6 over every oracled query.
+
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r9 (policy: new queries certify the round they ship) --------
-    "delta_merge_schema_evolution",  # MERGE WITH SCHEMA EVOLUTION
-    "delta_merge_full_identity",     # three-arm MERGE × BY DEFAULT identity
-    "delta_scd2_backfill",           # sequenced SCD2 late-history splice
-    "delta_merge_composite_key",     # MERGE on a multi-column key
-    "delta_deep_clone",              # DEEP CLONE + incremental refresh
-    "sql_group_by_all_topn",         # GROUP BY ALL + QUALIFY-equivalent
-    "delta_materialized_view",       # CREATE/REFRESH MATERIALIZED VIEW
-    "delta_materialized_view_join",  # star-join MV, CDF-folded
-    "source_python_datasource_stream",  # DataSourceStreamReader ingest
-    "dedup_signature_store",         # persisted LSH band-index state
-    "source_python_datasource_pushdown",  # pushFilters row-group pruning
-    "delta_generate_manifest",       # symlink manifest interop
-    "delta_materialized_view_cascade",  # MV-over-MV two-stage fold
-    # -- stale drain V: the thirteen r3-stale canaries -----------------------
-    "token_length_histogram",
-    "text_tfidf_top_terms",
-    "text_repetition_score",
-    "split_train_val_test",
-    "source_quota_sampling",
-    "source_orc_roundtrip",
-    "source_text_roundtrip",
-    "text_pii_redact",
-    "stream_interval_static_join",
-    "source_json_roundtrip",
-    "sink_partitioned_pruned_scan",
-    "quality_quantile_filter",
-    "pack_sequences_chunked",
-    # -- stale drain VI: every r4-certified query ----------------------------
-    "embedding_centroid_drift",
-    "feature_quantile_binning",
-    "fn_regex_suite",
-    "join_fuzzy_levenshtein",
-    "layout_zorder_clustering",
-    "quality_lm_perplexity",
-    "scd_upsert_classify",
-    "source_xml_roundtrip",
-    "sql_distribute_cluster_by",
-    "sql_lateral_topn",
-    "stats_key_skew",
-    "stats_table_profile",
-    "stream_anomaly_zscore",
-    "stream_dedup_within_watermark",
-    "ts_anomaly_zscore",
-    # -- canaries: oldest (r5-certified) queries, drawn across families -----
-    "q1_pricing_summary",
-    "q12_shipping_delay_priority",
-    "fn_array_suite",
-    "fn_datetime_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "source_jsonl_corrupt_tolerant",
-    "source_python_datasource",
-    "source_schema_evolution",
-    # stream_tumbling_window displaced by delta_merge_composite_key,
-    # sql_udf_scalar by delta_deep_clone, udf_pandas_over_window by
-    # sql_group_by_all_topn, mv_incremental_refresh by
-    # delta_materialized_view, sql_recursive_cte by
-    # delta_materialized_view_join, fn_variant_suite by
-    # source_python_datasource_stream, multimodal_feature_extract
-    # by dedup_signature_store, multimodal_image_features by
-    # source_python_datasource_pushdown, multimodal_audio_features
-    # by delta_generate_manifest, and source_csv_roundtrip by
-    # delta_materialized_view_cascade (new-query policy); all ten
-    # join the r10 canary list.
+    # -- new in r10 (policy: new queries certify the round they ship) -------
+    "delta_materialized_view_minmax",  # AVG/MIN/MAX/WHERE MV + NULL edges
+    # -- stale drain VII: ALL 34 r5-latest queries (the final staleness
+    #    tier — after this window certifies, min latest-driver-green = r6
+    #    across all oracled queries) --------------------------------------
+    "agg_grouping_sets",
+    "agg_having",
+    "decontam_benchmark_overlap",
+    "dedup_exact_substring_windows",
+    "dedup_exact_survivors",
+    "dedup_incremental_cross",
+    "fn_bitwise_suite",
+    "fn_url_suite",
+    "fn_variant_suite",
+    "graph_pagerank_trade",
+    "join_asof_purchase_click",
+    "join_bucketed_colocated",
+    "join_interval_maintenance",
+    "join_interval_overlap",
+    "mix_domain_reweight",
+    "multimodal_audio_features",
+    "multimodal_feature_extract",
+    "multimodal_image_features",
+    "mv_incremental_refresh",
+    "quality_gopher_rules",
+    "scd_merge_apply",
+    "set_except_all",
+    "sink_range_sharded",
+    "sketch_cms_heavy_hitters",
+    "source_csv_roundtrip",
+    "sql_parameterized_args",
+    "sql_recursive_cte",
+    "sql_udf_scalar",
+    "stream_tumbling_window",
+    "text_quality_score",
+    "udf_pandas_over_window",
+    "udf_pandas_scalar",
+    "window_rolling_time_range",
+    "window_topk_per_group",
+    # -- canaries: fifteen r6-certified queries (now the oldest tier),
+    #    drawn across families -------------------------------------------
+    "delta_merge_upsert",
+    "delta_change_data_feed",
+    "delta_deletion_vectors",
+    "delta_time_travel",
+    "delta_shallow_clone",
+    "delta_restore",
+    "stream_txlog_cdf_source",
+    "sql_merge_into_txlog",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "tokenizer_bpe_train_merges",
+    "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "sample_domain_cap",
+    "text_compression_ratio",
 )
 
 

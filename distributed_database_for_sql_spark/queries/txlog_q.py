@@ -1105,7 +1105,7 @@ def delta_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.sql("REFRESH MATERIALIZED VIEW mvsqlview")
     mv = engine.txlog_tables["mvsqlview"]
     at_head = mv.txn_version_for("mv::mvsqlview") == src.latest_version()
-    return (mv.read()
+    return (engine._public_view(mv.read())  # hide __mv_* fold state
             .withColumn("fold_at_source_head", F.lit(bool(at_head)))
             .orderBy("o_orderpriority"))
 
@@ -1172,7 +1172,7 @@ def delta_materialized_view_join(spark: SparkSession,
     mv = engine.txlog_tables["mvjoinview"]
     at_head = (mv.txn_version_for("mv::mvjoinview")
                == src.latest_version())
-    return (mv.read()
+    return (engine._public_view(mv.read())  # hide __mv_* fold state
             .withColumn("fold_at_source_head", F.lit(bool(at_head)))
             .orderBy("c_mktsegment"))
 
@@ -1245,9 +1245,102 @@ def delta_materialized_view_cascade(spark: SparkSession,
     src.delete_where(F.col("o_orderkey") % 7 == 0)
     engine.sql("REFRESH MATERIALIZED VIEW mvcasc1")
     engine.sql("REFRESH MATERIALIZED VIEW mvcasc2")
-    return (engine.txlog_tables["mvcasc2"].read()
+    return (engine._public_view(engine.txlog_tables["mvcasc2"].read())
             .withColumn("cascaded", F.lit(True))
             .orderBy("n"))
+
+
+@register(
+    "delta_materialized_view_minmax",
+    # Full-recompute oracle over the mutated source: the hash certifies
+    # incremental == recompute for the WHOLE widened aggregate class —
+    # AVG through the hidden sum/non-NULL counters, MIN/MAX through the
+    # insert-arm LEAST/GREATEST fold plus the bounded per-group repair
+    # (the delete and the update preimages force repairs), and the MV's
+    # WHERE clause applied to scan and fold alike.  NULL cents rows
+    # (k % 11 = 0) exercise the non-NULL counters.
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderpriority,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE {_CENTS} END AS cents0
+      FROM orders WHERE o_orderkey <= 1300
+    ), fin AS (
+      SELECT o_orderpriority,
+             CASE WHEN k > 300 AND k <= 600 THEN cents0 + 31
+                  ELSE cents0 END AS cents
+      FROM src
+      WHERE ((k <= 1000 AND k % 5 <> 0) OR k > 1000) AND k % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                       AS n_orders,
+           ROUND(AVG(cents), 4)           AS avg_cents,
+           CAST(MIN(cents) AS BIGINT)     AS min_cents,
+           CAST(MAX(cents) AS BIGINT)     AS max_cents,
+           TRUE                           AS fold_at_source_head
+    FROM fin
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "mv", "cdf", "minmax", "avg", "incremental",
+          "sql", "engine"),
+)
+def delta_materialized_view_minmax(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The widened MV aggregate class end-to-end: AVG (maintained via
+    hidden running-sum + non-NULL counters — a group whose last non-NULL
+    value is deleted returns to NULL, not 0), MIN/MAX (inserts fold with
+    LEAST/GREATEST; groups that saw a delete or update-preimage repair
+    with a bounded recompute — a null-safe semi join prunes the source
+    scan to exactly the affected group keys), and a WHERE clause in the
+    MV definition (applied to the initial scan AND every CDF fold).
+    The churn — an upsert wave (+31), a modulo delete (removes group
+    maxima), and an append with NULL-cents rows — folds in ONE refresh;
+    the oracle recomputes everything from scratch."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    null_cents = F.when(k % 11 == 0, F.lit(None).cast("bigint")) \
+        .otherwise(cents)
+    base = (orders.filter(k <= 1000)
+            .select("o_orderkey", "o_orderpriority",
+                    null_cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvmmsrc", sf_dir)
+    shutil.rmtree(os.path.join(
+        os.path.dirname(os.path.abspath(src_path)), "mvmmview"),
+        ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("mvmmsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvmmview AS "
+               "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+               "AVG(cents) AS avg_cents, MIN(cents) AS min_cents, "
+               "MAX(cents) AS max_cents FROM mvmmsrc "
+               "WHERE o_orderkey % 13 <> 0 "
+               "GROUP BY o_orderpriority")
+    src.merge_upsert(
+        orders.filter((k > 300) & (k <= 600))
+        .select("o_orderkey", "o_orderpriority",
+                (null_cents + 31).alias("cents"))
+        .repartition(4, "o_orderkey"), "o_orderkey")
+    src.delete_where(k % 5 == 0)
+    src.append(orders.filter((k > 1000) & (k <= 1300))
+               .select("o_orderkey", "o_orderpriority",
+                       null_cents.alias("cents"))
+               .repartition(4, "o_orderkey"))
+    engine.sql("REFRESH MATERIALIZED VIEW mvmmview")
+    mv = engine.txlog_tables["mvmmview"]
+    at_head = mv.txn_version_for("mv::mvmmview") == src.latest_version()
+    return (engine._public_view(mv.read())
+            .withColumn("avg_cents", F.round("avg_cents", 4))
+            .withColumn("fold_at_source_head", F.lit(bool(at_head)))
+            .orderBy("o_orderpriority"))
 
 
 @register(
