@@ -1015,7 +1015,7 @@ class Engine:
     _MV_COUNT_ITEM = re.compile(r"^COUNT\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$",
                                 re.IGNORECASE)
     _MV_AGG_ITEM = re.compile(
-        r"^(?P<fn>SUM|AVG|MIN|MAX)\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
+        r"^(?P<fn>SUM|AVG|MIN|MAX|COUNT)\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
         re.IGNORECASE | re.DOTALL)
 
     def _create_mv(self, m: re.Match) -> DataFrame:
@@ -1063,7 +1063,9 @@ class Engine:
         avgs: dict[str, str] = {}
         mins: dict[str, str] = {}
         maxs: dict[str, str] = {}
-        by_fn = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs}
+        cnts: dict[str, str] = {}  # COUNT(expr): non-NULL row counts
+        by_fn = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs,
+                 "COUNT": cnts}
         seen_groups: list[str] = []
         for item in self._split_top_level(m.group("select")):
             cm = self._MV_COUNT_ITEM.match(item)
@@ -1085,7 +1087,7 @@ class Engine:
                 "materialized view needs a COUNT(*) AS <alias> item — "
                 "the count detects when a group dies (deletes)")
         aliases = (counts + list(sums) + list(avgs) + list(mins)
-                   + list(maxs) + groups)
+                   + list(maxs) + list(cnts) + groups)
         dup = {a for a in aliases if aliases.count(a) > 1}
         if dup:
             raise ValueError(
@@ -1114,7 +1116,8 @@ class Engine:
         from .sources.txlog import TxLogTable
         empty = (self._mv_row_source(src.read().limit(0), joins, where)
                  .groupBy(*groups)
-                 .agg(*self._mv_full_aggs(counts, sums, avgs, mins, maxs)))
+                 .agg(*self._mv_full_aggs(counts, sums, avgs, mins, maxs,
+                                          cnts)))
         # the MV records its own CDF, so MVs CASCADE: a second MV (or
         # any CDF consumer) can maintain itself from this one's change
         # feed — the multi-stage incremental-pipeline shape
@@ -1129,13 +1132,14 @@ class Engine:
             "mv.mins": json.dumps(mins, sort_keys=True),
             "mv.maxs": json.dumps(maxs, sort_keys=True),
             "mv.joins": json.dumps(joins, sort_keys=True),
+            "mv.cnts": json.dumps(cnts, sort_keys=True),
             **({"mv.where": where} if where else {}),
         })
         self.register_txlog(name, mv)
         return self.refresh_materialized_view(name)
 
     @staticmethod
-    def _mv_full_aggs(counts, sums, avgs, mins, maxs, prefix=""):
+    def _mv_full_aggs(counts, sums, avgs, mins, maxs, cnts=(), prefix=""):
         """The from-scratch aggregate list shared by CREATE's schema
         probe, the initial fill, and FULL recompute: visible aggregates
         plus the hidden SUM/AVG maintenance state (``__mv_nn_<a>``
@@ -1154,6 +1158,8 @@ class Engine:
             aggs.append(F.min(F.expr(e)).alias(f"{p}{a}"))
         for a, e in maxs.items():
             aggs.append(F.max(F.expr(e)).alias(f"{p}{a}"))
+        for a, e in dict(cnts).items():
+            aggs.append(F.count(F.expr(e)).alias(f"{p}{a}"))
         return aggs
 
     def stream_refresh(self, name: str, checkpoint_dir: str):
@@ -1233,6 +1239,7 @@ class Engine:
         avgs = json.loads(props.get("mv.avgs", "{}"))
         mins = json.loads(props.get("mv.mins", "{}"))
         maxs = json.loads(props.get("mv.maxs", "{}"))
+        cnts = json.loads(props.get("mv.cnts", "{}"))
         joins = json.loads(props.get("mv.joins", "[]"))
         where = props.get("mv.where", "")
         dnn = lambda a: f"__d___mv_nn_{a}"    # noqa: E731
@@ -1245,11 +1252,12 @@ class Engine:
                                              where)
                          .groupBy(*groups)
                          .agg(*self._mv_full_aggs(counts, sums, avgs,
-                                                  mins, maxs,
+                                                  mins, maxs, cnts,
                                                   prefix="__d_")))
             repl = {c: f"s.__d_{c}" for c in counts}
             repl.update({a: f"s.__d_{a}" for a in
-                         list(sums) + list(avgs) + list(mins) + list(maxs)})
+                         list(sums) + list(avgs) + list(mins)
+                         + list(maxs) + list(cnts)})
             repl.update({f"__mv_nn_{a}": f"s.{dnn(a)}"
                          for a in list(sums) + list(avgs)})
             repl.update({f"__mv_sum_{a}": f"s.{dsum(a)}" for a in avgs})
@@ -1290,7 +1298,9 @@ class Engine:
                   + [F.min(F.expr(e)).alias(f"__i_{a}")
                      for a, e in mins.items()]
                   + [F.max(F.expr(e)).alias(f"__x_{a}")
-                     for a, e in maxs.items()])))
+                     for a, e in maxs.items()]
+                  + [F.count(F.expr(e)).alias(f"__d_{a}")
+                     for a, e in cnts.items()])))
             repair = False
         else:
             ch = self._mv_row_source(src.read_changes(last + 1, cur),
@@ -1318,6 +1328,8 @@ class Engine:
                   + [x for a, e in avgs.items()
                      for x in (F.sum(sign * F.expr(e)).alias(dsum(a)),
                                F.sum(nn_of(e)).alias(dnn(a)))]
+                  + [F.sum(nn_of(e)).alias(f"__d_{a}")
+                     for a, e in cnts.items()]
                   + minmax_aggs)))
             # drop no-op groups (count unchanged, every sum/avg delta and
             # non-NULL-count delta zero, no MIN/MAX-relevant change):
@@ -1329,6 +1341,7 @@ class Engine:
                 + [f"({dsum(a)} IS NOT NULL AND {dsum(a)} <> 0)"
                    for a in avgs]
                 + [f"{dnn(a)} <> 0" for a in list(sums) + list(avgs)]
+                + [f"__d_{a} <> 0" for a in cnts]
                 + (["__rep = 1"] if (mins or maxs) else [])
                 + [f"__i_{a} IS NOT NULL" for a in mins]
                 + [f"__x_{a} IS NOT NULL" for a in maxs])
@@ -1391,6 +1404,10 @@ class Engine:
         for a in maxs:
             upd[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
                       f"ELSE GREATEST(t.{a}, s.__x_{a}) END")
+        for a in cnts:
+            # COUNT(expr) folds like COUNT(*) but signed on non-NULL
+            # rows only; an all-NULL group correctly reads 0, never NULL
+            upd[a] = f"t.{a} + s.__d_{a}"
         ins = {g: f"s.{g}" for g in groups}
         ins.update({c: f"s.__d_{c}" for c in counts})
         for a in sums:
@@ -1408,6 +1425,8 @@ class Engine:
         for a in maxs:
             ins[a] = (f"CASE WHEN s.__rep = 1 THEN s.{rcol(a)} "
                       f"ELSE s.__x_{a} END")
+        for a in cnts:
+            ins[a] = f"s.__d_{a}"
         mv.merge_full(
             delta, groups,
             when_matched=[

@@ -4589,10 +4589,16 @@ class TxLogTable:
                        seq.alias(start_col),
                        F.col("__nxt").alias(end_col)))
         firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
-        aggs = []
+        # key-range stats + delete count ride ONE aggregate job: the
+        # delete count decides whether the tombstone machinery below is
+        # in the plan at all (delete-free batches — the common streaming
+        # CDC shape — skip it entirely)
+        aggs = [F.sum((F.col(change_type_col) == "delete").cast("long"))
+                .alias("__ndel")]
         for k in keys:
             aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-        stats = firsts.agg(*aggs).collect()[0]
+        stats = changes.agg(*aggs).collect()[0]
+        has_dels = bool(stats["__ndel"])
         ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
                    "max": _json_key(stats[f"mx_{k}"])} for k in keys]
         key_range = ranges[0] if len(ranges) == 1 else ranges
@@ -4625,24 +4631,27 @@ class TxLogTable:
         # as a ZERO-WIDTH history row [seq, seq) — inert for any as-of
         # predicate (start <= t < end matches no t) and recognizable by
         # start == end, so the splice reads it back as a delete event.
-        dels = ev.filter(F.col(change_type_col) == "delete")
-        tomb_first = dels.filter(F.col("__pdel").isNull())
-        if touched:
-            open_keyset = (self._read_active(only=touched)
-                           .filter(F.col(end_col).isNull())
-                           .join(F.broadcast(firsts.select(*keys)), keys,
-                                 "left_semi")
-                           .select(*keys).distinct())
-            tomb_first = tomb_first.join(F.broadcast(open_keyset), keys,
-                                         "left_anti")
-        tombstones = (dels.filter(F.col("__pdel").eqNullSafe(F.lit(True)))
-                      .unionByName(tomb_first)
-                      .select(*[F.col(c) if c in keys
-                                else F.lit(None).cast(have[c]).alias(c)
-                                for c in payload_cols],
-                              seq.alias(start_col),
-                              seq.alias(end_col)))
-        new_rows = ups.unionByName(tombstones)
+        new_rows = ups
+        if has_dels:
+            dels = ev.filter(F.col(change_type_col) == "delete")
+            tomb_first = dels.filter(F.col("__pdel").isNull())
+            if touched:
+                open_keyset = (self._read_active(only=touched)
+                               .filter(F.col(end_col).isNull())
+                               .join(F.broadcast(firsts.select(*keys)),
+                                     keys, "left_semi")
+                               .select(*keys).distinct())
+                tomb_first = tomb_first.join(F.broadcast(open_keyset),
+                                             keys, "left_anti")
+            tombstones = (dels.filter(
+                              F.col("__pdel").eqNullSafe(F.lit(True)))
+                          .unionByName(tomb_first)
+                          .select(*[F.col(c) if c in keys
+                                    else F.lit(None).cast(have[c]).alias(c)
+                                    for c in payload_cols],
+                                  seq.alias(start_col),
+                                  seq.alias(end_col)))
+            new_rows = ups.unionByName(tombstones)
         new_rows, ident_actions, ident_cleanup = \
             self._assign_identity(new_rows)
         closed = None
@@ -4736,14 +4745,13 @@ class TxLogTable:
         the batch.  Row tracking: existing history rows keep their row
         ids through the re-fold (they are the same logical row versions,
         even when their end bound moves); only genuinely new rows read
-        fresh ids.  v1 scope: refused on IDENTITY tables (re-folded
-        rows carry ids; batch rows would need engine slots mid-chain)."""
-        if self._identity_columns():
-            raise ValueError(
-                "SCD2 backfill into a table with IDENTITY columns is "
-                "not supported (engine-assigned ids cannot be spliced "
-                "mid-chain); drop the identity column or apply without "
-                "backfill")
+        fresh ids.  GENERATED BY DEFAULT identity composes: re-folded
+        existing rows keep their identity values (payload carried
+        through the reconstruction), spliced batch rows with NULL slots
+        are engine-assigned past the high-water mark (ids burn, never
+        reuse — a re-emitted tombstone reads a fresh id, consistent with
+        the burn contract).  GENERATED ALWAYS was already refused at
+        ``apply_changes_scd2`` entry, same as every whole-row path."""
         _, schema_json = self._snapshot_files()
         have = {f.name: f.dataType
                 for f in T.StructType.fromJson(json.loads(schema_json))}
@@ -4842,11 +4850,18 @@ class TxLogTable:
                                   & (F.col("__pdel").isNull()
                                      | F.col("__pdel")))
                         .select(*tomb_cols)))
+        # BY DEFAULT identity: NULL slots (spliced batch rows) are
+        # engine-assigned BEFORE the carry union so the CDF images below
+        # see the stamped values; carried/re-folded rows keep theirs
+        refolded, ident_actions, ident_cleanup = \
+            self._assign_identity(refolded)
         merged = (carry.unionByName(refolded, allowMissingColumns=True)
                   if carry is not None else refolded)
         merged = self._apply_generated(merged)
         self._validate_constraints(merged)
         rel_new = self._write_segments(merged)
+        if ident_cleanup:
+            ident_cleanup()
         cdf_actions: list[dict] = []
         if self.enable_cdf:
             new_plain = refolded.select(*target_cols)
@@ -4893,6 +4908,7 @@ class TxLogTable:
                          "filesAdded": len(rel_new),
                          **self._key_range_commit(key_range)}}]
             + txn_actions
+            + ident_actions
             + [{"remove": {"path": p}} for p in rel_removed]
             + self._add_actions(rel_new)
             + cdf_actions

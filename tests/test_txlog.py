@@ -5273,6 +5273,43 @@ def test_scd2_backfill_traceless_delete_not_lost(spark, tdir):
     assert got == [(0, 5, 0, 1), (0, 6, 1, None), (1, 7, 1, 2)]
 
 
+def test_scd2_backfill_by_default_identity_composes(spark, tdir):
+    """r10: the splice's wholesale identity refusal narrowed to
+    GENERATED ALWAYS (refused at apply_changes_scd2 entry like every
+    whole-row path).  BY DEFAULT composes: re-folded existing rows keep
+    their identity values (payload through the reconstruction); a
+    spliced batch row with a NULL slot is engine-assigned past the
+    high-water mark (never colliding with an existing id)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "rid int, k int, v int, "
+                              "__START_AT int, __END_AT int"),
+        identity_columns={"rid": {"start": 100, "step": 1,
+                                  "always": False}})
+    t.apply_changes_scd2(
+        spark.createDataFrame(
+            [(None, 1, 10, 10, "insert"), (None, 1, 30, 30, "insert")],
+            "rid int, k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq")
+    ids0 = {(r["v"], r["__START_AT"]): r["rid"]
+            for r in t.read().collect()}
+    assert sorted(ids0.values()) == [100, 101]
+    # splice seq 20 between them (NULL slot -> engine-assigned)
+    t.apply_changes_scd2(
+        spark.createDataFrame(
+            [(None, 1, 20, 20, "insert")],
+            "rid int, k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq", allow_backfill=True)
+    got = {(r["v"], r["__START_AT"], r["__END_AT"]): r["rid"]
+           for r in t.read().collect()}
+    assert got[(10, 10, 20)] == ids0[(10, 10)], \
+        "re-folded row lost its identity value"
+    assert got[(30, 30, None)] == ids0[(30, 30)]
+    new_id = got[(20, 20, 30)]
+    assert new_id not in ids0.values() and new_id >= 102, \
+        f"spliced row id {new_id} must be fresh past the high-water"
+
+
 # -- r9: DV density-triggered auto-REORG --------------------------------------
 
 def test_auto_reorg_on_dv_density(spark, tdir):
