@@ -97,6 +97,9 @@ EXTRA = [
     # round 9b: deep clone + incremental refresh, CDF-maintained MV
     "delta_deep_clone",
     "delta_materialized_view",
+    # round 10: widened MV aggregate class; TRACK HISTORY EXCEPT fold
+    "delta_materialized_view_minmax",
+    "delta_scd2_track_history_except",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate
@@ -112,6 +115,7 @@ CDC_FAMILY = [
     "delta_merge_full_clauses",
     "delta_merge_schema_evolution",
     "delta_merge_full_identity",
+    "delta_scd2_track_history_except",
 ]
 
 

@@ -1072,6 +1072,12 @@ class Engine:
             am = self._MV_AGG_ITEM.match(item)
             if cm:
                 counts.append(cm.group("a"))
+            elif am and re.match(r"(?i)^\s*DISTINCT\b",
+                                 am.group("e")):
+                raise ValueError(
+                    f"materialized view select item {item!r} is not "
+                    "incrementally maintainable: DISTINCT aggregates "
+                    "need per-group value multisets, not signed deltas")
             elif am:
                 by_fn[am.group("fn").upper()][am.group("a")] = \
                     am.group("e").strip()

@@ -3107,6 +3107,111 @@ def delta_scd2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_scd2_track_history_except",
+    # The oracle recomputes the run-collapsed fold relationally: events
+    # (seed open rows at seq 0 + the batch) mark a run boundary on
+    # first-event / delete-adjacent / tracked-column-change, collapse
+    # per (key, run) — start = first seq, excluded column = LAST seq's
+    # value (arg_max) — then chain ends with LEAD.  Full chains are
+    # returned row-by-row, so the hash certifies every absorbed
+    # excluded-only refresh, every real version boundary, and every
+    # delete closure.
+    oracle=f"""
+    WITH seed AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri, {_CENTS} AS c0
+      FROM orders WHERE o_orderkey <= 300
+    ), ev AS (
+      SELECT k, 0 AS seq, pri, c0 AS cents, FALSE AS del FROM seed
+      UNION ALL
+      SELECT k, 1, pri, c0 + 11, FALSE FROM seed WHERE k <= 200
+      UNION ALL
+      SELECT k, 2, 'Z-SPECIAL', c0 + 20, FALSE FROM seed WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, 3, 'Z-SPECIAL', c0 + 77, FALSE FROM seed WHERE k % 9 = 0
+      UNION ALL
+      SELECT k, 4, NULL, NULL, TRUE FROM seed WHERE k % 7 = 0
+    ), m AS (
+      SELECT *, CASE WHEN lag(seq) OVER w IS NULL THEN 1
+                     WHEN del OR lag(del) OVER w THEN 1
+                     WHEN pri IS DISTINCT FROM lag(pri) OVER w THEN 1
+                     ELSE 0 END AS nr
+      FROM ev WINDOW w AS (PARTITION BY k ORDER BY seq)
+    ), runs AS (
+      SELECT k, run, MIN(seq) AS start_at, BOOL_OR(del) AS del,
+             MAX(pri) AS pri, arg_max(cents, seq) AS cents
+      FROM (SELECT *, SUM(nr) OVER (PARTITION BY k ORDER BY seq) AS run
+            FROM m)
+      GROUP BY k, run
+    ), folded AS (
+      SELECT k, pri, cents, start_at,
+             LEAD(start_at) OVER (PARTITION BY k ORDER BY start_at)
+                 AS end_at,
+             del
+      FROM runs
+    )
+    SELECT k, pri, CAST(cents AS BIGINT) AS cents, start_at, end_at
+    FROM folded WHERE NOT del
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "scd2", "track-history-except"),
+)
+def delta_scd2_track_history_except(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DLT's ``TRACK HISTORY ON * EXCEPT (cols)``: churn confined to
+    EXCLUDED columns never opens a new SCD2 version — here ``cents`` is
+    excluded, ``o_orderpriority`` tracked.  A cents-only refresh (seq 1)
+    is ABSORBED into each key's open row (same start, latest cents, no
+    new version), a priority change (seq 2) opens a version, a further
+    cents refresh on the new version (seq 3) absorbs again, and deletes
+    (seq 4) close chains regardless of exclusions.  The whole batch
+    folds in ONE commit; only segments holding open rows of batch keys
+    rewrite.  The oracle recomputes the run-collapsed fold with window
+    functions — full chains hash-certified."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    seed = (orders.filter(k <= 300)
+            .select(k.alias("k"), F.col("o_orderpriority").alias("pri"),
+                    cents.alias("cents"))
+            .withColumn("__START_AT", F.lit(0).cast("int"))
+            .withColumn("__END_AT", F.lit(None).cast("int"))
+            .repartition(4, "k"))
+    t = TxLogTable.create(spark, _table_dir("scd2te", sf_dir), seed,
+                          overwrite=True)
+    src = orders.filter(k <= 300).select(
+        k.alias("k"), F.col("o_orderpriority").alias("pri"),
+        cents.alias("cents"))
+
+    def ev(flt, pri_col, dc, seq, ct):
+        return (src.filter(flt)
+                .withColumn("pri", pri_col)
+                .withColumn("cents", F.col("cents") + dc)
+                .withColumn("seq", F.lit(seq).cast("int"))
+                .withColumn("_change_type", F.lit(ct)))
+
+    batch = (
+        ev(F.col("k") <= 200, F.col("pri"), 11, 1, "update_postimage")
+        .unionByName(ev(F.col("k") % 3 == 0, F.lit("Z-SPECIAL"), 20, 2,
+                        "update_postimage"))
+        .unionByName(ev(F.col("k") % 9 == 0, F.lit("Z-SPECIAL"), 77, 3,
+                        "update_postimage"))
+        .unionByName(
+            src.filter(F.col("k") % 7 == 0)
+            .select("k", F.lit(None).cast("string").alias("pri"),
+                    F.lit(None).cast("bigint").alias("cents"),
+                    F.lit(4).cast("int").alias("seq"),
+                    F.lit("delete").alias("_change_type")))
+        .repartition(8))  # arrival order must not matter
+    t.apply_changes_scd2(batch, key="k", sequence_by="seq",
+                         track_history_except_columns=["cents"])
+    return (t.read()
+            .select("k", "pri", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .orderBy("k", "start_at"))
+
+
+@register(
     "delta_merge_composite_key",
     # Composite-key MERGE certified value-exactly: the oracle recomputes
     # the post-merge state from raw lineitem on the natural two-column

@@ -4321,11 +4321,35 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
+    @staticmethod
+    def _apply_as_deletes(changes: DataFrame, change_type_col: str,
+                          predicate: str | None):
+        """DLT's ``APPLY AS DELETE WHEN <predicate>``: the change batch
+        carries no change-type column — an SQL predicate over the batch
+        columns marks the delete events, everything else upserts.  The
+        fold machinery is untouched: the predicate becomes a derived
+        change-type column here (a batch that ALSO carries the
+        change-type column refuses — two delete markers are ambiguous).
+        Returns (normalized batch, effective change_type_col)."""
+        if predicate is None:
+            return changes, change_type_col
+        if change_type_col in changes.columns:
+            raise ValueError(
+                "apply_as_deletes: the batch already carries "
+                f"{change_type_col!r} — two delete markers are "
+                "ambiguous; drop the column or the predicate")
+        return (changes.withColumn(
+                    change_type_col,
+                    F.when(F.expr(predicate), F.lit("delete"))
+                    .otherwise(F.lit("upsert"))),
+                change_type_col)
+
     def apply_changes(self, changes: DataFrame, key,
                       sequence_by: str,
                       change_type_col: str = "_change_type",
                       txn_app_id: str | None = None,
-                      txn_version: int | None = None) -> int:
+                      txn_version: int | None = None,
+                      apply_as_deletes: str | None = None) -> int:
         """CDC apply (the DLT ``APPLY CHANGES INTO`` shape, SCD type 1):
         fold an out-of-order change batch into this table as ONE atomic
         commit.  Per key, the row with the HIGHEST ``sequence_by`` value
@@ -4358,6 +4382,8 @@ class TxLogTable:
         if txn_app_id is not None and \
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
+        changes, change_type_col = self._apply_as_deletes(
+            changes, change_type_col, apply_as_deletes)
         cols = changes.columns
         keys = self._key_list(key)
         for c in (*keys, sequence_by, change_type_col):
@@ -4473,7 +4499,9 @@ class TxLogTable:
                            end_col: str = "__END_AT",
                            txn_app_id: str | None = None,
                            txn_version: int | None = None,
-                           allow_backfill: bool = False) -> int:
+                           allow_backfill: bool = False,
+                           apply_as_deletes: str | None = None,
+                           track_history_except_columns=None) -> int:
         """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
         … STORED AS SCD TYPE 2`` shape): fold a change batch into this
         table as ONE atomic commit, keeping EVERY version of every key.
@@ -4521,7 +4549,17 @@ class TxLogTable:
         IDEMPOTENT (``append``'s txnAppId/txnVersion contract) — the
         exactly-once foundation for streaming CDC, where a replayed
         micro-batch would otherwise refuse on its own frontier.  See
-        ``cdc_sink``."""
+        ``cdc_sink``.
+
+        ``track_history_except_columns`` (DLT's ``TRACK HISTORY ON *
+        EXCEPT (cols)``): changes confined to the excluded columns never
+        open a new history version — consecutive events whose TRACKED
+        columns are identical collapse into one row that keeps the FIRST
+        event's start (and, when it absorbs the key's existing open row,
+        that row's start and row id) while the excluded columns take the
+        LAST event's values; CDF emits update pre/post for the in-place
+        excluded-column refresh.  Deletes always close regardless of
+        exclusions.  Not combinable with ``allow_backfill`` (v1)."""
         self._check_append_only("APPLY CHANGES")
         if any(s.get("always", True)
                for s in self._identity_columns().values()):
@@ -4534,6 +4572,8 @@ class TxLogTable:
         if txn_app_id is not None and \
                 self.txn_version_for(txn_app_id) >= txn_version:
             return self.latest_version()  # replayed batch: already applied
+        changes, change_type_col = self._apply_as_deletes(
+            changes, change_type_col, apply_as_deletes)
         cols = changes.columns
         keys = self._key_list(key)
         for c in (*keys, sequence_by, change_type_col):
@@ -4572,11 +4612,55 @@ class TxLogTable:
                 f"column(s) {missing}")
 
         seq = F.col(sequence_by).cast(seq_type)
+        te = (self._key_list(track_history_except_columns)
+              if track_history_except_columns else [])
+        if te:
+            bad = [c for c in te
+                   if c in keys or c in (start_col, end_col)
+                   or c not in payload_cols]
+            if bad:
+                raise ValueError(
+                    "track_history_except_columns must name non-key "
+                    f"payload columns; bad: {bad}")
+            if not [c for c in payload_cols
+                    if c not in keys and c not in te]:
+                raise ValueError(
+                    "track_history_except_columns excludes every "
+                    "non-key payload column — nothing would ever open "
+                    "a new history version")
+            if allow_backfill:
+                raise ValueError(
+                    "track_history_except_columns with allow_backfill "
+                    "is not supported (collapsing runs while splicing "
+                    "below the frontier would rewrite settled history "
+                    "ambiguously); apply the backfill without the "
+                    "exclusion first")
         if allow_backfill:
             return self._scd2_splice(
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
                 txn_app_id, txn_version)
+        if te:
+            # frontier guard (settled history stays immutable), then the
+            # open-row-scoped splice machinery does the run-collapsed
+            # fold — see TRACK HISTORY EXCEPT in _scd2_splice
+            firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
+            late = (self._read_active()
+                    .select(*keys, F.col(start_col).alias("__fr"))
+                    .join(F.broadcast(firsts), keys)
+                    .filter(F.col("__first") <= F.col("__fr"))
+                    .limit(1).count())
+            if late:
+                raise ValueError(
+                    "apply_changes_scd2: batch contains a sequence at "
+                    "or below an existing history row's start — "
+                    "rewriting settled history is not supported; "
+                    "sequence new events past the key's frontier")
+            return self._scd2_splice(
+                changes, keys, seq, change_type_col, start_col, end_col,
+                payload_cols, target_cols, base_version,
+                txn_app_id, txn_version, track_except=te,
+                scope_open_only=True, op_name="APPLY CHANGES SCD2")
         w = Window.partitionBy(*keys).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
@@ -4724,7 +4808,10 @@ class TxLogTable:
                      change_type_col: str, start_col: str, end_col: str,
                      payload_cols: list[str], target_cols: list[str],
                      base_version: int, txn_app_id: str | None,
-                     txn_version: int | None) -> int:
+                     txn_version: int | None,
+                     track_except: list[str] | None = None,
+                     scope_open_only: bool = False,
+                     op_name: str = "APPLY CHANGES SCD2 BACKFILL") -> int:
         """Sequenced SCD2 backfill (``allow_backfill=True``): splice a
         (possibly below-frontier) batch into each affected key's chain
         by re-folding the key's FULL event timeline.  The timeline is
@@ -4757,9 +4844,16 @@ class TxLogTable:
                 for f in T.StructType.fromJson(json.loads(schema_json))}
         kset = changes.select(*keys).distinct()
         base = self._read_active(with_file=True)
+        # scope_open_only (the TRACK HISTORY EXCEPT route, in-order
+        # batches): only segments holding an OPEN row of a batch key are
+        # touched and only open rows become events — closed history
+        # (incl. tombstones) carries by reference, exactly the main
+        # fold's copy-on-write scope.  Full-chain scope is the backfill
+        # splice (closed rows reconstruct so late events interleave).
+        hits = base.filter(F.col(end_col).isNull()) if scope_open_only             else base
         touched = sorted(
             r["_file"] for r in
-            base.join(F.broadcast(kset), keys, "left_semi")
+            hits.join(F.broadcast(kset), keys, "left_semi")
             .select("_file").distinct().collect())
         aggs = []
         for k in keys:
@@ -4773,8 +4867,15 @@ class TxLogTable:
         if touched:
             seg = self._read_active_tracked(only=touched)
             rid = ["__rid"] if "__rid" in seg.columns else []
-            carry = seg.join(F.broadcast(kset), keys, "left_anti")
-            existing = seg.join(F.broadcast(kset), keys, "left_semi")
+            in_scope = (F.col(end_col).isNull() if scope_open_only
+                        else F.lit(True))
+            carry = (seg.filter(~in_scope).unionByName(
+                         seg.filter(in_scope)
+                         .join(F.broadcast(kset), keys, "left_anti"))
+                     if scope_open_only else
+                     seg.join(F.broadcast(kset), keys, "left_anti"))
+            existing = (seg.filter(in_scope)
+                        .join(F.broadcast(kset), keys, "left_semi"))
 
         def null_payload(frame: DataFrame) -> list:
             return [F.lit(None).cast(have[c]).alias(c)
@@ -4827,6 +4928,38 @@ class TxLogTable:
                 "existing event at the same (key, sequence) — splicing "
                 "is ambiguous; re-sequence the backfill batch")
         w = Window.partitionBy(*keys).orderBy("__seq")
+        if track_except:
+            # TRACK HISTORY EXCEPT: consecutive events whose TRACKED
+            # columns are identical collapse into ONE run — the run's
+            # row keeps the FIRST event's start (and row id: an absorbed
+            # open row stays the same logical row version) while the
+            # EXCLUDED columns take the LAST event's values, so churn
+            # confined to excluded columns never opens a new history
+            # row.  Deletes always break runs (each is its own run), so
+            # closure/tombstone logic below is untouched.
+            nonkey = [c for c in payload_cols if c not in keys]
+            tracked = [c for c in nonkey if c not in track_except]
+            tstruct = F.struct(*[F.col(c) for c in tracked])
+            wrows = w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+            new_run = F.when(
+                F.lag("__seq").over(w).isNull(), F.lit(True)
+            ).otherwise(F.col("__del") | F.lag("__del").over(w)
+                        | ~tstruct.eqNullSafe(F.lag(tstruct).over(w)))
+            marked = events.withColumn(
+                "__run", F.sum(new_run.cast("long")).over(wrows))
+            rid_aggs = [F.min_by(F.col(c), F.col("__seq")).alias(c)
+                        for c in rid]
+            events = (marked.groupBy(*keys, "__run")
+                      .agg(F.min("__seq").alias("__seq"),
+                           F.max("__del").alias("__del"),
+                           F.max_by(F.struct(*[F.col(c) for c in nonkey]),
+                                    F.col("__seq")).alias("__v"),
+                           *rid_aggs)
+                      .select(*[F.col(k) for k in keys],
+                              *[F.col(f"__v.{c}").alias(c)
+                                for c in nonkey],
+                              "__seq", "__del", *rid))
         ev = (events
               .withColumn("__nxt", F.lead("__seq").over(w))
               .withColumn("__pdel", F.lag("__del").over(w)))
@@ -4876,11 +5009,14 @@ class TxLogTable:
                 for k in keys:
                     jc = jc & F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
                 j = o.join(n, jc, "full_outer")
+                same = F.lit(True)
+                for c in target_cols:
+                    same = same & F.col(f"o_{c}").eqNullSafe(
+                        F.col(f"n_{c}"))
                 changed = j.filter(
                     F.col(f"o_{start_col}").isNotNull()
                     & F.col(f"n_{start_col}").isNotNull()
-                    & ~F.col(f"o_{end_col}")
-                    .eqNullSafe(F.col(f"n_{end_col}")))
+                    & ~same)
                 pre = changed.select(
                     *[F.col(f"o_{c}").alias(c) for c in target_cols]
                 ).withColumn("_change_type", F.lit("update_preimage"))
@@ -4902,7 +5038,7 @@ class TxLogTable:
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
         actions = (
-            [{"commit": {"op": "APPLY CHANGES SCD2 BACKFILL",
+            [{"commit": {"op": op_name,
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
@@ -4919,7 +5055,7 @@ class TxLogTable:
             else (txn_app_id, int(txn_version)))
 
     def cdc_sink(self, app_id: str, key, sequence_by: str,
-                 scd_type: int = 1):
+                 scd_type: int = 1, apply_as_deletes: str | None = None):
         """foreachBatch writer applying CDC micro-batches exactly once —
         ``streaming_sink``'s shape for APPLY CHANGES: Structured
         Streaming guarantees at-least-once foreachBatch invocation with
@@ -4940,7 +5076,8 @@ class TxLogTable:
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             fold(batch_df, key=key, sequence_by=sequence_by,
-                 txn_app_id=app_id, txn_version=int(batch_id))
+                 txn_app_id=app_id, txn_version=int(batch_id),
+                 apply_as_deletes=apply_as_deletes)
         return write_batch
 
     def _maybe_auto_compact(self) -> None:

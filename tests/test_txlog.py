@@ -5467,3 +5467,134 @@ def test_merge_composite_key_sql_route(spark, tmp_path):
         eng.sql("MERGE INTO ck AS t USING cks AS s "
                 "ON t.a = t.a AND t.b = s.b "
                 "WHEN MATCHED THEN UPDATE SET *")
+
+
+# -- r10: APPLY AS DELETE WHEN (DLT predicate-marked deletes) ------------------
+
+def test_apply_as_deletes_predicate(spark, tdir):
+    """apply_as_deletes='op = ...': the batch carries an operation
+    column instead of _change_type; rows matching the predicate fold as
+    deletes, the rest upsert — on BOTH CDC folds.  A batch that also
+    carries the change-type column refuses (two markers)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    batch = spark.createDataFrame(
+        [(1, "a", 11, 1, "U"), (2, "b", 0, 1, "D"), (3, "c", 30, 1, "I")],
+        "k int, grp string, v int, seq int, op string")
+    t.apply_changes(batch, key="k", sequence_by="seq",
+                    apply_as_deletes="op = 'D'")
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 11), (3, 30)]
+    with pytest.raises(ValueError, match="ambiguous"):
+        t.apply_changes(batch.withColumn("_change_type", F.lit("insert")),
+                        key="k", sequence_by="seq",
+                        apply_as_deletes="op = 'D'")
+    # SCD2: the delete closes the chain; an unknown-key delete leaves a
+    # zero-width tombstone through the same predicate route
+    t2 = TxLogTable.create(spark, tdir + "_scd2", _scd2_df(
+        spark, [(1, 10, 0, None)]))
+    t2.apply_changes_scd2(
+        spark.createDataFrame([(1, 0, 2, "D"), (9, 0, 3, "D")],
+                              "k int, v int, seq int, op string"),
+        key="k", sequence_by="seq", apply_as_deletes="op = 'D'")
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t2.read().collect()),
+                 key=lambda x: (x[0], x[2]))
+    assert got == [(1, 10, 0, 2), (9, None, 3, 3)]
+
+
+# -- r10: TRACK HISTORY EXCEPT (SCD2 column exclusions) ------------------------
+
+def _scd2m_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, meta int, __START_AT int, __END_AT int")
+
+
+def _scd2m_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, meta int, seq int, _change_type string")
+
+
+def test_scd2_track_history_except_basic(spark, tdir):
+    """track_history_except_columns: a batch touching ONLY excluded
+    columns updates the open row in place (same start, no new version);
+    a tracked-column change opens a version as usual; within one batch,
+    same-tracked runs collapse to one row whose excluded values are the
+    run's LAST."""
+    t = TxLogTable.create(spark, tdir, _scd2m_df(
+        spark, [(1, "A", 0, 0, None), (2, "X", 0, 0, None)]),
+        enable_cdf=True)
+    # meta-only churn + a real change, one batch, out of order
+    v = t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, "A", 2, 2, "u"), (1, "A", 1, 1, "u"),
+                               (1, "B", 9, 3, "u")]),
+        key="k", sequence_by="seq",
+        track_history_except_columns=["meta"])
+    got = sorted(((r["k"], r["v"], r["meta"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()),
+                 key=lambda x: (x[0], x[3]))
+    # the open row [0,) absorbed the meta-only run (meta takes the LAST
+    # value, start stays 0); v=B opens at 3; key 2 untouched
+    assert got == [(1, "A", 2, 0, 3), (1, "B", 9, 3, None),
+                   (2, "X", 0, 0, None)]
+    # CDF: in-place excluded refresh + closure = pre/post pair(s), and
+    # the new version is an insert
+    ch = sorted((r["_change_type"], r["v"], r["meta"])
+                for r in t.read_changes(v, v).collect())
+    assert ("insert", "B", 9) in ch
+    assert ("update_preimage", "A", 0) in ch
+    assert ("update_postimage", "A", 2) in ch
+
+
+def test_scd2_track_history_except_meta_only_batch(spark, tdir):
+    """A batch that ONLY refreshes excluded columns leaves the chain
+    shape untouched: same single open row, same start, new meta —
+    and row ids survive the in-place refresh."""
+    t = TxLogTable.create(spark, tdir, _scd2m_df(
+        spark, [(1, "A", 0, 0, None)]), row_tracking=True)
+    ids0 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, "A", 7, 5, "u")]),
+        key="k", sequence_by="seq",
+        track_history_except_columns="meta")
+    rows = t.read_with_row_ids().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["v"], r["meta"], r["__START_AT"], r["__END_AT"]) == \
+        ("A", 7, 0, None)
+    assert r["_row_id"] == ids0[1], "absorbed open row must keep its id"
+
+
+def test_scd2_track_history_except_deletes_and_refusals(spark, tdir):
+    """Deletes always close regardless of exclusions (and a re-insert
+    with the SAME tracked value after a delete still opens a NEW
+    version); invalid exclusion lists and the backfill combination
+    refuse."""
+    t = TxLogTable.create(spark, tdir, _scd2m_df(
+        spark, [(1, "A", 0, 0, None)]))
+    t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, None, 0, 2, "delete"),
+                               (1, "A", 5, 4, "u")]),
+        key="k", sequence_by="seq",
+        track_history_except_columns=["meta"])
+    got = sorted(((r["v"], r["meta"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [("A", 0, 0, 2), ("A", 5, 4, None)]
+    for kwargs, msg in [
+        (dict(track_history_except_columns=["k"]), "non-key"),
+        (dict(track_history_except_columns=["nope"]), "non-key"),
+        (dict(track_history_except_columns=["v", "meta"]),
+         "every non-key"),
+        (dict(track_history_except_columns=["meta"],
+              allow_backfill=True), "not supported"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            t.apply_changes_scd2(
+                _scd2m_changes(spark, [(1, "C", 0, 9, "u")]),
+                key="k", sequence_by="seq", **kwargs)
+    # frontier still guarded on the track-except route
+    with pytest.raises(ValueError, match="settled history"):
+        t.apply_changes_scd2(
+            _scd2m_changes(spark, [(1, "C", 0, 1, "u")]),
+            key="k", sequence_by="seq",
+            track_history_except_columns=["meta"])
