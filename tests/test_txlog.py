@@ -1227,6 +1227,57 @@ def test_materialized_view_definition_survives_engine_restart(spark, tdir,
         [("a", 2), ("z", 1)]
 
 
+def test_materialized_view_minmax_survives_restart_and_full(spark, tdir):
+    """The widened aggregate class round-trips TBLPROPERTIES: a FRESH
+    engine re-registers a minmax/avg/where MV from disk, keeps folding
+    (incl. the repair path), and REFRESH FULL replaces every column —
+    visible AND hidden maintenance state."""
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 5), (2, "a", 9), (3, "b", -4),
+                               (4, "b", 7)], "k int, grp string, v int"),
+        enable_cdf=True)
+    engine.register_txlog("wsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW wmv AS "
+               "SELECT grp, COUNT(*) AS n, AVG(v) AS mean, "
+               "MIN(v) AS lo, MAX(v) AS hi FROM wsrc "
+               "WHERE v > 0 GROUP BY grp")
+    src.delete_where(F.col("v") == 9)  # group a's max dies -> repair
+    src.append(spark.createDataFrame([(5, "b", 2)],
+                                     "k int, grp string, v int"))
+    engine2 = _mv_engine(spark)
+    engine2.register_txlog("wsrc", TxLogTable(spark, src.path))
+    engine2.register_txlog(
+        "wmv", TxLogTable(spark, engine.txlog_tables["wmv"].path))
+    engine2.sql("REFRESH MATERIALIZED VIEW wmv")
+
+    def want():
+        return sorted(
+            (r["grp"], r["n"], r["mean"], r["lo"], r["hi"]) for r in
+            src.read().filter("v > 0").groupBy("grp")
+            .agg(F.count("*").alias("n"), F.avg("v").alias("mean"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .collect())
+
+    got = sorted((r["grp"], r["n"], r["mean"], r["lo"], r["hi"])
+                 for r in engine2.sql("SELECT * FROM wmv").collect())
+    assert got == want()
+    # FULL refresh replaces everything (visible + hidden state) too
+    src.update_where({"v": F.col("v") + 10}, F.col("k") == 1)
+    engine2.sql("REFRESH MATERIALIZED VIEW wmv FULL")
+    got = sorted((r["grp"], r["n"], r["mean"], r["lo"], r["hi"])
+                 for r in engine2.sql("SELECT * FROM wmv").collect())
+    assert got == want()
+    # ... and the hidden counters were replaced consistently: another
+    # incremental fold on top of the FULL state still matches
+    src.delete_where(F.col("k") == 4)
+    engine2.sql("REFRESH MATERIALIZED VIEW wmv")
+    got = sorted((r["grp"], r["n"], r["mean"], r["lo"], r["hi"])
+                 for r in engine2.sql("SELECT * FROM wmv").collect())
+    assert got == want()
+
+
 def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
     engine = _mv_engine(spark)
     fact = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
