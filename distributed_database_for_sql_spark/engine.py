@@ -259,6 +259,23 @@ _GENERATE_RE = re.compile(
     r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
     r"(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
 
+# APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
+# SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
+# [TRACK HISTORY ON * EXCEPT (c, ...)] — the DLT CDC statement over the
+# engine's apply_changes / apply_changes_scd2 folds.
+_APPLY_CHANGES_RE = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(?P<target>\w+)\s+"
+    r"FROM\s+(?P<src>\w+)\s+"
+    r"KEYS\s*\((?P<keys>[^)]+)\)\s*"
+    r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<asdel>.+?)\s+)?"
+    r"SEQUENCE\s+BY\s+(?P<seq>\w+)"
+    r"(?:\s+COLUMNS\s+\*\s+EXCEPT\s*\((?P<dropcols>[^)]+)\))?"
+    r"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>[12]))?"
+    r"(?:\s+TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*"
+    r"\((?P<thex>[^)]+)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -566,6 +583,9 @@ class Engine:
             shutil.rmtree(mv.path, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name, True)], "table_name string, dropped boolean")
+        m = _APPLY_CHANGES_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            return self._apply_changes_stmt(m)
         m = _GENERATE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -1448,6 +1468,56 @@ class Engine:
             ],
             txn_app_id=app, txn_version=cur)
         return self._dml_ack(name, mv.latest_version())
+
+    def _apply_changes_stmt(self, m: re.Match) -> DataFrame:
+        """``APPLY CHANGES INTO t FROM src KEYS (…) [APPLY AS DELETE
+        WHEN pred] SEQUENCE BY seq [COLUMNS * EXCEPT (…)] [STORED AS SCD
+        TYPE 1|2] [TRACK HISTORY ON * EXCEPT (…)]`` — the DLT CDC
+        statement routed onto the engine's fold primitives.  ``src`` is
+        any registered view/table (the change batch); ``COLUMNS *
+        EXCEPT`` drops operational columns (op markers, ingest
+        timestamps) from the batch before the fold; SCD TYPE defaults
+        to 1; TRACK HISTORY requires TYPE 2."""
+        target = m.group("target")
+        t = self.txlog_tables[target]
+        changes = self.spark.table(m.group("src"))
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        scd = int(m.group("scd") or 1)
+        thex = m.group("thex")
+        if thex and scd != 2:
+            raise ValueError(
+                "TRACK HISTORY ON * EXCEPT requires STORED AS SCD "
+                "TYPE 2 (type 1 keeps no history to track)")
+        drop = [c.strip() for c in (m.group("dropcols") or "").split(",")
+                if c.strip()]
+        bad = [c for c in drop
+               if c in keys or c == m.group("seq")]
+        if bad:
+            raise ValueError(
+                f"COLUMNS * EXCEPT cannot drop key/sequence columns: "
+                f"{bad}")
+        asdel = (m.group("asdel") or "").strip() or None
+        if asdel is not None:
+            # the delete predicate evaluates on the RAW batch — COLUMNS
+            # * EXCEPT controls the STORED columns, and usually drops
+            # exactly the op column the predicate reads
+            from .sources.txlog import TxLogTable
+            changes, _ = TxLogTable._apply_as_deletes(
+                changes, "_change_type", asdel)
+        if drop:
+            changes = changes.drop(*drop)
+        kwargs = dict(key=keys if len(keys) > 1 else keys[0],
+                      sequence_by=m.group("seq"))
+        if scd == 2:
+            version = t.apply_changes_scd2(
+                changes,
+                track_history_except_columns=(
+                    [c.strip() for c in thex.split(",")] if thex
+                    else None),
+                **kwargs)
+        else:
+            version = t.apply_changes(changes, **kwargs)
+        return self._dml_ack(target, version)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:
         """Refresh the target's temp view and return the commit ack."""

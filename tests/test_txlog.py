@@ -5649,3 +5649,48 @@ def test_scd2_track_history_except_deletes_and_refusals(spark, tdir):
             _scd2m_changes(spark, [(1, "C", 0, 1, "u")]),
             key="k", sequence_by="seq",
             track_history_except_columns=["meta"])
+
+
+def test_apply_changes_sql_statement(spark, tdir):
+    """APPLY CHANGES INTO … through Engine.sql: type-1 fold with APPLY
+    AS DELETE WHEN + COLUMNS * EXCEPT, type-2 with TRACK HISTORY ON *
+    EXCEPT; TRACK HISTORY without TYPE 2 refuses; dropping a key via
+    COLUMNS * EXCEPT refuses."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    engine.register_txlog("act", t)
+    spark.createDataFrame(
+        [(1, "a", 11, 1, "U", "x"), (2, "b", 0, 1, "D", "x"),
+         (3, "c", 30, 1, "I", "x")],
+        "k int, grp string, v int, seq int, op string, junk string") \
+        .createOrReplaceTempView("acsrc")
+    engine.sql("APPLY CHANGES INTO act FROM acsrc KEYS (k) "
+               "APPLY AS DELETE WHEN op = 'D' SEQUENCE BY seq "
+               "COLUMNS * EXCEPT (op, junk)")
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == \
+        [(1, 11), (3, 30)]
+    # SCD2 + TRACK HISTORY through the statement
+    t2 = TxLogTable.create(spark, tdir + "_h", _scd2m_df(
+        spark, [(1, "A", 0, 0, None)]))
+    engine.register_txlog("acth", t2)
+    spark.createDataFrame(
+        [(1, "A", 7, 5, "U"), (1, "B", 8, 6, "U")],
+        "k int, v string, meta int, seq int, op string") \
+        .createOrReplaceTempView("acsrc2")
+    engine.sql("APPLY CHANGES INTO acth FROM acsrc2 KEYS (k) "
+               "APPLY AS DELETE WHEN op = 'D' SEQUENCE BY seq "
+               "COLUMNS * EXCEPT (op) STORED AS SCD TYPE 2 "
+               "TRACK HISTORY ON * EXCEPT (meta)")
+    got = sorted(((r["v"], r["meta"], r["__START_AT"], r["__END_AT"])
+                  for r in t2.read().collect()), key=lambda x: x[2])
+    # meta-only event @5 absorbed into the open row; v change @6 opens
+    assert got == [("A", 7, 0, 6), ("B", 8, 6, None)]
+    with pytest.raises(ValueError, match="SCD\\s*\\nTYPE 2|TYPE 2"):
+        engine.sql("APPLY CHANGES INTO acth FROM acsrc2 KEYS (k) "
+                   "SEQUENCE BY seq TRACK HISTORY ON * EXCEPT (meta)")
+    with pytest.raises(ValueError, match="key/sequence"):
+        engine.sql("APPLY CHANGES INTO act FROM acsrc KEYS (k) "
+                   "SEQUENCE BY seq COLUMNS * EXCEPT (k)")
