@@ -267,6 +267,7 @@ _APPLY_CHANGES_RE = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(?P<target>\w+)\s+"
     r"FROM\s+(?P<src>\w+)\s+"
     r"KEYS\s*\((?P<keys>[^)]+)\)\s*"
+    r"(?:(?P<ignulls>IGNORE\s+NULL\s+UPDATES)\s+)?"
     r"(?:APPLY\s+AS\s+DELETE\s+WHEN\s+(?P<asdel>.+?)\s+)?"
     r"SEQUENCE\s+BY\s+(?P<seq>\w+)"
     r"(?:\s+COLUMNS\s+\*\s+EXCEPT\s*\((?P<dropcols>[^)]+)\))?"
@@ -1509,6 +1510,11 @@ class Engine:
         kwargs = dict(key=keys if len(keys) > 1 else keys[0],
                       sequence_by=m.group("seq"))
         if scd == 2:
+            if m.group("ignulls"):
+                raise ValueError(
+                    "IGNORE NULL UPDATES with STORED AS SCD TYPE 2 is "
+                    "not supported (v1); resolve NULL inheritance "
+                    "upstream or use SCD TYPE 1")
             version = t.apply_changes_scd2(
                 changes,
                 track_history_except_columns=(
@@ -1516,7 +1522,9 @@ class Engine:
                     else None),
                 **kwargs)
         else:
-            version = t.apply_changes(changes, **kwargs)
+            version = t.apply_changes(
+                changes, ignore_null_updates=bool(m.group("ignulls")),
+                **kwargs)
         return self._dml_ack(target, version)
 
     def _dml_ack(self, target: str, version: int) -> DataFrame:

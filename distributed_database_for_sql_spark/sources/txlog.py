@@ -4349,7 +4349,8 @@ class TxLogTable:
                       change_type_col: str = "_change_type",
                       txn_app_id: str | None = None,
                       txn_version: int | None = None,
-                      apply_as_deletes: str | None = None) -> int:
+                      apply_as_deletes: str | None = None,
+                      ignore_null_updates: bool = False) -> int:
         """CDC apply (the DLT ``APPLY CHANGES INTO`` shape, SCD type 1):
         fold an out-of-order change batch into this table as ONE atomic
         commit.  Per key, the row with the HIGHEST ``sequence_by`` value
@@ -4369,7 +4370,15 @@ class TxLogTable:
         rewrite of exactly the segments holding any winner key — a
         staged DELETE-then-MERGE would rewrite the touched data twice
         (2× write amplification that matters at 100 TB).  The winner-key
-        range rides the commit for other writers' OCC like a MERGE."""
+        range rides the commit for other writers' OCC like a MERGE.
+
+        ``ignore_null_updates=True`` (DLT's option): a NULL column in a
+        change event means "keep the previous value" — resolved
+        sequentially (last non-NULL per column across the seq-ordered
+        events, seeded by the key's existing row; a delete resets the
+        inheritance chain).  ``apply_as_deletes`` derives the change
+        type from a predicate over an op column instead (see
+        ``_apply_as_deletes``)."""
         self._check_append_only("APPLY CHANGES")
         if any(s.get("always", True)
                for s in self._identity_columns().values()):
@@ -4402,11 +4411,6 @@ class TxLogTable:
                                  F.col(sequence_by)).alias("__w"))
                    .select("__w.*"))
         target_cols = self.read().columns
-        ups = (winners.filter(F.col(change_type_col) != "delete")
-               .select(*target_cols))
-        ups = self._apply_generated(ups)
-        ups, ident_actions, ident_cleanup = self._assign_identity(ups)
-        self._validate_constraints(ups)
         wkeys = winners.select(*keys).distinct()
         aggs = []
         for k in keys:
@@ -4421,6 +4425,65 @@ class TxLogTable:
             r["_file"] for r in
             base.join(F.broadcast(wkeys), keys, "left_semi")
             .select("_file").distinct().collect())
+        if ignore_null_updates:
+            # DLT's IGNORE NULL UPDATES: a NULL column in a change event
+            # means "keep the previous value", resolved SEQUENTIALLY —
+            # per key the final value of each column is the LAST
+            # non-NULL across the seq-ordered events, seeded by the
+            # key's existing target row; a delete RESETS the chain
+            # (epoch = running delete count), so post-delete events
+            # inherit nothing from before the delete.  The winner event
+            # still decides delete-vs-upsert exactly as without the
+            # option.  One key shuffle; the seed scan is pruned to the
+            # already-touched segments.
+            payload = [c for c in target_cols if c not in keys]
+            seq_t = {f.name: f.dataType
+                     for f in changes.schema.fields}[sequence_by]
+            ev = changes.select(
+                *keys, *payload,
+                F.col(sequence_by).alias("__seq"),
+                (F.col(change_type_col) == "delete").alias("__del"),
+                F.lit(1).alias("__ord"))
+            if touched:
+                # one deterministic seed row per key (max payload
+                # struct — SCD1 targets normally hold one row per key)
+                sev = (self._read_active(only=touched)
+                       .join(F.broadcast(wkeys), keys, "left_semi")
+                       .groupBy(*keys)
+                       .agg(F.max(F.struct(*[F.col(c) for c in payload]))
+                            .alias("__s"))
+                       .select(*keys, "__s.*")
+                       .withColumn("__seq", F.lit(None).cast(seq_t))
+                       .withColumn("__del", F.lit(False))
+                       .withColumn("__ord", F.lit(0)))
+                ev = ev.unionByName(sev)
+            worder = [F.col("__ord"), F.col("__seq").asc_nulls_first()]
+            w = Window.partitionBy(*keys).orderBy(*worder)
+            ev = ev.withColumn(
+                "__epoch",
+                F.sum(F.col("__del").cast("long"))
+                .over(w.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow)))
+            we = (Window.partitionBy(*keys, "__epoch").orderBy(*worder)
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+            filled = ev.select(
+                *keys, "__ord", "__seq", "__del",
+                *[F.last(F.col(c), ignorenulls=True).over(we).alias(c)
+                  for c in payload])
+            rn = F.row_number().over(
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__ord").desc(),
+                         F.col("__seq").desc_nulls_last()))
+            ups = (filled.withColumn("__rn", rn)
+                   .filter((F.col("__rn") == 1) & ~F.col("__del"))
+                   .select(*target_cols))
+        else:
+            ups = (winners.filter(F.col(change_type_col) != "delete")
+                   .select(*target_cols))
+        ups = self._apply_generated(ups)
+        ups, ident_actions, ident_cleanup = self._assign_identity(ups)
+        self._validate_constraints(ups)
         if touched:
             seg = self._read_active_tracked(only=touched)
             keep_base = seg.join(F.broadcast(wkeys), keys, "left_anti")

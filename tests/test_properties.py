@@ -932,3 +932,71 @@ def test_scd2_backfill_preserves_row_ids(spark, tmp_path_factory,
             assert after[key] == rid_, f"row id changed for {key}"
     ids = list(after.values())
     assert len(set(ids)) == len(ids), "duplicate row ids after splice"
+
+
+# -- r10: IGNORE NULL UPDATES equals the sequential inheritance fold ----------
+
+nullable_cdc_events = st.lists(
+    st.tuples(st.integers(0, 5),                       # key
+              st.one_of(st.none(), st.integers(-5, 5)),  # value (None = inherit)
+              st.sampled_from(["update_postimage", "insert", "delete"])),
+    min_size=1, max_size=8)
+
+
+@fold_prop
+@given(data=st.lists(st.tuples(st.integers(0, 5), st.integers(-5, 5)),
+                     min_size=0, max_size=3, unique_by=lambda t: t[0]),
+       events=nullable_cdc_events)
+def test_apply_changes_ignore_nulls_equals_python_fold(spark,
+                                                       tmp_path_factory,
+                                                       data, events):
+    """For ANY change batch with NULL-bearing events,
+    apply_changes(ignore_null_updates=True) equals the sequential
+    inheritance fold: per key, each column's final value is the last
+    non-NULL across the seq-ordered events, seeded by the existing
+    target row; a delete resets the chain; the highest-sequence event
+    still decides delete-vs-upsert."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"innul_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame(data, "k int, v int") if data else
+        spark.createDataFrame([], "k int, v int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    t.apply_changes(
+        spark.createDataFrame(list(reversed(rows)),  # inverted arrival
+                              "k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    # pure-Python sequential inheritance fold
+    state = dict(data)
+    by_key: dict[int, list[tuple[int, int, str]]] = {}
+    for k, v, s, ct in rows:
+        by_key.setdefault(k, []).append((s, v, ct))
+    for k, evs in by_key.items():
+        evs.sort()
+        cur = state.get(k, None) if k in state else None
+        seeded = k in state
+        alive = seeded
+        for s, v, ct in evs:
+            if ct == "delete":
+                alive, cur = False, None
+                continue
+            alive = True
+            if v is not None:
+                cur = v
+        if alive:
+            state[k] = cur
+        else:
+            state.pop(k, None)
+    key_fn = lambda x: (x[0], x[1] is None, x[1] or 0)  # noqa: E731
+    got = sorted(((r["k"], r["v"]) for r in t.read().collect()),
+                 key=key_fn)
+    assert got == sorted(state.items(), key=key_fn)

@@ -5694,3 +5694,39 @@ def test_apply_changes_sql_statement(spark, tdir):
     with pytest.raises(ValueError, match="key/sequence"):
         engine.sql("APPLY CHANGES INTO act FROM acsrc KEYS (k) "
                    "SEQUENCE BY seq COLUMNS * EXCEPT (k)")
+
+
+def test_apply_changes_ignore_null_updates(spark, tdir):
+    """DLT IGNORE NULL UPDATES: NULL event columns keep the previous
+    value — inherited from the existing target row, resolved
+    sequentially across the batch, and RESET by a delete (post-delete
+    events inherit nothing from before it).  Without the flag, NULLs
+    overwrite as before."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20),
+                                                   (3, "c", 30)]))
+    batch = spark.createDataFrame(
+        [
+            # k=1: null v inherits 10, then grp z arrives; final (z, 10)
+            (1, None, None, 1, "u"), (1, "z", None, 2, "u"),
+            # k=2: delete resets; post-delete nulls inherit NOTHING
+            (2, None, 0, 1, "delete"), (2, None, 7, 2, "u"),
+            # k=4 (new key): nulls have nothing to inherit
+            (4, None, 40, 1, "u"),
+        ],
+        "k int, grp string, v int, seq int, _change_type string")
+    t.apply_changes(batch, key="k", sequence_by="seq",
+                    ignore_null_updates=True)
+    got = {r["k"]: (r["grp"], r["v"]) for r in t.read().collect()}
+    assert got == {1: ("z", 10), 2: (None, 7), 3: ("c", 30),
+                   4: (None, 40)}
+    # without the flag, the winner row's NULLs overwrite
+    t2 = TxLogTable.create(spark, tdir + "_plain",
+                           _df(spark, [(1, "a", 10)]))
+    t2.apply_changes(
+        spark.createDataFrame([(1, None, None, 1, "u")],
+                              "k int, grp string, v int, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq")
+    r = t2.read().collect()[0]
+    assert (r["grp"], r["v"]) == (None, None)
