@@ -5118,7 +5118,8 @@ class TxLogTable:
             else (txn_app_id, int(txn_version)))
 
     def cdc_sink(self, app_id: str, key, sequence_by: str,
-                 scd_type: int = 1, apply_as_deletes: str | None = None):
+                 scd_type: int = 1, apply_as_deletes: str | None = None,
+                 ignore_null_updates: bool = False):
         """foreachBatch writer applying CDC micro-batches exactly once —
         ``streaming_sink``'s shape for APPLY CHANGES: Structured
         Streaming guarantees at-least-once foreachBatch invocation with
@@ -5134,13 +5135,18 @@ class TxLogTable:
         """
         if scd_type not in (1, 2):
             raise ValueError(f"scd_type must be 1 or 2, got {scd_type!r}")
+        if ignore_null_updates and scd_type != 1:
+            raise ValueError(
+                "ignore_null_updates composes with scd_type=1 only (v1)")
         fold = (self.apply_changes if scd_type == 1
                 else self.apply_changes_scd2)
+        extra = ({"ignore_null_updates": True}
+                 if ignore_null_updates else {})
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             fold(batch_df, key=key, sequence_by=sequence_by,
                  txn_app_id=app_id, txn_version=int(batch_id),
-                 apply_as_deletes=apply_as_deletes)
+                 apply_as_deletes=apply_as_deletes, **extra)
         return write_batch
 
     def _maybe_auto_compact(self) -> None:
