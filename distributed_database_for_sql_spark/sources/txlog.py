@@ -5119,7 +5119,8 @@ class TxLogTable:
 
     def cdc_sink(self, app_id: str, key, sequence_by: str,
                  scd_type: int = 1, apply_as_deletes: str | None = None,
-                 ignore_null_updates: bool = False):
+                 ignore_null_updates: bool = False,
+                 track_history_except_columns=None):
         """foreachBatch writer applying CDC micro-batches exactly once —
         ``streaming_sink``'s shape for APPLY CHANGES: Structured
         Streaming guarantees at-least-once foreachBatch invocation with
@@ -5138,10 +5139,18 @@ class TxLogTable:
         if ignore_null_updates and scd_type != 1:
             raise ValueError(
                 "ignore_null_updates composes with scd_type=1 only (v1)")
+        if track_history_except_columns and scd_type != 2:
+            raise ValueError(
+                "track_history_except_columns requires scd_type=2 "
+                "(type 1 keeps no history to track)")
         fold = (self.apply_changes if scd_type == 1
                 else self.apply_changes_scd2)
-        extra = ({"ignore_null_updates": True}
-                 if ignore_null_updates else {})
+        extra: dict = {}
+        if ignore_null_updates:
+            extra["ignore_null_updates"] = True
+        if track_history_except_columns:
+            extra["track_history_except_columns"] = \
+                track_history_except_columns
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             fold(batch_df, key=key, sequence_by=sequence_by,
