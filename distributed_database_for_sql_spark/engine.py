@@ -1088,9 +1088,12 @@ class Engine:
         by_fn = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs,
                  "COUNT": cnts}
         seen_groups: list[str] = []
+        gexprs: dict[str, str] = {}  # computed group keys: alias -> expr
         for item in self._split_top_level(m.group("select")):
             cm = self._MV_COUNT_ITEM.match(item)
             am = self._MV_AGG_ITEM.match(item)
+            gm = re.match(r"^(?P<e>.+?)\s+AS\s+(?P<a>\w+)$", item,
+                          re.IGNORECASE | re.DOTALL)
             if cm:
                 counts.append(cm.group("a"))
             elif am and re.match(r"(?i)^\s*DISTINCT\b",
@@ -1104,10 +1107,18 @@ class Engine:
                     am.group("e").strip()
             elif re.match(r"^\w+$", item) and item in groups:
                 seen_groups.append(item)
+            elif gm and gm.group("a") in groups:
+                # computed group key (the time-bucketed rollup shape:
+                # `YEAR(d) * 100 + MONTH(d) AS ym ... GROUP BY ym`) —
+                # evaluated on the row source, so the scan, every CDF
+                # fold, and the MIN/MAX repair bucket identically
+                gexprs[gm.group("a")] = gm.group("e").strip()
+                seen_groups.append(gm.group("a"))
             else:
                 raise ValueError(
                     f"materialized view select item {item!r} is not "
-                    "incrementally maintainable: use grouping columns, "
+                    "incrementally maintainable: use grouping columns "
+                    "(plain or `expr AS alias` matching GROUP BY), "
                     "COUNT(*) AS a, or SUM/AVG/MIN/MAX(expr) AS a")
         if not counts:
             raise ValueError(
@@ -1141,7 +1152,8 @@ class Engine:
         dest_path = os.path.join(
             os.path.dirname(os.path.abspath(src.path)), name)
         from .sources.txlog import TxLogTable
-        empty = (self._mv_row_source(src.read().limit(0), joins, where)
+        empty = (self._mv_row_source(src.read().limit(0), joins, where,
+                                     gexprs)
                  .groupBy(*groups)
                  .agg(*self._mv_full_aggs(counts, sums, avgs, mins, maxs,
                                           cnts)))
@@ -1160,6 +1172,7 @@ class Engine:
             "mv.maxs": json.dumps(maxs, sort_keys=True),
             "mv.joins": json.dumps(joins, sort_keys=True),
             "mv.cnts": json.dumps(cnts, sort_keys=True),
+            "mv.groupExprs": json.dumps(gexprs, sort_keys=True),
             **({"mv.where": where} if where else {}),
         })
         self.register_txlog(name, mv)
@@ -1217,7 +1230,8 @@ class Engine:
                 .start())
 
     def _mv_row_source(self, fact: DataFrame, joins: list[dict],
-                       where: str = "") -> DataFrame:
+                       where: str = "", gexprs: dict | None = None
+                       ) -> DataFrame:
         """The MV's input row set: the fact frame (snapshot or CDF
         batch) inner-joined to each static dim, dims BROADCAST, then the
         definition's WHERE filter — a CDF delta batch keeps its
@@ -1233,6 +1247,8 @@ class Engine:
                            out[j["fact_col"]] == dim[j["dim_col"]], "inner")
         if where:
             out = out.filter(F.expr(where))
+        for a, e in (gexprs or {}).items():
+            out = out.withColumn(a, F.expr(e))
         return out
 
     def refresh_materialized_view(self, name: str,
@@ -1269,6 +1285,7 @@ class Engine:
         cnts = json.loads(props.get("mv.cnts", "{}"))
         joins = json.loads(props.get("mv.joins", "[]"))
         where = props.get("mv.where", "")
+        gexprs = json.loads(props.get("mv.groupExprs", "{}"))
         dnn = lambda a: f"__d___mv_nn_{a}"    # noqa: E731
         dsum = lambda a: f"__d___mv_sum_{a}"  # noqa: E731
         app = f"mv::{name}"
@@ -1276,7 +1293,7 @@ class Engine:
         cur = src.latest_version()
         if full:
             recompute = (self._mv_row_source(src.read(version=cur), joins,
-                                             where)
+                                             where, gexprs)
                          .groupBy(*groups)
                          .agg(*self._mv_full_aggs(counts, sums, avgs,
                                                   mins, maxs, cnts,
@@ -1313,7 +1330,8 @@ class Engine:
             # initial fill: one full scan of the CURRENT snapshot;
             # MIN/MAX land under their insert-fold names (__i_/__x_)
             # so the shared merge expressions below serve both paths
-            rows = self._mv_row_source(src.read(version=cur), joins, where)
+            rows = self._mv_row_source(src.read(version=cur), joins,
+                                       where, gexprs)
             delta = (rows.groupBy(*groups).agg(
                 *([F.count("*").alias(f"__d_{c}") for c in counts]
                   + [x for a, e in sums.items()
@@ -1331,7 +1349,7 @@ class Engine:
             repair = False
         else:
             ch = self._mv_row_source(src.read_changes(last + 1, cur),
-                                     joins, where)
+                                     joins, where, gexprs)
             added = F.col("_change_type").isin("insert", "update_postimage")
             sign = F.when(added, F.lit(1)).otherwise(F.lit(-1))
             nn_of = lambda e: sign * F.expr(e).isNotNull().cast("long")  # noqa: E731
@@ -1384,7 +1402,8 @@ class Engine:
             mk = F.struct(*[F.col(g) for g in groups]).alias("_mk")
             rep_keys = (delta.filter("__rep = 1")
                         .select(mk).distinct())
-            rec = (self._mv_row_source(src.read(version=cur), joins, where)
+            rec = (self._mv_row_source(src.read(version=cur), joins,
+                                       where, gexprs)
                    .withColumn("_mk", F.struct(*groups))
                    .join(F.broadcast(rep_keys), "_mk", "left_semi")
                    .groupBy(*groups)

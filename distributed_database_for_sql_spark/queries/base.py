@@ -159,6 +159,7 @@ _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r10 (policy: new queries certify the round they ship) -------
     "delta_materialized_view_minmax",  # AVG/MIN/MAX/WHERE MV + NULL edges
     "delta_scd2_track_history_except",  # DLT TRACK HISTORY ON * EXCEPT
+    "delta_materialized_view_rollup",   # computed-group-key (time) rollup
     # -- stale drain VII: ALL 34 r5-latest queries (the final staleness
     #    tier — after this window certifies, min latest-driver-green = r6
     #    across all oracled queries) --------------------------------------
@@ -211,7 +212,8 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "tokenizer_bpe_train_merges",
     "dedup_minhash_lsh_pairs",
     "ann_bruteforce_topk",
-    "sample_domain_cap",
+    # sample_domain_cap displaced by delta_materialized_view_rollup
+    # (new-query policy); it joins the r11 canary list.
     # text_compression_ratio displaced by delta_scd2_track_history_except
     # (new-query policy); it joins the r11 canary list.
 )

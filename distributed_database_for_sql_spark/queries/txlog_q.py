@@ -3107,6 +3107,78 @@ def delta_scd2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_materialized_view_rollup",
+    # Full-recompute oracle over the mutated source — the hash certifies
+    # that a COMPUTED group key (the time-bucketed rollup shape) buckets
+    # identically in the initial scan, the CDF folds (delete + append),
+    # and the MIN/MAX bounded repair (the delete removes month maxima).
+    oracle=f"""
+    WITH fin AS (
+      SELECT o_orderdate, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 1000 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey > 1000 AND o_orderkey <= 1300)
+    )
+    SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT)
+               AS ym,
+           COUNT(*)                          AS n_orders,
+           CAST(SUM(cents) AS BIGINT)        AS total_cents,
+           CAST(MAX(cents) AS BIGINT)        AS max_cents,
+           TRUE                              AS fold_at_source_head
+    FROM fin
+    GROUP BY ym
+    ORDER BY ym
+    """,
+    tags=("acid", "delta", "mv", "cdf", "rollup", "incremental", "sql",
+          "engine"),
+)
+def delta_materialized_view_rollup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Time-bucketed MATERIALIZED VIEW rollup — the hypertable
+    continuous-aggregate shape: the MV groups by a COMPUTED key
+    (``YEAR(d) * 100 + MONTH(d) AS ym``), evaluated on the row source
+    so the initial scan, every CDF fold, and the MIN/MAX repair
+    recompute bucket identically; maintenance stays ∝ change volume.
+    A modulo delete (drops month maxima → bounded repair) and an
+    append (new months are born) fold in one refresh; the oracle
+    recomputes the rollup from scratch."""
+    from ..engine import Engine
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 1000)
+            .select("o_orderkey", "o_orderdate", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvrollsrc", sf_dir)
+    shutil.rmtree(os.path.join(
+        os.path.dirname(os.path.abspath(src_path)), "mvrollview"),
+        ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine = Engine(spark, sf_dir)
+    engine.register_txlog("mvrollsrc", src)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mvrollview AS "
+        "SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym, "
+        "COUNT(*) AS n_orders, SUM(cents) AS total_cents, "
+        "MAX(cents) AS max_cents FROM mvrollsrc GROUP BY ym")
+    src.delete_where(k % 5 == 0)
+    src.append(orders.filter((k > 1000) & (k <= 1300))
+               .select("o_orderkey", "o_orderdate", cents.alias("cents"))
+               .repartition(4, "o_orderkey"))
+    engine.sql("REFRESH MATERIALIZED VIEW mvrollview")
+    mv = engine.txlog_tables["mvrollview"]
+    at_head = mv.txn_version_for("mv::mvrollview") == src.latest_version()
+    return (engine._public_view(mv.read())
+            .withColumn("ym", F.col("ym").cast("bigint"))
+            .withColumn("fold_at_source_head", F.lit(bool(at_head)))
+            .orderBy("ym"))
+
+
+@register(
     "delta_scd2_track_history_except",
     # The oracle recomputes the run-collapsed fold relationally: events
     # (seed open rows at seq 0 + the batch) mark a run boundary on
