@@ -4439,10 +4439,16 @@ class TxLogTable:
             payload = [c for c in target_cols if c not in keys]
             seq_t = {f.name: f.dataType
                      for f in changes.schema.fields}[sequence_by]
+            # a delete's own payload must NOT feed the inheritance
+            # chain (its epoch starts AT the delete row, so a non-NULL
+            # value riding the delete event would leak into post-delete
+            # NULL slots — hypothesis-found); mask it to NULL
+            not_del = F.col(change_type_col) != "delete"
             ev = changes.select(
-                *keys, *payload,
+                *keys,
+                *[F.when(not_del, F.col(c)).alias(c) for c in payload],
                 F.col(sequence_by).alias("__seq"),
-                (F.col(change_type_col) == "delete").alias("__del"),
+                (~not_del).alias("__del"),
                 F.lit(1).alias("__ord"))
             if touched:
                 # one deterministic seed row per key (max payload

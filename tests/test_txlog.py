@@ -5720,6 +5720,15 @@ def test_apply_changes_ignore_null_updates(spark, tdir):
     got = {r["k"]: (r["grp"], r["v"]) for r in t.read().collect()}
     assert got == {1: ("z", 10), 2: (None, 7), 3: ("c", 30),
                    4: (None, 40)}
+    # hypothesis-found (r10): a delete's own non-NULL payload must not
+    # leak into post-delete NULL slots (its epoch starts AT the delete)
+    t3 = TxLogTable.create(spark, tdir + "_leak",
+                           spark.createDataFrame([], "k int, v int"))
+    t3.apply_changes(
+        spark.createDataFrame([(0, 0, 1, "delete"), (0, None, 2, "u")],
+                              "k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    assert [(r["k"], r["v"]) for r in t3.read().collect()] == [(0, None)]
     # without the flag, the winner row's NULLs overwrite
     t2 = TxLogTable.create(spark, tdir + "_plain",
                            _df(spark, [(1, "a", 10)]))
