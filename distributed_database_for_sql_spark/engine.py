@@ -1291,6 +1291,29 @@ class Engine:
         app = f"mv::{name}"
         last = mv.txn_version_for(app)
         cur = src.latest_version()
+        # One-time migration (r11 ADVICE): MVs persisted before the
+        # hidden SUM/AVG maintenance state existed lack the
+        # __mv_nn_/__mv_sum_ columns every refresh now maintains —
+        # without this, both incremental and FULL refresh died with an
+        # opaque unresolved-column error.  Backfill: metadata-only ADD
+        # COLUMN (typed from a schema-only probe of the definition's
+        # aggregate), then force ONE full recompute so the new state
+        # columns are correct for every existing group.
+        need = ([f"__mv_nn_{a}" for a in list(sums) + list(avgs)]
+                + [f"__mv_sum_{a}" for a in avgs])
+        mv_cols = set(mv.read().columns)
+        missing = [c for c in need if c not in mv_cols]
+        if missing:
+            probe = dict(
+                self._mv_row_source(src.read().limit(0), joins, where,
+                                    gexprs)
+                .groupBy(*groups)
+                .agg(*self._mv_full_aggs(counts, sums, avgs, mins,
+                                         maxs, cnts))
+                .dtypes)
+            for c in missing:
+                mv.add_column(c, probe[c])
+            full = True
         if full:
             recompute = (self._mv_row_source(src.read(version=cur), joins,
                                              where, gexprs)

@@ -4322,6 +4322,20 @@ class TxLogTable:
         return self._commit_with_occ(actions, [], base_version)
 
     @staticmethod
+    def _scd2_frontier(start_col: str, end_col: str):
+        """Per-row frontier contribution for the SCD2 settled-history
+        guard: the max event sequence the row records.  An OPEN row
+        (NULL end) contributes its start; a CLOSED row contributes its
+        END — the end IS an event (the delete or supersession that
+        closed it), so accepting a batch sequenced inside [start, end)
+        would rewrite settled history (ADVICE r11: the start-only guard
+        let a delete land between a closed row's bounds, persisting a
+        tombstone the next splice folded into a silent shrink of the
+        settled row)."""
+        return F.greatest(F.col(start_col),
+                          F.coalesce(F.col(end_col), F.col(start_col)))
+
+    @staticmethod
     def _apply_as_deletes(changes: DataFrame, change_type_col: str,
                           predicate: str | None):
         """DLT's ``APPLY AS DELETE WHEN <predicate>``: the change batch
@@ -4595,9 +4609,12 @@ class TxLogTable:
         unambiguous: every real history row has ``start < end``, since
         duplicate (key, sequence) events are refused).
         Settled history is immutable BY DEFAULT: every batch sequence
-        must be strictly greater than the key's frontier (its max
-        ``start_col``) — a batch that would rewrite closed rows raises
-        instead of silently reordering history.  With
+        must be strictly greater than the key's frontier — the max
+        event sequence its history records, i.e. ``greatest(start_col,
+        end_col)`` over the key's rows (a closed row's END is itself an
+        event: the delete or supersession that closed it) — a batch
+        that would rewrite closed rows raises instead of silently
+        reordering history.  With
         ``allow_backfill=True`` (DLT's sequenced late-history backfill)
         a below-frontier batch is accepted and SPLICED: each affected
         key's full event timeline (reconstructed from its history rows
@@ -4692,11 +4709,13 @@ class TxLogTable:
                     "track_history_except_columns must name non-key "
                     f"payload columns; bad: {bad}")
             if not [c for c in payload_cols
-                    if c not in keys and c not in te]:
+                    if c not in keys and c not in te
+                    and c not in self._identity_columns()]:
                 raise ValueError(
                     "track_history_except_columns excludes every "
-                    "non-key payload column — nothing would ever open "
-                    "a new history version")
+                    "non-key payload column (identity columns are "
+                    "engine-managed and never tracked) — nothing "
+                    "would ever open a new history version")
             if allow_backfill:
                 raise ValueError(
                     "track_history_except_columns with allow_backfill "
@@ -4715,16 +4734,18 @@ class TxLogTable:
             # fold — see TRACK HISTORY EXCEPT in _scd2_splice
             firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
             late = (self._read_active()
-                    .select(*keys, F.col(start_col).alias("__fr"))
+                    .select(*keys, self._scd2_frontier(
+                        start_col, end_col).alias("__fr"))
                     .join(F.broadcast(firsts), keys)
                     .filter(F.col("__first") <= F.col("__fr"))
                     .limit(1).count())
             if late:
                 raise ValueError(
                     "apply_changes_scd2: batch contains a sequence at "
-                    "or below an existing history row's start — "
-                    "rewriting settled history is not supported; "
-                    "sequence new events past the key's frontier")
+                    "or below an existing history event (a row's start "
+                    "OR the end that closed it) — rewriting settled "
+                    "history is not supported; sequence new events past "
+                    "the key's frontier or use allow_backfill")
             return self._scd2_splice(
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
@@ -4758,16 +4779,23 @@ class TxLogTable:
 
         base = self._read_active(with_file=True)
         # frontier guard: rewriting settled history is refused loudly.
-        late = (base.select(*keys, F.col(start_col).alias("__fr"))
+        # The frontier is the max EVENT sequence the key's history
+        # records — greatest(start, end) per row, not just start: a
+        # closed row [1, 5) means an event happened at 5 (the delete or
+        # supersession that closed it), so a batch sequenced at 3 would
+        # rewrite settled history even though 3 > the row's start.
+        late = (base.select(*keys, self._scd2_frontier(
+                    start_col, end_col).alias("__fr"))
                 .join(F.broadcast(firsts), keys)
                 .filter(F.col("__first") <= F.col("__fr"))
                 .limit(1).count())
         if late:
             raise ValueError(
                 "apply_changes_scd2: batch contains a sequence at or "
-                "below an existing history row's start — rewriting "
-                "settled history is not supported; sequence new events "
-                "past the key's frontier")
+                "below an existing history event (a row's start OR the "
+                "end that closed it) — rewriting settled history is "
+                "not supported; sequence new events past the key's "
+                "frontier or use allow_backfill")
         # only segments holding an OPEN row of a batch key are touched —
         # closed history never changes.
         open_hits = (base.filter(F.col(end_col).isNull())
@@ -4919,7 +4947,8 @@ class TxLogTable:
         # (incl. tombstones) carries by reference, exactly the main
         # fold's copy-on-write scope.  Full-chain scope is the backfill
         # splice (closed rows reconstruct so late events interleave).
-        hits = base.filter(F.col(end_col).isNull()) if scope_open_only             else base
+        hits = (base.filter(F.col(end_col).isNull())
+                if scope_open_only else base)
         touched = sorted(
             r["_file"] for r in
             hits.join(F.broadcast(kset), keys, "left_semi")
@@ -5007,7 +5036,19 @@ class TxLogTable:
             # row.  Deletes always break runs (each is its own run), so
             # closure/tombstone logic below is untouched.
             nonkey = [c for c in payload_cols if c not in keys]
-            tracked = [c for c in nonkey if c not in track_except]
+            # identity columns are ENGINE-MANAGED, never user data:
+            # batch events carry NULL slots while an absorbed open row
+            # carries its assigned value, so including them in the
+            # tracked struct would make every run boundary fire
+            # (tstruct never equals its lag) and TRACK HISTORY EXCEPT
+            # would silently never collapse — mirroring how MERGE
+            # treats identity, they are excluded from run detection
+            # and a collapsed run keeps its FIRST event's identity
+            # (the absorbed open row's value; all-NULL runs are
+            # engine-assigned downstream), same as the row id.
+            ident = [c for c in nonkey if c in self._identity_columns()]
+            tracked = [c for c in nonkey
+                       if c not in track_except and c not in ident]
             tstruct = F.struct(*[F.col(c) for c in tracked])
             wrows = w.rowsBetween(Window.unboundedPreceding,
                                   Window.currentRow)
@@ -5017,16 +5058,18 @@ class TxLogTable:
                         | ~tstruct.eqNullSafe(F.lag(tstruct).over(w)))
             marked = events.withColumn(
                 "__run", F.sum(new_run.cast("long")).over(wrows))
-            rid_aggs = [F.min_by(F.col(c), F.col("__seq")).alias(c)
-                        for c in rid]
+            first_aggs = [F.min_by(F.col(c), F.col("__seq")).alias(c)
+                          for c in (*ident, *rid)]
+            vcols = [c for c in nonkey if c not in ident]
             events = (marked.groupBy(*keys, "__run")
                       .agg(F.min("__seq").alias("__seq"),
                            F.max("__del").alias("__del"),
-                           F.max_by(F.struct(*[F.col(c) for c in nonkey]),
+                           F.max_by(F.struct(*[F.col(c) for c in vcols]),
                                     F.col("__seq")).alias("__v"),
-                           *rid_aggs)
+                           *first_aggs)
                       .select(*[F.col(k) for k in keys],
                               *[F.col(f"__v.{c}").alias(c)
+                                if c in vcols else F.col(c)
                                 for c in nonkey],
                               "__seq", "__del", *rid))
         ev = (events

@@ -1278,6 +1278,59 @@ def test_materialized_view_minmax_survives_restart_and_full(spark, tdir):
     assert got == want()
 
 
+def test_materialized_view_legacy_schema_migrates(spark, tdir, tmp_path):
+    """r11 ADVICE: an MV persisted BEFORE the hidden SUM/AVG
+    maintenance columns existed (no __mv_nn_/__mv_sum_) must not die
+    with an unresolved-column error — refresh backfills them via
+    metadata-only ADD COLUMN + one forced full recompute, then keeps
+    folding incrementally."""
+    import json as _json
+
+    engine = _mv_engine(spark)
+    src = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                     (2, "a", 20),
+                                                     (3, "b", 30)]),
+                            enable_cdf=True)
+    engine.register_txlog("legsrc", src)
+    # hand-build the legacy MV shape: VISIBLE columns only (the exact
+    # on-disk state the pre-widening code persisted), definition in
+    # TBLPROPERTIES, fold marker at the source head
+    legacy = (src.read().groupBy("grp")
+              .agg(F.count("*").alias("n"),
+                   F.sum("v").alias("total"),
+                   F.avg("v").alias("mean")))
+    mv = TxLogTable.create(spark, str(tmp_path / "legmv"), legacy,
+                           enable_cdf=True)
+    mv.set_properties({
+        "mv.source": "legsrc", "mv.groupBy": "grp", "mv.counts": "n",
+        "mv.sums": _json.dumps({"total": "v"}),
+        "mv.avgs": _json.dumps({"mean": "v"}),
+    })
+    mv.merge_full(mv.read(), ["grp"],
+                  when_matched=[{"action": "update", "set": {"n": "t.n"}}],
+                  txn_app_id="mv::legmv", txn_version=src.latest_version())
+    engine.register_txlog("legmv", mv)
+    # source churn the incremental path would fold — the legacy schema
+    # made this an opaque AnalysisException before the migration
+    src.merge_upsert(_df(spark, [(2, "a", 99), (4, "c", 40)]), "k")
+    engine.sql("REFRESH MATERIALIZED VIEW legmv")
+    assert {"__mv_nn_total", "__mv_nn_mean", "__mv_sum_mean"} <= \
+        set(mv.read().columns)
+    got = sorted(tuple(r) for r in
+                 engine.sql("SELECT grp, n, total, mean "
+                            "FROM legmv").collect())
+    assert got == [("a", 2, 109, 54.5), ("b", 1, 30, 30.0),
+                   ("c", 1, 40, 40.0)]
+    # and the NULL-return contract the state columns exist FOR works:
+    # delete the last non-NULL contributor of a group → NULL, not 0
+    src.delete_where(F.col("k").isin(2, 4))
+    engine.sql("REFRESH MATERIALIZED VIEW legmv")
+    got = sorted(tuple(r) for r in
+                 engine.sql("SELECT grp, n, total, mean "
+                            "FROM legmv").collect())
+    assert got == [("a", 1, 10, 10.0), ("b", 1, 30, 30.0)]
+
+
 def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
     engine = _mv_engine(spark)
     fact = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
@@ -4336,6 +4389,52 @@ def test_apply_changes_scd2_frontier_guard(spark, tdir):
     assert got == [(10, 0, 2), (11, 2, 3), (13, 3, None)]
 
 
+def test_apply_changes_scd2_frontier_includes_ends(spark, tdir):
+    """r11 ADVICE (medium): the frontier is the key's max EVENT
+    sequence — greatest(start, end) per row — not just max start.  A
+    delete-closed key whose only history is [1, 5) must refuse a batch
+    sequenced INSIDE the settled interval (e.g. a delete@3): the
+    start-only guard accepted it, persisted a [3, 3) tombstone while
+    the as-of view still showed the key alive at t=4, and the next
+    splice silently shrank the settled row to [1, 3)."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, [(1, 10, 1, None)]))
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 0, 5, "delete")]),
+        key="k", sequence_by="seq")  # history now [1, 5), key closed
+    for ct in ("delete", "update_postimage"):
+        with pytest.raises(ValueError, match="settled history"):
+            t.apply_changes_scd2(
+                _scd2_changes(spark, [(1, 7, 3, ct)]),
+                key="k", sequence_by="seq")
+    # AT the closing end is also refused (it would collide with the
+    # delete event the end records) …
+    with pytest.raises(ValueError, match="settled history"):
+        t.apply_changes_scd2(
+            _scd2_changes(spark, [(1, 7, 5, "update_postimage")]),
+            key="k", sequence_by="seq")
+    # … but strictly past it re-opens the key normally
+    t.apply_changes_scd2(
+        _scd2_changes(spark, [(1, 7, 6, "update_postimage")]),
+        key="k", sequence_by="seq")
+    got = sorted((r["v"], r["__START_AT"], r["__END_AT"])
+                 for r in t.read().collect())
+    assert got == [(7, 6, None), (10, 1, 5)]
+    # a tombstone's [s, s) counts as an event at s the same way: the
+    # guard refuses at-or-below s, accepts past it
+    t2path = tdir + "_tomb"
+    t2 = TxLogTable.create(spark, t2path, _scd2_df(spark, []))
+    t2.apply_changes_scd2(
+        _scd2_changes(spark, [(9, 0, 4, "delete")]),  # -> tombstone [4,4)
+        key="k", sequence_by="seq")
+    with pytest.raises(ValueError, match="settled history"):
+        t2.apply_changes_scd2(
+            _scd2_changes(spark, [(9, 1, 4, "update_postimage")]),
+            key="k", sequence_by="seq")
+    t2.apply_changes_scd2(
+        _scd2_changes(spark, [(9, 1, 5, "update_postimage")]),
+        key="k", sequence_by="seq")
+
+
 def test_apply_changes_scd2_closed_history_not_rewritten(spark, tdir):
     """Only segments holding an OPEN row of a batch key are rewritten —
     a batch touching no existing open row (new keys only) carries every
@@ -5614,6 +5713,52 @@ def test_scd2_track_history_except_meta_only_batch(spark, tdir):
     assert (r["v"], r["meta"], r["__START_AT"], r["__END_AT"]) == \
         ("A", 7, 0, None)
     assert r["_row_id"] == ids0[1], "absorbed open row must keep its id"
+
+
+def test_scd2_track_history_except_identity_still_collapses(spark, tdir):
+    """r11 ADVICE: GENERATED BY DEFAULT identity columns are
+    engine-managed, not tracked payload — batch events carry NULL
+    identity while the open row carries its assigned value, so
+    including identity in the run-boundary struct made every
+    excluded-only refresh open a new version (and burn an id).
+    Identity is excluded from run detection; a collapsed run keeps the
+    FIRST event's identity (the absorbed open row's value)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "rid int, k int, v string, meta int, "
+                              "__START_AT int, __END_AT int"),
+        identity_columns={"rid": {"start": 100, "step": 1,
+                                  "always": False}})
+    changes = spark.createDataFrame(
+        [(None, 1, "A", 0, 1, "u")],
+        "rid int, k int, v string, meta int, seq int, _change_type string")
+    t.apply_changes_scd2(changes, key="k", sequence_by="seq",
+                         track_history_except_columns=["meta"])
+    [r0] = t.read().collect()
+    assert r0["rid"] == 100 and r0["__START_AT"] == 1
+    # meta-only churn: must refresh IN PLACE — same start, same
+    # identity, still exactly one row
+    changes2 = spark.createDataFrame(
+        [(None, 1, "A", 7, 2, "u"), (None, 1, "A", 9, 3, "u")],
+        "rid int, k int, v string, meta int, seq int, _change_type string")
+    t.apply_changes_scd2(changes2, key="k", sequence_by="seq",
+                         track_history_except_columns=["meta"])
+    rows = t.read().collect()
+    assert len(rows) == 1, "excluded-only churn must not open versions"
+    [r1] = rows
+    assert (r1["rid"], r1["v"], r1["meta"],
+            r1["__START_AT"], r1["__END_AT"]) == (100, "A", 9, 1, None)
+    # a TRACKED change still opens a version; the new version gets a
+    # fresh engine-assigned id, the closed one keeps 100
+    changes3 = spark.createDataFrame(
+        [(None, 1, "B", 9, 4, "u")],
+        "rid int, k int, v string, meta int, seq int, _change_type string")
+    t.apply_changes_scd2(changes3, key="k", sequence_by="seq",
+                         track_history_except_columns=["meta"])
+    got = sorted(((r["rid"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got[0] == (100, "A", 1, 4)
+    assert got[1][1:] == ("B", 4, None) and got[1][0] > 100
 
 
 def test_scd2_track_history_except_deletes_and_refusals(spark, tdir):
