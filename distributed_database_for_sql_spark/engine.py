@@ -277,6 +277,22 @@ _APPLY_CHANGES_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# APPLY CHANGES INTO t FROM SNAPSHOT src VERSION n KEYS (k, ...)
+# [STORED AS SCD TYPE 1|2] [TRACK HISTORY ON * EXCEPT (c, ...)] — the
+# second DLT CDC ingestion mode: src is a FULL source snapshot (not a
+# change feed); the engine diffs it against the target's current state
+# to derive insert/update/delete events and folds them at sequence n.
+_APPLY_SNAPSHOT_RE = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(?P<target>\w+)\s+"
+    r"FROM\s+SNAPSHOT\s+(?P<src>\w+)\s+"
+    r"VERSION\s+(?P<ver>\d+)\s+"
+    r"KEYS\s*\((?P<keys>[^)]+)\)"
+    r"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+(?P<scd>[12]))?"
+    r"(?:\s+TRACK\s+HISTORY\s+ON\s+\*\s+EXCEPT\s*"
+    r"\((?P<thex>[^)]+)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 # ALTER TABLE t DROP FEATURE name — protocol downgrade once the feature's
 # on-disk state is provably absent (live DVs refuse; REORG PURGE first).
 _DROP_FEATURE_RE = re.compile(
@@ -584,6 +600,19 @@ class Engine:
             shutil.rmtree(mv.path, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name, True)], "table_name string, dropped boolean")
+        m = _APPLY_SNAPSHOT_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            t = self.txlog_tables[target]
+            version = t.apply_changes_from_snapshot(
+                self.spark.table(m.group("src")),
+                key=[k.strip() for k in m.group("keys").split(",")],
+                snapshot_version=int(m.group("ver")),
+                scd_type=int(m.group("scd") or 1),
+                track_history_except_columns=(
+                    [c.strip() for c in m.group("thex").split(",")]
+                    if m.group("thex") else None))
+            return self._dml_ack(target, version)
         m = _APPLY_CHANGES_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             return self._apply_changes_stmt(m)

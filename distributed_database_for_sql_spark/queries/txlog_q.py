@@ -3358,3 +3358,205 @@ def delta_merge_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("qty").alias("total_qty"),
                  F.sum("cents").alias("total_cents"))
             .orderBy("l_linenumber"))
+
+
+@register(
+    "delta_apply_changes_snapshot",
+    # Oracle (two independent certificates): the final SCD1 state must
+    # equal the LAST snapshot exactly (per-priority rollup), and the
+    # v2 change feed must contain exactly one delete per dropped key,
+    # one pre+post pair per CHANGED key, one insert per born key — and
+    # NOTHING for identical rows (the diff must not derive spurious
+    # events: at 100 TB a spurious per-key update is a full rewrite).
+    oracle=f"""
+    WITH s2 AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 3 ELSE 0 END
+                 AS cents
+      FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 5 <> 0
+    ), counts AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders
+         WHERE o_orderkey <= 1000 AND o_orderkey % 5 = 0)
+            AS n_deletes,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_orderkey <= 1000 AND o_orderkey % 5 <> 0
+           AND o_orderkey % 3 = 0)
+            AS n_updates,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_orderkey > 1000 AND o_orderkey <= 1200
+           AND o_orderkey % 5 <> 0)
+            AS n_inserts
+    )
+    SELECT priority,
+           COUNT(*)                    AS n_rows,
+           CAST(SUM(cents) AS BIGINT)  AS total_cents,
+           MIN(k)                      AS min_key,
+           MAX(k)                      AS max_key,
+           CAST(c.n_deletes AS BIGINT) AS cdf_deletes,
+           CAST(c.n_updates AS BIGINT) AS cdf_update_pairs,
+           CAST(c.n_inserts AS BIGINT) AS cdf_inserts
+    FROM s2, counts c
+    GROUP BY priority, c.n_deletes, c.n_updates, c.n_inserts
+    ORDER BY priority
+    """,
+    tags=("acid", "delta", "cdc", "apply-changes", "snapshot", "scd1",
+          "sql", "engine"),
+)
+def delta_apply_changes_snapshot(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``APPLY CHANGES FROM SNAPSHOT`` — the second DLT CDC ingestion
+    mode (``create_auto_cdc_from_snapshot``): the source delivers
+    sequenced FULL snapshots, not a change feed; the engine diffs each
+    snapshot against the target's current state to DERIVE the
+    insert/update/delete events (absence = delete) and folds them
+    through the SCD1 machinery in one atomic commit.  S1 = orders keys
+    <= 1000; S2 drops every 5th key, bumps cents on every 3rd, births
+    (1000, 1200] — and leaves the rest IDENTICAL, which must derive NO
+    events (certified through the CDF row counts: deletes=1 row,
+    changed keys=pre+post pair, births=1 insert, identical=nothing)."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    s1 = (orders.filter(k <= 1000)
+          .select("o_orderkey", F.col("o_orderpriority").alias("priority"),
+                  cents.alias("cents")))
+    s2 = (orders.filter((k <= 1200) & (k % 5 != 0))
+          .select("o_orderkey", F.col("o_orderpriority").alias("priority"),
+                  (cents + F.when(k % 3 == 0, 3).otherwise(0))
+                  .alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("snapcdc", sf_dir),
+                          s1.limit(0), overwrite=True, enable_cdf=True)
+    engine.register_txlog("snapcdc", t)
+    t.apply_changes_from_snapshot(s1, key="o_orderkey", snapshot_version=1)
+    v_pre = t.latest_version()
+    # the statement route drives the second snapshot
+    s2.createOrReplaceTempView("snapcdc_s2")
+    engine.sql("APPLY CHANGES INTO snapcdc FROM SNAPSHOT snapcdc_s2 "
+               "VERSION 2 KEYS (o_orderkey)")
+    ch = t.read_changes(v_pre + 1, t.latest_version())
+    ev = ch.agg(
+        F.sum((F.col("_change_type") == "delete").cast("long"))
+        .alias("cdf_deletes"),
+        (F.sum((F.col("_change_type") == "update_postimage").cast("long")))
+        .alias("cdf_update_pairs"),
+        F.sum((F.col("_change_type") == "insert").cast("long"))
+        .alias("cdf_inserts")).collect()[0]
+    return (t.read()
+            .groupBy("priority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .withColumn("cdf_deletes",
+                        F.lit(int(ev["cdf_deletes"])).cast("long"))
+            .withColumn("cdf_update_pairs",
+                        F.lit(int(ev["cdf_update_pairs"])).cast("long"))
+            .withColumn("cdf_inserts",
+                        F.lit(int(ev["cdf_inserts"])).cast("long"))
+            .orderBy("priority"))
+
+
+@register(
+    "delta_apply_changes_snapshot_scd2",
+    # Oracle: reconstruct the full SCD2 history from the snapshot
+    # SEQUENCE alone with a gaps-and-islands pass — per key, presence
+    # and value across the version grid split into runs; each present
+    # run is a history row [run start, next run start).  A hash match
+    # certifies every derived insert/update/delete landed at the right
+    # version, identical rows opened no spurious versions, and absent
+    # keys closed exactly at the snapshot that dropped them.
+    oracle=f"""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, {_CENTS} AS c, 10 AS v
+      FROM orders WHERE o_orderkey <= 300
+    ), s2 AS (
+      SELECT o_orderkey,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END,
+             20
+      FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 7 <> 0
+    ), s3 AS (
+      SELECT o_orderkey,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END,
+             30
+      FROM orders WHERE o_orderkey <= 330 AND o_orderkey % 5 <> 0
+    ), snaps AS (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3
+    ), grid AS (
+      SELECT kk.k, vv.v
+      FROM (SELECT DISTINCT k FROM snaps) kk
+      CROSS JOIN (VALUES (10), (20), (30)) AS vv(v)
+    ), state AS (
+      SELECT g.k, g.v, s.c, s.k IS NOT NULL AS present
+      FROM grid g LEFT JOIN snaps s ON g.k = s.k AND g.v = s.v
+    ), marked AS (
+      SELECT k, v, c, present,
+             CASE WHEN LAG(present) OVER w IS NULL
+                       AND NOT present THEN 0
+                  WHEN LAG(present) OVER w IS NULL THEN 1
+                  WHEN present <> LAG(present) OVER w THEN 1
+                  WHEN present AND c IS DISTINCT FROM LAG(c) OVER w
+                       THEN 1
+                  ELSE 0 END AS brk
+      FROM state WINDOW w AS (PARTITION BY k ORDER BY v)
+    ), runs AS (
+      SELECT k, v, c, present,
+             SUM(brk) OVER (PARTITION BY k ORDER BY v) AS run
+      FROM marked
+    ), rowsq AS (
+      SELECT k, run, MIN(v) AS start_at, MAX(c) AS c,
+             BOOL_OR(present) AS present
+      FROM runs WHERE run > 0 GROUP BY k, run
+    ), hist AS (
+      SELECT k, c, start_at,
+             LEAD(start_at) OVER (PARTITION BY k ORDER BY start_at)
+                 AS end_at,
+             present
+      FROM rowsq
+    )
+    SELECT k, CAST(c AS BIGINT) AS cents,
+           CAST(start_at AS INTEGER) AS start_at,
+           CAST(end_at AS INTEGER)   AS end_at
+    FROM hist WHERE present
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "apply-changes", "snapshot", "scd2"),
+)
+def delta_apply_changes_snapshot_scd2(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """``APPLY CHANGES FROM SNAPSHOT … STORED AS SCD TYPE 2``: three
+    sequenced full snapshots fold into complete history — S2 deletes
+    every 7th key and changes every 3rd; S3 re-births the deleted keys
+    that survive its own %5 drop (a key can leave and RETURN — two
+    history rows) and births (300, 330].  Unchanged keys must never
+    open spurious versions (S2→S3 value-identical keys keep one open
+    row).  The full chain set is returned row-by-row; the oracle
+    reconstructs it from the snapshot sequence with a gaps-and-islands
+    window pass, so the hash certifies every chain edge at every
+    version."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    bump = (cents + F.when(k % 3 == 0, 2).otherwise(0)).alias("cents")
+    s1 = orders.filter(k <= 300).select(F.col("o_orderkey").alias("k"),
+                                        cents.alias("cents"))
+    s2 = (orders.filter((k <= 300) & (k % 7 != 0))
+          .select(F.col("o_orderkey").alias("k"), bump))
+    s3 = (orders.filter((k <= 330) & (k % 5 != 0))
+          .select(F.col("o_orderkey").alias("k"), bump))
+    empty = spark.createDataFrame(
+        [], "k bigint, cents bigint, __START_AT int, __END_AT int")
+    t = TxLogTable.create(spark, _table_dir("snapscd2", sf_dir), empty,
+                          overwrite=True)
+    for ver, snap in ((10, s1), (20, s2), (30, s3)):
+        t.apply_changes_from_snapshot(snap, key="k", snapshot_version=ver,
+                                      scd_type=2)
+    return (t.read()
+            .select("k", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .orderBy("k", "start_at"))

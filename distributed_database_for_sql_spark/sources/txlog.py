@@ -2674,7 +2674,8 @@ class TxLogTable:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at_timestamp(timestamp)
-        return self._read_active(version)
+        return self._scd2_hide_tombstones(self._read_active(version),
+                                          version)
 
     def _attach_row_ids(self, df: DataFrame,
                         version: int | None = None) -> DataFrame:
@@ -2764,7 +2765,9 @@ class TxLogTable:
                 "with row_tracking=True")
         df = self._read_active(version, with_pos=True, with_rid=True)
         df = self._attach_row_ids(df, version)
-        return df.drop("_file", "__relfile", "__rowidx", "__rid", "__base")
+        return self._scd2_hide_tombstones(
+            df.drop("_file", "__relfile", "__rowidx", "__rid", "__base"),
+            version)
 
     def restore(self, version: int) -> int:
         """Delta RESTORE: roll the table back to ``version`` AS A NEW
@@ -4335,6 +4338,41 @@ class TxLogTable:
         return F.greatest(F.col(start_col),
                           F.coalesce(F.col(end_col), F.col(start_col)))
 
+    def _scd2_mark_actions(self, start_col: str, end_col: str,
+                           schema_json: str) -> list[dict]:
+        """Actions recording the table's SCD2 history columns in its
+        properties (``txlog.scd2.startCol``/``endCol``) — piggybacked on
+        the FIRST apply_changes_scd2 commit (no extra version), so the
+        public read path can hide zero-width tombstone rows without
+        being told the column names.  Empty once recorded."""
+        props = self.properties()
+        if props.get("txlog.scd2.startCol") == start_col and \
+                props.get("txlog.scd2.endCol") == end_col:
+            return []
+        merged = dict(props)
+        merged["txlog.scd2.startCol"] = start_col
+        merged["txlog.scd2.endCol"] = end_col
+        return [{"metaData": {"schemaJson": schema_json,
+                              "properties": merged}}]
+
+    def _scd2_hide_tombstones(self, df: DataFrame,
+                              version: int | None = None) -> DataFrame:
+        """Public-read projection of an SCD2 table: zero-width tombstone
+        rows ``[s, s)`` are internal delete traces (kept so backfill
+        splices stay lossless), never row versions — Delta/DLT APPLY
+        CHANGES materializes no such rows, so COUNT(*) and downstream
+        CDF consumers must not see them.  No-op unless the table's
+        properties record SCD2 history columns (stamped by the first
+        apply_changes_scd2 commit).  Internal rewrite paths read via
+        ``_read_active`` and keep the full trace."""
+        props = self._meta_state(version).get("properties", {})
+        sc_ = props.get("txlog.scd2.startCol")
+        ec = props.get("txlog.scd2.endCol")
+        if sc_ and ec and sc_ in df.columns and ec in df.columns:
+            df = df.filter(F.col(ec).isNull()
+                           | (F.col(sc_) != F.col(ec)))
+        return df
+
     @staticmethod
     def _apply_as_deletes(changes: DataFrame, change_type_col: str,
                           predicate: str | None):
@@ -4607,7 +4645,14 @@ class TxLogTable:
         timeline from its history rows would silently drop the delete
         and resurrect the row it kept closed (``start == end`` is
         unambiguous: every real history row has ``start < end``, since
-        duplicate (key, sequence) events are refused).
+        duplicate (key, sequence) events are refused).  Tombstones are
+        INTERNAL: hidden from ``read()``/SQL projections and never
+        emitted in the change feed (Delta/DLT materializes no such
+        rows — a COUNT(*) or downstream CDF consumer sees only real
+        row versions); the splice reads them back via the internal
+        active read.  The first SCD2 commit records the history column
+        names in ``txlog.scd2.startCol/endCol`` table properties so
+        the read path knows what to hide.
         Settled history is immutable BY DEFAULT: every batch sequence
         must be strictly greater than the key's frontier — the max
         event sequence its history records, i.e. ``greatest(start_col,
@@ -4861,7 +4906,13 @@ class TxLogTable:
         rel_new = self._write_segments(merged)
         cdf_actions: list[dict] = []
         if self.enable_cdf:
-            pieces = [new_rows.withColumn("_change_type", F.lit("insert"))]
+            # zero-width tombstones are delete traces, not row versions
+            # — they never surface in the change feed (a downstream MV
+            # or CDC consumer would otherwise count phantom inserts)
+            visible = new_rows.filter(
+                F.col(end_col).isNull()
+                | (F.col(start_col) != F.col(end_col)))
+            pieces = [visible.withColumn("_change_type", F.lit("insert"))]
             if touched:
                 pre = (self._read_active(only=touched)
                        .filter(F.col(end_col).isNull())
@@ -4890,6 +4941,7 @@ class TxLogTable:
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          **self._key_range_commit(key_range)}}]
+            + self._scd2_mark_actions(start_col, end_col, schema_json)
             + txn_actions
             + ident_actions
             + [{"remove": {"path": p}} for p in rel_removed]
@@ -5135,12 +5187,20 @@ class TxLogTable:
                 post = changed.select(
                     *[F.col(f"n_{c}").alias(c) for c in target_cols]
                 ).withColumn("_change_type", F.lit("update_postimage"))
-                ins = j.filter(F.col(f"o_{start_col}").isNull()).select(
-                    *[F.col(f"n_{c}").alias(c) for c in target_cols]
-                ).withColumn("_change_type", F.lit("insert"))
+                # re-emitted tombstones stay out of the feed (delete
+                # traces, not row versions — same as the main fold)
+                ins = (j.filter(F.col(f"o_{start_col}").isNull())
+                       .select(*[F.col(f"n_{c}").alias(c)
+                                 for c in target_cols])
+                       .filter(F.col(end_col).isNull()
+                               | (F.col(start_col) != F.col(end_col)))
+                       .withColumn("_change_type", F.lit("insert")))
                 ch = pre.unionByName(post).unionByName(ins)
             else:
-                ch = new_plain.withColumn("_change_type", F.lit("insert"))
+                ch = (new_plain.filter(
+                          F.col(end_col).isNull()
+                          | (F.col(start_col) != F.col(end_col)))
+                      .withColumn("_change_type", F.lit("insert")))
             cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
@@ -5155,6 +5215,7 @@ class TxLogTable:
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
                          **self._key_range_commit(key_range)}}]
+            + self._scd2_mark_actions(start_col, end_col, schema_json)
             + txn_actions
             + ident_actions
             + [{"remove": {"path": p}} for p in rel_removed]
@@ -5165,6 +5226,159 @@ class TxLogTable:
             actions, rel_removed, base_version, key_range=key_range,
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
+
+    def apply_changes_from_snapshot(self, snapshot: DataFrame, key,
+                                    snapshot_version,
+                                    scd_type: int = 1,
+                                    start_col: str = "__START_AT",
+                                    end_col: str = "__END_AT",
+                                    txn_app_id: str | None = None,
+                                    txn_version: int | None = None,
+                                    track_history_except_columns=None
+                                    ) -> int:
+        """The SECOND DLT CDC ingestion mode (``APPLY CHANGES FROM
+        SNAPSHOT`` / ``create_auto_cdc_from_snapshot``): most real
+        sources cannot emit a change feed — they deliver periodic FULL
+        snapshots.  ``snapshot`` is the source's COMPLETE state at
+        ``snapshot_version``; this diffs it against the target's
+        current state to DERIVE the change events and folds them as one
+        atomic commit through the existing machinery
+        (``apply_changes`` for SCD1, ``apply_changes_scd2`` for SCD2,
+        sequenced at ``snapshot_version``):
+
+        - a key only in the snapshot            → ``insert``
+        - a key in both whose payload differs   → ``update_postimage``
+        - a key in both, payload identical      → NO event (an SCD2
+          target must not open a spurious version; null-safe compare)
+        - a key only in the current state       → ``delete`` (absence
+          from a full snapshot IS the delete signal — the semantics a
+          change feed can't give you without tombstone events)
+
+        Snapshot versions must be MONOTONICALLY increasing (DLT's
+        contract): the last applied version rides the fold commit as
+        its idempotency marker (txn app ``__snapshot__`` unless the
+        caller supplies one), so a REPLAYED snapshot no-ops exactly
+        once like a streaming micro-batch, while an OUT-OF-ORDER
+        (lower) snapshot refuses loudly — processing it would
+        resurrect rows the newer snapshot deleted.
+
+        Scale shape: ONE null-safe full-outer join of the snapshot
+        against the current state (open rows only for SCD2 — the
+        closed history never participates), shuffled by key; the
+        derived event set is persisted so the fold's multiple passes
+        don't re-run the diff.  Engine-managed identity columns are
+        excluded from the payload comparison (the snapshot either
+        doesn't carry them or carries NULLs; existing keys keep their
+        assigned values, inserted keys are engine-assigned downstream).
+
+        Reference parity: DLT ``apply_changes_from_snapshot`` with
+        ``stored_as_scd_type`` 1|2 and ``track_history_except_column_list``.
+        """
+        if scd_type not in (1, 2):
+            raise ValueError(f"scd_type must be 1 or 2, got {scd_type!r}")
+        if track_history_except_columns and scd_type != 2:
+            raise ValueError(
+                "track_history_except_columns requires scd_type=2 "
+                "(type 1 keeps no history to track)")
+        keys = self._key_list(key)
+        _, schema_json = self._snapshot_files()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        target_cols = [f.name for f in schema.fields]
+        hist = {start_col, end_col} if scd_type == 2 else set()
+        if scd_type == 2:
+            lacking = [c for c in (start_col, end_col)
+                       if c not in target_cols]
+            if lacking:
+                raise ValueError(
+                    f"apply_changes_from_snapshot: target lacks the SCD2 "
+                    f"history column(s) {lacking}")
+        idents = set(self._identity_columns())
+        payload = [c for c in target_cols if c not in hist]
+        data_cols = [c for c in payload if c not in idents]
+        scols = set(snapshot.columns)
+        missing = [c for c in data_cols if c not in scols]
+        if missing:
+            raise ValueError(
+                f"apply_changes_from_snapshot: snapshot lacks target "
+                f"column(s) {missing}")
+        bad = [c for c in (start_col, end_col, "_change_type",
+                           "__snapshot_seq") if c in scols]
+        if bad:
+            raise ValueError(
+                f"apply_changes_from_snapshot: snapshot must not carry "
+                f"engine column(s) {bad}")
+        for c in keys:
+            if c not in data_cols:
+                raise ValueError(
+                    f"apply_changes_from_snapshot: key column {c!r} is "
+                    "not a snapshot-supplied target column")
+        app = "__snapshot__" if txn_app_id is None else txn_app_id
+        ver = int(snapshot_version) if txn_version is None \
+            else int(txn_version)
+        last = self.txn_version_for(app)
+        if last == ver:
+            return self.latest_version()  # replayed snapshot: no-op
+        if last > ver:
+            raise ValueError(
+                f"apply_changes_from_snapshot: snapshot_version {ver} "
+                f"is below the last applied snapshot ({last}) — "
+                "snapshots must be monotonically increasing")
+        cur = self._read_active()
+        if scd_type == 2:
+            cur = cur.filter(F.col(end_col).isNull())
+        o = cur.select(*[F.col(c).alias(f"o_{c}") for c in payload],
+                       F.lit(1).alias("__o"))
+        snap_ident = [c for c in idents if c in scols]
+        n = snapshot.select(
+            *[F.col(c).alias(f"n_{c}") for c in data_cols + snap_ident],
+            F.lit(1).alias("__n"))
+        jc = F.lit(True)
+        for c in keys:
+            jc = jc & F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+        j = o.join(n, jc, "full_outer")
+        nonkey_data = [c for c in data_cols if c not in keys]
+        same = F.lit(True)
+        for c in nonkey_data:
+            same = same & F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+        ct = (F.when(F.col("__o").isNull(), F.lit("insert"))
+              .when(F.col("__n").isNull(), F.lit("delete"))
+              .when(same, F.lit(None).cast("string"))
+              .otherwise(F.lit("update_postimage")))
+        sel = []
+        for c in payload:
+            if c in keys:
+                sel.append(F.coalesce(F.col(f"n_{c}"),
+                                      F.col(f"o_{c}")).alias(c))
+            elif c in idents:
+                # existing keys keep their assigned identity; a
+                # snapshot-supplied value (BY DEFAULT) wins if present
+                src_ = (F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}"))
+                        if c in scols else F.col(f"o_{c}"))
+                sel.append(src_.alias(c))
+            else:
+                sel.append(F.col(f"n_{c}").alias(c))
+        events = (j.withColumn("_change_type", ct)
+                  .filter(F.col("_change_type").isNotNull())
+                  .select(*sel,
+                          F.lit(snapshot_version).alias("__snapshot_seq"),
+                          "_change_type"))
+        # the folds reference the batch several times (dup check, key
+        # stats, the window fold); pin the diff so each pass doesn't
+        # re-run the full-outer join
+        events = events.persist()
+        try:
+            if scd_type == 2:
+                return self.apply_changes_scd2(
+                    events, key=key, sequence_by="__snapshot_seq",
+                    start_col=start_col, end_col=end_col,
+                    txn_app_id=app, txn_version=ver,
+                    track_history_except_columns=(
+                        track_history_except_columns or None))
+            return self.apply_changes(
+                events, key=key, sequence_by="__snapshot_seq",
+                txn_app_id=app, txn_version=ver)
+        finally:
+            events.unpersist()
 
     def cdc_sink(self, app_id: str, key, sequence_by: str,
                  scd_type: int = 1, apply_as_deletes: str | None = None,

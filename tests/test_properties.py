@@ -692,10 +692,17 @@ def test_apply_changes_scd2_equals_python_fold(spark, tmp_path_factory,
             hist.append((k, v, s, nxt))
     key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
                         x[3] is None, x[3] or 0)
+    # the INTERNAL trace carries the full timeline incl. tombstones;
+    # the PUBLIC read hides the zero-width markers (r11: Delta/DLT
+    # parity — COUNT(*) sees only real row versions)
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t._read_active().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
     assert sorted(
         ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
          for r in t.read().collect()), key=key_fn) == \
-        sorted(hist, key=key_fn)
+        sorted((h for h in hist if h[2] != h[3]), key=key_fn)
 
 
 # -- r8: row-tracking invariants under arbitrary DML -------------------------
@@ -867,9 +874,14 @@ def test_scd2_backfill_equals_in_order_fold(spark, tmp_path_factory,
             hist.append((k, v, s, nxt))
     key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
                         x[3] is None, x[3] or 0)
+    # internal trace = full timeline (incl. tombstone markers);
+    # public read = real row versions only
+    assert sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                   for r in t._read_active().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
     assert sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
                    for r in t.read().collect()), key=key_fn) == \
-        sorted(hist, key=key_fn)
+        sorted((h for h in hist if h[2] != h[3]), key=key_fn)
 
 
 # -- r10: backfill splice preserves row ids (row tracking × backfill) ---------
@@ -1000,3 +1012,68 @@ def test_apply_changes_ignore_nulls_equals_python_fold(spark,
     got = sorted(((r["k"], r["v"]) for r in t.read().collect()),
                  key=key_fn)
     assert got == sorted(state.items(), key=key_fn)
+
+
+# -- r11: APPLY CHANGES FROM SNAPSHOT equals the sequential snapshot fold -----
+
+snapshot_seqs = st.lists(
+    st.dictionaries(st.integers(0, 4), st.integers(-3, 3), max_size=5),
+    min_size=1, max_size=4)
+
+
+@fold_prop
+@given(snaps=snapshot_seqs)
+def test_apply_changes_from_snapshot_equals_python_fold(spark,
+                                                        tmp_path_factory,
+                                                        snaps):
+    """For ANY sequence of full snapshots, apply_changes_from_snapshot
+    must leave (a) an SCD1 target equal to the LAST snapshot exactly,
+    and (b) an SCD2 target equal to the sequential islands fold: per
+    key, each maximal run of snapshot versions with the same present
+    value is ONE history row [first version of the run, first version
+    of the next run); absence closes, return re-opens, identical
+    snapshots open nothing."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"snapf_{_uuid.uuid4().hex[:6]}")
+    t1 = TxLogTable.create(spark, os.path.join(str(base), "t1"),
+                           spark.createDataFrame([], "k int, v int"))
+    t2 = TxLogTable.create(
+        spark, os.path.join(str(base), "t2"),
+        spark.createDataFrame([], "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    for i, snap in enumerate(snaps, start=1):
+        df = spark.createDataFrame(sorted(snap.items()), "k int, v int") \
+            if snap else spark.createDataFrame([], "k int, v int")
+        t1.apply_changes_from_snapshot(df, key="k", snapshot_version=i)
+        t2.apply_changes_from_snapshot(df, key="k", snapshot_version=i,
+                                       scd_type=2)
+    # SCD1: the table IS the last snapshot
+    assert sorted((r["k"], r["v"]) for r in t1.read().collect()) == \
+        sorted(snaps[-1].items())
+    # SCD2: pure-Python islands fold over the snapshot sequence
+    hist: list[tuple[int, int, int, int | None]] = []
+    open_: dict[int, tuple[int, int]] = {}  # k -> (value, start)
+    for i, snap in enumerate(snaps, start=1):
+        for k in list(open_):
+            v0, s0 = open_[k]
+            if k not in snap:
+                hist.append((k, v0, s0, i))
+                del open_[k]
+            elif snap[k] != v0:
+                hist.append((k, v0, s0, i))
+                open_[k] = (snap[k], i)
+        for k, val in snap.items():
+            if k not in open_:
+                open_[k] = (val, i)
+    want = hist + [(k, v, s, None) for k, (v, s) in open_.items()]
+    key_fn = lambda x: (x[0], x[2])  # noqa: E731
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t2.read().collect()), key=key_fn)
+    assert got == sorted(want, key=key_fn)
+    # no tombstones can arise from snapshot diffs (deletes always close
+    # an open row), so internal and public reads agree
+    assert t2._read_active().count() == len(want)

@@ -5373,24 +5373,37 @@ def test_scd2_traceless_delete_leaves_tombstone(spark, tdir):
     """A delete that closes NOTHING (unknown key, or preceded by another
     delete) persists as a zero-width tombstone row [seq, seq) — NULL
     payload, start == end — so the timeline stays losslessly
-    re-foldable; tombstones are inert for as-of predicates."""
+    re-foldable.  Tombstones are INTERNAL (r11 ADVICE): the public
+    read()/SQL projection and the change feed hide them (Delta/DLT
+    materializes no such rows — COUNT(*) must not see phantoms); the
+    splice reads them back via the internal active read."""
     t = TxLogTable.create(spark, tdir, _scd2_df(
-        spark, [(1, 10, 0, None)]))
-    t.apply_changes_scd2(
+        spark, [(1, 10, 0, None)]), enable_cdf=True)
+    v = t.apply_changes_scd2(
         _scd2_changes(spark, [(7, 0, 3, "delete"),      # unknown key
                               (1, 0, 4, "delete"),      # closes open row
                               (1, 0, 6, "delete")]),    # double delete
         key="k", sequence_by="seq")
-    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
-                  for r in t.read().collect()),
-                 key=lambda x: (x[0], x[2]))
-    assert got == [(1, 10, 0, 4),      # closed by the real delete
-                   (1, None, 6, 6),    # double delete -> tombstone
-                   (7, None, 3, 3)]    # unknown key -> tombstone
-    # zero-width rows never satisfy an as-of predicate
-    asof = t.read().filter((F.col("__START_AT") <= 3)
-                           & ((F.col("__END_AT") > 3)
-                              | F.col("__END_AT").isNull()))
+    # the INTERNAL active read keeps the full trace
+    trace = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                    for r in t._read_active().collect()),
+                   key=lambda x: (x[0], x[2]))
+    assert trace == [(1, 10, 0, 4),    # closed by the real delete
+                     (1, None, 6, 6),  # double delete -> tombstone
+                     (7, None, 3, 3)]  # unknown key -> tombstone
+    # the PUBLIC read hides the markers: only real row versions
+    got = [(r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+           for r in t.read().collect()]
+    assert got == [(1, 10, 0, 4)]
+    # … and the change feed emitted no phantom inserts for them
+    ins = [(r["k"], r["__START_AT"], r["__END_AT"])
+           for r in t.read_changes(v, v).collect()
+           if r["_change_type"] == "insert"]
+    assert ins == []
+    # zero-width rows never satisfy an as-of predicate (even internally)
+    asof = t._read_active().filter((F.col("__START_AT") <= 3)
+                                   & ((F.col("__END_AT") > 3)
+                                      | F.col("__END_AT").isNull()))
     assert [(r["k"], r["v"]) for r in asof.collect()] == [(1, 10)]
 
 
@@ -5407,10 +5420,14 @@ def test_scd2_backfill_traceless_delete_not_lost(spark, tdir):
                               (1, 0, 2, "delete")]),
         key="k", sequence_by="seq")
     # the trace the r9 splice lost: key 1's delete, as a tombstone
+    # (internal — the public read hides zero-width markers)
     mid = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
-                  for r in t.read().collect()),
+                  for r in t._read_active().collect()),
                  key=lambda x: (x[0], x[2]))
     assert (1, None, 2, 2) in mid
+    assert (1, None, 2, 2) not in {
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in t.read().collect()}
     t.apply_changes_scd2(
         _scd2_changes(spark, [(1, 7, 1, "update_postimage")]),
         key="k", sequence_by="seq", allow_backfill=True)
@@ -5794,6 +5811,129 @@ def test_scd2_track_history_except_deletes_and_refusals(spark, tdir):
             _scd2m_changes(spark, [(1, "C", 0, 1, "u")]),
             key="k", sequence_by="seq",
             track_history_except_columns=["meta"])
+
+
+# -- r11: APPLY CHANGES FROM SNAPSHOT (the second DLT CDC ingestion mode) ----
+
+def test_apply_changes_from_snapshot_scd1(spark, tdir):
+    """Sequenced FULL snapshots (no change feed): the diff derives
+    inserts (new keys), updates (changed payload), deletes (absent
+    keys), and SKIPS identical rows; after each apply the SCD1 table
+    equals the snapshot exactly.  Replayed snapshot versions no-op;
+    out-of-order versions refuse."""
+    t = TxLogTable.create(spark, tdir, _df(spark, []))
+    s1 = _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    t.apply_changes_from_snapshot(s1, key="k", snapshot_version=1)
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    # S2: k=2 changed, k=3 gone, k=4 born, k=1 identical
+    s2 = _df(spark, [(1, "a", 10), (2, "a", 99), (4, "c", 40)])
+    v2 = t.apply_changes_from_snapshot(s2, key="k", snapshot_version=2)
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 10), (2, "a", 99), (4, "c", 40)]
+    # replay no-ops (idempotency marker rides the fold commit)
+    assert t.apply_changes_from_snapshot(s2, key="k",
+                                         snapshot_version=2) == v2
+    assert t.latest_version() == v2
+    # out-of-order refuses loudly
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        t.apply_changes_from_snapshot(s1, key="k", snapshot_version=1)
+    # an identical snapshot at a HIGHER version derives zero events but
+    # still advances the marker (so its replay no-ops too)
+    v3 = t.apply_changes_from_snapshot(s2, key="k", snapshot_version=3)
+    assert v3 > v2
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, "a", 10), (2, "a", 99), (4, "c", 40)]
+
+
+def test_apply_changes_from_snapshot_scd2(spark, tdir):
+    """FROM SNAPSHOT × SCD TYPE 2: the derived events fold into full
+    history — an unchanged key opens NO spurious version; a changed key
+    closes its open row at the snapshot version; an absent key closes
+    with no successor; a returning key re-opens."""
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, []))
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")  # noqa
+    t.apply_changes_from_snapshot(mk([(1, 10), (2, 20)]), key="k",
+                                  snapshot_version=1, scd_type=2)
+    t.apply_changes_from_snapshot(mk([(1, 10), (2, 21)]), key="k",
+                                  snapshot_version=2, scd_type=2)
+    t.apply_changes_from_snapshot(mk([(2, 21), (3, 30)]), key="k",
+                                  snapshot_version=3, scd_type=2)
+    t.apply_changes_from_snapshot(mk([(1, 11), (2, 21), (3, 30)]),
+                                  key="k", snapshot_version=4, scd_type=2)
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()),
+                 key=lambda x: (x[0], x[2]))
+    assert got == [
+        (1, 10, 1, 3),      # unchanged at v2 (no spurious version),
+                            # absent from S3 -> closed at 3
+        (1, 11, 4, None),   # returns at v4
+        (2, 20, 1, 2),      # changed at v2
+        (2, 21, 2, None),   # current ever since (S3/S4 identical)
+        (3, 30, 3, None),   # born at v3
+    ]
+
+
+def test_apply_changes_from_snapshot_identity_and_refusals(spark, tdir):
+    """BY DEFAULT identity composes: the snapshot does not carry the
+    identity column — existing keys keep their assigned values through
+    updates, inserted keys are engine-assigned.  Refusals: missing
+    payload columns, engine columns in the snapshot, scd_type 1 with
+    track-history, unknown scd_type."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "rid int, k int, v int"),
+        identity_columns={"rid": {"start": 100, "step": 1,
+                                  "always": False}})
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")  # noqa
+    t.apply_changes_from_snapshot(mk([(1, 10), (2, 20)]), key="k",
+                                  snapshot_version=1)
+    rid_of = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert sorted(rid_of.values()) == [100, 101]
+    t.apply_changes_from_snapshot(mk([(1, 99), (3, 30)]), key="k",
+                                  snapshot_version=2)
+    after = {r["k"]: (r["rid"], r["v"]) for r in t.read().collect()}
+    assert after[1] == (rid_of[1], 99), "updated key keeps its identity"
+    assert 2 not in after and after[3][1] == 30 and after[3][0] > 101
+    with pytest.raises(ValueError, match="lacks target column"):
+        t.apply_changes_from_snapshot(
+            spark.createDataFrame([(1,)], "k int"), key="k",
+            snapshot_version=9)
+    with pytest.raises(ValueError, match="engine column"):
+        t.apply_changes_from_snapshot(
+            spark.createDataFrame([(1, 1, "x")],
+                                  "k int, v int, _change_type string"),
+            key="k", snapshot_version=9)
+    with pytest.raises(ValueError, match="requires scd_type=2"):
+        t.apply_changes_from_snapshot(
+            mk([(1, 1)]), key="k", snapshot_version=9,
+            track_history_except_columns=["v"])
+    with pytest.raises(ValueError, match="scd_type"):
+        t.apply_changes_from_snapshot(mk([(1, 1)]), key="k",
+                                      snapshot_version=9, scd_type=3)
+
+
+def test_apply_changes_from_snapshot_sql_statement(spark, tdir):
+    """The APPLY CHANGES INTO … FROM SNAPSHOT … VERSION n statement
+    routes onto apply_changes_from_snapshot (SCD 1 default, SCD 2 via
+    STORED AS)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, tdir, _scd2_df(spark, []))
+    eng.register_txlog("snaptgt", t)
+    spark.createDataFrame([(1, 10), (2, 20)], "k int, v int") \
+        .createOrReplaceTempView("snapsrc")
+    eng.sql("APPLY CHANGES INTO snaptgt FROM SNAPSHOT snapsrc "
+            "VERSION 1 KEYS (k) STORED AS SCD TYPE 2")
+    spark.createDataFrame([(2, 21)], "k int, v int") \
+        .createOrReplaceTempView("snapsrc")
+    eng.sql("APPLY CHANGES INTO snaptgt FROM SNAPSHOT snapsrc "
+            "VERSION 2 KEYS (k) STORED AS SCD TYPE 2")
+    got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in eng.sql("SELECT * FROM snaptgt").collect()),
+                 key=lambda x: (x[0], x[2]))
+    assert got == [(1, 10, 1, 2), (2, 20, 1, 2), (2, 21, 2, None)]
 
 
 def test_apply_changes_sql_statement(spark, tdir):
