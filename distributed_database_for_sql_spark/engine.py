@@ -1581,13 +1581,9 @@ class Engine:
         kwargs = dict(key=keys if len(keys) > 1 else keys[0],
                       sequence_by=m.group("seq"))
         if scd == 2:
-            if m.group("ignulls"):
-                raise ValueError(
-                    "IGNORE NULL UPDATES with STORED AS SCD TYPE 2 is "
-                    "not supported (v1); resolve NULL inheritance "
-                    "upstream or use SCD TYPE 1")
             version = t.apply_changes_scd2(
                 changes,
+                ignore_null_updates=bool(m.group("ignulls")),
                 track_history_except_columns=(
                     [c.strip() for c in thex.split(",")] if thex
                     else None),

@@ -3560,3 +3560,104 @@ def delta_apply_changes_snapshot_scd2(spark: SparkSession,
                     F.col("__START_AT").alias("start_at"),
                     F.col("__END_AT").alias("end_at"))
             .orderBy("k", "start_at"))
+
+
+@register(
+    "delta_scd2_ignore_null_updates",
+    # Oracle: the generic resolution recomputed relationally — seed the
+    # inheritance with the open row (ord 0), epoch = running delete
+    # count (a delete's payload is masked, so its epoch starts empty),
+    # LAST_VALUE(... IGNORE NULLS) per (key, epoch) resolves each
+    # event's payload, then the standard SCD2 fold (LEAD per key) lays
+    # out the history rows.  Full chains returned row-by-row.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS c
+      FROM orders WHERE o_orderkey <= 200
+    ), ev AS (
+      SELECT k, CAST(NULL AS BIGINT) AS c, 1 AS seq, FALSE AS del
+      FROM base
+      UNION ALL
+      SELECT k, NULL, 2, TRUE FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, NULL, 3, FALSE FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, c + 9, 4, FALSE FROM base WHERE k % 4 = 0
+    ), all_ev AS (
+      SELECT k, c, 0 AS seq, FALSE AS del, 0 AS ord FROM base
+      UNION ALL
+      SELECT k, c, seq, del, 1 FROM ev
+    ), epoch AS (
+      SELECT *, SUM(CASE WHEN del THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY k ORDER BY ord, seq
+                        ROWS UNBOUNDED PRECEDING) AS ep
+      FROM all_ev
+    ), resolved AS (
+      SELECT k, seq, del, ord,
+             LAST_VALUE(c IGNORE NULLS)
+               OVER (PARTITION BY k, ep ORDER BY ord, seq
+                     ROWS UNBOUNDED PRECEDING) AS c
+      FROM epoch
+    ), folded AS (
+      SELECT k, c, seq AS start_at,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY ord, seq) AS end_at,
+             del
+      FROM resolved
+    )
+    SELECT k, CAST(c AS BIGINT) AS cents,
+           CAST(start_at AS INTEGER) AS start_at,
+           CAST(end_at AS INTEGER)   AS end_at
+    FROM folded WHERE NOT del
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "scd2", "ignore-nulls", "sql",
+          "engine"),
+)
+def delta_scd2_ignore_null_updates(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """IGNORE NULL UPDATES composed with SCD TYPE 2 (r11 — the v1
+    refusal removed): NULL event columns inherit the value AT the
+    event's sequence — seeded by the key's open row, reset by a delete
+    — so every opened history version carries the resolved payload.
+    Events: an all-NULL update (every version [1,·) inherits the base
+    cents), a %5 delete (resets inheritance), a %3 NULL update
+    (post-delete keys resolve to NULL, everyone else re-inherits), and
+    a %4 explicit bump.  Driven through the APPLY CHANGES statement
+    with IGNORE NULL UPDATES + STORED AS SCD TYPE 2; the oracle
+    recomputes resolution + fold with IGNORE NULLS windows."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 200)
+            .select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+            .withColumn("__START_AT", F.lit(0).cast("int"))
+            .withColumn("__END_AT", F.lit(None).cast("int")))
+    t = TxLogTable.create(spark, _table_dir("scd2innul", sf_dir), base,
+                          overwrite=True)
+    engine.register_txlog("scd2innul", t)
+    kk = F.col("o_orderkey").alias("k")
+    nullc = F.lit(None).cast("bigint").alias("cents")
+
+    def ev(flt, c, seq, ct):
+        return (orders.filter(flt)
+                .select(kk, c, F.lit(seq).cast("int").alias("seq"),
+                        F.lit(ct).alias("_change_type")))
+
+    batch = (ev(k <= 200, nullc, 1, "u")
+             .unionByName(ev((k <= 200) & (k % 5 == 0), nullc, 2,
+                             "delete"))
+             .unionByName(ev((k <= 200) & (k % 3 == 0), nullc, 3, "u"))
+             .unionByName(ev((k <= 200) & (k % 4 == 0),
+                             (cents + 9).alias("cents"), 4, "u"))
+             .repartition(8))
+    batch.createOrReplaceTempView("scd2innul_src")
+    engine.sql("APPLY CHANGES INTO scd2innul FROM scd2innul_src KEYS (k) "
+               "IGNORE NULL UPDATES SEQUENCE BY seq STORED AS SCD TYPE 2")
+    return (t.read()
+            .select("k", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .orderBy("k", "start_at"))

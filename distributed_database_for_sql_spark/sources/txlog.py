@@ -4613,6 +4613,59 @@ class TxLogTable:
             txn=None if txn_app_id is None
             else (txn_app_id, int(txn_version)))
 
+    def _scd2_resolve_null_updates(self, changes: DataFrame,
+                                   keys: list[str], sequence_by: str,
+                                   change_type_col: str,
+                                   payload_cols: list[str],
+                                   end_col: str) -> DataFrame:
+        """DLT's ``IGNORE NULL UPDATES`` composed with SCD TYPE 2: a
+        NULL column in a non-delete change event means "keep the
+        previous value" — resolved SEQUENTIALLY per key so each opened
+        row version's payload is the inherited value AT its sequence
+        (last non-NULL across the seq-ordered events, seeded by the
+        key's existing OPEN row; a delete RESETS the chain — its epoch
+        starts at the delete row with a masked payload, so post-delete
+        NULL slots inherit nothing, the same hypothesis-found contract
+        as the SCD1 fold).  Returns the batch with payloads resolved;
+        the standard fold then applies unchanged.  One key shuffle;
+        the seed is a broadcast-keyed semi join against open rows."""
+        nonkey = [c for c in payload_cols if c not in keys]
+        seq_type = {f.name: f.dataType
+                    for f in changes.schema.fields}[sequence_by]
+        not_del = F.col(change_type_col) != "delete"
+        ev = changes.select(
+            *keys,
+            *[F.when(not_del, F.col(c)).alias(c) for c in nonkey],
+            F.col(sequence_by).alias("__seq"),
+            F.col(change_type_col).alias("__ct"),
+            F.lit(1).alias("__ord"))
+        kset = changes.select(*keys).distinct()
+        seed = (self._read_active()
+                .filter(F.col(end_col).isNull())
+                .join(F.broadcast(kset), keys, "left_semi")
+                .select(*keys, *nonkey,
+                        F.lit(None).cast(seq_type).alias("__seq"),
+                        F.lit("__seed__").alias("__ct"),
+                        F.lit(0).alias("__ord")))
+        ev = ev.unionByName(seed)
+        worder = [F.col("__ord"), F.col("__seq").asc_nulls_first()]
+        w = Window.partitionBy(*keys).orderBy(*worder)
+        ev = ev.withColumn(
+            "__epoch",
+            F.sum((F.col("__ct") == "delete").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+        we = (Window.partitionBy(*keys, "__epoch").orderBy(*worder)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (ev.select(
+                    *keys, "__ord",
+                    *[F.last(F.col(c), ignorenulls=True).over(we).alias(c)
+                      for c in nonkey],
+                    F.col("__seq").alias(sequence_by),
+                    F.col("__ct").alias(change_type_col))
+                .filter(F.col("__ord") == 1)
+                .drop("__ord"))
+
     def apply_changes_scd2(self, changes: DataFrame, key,
                            sequence_by: str,
                            change_type_col: str = "_change_type",
@@ -4622,7 +4675,8 @@ class TxLogTable:
                            txn_version: int | None = None,
                            allow_backfill: bool = False,
                            apply_as_deletes: str | None = None,
-                           track_history_except_columns=None) -> int:
+                           track_history_except_columns=None,
+                           ignore_null_updates: bool = False) -> int:
         """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
         … STORED AS SCD TYPE 2`` shape): fold a change batch into this
         table as ONE atomic commit, keeping EVERY version of every key.
@@ -4690,7 +4744,16 @@ class TxLogTable:
         that row's start and row id) while the excluded columns take the
         LAST event's values; CDF emits update pre/post for the in-place
         excluded-column refresh.  Deletes always close regardless of
-        exclusions.  Not combinable with ``allow_backfill`` (v1)."""
+        exclusions.  Not combinable with ``allow_backfill`` (v1).
+
+        ``ignore_null_updates=True`` (DLT's option, composed with SCD
+        TYPE 2): a NULL column in a non-delete event means "keep the
+        previous value" — resolved sequentially per key BEFORE the
+        fold, so each opened row version carries the inherited value
+        at its sequence (seeded by the key's existing open row; a
+        delete resets the chain).  See
+        ``_scd2_resolve_null_updates``.  Not combinable with
+        ``allow_backfill`` (v1)."""
         self._check_append_only("APPLY CHANGES")
         if any(s.get("always", True)
                for s in self._identity_columns().values()):
@@ -4741,6 +4804,20 @@ class TxLogTable:
             raise ValueError(
                 f"apply_changes_scd2: change batch lacks target "
                 f"column(s) {missing}")
+        if ignore_null_updates:
+            if allow_backfill:
+                raise ValueError(
+                    "ignore_null_updates with allow_backfill is not "
+                    "supported (v1): splicing below the frontier would "
+                    "require re-resolving values already inherited by "
+                    "settled rows; apply the backfill with explicit "
+                    "payloads")
+            # NULL event columns inherit sequentially (seeded by the
+            # open row, reset by deletes); the fold below then sees a
+            # fully-resolved batch
+            changes = self._scd2_resolve_null_updates(
+                changes, keys, sequence_by, change_type_col,
+                payload_cols, end_col)
 
         seq = F.col(sequence_by).cast(seq_type)
         te = (self._key_list(track_history_except_columns)
@@ -5399,9 +5476,6 @@ class TxLogTable:
         """
         if scd_type not in (1, 2):
             raise ValueError(f"scd_type must be 1 or 2, got {scd_type!r}")
-        if ignore_null_updates and scd_type != 1:
-            raise ValueError(
-                "ignore_null_updates composes with scd_type=1 only (v1)")
         if track_history_except_columns and scd_type != 2:
             raise ValueError(
                 "track_history_except_columns requires scd_type=2 "

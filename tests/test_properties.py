@@ -1077,3 +1077,79 @@ def test_apply_changes_from_snapshot_equals_python_fold(spark,
     # no tombstones can arise from snapshot diffs (deletes always close
     # an open row), so internal and public reads agree
     assert t2._read_active().count() == len(want)
+
+
+# -- r11: IGNORE NULL UPDATES × SCD2 equals the inheritance+fold model --------
+
+@fold_prop
+@given(data=st.lists(st.tuples(st.integers(0, 4),
+                               st.integers(-5, 5)),
+                     min_size=0, max_size=3, unique_by=lambda t: t[0]),
+       events=nullable_cdc_events)
+def test_scd2_ignore_nulls_equals_python_fold(spark, tmp_path_factory,
+                                              data, events):
+    """For ANY NULL-bearing change batch,
+    apply_changes_scd2(ignore_null_updates=True) equals resolving the
+    inheritance sequentially (seeded by the key's open row, reset by
+    deletes) and THEN running the standard SCD2 fold: each opened
+    history version carries the value inherited AT its sequence."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"scd2in_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, v, 0, None) for k, v in data],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v, seq_of[k], ct))
+    t.apply_changes_scd2(
+        spark.createDataFrame(list(reversed(rows)),
+                              "k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    # model: resolve inheritance per key, then the standard SCD2 fold
+    seeded = dict(data)
+    by_key: dict[int, list[tuple[int, int | None, str]]] = {}
+    for k, v, s, ct in rows:
+        by_key.setdefault(k, []).append((s, v, ct))
+    hist: list[tuple[int, int | None, int, int | None]] = [
+        (k, v, 0, None) for k, v in data]
+    for k, evs in by_key.items():
+        evs.sort()
+        cur = seeded.get(k) if k in seeded else None
+        resolved = []
+        for s, v, ct in evs:
+            if ct == "delete":
+                resolved.append((s, None, "delete"))
+                cur = None
+                continue
+            if v is not None:
+                cur = v
+            resolved.append((s, cur, "u"))
+        first = resolved[0][0]
+        hist = [(kk, vv, st_, first if (kk == k and en is None) else en)
+                for kk, vv, st_, en in hist]
+        for i, (s, v, ct) in enumerate(resolved):
+            if ct == "delete":
+                if ((i > 0 and resolved[i - 1][2] == "delete")
+                        or (i == 0 and k not in seeded)):
+                    hist.append((k, None, s, s))  # tombstone
+                continue
+            nxt = resolved[i + 1][0] if i + 1 < len(resolved) else None
+            hist.append((k, v, s, nxt))
+    key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
+                        x[3] is None, x[3] or 0)
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t._read_active().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t.read().collect()), key=key_fn) == \
+        sorted((h for h in hist if h[2] != h[3]), key=key_fn)

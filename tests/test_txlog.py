@@ -6024,3 +6024,69 @@ def test_apply_changes_ignore_null_updates(spark, tdir):
         key="k", sequence_by="seq")
     r = t2.read().collect()[0]
     assert (r["grp"], r["v"]) == (None, None)
+
+
+def test_apply_changes_scd2_ignore_null_updates(spark, tdir):
+    """r11: IGNORE NULL UPDATES composes with SCD TYPE 2 (the r10 v1
+    refusal removed): NULL event columns inherit sequentially, so each
+    opened history version carries the value inherited AT its sequence
+    — seeded by the key's open row, reset by deletes."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 10, 0, None), (2, "b", 20, 0, None)],
+                              "k int, grp string, v int, "
+                              "__START_AT int, __END_AT int"))
+    batch = spark.createDataFrame(
+        [
+            # k=1: v NULL inherits 10 at seq 1 (version [1,2) = (z, 10)),
+            # grp NULL inherits z at seq 2 (version [2,) = (z, 11))
+            (1, "z", None, 1, "u"), (1, None, 11, 2, "u"),
+            # k=2: delete resets; the post-delete version inherits
+            # NOTHING (grp NULL stays NULL)
+            (2, None, 0, 1, "delete"), (2, None, 7, 2, "u"),
+        ],
+        "k int, grp string, v int, seq int, _change_type string")
+    t.apply_changes_scd2(batch, key="k", sequence_by="seq",
+                         ignore_null_updates=True)
+    got = sorted(((r["k"], r["grp"], r["v"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()),
+                 key=lambda x: (x[0], x[3]))
+    assert got == [
+        (1, "a", 10, 0, 1), (1, "z", 10, 1, 2), (1, "z", 11, 2, None),
+        (2, "b", 20, 0, 1), (2, None, 7, 2, None),
+    ]
+    # backfill composition stays refused (v1)
+    with pytest.raises(ValueError, match="not.*supported|not supported"):
+        t.apply_changes_scd2(batch, key="k", sequence_by="seq",
+                             ignore_null_updates=True,
+                             allow_backfill=True)
+
+
+def test_apply_changes_scd2_ignore_nulls_sql_and_sink(spark, tdir,
+                                                      tmp_path):
+    """The statement route accepts IGNORE NULL UPDATES with STORED AS
+    SCD TYPE 2, and cdc_sink(scd_type=2, ignore_null_updates=True) no
+    longer refuses."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 10, 0, None)],
+                              "k int, grp string, v int, "
+                              "__START_AT int, __END_AT int"))
+    eng.register_txlog("inscd2", t)
+    spark.createDataFrame([(1, None, 11, 1, "u")],
+                          "k int, grp string, v int, seq int, "
+                          "_change_type string") \
+        .createOrReplaceTempView("inscd2_src")
+    eng.sql("APPLY CHANGES INTO inscd2 FROM inscd2_src KEYS (k) "
+            "IGNORE NULL UPDATES SEQUENCE BY seq STORED AS SCD TYPE 2")
+    got = sorted(((r["grp"], r["v"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [("a", 10, 0, 1), ("a", 11, 1, None)]
+    # the streaming sink accepts the combination (construction only —
+    # the fold path is certified above)
+    sink = t.cdc_sink("app", key="k", sequence_by="seq", scd_type=2,
+                      ignore_null_updates=True)
+    assert callable(sink)
