@@ -1065,7 +1065,8 @@ class Engine:
     _MV_COUNT_ITEM = re.compile(r"^COUNT\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$",
                                 re.IGNORECASE)
     _MV_AGG_ITEM = re.compile(
-        r"^(?P<fn>SUM|AVG|MIN|MAX|COUNT)\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
+        r"^(?P<fn>SUM|AVG|MIN|MAX|COUNT|APPROX_COUNT_DISTINCT)"
+        r"\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$",
         re.IGNORECASE | re.DOTALL)
 
     def _create_mv(self, m: re.Match) -> DataFrame:
@@ -1075,7 +1076,11 @@ class Engine:
         the change volume, never the source size (the 100 TB contract;
         see ``refresh_materialized_view``).  Supported select items:
         grouping columns, COUNT(*) (at least one — it detects group
-        death), SUM(expr), AVG(expr), MIN(expr), MAX(expr), plus an
+        death), SUM(expr), AVG(expr), MIN(expr), MAX(expr), COUNT(expr),
+        APPROX_COUNT_DISTINCT(expr) (maintained as a hidden mergeable
+        HLL sketch column ``__mv_hll_<alias>`` — inserts union into the
+        sketch, removals repair through the bounded per-group
+        recompute), plus an
         optional WHERE clause filtering the source rows (applied to the
         initial scan AND every delta fold).  SUM/AVG ride hidden
         non-NULL counters (``__mv_nn_<alias>``, plus ``__mv_sum_`` for
@@ -1114,8 +1119,9 @@ class Engine:
         mins: dict[str, str] = {}
         maxs: dict[str, str] = {}
         cnts: dict[str, str] = {}  # COUNT(expr): non-NULL row counts
+        approxs: dict[str, str] = {}  # APPROX_COUNT_DISTINCT: HLL state
         by_fn = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs,
-                 "COUNT": cnts}
+                 "COUNT": cnts, "APPROX_COUNT_DISTINCT": approxs}
         seen_groups: list[str] = []
         gexprs: dict[str, str] = {}  # computed group keys: alias -> expr
         for item in self._split_top_level(m.group("select")):
@@ -1148,13 +1154,14 @@ class Engine:
                     f"materialized view select item {item!r} is not "
                     "incrementally maintainable: use grouping columns "
                     "(plain or `expr AS alias` matching GROUP BY), "
-                    "COUNT(*) AS a, or SUM/AVG/MIN/MAX(expr) AS a")
+                    "COUNT(*) AS a, SUM/AVG/MIN/MAX/COUNT(expr) AS a, "
+                    "or APPROX_COUNT_DISTINCT(expr) AS a")
         if not counts:
             raise ValueError(
                 "materialized view needs a COUNT(*) AS <alias> item — "
                 "the count detects when a group dies (deletes)")
         aliases = (counts + list(sums) + list(avgs) + list(mins)
-                   + list(maxs) + list(cnts) + groups)
+                   + list(maxs) + list(cnts) + list(approxs) + groups)
         dup = {a for a in aliases if aliases.count(a) > 1}
         if dup:
             raise ValueError(
@@ -1185,7 +1192,7 @@ class Engine:
                                      gexprs)
                  .groupBy(*groups)
                  .agg(*self._mv_full_aggs(counts, sums, avgs, mins, maxs,
-                                          cnts)))
+                                          cnts, approxs)))
         # the MV records its own CDF, so MVs CASCADE: a second MV (or
         # any CDF consumer) can maintain itself from this one's change
         # feed — the multi-stage incremental-pipeline shape
@@ -1201,6 +1208,7 @@ class Engine:
             "mv.maxs": json.dumps(maxs, sort_keys=True),
             "mv.joins": json.dumps(joins, sort_keys=True),
             "mv.cnts": json.dumps(cnts, sort_keys=True),
+            "mv.approxs": json.dumps(approxs, sort_keys=True),
             "mv.groupExprs": json.dumps(gexprs, sort_keys=True),
             **({"mv.where": where} if where else {}),
         })
@@ -1208,11 +1216,14 @@ class Engine:
         return self.refresh_materialized_view(name)
 
     @staticmethod
-    def _mv_full_aggs(counts, sums, avgs, mins, maxs, cnts=(), prefix=""):
+    def _mv_full_aggs(counts, sums, avgs, mins, maxs, cnts=(),
+                      approxs=(), prefix=""):
         """The from-scratch aggregate list shared by CREATE's schema
         probe, the initial fill, and FULL recompute: visible aggregates
         plus the hidden SUM/AVG maintenance state (``__mv_nn_<a>``
-        non-NULL counters; ``__mv_sum_<a>`` running sums for AVG)."""
+        non-NULL counters; ``__mv_sum_<a>`` running sums for AVG) and
+        the hidden mergeable HLL sketch state (``__mv_hll_<a>``) behind
+        each APPROX_COUNT_DISTINCT item."""
         from pyspark.sql import functions as F
         p = prefix
         aggs = [F.count("*").alias(f"{p}{c}") for c in counts]
@@ -1229,6 +1240,13 @@ class Engine:
             aggs.append(F.max(F.expr(e)).alias(f"{p}{a}"))
         for a, e in dict(cnts).items():
             aggs.append(F.count(F.expr(e)).alias(f"{p}{a}"))
+        for a, e in dict(approxs).items():
+            aggs += [
+                F.expr(f"COALESCE(hll_sketch_estimate("
+                       f"hll_sketch_agg({e})), 0)").alias(f"{p}{a}"),
+                F.expr(f"hll_sketch_agg({e})")
+                .alias(f"{p}__mv_hll_{a}"),
+            ]
         return aggs
 
     def stream_refresh(self, name: str, checkpoint_dir: str):
@@ -1312,6 +1330,7 @@ class Engine:
         mins = json.loads(props.get("mv.mins", "{}"))
         maxs = json.loads(props.get("mv.maxs", "{}"))
         cnts = json.loads(props.get("mv.cnts", "{}"))
+        approxs = json.loads(props.get("mv.approxs", "{}"))
         joins = json.loads(props.get("mv.joins", "[]"))
         where = props.get("mv.where", "")
         gexprs = json.loads(props.get("mv.groupExprs", "{}"))
@@ -1349,14 +1368,17 @@ class Engine:
                          .groupBy(*groups)
                          .agg(*self._mv_full_aggs(counts, sums, avgs,
                                                   mins, maxs, cnts,
+                                                  approxs,
                                                   prefix="__d_")))
             repl = {c: f"s.__d_{c}" for c in counts}
             repl.update({a: f"s.__d_{a}" for a in
                          list(sums) + list(avgs) + list(mins)
-                         + list(maxs) + list(cnts)})
+                         + list(maxs) + list(cnts) + list(approxs)})
             repl.update({f"__mv_nn_{a}": f"s.{dnn(a)}"
                          for a in list(sums) + list(avgs)})
             repl.update({f"__mv_sum_{a}": f"s.{dsum(a)}" for a in avgs})
+            repl.update({f"__mv_hll_{a}": f"s.__d___mv_hll_{a}"
+                         for a in approxs})
             ins = dict(repl)
             ins.update({g: f"s.{g}" for g in groups})
             # A FULL refresh is idempotent by construction (replace
@@ -1397,7 +1419,10 @@ class Engine:
                   + [F.max(F.expr(e)).alias(f"__x_{a}")
                      for a, e in maxs.items()]
                   + [F.count(F.expr(e)).alias(f"__d_{a}")
-                     for a, e in cnts.items()])))
+                     for a, e in cnts.items()]
+                  + [F.expr(f"hll_sketch_agg({e})")
+                     .alias(f"__d_hll_{a}")
+                     for a, e in approxs.items()])))
             repair = False
         else:
             ch = self._mv_row_source(src.read_changes(last + 1, cur),
@@ -1409,11 +1434,19 @@ class Engine:
                 [F.min(F.when(added, F.expr(e))).alias(f"__i_{a}")
                  for a, e in mins.items()]
                 + [F.max(F.when(added, F.expr(e))).alias(f"__x_{a}")
-                   for a, e in maxs.items()])
-            if mins or maxs:
+                   for a, e in maxs.items()]
+                # HLL sketches fold inserts only (union); removals need
+                # the same bounded repair as MIN/MAX (sketches cannot
+                # subtract)
+                + [F.expr(f"hll_sketch_agg(CASE WHEN _change_type IN "
+                          f"('insert', 'update_postimage') THEN {e} "
+                          f"END)").alias(f"__d_hll_{a}")
+                   for a, e in approxs.items()])
+            if mins or maxs or approxs:
                 # any removed row (delete / update preimage) can lower a
-                # MAX or raise a MIN — those groups need a bounded
-                # recompute (repair), identified right here in the CDF
+                # MAX, raise a MIN, or retire a distinct value — those
+                # groups need a bounded recompute (repair), identified
+                # right here in the CDF
                 minmax_aggs.append(
                     F.max(F.when(added, F.lit(0)).otherwise(F.lit(1)))
                     .alias("__rep"))
@@ -1439,14 +1472,16 @@ class Engine:
                    for a in avgs]
                 + [f"{dnn(a)} <> 0" for a in list(sums) + list(avgs)]
                 + [f"__d_{a} <> 0" for a in cnts]
-                + (["__rep = 1"] if (mins or maxs) else [])
+                + (["__rep = 1"] if (mins or maxs or approxs) else [])
                 + [f"__i_{a} IS NOT NULL" for a in mins]
-                + [f"__x_{a} IS NOT NULL" for a in maxs])
+                + [f"__x_{a} IS NOT NULL" for a in maxs]
+                + [f"__d_hll_{a} IS NOT NULL" for a in approxs])
             delta = delta.filter(F.expr(nonzero))
-            repair = bool(mins or maxs) and \
+            repair = bool(mins or maxs or approxs) and \
                 delta.filter("__rep = 1").limit(1).count() > 0
         rcol = lambda a: f"__r_{a}"  # noqa: E731
-        if (mins or maxs) and repair:
+        rhll = lambda a: f"__r_hll_{a}"  # noqa: E731
+        if (mins or maxs or approxs) and repair:
             # bounded repair: recompute MIN/MAX from the CURRENT source
             # snapshot for EXACTLY the groups that saw a removal — a
             # null-safe (struct-packed) semi join prunes the scan to
@@ -1462,17 +1497,22 @@ class Engine:
                    .agg(*([F.min(F.expr(e)).alias(rcol(a))
                            for a, e in mins.items()]
                           + [F.max(F.expr(e)).alias(rcol(a))
-                             for a, e in maxs.items()])))
+                             for a, e in maxs.items()]
+                          + [F.expr(f"hll_sketch_agg({e})")
+                             .alias(rhll(a))
+                             for a, e in approxs.items()])))
             delta = (delta.withColumn("_mk", F.struct(*groups))
                      .join(F.broadcast(rec.withColumn(
                          "_mk", F.struct(*groups)).drop(*groups)),
                          "_mk", "left")
                      .drop("_mk"))
-        elif mins or maxs:
+        elif mins or maxs or approxs:
             delta = delta.withColumns(
-                {rcol(a): F.expr(f"CAST(NULL AS {dt[a]})")
-                 for a in list(mins) + list(maxs)})
-        if (mins or maxs) and "__rep" not in delta.columns:
+                {**{rcol(a): F.expr(f"CAST(NULL AS {dt[a]})")
+                    for a in list(mins) + list(maxs)},
+                 **{rhll(a): F.expr("CAST(NULL AS BINARY)")
+                    for a in approxs}})
+        if (mins or maxs or approxs) and "__rep" not in delta.columns:
             delta = delta.withColumn("__rep", F.lit(0))
         c0 = counts[0]
         dead = " AND ".join(f"t.{c} + s.__d_{c} = 0" for c in counts)
@@ -1506,6 +1546,17 @@ class Engine:
             # COUNT(expr) folds like COUNT(*) but signed on non-NULL
             # rows only; an all-NULL group correctly reads 0, never NULL
             upd[a] = f"t.{a} + s.__d_{a}"
+        for a in approxs:
+            # insert-only folds UNION the mergeable sketches (exact
+            # arithmetic on HLL registers); any removal went through
+            # the bounded repair, which recomputed the group's sketch
+            sk = (f"CASE WHEN s.__rep = 1 THEN s.{rhll(a)} "
+                  f"WHEN s.__d_hll_{a} IS NULL THEN t.__mv_hll_{a} "
+                  f"WHEN t.__mv_hll_{a} IS NULL THEN s.__d_hll_{a} "
+                  f"ELSE hll_union(t.__mv_hll_{a}, s.__d_hll_{a}) END")
+            upd[f"__mv_hll_{a}"] = sk
+            upd[a] = (f"COALESCE(hll_sketch_estimate({sk}), "
+                      f"CAST(0 AS BIGINT))")
         ins = {g: f"s.{g}" for g in groups}
         ins.update({c: f"s.__d_{c}" for c in counts})
         for a in sums:
@@ -1525,6 +1576,12 @@ class Engine:
                       f"ELSE s.__x_{a} END")
         for a in cnts:
             ins[a] = f"s.__d_{a}"
+        for a in approxs:
+            sk = (f"CASE WHEN s.__rep = 1 THEN s.{rhll(a)} "
+                  f"ELSE s.__d_hll_{a} END")
+            ins[f"__mv_hll_{a}"] = sk
+            ins[a] = (f"COALESCE(hll_sketch_estimate({sk}), "
+                      f"CAST(0 AS BIGINT))")
         mv.merge_full(
             delta, groups,
             when_matched=[

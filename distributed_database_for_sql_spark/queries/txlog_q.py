@@ -3661,3 +3661,82 @@ def delta_scd2_ignore_null_updates(spark: SparkSession,
                     F.col("__START_AT").alias("start_at"),
                     F.col("__END_AT").alias("end_at"))
             .orderBy("k", "start_at"))
+
+
+@register(
+    "delta_materialized_view_approx_distinct",
+    # Oracle: exact recompute of the final state with the tolerance
+    # flag TRUE — Spark emits the flag from its ACTUAL maintained HLL
+    # estimate vs the exact distinct count (default lgConfigK=12 →
+    # ~1.6% relative error, far inside the 5% gate), so a hash match
+    # proves the sketch state stayed within tolerance through the
+    # insert-union fold AND the delete-triggered bounded repair.
+    oracle=f"""
+    WITH fin AS (
+      SELECT o_orderpriority AS grp, o_custkey, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 1000 AND o_orderkey % 4 <> 0)
+         OR (o_orderkey > 1000 AND o_orderkey <= 1400)
+    )
+    SELECT grp,
+           COUNT(*)                   AS n_orders,
+           COUNT(DISTINCT o_custkey)  AS nd_exact,
+           TRUE                       AS hll_within_5pct
+    FROM fin
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("acid", "delta", "mv", "cdf", "sketch", "hll", "approx",
+          "incremental", "sql", "engine"),
+)
+def delta_materialized_view_approx_distinct(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT as an incrementally-maintained MV item
+    (r11): the estimate rides a hidden mergeable HLL sketch column —
+    inserts UNION into the sketch (exact register arithmetic, no
+    rescan), removals trigger the same bounded per-group repair as
+    MIN/MAX (sketches cannot subtract).  The scenario folds an append
+    (new distinct customers union in) and a modulo delete (retires
+    distinct customers → repair recomputes affected groups only); the
+    oracle recomputes exact counts and the within-5% flag certifies
+    the maintained estimates."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 1000)
+            .select("o_orderkey", F.col("o_orderpriority").alias("grp"),
+                    "o_custkey", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    import os
+    import shutil
+    src_path = _table_dir("mvhllsrc", sf_dir)
+    shutil.rmtree(os.path.join(
+        os.path.dirname(os.path.abspath(src_path)), "mvhllview"),
+        ignore_errors=True)
+    src = TxLogTable.create(spark, src_path, base, overwrite=True,
+                            enable_cdf=True)
+    engine.register_txlog("mvhllsrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW mvhllview AS "
+               "SELECT grp, COUNT(*) AS n_orders, "
+               "APPROX_COUNT_DISTINCT(o_custkey) AS nd "
+               "FROM mvhllsrc GROUP BY grp")
+    # append: new customers union into the sketches (insert-only fold)
+    src.append(orders.filter((k > 1000) & (k <= 1400))
+               .select("o_orderkey", F.col("o_orderpriority").alias("grp"),
+                       "o_custkey", cents.alias("cents")))
+    # delete: retires distinct customers → bounded per-group repair
+    src.delete_where((k <= 1000) & (k % 4 == 0))
+    engine.sql("REFRESH MATERIALIZED VIEW mvhllview")
+    exact = (src.read().groupBy("grp")
+             .agg(F.count_distinct("o_custkey").alias("nd_exact")))
+    mv = engine.txlog_tables["mvhllview"]
+    within = (F.abs(F.col("nd") - F.col("nd_exact"))
+              <= 0.05 * F.col("nd_exact"))
+    return (mv.read().select("grp", "n_orders", "nd")
+            .join(exact, "grp")
+            .select("grp", "n_orders", "nd_exact",
+                    within.alias("hll_within_5pct"))
+            .orderBy("grp"))

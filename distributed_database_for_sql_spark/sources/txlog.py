@@ -4744,7 +4744,14 @@ class TxLogTable:
         that row's start and row id) while the excluded columns take the
         LAST event's values; CDF emits update pre/post for the in-place
         excluded-column refresh.  Deletes always close regardless of
-        exclusions.  Not combinable with ``allow_backfill`` (v1).
+        exclusions.  Composes with ``allow_backfill`` (r11): the splice
+        re-folds each affected key's reconstructed timeline merged with
+        the late batch, WITH run collapse — operational semantics: an
+        excluded-only event was applied as an in-place refresh (never a
+        recorded version), so a backfilled tracked change landing
+        inside an absorbed run does not resurrect the run's interior
+        boundaries; the result equals the in-order fold over the
+        RECORDED timeline plus the batch.
 
         ``ignore_null_updates=True`` (DLT's option, composed with SCD
         TYPE 2): a NULL column in a non-delete event means "keep the
@@ -4838,18 +4845,19 @@ class TxLogTable:
                     "non-key payload column (identity columns are "
                     "engine-managed and never tracked) — nothing "
                     "would ever open a new history version")
-            if allow_backfill:
-                raise ValueError(
-                    "track_history_except_columns with allow_backfill "
-                    "is not supported (collapsing runs while splicing "
-                    "below the frontier would rewrite settled history "
-                    "ambiguously); apply the backfill without the "
-                    "exclusion first")
         if allow_backfill:
+            # r11: TRACK HISTORY EXCEPT composes with backfill — the
+            # splice reconstructs each affected key's timeline, merges
+            # the late batch, and re-folds WITH run collapse.  Note the
+            # operational semantics: an excluded-only event is an
+            # in-place refresh, never a recorded version, so a backfill
+            # cannot retroactively re-classify one (a late tracked
+            # change splicing INSIDE an absorbed run does not resurrect
+            # the run's interior boundaries — they were never history).
             return self._scd2_splice(
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
-                txn_app_id, txn_version)
+                txn_app_id, txn_version, track_except=te or None)
         if te:
             # frontier guard (settled history stays immutable), then the
             # open-row-scoped splice machinery does the run-collapsed

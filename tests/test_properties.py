@@ -481,9 +481,14 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
     engine = Engine(spark, "/root/testdata/sf0.001")
     nm = f"mv_{_uuid.uuid4().hex[:8]}"
     engine.register_txlog(f"src_{nm}", src)
+    # APPROX_COUNT_DISTINCT rides a hidden HLL sketch column; at these
+    # cardinalities (≤ 7 distinct values) the estimate is EXACT, so the
+    # property can compare against COUNT(DISTINCT) directly — including
+    # through the delete-triggered repair path
     engine.sql(f"CREATE MATERIALIZED VIEW {nm} AS "
                f"SELECT grp, COUNT(*) AS n, SUM(v) AS total, "
-               f"AVG(v) AS mean, MIN(v) AS lo, MAX(v) AS hi "
+               f"AVG(v) AS mean, MIN(v) AS lo, MAX(v) AS hi, "
+               f"APPROX_COUNT_DISTINCT(v) AS nd "
                f"FROM src_{nm} GROUP BY grp")
     for op, k, d in script:
         if op == "update":
@@ -498,13 +503,14 @@ def test_mv_refresh_equals_full_recompute(spark, tmp_path_factory, data,
     key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     got = sorted((tuple(r) for r in
                   engine.txlog_tables[nm].read()
-                  .select("grp", "n", "total", "mean", "lo", "hi")
+                  .select("grp", "n", "total", "mean", "lo", "hi", "nd")
                   .collect()), key=key)
     want = sorted((tuple(r) for r in
                    src.read().groupBy("grp")
                    .agg(F.count("*").alias("n"), F.sum("v").alias("total"),
                         F.avg("v").alias("mean"), F.min("v").alias("lo"),
-                        F.max("v").alias("hi"))
+                        F.max("v").alias("hi"),
+                        F.count_distinct("v").alias("nd"))
                    .collect()), key=key)
     assert got == want
 
@@ -1153,3 +1159,114 @@ def test_scd2_ignore_nulls_equals_python_fold(spark, tmp_path_factory,
         ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
          for r in t.read().collect()), key=key_fn) == \
         sorted((h for h in hist if h[2] != h[3]), key=key_fn)
+
+
+# -- r11: TRACK HISTORY EXCEPT × backfill equals the recorded-timeline fold ---
+
+te_events = st.lists(
+    st.tuples(st.integers(0, 3),                     # key
+              st.integers(0, 2),                     # tracked value v
+              st.integers(-3, 3),                    # excluded value meta
+              st.sampled_from(["u", "u", "delete"])),
+    min_size=1, max_size=8)
+
+
+def _te_fold(evs):
+    """Pure-Python TRACK HISTORY EXCEPT fold over one key's seq-sorted
+    events [(seq, v, meta, ct)]: collapse runs of non-delete events
+    with equal TRACKED value (run keeps FIRST seq, meta takes LAST),
+    deletes are singleton runs, then the standard SCD2 fold (tombstone
+    for a delete preceded by nothing/another delete).  Returns
+    (rows, tombstones): rows = [(v, meta, start, end)]."""
+    runs = []
+    for s, v, meta, ct in evs:
+        if ct == "delete":
+            runs.append([s, None, None, True])
+        elif runs and not runs[-1][3] and runs[-1][1] == v:
+            runs[-1][2] = meta            # excluded-only refresh
+        else:
+            runs.append([s, v, meta, False])
+    rows, tombs = [], []
+    for i, (s, v, meta, isdel) in enumerate(runs):
+        if isdel:
+            if i == 0 or runs[i - 1][3]:
+                tombs.append((None, None, s, s))
+            continue
+        nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+        rows.append((v, meta, s, nxt))
+    return rows, tombs
+
+
+@fold_prop
+@given(events=te_events, salt=st.integers(0, 3))
+def test_scd2_track_except_backfill_equals_recorded_fold(
+        spark, tmp_path_factory, events, salt):
+    """r11: TRACK HISTORY EXCEPT × allow_backfill, for ANY event split:
+    the splice equals the in-order TE fold over the RECORDED timeline
+    (the rows batch 1 actually persisted, reconstructed as events —
+    absorbed refreshes are not versions and stay absorbed) merged with
+    the late batch.  This is the composition's operational contract."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"tebf_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([], "k int, v int, meta int, "
+                              "__START_AT int, __END_AT int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, meta, ct in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        rows.append((k, v if ct != "delete" else None,
+                     meta if ct != "delete" else None, seq_of[k], ct))
+    batch1 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 0]
+    batch2 = [r for i, r in enumerate(rows) if (i + salt) % 2 == 1]
+    schema = "k int, v int, meta int, seq int, _change_type string"
+    if batch1:
+        t.apply_changes_scd2(spark.createDataFrame(batch1, schema),
+                             key="k", sequence_by="seq",
+                             track_history_except_columns=["meta"])
+    if not batch2:
+        return
+    # the RECORDED timeline: what batch 1 persisted, per key
+    def by_key(rs):
+        out: dict[int, list] = {}
+        for k, v, meta, s, ct in rs:
+            out.setdefault(k, []).append((s, v, meta, ct))
+        return out
+
+    recorded: dict[int, list] = {}
+    for k, evs in by_key(batch1).items():
+        evs.sort()
+        rws, tmb = _te_fold(evs)
+        recorded[k] = (
+            [(s, v, meta, "u") for v, meta, s, _e in rws]
+            + [(s, None, None, "delete") for _v, _m, s, _e in tmb]
+            + [(e, None, None, "delete")
+               for _v, _m, _s, e in rws
+               if e is not None and e not in {s for _v2, _m2, s, _e2
+                                              in rws}
+               and e not in {s for _v2, _m2, s, _e2 in tmb}])
+    # merge the late batch and re-fold with collapse
+    want: list[tuple[int, int | None, int | None, int, int | None]] = []
+    want_tombs = 0
+    merged_keys = set(recorded) | set(by_key(batch2))
+    for k in merged_keys:
+        evs = sorted(recorded.get(k, [])
+                     + [(s, v, meta, ct)
+                        for s, v, meta, ct in by_key(batch2).get(k, [])])
+        rws, tmb = _te_fold(evs)
+        want += [(k, v, meta, s, e) for v, meta, s, e in rws]
+        want_tombs += len(tmb)
+    t.apply_changes_scd2(spark.createDataFrame(batch2, schema),
+                         key="k", sequence_by="seq", allow_backfill=True,
+                         track_history_except_columns=["meta"])
+    key_fn = lambda x: (x[0], x[3])  # noqa: E731
+    got = sorted(((r["k"], r["v"], r["meta"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()),
+                 key=key_fn)
+    assert got == sorted(want, key=key_fn)
+    assert t._read_active().count() == len(want) + want_tombs

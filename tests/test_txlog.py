@@ -5732,6 +5732,43 @@ def test_scd2_track_history_except_meta_only_batch(spark, tdir):
     assert r["_row_id"] == ids0[1], "absorbed open row must keep its id"
 
 
+def test_scd2_track_history_except_backfill_composes(spark, tdir):
+    """r11: TRACK HISTORY EXCEPT × allow_backfill (the v1 refusal
+    removed).  A late TRACKED change splices into the recorded
+    timeline with run collapse: the late event splits the open row's
+    interval, and an excluded-only late event folds in WITHOUT opening
+    a version (it collapses into the absorbed run, refreshing meta)."""
+    t = TxLogTable.create(spark, tdir, _scd2m_df(spark, []))
+    t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, "A", 1, 1, "u"), (1, "B", 4, 4, "u"),
+                               (2, "X", 1, 1, "u")]),
+        key="k", sequence_by="seq",
+        track_history_except_columns=["meta"])
+    # late TRACKED change inside [1, 4): splits the A row
+    t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, "C", 2, 2, "u")]),
+        key="k", sequence_by="seq", allow_backfill=True,
+        track_history_except_columns=["meta"])
+    got = sorted(((r["k"], r["v"], r["meta"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()),
+                 key=lambda x: (x[0], x[3]))
+    assert got == [(1, "A", 1, 1, 2), (1, "C", 2, 2, 4),
+                   (1, "B", 4, 4, None), (2, "X", 1, 1, None)]
+    # late EXCLUDED-only change (same tracked value as the row holding
+    # its interval): collapses into that run — no new version, meta
+    # takes the run's LAST event's value (here the late event at 3 is
+    # last inside the C run [2, 4))
+    t.apply_changes_scd2(
+        _scd2m_changes(spark, [(1, "C", 9, 3, "u")]),
+        key="k", sequence_by="seq", allow_backfill=True,
+        track_history_except_columns=["meta"])
+    got = sorted(((r["k"], r["v"], r["meta"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()),
+                 key=lambda x: (x[0], x[3]))
+    assert got == [(1, "A", 1, 1, 2), (1, "C", 9, 2, 4),
+                   (1, "B", 4, 4, None), (2, "X", 1, 1, None)]
+
+
 def test_scd2_track_history_except_identity_still_collapses(spark, tdir):
     """r11 ADVICE: GENERATED BY DEFAULT identity columns are
     engine-managed, not tracked payload — batch events carry NULL
@@ -5798,8 +5835,6 @@ def test_scd2_track_history_except_deletes_and_refusals(spark, tdir):
         (dict(track_history_except_columns=["nope"]), "non-key"),
         (dict(track_history_except_columns=["v", "meta"]),
          "every non-key"),
-        (dict(track_history_except_columns=["meta"],
-              allow_backfill=True), "not supported"),
     ]:
         with pytest.raises(ValueError, match=msg):
             t.apply_changes_scd2(
