@@ -1096,12 +1096,16 @@ class Engine:
 
         STAR-JOIN shape: ``FROM fact JOIN dim ON fact.k = dim.k ...``
         composes — the fact side must be the txlog table (its CDF
-        drives maintenance); every joined side is a STATIC registered
-        view, broadcast into both the initial scan and each delta fold.
-        Select/group columns stay unqualified (must be unambiguous
-        post-join).  A dim that mutates invalidates the MV — the
-        documented contract, same as dimension SCD handling in any
-        incremental-view system."""
+        drives maintenance); joined sides are broadcast into both the
+        initial scan and each delta fold.  Select/group columns stay
+        unqualified (must be unambiguous post-join).  A dim that is
+        ITSELF a txlog table composes (r11): its version rides the MV
+        as a marker, REFRESH detects dim churn metadata-only and
+        auto-runs the FULL repair path just for those refreshes — fact
+        churn stays incremental.  A STATIC registered view that is
+        edited in place remains invisible to maintenance (manual
+        ``REFRESH ... FULL``) — the documented contract, same as
+        dimension SCD handling in any incremental-view system."""
         name, src_name = m.group("name"), m.group("src")
         if name in self.txlog_tables:
             raise ValueError(f"table {name!r} already exists")
@@ -1169,11 +1173,6 @@ class Engine:
         joins: list[dict] = []
         for jm in _MV_JOIN_RE.finditer(m.group("joins") or ""):
             dim = jm.group("dim")
-            if dim in self.txlog_tables:
-                raise ValueError(
-                    f"MV join side {dim!r} is a txlog table; only the "
-                    "FROM side's changes drive maintenance — joined "
-                    "sides must be static registered views")
             sides = {jm.group("lt"): jm.group("lc"),
                      jm.group("rt"): jm.group("rc")}
             if dim not in sides or len(sides) != 2:
@@ -1182,8 +1181,16 @@ class Engine:
                     "with the fact side")
             dim_col = sides.pop(dim)
             fact_col = next(iter(sides.values()))
+            # r11: txlog dims compose — only the FACT side's CDF drives
+            # incremental maintenance, but a dim that is itself a txlog
+            # table records its version as a marker; REFRESH detects
+            # dim churn (marker vs latest_version, metadata-only) and
+            # auto-runs the FULL repair path only then.  Plain
+            # registered views stay the static-dim contract (edits are
+            # invisible — manual REFRESH ... FULL).
             joins.append({"dim": dim, "fact_col": fact_col,
-                          "dim_col": dim_col})
+                          "dim_col": dim_col,
+                          "txlog": dim in self.txlog_tables})
         where = (m.group("where") or "").strip()
         dest_path = os.path.join(
             os.path.dirname(os.path.abspath(src.path)), name)
@@ -1210,6 +1217,11 @@ class Engine:
             "mv.cnts": json.dumps(cnts, sort_keys=True),
             "mv.approxs": json.dumps(approxs, sort_keys=True),
             "mv.groupExprs": json.dumps(gexprs, sort_keys=True),
+            **({"mv.dimVersions": json.dumps(
+                    {j["dim"]: self.txlog_tables[j["dim"]]
+                     .latest_version()
+                     for j in joins if j.get("txlog")}, sort_keys=True)}
+               if any(j.get("txlog") for j in joins) else {}),
             **({"mv.where": where} if where else {}),
         })
         self.register_txlog(name, mv)
@@ -1289,7 +1301,11 @@ class Engine:
 
         out = fact
         for j in joins:
-            dim = self.spark.table(j["dim"])
+            # txlog dims read their CURRENT committed snapshot directly
+            # (the registered temp view only refreshes on engine DML
+            # acks); static views resolve through the catalog
+            dim = (self.txlog_tables[j["dim"]].read()
+                   if j.get("txlog") else self.spark.table(j["dim"]))
             out = out.join(F.broadcast(dim),
                            out[j["fact_col"]] == dim[j["dim_col"]], "inner")
         if where:
@@ -1339,6 +1355,18 @@ class Engine:
         app = f"mv::{name}"
         last = mv.txn_version_for(app)
         cur = src.latest_version()
+        # r11: txlog dims — detect dim churn (metadata-only version
+        # check against the recorded markers) and auto-run the FULL
+        # repair path only then; fact churn stays incremental.  A
+        # static-view dim edit remains invisible (manual FULL), the
+        # documented contract.
+        dim_vers = json.loads(props.get("mv.dimVersions", "{}"))
+        cur_dims = {j["dim"]: self.txlog_tables[j["dim"]].latest_version()
+                    for j in joins if j.get("txlog")}
+        dims_stale = any(v > int(dim_vers.get(d, -1))
+                         for d, v in cur_dims.items())
+        if dims_stale:
+            full = True
         # One-time migration (r11 ADVICE): MVs persisted before the
         # hidden SUM/AVG maintenance state existed lack the
         # __mv_nn_/__mv_sum_ columns every refresh now maintains —
@@ -1396,6 +1424,11 @@ class Engine:
                 when_not_matched=[{"action": "insert", "values": ins}],
                 when_not_matched_by_source=[{"action": "delete"}],
                 **txn)
+            if cur_dims and cur_dims != {
+                    d: int(v) for d, v in dim_vers.items()}:
+                # advance the dim markers the recompute just absorbed
+                mv.set_properties({"mv.dimVersions": json.dumps(
+                    cur_dims, sort_keys=True)})
             return self._dml_ack(name, mv.latest_version())
         if last >= cur:
             return self._dml_ack(name, mv.latest_version())  # up to date

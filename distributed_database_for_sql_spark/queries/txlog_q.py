@@ -3740,3 +3740,92 @@ def delta_materialized_view_approx_distinct(spark: SparkSession,
             .select("grp", "n_orders", "nd_exact",
                     within.alias("hll_within_5pct"))
             .orderBy("grp"))
+
+
+@register(
+    "delta_materialized_view_dim_change",
+    # Oracle: full recompute over the FINAL fact and dim states.  The
+    # scenario interleaves fact churn (incremental folds) with a dim
+    # UPDATE between refreshes — the engine must detect the dim's
+    # version moved past the MV's recorded marker and auto-run the FULL
+    # repair, then return to incremental folding; a hash match over the
+    # per-region rollup certifies the repair caught the re-segmented
+    # keys AND the post-repair incremental fold stayed correct.
+    oracle=f"""
+    WITH fact AS (
+      SELECT o_orderkey AS k, o_custkey % 5 AS dk, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 1000 OR
+            (o_orderkey > 1200 AND o_orderkey <= 1500)
+    ), dim AS (
+      SELECT 0 AS dk, 'r0' AS region UNION ALL
+      SELECT 1, 'r1' UNION ALL
+      SELECT 2, 'r9' UNION ALL   -- re-segmented between refreshes
+      SELECT 3, 'r3' UNION ALL
+      SELECT 4, 'r4'
+    )
+    SELECT region,
+           COUNT(*)                   AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM fact JOIN dim ON fact.dk = dim.dk
+    GROUP BY region
+    ORDER BY region
+    """,
+    tags=("acid", "delta", "mv", "cdf", "star-join", "dim-change",
+          "incremental", "sql", "engine"),
+)
+def delta_materialized_view_dim_change(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Star-join MV over a CHANGING txlog dimension (r11 — the static-
+    views-only refusal removed): the dim's committed version rides the
+    MV as a marker; REFRESH compares it to the dim's latest_version
+    (metadata-only) and auto-runs the FULL repair path exactly when the
+    dim churned, while fact-only churn keeps folding incrementally from
+    the CDF.  Scenario: initial fill → fact append (incremental) → dim
+    UPDATE re-segments dk=2 (auto repair) → another fact append
+    (incremental again, marker advanced).  The oracle recomputes from
+    the final states."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    fact_rows = lambda flt: (orders.filter(flt).select(  # noqa: E731
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 5).alias("dk"),
+        cents.alias("cents")))
+    import os
+    import shutil
+    src_path = _table_dir("mvdimfact", sf_dir)
+    for leftover in ("mvdimview",):
+        shutil.rmtree(os.path.join(
+            os.path.dirname(os.path.abspath(src_path)), leftover),
+            ignore_errors=True)
+    fact = TxLogTable.create(spark, src_path,
+                             fact_rows(k <= 1000).repartition(4, "k"),
+                             overwrite=True, enable_cdf=True)
+    dim = TxLogTable.create(
+        spark, _table_dir("mvdimdim", sf_dir),
+        spark.createDataFrame([(i, f"r{i}") for i in range(5)],
+                              "dk bigint, region string"),
+        overwrite=True)
+    engine.register_txlog("mvdimfact", fact)
+    engine.register_txlog("mvdimdim", dim)
+    engine.sql("CREATE MATERIALIZED VIEW mvdimview AS "
+               "SELECT region, COUNT(*) AS n_orders, "
+               "SUM(cents) AS total_cents "
+               "FROM mvdimfact JOIN mvdimdim "
+               "ON mvdimfact.dk = mvdimdim.dk GROUP BY region")
+    # fact churn, dim clean: incremental fold
+    fact.append(fact_rows((k > 1200) & (k <= 1400)))
+    engine.sql("REFRESH MATERIALIZED VIEW mvdimview")
+    # dim churn between refreshes: r2 → r9 (auto FULL repair)
+    dim.update_where({"region": F.lit("r9")}, F.col("dk") == 2)
+    engine.sql("REFRESH MATERIALIZED VIEW mvdimview")
+    # post-repair fact churn: incremental again (marker advanced)
+    fact.append(fact_rows((k > 1400) & (k <= 1500)))
+    engine.sql("REFRESH MATERIALIZED VIEW mvdimview")
+    mv = engine.txlog_tables["mvdimview"]
+    return (mv.read().select("region", "n_orders", "total_cents")
+            .orderBy("region"))

@@ -385,3 +385,56 @@ def test_cloned_partitioned_read_broadcasts_pv_map(spark, tmp_path):
     assert not has_cartesian(df)
     kept, total = c.prune_files([("grp", "=", "a")])
     assert 0 < len(kept) < total  # pruning is metadata-only, pre-plan
+
+
+def test_mv_refresh_runs_constant_jobs_per_fold(spark, tmp_path):
+    """r11 VERDICT ask: the MV refresh must run O(1) Spark jobs per
+    fold + repair — cost ∝ change volume, NEVER per-group work (a
+    regression to per-group jobs would read as ~group-count jobs here,
+    not a 2 s bench blip).  Pinned: the refresh job count is IDENTICAL
+    for 4 and 64 groups (widened class incl. MIN/MAX repair and the
+    HLL approx-distinct item), under an absolute ceiling, and each
+    refresh is exactly ONE fold MERGE commit."""
+    from pyspark.sql import functions as F
+
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    sc = spark.sparkContext
+    jobs = {}
+    for ngroups in (4, 64):
+        src = TxLogTable.create(
+            spark, str(tmp_path / f"src{ngroups}"),
+            spark.createDataFrame(
+                [(i, i % ngroups, i % 7) for i in range(512)],
+                "k int, g int, v int"),
+            enable_cdf=True)
+        nm = f"jobpin{ngroups}"
+        engine.register_txlog(f"src_{nm}", src)
+        engine.sql(f"CREATE MATERIALIZED VIEW {nm} AS "
+                   f"SELECT g, COUNT(*) AS n, SUM(v) AS s, "
+                   f"MIN(v) AS lo, MAX(v) AS hi, "
+                   f"APPROX_COUNT_DISTINCT(v) AS nd "
+                   f"FROM src_{nm} GROUP BY g")
+        # churn across EVERY group: appends + a delete (forces the
+        # bounded MIN/MAX + sketch repair for all groups)
+        src.append(spark.createDataFrame(
+            [(1000 + i, i % ngroups, 50 + i % 5) for i in range(256)],
+            "k int, g int, v int"))
+        src.delete_where(F.col("v") == 6)
+        mv = engine.txlog_tables[nm]
+        v0 = mv.latest_version()
+        sc.setJobGroup(f"mvpin{ngroups}", "refresh")
+        try:
+            engine.sql(f"REFRESH MATERIALIZED VIEW {nm}")
+        finally:
+            sc.setJobGroup("", "")
+        jobs[ngroups] = len(
+            sc.statusTracker().getJobIdsForGroup(f"mvpin{ngroups}"))
+        assert mv.latest_version() - v0 == 1, \
+            "a refresh must be exactly one fold MERGE commit"
+    assert jobs[64] == jobs[4], (
+        f"refresh job count moved with group count ({jobs}) — "
+        "per-group work crept into the fold/repair path")
+    assert jobs[64] <= 80, f"refresh job count blew the ceiling: {jobs}"

@@ -1331,19 +1331,56 @@ def test_materialized_view_legacy_schema_migrates(spark, tdir, tmp_path):
     assert got == [("a", 1, 10, 10.0), ("b", 1, 30, 30.0)]
 
 
-def test_materialized_view_join_refuses_txlog_dim(spark, tdir, tmp_path):
+def test_materialized_view_txlog_dim_auto_repairs(spark, tdir, tmp_path):
+    """r11: a txlog dim composes with star-join MVs — the dim's version
+    rides the MV as a marker; REFRESH detects dim churn (metadata-only
+    version check) and auto-runs the FULL repair path only then, while
+    fact churn stays incremental."""
     engine = _mv_engine(spark)
-    fact = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]),
-                             enable_cdf=True)
-    dim = TxLogTable.create(spark, str(tmp_path / "dim"),
-                            _df(spark, [(1, "x", 0)]))
-    engine.register_txlog("jfact", fact)
-    engine.register_txlog("jdim", dim)
-    # a mutable (txlog) dim cannot drive maintenance — refuse loudly
-    with pytest.raises(ValueError, match="static registered views"):
-        engine.sql("CREATE MATERIALIZED VIEW jmv AS "
-                   "SELECT grp, COUNT(*) AS n FROM jfact "
-                   "JOIN jdim ON jfact.k = jdim.k GROUP BY grp")
+    fact = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 1, 10), (2, 1, 20), (3, 2, 30)],
+                              "k int, dk int, v int"),
+        enable_cdf=True)
+    dim = TxLogTable.create(
+        spark, str(tmp_path / "dim"),
+        spark.createDataFrame([(1, "x"), (2, "y")], "dk int, seg string"))
+    engine.register_txlog("tdfact", fact)
+    engine.register_txlog("tddim", dim)
+    engine.sql("CREATE MATERIALIZED VIEW tdmv AS "
+               "SELECT seg, COUNT(*) AS n, SUM(v) AS total "
+               "FROM tdfact JOIN tddim ON tdfact.dk = tddim.dk "
+               "GROUP BY seg")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM tdmv").collect()) == \
+        [("x", 2, 30), ("y", 1, 30)]
+    # fact churn with an UNCHANGED dim folds incrementally (the MV's
+    # version advances by exactly the one fold MERGE commit)
+    mv = engine.txlog_tables["tdmv"]
+    fact.append(spark.createDataFrame([(4, 2, 40)], "k int, dk int, v int"))
+    v0 = mv.latest_version()
+    engine.sql("REFRESH MATERIALIZED VIEW tdmv")
+    assert mv.latest_version() == v0 + 1, "dim-clean refresh must stay " \
+        "incremental (one fold commit, no marker rewrite)"
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM tdmv").collect()) == \
+        [("x", 2, 30), ("y", 2, 70)]
+    # the dim CHANGES (dk=2 re-segments y→z): plain REFRESH detects the
+    # marker gap and auto-repairs — no manual FULL needed
+    dim.update_where({"seg": F.lit("z")}, F.col("dk") == 2)
+    engine.sql("REFRESH MATERIALIZED VIEW tdmv")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM tdmv").collect()) == \
+        [("x", 2, 30), ("z", 2, 70)]
+    # and the repair advanced the marker: the NEXT refresh with a clean
+    # dim is incremental again
+    fact.append(spark.createDataFrame([(5, 1, 50)], "k int, dk int, v int"))
+    v1 = mv.latest_version()
+    engine.sql("REFRESH MATERIALIZED VIEW tdmv")
+    assert mv.latest_version() == v1 + 1
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM tdmv").collect()) == \
+        [("x", 3, 80), ("z", 2, 70)]
 
 
 def test_materialized_view_full_refresh_repairs_dim_change(spark, tdir,
