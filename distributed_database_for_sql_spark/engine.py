@@ -162,6 +162,16 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
+# ALTER TABLE t ADD CONSTRAINT name EXPECT (pred)
+# [ON VIOLATION DROP ROW | ON VIOLATION FAIL UPDATE] — DLT expectations:
+# data-quality gates on every ingest, pass/fail metrics per commit.
+_ADD_EXPECTATION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+EXPECT\s*\((?P<expr>.+)\)\s*"
+    r"(?:ON\s+VIOLATION\s+(?P<viol>DROP\s+ROW|FAIL\s+UPDATE))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) / UNSET TBLPROPERTIES
 # ('k', ...) and SHOW TBLPROPERTIES t — Delta table properties.
 _SET_PROPS_RE = re.compile(
@@ -515,6 +525,15 @@ class Engine:
             return self.spark.createDataFrame(
                 [(target, len(removed), dry)],
                 "table_name string, files_removed long, dry_run boolean")
+        m = _ADD_EXPECTATION_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            target = m.group("target")
+            viol = (m.group("viol") or "").upper().split()
+            action = {"DROP": "drop", "FAIL": "fail"}.get(
+                viol[0] if viol else "", "warn")
+            version = self.txlog_tables[target].add_expectation(
+                m.group("name"), m.group("expr").strip(), action)
+            return self._dml_ack(target, version)
         m = _ADD_CONSTRAINT_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
@@ -523,9 +542,13 @@ class Engine:
             return self._dml_ack(target, version)
         m = _DROP_CONSTRAINT_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
+            # DROP CONSTRAINT covers both CHECK constraints and
+            # expectations (one namespace, enforced at ADD)
             target = m.group("target")
-            version = self.txlog_tables[target].drop_constraint(
-                m.group("name"))
+            t = self.txlog_tables[target]
+            version = (t.drop_expectation(m.group("name"))
+                       if m.group("name") in t.expectations()
+                       else t.drop_constraint(m.group("name")))
             return self._dml_ack(target, version)
         m = _RENAME_COLUMN_RE.match(command)
         if m and m.group("target") in self.txlog_tables:

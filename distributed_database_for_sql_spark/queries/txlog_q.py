@@ -3829,3 +3829,96 @@ def delta_materialized_view_dim_change(spark: SparkSession,
     mv = engine.txlog_tables["mvdimview"]
     return (mv.read().select("region", "n_orders", "total_cents")
             .orderBy("region"))
+
+
+@register(
+    "delta_expectations_quality_gate",
+    # Oracle: recompute the final state (base ∪ the gated append, minus
+    # the rows the DROP expectation filtered) and the per-commit
+    # pass/fail metrics from the raw table — a hash match certifies
+    # that exactly the violating rows were dropped, warn rows were KEPT
+    # but counted, and the recorded metrics equal ground truth.
+    oracle=f"""
+    WITH batch AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority,
+             {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    ), fin AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT k, priority, cents FROM batch WHERE k % 7 <> 0
+    ), m AS (
+      SELECT
+        (SELECT COUNT(*) FROM batch WHERE k % 7 = 0) AS drop_failed,
+        (SELECT COUNT(*) FROM batch WHERE k % 5 = 0) AS warn_failed,
+        (SELECT COUNT(*) FROM batch) AS batch_rows
+    )
+    SELECT priority,
+           COUNT(*)                      AS n_rows,
+           CAST(SUM(cents) AS BIGINT)    AS total_cents,
+           CAST(m.drop_failed AS BIGINT) AS drop_failed,
+           CAST(m.batch_rows - m.drop_failed AS BIGINT) AS drop_passed,
+           CAST(m.warn_failed AS BIGINT) AS warn_failed,
+           CAST(1 AS INTEGER)            AS fail_update_aborted
+    FROM fin, m
+    GROUP BY priority, m.drop_failed, m.warn_failed, m.batch_rows
+    ORDER BY priority
+    """,
+    tags=("acid", "delta", "expectations", "data-quality", "sql",
+          "engine"),
+)
+def delta_expectations_quality_gate(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DLT expectations (r11): data-quality gates attached to the table
+    (`ALTER TABLE … ADD CONSTRAINT n EXPECT (pred) [ON VIOLATION DROP
+    ROW | FAIL UPDATE]`) gate every ingest and record pass/fail metrics
+    in the commit info — the DLT event-log quality contract.  One
+    aggregate job serves every expectation per ingest.  Scenario: a
+    DROP expectation filters every 7th key of the append, a WARN
+    expectation counts (but keeps) every 5th, and a FAIL UPDATE
+    expectation added afterwards ABORTS a violating append with
+    nothing committed (certified by the audit flag)."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    rows = lambda flt: (orders.filter(flt)  # noqa: E731
+                        .select(F.col("o_orderkey").alias("k"),
+                                F.col("o_orderpriority").alias("priority"),
+                                cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("expect", sf_dir),
+                          rows(k <= 500), overwrite=True)
+    engine.register_txlog("expgate", t)
+    engine.sql("ALTER TABLE expgate ADD CONSTRAINT no_sevens "
+               "EXPECT (k % 7 <> 0) ON VIOLATION DROP ROW")
+    engine.sql("ALTER TABLE expgate ADD CONSTRAINT warn_fives "
+               "EXPECT (k % 5 <> 0)")
+    t.append(rows((k > 500) & (k <= 1000)))
+    m = t.history()[-1]["expectations"]
+    # FAIL UPDATE: a violating ingest aborts, nothing commits
+    engine.sql("ALTER TABLE expgate ADD CONSTRAINT no_big_keys "
+               "EXPECT (k <= 100000) ON VIOLATION FAIL UPDATE")
+    v_before = t.latest_version()
+    try:
+        # shift guarantees violations at ANY scale factor
+        t.append(rows(k <= 100).withColumn(
+            "k", F.col("k") + F.lit(200000)))
+        aborted = 0
+    except ValueError:
+        aborted = int(t.latest_version() == v_before)
+    return (t.read()
+            .groupBy("priority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("drop_failed",
+                        F.lit(int(m["no_sevens"]["failed"])).cast("long"))
+            .withColumn("drop_passed",
+                        F.lit(int(m["no_sevens"]["passed"])).cast("long"))
+            .withColumn("warn_failed",
+                        F.lit(int(m["warn_fives"]["failed"])).cast("long"))
+            .withColumn("fail_update_aborted",
+                        F.lit(aborted).cast("int"))
+            .orderBy("priority"))

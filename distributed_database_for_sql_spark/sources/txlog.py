@@ -2233,8 +2233,10 @@ class TxLogTable:
         a constraint existing data violates), then commits the
         constraint action; every subsequent write validates its rows
         against it."""
-        if name in self._txn_constraint_state()[1]:
-            raise ValueError(f"constraint {name!r} already exists")
+        if name in self._txn_constraint_state()[1] \
+                or name in self.expectations():
+            raise ValueError(
+                f"constraint/expectation {name!r} already exists")
         base_version = self.latest_version()
         self._check_constraint(self._read_active(), name, expr)
         actions = [
@@ -2254,6 +2256,120 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], self.latest_version())
 
+    # -- DLT expectations (data-quality gates with per-commit metrics) -------
+
+    def expectations(self) -> dict:
+        """Active expectations: ``{name: {"expr": sql, "action":
+        "warn"|"drop"|"fail"}}`` (DLT's ``EXPECT (pred) [ON VIOLATION
+        DROP ROW | FAIL UPDATE]``) — recorded in table properties, so
+        they ride checkpoints and survive engine restarts."""
+        return json.loads(self.properties().get("txlog.expectations",
+                                                "{}"))
+
+    def add_expectation(self, name: str, expr: str,
+                        action: str = "warn") -> int:
+        """DLT expectation DDL: unlike a CHECK constraint this does NOT
+        validate or constrain existing data — it gates every subsequent
+        INGEST (append / CDC folds), recording per-commit pass/fail
+        metrics in the commit info (``DESCRIBE HISTORY``):
+
+        - ``warn`` (DLT's plain EXPECT): violating rows are KEPT, the
+          violation count is recorded;
+        - ``drop`` (ON VIOLATION DROP ROW): violating rows are dropped
+          before the write, count recorded;
+        - ``fail`` (ON VIOLATION FAIL UPDATE): any violation aborts the
+          whole ingest before anything commits.
+
+        A NULL predicate result counts as a violation (DLT keeps only
+        rows where the expectation evaluates true)."""
+        if action not in ("warn", "drop", "fail"):
+            raise ValueError(
+                f"expectation action must be warn|drop|fail, "
+                f"got {action!r}")
+        exps = self.expectations()
+        if name in exps or name in self._txn_constraint_state()[1]:
+            raise ValueError(
+                f"constraint/expectation {name!r} already exists")
+        # parse/analysis check only — expectations never scan existing
+        # data (DLT contract: they gate flows, not tables)
+        self._read_active().limit(0).filter(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        ).collect()
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        merged = self.properties()
+        exps[name] = {"expr": expr, "action": action}
+        merged["txlog.expectations"] = json.dumps(exps, sort_keys=True)
+        actions = [
+            {"commit": {"op": "ADD EXPECTATION", "ts": self._next_ts(),
+                        "name": name, "action": action}},
+            {"metaData": {"schemaJson": schema_json,
+                          "properties": merged}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def drop_expectation(self, name: str) -> int:
+        exps = self.expectations()
+        if name not in exps:
+            raise ValueError(f"no such expectation: {name!r}")
+        base_version = self.latest_version()
+        _, schema_json = self._snapshot_files()
+        merged = self.properties()
+        del exps[name]
+        merged["txlog.expectations"] = json.dumps(exps, sort_keys=True)
+        actions = [
+            {"commit": {"op": "DROP EXPECTATION", "ts": self._next_ts(),
+                        "name": name}},
+            {"metaData": {"schemaJson": schema_json,
+                          "properties": merged}},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def _apply_expectations(self, df: DataFrame, exempt=None):
+        """Gate an ingest batch through the table's expectations.
+        Returns ``(gated_df, commit_extra)`` where ``commit_extra`` is
+        ``{}`` or ``{"expectations": {name: {"failed": n, "passed": n,
+        "action": …}}}`` to splat into the commit info.  ONE aggregate
+        job computes every expectation's violation count (plus the
+        batch total) regardless of how many expectations are attached;
+        ``drop`` rows are filtered from the returned frame; any
+        ``fail`` violation raises BEFORE anything is written.
+        ``exempt`` (a boolean Column) marks rows that bypass the gates
+        — the CDC folds exempt delete events, whose masked/NULL
+        payloads are not data rows."""
+        exps = self.expectations()
+        if not exps:
+            return df, {}
+        ex = F.lit(False) if exempt is None else exempt
+        preds = {
+            name: F.coalesce(F.expr(spec["expr"]).cast("boolean"),
+                             F.lit(False))
+            for name, spec in exps.items()
+        }
+        aggs = [F.count("*").alias("__total"),
+                F.sum(ex.cast("long")).alias("__exempt")]
+        aggs += [F.sum((~ex & ~pred).cast("long")).alias(f"__f_{name}")
+                 for name, pred in preds.items()]
+        stats = df.agg(*aggs).collect()[0]
+        gated_rows = int(stats["__total"] or 0) - int(stats["__exempt"]
+                                                      or 0)
+        metrics: dict = {}
+        for name in sorted(exps):
+            spec = exps[name]
+            failed = int(stats[f"__f_{name}"] or 0)
+            metrics[name] = {"failed": failed,
+                             "passed": gated_rows - failed,
+                             "action": spec["action"]}
+            if failed and spec["action"] == "fail":
+                raise ValueError(
+                    f"expectation {name!r} violated by {failed} row(s) "
+                    f"({spec['expr']}) — ON VIOLATION FAIL UPDATE "
+                    "aborts the ingest; nothing was committed")
+        for name, spec in sorted(exps.items()):
+            if spec["action"] == "drop":
+                df = df.filter(ex | preds[name])
+        return df, {"expectations": metrics}
+
     def append(self, df: DataFrame, txn_app_id: str | None = None,
                txn_version: int | None = None) -> int:
         """Append ``df`` as new segments.  With ``txn_app_id`` +
@@ -2270,6 +2386,7 @@ class TxLogTable:
             return self.latest_version()  # replayed batch: already applied
         df = self._fill_defaults(df)
         df = self._apply_generated(df)
+        df, exp_commit = self._apply_expectations(df)
         df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
         # evolution guard BEFORE the segment write: a refused column
@@ -2283,7 +2400,8 @@ class TxLogTable:
                        [{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}])
         actions = (
-            [{"commit": {"op": "APPEND", "ts": self._next_ts()}}]
+            [{"commit": {"op": "APPEND", "ts": self._next_ts(),
+                         **exp_commit}}]
             + txn_actions
             + evolution
             + ident_actions
@@ -4451,6 +4569,8 @@ class TxLogTable:
             if c not in cols:
                 raise ValueError(f"apply_changes: column {c!r} missing "
                                  "from the change batch")
+        changes, exp_commit = self._apply_expectations(
+            changes, exempt=F.col(change_type_col) == "delete")
         base_version = self.latest_version()
         dup = (changes.groupBy(*keys, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
@@ -4600,6 +4720,7 @@ class TxLogTable:
             [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
+                         **exp_commit,
                          **self._key_range_commit(key_range)}}]
             + txn_actions
             + ident_actions
@@ -4781,6 +4902,8 @@ class TxLogTable:
             if c not in cols:
                 raise ValueError(f"apply_changes_scd2: column {c!r} "
                                  "missing from the change batch")
+        changes, exp_commit = self._apply_expectations(
+            changes, exempt=F.col(change_type_col) == "delete")
         for c in (start_col, end_col):
             if c in cols:
                 raise ValueError(
@@ -4857,7 +4980,8 @@ class TxLogTable:
             return self._scd2_splice(
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
-                txn_app_id, txn_version, track_except=te or None)
+                txn_app_id, txn_version, track_except=te or None,
+                extra_commit=exp_commit)
         if te:
             # frontier guard (settled history stays immutable), then the
             # open-row-scoped splice machinery does the run-collapsed
@@ -4880,7 +5004,8 @@ class TxLogTable:
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
                 txn_app_id, txn_version, track_except=te,
-                scope_open_only=True, op_name="APPLY CHANGES SCD2")
+                scope_open_only=True, op_name="APPLY CHANGES SCD2",
+                extra_commit=exp_commit)
         w = Window.partitionBy(*keys).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
@@ -5025,6 +5150,7 @@ class TxLogTable:
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
+                         **exp_commit,
                          **self._key_range_commit(key_range)}}]
             + self._scd2_mark_actions(start_col, end_col, schema_json)
             + txn_actions
@@ -5045,7 +5171,8 @@ class TxLogTable:
                      txn_version: int | None,
                      track_except: list[str] | None = None,
                      scope_open_only: bool = False,
-                     op_name: str = "APPLY CHANGES SCD2 BACKFILL") -> int:
+                     op_name: str = "APPLY CHANGES SCD2 BACKFILL",
+                     extra_commit: dict | None = None) -> int:
         """Sequenced SCD2 backfill (``allow_backfill=True``): splice a
         (possibly below-frontier) batch into each affected key's chain
         by re-folding the key's FULL event timeline.  The timeline is
@@ -5299,6 +5426,7 @@ class TxLogTable:
                          "ts": self._next_ts(),
                          "filesRewritten": len(rel_removed),
                          "filesAdded": len(rel_new),
+                         **(extra_commit or {}),
                          **self._key_range_commit(key_range)}}]
             + self._scd2_mark_actions(start_col, end_col, schema_json)
             + txn_actions

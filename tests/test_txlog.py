@@ -6008,6 +6008,35 @@ def test_apply_changes_from_snapshot_sql_statement(spark, tdir):
     assert got == [(1, 10, 1, 2), (2, 20, 1, 2), (2, 21, 2, None)]
 
 
+def test_apply_changes_from_snapshot_track_history_except(spark, tdir):
+    """FROM SNAPSHOT × SCD2 × TRACK HISTORY EXCEPT: a snapshot whose
+    only movement is in excluded columns refreshes the open rows in
+    place (no new version); tracked movement opens versions."""
+    t = TxLogTable.create(spark, tdir, _scd2m_df(spark, []))
+    mk = lambda rows: spark.createDataFrame(rows,  # noqa: E731
+                                            "k int, v string, meta int")
+    t.apply_changes_from_snapshot(mk([(1, "A", 1)]), key="k",
+                                  snapshot_version=1, scd_type=2,
+                                  track_history_except_columns=["meta"])
+    # meta-only snapshot churn: absorbed, same start, meta refreshed.
+    # NOTE the diff still derives an update event (payload differs on
+    # meta), but the TE fold absorbs it instead of opening a version.
+    t.apply_changes_from_snapshot(mk([(1, "A", 7)]), key="k",
+                                  snapshot_version=2, scd_type=2,
+                                  track_history_except_columns=["meta"])
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert (rows[0]["v"], rows[0]["meta"], rows[0]["__START_AT"],
+            rows[0]["__END_AT"]) == ("A", 7, 1, None)
+    # tracked movement: opens a version
+    t.apply_changes_from_snapshot(mk([(1, "B", 7)]), key="k",
+                                  snapshot_version=3, scd_type=2,
+                                  track_history_except_columns=["meta"])
+    got = sorted(((r["v"], r["meta"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [("A", 7, 1, 3), ("B", 7, 3, None)]
+
+
 def test_apply_changes_sql_statement(spark, tdir):
     """APPLY CHANGES INTO … through Engine.sql: type-1 fold with APPLY
     AS DELETE WHEN + COLUMNS * EXCEPT, type-2 with TRACK HISTORY ON *
@@ -6162,3 +6191,100 @@ def test_apply_changes_scd2_ignore_nulls_sql_and_sink(spark, tdir,
     sink = t.cdc_sink("app", key="k", sequence_by="seq", scd_type=2,
                       ignore_null_updates=True)
     assert callable(sink)
+
+
+# -- r11: DLT expectations (data-quality gates with per-commit metrics) ------
+
+def test_expectations_gate_appends(spark, tdir):
+    """EXPECT (warn) keeps violating rows but records metrics; ON
+    VIOLATION DROP ROW filters them; ON VIOLATION FAIL UPDATE aborts
+    the ingest with nothing committed.  Metrics ride the commit info
+    (DESCRIBE HISTORY); one aggregate job serves every expectation."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.add_expectation("positive_v", "v > 0", action="warn")
+    t.add_expectation("known_grp", "grp IS NOT NULL", action="drop")
+    # warn keeps, drop filters; NULL predicate counts as violation
+    t.append(_df(spark, [(2, "b", -5), (3, None, 30), (4, "c", None)]))
+    got = sorted((r["k"] for r in t.read().collect()))
+    assert got == [1, 2, 4], "NULL-grp row dropped; warn rows kept"
+    h = t.history()[-1]
+    assert h["op"] == "APPEND"
+    # v > 0 fails for v=-5 AND v=NULL (NULL counts as violation);
+    # grp IS NOT NULL fails for the dropped row
+    assert h["expectations"]["positive_v"] == {
+        "failed": 2, "passed": 1, "action": "warn"}
+    assert h["expectations"]["known_grp"] == {
+        "failed": 1, "passed": 2, "action": "drop"}
+    # fail aborts before anything lands
+    t.add_expectation("small_k", "k < 100", action="fail")
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="FAIL UPDATE"):
+        t.append(_df(spark, [(500, "z", 1)]))
+    assert t.latest_version() == v
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 4]
+    # expectations survive a fresh handle (properties, not memory)
+    t2 = TxLogTable(spark, tdir)
+    assert set(t2.expectations()) == {"positive_v", "known_grp",
+                                      "small_k"}
+    t2.drop_expectation("small_k")
+    t2.append(_df(spark, [(500, "z", 1)]))
+    assert 500 in {r["k"] for r in t2.read().collect()}
+
+
+def test_expectations_cdc_folds_exempt_deletes(spark, tdir):
+    """Expectations gate CDC change batches too — but DELETE events are
+    EXEMPT (their masked/NULL payloads are not data rows): a delete for
+    an existing key must close/remove it even when the expectation
+    would reject its NULL payload."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.add_expectation("positive_v", "v > 0", action="drop")
+    batch = spark.createDataFrame(
+        [(1, "a", None, 1, "upsert"),      # dropped (NULL v)
+         (2, None, None, 1, "delete"),     # exempt: still deletes
+         (3, "c", 30, 1, "upsert")],       # passes
+        "k int, grp string, v int, seq int, _change_type string")
+    t.apply_changes(batch, key="k", sequence_by="seq")
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 10), (3, 30)], \
+        "k=1 kept its old row (violating upsert dropped), k=2 deleted"
+    m = t.history()[-1]["expectations"]["positive_v"]
+    assert m == {"failed": 1, "passed": 1, "action": "drop"}
+    # SCD2 fold: same exemption
+    t2 = TxLogTable.create(spark, tdir + "_scd2",
+                           _scd2_df(spark, [(1, 10, 0, None)]))
+    t2.add_expectation("positive_v", "v > 0", action="drop")
+    t2.apply_changes_scd2(
+        _scd2_changes(spark, [(1, None, 2, "delete"),
+                              (5, -1, 1, "insert")]),
+        key="k", sequence_by="seq")
+    got2 = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                   for r in t2.read().collect()))
+    assert got2 == [(1, 10, 0, 2)], \
+        "delete closed the chain; violating insert dropped"
+
+
+def test_expectations_sql_route(spark, tdir):
+    """ALTER TABLE … ADD CONSTRAINT n EXPECT (pred) [ON VIOLATION …]
+    routes onto add_expectation; DROP CONSTRAINT handles both CHECK
+    constraints and expectations (one namespace)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    eng.register_txlog("expt", t)
+    eng.sql("ALTER TABLE expt ADD CONSTRAINT pos_v EXPECT (v > 0) "
+            "ON VIOLATION DROP ROW")
+    eng.sql("ALTER TABLE expt ADD CONSTRAINT warn_grp EXPECT "
+            "(grp IS NOT NULL)")
+    assert t.expectations()["pos_v"]["action"] == "drop"
+    assert t.expectations()["warn_grp"]["action"] == "warn"
+    # one namespace with CHECK constraints
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE expt ADD CONSTRAINT pos_v CHECK (v > 0)")
+    eng.sql("INSERT INTO expt VALUES (2, 'b', -1), (3, 'c', 5)")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    eng.sql("ALTER TABLE expt DROP CONSTRAINT pos_v")
+    assert "pos_v" not in t.expectations()
+    eng.sql("INSERT INTO expt VALUES (4, 'd', -9)")
+    assert 4 in {r["k"] for r in t.read().collect()}
