@@ -5631,6 +5631,27 @@ class TxLogTable:
                  apply_as_deletes=apply_as_deletes, **extra)
         return write_batch
 
+    def snapshot_sink(self, app_id: str, key, scd_type: int = 1,
+                      track_history_except_columns=None):
+        """foreachBatch writer for SNAPSHOT-mode CDC (the streaming
+        face of ``apply_changes_from_snapshot``): each micro-batch is a
+        COMPLETE source snapshot — e.g. a periodic full dump landing
+        via a file stream — and the deterministic ``batch_id`` is its
+        monotonically-increasing snapshot version, so replays no-op
+        through the same txn-marker contract as ``cdc_sink``.  Usage::
+
+            q = (snapshots.writeStream
+                 .foreachBatch(table.snapshot_sink("job1", "id"))
+                 .option("checkpointLocation", ckpt).start())
+        """
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_changes_from_snapshot(
+                batch_df, key=key, snapshot_version=int(batch_id),
+                scd_type=scd_type,
+                txn_app_id=app_id, txn_version=int(batch_id),
+                track_history_except_columns=track_history_except_columns)
+        return write_batch
+
     def _maybe_auto_compact(self) -> None:
         """``delta.autoOptimize.autoCompact = true``: after an ingest
         commit, if the active-file count reached

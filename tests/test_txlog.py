@@ -6008,6 +6008,23 @@ def test_apply_changes_from_snapshot_sql_statement(spark, tdir):
     assert got == [(1, 10, 1, 2), (2, 20, 1, 2), (2, 21, 2, None)]
 
 
+def test_snapshot_sink_foreachbatch(spark, tdir):
+    """snapshot_sink: each micro-batch is a COMPLETE source snapshot and
+    the deterministic batch_id is its version — the final SCD1 state
+    equals the last snapshot and a replayed epoch no-ops (the same
+    foreachBatch (df, batch_id) contract Structured Streaming drives)."""
+    t = TxLogTable.create(spark, tdir,
+                          spark.createDataFrame([], "k int, v int"))
+    sink = t.snapshot_sink("snapjob", key="k")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")  # noqa
+    sink(mk([(1, 10), (2, 20)]), 0)
+    sink(mk([(1, 11), (3, 30)]), 1)
+    sink(mk([(1, 11), (3, 30)]), 1)  # replayed epoch: no-op
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        [(1, 11), (3, 30)]
+    assert t.history()[-1]["op"] == "APPLY CHANGES"
+
+
 def test_apply_changes_from_snapshot_track_history_except(spark, tdir):
     """FROM SNAPSHOT × SCD2 × TRACK HISTORY EXCEPT: a snapshot whose
     only movement is in excluded columns refreshes the open rows in
