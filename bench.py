@@ -100,6 +100,14 @@ EXTRA = [
     # round 10: widened MV aggregate class; TRACK HISTORY EXCEPT fold
     "delta_materialized_view_minmax",
     "delta_scd2_track_history_except",
+    # round 11: snapshot-mode CDC, SCD2 null inheritance, HLL MV items,
+    # txlog-dim auto-repair, expectations — recorded medians to regress
+    # against.
+    "delta_apply_changes_snapshot",
+    "delta_scd2_ignore_null_updates",
+    "delta_materialized_view_approx_distinct",
+    "delta_materialized_view_dim_change",
+    "delta_expectations_quality_gate",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate
@@ -116,6 +124,8 @@ CDC_FAMILY = [
     "delta_merge_schema_evolution",
     "delta_merge_full_identity",
     "delta_scd2_track_history_except",
+    "delta_apply_changes_snapshot",
+    "delta_scd2_ignore_null_updates",
 ]
 
 

@@ -5694,7 +5694,8 @@ def test_apply_as_deletes_predicate(spark, tdir):
                         key="k", sequence_by="seq",
                         apply_as_deletes="op = 'D'")
     # SCD2: the delete closes the chain; an unknown-key delete leaves a
-    # zero-width tombstone through the same predicate route
+    # zero-width tombstone through the same predicate route — INTERNAL
+    # only (r11: the public read hides zero-width markers)
     t2 = TxLogTable.create(spark, tdir + "_scd2", _scd2_df(
         spark, [(1, 10, 0, None)]))
     t2.apply_changes_scd2(
@@ -5702,9 +5703,11 @@ def test_apply_as_deletes_predicate(spark, tdir):
                               "k int, v int, seq int, op string"),
         key="k", sequence_by="seq", apply_as_deletes="op = 'D'")
     got = sorted(((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
-                  for r in t2.read().collect()),
+                  for r in t2._read_active().collect()),
                  key=lambda x: (x[0], x[2]))
     assert got == [(1, 10, 0, 2), (9, None, 3, 3)]
+    assert [(r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+            for r in t2.read().collect()] == [(1, 10, 0, 2)]
 
 
 # -- r10: TRACK HISTORY EXCEPT (SCD2 column exclusions) ------------------------
