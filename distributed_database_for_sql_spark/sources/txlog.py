@@ -4337,6 +4337,9 @@ class TxLogTable:
              else F.expr(defaults[f.name])).cast(f.dataType).alias(f.name)
             for f in required])
         df = self._apply_generated(df)
+        # expectations gate the landing files like every ingest path —
+        # the quality contract COPY INTO exists for (bulk front door)
+        df, exp_commit = self._apply_expectations(df)
         df, ident_actions, ident_cleanup = self._assign_identity(df)
         self._validate_constraints(df)
         rel = self._write_segments(df)
@@ -4345,7 +4348,8 @@ class TxLogTable:
         actions = (
             [{"commit": {"op": "COPY INTO", "ts": self._next_ts(),
                          "source": src_abs,
-                         "filesLoaded": len(new_files)}}]
+                         "filesLoaded": len(new_files),
+                         **exp_commit}}]
             + [{"txn": {"appId": f"copy:{p}", "version": 1}}
                for p in new_files]
             + ident_actions

@@ -6284,6 +6284,41 @@ def test_expectations_cdc_folds_exempt_deletes(spark, tdir):
         "delete closed the chain; violating insert dropped"
 
 
+def test_expectations_gate_copy_into(spark, tdir, tmp_path):
+    """COPY INTO — the bulk-ingest front door — gates through the
+    table's expectations like every other ingest path: DROP rows are
+    filtered from the landing files, metrics ride the COPY INTO
+    commit, and a FAIL violation aborts with the file watermark NOT
+    advanced (the retry after fixing the data loads the file)."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.add_expectation("pos_v", "v > 0", action="drop")
+    import pandas as pd
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pd.DataFrame({"k": [2, 3], "grp": ["b", "c"], "v": [-1, 30]}) \
+        .to_parquet(str(land / "f1.parquet"))
+    _, n = t.copy_into(str(land))
+    assert n == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    h = t.history()[-1]
+    assert h["op"] == "COPY INTO"
+    assert h["expectations"]["pos_v"] == {"failed": 1, "passed": 1,
+                                          "action": "drop"}
+    # FAIL aborts and does NOT consume the file
+    t.add_expectation("small_k", "k < 100", action="fail")
+    pd.DataFrame({"k": [500], "grp": ["z"], "v": [5]}) \
+        .to_parquet(str(land / "f2.parquet"))
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="FAIL UPDATE"):
+        t.copy_into(str(land))
+    assert t.latest_version() == v
+    t.drop_expectation("small_k")
+    _, n2 = t.copy_into(str(land))
+    assert n2 == 1, "the aborted file retries after the gate is lifted"
+    assert 500 in {r["k"] for r in t.read().collect()}
+
+
 def test_expectations_sql_route(spark, tdir):
     """ALTER TABLE … ADD CONSTRAINT n EXPECT (pred) [ON VIOLATION …]
     routes onto add_expectation; DROP CONSTRAINT handles both CHECK
