@@ -3563,6 +3563,161 @@ def delta_apply_changes_snapshot_scd2(spark: SparkSession,
 
 
 @register(
+    "delta_streaming_snapshot_cdc",
+    # Same gaps-and-islands reconstruction as
+    # delta_apply_changes_snapshot_scd2's oracle, but the snapshots
+    # arrive through a REAL Structured Streaming query into
+    # snapshot_sink (foreachBatch, one COMPLETE snapshot per
+    # micro-batch, batch_id = snapshot version); replay_was_noop pins
+    # that a re-delivered current epoch commits nothing and
+    # stale_was_refused that an OLD epoch is refused with nothing
+    # committed (the txn-marker exactly-once + monotonicity contracts
+    # a restarted stream depends on), and n_fold_commits = 3 pins one
+    # atomic commit per snapshot.
+    oracle=f"""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, {_CENTS} AS c, 0 AS v
+      FROM orders WHERE o_orderkey <= 300
+    ), s2 AS (
+      SELECT o_orderkey,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END,
+             1
+      FROM orders WHERE o_orderkey <= 300 AND o_orderkey % 7 <> 0
+    ), s3 AS (
+      SELECT o_orderkey,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END,
+             2
+      FROM orders WHERE o_orderkey <= 330 AND o_orderkey % 5 <> 0
+    ), snaps AS (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3
+    ), grid AS (
+      SELECT kk.k, vv.v
+      FROM (SELECT DISTINCT k FROM snaps) kk
+      CROSS JOIN (VALUES (0), (1), (2)) AS vv(v)
+    ), state AS (
+      SELECT g.k, g.v, s.c, s.k IS NOT NULL AS present
+      FROM grid g LEFT JOIN snaps s ON g.k = s.k AND g.v = s.v
+    ), marked AS (
+      SELECT k, v, c, present,
+             CASE WHEN LAG(present) OVER w IS NULL
+                       AND NOT present THEN 0
+                  WHEN LAG(present) OVER w IS NULL THEN 1
+                  WHEN present <> LAG(present) OVER w THEN 1
+                  WHEN present AND c IS DISTINCT FROM LAG(c) OVER w
+                       THEN 1
+                  ELSE 0 END AS brk
+      FROM state WINDOW w AS (PARTITION BY k ORDER BY v)
+    ), runs AS (
+      SELECT k, v, c, present,
+             SUM(brk) OVER (PARTITION BY k ORDER BY v) AS run
+      FROM marked
+    ), rowsq AS (
+      SELECT k, run, MIN(v) AS start_at, MAX(c) AS c,
+             BOOL_OR(present) AS present
+      FROM runs WHERE run > 0 GROUP BY k, run
+    ), hist AS (
+      SELECT k, c, start_at,
+             LEAD(start_at) OVER (PARTITION BY k ORDER BY start_at)
+                 AS end_at,
+             present
+      FROM rowsq
+    )
+    SELECT k, CAST(c AS BIGINT) AS cents,
+           CAST(start_at AS INTEGER) AS start_at,
+           CAST(end_at AS INTEGER)   AS end_at,
+           1 AS replay_was_noop,
+           1 AS stale_was_refused,
+           3 AS n_fold_commits
+    FROM hist WHERE present
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "apply-changes", "snapshot", "scd2",
+          "streaming"),
+)
+def delta_streaming_snapshot_cdc(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STREAMING snapshot-mode CDC end-to-end (r12 — certifies
+    ``snapshot_sink`` the way ``delta_streaming_scd2`` certifies
+    ``cdc_sink``): three sequenced FULL snapshots land as one parquet
+    file each and arrive through a REAL Structured Streaming file
+    source (``maxFilesPerTrigger=1`` + availableNow → one snapshot per
+    micro-batch, deterministic batch_id = snapshot version); the sink
+    diffs each against current state and folds SCD TYPE 2 history in
+    one atomic commit per snapshot.  A REPLAYED last epoch commits
+    nothing (txn-marker idempotence — a restarted stream re-delivers
+    its last micro-batch) and a re-delivered STALE epoch is REFUSED
+    loudly with nothing committed (snapshots fold monotonically —
+    folding backwards would silently rewrite derived history).  The
+    oracle reconstructs the full history from the snapshot sequence
+    alone — the streaming transport must be value-invisible."""
+    import glob as _glob
+    import os
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    bump = (cents + F.when(k % 3 == 0, 2).otherwise(0)).alias("cents")
+    s1 = orders.filter(k <= 300).select(F.col("o_orderkey").alias("k"),
+                                        cents.alias("cents"))
+    s2 = (orders.filter((k <= 300) & (k % 7 != 0))
+          .select(F.col("o_orderkey").alias("k"), bump))
+    s3 = (orders.filter((k <= 330) & (k % 5 != 0))
+          .select(F.col("o_orderkey").alias("k"), bump))
+    empty = spark.createDataFrame(
+        [], "k bigint, cents bigint, __START_AT int, __END_AT int")
+    t = TxLogTable.create(spark, _table_dir("snapstream", sf_dir), empty,
+                          overwrite=True)
+    # one parquet FILE per snapshot with strictly increasing mtimes —
+    # the file source processes them oldest-first, one per micro-batch
+    stream_dir = _table_dir("snapstream_src", sf_dir)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i, snap in enumerate((s1, s2, s3)):
+        tmp = os.path.join(stream_dir, f"_stage_{i}")
+        snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"snap_{i:05d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + 60 * i, 1_000_000_000 + 60 * i))
+    ck = _table_dir("snapstream_ck", sf_dir)
+    shutil.rmtree(ck, ignore_errors=True)
+    v0 = t.latest_version()
+    sink = t.snapshot_sink("snap_stream", key="k", scd_type=2)
+    stream = (spark.readStream.schema(s1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_fold_commits = t.latest_version() - v0
+    v_before = t.latest_version()
+    last = spark.read.parquet(os.path.join(stream_dir,
+                                           "snap_00002.parquet"))
+    sink(last, 2)  # restarted stream re-delivers its last epoch
+    replay_noop = t.latest_version() == v_before
+    stale = spark.read.parquet(os.path.join(stream_dir,
+                                            "snap_00000.parquet"))
+    try:  # an OLD epoch below the watermark is REFUSED loudly
+        sink(stale, 0)
+        stale_refused = False
+    except ValueError:
+        stale_refused = t.latest_version() == v_before
+    return (t.read()
+            .select("k", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .withColumn("replay_was_noop", F.lit(replay_noop).cast("int"))
+            .withColumn("stale_was_refused",
+                        F.lit(stale_refused).cast("int"))
+            .withColumn("n_fold_commits",
+                        F.lit(n_fold_commits).cast("int"))
+            .orderBy("k", "start_at"))
+
+
+@register(
     "delta_scd2_ignore_null_updates",
     # Oracle: the generic resolution recomputed relationally — seed the
     # inheritance with the open row (ord 0), epoch = running delete
@@ -3656,6 +3811,114 @@ def delta_scd2_ignore_null_updates(spark: SparkSession,
     batch.createOrReplaceTempView("scd2innul_src")
     engine.sql("APPLY CHANGES INTO scd2innul FROM scd2innul_src KEYS (k) "
                "IGNORE NULL UPDATES SEQUENCE BY seq STORED AS SCD TYPE 2")
+    return (t.read()
+            .select("k", "cents",
+                    F.col("__START_AT").alias("start_at"),
+                    F.col("__END_AT").alias("end_at"))
+            .orderBy("k", "start_at"))
+
+
+@register(
+    "delta_scd2_ignore_nulls_backfill",
+    # Oracle: the in-order inheritance-resolve-then-fold over ALL
+    # events at once (seed ord 0 = the base rows, epoch = running
+    # delete count, LAST_VALUE IGNORE NULLS per (key, epoch), LEAD
+    # fold) — the defining contract of the r12 composition: applying
+    # the in-order batch {4, 6, 8} first and splicing the late batch
+    # {5, 7, 9} after must equal folding everything in sequence order.
+    # Exact because the in-order batch carries only explicit payloads
+    # (recorded == raw); full chains return row-by-row, so the hash
+    # certifies every spliced inheritance, the across-splice NULL
+    # resolution, and the post-delete epoch reset.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_CENTS} AS c
+      FROM orders WHERE o_orderkey <= 150
+    ), ev AS (
+      SELECT k, c + 100 AS c, 4 AS seq, FALSE AS del
+      FROM base WHERE k % 2 = 0
+      UNION ALL
+      SELECT k, NULL, 6, FALSE FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, NULL, 8, TRUE FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, NULL, 5, FALSE FROM base WHERE k % 4 = 0
+      UNION ALL
+      SELECT k, c + 7, 7, FALSE FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, NULL, 9, FALSE FROM base WHERE k % 10 = 0
+    ), all_ev AS (
+      SELECT k, c, 0 AS seq, FALSE AS del, 0 AS ord FROM base
+      UNION ALL
+      SELECT k, c, seq, del, 1 FROM ev
+    ), epoch AS (
+      SELECT *, SUM(CASE WHEN del THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY k ORDER BY ord, seq
+                        ROWS UNBOUNDED PRECEDING) AS ep
+      FROM all_ev
+    ), resolved AS (
+      SELECT k, seq, del, ord,
+             LAST_VALUE(c IGNORE NULLS)
+               OVER (PARTITION BY k, ep ORDER BY ord, seq
+                     ROWS UNBOUNDED PRECEDING) AS c
+      FROM epoch
+    ), folded AS (
+      SELECT k, c, seq AS start_at,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY ord, seq) AS end_at,
+             del
+      FROM resolved
+    )
+    SELECT k, CAST(c AS BIGINT) AS cents,
+           CAST(start_at AS INTEGER) AS start_at,
+           CAST(end_at AS INTEGER)   AS end_at
+    FROM folded WHERE NOT del
+    ORDER BY k, start_at
+    """,
+    tags=("acid", "delta", "cdc", "scd2", "ignore-nulls", "backfill"),
+)
+def delta_scd2_ignore_nulls_backfill(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """IGNORE NULL UPDATES × sequenced backfill (r12 — the last CDC
+    composition refusal removed): the NULL-inheritance chain rides the
+    splice re-fold.  The in-order batch applies explicit bumps (seq 4),
+    NULL inherits (seq 6), and deletes (seq 8); the LATE batch then
+    splices a below-frontier NULL slot (seq 5 — inherits the seq-4
+    value ACROSS the splice), an explicit mid-chain bump (seq 7), and a
+    post-delete NULL upsert (seq 9 — the reconstructed delete resets
+    the chain, so it inherits NOTHING).  The oracle resolves + folds
+    all events in sequence order at once; a hash match proves
+    splice-with-inherit ≡ in-order-with-inherit for every chain."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    keys = orders.filter(k <= 150)
+    base = (keys.select(F.col("o_orderkey").alias("k"),
+                        cents.alias("cents"))
+            .withColumn("__START_AT", F.lit(0).cast("int"))
+            .withColumn("__END_AT", F.lit(None).cast("int")))
+    t = TxLogTable.create(spark, _table_dir("scd2inbf", sf_dir), base,
+                          overwrite=True)
+    kk = F.col("o_orderkey").alias("k")
+    nullc = F.lit(None).cast("bigint").alias("cents")
+
+    def ev(flt, c, seq, ct):
+        return (keys.filter(flt)
+                .select(kk, c, F.lit(seq).cast("int").alias("seq"),
+                        F.lit(ct).alias("_change_type")))
+
+    b1 = (ev(k % 2 == 0, (cents + 100).alias("cents"), 4, "u")
+          .unionByName(ev(k % 3 == 0, nullc, 6, "u"))
+          .unionByName(ev(k % 5 == 0, nullc, 8, "delete"))
+          .repartition(8))
+    t.apply_changes_scd2(b1, key="k", sequence_by="seq",
+                         ignore_null_updates=True)
+    late = (ev(k % 4 == 0, nullc, 5, "u")
+            .unionByName(ev(k % 7 == 0, (cents + 7).alias("cents"), 7,
+                            "u"))
+            .unionByName(ev(k % 10 == 0, nullc, 9, "u"))
+            .repartition(8))
+    t.apply_changes_scd2(late, key="k", sequence_by="seq",
+                         ignore_null_updates=True, allow_backfill=True)
     return (t.read()
             .select("k", "cents",
                     F.col("__START_AT").alias("start_at"),

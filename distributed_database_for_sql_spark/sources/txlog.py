@@ -95,6 +95,7 @@ import operator
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
 
@@ -637,6 +638,10 @@ class TxLogTable:
         snapshot — classic Delta-style conflict detection.  Concurrent
         commits that touched other files AND disjoint key ranges commute
         and commit fine."""
+        # every write path funnels here AFTER its segment/CDF writes —
+        # the earliest safe point to release the expectation-gate cache
+        # this thread pinned (see _apply_expectations)
+        self._exp_gc()
         if self._staged is not None:
             # inside a transaction: stage instead of committing; conflict
             # detection runs ONCE at commit_transaction, against the
@@ -2336,10 +2341,26 @@ class TxLogTable:
         ``fail`` violation raises BEFORE anything is written.
         ``exempt`` (a boolean Column) marks rows that bypass the gates
         — the CDC folds exempt delete events, whose masked/NULL
-        payloads are not data rows."""
+        payloads are not data rows.
+
+        The batch is ``persist()``-ed around the gate (ADVICE r11): the
+        stats aggregate MATERIALIZES it, so with a non-deterministic
+        source (mutable files re-read between jobs, ``rand()``-derived
+        columns) the recorded pass/fail metrics, the drop filter, and
+        the rows the write consumes all derive from the SAME evaluated
+        frame — a FAIL gate can never pass on the stats job while
+        different (violating) rows land in the segments.  The cached
+        frame is released at the next commit on this table from the
+        same thread (``_commit_with_occ`` calls ``_exp_gc`` — by then
+        every segment/CDF write has consumed it) and defensively at the
+        next gate, covering aborted operations."""
         exps = self.expectations()
         if not exps:
             return df, {}
+        self._exp_gc()
+        df = df.persist()
+        tl = self._exp_tl()
+        tl.frames.append(df)
         ex = F.lit(False) if exempt is None else exempt
         preds = {
             name: F.coalesce(F.expr(spec["expr"]).cast("boolean"),
@@ -2350,25 +2371,53 @@ class TxLogTable:
                 F.sum(ex.cast("long")).alias("__exempt")]
         aggs += [F.sum((~ex & ~pred).cast("long")).alias(f"__f_{name}")
                  for name, pred in preds.items()]
-        stats = df.agg(*aggs).collect()[0]
-        gated_rows = int(stats["__total"] or 0) - int(stats["__exempt"]
-                                                      or 0)
-        metrics: dict = {}
-        for name in sorted(exps):
-            spec = exps[name]
-            failed = int(stats[f"__f_{name}"] or 0)
-            metrics[name] = {"failed": failed,
-                             "passed": gated_rows - failed,
-                             "action": spec["action"]}
-            if failed and spec["action"] == "fail":
-                raise ValueError(
-                    f"expectation {name!r} violated by {failed} row(s) "
-                    f"({spec['expr']}) — ON VIOLATION FAIL UPDATE "
-                    "aborts the ingest; nothing was committed")
+        try:
+            stats = df.agg(*aggs).collect()[0]
+            gated_rows = int(stats["__total"] or 0) - int(stats["__exempt"]
+                                                          or 0)
+            metrics: dict = {}
+            for name in sorted(exps):
+                spec = exps[name]
+                failed = int(stats[f"__f_{name}"] or 0)
+                metrics[name] = {"failed": failed,
+                                 "passed": gated_rows - failed,
+                                 "action": spec["action"]}
+                if failed and spec["action"] == "fail":
+                    raise ValueError(
+                        f"expectation {name!r} violated by {failed} row(s) "
+                        f"({spec['expr']}) — ON VIOLATION FAIL UPDATE "
+                        "aborts the ingest; nothing was committed")
+        except BaseException:
+            self._exp_gc()
+            raise
         for name, spec in sorted(exps.items()):
             if spec["action"] == "drop":
                 df = df.filter(ex | preds[name])
         return df, {"expectations": metrics}
+
+    def _exp_tl(self):
+        """Thread-local holder for expectation-gated cached frames —
+        thread-local so concurrent flows into ONE table object (e.g.
+        two streaming sinks, each driving its own foreachBatch thread)
+        never release each other's in-flight batch."""
+        tl = self.__dict__.get("_exp_tl_store")
+        if tl is None:
+            tl = self.__dict__["_exp_tl_store"] = threading.local()
+        if not hasattr(tl, "frames"):
+            tl.frames = []
+        return tl
+
+    def _exp_gc(self) -> None:
+        """Release expectation-gate caches pinned by THIS thread (see
+        ``_apply_expectations``); safe to call any time after the
+        gated batch's writes finished."""
+        tl = self._exp_tl()
+        frames, tl.frames = tl.frames, []
+        for fr in frames:
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
 
     def append(self, df: DataFrame, txn_app_id: str | None = None,
                txn_version: int | None = None) -> int:
@@ -4753,14 +4802,26 @@ class TxLogTable:
         NULL slots inherit nothing, the same hypothesis-found contract
         as the SCD1 fold).  Returns the batch with payloads resolved;
         the standard fold then applies unchanged.  One key shuffle;
-        the seed is a broadcast-keyed semi join against open rows."""
-        nonkey = [c for c in payload_cols if c not in keys]
+        the seed is a broadcast-keyed semi join against open rows.
+
+        Identity columns never inherit (r12): each SCD2 history row is
+        a NEW row, so inheriting the open row's engine-assigned id into
+        the version a NULL slot opens would duplicate the identity
+        value across rows — NULL identity slots stay NULL and are
+        engine-assigned past the high-water mark like every other
+        path.  (SCD1 differs deliberately: there the row is UPDATED in
+        place, so "keep the previous value" correctly keeps its id.)"""
+        ident = set(self._identity_columns())
+        nonkey = [c for c in payload_cols
+                  if c not in keys and c not in ident]
+        carry = [c for c in payload_cols if c in ident and c not in keys]
         seq_type = {f.name: f.dataType
                     for f in changes.schema.fields}[sequence_by]
         not_del = F.col(change_type_col) != "delete"
         ev = changes.select(
             *keys,
-            *[F.when(not_del, F.col(c)).alias(c) for c in nonkey],
+            *[F.when(not_del, F.col(c)).alias(c)
+              for c in (*nonkey, *carry)],
             F.col(sequence_by).alias("__seq"),
             F.col(change_type_col).alias("__ct"),
             F.lit(1).alias("__ord"))
@@ -4768,7 +4829,7 @@ class TxLogTable:
         seed = (self._read_active()
                 .filter(F.col(end_col).isNull())
                 .join(F.broadcast(kset), keys, "left_semi")
-                .select(*keys, *nonkey,
+                .select(*keys, *nonkey, *carry,
                         F.lit(None).cast(seq_type).alias("__seq"),
                         F.lit("__seed__").alias("__ct"),
                         F.lit(0).alias("__ord")))
@@ -4786,6 +4847,7 @@ class TxLogTable:
                     *keys, "__ord",
                     *[F.last(F.col(c), ignorenulls=True).over(we).alias(c)
                       for c in nonkey],
+                    *[F.col(c) for c in carry],
                     F.col("__seq").alias(sequence_by),
                     F.col("__ct").alias(change_type_col))
                 .filter(F.col("__ord") == 1)
@@ -4884,8 +4946,13 @@ class TxLogTable:
         fold, so each opened row version carries the inherited value
         at its sequence (seeded by the key's existing open row; a
         delete resets the chain).  See
-        ``_scd2_resolve_null_updates``.  Not combinable with
-        ``allow_backfill`` (v1)."""
+        ``_scd2_resolve_null_updates``.  Composes with
+        ``allow_backfill`` (r12): the splice resolves inheritance over
+        the MERGED (reconstructed + late batch) timeline, so a spliced
+        event's NULL slots inherit from whatever precedes it in TRUE
+        sequence order and a recorded-NULL later version picks up a
+        spliced earlier value — equal to the in-order fold over the
+        recorded timeline plus the batch."""
         self._check_append_only("APPLY CHANGES")
         if any(s.get("always", True)
                for s in self._identity_columns().values()):
@@ -4906,8 +4973,19 @@ class TxLogTable:
             if c not in cols:
                 raise ValueError(f"apply_changes_scd2: column {c!r} "
                                  "missing from the change batch")
-        changes, exp_commit = self._apply_expectations(
-            changes, exempt=F.col(change_type_col) == "delete")
+        exp_commit: dict = {}
+        if not ignore_null_updates:
+            changes, exp_commit = self._apply_expectations(
+                changes, exempt=F.col(change_type_col) == "delete")
+        # with IGNORE NULL UPDATES the gate moves AFTER inheritance
+        # resolution (below, or inside the splice for backfills): a NULL
+        # inherit slot evaluates a predicate to NULL and would count a
+        # row that RESOLVES to a passing value as a violation (ADVICE
+        # r11).  Gating resolved rows is also the stronger write-side
+        # contract: a row inheriting a bad value from an earlier
+        # (even dropped) event fails the gate itself — every WRITTEN
+        # row version passes, whether its values were explicit or
+        # inherited.
         for c in (start_col, end_col):
             if c in cols:
                 raise ValueError(
@@ -4938,20 +5016,18 @@ class TxLogTable:
             raise ValueError(
                 f"apply_changes_scd2: change batch lacks target "
                 f"column(s) {missing}")
-        if ignore_null_updates:
-            if allow_backfill:
-                raise ValueError(
-                    "ignore_null_updates with allow_backfill is not "
-                    "supported (v1): splicing below the frontier would "
-                    "require re-resolving values already inherited by "
-                    "settled rows; apply the backfill with explicit "
-                    "payloads")
+        if ignore_null_updates and not allow_backfill:
             # NULL event columns inherit sequentially (seeded by the
             # open row, reset by deletes); the fold below then sees a
-            # fully-resolved batch
+            # fully-resolved batch.  The expectation gate runs on the
+            # RESOLVED rows (see above).  With allow_backfill the
+            # resolution instead rides the splice's re-fold over the
+            # merged timeline — see _scd2_splice(resolve_null_updates).
             changes = self._scd2_resolve_null_updates(
                 changes, keys, sequence_by, change_type_col,
                 payload_cols, end_col)
+            changes, exp_commit = self._apply_expectations(
+                changes, exempt=F.col(change_type_col) == "delete")
 
         seq = F.col(sequence_by).cast(seq_type)
         te = (self._key_list(track_history_except_columns)
@@ -4985,7 +5061,9 @@ class TxLogTable:
                 changes, keys, seq, change_type_col, start_col, end_col,
                 payload_cols, target_cols, base_version,
                 txn_app_id, txn_version, track_except=te or None,
-                extra_commit=exp_commit)
+                extra_commit=exp_commit,
+                resolve_null_updates=ignore_null_updates,
+                sequence_col=sequence_by)
         if te:
             # frontier guard (settled history stays immutable), then the
             # open-row-scoped splice machinery does the run-collapsed
@@ -5176,7 +5254,9 @@ class TxLogTable:
                      track_except: list[str] | None = None,
                      scope_open_only: bool = False,
                      op_name: str = "APPLY CHANGES SCD2 BACKFILL",
-                     extra_commit: dict | None = None) -> int:
+                     extra_commit: dict | None = None,
+                     resolve_null_updates: bool = False,
+                     sequence_col: str | None = None) -> int:
         """Sequenced SCD2 backfill (``allow_backfill=True``): splice a
         (possibly below-frontier) batch into each affected key's chain
         by re-folding the key's FULL event timeline.  The timeline is
@@ -5256,6 +5336,12 @@ class TxLogTable:
                             seq.alias("__seq"),
                             F.lit(True).alias("__del")))
         events = events.unionByName(dels_new)
+        if resolve_null_updates:
+            # mark batch events — reconstructed history events union in
+            # below with allowMissingColumns (their __fb reads NULL),
+            # so the expectation gate can exempt everything already
+            # committed
+            events = events.withColumn("__fb", F.lit(True))
         if existing is not None:
             # zero-width rows [s, s) are TOMBSTONES — the persisted
             # trace of deletes that closed nothing (see
@@ -5293,6 +5379,64 @@ class TxLogTable:
                 "SCD2 backfill: a batch sequence collides with an "
                 "existing event at the same (key, sequence) — splicing "
                 "is ambiguous; re-sequence the backfill batch")
+        if resolve_null_updates:
+            # IGNORE NULL UPDATES × sequenced backfill (r12, the r11
+            # verdict's top ask): the NULL-inheritance chain rides the
+            # re-fold — resolved over the MERGED timeline (reconstructed
+            # history events + the late batch) in sequence order, reset
+            # by delete events (tombstones reconstruct as deletes, so a
+            # post-delete NULL slot inherits nothing), seeded implicitly
+            # by each key's earliest event.  Reconstructed events carry
+            # their RECORDED payloads — the raw NULL-ness of an
+            # already-folded event is not recorded — so the result
+            # equals the in-order fold over the RECORDED timeline plus
+            # the batch (the same operational semantics TRACK HISTORY
+            # EXCEPT × backfill documents); when the pre-splice events
+            # carried explicit payloads it equals the true in-order fold
+            # of ALL raw events (hypothesis-pinned).  A recorded NULL
+            # (no inheritable value existed at fold time) CAN now
+            # inherit from a spliced earlier event — exactly what the
+            # in-order fold would have produced.  Identity columns are
+            # engine-managed and never inherit (see
+            # _scd2_resolve_null_updates).
+            ident_cols = set(self._identity_columns())
+            inh = [c for c in payload_cols
+                   if c not in keys and c not in ident_cols]
+            wr = Window.partitionBy(*keys).orderBy("__seq")
+            epoch = F.sum(F.col("__del").cast("long")).over(
+                wr.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+            ev_r = events.withColumn("__epoch", epoch)
+            we = (Window.partitionBy(*keys, "__epoch").orderBy("__seq")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+            events = ev_r.select(*[
+                F.last(F.col(c), ignorenulls=True).over(we).alias(c)
+                if c in inh else F.col(c)
+                for c in ev_r.columns if c != "__epoch"])
+            if self.expectations():
+                # gate the RESOLVED batch events only — reconstructed
+                # history is committed data and delete events carry
+                # masked payloads; restore the batch's own column names
+                # so predicates referencing the sequence / change-type
+                # columns analyze exactly as in the in-order path
+                restore = []
+                gate = events
+                if sequence_col and sequence_col not in gate.columns:
+                    gate = gate.withColumn(sequence_col, F.col("__seq"))
+                    restore.append(sequence_col)
+                if change_type_col not in gate.columns:
+                    gate = gate.withColumn(
+                        change_type_col,
+                        F.when(F.col("__del"), F.lit("delete"))
+                        .otherwise(F.lit("upsert")))
+                    restore.append(change_type_col)
+                gated, exp_commit = self._apply_expectations(
+                    gate,
+                    exempt=~F.coalesce(F.col("__fb"), F.lit(False))
+                    | F.col("__del"))
+                extra_commit = {**(extra_commit or {}), **exp_commit}
+                events = gated.drop(*restore) if restore else gated
         w = Window.partitionBy(*keys).orderBy("__seq")
         if track_except:
             # TRACK HISTORY EXCEPT: consecutive events whose TRACKED

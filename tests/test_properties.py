@@ -1161,6 +1161,110 @@ def test_scd2_ignore_nulls_equals_python_fold(spark, tmp_path_factory,
         sorted((h for h in hist if h[2] != h[3]), key=key_fn)
 
 
+# -- r12: IGNORE NULL UPDATES × backfill equals the in-order fold -------------
+
+innul_split_events = st.lists(
+    st.tuples(st.integers(0, 4),                        # key
+              st.one_of(st.none(), st.integers(-5, 5)),  # value (None=inherit)
+              st.sampled_from(["u", "u", "delete"]),
+              st.booleans()),                           # late (batch 2)?
+    min_size=1, max_size=8)
+
+
+@fold_prop
+@given(data=st.lists(st.tuples(st.integers(0, 4),
+                               st.integers(-5, 5)),
+                     min_size=0, max_size=3, unique_by=lambda t: t[0]),
+       events=innul_split_events)
+def test_scd2_ignore_nulls_backfill_equals_in_order_fold(
+        spark, tmp_path_factory, data, events):
+    """r12 (the r11 verdict's top ask): for ANY split of a NULL-bearing
+    event stream into an in-order batch and a late (spliced) batch,
+    applying batch 1 then backfilling batch 2 — both with
+    ignore_null_updates — equals the single in-order
+    inheritance-resolve-then-fold over ALL events.  Batch 1 events are
+    constrained to explicit payloads (raw NULL-ness of already-folded
+    events is not recorded, so only then is the true in-order fold the
+    contract; the recorded-timeline divergence case is deterministic-
+    pinned in test_txlog).  NULL slots may appear anywhere in the late
+    batch: mid-chain splices, post-delete epochs, brand-new keys."""
+    import os
+    import uuid as _uuid
+
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    base = tmp_path_factory.mktemp(f"scd2ib_{_uuid.uuid4().hex[:6]}")
+    t = TxLogTable.create(
+        spark, os.path.join(str(base), "t"),
+        spark.createDataFrame([(k, v, 0, None) for k, v in data],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    seq_of: dict[int, int] = {}
+    rows = []
+    for k, v, ct, late in events:
+        seq_of[k] = seq_of.get(k, 0) + 1
+        # batch-1 (in-order) events must be explicit: an inherited
+        # payload is recorded, not its raw NULL, so only explicit
+        # batch-1 payloads make the in-order fold the exact contract
+        if v is None and ct != "delete":
+            late = True
+        rows.append((k, v, seq_of[k], ct, late))
+    schema = "k int, v int, seq int, _change_type string"
+    b1 = [(k, v, s, ct) for k, v, s, ct, late in rows if not late]
+    b2 = [(k, v, s, ct) for k, v, s, ct, late in rows if late]
+    if b1:
+        t.apply_changes_scd2(
+            spark.createDataFrame(list(reversed(b1)), schema),
+            key="k", sequence_by="seq", ignore_null_updates=True)
+    if b2:
+        t.apply_changes_scd2(
+            spark.createDataFrame(list(reversed(b2)), schema),
+            key="k", sequence_by="seq", ignore_null_updates=True,
+            allow_backfill=True)
+    # model: resolve inheritance per key over ALL events in sequence
+    # order (seeded by the seed row, reset by deletes), then the
+    # standard SCD2 fold — identical to the r11 in-order model
+    seeded = dict(data)
+    by_key: dict[int, list[tuple[int, int | None, str]]] = {}
+    for k, v, s, ct, _late in rows:
+        by_key.setdefault(k, []).append((s, v, ct))
+    hist: list[tuple[int, int | None, int, int | None]] = [
+        (k, v, 0, None) for k, v in data]
+    for k, evs in by_key.items():
+        evs.sort()
+        cur = seeded.get(k) if k in seeded else None
+        resolved = []
+        for s, v, ct in evs:
+            if ct == "delete":
+                resolved.append((s, None, "delete"))
+                cur = None
+                continue
+            if v is not None:
+                cur = v
+            resolved.append((s, cur, "u"))
+        first = resolved[0][0]
+        hist = [(kk, vv, st_, first if (kk == k and en is None) else en)
+                for kk, vv, st_, en in hist]
+        for i, (s, v, ct) in enumerate(resolved):
+            if ct == "delete":
+                if ((i > 0 and resolved[i - 1][2] == "delete")
+                        or (i == 0 and k not in seeded)):
+                    hist.append((k, None, s, s))  # tombstone
+                continue
+            nxt = resolved[i + 1][0] if i + 1 < len(resolved) else None
+            hist.append((k, v, s, nxt))
+    key_fn = lambda x: (x[0], x[1] is None, x[1] or 0, x[2],  # noqa: E731
+                        x[3] is None, x[3] or 0)
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t._read_active().collect()), key=key_fn) == \
+        sorted(hist, key=key_fn)
+    assert sorted(
+        ((r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+         for r in t.read().collect()), key=key_fn) == \
+        sorted((h for h in hist if h[2] != h[3]), key=key_fn)
+
+
 # -- r11: TRACK HISTORY EXCEPT × backfill equals the recorded-timeline fold ---
 
 te_events = st.lists(

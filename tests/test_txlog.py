@@ -6026,6 +6026,12 @@ def test_snapshot_sink_foreachbatch(spark, tdir):
     assert sorted(tuple(r) for r in t.read().collect()) == \
         [(1, 11), (3, 30)]
     assert t.history()[-1]["op"] == "APPLY CHANGES"
+    # r12: an OLD epoch below the watermark is REFUSED loudly (folding
+    # a stale snapshot backwards would silently rewrite derived state)
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="below the last applied"):
+        sink(mk([(1, 10), (2, 20)]), 0)
+    assert t.latest_version() == v
 
 
 def test_apply_changes_from_snapshot_track_history_except(spark, tdir):
@@ -6176,11 +6182,136 @@ def test_apply_changes_scd2_ignore_null_updates(spark, tdir):
         (1, "a", 10, 0, 1), (1, "z", 10, 1, 2), (1, "z", 11, 2, None),
         (2, "b", 20, 0, 1), (2, None, 7, 2, None),
     ]
-    # backfill composition stays refused (v1)
-    with pytest.raises(ValueError, match="not.*supported|not supported"):
-        t.apply_changes_scd2(batch, key="k", sequence_by="seq",
-                             ignore_null_updates=True,
-                             allow_backfill=True)
+    # r12: the backfill refusal is GONE — a below-frontier batch with
+    # NULL slots splices (the dedicated tests below pin the inheritance
+    # semantics across the splice; here: a brand-new key's NULL slot
+    # has nothing to inherit and stays NULL)
+    late = spark.createDataFrame(
+        [(3, "n", None, 1, "u")],
+        "k int, grp string, v int, seq int, _change_type string")
+    t.apply_changes_scd2(late, key="k", sequence_by="seq",
+                         ignore_null_updates=True, allow_backfill=True)
+    got = sorted(((r["k"], r["grp"], r["v"], r["__START_AT"],
+                   r["__END_AT"]) for r in t.read().collect()
+                  if r["k"] == 3), key=lambda x: (x[0], x[3]))
+    assert got == [(3, "n", None, 1, None)], \
+        "new-key splice: nothing to inherit, v stays NULL"
+
+
+def test_scd2_ignore_nulls_backfill_inherits_across_splice(spark, tdir):
+    """r12 (the r11 verdict's top ask): IGNORE NULL UPDATES composes
+    with allow_backfill — the inheritance chain rides the splice
+    re-fold.  A spliced event's NULL slot inherits from whatever
+    precedes it in TRUE sequence order; recorded payloads of
+    already-folded events are authoritative (raw NULL-ness is not
+    recorded), so a spliced earlier value never rewrites a recorded
+    non-NULL — the recorded-timeline semantics TRACK HISTORY EXCEPT ×
+    backfill also documents."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, a int, b string, "
+                              "__START_AT int, __END_AT int"))
+    b1 = spark.createDataFrame(
+        [(1, 10, "x", 2, "u"), (1, 20, None, 6, "u")],
+        "k int, a int, b string, seq int, _change_type string")
+    t.apply_changes_scd2(b1, key="k", sequence_by="seq",
+                         ignore_null_updates=True)
+    # splice seq 4: a NULL inherits 10 from seq 2 ACROSS the splice;
+    # b='y' does NOT rewrite the seq-6 row's recorded 'x' (it was
+    # inherited at fold time, but recorded values are authoritative)
+    b2 = spark.createDataFrame(
+        [(1, None, "y", 4, "u")],
+        "k int, a int, b string, seq int, _change_type string")
+    t.apply_changes_scd2(b2, key="k", sequence_by="seq",
+                         ignore_null_updates=True, allow_backfill=True)
+    got = sorted(((r["a"], r["b"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [(10, "x", 2, 4), (10, "y", 4, 6), (20, "x", 6, None)]
+
+
+def test_scd2_ignore_nulls_backfill_recorded_null_and_delete_reset(
+        spark, tdir, tmp_path):
+    """Two splice-inheritance edges: (a) a RECORDED NULL (nothing to
+    inherit existed at fold time) picks up a spliced earlier value —
+    exactly what the in-order fold would have produced; (b) a delete's
+    reconstructed event resets the chain, so a post-delete spliced (or
+    re-folded) NULL slot inherits nothing."""
+    t = TxLogTable.create(
+        spark, str(tmp_path / "a"),
+        spark.createDataFrame([], "k int, a int, b string, "
+                              "__START_AT int, __END_AT int"))
+    t.apply_changes_scd2(
+        spark.createDataFrame([(1, 5, None, 10, "u")],
+                              "k int, a int, b string, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    t.apply_changes_scd2(
+        spark.createDataFrame([(1, None, "z", 3, "u")],
+                              "k int, a int, b string, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True,
+        allow_backfill=True)
+    got = sorted(((r["a"], r["b"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [(None, "z", 3, 10), (5, "z", 10, None)], \
+        "recorded NULL b at seq 10 inherits the spliced seq-3 'z'"
+
+    t2 = TxLogTable.create(
+        spark, str(tmp_path / "b"),
+        spark.createDataFrame([], "k int, a int, b string, "
+                              "__START_AT int, __END_AT int"))
+    t2.apply_changes_scd2(
+        spark.createDataFrame(
+            [(1, 1, "p", 1, "u"), (1, None, None, 5, "delete")],
+            "k int, a int, b string, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    t2.apply_changes_scd2(
+        spark.createDataFrame([(1, None, "q", 7, "u")],
+                              "k int, a int, b string, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True,
+        allow_backfill=True)
+    got = sorted(((r["a"], r["b"], r["__START_AT"], r["__END_AT"])
+                  for r in t2.read().collect()), key=lambda x: x[2])
+    assert got == [(1, "p", 1, 5), (None, "q", 7, None)], \
+        "the delete at 5 resets the chain — seq 7's NULL a inherits " \
+        "nothing"
+
+
+def test_scd2_ignore_nulls_backfill_gates_resolved_rows(spark, tdir):
+    """ADVICE r11 + r12 composition: with IGNORE NULL UPDATES the
+    expectation gate evaluates the RESOLVED rows — a NULL inherit slot
+    that resolves to a passing value is NOT a violation, in both the
+    in-order path and the backfill splice; metrics ride the commit."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, a int, "
+                              "__START_AT int, __END_AT int"))
+    t.add_expectation("a_pos", "a > 0", action="drop")
+    t.apply_changes_scd2(
+        spark.createDataFrame([(1, 3, 10, "u"), (1, None, 14, "u")],
+                              "k int, a int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    # in-order: the NULL slot resolved to 3 → passed, not dropped
+    got = sorted(((r["a"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[1])
+    assert got == [(3, 10, 14), (3, 14, None)]
+    h = [c for c in t.history() if "expectations" in c]
+    assert h[-1]["expectations"]["a_pos"]["failed"] == 0
+    # splice: NULL slot at seq 12 resolves to 3 (passes); an explicit
+    # violating event at seq 13 is dropped from the re-folded timeline
+    t.apply_changes_scd2(
+        spark.createDataFrame([(1, None, 12, "u"), (1, -9, 13, "u")],
+                              "k int, a int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True,
+        allow_backfill=True)
+    got = sorted(((r["a"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[1])
+    assert got == [(3, 10, 12), (3, 12, 14), (3, 14, None)], \
+        "seq 13 dropped by the gate; seq 12 resolved+passed"
+    h = [c for c in t.history() if "expectations" in c]
+    assert h[-1]["expectations"]["a_pos"] == {
+        "failed": 1, "passed": 1, "action": "drop"}
 
 
 def test_apply_changes_scd2_ignore_nulls_sql_and_sink(spark, tdir,
