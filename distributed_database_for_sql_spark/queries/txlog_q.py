@@ -236,6 +236,93 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_v2_checkpoint",
+    # Oracle: relational recompute of the final state (base + two
+    # appends, minus the modulo delete); the audit flags certify the
+    # mechanism — the fresh handle resolved FROM the v2 checkpoint
+    # (read-call bound ≤ interval+1, counted on a monkeypatched commit
+    # reader), sidecar files exist on disk, and the protocol carries
+    # the v2Checkpoint reader feature.  The value hash then certifies
+    # the sidecar-held add list reproduced the exact snapshot.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 1100 AND o_orderkey % 10 <> 0)
+         OR (o_orderkey > 1100 AND o_orderkey <= 1300)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS resolved_from_v2_checkpoint,
+           1 AS sidecars_on_disk,
+           1 AS reader_feature_fenced
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "checkpoint", "v2", "protocol"),
+)
+def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta 3.x V2 checkpoints end-to-end (r12): the table upgrades to
+    the ``v2Checkpoint`` reader feature in one commit, subsequent
+    checkpoints land as a metadata-sized top manifest + parquet
+    SIDECAR files holding the add list (the only part that scales with
+    file count — at 100 TB the top manifest stays O(1) and sidecar
+    reads parallelize), and a fresh handle resolves the snapshot from
+    manifest + sidecars with the same O(interval) read-call bound as
+    the classic formats.  Commits cross a checkpoint boundary (append,
+    DELETE, append) so the sidecars must carry removes' effects and
+    per-file stats forward exactly."""
+    import glob as _glob
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 800)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("v2ckpt", sf_dir), base,
+                          overwrite=True)
+    t.checkpoint_interval = 3
+    t.enable_v2_checkpoints(part_size=2)                        # v1
+    t.append(orders.filter((k > 800) & (k <= 1100))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("cents")))                      # v2
+    t.delete_where(k % 10 == 0)                                  # v3 ckpt
+    t.append(orders.filter((k > 1100) & (k <= 1300))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("cents")))                      # v4
+    fresh = TxLogTable(spark, t.path)
+    fresh.checkpoint_interval = 3
+    reads: list[int] = []
+    orig = fresh._read_commit
+    fresh._read_commit = lambda v: (reads.append(v) or orig(v))
+    out = (fresh.read()
+           .groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents")))
+    n = out.count()  # force resolution through the counting reader
+    assert n > 0
+    bounded = len({v for v in reads
+                   if v <= fresh.latest_version()}) <= 3 + 1
+    sidecars = _glob.glob(_os.path.join(t.path, "_txlog", "_sidecars",
+                                        "*.parquet"))
+    tops = _glob.glob(_os.path.join(t.path, "_txlog",
+                                    "*.checkpoint.v2.json"))
+    fenced = "v2Checkpoint" in t.protocol().get("readerFeatures", [])
+    return (out
+            .withColumn("resolved_from_v2_checkpoint",
+                        F.lit(bool(bounded and tops)).cast("int"))
+            .withColumn("sidecars_on_disk",
+                        F.lit(bool(sidecars)).cast("int"))
+            .withColumn("reader_feature_fenced",
+                        F.lit(fenced).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "sql_merge_into_txlog",
     oracle=f"""
     WITH base AS (

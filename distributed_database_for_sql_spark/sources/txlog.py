@@ -124,12 +124,12 @@ _SUPPORTED_WRITER_VERSION = 7
 # writer-only feature (e.g. identity columns) no longer locks old
 # readers out.
 _SUPPORTED_READER_FEATURES = frozenset({
-    "deletionVectors", "columnMapping", "typeWidening",
+    "deletionVectors", "columnMapping", "typeWidening", "v2Checkpoint",
 })
 _SUPPORTED_WRITER_FEATURES = frozenset({
     "deletionVectors", "columnMapping", "typeWidening", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed", "appendOnly",
-    "rowTracking", "clustering", "allowColumnDefaults",
+    "rowTracking", "clustering", "allowColumnDefaults", "v2Checkpoint",
 })
 
 
@@ -752,8 +752,50 @@ class TxLogTable:
         props = manifest["meta"].get("properties", {})
         fmt = props.get("txlog.checkpoint.format", "json")
         part_size = int(props.get("txlog.checkpoint.partSize", "0"))
+        if fmt == "v2" and "v2Checkpoint" not in \
+                manifest["protocol"].get("readerFeatures", []):
+            # defensive: the v2 format is FENCED behind the v2Checkpoint
+            # reader feature (enable_v2_checkpoints sets both together).
+            # This runs post-commit — raising would fail a write that is
+            # already durable — so an unfenced request degrades to the
+            # classic JSON manifest (derived data; correctness is
+            # unaffected, only the format differs).
+            fmt = "json"
         pointer: dict = {"version": version, "format": fmt}
-        if fmt == "parquet" and part_size > 0 and \
+        if fmt == "v2":
+            # Delta 3.x V2 CHECKPOINT (the v2Checkpoint table feature):
+            # a metadata-sized TOP manifest (JSON — the spec allows json
+            # or parquet tops) carries the table-level state and a
+            # ``sidecarFiles`` list; the add list — the only part that
+            # scales with file count — lives in parquet SIDECAR files
+            # under _txlog/_sidecars/, split at ``partSize`` rows (one
+            # sidecar when unset).  Same torn-write contract as the
+            # multi-part classic shape: a missing sidecar invalidates
+            # the whole checkpoint and resolution falls back to the
+            # next older intact one / full replay.
+            adds = manifest["adds"]
+            per = part_size if part_size > 0 else max(len(adds), 1)
+            n = max((len(adds) + per - 1) // per, 1)
+            os.makedirs(os.path.join(self.log_dir, "_sidecars"),
+                        exist_ok=True)
+            sidecars = []
+            for i in range(n):
+                piece = adds[i * per:(i + 1) * per]
+                name = f"{version:08d}-{i:04d}-{n:04d}.parquet"
+                data = self._encode_sidecar_parquet(piece)
+                self.log_store.overwrite_atomic(
+                    os.path.join(self.log_dir, "_sidecars", name), data)
+                sidecars.append({"path": name, "sizeInBytes": len(data),
+                                 "numAdds": len(piece)})
+            head = {k: v for k, v in manifest.items()
+                    if k not in ("adds", "active")}
+            head["v2Checkpoint"] = True
+            head["sidecarFiles"] = sidecars
+            self.log_store.overwrite_atomic(
+                self._checkpoint_v2_path(version),
+                json.dumps(head).encode())
+            pointer["sidecars"] = n
+        elif fmt == "parquet" and part_size > 0 and \
                 len(manifest["adds"]) > part_size:
             # MULTI-PART checkpoint (Delta's <v>.checkpoint.<i>.<n>
             # shape): the add list — the only part that scales with file
@@ -790,6 +832,27 @@ class TxLogTable:
         return os.path.join(self.log_dir,
                             f"{version:08d}.checkpoint.parquet")
 
+    def _checkpoint_v2_path(self, version: int) -> str:
+        return os.path.join(self.log_dir,
+                            f"{version:08d}.checkpoint.v2.json")
+
+    @staticmethod
+    def _encode_sidecar_parquet(adds: list[dict]) -> bytes:
+        """V2-checkpoint sidecar: ONLY file actions as (path,
+        stats-json) parquet rows — table-level state lives in the top
+        manifest, not here (the Delta v2 split: sidecars scale with
+        file count, the top stays metadata-sized)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {"path": [a["path"] for a in adds],
+             "stats": [json.dumps(a["stats"]) if a["stats"] is not None
+                       else None for a in adds]})
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf, compression="zstd")
+        return buf.getvalue().to_pybytes()
+
     def _checkpoint_part_path(self, version: int, i: int, n: int) -> str:
         return os.path.join(
             self.log_dir,
@@ -821,9 +884,34 @@ class TxLogTable:
 
     def _read_checkpoint_at(self, version: int) -> dict | None:
         """Load the checkpoint manifest at exactly ``version``, any
-        format (JSON, single parquet, or multi-part parquet); None if
-        absent/torn — including a MISSING PART of a multi-part
-        checkpoint — in which case full log replay still works."""
+        format (JSON, single parquet, multi-part parquet, or V2
+        manifest + sidecars); None if absent/torn — including a MISSING
+        PART of a multi-part checkpoint or a missing V2 sidecar — in
+        which case full log replay still works."""
+        v2p = self._checkpoint_v2_path(version)
+        if os.path.exists(v2p):
+            try:
+                import pyarrow.parquet as pq
+
+                with open(v2p) as f:
+                    head = json.load(f)
+                all_adds: list[dict] = []
+                for sc in head.pop("sidecarFiles"):
+                    t = pq.read_table(os.path.join(
+                        self.log_dir, "_sidecars", sc["path"]))
+                    paths = t.column("path").to_pylist()
+                    stats = t.column("stats").to_pylist()
+                    if len(paths) != int(sc.get("numAdds", len(paths))):
+                        return None  # truncated sidecar: replay instead
+                    all_adds.extend(
+                        {"path": pp,
+                         "stats": json.loads(s) if s is not None else None}
+                        for pp, s in zip(paths, stats))
+                head["adds"] = all_adds
+                head["active"] = [a["path"] for a in all_adds]
+                return head
+            except Exception:
+                return None  # torn v2 write (missing sidecar): replay
         parts = sorted(glob.glob(os.path.join(
             self.log_dir, f"{version:08d}.checkpoint.[0-9]*.parquet")))
         if parts:
@@ -894,6 +982,7 @@ class TxLogTable:
             + glob.glob(os.path.join(self.log_dir, "*.checkpoint.parquet"))
             + glob.glob(os.path.join(self.log_dir,
                                      "*.checkpoint.[0-9]*.parquet"))
+            + glob.glob(os.path.join(self.log_dir, "*.checkpoint.v2.json"))
             if int(os.path.basename(p).split(".")[0]) <= version
         }, reverse=True)
         for cv in cands:
@@ -1098,6 +1187,45 @@ class TxLogTable:
             {"commit": {"op": "ADD FEATURE", "ts": self._next_ts(),
                         "feature": name, "reader": bool(reader)}},
             {"protocol": new_proto},
+        ]
+        return self._commit_with_occ(actions, [], base_version)
+
+    def enable_v2_checkpoints(self, part_size: int | None = None) -> int:
+        """Switch checkpointing to the Delta 3.x V2 shape
+        (``v2Checkpoint`` table feature) in ONE commit: the protocol
+        gains the ``v2Checkpoint`` READER feature — fencing is the
+        point: a pre-3.x reader that silently ignored the sidecar
+        layout would resolve an EMPTY file list from the unfamiliar
+        manifest, so it must refuse the table loudly instead — and
+        ``txlog.checkpoint.format`` flips to ``v2`` (with
+        ``txlog.checkpoint.partSize`` when given, bounding each
+        sidecar's row count).  Checkpoints already on disk in the
+        classic JSON / parquet / multi-part formats stay readable and
+        interoperate exactly the way those formats already do; only
+        FUTURE checkpoints use the manifest+sidecar layout, and the
+        read-call bound stays O(checkpoint interval)."""
+        base_version = self.latest_version()
+        proto = self.protocol()
+        rf = set(proto.get("readerFeatures", []))
+        wf = set(proto.get("writerFeatures", []))
+        rf.add("v2Checkpoint")
+        wf.add("v2Checkpoint")
+        new_proto = {"minReaderVersion": max(
+                         proto.get("minReaderVersion", 1), 3),
+                     "minWriterVersion": _SUPPORTED_WRITER_VERSION,
+                     "readerFeatures": sorted(rf),
+                     "writerFeatures": sorted(wf)}
+        _, schema_json = self._snapshot_files()
+        merged = self.properties()
+        merged["txlog.checkpoint.format"] = "v2"
+        if part_size is not None:
+            merged["txlog.checkpoint.partSize"] = str(int(part_size))
+        actions = [
+            {"commit": {"op": "ENABLE V2 CHECKPOINTS",
+                        "ts": self._next_ts()}},
+            {"protocol": new_proto},
+            {"metaData": {"schemaJson": schema_json,
+                          "properties": merged}},
         ]
         return self._commit_with_occ(actions, [], base_version)
 

@@ -4236,6 +4236,110 @@ def test_multipart_parquet_checkpoint(spark, tdir):
         list(range(1, 10)), "torn multi-part checkpoint: replay fallback"
 
 
+def test_v2_checkpoint_write_read_fence_and_torn(spark, tdir,
+                                                 monkeypatch):
+    """Delta 3.x V2 checkpoints (r12): enable_v2_checkpoints flips the
+    format in ONE commit (protocol readerFeature + property); future
+    checkpoints land as a metadata-sized top manifest + parquet
+    sidecars holding the add list; a fresh handle resolves with the
+    same O(interval) read-call bound and stats-based pruning; a reader
+    WITHOUT the v2Checkpoint feature refuses the TABLE loudly; a torn
+    write (missing sidecar) falls back to replay, never a partial
+    file list."""
+    import glob as _glob
+
+    from distributed_database_for_sql_spark.sources import txlog as _m
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 4
+    t.enable_v2_checkpoints(part_size=2)
+    proto = t.protocol()
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    for i in range(8):
+        t.append(_df(spark, [(i + 2, "b", (i + 2) * 10)]))
+    tops = _glob.glob(os.path.join(t.path, "_txlog",
+                                   "*.checkpoint.v2.json"))
+    sidecars = _glob.glob(os.path.join(t.path, "_txlog", "_sidecars",
+                                       "*.parquet"))
+    assert tops and sidecars, "v2 manifest + sidecars expected"
+    v = max(int(os.path.basename(p).split(".")[0]) for p in tops)
+    assert not os.path.exists(t._checkpoint_path(v)), \
+        "no duplicate classic manifest"
+    # partSize=2 → the newest checkpoint's add list spans >1 sidecar
+    assert len([s for s in sidecars
+                if os.path.basename(s).startswith(f"{v:08d}-")]) >= 2
+    fresh = TxLogTable(spark, tdir)
+    fresh.checkpoint_interval = 4
+    reads = []
+    orig = fresh._read_commit
+
+    def counting(ver):
+        reads.append(ver)
+        return orig(ver)
+
+    fresh._read_commit = counting
+    assert sorted(r["k"] for r in fresh.read().collect()) == \
+        list(range(1, 10))
+    replayed = [x for x in set(reads) if x <= fresh.latest_version()]
+    assert len(replayed) <= fresh.checkpoint_interval + 1, \
+        f"v2 checkpoint not used: replayed {sorted(replayed)}"
+    # stats survive the sidecar round-trip: pruning still works
+    kept, total = fresh.prune_files([("k", "=", 9)])
+    assert len(kept) < total
+    # time travel before the v2 switch still resolves
+    assert fresh.read(version=2).count() == 2
+    # FEATURE FENCE: a pre-v2 reader must refuse the TABLE (silently
+    # ignoring the manifest+sidecar layout would resolve wrong state)
+    monkeypatch.setattr(
+        _m, "_SUPPORTED_READER_FEATURES",
+        frozenset({"deletionVectors", "columnMapping", "typeWidening"}))
+    legacy = TxLogTable(spark, tdir)
+    with pytest.raises(RuntimeError, match="v2Checkpoint"):
+        legacy.read()
+    monkeypatch.undo()
+    # torn v2 write: delete ONE sidecar of the newest checkpoint —
+    # resolution falls back (older checkpoint / replay), rows intact
+    victim = sorted(s for s in sidecars
+                    if os.path.basename(s).startswith(f"{v:08d}-"))[0]
+    os.remove(victim)
+    fresh2 = TxLogTable(spark, tdir)
+    assert sorted(r["k"] for r in fresh2.read().collect()) == \
+        list(range(1, 10)), "torn v2 checkpoint: fallback failed"
+
+
+def test_v2_checkpoint_interop_with_classic_formats(spark, tdir):
+    """The three checkpoint formats interoperate on ONE table: classic
+    JSON manifests written before the upgrade keep serving time travel,
+    v2 manifests serve the current snapshot, and switching the property
+    back to parquet resumes classic columnar manifests — resolution
+    always picks the newest intact checkpoint regardless of format."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    for i in range(4):
+        t.append(_df(spark, [(i + 2, "b", 1)]))   # json ckpts at 2, 4
+    assert os.path.exists(t._checkpoint_path(2))
+    t.enable_v2_checkpoints()
+    for i in range(4):
+        t.append(_df(spark, [(i + 6, "c", 1)]))
+    import glob as _glob
+    assert _glob.glob(os.path.join(t.path, "_txlog",
+                                   "*.checkpoint.v2.json"))
+    t.set_properties({"txlog.checkpoint.format": "parquet"})
+    for i in range(2):
+        t.append(_df(spark, [(i + 10, "d", 1)]))
+    assert _glob.glob(os.path.join(t.path, "_txlog",
+                                   "*.checkpoint.parquet"))
+    fresh = TxLogTable(spark, tdir)
+    assert sorted(r["k"] for r in fresh.read().collect()) == \
+        list(range(1, 12))
+    # time travel into each format era (v0 CREATE holds k=1; appends
+    # at v1-4 add k=2..5; v5 = enable; v6-9 add k=6..9)
+    assert fresh.read(version=3).count() == 4      # json era
+    assert sorted(r["k"] for r in fresh.read(version=8).collect()) == \
+        list(range(1, 9))                          # v2 era
+
+
 def test_optimize_target_file_size(spark, tdir):
     """delta.targetFileSize drives the compaction's segment count from
     the snapshot's actual bytes — the knob that matters at scale, where
