@@ -172,6 +172,18 @@ _ADD_EXPECTATION_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# SHOW EXPECTATIONS t — the table's declared data-quality gates (name,
+# predicate, violation action) as a result set; SHOW EXPECTATION
+# METRICS t — the recorded per-commit pass/fail counts as a queryable
+# event log (DLT's data-quality dashboard shape: one row per
+# (commit, expectation), aggregable with plain SQL).
+_SHOW_EXPECTATIONS_RE = re.compile(
+    r"^\s*SHOW\s+EXPECTATIONS\s+(?P<target>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+_SHOW_EXP_METRICS_RE = re.compile(
+    r"^\s*SHOW\s+EXPECTATION\s+METRICS\s+(?P<target>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
 # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) / UNSET TBLPROPERTIES
 # ('k', ...) and SHOW TBLPROPERTIES t — Delta table properties.
 _SET_PROPS_RE = re.compile(
@@ -708,6 +720,30 @@ class Engine:
             props = self.txlog_tables[m.group("target")].properties()
             return self.spark.createDataFrame(
                 sorted(props.items()) or [], "key string, value string")
+        m = _SHOW_EXPECTATIONS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            exps = self.txlog_tables[m.group("target")].expectations()
+            return self.spark.createDataFrame(
+                [(n, s["expr"], s["action"])
+                 for n, s in sorted(exps.items())] or [],
+                "name string, expr string, action string")
+        m = _SHOW_EXP_METRICS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            # the per-commit pass/fail metrics recorded by the ingest
+            # gates, exploded one row per (commit, expectation) — a
+            # queryable event log: cumulative dashboards are a GROUP BY
+            # name away, trend lines a GROUP BY version.  Metadata-
+            # scale (reads commit info only, never data files).
+            hist = self.txlog_tables[m.group("target")].history()
+            rows = [(h["version"], h["op"], h["ts"], name,
+                     mm["action"], mm["passed"], mm["failed"])
+                    for h in hist
+                    for name, mm in sorted(
+                        h.get("expectations", {}).items())]
+            return self.spark.createDataFrame(
+                rows or [],
+                "version long, operation string, timestamp_ms long, "
+                "name string, action string, passed long, failed long")
         m = _SHOW_PARTS_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             t = self.txlog_tables[m.group("target")]

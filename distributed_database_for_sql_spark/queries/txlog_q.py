@@ -4272,3 +4272,103 @@ def delta_expectations_quality_gate(spark: SparkSession,
             .withColumn("fail_update_aborted",
                         F.lit(aborted).cast("int"))
             .orderBy("priority"))
+
+
+@register(
+    "delta_expectations_event_log",
+    # Oracle: ground-truth recompute of the per-expectation CUMULATIVE
+    # metrics across both gated commits (DLT's data-quality dashboard
+    # aggregates) plus the final table state — a hash match certifies
+    # that SHOW EXPECTATION METRICS serves exactly the recorded
+    # per-commit counts, that both ingests were gated by both
+    # expectations, and that the DROP gate's filtering matches its own
+    # recorded numbers.
+    oracle=f"""
+    WITH b1 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN -{_CENTS}
+                  ELSE {_CENTS} END AS cents
+      FROM orders WHERE o_orderkey <= 500
+    ), b2 AS (
+      SELECT o_orderkey AS k, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1400
+    ), written AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM b2 WHERE k <= 1200
+    ), fin AS (
+      SELECT COUNT(*) AS final_rows,
+             CAST(SUM(cents) AS BIGINT) AS final_cents
+      FROM written
+    ), m AS (
+      SELECT 'cents_pos' AS name, 'warn' AS action,
+             2 AS n_commits,
+             (SELECT COUNT(*) FROM b1 WHERE cents > 0)
+               + (SELECT COUNT(*) FROM b2) AS total_passed,
+             (SELECT COUNT(*) FROM b1 WHERE cents <= 0) AS total_failed
+      UNION ALL
+      SELECT 'key_in_range', 'drop', 2,
+             (SELECT COUNT(*) FROM b1)
+               + (SELECT COUNT(*) FROM b2 WHERE k <= 1200),
+             (SELECT COUNT(*) FROM b2 WHERE k > 1200)
+    )
+    SELECT m.name, m.action,
+           CAST(m.n_commits AS BIGINT) AS n_commits,
+           CAST(m.total_passed AS BIGINT) AS total_passed,
+           CAST(m.total_failed AS BIGINT) AS total_failed,
+           fin.final_rows, fin.final_cents
+    FROM m, fin
+    ORDER BY m.name
+    """,
+    tags=("acid", "delta", "expectations", "data-quality", "event-log",
+          "sql", "engine"),
+)
+def delta_expectations_event_log(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Expectations SURFACING (r12): ``SHOW EXPECTATIONS t`` lists the
+    declared gates and ``SHOW EXPECTATION METRICS t`` serves the
+    recorded per-commit pass/fail counts as a queryable event log (one
+    row per commit × expectation, metadata-scale — DLT's data-quality
+    dashboard shape).  Two appends flow through a WARN gate (negative
+    cents on every 7th key of batch 1 — counted, kept) and a DROP gate
+    (batch 2 keys beyond 1200 — filtered); the query aggregates the
+    event log per expectation and joins the declared action from SHOW
+    EXPECTATIONS, with final table state certifying the drops."""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    empty = spark.createDataFrame([], "k bigint, cents bigint")
+    t = TxLogTable.create(spark, _table_dir("expevt", sf_dir), empty,
+                          overwrite=True)
+    engine.register_txlog("expevt", t)
+    engine.sql("ALTER TABLE expevt ADD CONSTRAINT cents_pos "
+               "EXPECT (cents > 0)")
+    engine.sql("ALTER TABLE expevt ADD CONSTRAINT key_in_range "
+               "EXPECT (k <= 1200) ON VIOLATION DROP ROW")
+    b1 = (orders.filter(k <= 500)
+          .select(F.col("o_orderkey").alias("k"),
+                  (F.when(k % 7 == 0, -cents).otherwise(cents))
+                  .alias("cents")))
+    b2 = (orders.filter((k > 500) & (k <= 1400))
+          .select(F.col("o_orderkey").alias("k"), cents.alias("cents")))
+    t.append(b1)
+    t.append(b2)
+    met = engine.sql("SHOW EXPECTATION METRICS expevt")
+    decl = engine.sql("SHOW EXPECTATIONS expevt").select("name", "action")
+    fin = t.read().agg(F.count("*").alias("final_rows"),
+                       F.sum("cents").alias("final_cents")).collect()[0]
+    return (met.groupBy("name")
+            .agg(F.count("*").alias("n_commits"),
+                 F.sum("passed").alias("total_passed"),
+                 F.sum("failed").alias("total_failed"))
+            .join(F.broadcast(decl), "name")
+            .select("name", "action", "n_commits",
+                    "total_passed", "total_failed")
+            .withColumn("final_rows",
+                        F.lit(int(fin["final_rows"])).cast("long"))
+            .withColumn("final_cents",
+                        F.lit(int(fin["final_cents"])).cast("long"))
+            .orderBy("name"))

@@ -6578,3 +6578,46 @@ def test_expectations_sql_route(spark, tdir):
     assert "pos_v" not in t.expectations()
     eng.sql("INSERT INTO expt VALUES (4, 'd', -9)")
     assert 4 in {r["k"] for r in t.read().collect()}
+
+
+def test_show_expectations_and_metrics(spark, tdir):
+    """r12 expectations surfacing: SHOW EXPECTATIONS lists the declared
+    gates; SHOW EXPECTATION METRICS serves the recorded per-commit
+    pass/fail counts as one row per (commit, expectation) — the
+    queryable event log behind DLT's data-quality dashboard.  Both are
+    metadata-only (no data file read)."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    eng.register_txlog("sexp", t)
+    # empty surfaces: no gates declared, no metrics recorded
+    assert eng.sql("SHOW EXPECTATIONS sexp").count() == 0
+    assert eng.sql("SHOW EXPECTATION METRICS sexp").count() == 0
+    eng.sql("ALTER TABLE sexp ADD CONSTRAINT pos_v EXPECT (v > 0) "
+            "ON VIOLATION DROP ROW")
+    eng.sql("ALTER TABLE sexp ADD CONSTRAINT warn_grp EXPECT "
+            "(grp IS NOT NULL)")
+    decl = {(r["name"], r["expr"], r["action"])
+            for r in eng.sql("SHOW EXPECTATIONS sexp").collect()}
+    assert decl == {("pos_v", "v > 0", "drop"),
+                    ("warn_grp", "grp IS NOT NULL", "warn")}
+    t.append(_df(spark, [(2, "b", -1), (3, None, 5), (4, "c", 7)]))
+    t.append(_df(spark, [(5, "d", 9)]))
+    met = eng.sql("SHOW EXPECTATION METRICS sexp").collect()
+    assert len(met) == 4, "2 gated commits x 2 expectations"
+    by = {(r["version"], r["name"]): (r["passed"], r["failed"],
+                                      r["action"]) for r in met}
+    v1 = min(v for v, _ in by)
+    v2 = max(v for v, _ in by)
+    assert by[(v1, "pos_v")] == (2, 1, "drop")     # -1 dropped
+    assert by[(v1, "warn_grp")] == (2, 1, "warn")  # NULL grp kept
+    assert by[(v2, "pos_v")] == (1, 0, "drop")
+    assert by[(v2, "warn_grp")] == (1, 0, "warn")
+    # the event log aggregates with plain SQL (dashboard shape)
+    eng.sql("SHOW EXPECTATION METRICS sexp") \
+        .createOrReplaceTempView("sexp_events")
+    agg = {r["name"]: (r["p"], r["f"]) for r in spark.sql(
+        "SELECT name, SUM(passed) AS p, SUM(failed) AS f "
+        "FROM sexp_events GROUP BY name").collect()}
+    assert agg == {"pos_v": (3, 1), "warn_grp": (3, 1)}
