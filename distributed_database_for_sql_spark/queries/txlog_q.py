@@ -3805,6 +3805,125 @@ def delta_streaming_snapshot_cdc(spark: SparkSession,
 
 
 @register(
+    "delta_multi_flow_ingestion",
+    # Oracle: ground-truth recompute of the two flows' final state —
+    # the CDC flow's last-writer-wins fold (epoch 2 bumps %3 keys,
+    # epoch 1 bumps %2 keys, else the epoch-0 value) and the append
+    # flow's three slices exactly once despite every epoch being
+    # delivered twice.  The audit flags certify both per-flow txn
+    # watermarks and the per-flow commit counts (5 ingest commits
+    # would mean a replay landed twice; 2 would mean one was lost).
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             {_CENTS} + CASE WHEN o_orderkey % 3 = 0 THEN 20
+                             WHEN o_orderkey % 2 = 0 THEN 10
+                             ELSE 0 END AS cents,
+             'cdc' AS src
+      FROM orders WHERE o_orderkey <= 300
+    ), b AS (
+      SELECT o_orderkey + 10000 AS k, {_CENTS} AS cents,
+             'append' AS src
+      FROM orders WHERE o_orderkey <= 300
+    ), fin AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+    )
+    SELECT src,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           2 AS wm_flow_cdc,
+           2 AS wm_flow_append,
+           3 AS commits_flow_cdc,
+           3 AS commits_flow_append
+    FROM fin
+    GROUP BY src
+    ORDER BY src
+    """,
+    tags=("acid", "delta", "cdc", "streaming", "multi-flow", "occ"),
+)
+def delta_multi_flow_ingestion(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MULTI-FLOW ingestion into ONE target (r12 — DLT's several-flows-
+    one-table shape): a CDC flow (``cdc_sink``, SCD1 fold) and an
+    append flow (``streaming_sink``) write the same table CONCURRENTLY
+    from two threads through separate handles, three epochs each, every
+    epoch delivered TWICE (at-least-once transport) with a barrier
+    racing the flows into OCC interleavings.  Each flow's distinct
+    ``txn_app_id`` keeps its own replay watermark, so replays no-op
+    per flow and the commits compose: appends carry no key range and
+    the fold rewrites only segments holding its own keys, so the
+    writers commute instead of conflicting — the shape that lets N
+    pipelines feed one 100 TB table without a coordinator."""
+    import threading
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    keys = orders.filter(k <= 300)
+    empty = spark.createDataFrame([], "k bigint, cents bigint, src string")
+    t = TxLogTable.create(spark, _table_dir("multiflow", sf_dir), empty,
+                          overwrite=True)
+    ta = TxLogTable(spark, t.path)
+    tb = TxLogTable(spark, t.path)
+    sink_a = ta.cdc_sink("flow_cdc", key="k", sequence_by="seq")
+    sink_b = tb.streaming_sink("flow_append")
+
+    def mk_a(e: int) -> DataFrame:
+        flt = {0: k <= 300, 1: k % 2 == 0, 2: k % 3 == 0}[e]
+        return (keys.filter(flt)
+                .select(F.col("o_orderkey").alias("k"),
+                        (cents + 10 * e).alias("cents"),
+                        F.lit("cdc").alias("src"),
+                        F.lit(e).cast("int").alias("seq"),
+                        F.lit("u").alias("_change_type")))
+
+    def mk_b(e: int) -> DataFrame:
+        lo, hi = 100 * e, 100 * (e + 1)
+        # slice 0 is lower-inclusive: the testdata's key space starts
+        # at 0, and the three slices must cover [0, 300] exactly once
+        flt = (k <= hi) if e == 0 else ((k > lo) & (k <= hi))
+        return (keys.filter(flt)
+                .select((F.col("o_orderkey") + 10000).alias("k"),
+                        cents.alias("cents"),
+                        F.lit("append").alias("src")))
+
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def drive(sink, mk):
+        try:
+            for e in range(3):
+                barrier.wait(timeout=300)
+                batch = mk(e)
+                sink(batch, e)
+                sink(batch, e)   # at-least-once redelivery
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    th_a = threading.Thread(target=drive, args=(sink_a, mk_a))
+    th_b = threading.Thread(target=drive, args=(sink_b, mk_b))
+    th_a.start(), th_b.start()
+    th_a.join(600), th_b.join(600)
+    if errs:
+        raise errs[0]
+    ops = [h["op"] for h in t.history()]
+    return (t.read()
+            .groupBy("src")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("wm_flow_cdc",
+                        F.lit(ta.txn_version_for("flow_cdc")).cast("int"))
+            .withColumn("wm_flow_append",
+                        F.lit(tb.txn_version_for("flow_append"))
+                        .cast("int"))
+            .withColumn("commits_flow_cdc",
+                        F.lit(ops.count("APPLY CHANGES")).cast("int"))
+            .withColumn("commits_flow_append",
+                        F.lit(ops.count("APPEND")).cast("int"))
+            .orderBy("src"))
+
+
+@register(
     "delta_scd2_ignore_null_updates",
     # Oracle: the generic resolution recomputed relationally — seed the
     # inheritance with the open row (ord 0), epoch = running delete

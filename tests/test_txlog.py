@@ -6138,6 +6138,72 @@ def test_snapshot_sink_foreachbatch(spark, tdir):
     assert t.latest_version() == v
 
 
+def test_multi_flow_sinks_one_target_exactly_once(spark, tdir):
+    """r12 multi-flow ingestion (DLT allows several flows appending to
+    ONE target): a cdc_sink flow and a streaming_sink append flow write
+    the same table through SEPARATE handles — each flow keeps its own
+    txn watermark (distinct txn_app_id), replays no-op per flow,
+    interleaved commits compose through OCC, and a threaded barrage of
+    both flows (with per-epoch replays) still lands every batch exactly
+    once."""
+    import threading
+
+    t = TxLogTable.create(
+        spark, tdir, spark.createDataFrame([], "k int, v int"))
+    ta = TxLogTable(spark, tdir)   # flow A: CDC upserts on keys 1..9
+    tb = TxLogTable(spark, tdir)   # flow B: appends on keys 100+
+    sink_a = ta.cdc_sink("flowA", key="k", sequence_by="seq")
+    sink_b = tb.streaming_sink("flowB")
+    mk_a = lambda e: spark.createDataFrame(  # noqa: E731
+        [(k, 10 * e + k, e, "u") for k in range(1, 10)],
+        "k int, v int, seq int, _change_type string")
+    mk_b = lambda e: spark.createDataFrame(  # noqa: E731
+        [(100 + 10 * e + i, i) for i in range(3)], "k int, v int")
+    # deterministic interleave: A0 B0 A0(replay) B0(replay) A1 B1 ...
+    for e in range(2):
+        sink_a(mk_a(e), e)
+        sink_b(mk_b(e), e)
+        sink_a(mk_a(e), e)   # replayed epoch: no-op for A only
+        sink_b(mk_b(e), e)   # replayed epoch: no-op for B only
+    assert ta.txn_version_for("flowA") == 1
+    assert ta.txn_version_for("flowB") == 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    want = {k: 10 + k for k in range(1, 10)}             # A: epoch1 wins
+    want.update({100 + i: i for i in range(3)})          # B epoch 0
+    want.update({110 + i: i for i in range(3)})          # B epoch 1
+    assert got == want
+    # threaded barrage: epochs 2..4 from both flows concurrently, each
+    # delivered twice (at-least-once transport); barriers force the
+    # flows to race each epoch through OCC
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def drive(sink, mk):
+        try:
+            for e in range(2, 5):
+                barrier.wait(timeout=120)
+                batch = mk(e)
+                sink(batch, e)
+                sink(batch, e)
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    th_a = threading.Thread(target=drive, args=(sink_a, mk_a))
+    th_b = threading.Thread(target=drive, args=(sink_b, mk_b))
+    th_a.start(), th_b.start()
+    th_a.join(300), th_b.join(300)
+    assert not errs, errs
+    assert ta.txn_version_for("flowA") == 4
+    assert ta.txn_version_for("flowB") == 4
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    want = {k: 40 + k for k in range(1, 10)}             # A: epoch4 wins
+    for e in range(5):
+        want.update({100 + 10 * e + i: i for i in range(3)})
+    assert got == want, "every epoch exactly once, no replays doubled"
+    ops = [h["op"] for h in t.history()]
+    assert ops.count("APPLY CHANGES") == 5 and ops.count("APPEND") == 5
+
+
 def test_apply_changes_from_snapshot_track_history_except(spark, tdir):
     """FROM SNAPSHOT × SCD2 × TRACK HISTORY EXCEPT: a snapshot whose
     only movement is in excluded columns refreshes the open rows in
