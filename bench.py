@@ -108,6 +108,14 @@ EXTRA = [
     "delta_materialized_view_approx_distinct",
     "delta_materialized_view_dim_change",
     "delta_expectations_quality_gate",
+    # round 12: ignore-nulls backfill splice, streaming snapshot CDC,
+    # V2 checkpoints, expectations event log, multi-flow ingestion —
+    # recorded medians to regress against.
+    "delta_scd2_ignore_nulls_backfill",
+    "delta_streaming_snapshot_cdc",
+    "delta_v2_checkpoint",
+    "delta_expectations_event_log",
+    "delta_multi_flow_ingestion",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate
@@ -126,6 +134,11 @@ CDC_FAMILY = [
     "delta_scd2_track_history_except",
     "delta_apply_changes_snapshot",
     "delta_scd2_ignore_null_updates",
+    # r12 members — total_cdc_family_sec grows DEFINITIONALLY by their
+    # cost (same as the r11 additions; shared members are the regression
+    # signal)
+    "delta_scd2_ignore_nulls_backfill",
+    "delta_streaming_snapshot_cdc",
 ]
 
 

@@ -1426,6 +1426,36 @@ class Engine:
                          for d, v in cur_dims.items())
         if dims_stale:
             full = True
+        # One-time migration (r11 ADVICE, medium): an MV maintained
+        # from an SCD2 source's change feed BEFORE tombstone
+        # suppression existed may have counted zero-width tombstone
+        # inserts — no compensating delete ever comes, so it stays
+        # wrong until repaired.  On the first refresh against a
+        # stamped SCD2 source, audit the ALREADY-FOLDED CDF range once
+        # for zero-width inserts; any hit forces the FULL repair below
+        # (which recomputes from the public read — tombstones hidden).
+        # The verdict rides the MV as ``mv.scd2TombstoneAudit`` so the
+        # audit never re-runs; post-suppression feeds can't emit
+        # tombstone inserts, so clean stays clean.
+        audit_clean_pending = False
+        s_sc = src.properties().get("txlog.scd2.startCol")
+        s_ec = src.properties().get("txlog.scd2.endCol")
+        if s_sc and s_ec and \
+                props.get("mv.scd2TombstoneAudit") != "clean":
+            hit = 0
+            if last >= 0:
+                ch0 = src.read_changes(0, last)
+                if s_sc in ch0.columns and s_ec in ch0.columns:
+                    hit = (ch0.filter(
+                        (F.col("_change_type") == "insert")
+                        & F.col(s_ec).isNotNull()
+                        & (F.col(s_sc) == F.col(s_ec)))
+                        .limit(1).count())
+            if hit:
+                full = True
+                audit_clean_pending = True  # stamp WITH the repair
+            else:
+                mv.set_properties({"mv.scd2TombstoneAudit": "clean"})
         # One-time migration (r11 ADVICE): MVs persisted before the
         # hidden SUM/AVG maintenance state existed lack the
         # __mv_nn_/__mv_sum_ columns every refresh now maintains —
@@ -1477,17 +1507,41 @@ class Engine:
             # skipped as a replayed fold.
             txn = {"txn_app_id": app, "txn_version": cur} if last < cur \
                 else {}
-            mv.merge_full(
-                recompute, groups,
-                when_matched=[{"action": "update", "set": repl}],
-                when_not_matched=[{"action": "insert", "values": ins}],
-                when_not_matched_by_source=[{"action": "delete"}],
-                **txn)
+            post_props: dict[str, str] = {}
             if cur_dims and cur_dims != {
                     d: int(v) for d, v in dim_vers.items()}:
-                # advance the dim markers the recompute just absorbed
-                mv.set_properties({"mv.dimVersions": json.dumps(
-                    cur_dims, sort_keys=True)})
+                post_props["mv.dimVersions"] = json.dumps(
+                    cur_dims, sort_keys=True)
+            if audit_clean_pending:
+                post_props["mv.scd2TombstoneAudit"] = "clean"
+            if post_props:
+                # ADVICE r11: marker and fold advance ATOMICALLY — with
+                # a separate set_properties commit, a crash between the
+                # two left the marker stale and the NEXT refresh redid
+                # the whole FULL recompute (benign but a surprise cost
+                # at 100 TB).  Staging both in one table transaction
+                # lands them as ONE commit/version.  cur_dims was
+                # captured BEFORE the recompute read the dims, so a
+                # concurrent dim write leaves its marker below head and
+                # triggers exactly one more FULL — conservative, never
+                # stale-serving.
+                mv.begin_transaction()
+            try:
+                mv.merge_full(
+                    recompute, groups,
+                    when_matched=[{"action": "update", "set": repl}],
+                    when_not_matched=[{"action": "insert",
+                                       "values": ins}],
+                    when_not_matched_by_source=[{"action": "delete"}],
+                    **txn)
+                if post_props:
+                    mv.set_properties(post_props)
+            except BaseException:
+                if post_props:
+                    mv.rollback_transaction()
+                raise
+            if post_props:
+                mv.commit_transaction()
             return self._dml_ack(name, mv.latest_version())
         if last >= cur:
             return self._dml_ack(name, mv.latest_version())  # up to date

@@ -4663,10 +4663,27 @@ class TxLogTable:
         CDF consumers must not see them.  No-op unless the table's
         properties record SCD2 history columns (stamped by the first
         apply_changes_scd2 commit).  Internal rewrite paths read via
-        ``_read_active`` and keep the full trace."""
+        ``_read_active`` and keep the full trace.
+
+        RETROACTIVE for time travel (ADVICE r11, medium): a table
+        stamped today was an SCD2 table all along — its history column
+        names never change — so an as-of read of a PRE-stamp version
+        applies the LATEST stamp rather than serving tombstones the
+        current read hides (the same query flipping answers across a
+        version boundary that changed no data would be wrong).
+        Upgrade note for pre-stamp tables: the stamp lands on the first
+        post-upgrade ``apply_changes_scd2`` commit; until then a
+        read-only pre-upgrade SCD2 table still shows its tombstones
+        (nothing marks it as SCD2), and MVs maintained from a
+        pre-suppression change feed are audited + FULL-repaired once
+        by ``Engine.refresh`` (``mv.scd2TombstoneAudit``)."""
         props = self._meta_state(version).get("properties", {})
         sc_ = props.get("txlog.scd2.startCol")
         ec = props.get("txlog.scd2.endCol")
+        if version is not None and not (sc_ and ec):
+            cur = self._meta_state().get("properties", {})
+            sc_ = cur.get("txlog.scd2.startCol")
+            ec = cur.get("txlog.scd2.endCol")
         if sc_ and ec and sc_ in df.columns and ec in df.columns:
             df = df.filter(F.col(ec).isNull()
                            | (F.col(sc_) != F.col(ec)))

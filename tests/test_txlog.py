@@ -1366,9 +1366,18 @@ def test_materialized_view_txlog_dim_auto_repairs(spark, tdir, tmp_path):
                   engine.sql("SELECT * FROM tdmv").collect()) == \
         [("x", 2, 30), ("y", 2, 70)]
     # the dim CHANGES (dk=2 re-segments y→z): plain REFRESH detects the
-    # marker gap and auto-repairs — no manual FULL needed
+    # marker gap and auto-repairs — no manual FULL needed.  ADVICE r11:
+    # the repair fold and the mv.dimVersions marker advance land as ONE
+    # commit (a crash between two commits left the marker stale and the
+    # next refresh redid the FULL recompute)
     dim.update_where({"seg": F.lit("z")}, F.col("dk") == 2)
+    v_pre = mv.latest_version()
     engine.sql("REFRESH MATERIALIZED VIEW tdmv")
+    assert mv.latest_version() == v_pre + 1, \
+        "dim repair + marker advance must be one atomic commit"
+    import json as _json
+    assert _json.loads(mv.properties()["mv.dimVersions"]) == \
+        {"tddim": dim.latest_version()}
     assert sorted(tuple(r) for r in
                   engine.sql("SELECT * FROM tdmv").collect()) == \
         [("x", 2, 30), ("z", 2, 70)]
@@ -6136,6 +6145,98 @@ def test_snapshot_sink_foreachbatch(spark, tdir):
     with pytest.raises(ValueError, match="below the last applied"):
         sink(mk([(1, 10), (2, 20)]), 0)
     assert t.latest_version() == v
+
+
+def test_scd2_tombstone_hiding_retroactive_time_travel(spark, tdir):
+    """ADVICE r11 (medium): tombstone hiding is retroactive for time
+    travel — a table stamped today was SCD2 all along, so an as-of
+    read of a PRE-stamp version applies the LATEST stamp instead of
+    showing tombstones the current read hides."""
+    # simulate a pre-upgrade table: a zero-width tombstone row exists
+    # in the data but no txlog.scd2.* stamp records the history columns
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, 10, 0, None), (2, 0, 5, 5)],
+                              "k int, v int, __START_AT int, "
+                              "__END_AT int"))
+    v_pre = t.latest_version()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2], \
+        "unstamped table: nothing marks it SCD2, tombstone visible"
+    # first post-upgrade SCD2 apply stamps the history columns
+    t.apply_changes_scd2(
+        spark.createDataFrame([(3, 30, 1, "u")],
+                              "k int, v int, seq int, _change_type string"),
+        key="k", sequence_by="seq")
+    assert t.properties()["txlog.scd2.startCol"] == "__START_AT"
+    # current read hides the tombstone…
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    # …and so does time travel to the PRE-stamp version (retroactive)
+    assert sorted(r["k"] for r in t.read(version=v_pre).collect()) == [1]
+    # the internal trace keeps the tombstone at every version
+    assert sorted(r["k"] for r in t._read_active(v_pre).collect()) == \
+        [1, 2]
+
+
+def test_mv_scd2_tombstone_audit_repairs_once(spark, tdir, tmp_path):
+    """ADVICE r11 (medium): an MV maintained from an SCD2 source's
+    change feed before tombstone suppression may have counted
+    zero-width inserts.  The first refresh against a stamped source
+    audits the folded CDF range once; a hit forces the FULL repair and
+    the verdict marker lands atomically with it; clean sources stamp
+    the marker without repairing; later refreshes stay incremental."""
+    from distributed_database_for_sql_spark.engine import Engine
+
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    src = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(1, "g", 10, 0, None)],
+                              "k int, grp string, v int, __START_AT int, "
+                              "__END_AT int"),
+        enable_cdf=True)
+    engine.register_txlog("tasrc", src)
+    engine.sql("CREATE MATERIALIZED VIEW tamv AS "
+               "SELECT grp, COUNT(*) AS n, SUM(v) AS total FROM tasrc "
+               "GROUP BY grp")
+    # pre-suppression feed shape: a zero-width tombstone row arrives as
+    # a plain CDF insert (appends are not SCD2-aware) and the MV counts
+    # it because the table is not yet stamped
+    src.append(spark.createDataFrame([(2, "g", 0, 5, 5)],
+                                     "k int, grp string, v int, "
+                                     "__START_AT int, __END_AT int"))
+    engine.sql("REFRESH MATERIALIZED VIEW tamv")
+    mv = engine.txlog_tables["tamv"]
+    assert [tuple(r) for r in
+            engine.sql("SELECT n, total FROM tamv").collect()] == \
+        [(2, 10)], "pre-stamp: the tombstone insert was counted"
+    # the first SCD2 apply stamps the source; the next refresh audits
+    # the folded feed, finds the tombstone insert, FULL-repairs from
+    # the public read (tombstones hidden), and stamps the verdict in
+    # the SAME commit as the repair
+    src.apply_changes_scd2(
+        spark.createDataFrame([(3, "g", 30, 1, "u")],
+                              "k int, grp string, v int, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq")
+    v_pre = mv.latest_version()
+    engine.sql("REFRESH MATERIALIZED VIEW tamv")
+    assert mv.latest_version() == v_pre + 1, \
+        "repair + audit marker must land as one commit"
+    assert mv.properties()["mv.scd2TombstoneAudit"] == "clean"
+    assert [tuple(r) for r in
+            engine.sql("SELECT n, total FROM tamv").collect()] == \
+        [(2, 40)], "repaired: k=1,3 counted, tombstone excluded"
+    # audited clean: the next refresh is plain incremental (no rescan)
+    src.apply_changes_scd2(
+        spark.createDataFrame([(4, "g", 40, 1, "u")],
+                              "k int, grp string, v int, seq int, "
+                              "_change_type string"),
+        key="k", sequence_by="seq")
+    v1 = mv.latest_version()
+    engine.sql("REFRESH MATERIALIZED VIEW tamv")
+    assert mv.latest_version() == v1 + 1
+    assert [tuple(r) for r in
+            engine.sql("SELECT n, total FROM tamv").collect()] == \
+        [(3, 80)]
 
 
 def test_multi_flow_sinks_one_target_exactly_once(spark, tdir):
