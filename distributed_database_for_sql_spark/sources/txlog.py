@@ -4767,8 +4767,10 @@ class TxLogTable:
             if c not in cols:
                 raise ValueError(f"apply_changes: column {c!r} missing "
                                  "from the change batch")
-        changes, exp_commit = self._apply_expectations(
-            changes, exempt=F.col(change_type_col) == "delete")
+        exp_commit: dict = {}
+        if not ignore_null_updates:
+            changes, exp_commit = self._apply_expectations(
+                changes, exempt=F.col(change_type_col) == "delete")
         base_version = self.latest_version()
         dup = (changes.groupBy(*keys, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
@@ -4776,11 +4778,26 @@ class TxLogTable:
             raise ValueError(
                 "apply_changes: duplicate (key, sequence) in the batch — "
                 "sequencing is ambiguous; deduplicate upstream")
+        target_cols = self.read().columns
+        if ignore_null_updates:
+            # r12 (mirroring the SCD2 shape): resolve the inheritance
+            # as a PRE-step — seeded by one deterministic row per key,
+            # reset by deletes — so the standard fold below sees a
+            # fully-resolved batch and the expectation gate evaluates
+            # the RESOLVED rows (ADVICE r11: a NULL inherit slot that
+            # resolves to a passing value is not a violation; SCD1
+            # keeps identity inheritance — "keep the previous value"
+            # keeps the row's id on an in-place upsert)
+            changes = self._scd2_resolve_null_updates(
+                changes, keys, sequence_by, change_type_col,
+                list(target_cols), end_col=None, inherit_identity=True)
+            changes, exp_commit = self._apply_expectations(
+                changes, exempt=F.col(change_type_col) == "delete")
+            cols = changes.columns
         winners = (changes.groupBy(*keys)
                    .agg(F.max_by(F.struct(*[F.col(c) for c in cols]),
                                  F.col(sequence_by)).alias("__w"))
                    .select("__w.*"))
-        target_cols = self.read().columns
         wkeys = winners.select(*keys).distinct()
         aggs = []
         for k in keys:
@@ -4795,68 +4812,12 @@ class TxLogTable:
             r["_file"] for r in
             base.join(F.broadcast(wkeys), keys, "left_semi")
             .select("_file").distinct().collect())
-        if ignore_null_updates:
-            # DLT's IGNORE NULL UPDATES: a NULL column in a change event
-            # means "keep the previous value", resolved SEQUENTIALLY —
-            # per key the final value of each column is the LAST
-            # non-NULL across the seq-ordered events, seeded by the
-            # key's existing target row; a delete RESETS the chain
-            # (epoch = running delete count), so post-delete events
-            # inherit nothing from before the delete.  The winner event
-            # still decides delete-vs-upsert exactly as without the
-            # option.  One key shuffle; the seed scan is pruned to the
-            # already-touched segments.
-            payload = [c for c in target_cols if c not in keys]
-            seq_t = {f.name: f.dataType
-                     for f in changes.schema.fields}[sequence_by]
-            # a delete's own payload must NOT feed the inheritance
-            # chain (its epoch starts AT the delete row, so a non-NULL
-            # value riding the delete event would leak into post-delete
-            # NULL slots — hypothesis-found); mask it to NULL
-            not_del = F.col(change_type_col) != "delete"
-            ev = changes.select(
-                *keys,
-                *[F.when(not_del, F.col(c)).alias(c) for c in payload],
-                F.col(sequence_by).alias("__seq"),
-                (~not_del).alias("__del"),
-                F.lit(1).alias("__ord"))
-            if touched:
-                # one deterministic seed row per key (max payload
-                # struct — SCD1 targets normally hold one row per key)
-                sev = (self._read_active(only=touched)
-                       .join(F.broadcast(wkeys), keys, "left_semi")
-                       .groupBy(*keys)
-                       .agg(F.max(F.struct(*[F.col(c) for c in payload]))
-                            .alias("__s"))
-                       .select(*keys, "__s.*")
-                       .withColumn("__seq", F.lit(None).cast(seq_t))
-                       .withColumn("__del", F.lit(False))
-                       .withColumn("__ord", F.lit(0)))
-                ev = ev.unionByName(sev)
-            worder = [F.col("__ord"), F.col("__seq").asc_nulls_first()]
-            w = Window.partitionBy(*keys).orderBy(*worder)
-            ev = ev.withColumn(
-                "__epoch",
-                F.sum(F.col("__del").cast("long"))
-                .over(w.rowsBetween(Window.unboundedPreceding,
-                                    Window.currentRow)))
-            we = (Window.partitionBy(*keys, "__epoch").orderBy(*worder)
-                  .rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow))
-            filled = ev.select(
-                *keys, "__ord", "__seq", "__del",
-                *[F.last(F.col(c), ignorenulls=True).over(we).alias(c)
-                  for c in payload])
-            rn = F.row_number().over(
-                Window.partitionBy(*keys)
-                .orderBy(F.col("__ord").desc(),
-                         F.col("__seq").desc_nulls_last()))
-            ups = (filled.withColumn("__rn", rn)
-                   .filter((F.col("__rn") == 1) & ~F.col("__del"))
-                   .select(*target_cols))
-        else:
-            ups = (winners.filter(F.col(change_type_col) != "delete")
-                   .select(*target_cols))
+        # with ignore_null_updates the batch was already RESOLVED above
+        # (pre-step), so one fold serves both modes: the winner event
+        # decides delete-vs-upsert, its payload is the inherited value
+        # at its sequence
+        ups = (winners.filter(F.col(change_type_col) != "delete")
+               .select(*target_cols))
         ups = self._apply_generated(ups)
         ups, ident_actions, ident_cleanup = self._assign_identity(ups)
         self._validate_constraints(ups)
@@ -4936,7 +4897,9 @@ class TxLogTable:
                                    keys: list[str], sequence_by: str,
                                    change_type_col: str,
                                    payload_cols: list[str],
-                                   end_col: str) -> DataFrame:
+                                   end_col: str | None,
+                                   inherit_identity: bool = False
+                                   ) -> DataFrame:
         """DLT's ``IGNORE NULL UPDATES`` composed with SCD TYPE 2: a
         NULL column in a non-delete change event means "keep the
         previous value" — resolved SEQUENTIALLY per key so each opened
@@ -4955,8 +4918,17 @@ class TxLogTable:
         value across rows — NULL identity slots stay NULL and are
         engine-assigned past the high-water mark like every other
         path.  (SCD1 differs deliberately: there the row is UPDATED in
-        place, so "keep the previous value" correctly keeps its id.)"""
-        ident = set(self._identity_columns())
+        place, so "keep the previous value" correctly keeps its id —
+        ``inherit_identity=True``.)
+
+        Serves BOTH fold types (r12): ``end_col`` set → SCD2 shape,
+        seeded by each key's OPEN row; ``end_col=None`` → SCD1 shape,
+        seeded by one deterministic row per key (max payload struct —
+        SCD1 targets normally hold one row per key).  Resolving as a
+        PRE-step lets the expectation gate evaluate the RESOLVED rows
+        in both folds (ADVICE r11: a NULL inherit slot is not a
+        violation)."""
+        ident = set() if inherit_identity else set(self._identity_columns())
         nonkey = [c for c in payload_cols
                   if c not in keys and c not in ident]
         carry = [c for c in payload_cols if c in ident and c not in keys]
@@ -4971,13 +4943,22 @@ class TxLogTable:
             F.col(change_type_col).alias("__ct"),
             F.lit(1).alias("__ord"))
         kset = changes.select(*keys).distinct()
-        seed = (self._read_active()
-                .filter(F.col(end_col).isNull())
-                .join(F.broadcast(kset), keys, "left_semi")
-                .select(*keys, *nonkey, *carry,
-                        F.lit(None).cast(seq_type).alias("__seq"),
-                        F.lit("__seed__").alias("__ct"),
-                        F.lit(0).alias("__ord")))
+        seed_tail = [F.lit(None).cast(seq_type).alias("__seq"),
+                     F.lit("__seed__").alias("__ct"),
+                     F.lit(0).alias("__ord")]
+        if end_col is not None:
+            seed = (self._read_active()
+                    .filter(F.col(end_col).isNull())
+                    .join(F.broadcast(kset), keys, "left_semi")
+                    .select(*keys, *nonkey, *carry, *seed_tail))
+        else:
+            seed = (self._read_active()
+                    .join(F.broadcast(kset), keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(F.max(F.struct(*[F.col(c)
+                                          for c in (*nonkey, *carry)]))
+                         .alias("__s"))
+                    .select(*keys, "__s.*", *seed_tail))
         ev = ev.unionByName(seed)
         worder = [F.col("__ord"), F.col("__seq").asc_nulls_first()]
         w = Window.partitionBy(*keys).orderBy(*worder)

@@ -6549,6 +6549,27 @@ def test_scd2_ignore_nulls_backfill_recorded_null_and_delete_reset(
         "nothing"
 
 
+def test_scd1_ignore_nulls_gates_resolved_rows(spark, tdir):
+    """r12: the SCD1 fold gates expectations on RESOLVED rows too (the
+    same ADVICE-r11 contract as SCD2) — a NULL inherit slot that
+    resolves to a passing value is not a violation, and an event whose
+    RESOLVED value violates is dropped before the fold."""
+    t = TxLogTable.create(
+        spark, tdir, spark.createDataFrame([(1, 3)], "k int, a int"))
+    t.add_expectation("a_pos", "a > 0", action="drop")
+    t.apply_changes(
+        spark.createDataFrame([(1, None, 10, "u"), (2, -7, 10, "u")],
+                              "k int, a int, seq int, _change_type string"),
+        key="k", sequence_by="seq", ignore_null_updates=True)
+    got = sorted(tuple(r) for r in t.read().collect())
+    # k=1: NULL resolved to the seeded 3 → passed; k=2: resolved -7 →
+    # dropped (no row lands, the existing state is untouched)
+    assert got == [(1, 3)]
+    h = [c for c in t.history() if "expectations" in c]
+    assert h[-1]["expectations"]["a_pos"] == {
+        "failed": 1, "passed": 1, "action": "drop"}
+
+
 def test_scd2_ignore_nulls_backfill_gates_resolved_rows(spark, tdir):
     """ADVICE r11 + r12 composition: with IGNORE NULL UPDATES the
     expectation gate evaluates the RESOLVED rows — a NULL inherit slot
