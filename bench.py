@@ -116,6 +116,7 @@ EXTRA = [
     "delta_v2_checkpoint",
     "delta_expectations_event_log",
     "delta_multi_flow_ingestion",
+    "delta_log_retention",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

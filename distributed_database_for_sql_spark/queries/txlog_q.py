@@ -323,6 +323,87 @@ def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_retention",
+    # Oracle: relational recompute of the retained snapshot; the audit
+    # flags certify the cleanup mechanics — a positive retention floor,
+    # pre-floor time travel refused with a CLEAR error, history
+    # confined to the retained range, and commits/checkpoints below
+    # the floor actually gone from disk.  The value hash then proves
+    # the truncated log still resolves the exact state.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 900 AND o_orderkey % 9 <> 0)
+         OR (o_orderkey > 900 AND o_orderkey <= 1100)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS floor_positive,
+           1 AS pre_floor_refused,
+           1 AS history_starts_at_floor,
+           1 AS old_log_files_gone
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "checkpoint", "retention", "maintenance"),
+)
+def delta_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata cleanup / log retention (r12 —
+    ``delta.logRetentionDuration``): the transaction log itself is
+    bounded, not just the data files.  Commits and checkpoint
+    manifests strictly below the newest aged-past-retention checkpoint
+    are deleted; retained versions keep resolving checkpoint-first
+    with the same read-call bound (at 100 TB a streaming table commits
+    millions of times — without this the log directory grows forever);
+    versions below the floor refuse loudly instead of serving a torn
+    replay.  The scenario drives appends + a DELETE across checkpoint
+    boundaries, cleans with zero retention, and reads back through a
+    fresh handle."""
+    import glob as _glob
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    rows = lambda flt: (orders.filter(flt)  # noqa: E731
+                        .select("o_orderkey", "o_orderpriority",
+                                cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("logret", sf_dir),
+                          rows(k <= 300), overwrite=True)
+    t.checkpoint_interval = 3
+    t.set_properties({"delta.enableExpiredLogCleanup": "false"})
+    t.append(rows((k > 300) & (k <= 600)))
+    t.append(rows((k > 600) & (k <= 900)))
+    t.delete_where(k % 9 == 0)
+    t.append(rows((k > 900) & (k <= 1100)))
+    victims = t.cleanup_metadata(retention_hours=0)
+    fresh = TxLogTable(spark, t.path)
+    floor = fresh._earliest_version()
+    try:
+        fresh.read(version=floor - 1)
+        refused = False
+    except ValueError as e:
+        refused = "retained log" in str(e)
+    hist_ok = [h["version"] for h in fresh.history()][0] == floor
+    gone = bool(victims) and not any(
+        _os.path.exists(p) for p in victims) and not _glob.glob(
+        _os.path.join(fresh.log_dir, "00000000.json"))
+    return (fresh.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("floor_positive", F.lit(floor > 0).cast("int"))
+            .withColumn("pre_floor_refused", F.lit(refused).cast("int"))
+            .withColumn("history_starts_at_floor",
+                        F.lit(hist_ok).cast("int"))
+            .withColumn("old_log_files_gone", F.lit(gone).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "sql_merge_into_txlog",
     oracle=f"""
     WITH base AS (

@@ -539,6 +539,27 @@ class TxLogTable:
             return -1
         return int(os.path.splitext(os.path.basename(files[-1]))[0])
 
+    def _earliest_version(self) -> int:
+        """First commit file still on disk — 0 for a table that has
+        never had metadata cleanup, the retention floor afterwards."""
+        files = self._commit_files()
+        if not files:
+            return 0
+        return int(os.path.splitext(os.path.basename(files[0]))[0])
+
+    def _require_retained(self, start: int, v: int) -> None:
+        """Replay-floor guard: resolving ``v`` needs commits from
+        ``start`` up; if metadata cleanup removed them, fail with a
+        CLEAR error instead of a FileNotFoundError mid-replay."""
+        if start > 0:
+            return  # checkpoint-seeded replay: suffix is always retained
+        e = self._earliest_version()
+        if e > 0:
+            raise ValueError(
+                f"version {v} predates the retained log — metadata "
+                "cleanup (delta.logRetentionDuration) removed commits "
+                f"below {e}; the earliest resolvable version is {e}")
+
     def latest_version(self) -> int:
         disk = self._disk_latest_version()
         if self._staged is not None:
@@ -827,6 +848,87 @@ class TxLogTable:
         self.log_store.overwrite_atomic(
             os.path.join(self.log_dir, _LAST_CHECKPOINT),
             json.dumps(pointer).encode())
+        # Delta's expired-log cleanup piggybacks checkpoint writes:
+        # best-effort, derived-data only — a failure here never fails
+        # the commit that triggered the checkpoint
+        if props.get("delta.enableExpiredLogCleanup", "").lower() \
+                != "false":
+            try:
+                self.cleanup_metadata()
+            except Exception:
+                pass
+
+    def cleanup_metadata(self, retention_hours: float | None = None,
+                         dry_run: bool = False) -> list[str]:
+        """Delta's metadata cleanup (``delta.logRetentionDuration``,
+        default 30 days): bound the TRANSACTION LOG itself.  A busy
+        streaming table commits millions of times; without cleanup the
+        log directory grows forever even though checkpoints make old
+        commits redundant — the 100 TB operational gap VACUUM (data
+        files) does not cover.
+
+        Rule: let F be the NEWEST checkpoint whose own commit
+        timestamp has aged past retention.  Delete exactly the commit
+        files and checkpoint manifests (all formats, V2 sidecars
+        included) strictly BELOW F.  Every deleted commit is then both
+        older than retention AND covered by the retained checkpoint at
+        F, so every retained version ``>= F`` still resolves
+        checkpoint-first with the same read-call bound; versions below
+        F become unresolvable and raise a CLEAR error (Delta's
+        documented time-travel trade — ``_require_retained``).
+        In-commit timestamps decide age (strictly monotonic), never
+        file mtimes.  Runs automatically after each checkpoint unless
+        ``delta.enableExpiredLogCleanup = false``; change-data/segment
+        files of dropped commits remain VACUUM's concern.  Returns the
+        deleted (or, with ``dry_run``, deletable) paths."""
+        if retention_hours is None:
+            raw = self.properties().get("delta.logRetentionDuration")
+            if raw:
+                m = re.search(r"(\d+(?:\.\d+)?)\s*(hour|day)", raw,
+                              re.IGNORECASE)
+                if not m:
+                    raise ValueError(
+                        "unsupported delta.logRetentionDuration "
+                        f"{raw!r}: use 'interval N hours|days'")
+                retention_hours = float(m.group(1)) * (
+                    24.0 if m.group(2).lower() == "day" else 1.0)
+            else:
+                retention_hours = 30 * 24.0
+        cutoff = time.time() * 1000.0 - retention_hours * 3600.0 * 1000.0
+        earliest = self._earliest_version()
+        ckpt_vers = sorted({
+            int(os.path.basename(p).split(".")[0])
+            for pat in ("*.checkpoint.json", "*.checkpoint.parquet",
+                        "*.checkpoint.[0-9]*.parquet",
+                        "*.checkpoint.v2.json")
+            for p in glob.glob(os.path.join(self.log_dir, pat))})
+        floors = [k for k in ckpt_vers
+                  if k > earliest and self._commit_ts(k) <= cutoff
+                  and self._read_checkpoint_at(k) is not None]
+        if not floors:
+            return []
+        floor = max(floors)
+        victims: list[str] = []
+        for v in range(earliest, floor):
+            p = os.path.join(self.log_dir, f"{v:08d}.json")
+            if os.path.exists(p):
+                victims.append(p)
+        for pat in ("*.checkpoint.json", "*.checkpoint.parquet",
+                    "*.checkpoint.[0-9]*.parquet", "*.checkpoint.v2.json"):
+            for p in glob.glob(os.path.join(self.log_dir, pat)):
+                if int(os.path.basename(p).split(".")[0]) < floor:
+                    victims.append(p)
+        for p in glob.glob(os.path.join(self.log_dir, "_sidecars",
+                                        "*.parquet")):
+            if int(os.path.basename(p).split("-")[0]) < floor:
+                victims.append(p)
+        if not dry_run:
+            for p in victims:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return sorted(victims)
 
     def _checkpoint_parquet_path(self, version: int) -> str:
         return os.path.join(self.log_dir,
@@ -1027,6 +1129,7 @@ class TxLogTable:
             dvs = {k: list(vv) for k, vv in ckpt.get("dvs", {}).items()}
             schema_json = ckpt["schemaJson"]
             start = ckpt["version"] + 1
+        self._require_retained(start, v)
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "metaData" in action:
@@ -1065,6 +1168,7 @@ class TxLogTable:
             txns = dict(ckpt.get("txns", {}))
             constraints = dict(ckpt.get("constraints", {}))
             start = ckpt["version"] + 1
+        self._require_retained(start, v)
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "txn" in action:
@@ -1100,6 +1204,7 @@ class TxLogTable:
         if ckpt is not None:
             proto = dict(ckpt.get("protocol", proto))
             start = ckpt["version"] + 1
+        self._require_retained(start, v)
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "protocol" in action:
@@ -1323,6 +1428,7 @@ class TxLogTable:
             if ckpt is not None and "meta" in ckpt:
                 state = dict(ckpt["meta"])
                 start = ckpt["version"] + 1
+        self._require_retained(start, v)
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 md = action.get("metaData")
@@ -2946,10 +3052,14 @@ class TxLogTable:
         so resolution costs O(log N) single-file reads instead of an
         O(N) full log replay — on a 100k-commit streaming table that is
         ~17 reads, not 100k."""
-        if self._commit_ts(0) > ts_millis:
+        earliest = self._earliest_version()
+        if self._commit_ts(earliest) > ts_millis:
             raise ValueError(
-                f"no commit at or before timestamp {ts_millis}")
-        lo, hi = 0, self.latest_version()
+                f"no commit at or before timestamp {ts_millis}"
+                + ("" if earliest == 0 else
+                   f" in the retained log (metadata cleanup removed "
+                   f"commits below {earliest})"))
+        lo, hi = earliest, self.latest_version()
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if self._commit_ts(mid) <= ts_millis:
@@ -6427,7 +6537,8 @@ class TxLogTable:
     def history(self) -> list[dict]:
         """Commit metadata rows, oldest first."""
         out = []
-        for i in range(self.latest_version() + 1):
+        for i in range(self._earliest_version(),
+                       self.latest_version() + 1):
             for action in self._read_commit(i):
                 if "commit" in action:
                     out.append({"version": i, **action["commit"]})

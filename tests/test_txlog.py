@@ -4349,6 +4349,70 @@ def test_v2_checkpoint_interop_with_classic_formats(spark, tdir):
         list(range(1, 9))                          # v2 era
 
 
+def test_metadata_cleanup_log_retention(spark, tdir):
+    """r12: delta.logRetentionDuration metadata cleanup bounds the LOG
+    itself — commits and checkpoints strictly below the newest
+    aged-past-retention checkpoint are deleted; every retained version
+    still resolves checkpoint-first; versions below the floor raise a
+    clear error; history/timestamp resolution confine themselves to
+    the retained range."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 3
+    t.set_properties({"delta.enableExpiredLogCleanup": "false"})
+    for i in range(8):
+        t.append(_df(spark, [(i + 2, "b", 1)]))   # ckpts at 3, 6, 9
+    assert os.path.exists(t._checkpoint_path(9))
+    # default 30-day retention: nothing has aged out
+    assert t.cleanup_metadata() == []
+    dry = t.cleanup_metadata(retention_hours=0, dry_run=True)
+    assert dry and all(os.path.exists(p) for p in dry), \
+        "dry run lists but deletes nothing"
+    victims = t.cleanup_metadata(retention_hours=0)
+    assert sorted(victims) == sorted(dry)
+    assert t._earliest_version() == 9, "floor = newest aged checkpoint"
+    assert not os.path.exists(os.path.join(t.log_dir, "00000000.json"))
+    assert not os.path.exists(t._checkpoint_path(3))
+    # retained versions resolve exactly (fresh handle, checkpoint-first)
+    fresh = TxLogTable(spark, tdir)
+    assert sorted(r["k"] for r in fresh.read().collect()) == \
+        list(range(1, 10))
+    assert fresh.read(version=9).count() == 9
+    # below the floor: CLEAR error, not a FileNotFoundError mid-replay
+    with pytest.raises(ValueError, match="predates the retained log"):
+        fresh.read(version=8)
+    assert [h["version"] for h in fresh.history()][0] == 9
+    with pytest.raises(ValueError, match="retained log"):
+        fresh.version_at_timestamp(0)
+    # idempotent: nothing left below the floor
+    assert fresh.cleanup_metadata(retention_hours=0) == []
+    # writes continue normally on the truncated log
+    fresh.append(_df(spark, [(100, "z", 1)]))
+    assert 100 in {r["k"] for r in fresh.read().collect()}
+
+
+def test_metadata_cleanup_auto_and_v2_sidecars(spark, tdir):
+    """Cleanup runs automatically after a checkpoint write (unless
+    delta.enableExpiredLogCleanup=false) and removes superseded V2
+    sidecars along with their manifests."""
+    import glob as _glob
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    t.enable_v2_checkpoints()
+    t.set_properties(
+        {"delta.logRetentionDuration": "interval 0 hours"})
+    for i in range(6):
+        t.append(_df(spark, [(i + 2, "b", 1)]))
+    sidecars = _glob.glob(os.path.join(t.log_dir, "_sidecars",
+                                       "*.parquet"))
+    floor = t._earliest_version()
+    assert floor > 0, "auto cleanup ran on a checkpoint write"
+    assert all(int(os.path.basename(p).split("-")[0]) >= floor
+               for p in sidecars), "superseded sidecars removed"
+    assert sorted(r["k"] for r in TxLogTable(spark, tdir)
+                  .read().collect()) == list(range(1, 8))
+
+
 def test_optimize_target_file_size(spark, tdir):
     """delta.targetFileSize drives the compaction's segment count from
     the snapshot's actual bytes — the knob that matters at scale, where
