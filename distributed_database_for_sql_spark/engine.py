@@ -1443,8 +1443,9 @@ class Engine:
         if s_sc and s_ec and \
                 props.get("mv.scd2TombstoneAudit") != "clean":
             hit = 0
-            if last >= 0:
-                ch0 = src.read_changes(0, last)
+            lo = src._earliest_version()  # respect metadata cleanup
+            if last >= lo:
+                ch0 = src.read_changes(lo, last)
                 if s_sc in ch0.columns and s_ec in ch0.columns:
                     hit = (ch0.filter(
                         (F.col("_change_type") == "insert")

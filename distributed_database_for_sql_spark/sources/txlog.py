@@ -6369,6 +6369,13 @@ class TxLogTable:
             raise ValueError(
                 f"change range [{start_version}, {end}] out of bounds "
                 f"[0, {latest}]")
+        earliest = self._earliest_version()
+        if start_version < earliest:
+            raise ValueError(
+                f"change range [{start_version}, {end}] starts below "
+                "the retained log — metadata cleanup "
+                "(delta.logRetentionDuration) removed commits below "
+                f"{earliest}; start the CDF read there or later")
         end_map = self._column_mapping(end)
         add_renames = {p: c for c, p in end_map.items() if p != c}
 

@@ -84,9 +84,19 @@ def _resolve_start_version(options: dict) -> int:
     with changes committed at or after the given time); in-commit
     timestamps are monotonic, so this is a simple ordered scan of the
     tiny JSON log."""
+    path = options["path"]
+    files = _commit_files(path)
+    earliest = (int(os.path.splitext(os.path.basename(files[0]))[0])
+                if files else 0)
     ts = options.get("startingtimestamp")
     if ts is None:
-        return int(options.get("startversion", 0))
+        sv = int(options.get("startversion", earliest))
+        if sv < earliest:
+            raise ValueError(
+                f"startversion {sv} predates the retained log — "
+                "metadata cleanup (delta.logRetentionDuration) removed "
+                f"commits below {earliest}; start there or later")
+        return sv
     if "startversion" in options:
         raise ValueError(
             "startversion and startingtimestamp are mutually exclusive")
@@ -100,9 +110,8 @@ def _resolve_start_version(options: dict) -> int:
         dt = _dt.datetime.strptime(raw, fmt).replace(
             tzinfo=_dt.timezone.utc)
         target = int(dt.timestamp() * 1000)
-    path = options["path"]
     latest = _latest_version(path)
-    for v in range(latest + 1):
+    for v in range(earliest, latest + 1):
         if _commit_ts(path, v) >= target:
             return v
     return latest + 1  # nothing committed yet at/after the time
