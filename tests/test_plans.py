@@ -438,3 +438,47 @@ def test_mv_refresh_runs_constant_jobs_per_fold(spark, tmp_path):
         f"refresh job count moved with group count ({jobs}) — "
         "per-group work crept into the fold/repair path")
     assert jobs[64] <= 80, f"refresh job count blew the ceiling: {jobs}"
+
+
+def test_scd2_ignore_nulls_backfill_jobs_constant_in_keys(spark,
+                                                          tmp_path):
+    """r12: the ignore-nulls backfill splice must stay O(1) Spark jobs
+    regardless of how many keys it touches — the inheritance
+    resolution rides the SAME key-shuffled window pass as the re-fold
+    (epoch window is key-subsumed: no extra exchange), so per-key or
+    per-chain driver work would show up here as a job count moving
+    with the key count."""
+    from distributed_database_for_sql_spark.sources.txlog import TxLogTable
+
+    sc = spark.sparkContext
+    jobs = {}
+    for nkeys in (8, 64):
+        t = TxLogTable.create(
+            spark, str(tmp_path / f"ib{nkeys}"),
+            spark.createDataFrame(
+                [(k, k, 0, None) for k in range(nkeys)],
+                "k int, v int, __START_AT int, __END_AT int"))
+        t.apply_changes_scd2(
+            spark.createDataFrame(
+                [(k, 100 + k, 4, "u") for k in range(nkeys)],
+                "k int, v int, seq int, _change_type string"),
+            key="k", sequence_by="seq", ignore_null_updates=True)
+        late = spark.createDataFrame(
+            [(k, None, 2, "u") for k in range(nkeys)],
+            "k int, v int, seq int, _change_type string")
+        sc.setJobGroup(f"ibpin{nkeys}", "splice")
+        try:
+            t.apply_changes_scd2(
+                late, key="k", sequence_by="seq",
+                ignore_null_updates=True, allow_backfill=True)
+        finally:
+            sc.setJobGroup("", "")
+        jobs[nkeys] = len(
+            sc.statusTracker().getJobIdsForGroup(f"ibpin{nkeys}"))
+    # 8× the keys may legitimately touch a couple more segment-bound
+    # jobs (file counts differ); per-key/per-chain work would add ~one
+    # job per extra key (+56 here), so a tight delta still catches it
+    assert jobs[64] - jobs[8] <= 4, (
+        f"splice job count scales with key count ({jobs}) — per-key "
+        "work crept into the resolution/re-fold path")
+    assert jobs[64] <= 40, f"splice job count blew the ceiling: {jobs}"
