@@ -6613,6 +6613,38 @@ def test_scd2_ignore_nulls_backfill_recorded_null_and_delete_reset(
         "nothing"
 
 
+def test_scd2_ignore_nulls_track_except_backfill_compose(spark, tdir):
+    """r12 triple composition: IGNORE NULL UPDATES × TRACK HISTORY
+    EXCEPT × allow_backfill.  The splice resolves inheritance FIRST
+    (so run detection compares RESOLVED tracked values — a NULL
+    inherit slot whose resolved value equals its neighbor absorbs
+    instead of opening a version), then collapses runs, then folds."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([], "k int, v string, meta int, "
+                              "__START_AT int, __END_AT int"))
+    b1 = spark.createDataFrame(
+        [(1, "A", 1, 2, "u"), (1, "B", 3, 8, "u")],
+        "k int, v string, meta int, seq int, _change_type string")
+    t.apply_changes_scd2(b1, key="k", sequence_by="seq",
+                         ignore_null_updates=True,
+                         track_history_except_columns=["meta"])
+    # splice seq 5: v NULL inherits 'A' (the value AT seq 5 in true
+    # order) — resolved BEFORE run detection, so it absorbs into the
+    # seq-2 'A' run (meta refreshes to 9); the seq-8 'B' row's bounds
+    # are untouched
+    late = spark.createDataFrame(
+        [(1, None, 9, 5, "u")],
+        "k int, v string, meta int, seq int, _change_type string")
+    t.apply_changes_scd2(late, key="k", sequence_by="seq",
+                         ignore_null_updates=True,
+                         track_history_except_columns=["meta"],
+                         allow_backfill=True)
+    got = sorted(((r["v"], r["meta"], r["__START_AT"], r["__END_AT"])
+                  for r in t.read().collect()), key=lambda x: x[2])
+    assert got == [("A", 9, 2, 8), ("B", 3, 8, None)], got
+
+
 def test_scd1_ignore_nulls_gates_resolved_rows(spark, tdir):
     """r12: the SCD1 fold gates expectations on RESOLVED rows too (the
     same ADVICE-r11 contract as SCD2) — a NULL inherit slot that
