@@ -155,67 +155,76 @@ def register(name: str, oracle: str | None = None,
 #       families.  After this window certifies: min latest-driver-green
 #       = r6 over every oracled query.
 
+#   r13 window (below): pay down the certification debt the r12 verdict
+#       flagged as its top item — the driver window stayed frozen on the
+#       r10 list through r11 and r12, so the six r11 queries and six r12
+#       queries shipped without a driver-green row (violating the policy
+#       above; each was locally 249/249-oracled, but the bar is a
+#       CORRECTNESS row).  Positions 1-12: those twelve, fronted at
+#       last.  Positions 13-49: the ENTIRE r6-latest tier (37 queries —
+#       the oldest remaining; after this window certifies, min
+#       latest-driver-green = r7 over all previously-certified queries).
+#       Position 50: one r7-tier canary.  New r13 queries displace
+#       canaries from the tail per the policy above; a pytest lint
+#       (tests/test_properties.py::test_new_queries_are_in_front_window)
+#       now enforces the policy mechanically — any registered query
+#       absent from every CORRECTNESS_r*.json must be in the window.
+
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r10 (policy: new queries certify the round they ship) -------
-    "delta_materialized_view_minmax",  # AVG/MIN/MAX/WHERE MV + NULL edges
-    "delta_scd2_track_history_except",  # DLT TRACK HISTORY ON * EXCEPT
-    "delta_materialized_view_rollup",   # computed-group-key (time) rollup
-    # -- stale drain VII: ALL 34 r5-latest queries (the final staleness
-    #    tier — after this window certifies, min latest-driver-green = r6
-    #    across all oracled queries) --------------------------------------
-    "agg_grouping_sets",
-    "agg_having",
-    "decontam_benchmark_overlap",
-    "dedup_exact_substring_windows",
-    "dedup_exact_survivors",
-    "dedup_incremental_cross",
-    "fn_bitwise_suite",
-    "fn_url_suite",
-    "fn_variant_suite",
-    "graph_pagerank_trade",
-    "join_asof_purchase_click",
-    "join_bucketed_colocated",
-    "join_interval_maintenance",
-    "join_interval_overlap",
-    "mix_domain_reweight",
-    "multimodal_audio_features",
-    "multimodal_feature_extract",
-    "multimodal_image_features",
-    "mv_incremental_refresh",
-    "quality_gopher_rules",
-    "scd_merge_apply",
-    "set_except_all",
-    "sink_range_sharded",
-    "sketch_cms_heavy_hitters",
-    "source_csv_roundtrip",
-    "sql_parameterized_args",
-    "sql_recursive_cte",
-    "sql_udf_scalar",
-    "stream_tumbling_window",
-    "text_quality_score",
-    "udf_pandas_over_window",
-    "udf_pandas_scalar",
-    "window_rolling_time_range",
-    "window_topk_per_group",
-    # -- canaries: fifteen r6-certified queries (now the oldest tier),
-    #    drawn across families -------------------------------------------
-    "delta_merge_upsert",
-    "delta_change_data_feed",
-    "delta_deletion_vectors",
-    "delta_time_travel",
-    "delta_shallow_clone",
-    "delta_restore",
-    "stream_txlog_cdf_source",
-    "sql_merge_into_txlog",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "tokenizer_bpe_train_merges",
-    "dedup_minhash_lsh_pairs",
-    "ann_bruteforce_topk",
-    # sample_domain_cap displaced by delta_materialized_view_rollup
-    # (new-query policy); it joins the r11 canary list.
-    # text_compression_ratio displaced by delta_scd2_track_history_except
-    # (new-query policy); it joins the r11 canary list.
+    # -- certification-debt payoff: the six r11 queries ---------------------
+    "delta_apply_changes_snapshot",
+    "delta_apply_changes_snapshot_scd2",
+    "delta_scd2_ignore_null_updates",
+    "delta_materialized_view_approx_distinct",
+    "delta_materialized_view_dim_change",
+    "delta_expectations_quality_gate",
+    # -- certification-debt payoff: the six r12 queries ---------------------
+    "delta_scd2_ignore_nulls_backfill",
+    "delta_streaming_snapshot_cdc",
+    "delta_v2_checkpoint",
+    "delta_expectations_event_log",
+    "delta_multi_flow_ingestion",
+    "delta_log_retention",
+    # -- stale drain VIII: ALL 37 r6-latest queries (the oldest tier) -------
+    "agg_hll_sketch_mergeable",
+    "dedup_exact_substring_hashed",
+    "delta_bloom_skipping",
+    "delta_cdf_incremental_agg",
+    "delta_check_constraint",
+    "delta_column_mapping",
+    "delta_convert_in_place",
+    "delta_data_skipping",
+    "delta_delete_where",
+    "delta_generated_columns",
+    "delta_idempotent_stream_sink",
+    "delta_metadata_count",
+    "delta_optimize_compact",
+    "delta_partitioned_table",
+    "delta_streaming_mv",
+    "delta_zorder_optimize",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_domain_cap",
+    "sql_command_log_apply",
+    "sql_update_delete_txlog",
+    "stream_txlog_table_source",
+    "text_chunk_overlap",
+    "text_compression_ratio",
+    "tokenizer_bpe_encode",
+    # -- canary: oldest r7-tier query (displaced first by new r13 work) -----
+    "agg_count_distinct",
 )
 
 

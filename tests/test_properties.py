@@ -214,6 +214,39 @@ def test_coverage_doc_counts_match_registry():
         f"{total} total / {oracled} oracled / {total - oracled} rows-only")
 
 
+def test_new_queries_are_in_front_window():
+    """Window-rotation POLICY lint (VERDICT r12 top item): a query that has
+    never appeared in any driver CORRECTNESS_r*.json MUST be inside
+    _FRONT_WINDOW so the driver certifies it the round it ships
+    (queries/base.py policy comment: 'Never park an unverified query
+    outside the window').  The r11/r12 windows were left frozen on the
+    r10 list, so twelve shipped queries went two rounds without a driver
+    green row — this lint makes that drift a test failure instead of a
+    verdict finding."""
+    import glob
+    import json
+    import os
+
+    from distributed_database_for_sql_spark.queries import registry
+    from distributed_database_for_sql_spark.queries.base import _FRONT_WINDOW
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    ever_certified: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            ever_certified.update(json.load(open(path)).keys())
+        except (OSError, ValueError):
+            continue  # unreadable round file: treat as certifying nothing
+    assert ever_certified, "no CORRECTNESS_r*.json found — cannot lint"
+    window = set(_FRONT_WINDOW)
+    parked = [n for n in registry()
+              if n not in ever_certified and n not in window]
+    assert not parked, (
+        f"{len(parked)} registered queries have never been driver-certified "
+        f"and are outside _FRONT_WINDOW (queries/base.py) — front them: "
+        f"{sorted(parked)}")
+
+
 ops = st.lists(
     st.one_of(
         st.tuples(st.just("update"), st.integers(0, 5), st.integers(-3, 3)),
