@@ -4413,6 +4413,75 @@ def test_metadata_cleanup_auto_and_v2_sidecars(spark, tdir):
                   .read().collect()) == list(range(1, 8))
 
 
+def test_metadata_cleanup_throttled_when_floor_unchanged(spark, tdir):
+    """r13 (VERDICT r12 item 4): the post-checkpoint auto-cleanup is
+    THROTTLED — after the one seeding scan, a checkpoint whose retention
+    floor cannot have moved does NO cleanup I/O (cleanup_metadata is not
+    entered at all, so its 4 globs + per-checkpoint _commit_ts reads
+    never happen).  The gate re-opens the moment the earliest candidate
+    checkpoint ages past retention (simulated here by dropping retention
+    to 0), and a FRESH handle — which has no candidate knowledge — scans
+    exactly once to seed its cache."""
+    from distributed_database_for_sql_spark.sources import txlog as _tx
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    calls = {"n": 0, "globs": 0, "in_cleanup": False,
+             "cleanup_globs": 0}
+    real_cleanup = t.cleanup_metadata
+    real_glob = _tx.glob.glob
+
+    def counting_cleanup(*a, **kw):
+        calls["n"] += 1
+        calls["in_cleanup"] = True
+        try:
+            return real_cleanup(*a, **kw)
+        finally:
+            calls["in_cleanup"] = False
+
+    def counting_glob(*a, **kw):
+        # only cleanup-attributed globs matter: appends glob the log
+        # directory for their own snapshot resolution regardless.
+        if calls["in_cleanup"]:
+            calls["cleanup_globs"] += 1
+        return real_glob(*a, **kw)
+
+    t.cleanup_metadata = counting_cleanup
+    _tx.glob.glob = counting_glob
+    try:
+        t.append(_df(spark, [(2, "b", 1)]))   # v1: no ckpt yet
+        t.append(_df(spark, [(3, "b", 1)]))   # v2: ckpt + seeding scan
+        assert calls["n"] == 1, "first checkpoint seeds the cache"
+        assert calls["cleanup_globs"] >= 4, "the seed scan really globbed"
+        globs_after_seed = calls["cleanup_globs"]
+        for i in range(4):                    # v3-v6: ckpts at v4, v6
+            t.append(_df(spark, [(i + 4, "b", 1)]))
+        assert calls["n"] == 1, \
+            "30-day retention: floor cannot move — cleanup not entered"
+        # the ONLY cleanup-related I/O on the skip path is one
+        # _commit_ts read of the just-written commit: zero globs.
+        assert calls["cleanup_globs"] == globs_after_seed, \
+            "skip path must not glob the log directory"
+        # gate re-opens when the pending candidate ages past retention
+        t.set_properties(
+            {"delta.logRetentionDuration": "interval 0 hours"})
+        t.append(_df(spark, [(99, "z", 1)]))  # v8: ckpt, now eligible
+        assert calls["n"] >= 2, "aged candidate re-opens the gate"
+        assert t._earliest_version() > 0, "and the cleanup collected"
+    finally:
+        _tx.glob.glob = real_glob
+        t.cleanup_metadata = real_cleanup
+    # a fresh handle has no cache: its first checkpoint scans once
+    fresh = TxLogTable(spark, tdir)
+    fresh.checkpoint_interval = 2
+    assert not fresh._cleanup_seeded
+    fresh.append(_df(spark, [(100, "y", 1)]))
+    fresh.append(_df(spark, [(101, "y", 1)]))
+    assert fresh._cleanup_seeded, "fresh handle seeded on first ckpt"
+    assert sorted(r["k"] for r in TxLogTable(spark, tdir).read()
+                  .collect())[-3:] == [99, 100, 101]
+
+
 def test_optimize_target_file_size(spark, tdir):
     """delta.targetFileSize drives the compaction's segment count from
     the snapshot's actual bytes — the knob that matters at scale, where
