@@ -237,25 +237,29 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "delta_v2_checkpoint",
-    # Oracle: relational recompute of the final state (base + two
+    # Oracle: relational recompute of the final state (base + three
     # appends, minus the modulo delete); the audit flags certify the
     # mechanism — the fresh handle resolved FROM the v2 checkpoint
     # (read-call bound ≤ interval+1, counted on a monkeypatched commit
-    # reader), sidecar files exist on disk, and the protocol carries
-    # the v2Checkpoint reader feature.  The value hash then certifies
-    # the sidecar-held add list reproduced the exact snapshot.
+    # reader), sidecar files exist on disk, BOTH spec-allowed top
+    # manifest encodings (.v2.json from the first era, .v2.parquet
+    # after the property flip) landed on disk, and the protocol
+    # carries the v2Checkpoint reader feature.  The value hash then
+    # certifies the sidecar-held add list reproduced the exact
+    # snapshot — resolved through the PARQUET top, the newest.
     oracle=f"""
     WITH final AS (
       SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
       FROM orders
       WHERE (o_orderkey <= 1100 AND o_orderkey % 10 <> 0)
-         OR (o_orderkey > 1100 AND o_orderkey <= 1300)
+         OR (o_orderkey > 1100 AND o_orderkey <= 1500)
     )
     SELECT o_orderpriority,
            COUNT(*)                   AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            1 AS resolved_from_v2_checkpoint,
            1 AS sidecars_on_disk,
+           1 AS both_top_formats_on_disk,
            1 AS reader_feature_fenced
     FROM final
     GROUP BY o_orderpriority
@@ -273,7 +277,11 @@ def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest + sidecars with the same O(interval) read-call bound as
     the classic formats.  Commits cross a checkpoint boundary (append,
     DELETE, append) so the sidecars must carry removes' effects and
-    per-file stats forward exactly."""
+    per-file stats forward exactly.  r13: the scenario also flips
+    ``txlog.checkpoint.v2Top`` to ``parquet`` mid-table — the spec's
+    alternative top-manifest encoding — so the final resolution goes
+    through a PARQUET top while an earlier JSON top is still on disk,
+    certifying both encodings interoperate."""
     import glob as _glob
     import os as _os
 
@@ -294,6 +302,10 @@ def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.filter((k > 1100) & (k <= 1300))
              .select("o_orderkey", "o_orderpriority",
                      cents.alias("cents")))                      # v4
+    t.set_properties({"txlog.checkpoint.v2Top": "parquet"})      # v5
+    t.append(orders.filter((k > 1300) & (k <= 1500))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("cents")))                      # v6 ckpt
     fresh = TxLogTable(spark, t.path)
     fresh.checkpoint_interval = 3
     reads: list[int] = []
@@ -309,14 +321,18 @@ def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    if v <= fresh.latest_version()}) <= 3 + 1
     sidecars = _glob.glob(_os.path.join(t.path, "_txlog", "_sidecars",
                                         "*.parquet"))
-    tops = _glob.glob(_os.path.join(t.path, "_txlog",
-                                    "*.checkpoint.v2.json"))
+    json_tops = _glob.glob(_os.path.join(t.path, "_txlog",
+                                         "*.checkpoint.v2.json"))
+    pq_tops = _glob.glob(_os.path.join(t.path, "_txlog",
+                                       "*.checkpoint.v2.parquet"))
     fenced = "v2Checkpoint" in t.protocol().get("readerFeatures", [])
     return (out
             .withColumn("resolved_from_v2_checkpoint",
-                        F.lit(bool(bounded and tops)).cast("int"))
+                        F.lit(bool(bounded and pq_tops)).cast("int"))
             .withColumn("sidecars_on_disk",
                         F.lit(bool(sidecars)).cast("int"))
+            .withColumn("both_top_formats_on_disk",
+                        F.lit(bool(json_tops and pq_tops)).cast("int"))
             .withColumn("reader_feature_fenced",
                         F.lit(fenced).cast("int"))
             .orderBy("o_orderpriority"))

@@ -825,9 +825,19 @@ class TxLogTable:
                     if k not in ("adds", "active")}
             head["v2Checkpoint"] = True
             head["sidecarFiles"] = sidecars
-            self.log_store.overwrite_atomic(
-                self._checkpoint_v2_path(version),
-                json.dumps(head).encode())
+            # The Delta 3.x spec allows the V2 TOP manifest to be either
+            # JSON or PARQUET (<v>.checkpoint.v2.parquet); real Delta
+            # writers commonly emit the parquet top.  Both carry the
+            # same metadata-sized head + sidecar list; readers accept
+            # either interchangeably (same O(interval) read-call bound).
+            if props.get("txlog.checkpoint.v2Top", "json") == "parquet":
+                self.log_store.overwrite_atomic(
+                    self._checkpoint_v2_parquet_path(version),
+                    self._encode_v2_top_parquet(head))
+            else:
+                self.log_store.overwrite_atomic(
+                    self._checkpoint_v2_path(version),
+                    json.dumps(head).encode())
             pointer["sidecars"] = n
         elif fmt == "parquet" and part_size > 0 and \
                 len(manifest["adds"]) > part_size:
@@ -943,7 +953,7 @@ class TxLogTable:
             int(os.path.basename(p).split(".")[0])
             for pat in ("*.checkpoint.json", "*.checkpoint.parquet",
                         "*.checkpoint.[0-9]*.parquet",
-                        "*.checkpoint.v2.json")
+                        "*.checkpoint.v2.json", "*.checkpoint.v2.parquet")
             for p in glob.glob(os.path.join(self.log_dir, pat))})
         ts_by_ver = {k: self._commit_ts(k) for k in ckpt_vers
                      if k > earliest}
@@ -966,7 +976,8 @@ class TxLogTable:
             if os.path.exists(p):
                 victims.append(p)
         for pat in ("*.checkpoint.json", "*.checkpoint.parquet",
-                    "*.checkpoint.[0-9]*.parquet", "*.checkpoint.v2.json"):
+                    "*.checkpoint.[0-9]*.parquet", "*.checkpoint.v2.json",
+                    "*.checkpoint.v2.parquet"):
             for p in glob.glob(os.path.join(self.log_dir, pat)):
                 if int(os.path.basename(p).split(".")[0]) < floor:
                     victims.append(p)
@@ -989,6 +1000,37 @@ class TxLogTable:
     def _checkpoint_v2_path(self, version: int) -> str:
         return os.path.join(self.log_dir,
                             f"{version:08d}.checkpoint.v2.json")
+
+    def _checkpoint_v2_parquet_path(self, version: int) -> str:
+        return os.path.join(self.log_dir,
+                            f"{version:08d}.checkpoint.v2.parquet")
+
+    @staticmethod
+    def _encode_v2_top_parquet(head: dict) -> bytes:
+        """PARQUET-top V2 manifest (the spec's alternative to the JSON
+        top): one row per sidecar reference — the only part of the top
+        that grows at all — and the table-level head (protocol/meta/
+        version/dvs/txns/constraints/schemaJson) as one JSON blob in the
+        parquet key-value metadata, mirroring the classic columnar
+        manifest's layout so both decode paths share shape."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sidecars = head["sidecarFiles"]
+        meta_head = {k: v for k, v in head.items() if k != "sidecarFiles"}
+        table = pa.table(
+            {"path": pa.array([s["path"] for s in sidecars],
+                              type=pa.string()),
+             "sizeInBytes": pa.array(
+                 [int(s["sizeInBytes"]) for s in sidecars],
+                 type=pa.int64()),
+             "numAdds": pa.array([int(s["numAdds"]) for s in sidecars],
+                                 type=pa.int64())})
+        table = table.replace_schema_metadata(
+            {b"manifest": json.dumps(meta_head).encode()})
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf, compression="zstd")
+        return buf.getvalue().to_pybytes()
 
     @staticmethod
     def _encode_sidecar_parquet(adds: list[dict]) -> bytes:
@@ -1042,13 +1084,35 @@ class TxLogTable:
         manifest + sidecars); None if absent/torn — including a MISSING
         PART of a multi-part checkpoint or a missing V2 sidecar — in
         which case full log replay still works."""
+        head: dict | None = None
         v2p = self._checkpoint_v2_path(version)
+        v2pq = self._checkpoint_v2_parquet_path(version)
         if os.path.exists(v2p):
+            try:
+                with open(v2p) as f:
+                    head = json.load(f)
+            except Exception:
+                return None  # torn v2 json top: replay
+        elif os.path.exists(v2pq):
+            # parquet-top variant: sidecar references as rows, head in
+            # the key-value metadata — same resolution from here on.
             try:
                 import pyarrow.parquet as pq
 
-                with open(v2p) as f:
-                    head = json.load(f)
+                t = pq.read_table(v2pq)
+                head = json.loads(t.schema.metadata[b"manifest"])
+                head["sidecarFiles"] = [
+                    {"path": p, "sizeInBytes": s, "numAdds": n}
+                    for p, s, n in zip(
+                        t.column("path").to_pylist(),
+                        t.column("sizeInBytes").to_pylist(),
+                        t.column("numAdds").to_pylist())]
+            except Exception:
+                return None  # torn v2 parquet top: replay
+        if head is not None:
+            try:
+                import pyarrow.parquet as pq
+
                 all_adds: list[dict] = []
                 for sc in head.pop("sidecarFiles"):
                     t = pq.read_table(os.path.join(
@@ -1137,6 +1201,8 @@ class TxLogTable:
             + glob.glob(os.path.join(self.log_dir,
                                      "*.checkpoint.[0-9]*.parquet"))
             + glob.glob(os.path.join(self.log_dir, "*.checkpoint.v2.json"))
+            + glob.glob(os.path.join(self.log_dir,
+                                     "*.checkpoint.v2.parquet"))
             if int(os.path.basename(p).split(".")[0]) <= version
         }, reverse=True)
         for cv in cands:
@@ -1347,7 +1413,8 @@ class TxLogTable:
         ]
         return self._commit_with_occ(actions, [], base_version)
 
-    def enable_v2_checkpoints(self, part_size: int | None = None) -> int:
+    def enable_v2_checkpoints(self, part_size: int | None = None,
+                              top: str | None = None) -> int:
         """Switch checkpointing to the Delta 3.x V2 shape
         (``v2Checkpoint`` table feature) in ONE commit: the protocol
         gains the ``v2Checkpoint`` READER feature — fencing is the
@@ -1360,7 +1427,13 @@ class TxLogTable:
         classic JSON / parquet / multi-part formats stay readable and
         interoperate exactly the way those formats already do; only
         FUTURE checkpoints use the manifest+sidecar layout, and the
-        read-call bound stays O(checkpoint interval)."""
+        read-call bound stays O(checkpoint interval).
+
+        ``top`` selects the TOP-manifest encoding the Delta 3.x spec
+        allows — ``json`` (default) or ``parquet``
+        (``<v>.checkpoint.v2.parquet``, the variant real Delta writers
+        commonly emit); readers accept both interchangeably
+        (``txlog.checkpoint.v2Top`` table property)."""
         base_version = self.latest_version()
         proto = self.protocol()
         rf = set(proto.get("readerFeatures", []))
@@ -1377,6 +1450,11 @@ class TxLogTable:
         merged["txlog.checkpoint.format"] = "v2"
         if part_size is not None:
             merged["txlog.checkpoint.partSize"] = str(int(part_size))
+        if top is not None:
+            if top not in ("json", "parquet"):
+                raise ValueError(
+                    f"bad v2 top format {top!r}: use 'json' or 'parquet'")
+            merged["txlog.checkpoint.v2Top"] = top
         actions = [
             {"commit": {"op": "ENABLE V2 CHECKPOINTS",
                         "ts": self._next_ts()}},

@@ -4317,6 +4317,67 @@ def test_v2_checkpoint_write_read_fence_and_torn(spark, tdir,
         list(range(1, 10)), "torn v2 checkpoint: fallback failed"
 
 
+def test_v2_checkpoint_parquet_top(spark, tdir):
+    """r13 (VERDICT r12 item 5): the V2 TOP manifest can be PARQUET
+    (<v>.checkpoint.v2.parquet — the Delta 3.x spec's alternative to
+    the JSON top, and what real Delta writers commonly emit).  A fresh
+    handle resolves from the parquet top + sidecars with the same
+    O(interval) read-call bound as the JSON top; the two top formats
+    interoperate on one table; a torn parquet top falls back to the
+    next older intact checkpoint / replay; cleanup collects .v2.parquet
+    tops below the floor like every other manifest format."""
+    import glob as _glob
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 3
+    t.enable_v2_checkpoints(part_size=2, top="parquet")     # v1
+    for i in range(5):
+        t.append(_df(spark, [(i + 2, "b", (i + 2) * 10)]))  # v2-v6: ckpts at v3, v6
+    pq_tops = _glob.glob(os.path.join(t.path, "_txlog",
+                                      "*.checkpoint.v2.parquet"))
+    assert pq_tops, "parquet top manifest expected"
+    assert not _glob.glob(os.path.join(t.path, "_txlog",
+                                       "*.checkpoint.v2.json")), \
+        "no JSON top when v2Top=parquet"
+    v = max(int(os.path.basename(p).split(".")[0]) for p in pq_tops)
+    # fresh handle: resolves from the parquet top, same read-call bound
+    fresh = TxLogTable(spark, tdir)
+    fresh.checkpoint_interval = 3
+    reads = []
+    orig = fresh._read_commit
+    fresh._read_commit = lambda ver: (reads.append(ver) or orig(ver))
+    assert sorted(r["k"] for r in fresh.read().collect()) == \
+        list(range(1, 7))
+    replayed = {x for x in reads if x <= fresh.latest_version()}
+    assert len(replayed) <= fresh.checkpoint_interval + 1, \
+        f"parquet top not used: replayed {sorted(replayed)}"
+    # stats survive the round-trip: pruning works off the sidecars
+    kept, total = fresh.prune_files([("k", "=", 6)])
+    assert len(kept) < total
+    # interop: flip the top back to JSON on the SAME table
+    t.set_properties({"txlog.checkpoint.v2Top": "json"})    # v7
+    for i in range(2):
+        t.append(_df(spark, [(i + 7, "c", 1)]))             # ckpt at v9
+    assert _glob.glob(os.path.join(t.path, "_txlog",
+                                   "*.checkpoint.v2.json")), \
+        "JSON top resumes after the property flip"
+    assert sorted(r["k"] for r in TxLogTable(spark, tdir)
+                  .read().collect()) == list(range(1, 9))
+    # torn parquet top: truncate it — resolution falls back cleanly
+    victim = os.path.join(t.log_dir, f"{v:08d}.checkpoint.v2.parquet")
+    with open(victim, "wb") as f:
+        f.write(b"torn")
+    assert TxLogTable(spark, tdir).read(version=v).count() == v, \
+        "torn parquet top: fallback to older checkpoint / replay"
+    # cleanup treats .v2.parquet tops as manifests below the floor
+    t.cleanup_metadata(retention_hours=0)
+    assert not _glob.glob(os.path.join(
+        t.path, "_txlog", "*.checkpoint.v2.parquet")), \
+        "pre-floor parquet tops collected"
+    assert sorted(r["k"] for r in TxLogTable(spark, tdir)
+                  .read().collect()) == list(range(1, 9))
+
+
 def test_v2_checkpoint_interop_with_classic_formats(spark, tdir):
     """The three checkpoint formats interoperate on ONE table: classic
     JSON manifests written before the upgrade keep serving time travel,
