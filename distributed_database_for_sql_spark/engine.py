@@ -277,9 +277,11 @@ _SHOW_MV_RE = re.compile(
 
 # GENERATE symlink_format_manifest FOR TABLE t — external-reader interop
 # (Presto/Trino/Athena/DuckDB read the listed files without the log).
+# GENERATE iceberg_metadata FOR TABLE t — UniForm-shape Iceberg metadata
+# export (metadata.json + manifests over the same parquet, zero copies).
 _GENERATE_RE = re.compile(
-    r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
-    r"(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
+    r"^\s*GENERATE\s+(?P<kind>symlink_format_manifest|iceberg_metadata)"
+    r"\s+FOR\s+TABLE\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
 
 # APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
 # SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
@@ -654,7 +656,11 @@ class Engine:
         m = _GENERATE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")
-            path = self.txlog_tables[target].generate_manifest()
+            t = self.txlog_tables[target]
+            if m.group("kind").lower() == "iceberg_metadata":
+                path = t.generate_iceberg_metadata()
+            else:
+                path = t.generate_manifest()
             return self.spark.createDataFrame(
                 [(target, path)], "table_name string, manifest string")
         m = _DROP_FEATURE_RE.match(command)

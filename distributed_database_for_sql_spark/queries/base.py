@@ -223,8 +223,9 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "text_chunk_overlap",
     "text_compression_ratio",
     "tokenizer_bpe_encode",
-    # -- canary: oldest r7-tier query (displaced first by new r13 work) -----
-    "agg_count_distinct",
+    # -- new in r13 (policy: new queries certify the round they ship;
+    #    displaced the agg_count_distinct canary) --------------------------
+    "delta_uniform_iceberg_export",
 )
 
 

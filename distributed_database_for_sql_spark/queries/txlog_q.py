@@ -339,6 +339,97 @@ def delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_uniform_iceberg_export",
+    # Oracle: relational recompute of the final snapshot (base + append,
+    # minus the modulo delete).  The SPARK side computes its aggregate
+    # by reading the table through the GENERATED ICEBERG METADATA ONLY
+    # (version-hint -> metadata.json -> manifest list -> manifests ->
+    # parquet), never the txlog — so the value hash certifies the
+    # export names exactly the right files.  Audit flags pin the
+    # mechanism: planned paths == txlog active paths, planned record
+    # counts == snapshot row count, at least one manifest was REUSED
+    # across refreshes (the O(changed files) scale property), and one
+    # Iceberg snapshot exists per export.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 1200 AND o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS paths_match_snapshot,
+           1 AS record_counts_match,
+           1 AS manifest_reused,
+           3 AS snapshots_tracked
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "iceberg", "uniform", "interop"),
+)
+def delta_uniform_iceberg_export(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """UniForm-shape Iceberg metadata export (r13): after each commit
+    the table exports an Iceberg v2 metadata tree (metadata.json +
+    manifest-list + manifests under <table>/metadata/) over the SAME
+    parquet files — zero data copies — and an Iceberg-side planner
+    reads the snapshot back without ever touching ``_txlog/``.
+    Manifest REUSE keeps each refresh O(changed files): the append's
+    refresh must carry the base manifest forward untouched.  At 100 TB
+    this is the interop path that lets Trino/Flink/Snowflake-class
+    engines plan the table from metadata-sized reads while Spark keeps
+    writing through the ACID log.  (sources/uniform.py; churn pin in
+    tests/test_txlog.py::test_uniform_iceberg_export_churn.)"""
+    from ..sources import uniform
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    base = (orders.filter(k <= 900)
+            .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .repartition(4, "o_orderkey"))
+    t = TxLogTable.create(spark, _table_dir("uniform", sf_dir), base,
+                          overwrite=True)
+    t.generate_iceberg_metadata()                               # snap 0
+    t.append(orders.filter((k > 900) & (k <= 1200))
+             .select("o_orderkey", "o_orderpriority",
+                     cents.alias("cents")))                     # v1
+    t.generate_iceberg_metadata()                               # snap 1
+    t.delete_where(k % 7 == 0)                                  # v2 (CoW)
+    t.generate_iceberg_metadata()                               # snap 2
+    # ---- Iceberg-side audit: plan via the exported metadata only ----
+    files = uniform.plan_files(t.path)
+    planned_paths = sorted(f["file_path"] for f in files)
+    import os as _os
+    live, _ = t._snapshot_files()
+    active_paths = sorted(_os.path.abspath(p) for p in live)
+    planned_records = sum(f["record_count"] for f in files)
+    meta = uniform.current_metadata(t.path)
+    snap1_entries = uniform._read_manifest_list(
+        next(s for s in meta["snapshots"] if s["snapshot-id"] == 1)
+        ["manifest-list"])
+    reused = any(e["existing_files_count"] > 0
+                 and e["added_files_count"] == 0 for e in snap1_entries)
+    # ---- the data itself flows through the Iceberg metadata path ----
+    out = (uniform.read_snapshot(spark, t.path)
+           .groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents")))
+    return (out
+            .withColumn("paths_match_snapshot",
+                        F.lit(planned_paths == active_paths).cast("int"))
+            .withColumn("record_counts_match",
+                        F.lit(planned_records == t.read().count())
+                        .cast("int"))
+            .withColumn("manifest_reused", F.lit(reused).cast("int"))
+            .withColumn("snapshots_tracked",
+                        F.lit(len(meta["snapshots"])).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "delta_log_retention",
     # Oracle: relational recompute of the retained snapshot; the audit
     # flags certify the cleanup mechanics — a positive retention floor,

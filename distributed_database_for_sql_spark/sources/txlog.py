@@ -518,6 +518,9 @@ class TxLogTable:
         #: best-effort cleanup, never delete too much.
         self._cleanup_pending_ts: int | None = None
         self._cleanup_seeded: bool = False
+        #: UniForm flag cache (None = not yet resolved from properties);
+        #: see _maybe_uniform.
+        self._uniform_enabled: bool | None = None
 
     # -- log plumbing -------------------------------------------------------
 
@@ -746,6 +749,7 @@ class TxLogTable:
                                     "the current snapshot")
             if self._try_commit(v, actions):
                 self._maybe_checkpoint(v)
+                self._maybe_uniform()
                 return v
 
     # -- checkpointing (Delta's _last_checkpoint pattern) ---------------------
@@ -2848,6 +2852,7 @@ class TxLogTable:
             if self._try_commit(v, actions):
                 self._maybe_checkpoint(v)
                 self._maybe_auto_compact()
+                self._maybe_uniform()
                 return v
 
     def streaming_sink(self, app_id: str):
@@ -4839,6 +4844,10 @@ class TxLogTable:
         _, schema_json = self._snapshot_files()
         merged = self.properties()
         merged.update({str(k): str(v) for k, v in props.items()})
+        if "txlog.uniform.enabled" in props:
+            # invalidate this handle's cached UniForm flag so the very
+            # next commit honors the new setting
+            self._uniform_enabled = None
         actions = [
             {"commit": {"op": "SET TBLPROPERTIES", "ts": self._next_ts(),
                         "keys": sorted(props)}},
@@ -6279,6 +6288,51 @@ class TxLogTable:
             open(mp, "w").close()
             return mp
         return root
+
+    def generate_iceberg_metadata(self, version: int | None = None) -> str:
+        """``GENERATE iceberg_metadata`` — UniForm-shape Iceberg interop
+        (Delta's ``delta.universalFormat.enabledFormats = iceberg``):
+        write/refresh an Iceberg v2 metadata tree (metadata.json +
+        manifest-list + manifests under ``<table>/metadata/``) over the
+        CURRENT snapshot's parquet files — zero data copies, manifest
+        reuse keeps a refresh O(changed files).  DV'd snapshots refuse
+        (same guard as symlink manifests).  See ``sources/uniform.py``
+        for layout, determinism, and the documented JSON-for-Avro codec
+        deviation.  Returns the new metadata.json path."""
+        from . import uniform
+        return uniform.generate(self, version)
+
+    def enable_uniform(self) -> int:
+        """Turn ON per-commit Iceberg metadata refresh (UniForm mode):
+        one commit sets ``txlog.uniform.enabled`` and exports the
+        current snapshot; every future commit then refreshes the
+        Iceberg tree post-commit (best-effort, derived data — a failed
+        export never fails the data commit, the next one catches up
+        because ``generate`` always exports the LATEST snapshot)."""
+        v = self.set_properties({"txlog.uniform.enabled": "true"})
+        self._uniform_enabled = True
+        self.generate_iceberg_metadata()
+        return v
+
+    def _maybe_uniform(self) -> None:
+        """Post-commit hook: refresh the Iceberg export when UniForm
+        mode is on.  The enabled flag is cached per handle after one
+        checkpoint-bounded properties() read, so the common case
+        (UniForm off) costs nothing on the commit path."""
+        enabled = getattr(self, "_uniform_enabled", None)
+        if enabled is None:
+            try:
+                enabled = self.properties().get(
+                    "txlog.uniform.enabled", "").lower() == "true"
+            except Exception:
+                enabled = False
+            self._uniform_enabled = enabled
+        if not enabled:
+            return
+        try:
+            self.generate_iceberg_metadata()
+        except Exception:
+            pass  # best-effort derived data; next commit catches up
 
     def detail(self) -> dict:
         """Table detail (Delta's ``DESCRIBE DETAIL`` shape): location,

@@ -4317,6 +4317,128 @@ def test_v2_checkpoint_write_read_fence_and_torn(spark, tdir,
         list(range(1, 10)), "torn v2 checkpoint: fallback failed"
 
 
+def test_uniform_iceberg_export_churn(spark, tdir):
+    """r13 (VERDICT r12 item 6): UniForm-shape Iceberg metadata export.
+    Each generate() adds ONE deterministic Iceberg snapshot over the
+    current txlog snapshot's parquet (zero data copies); an Iceberg-side
+    planner (version-hint -> metadata.json -> manifest list -> manifests)
+    reproduces the exact active file set and record counts through
+    append / delete / compaction churn; manifests whose files all
+    survive are REUSED (O(changed files) refresh); old snapshots stay
+    time-travelable; regenerating the same version is a no-op; DV'd
+    snapshots refuse; enable_uniform() refreshes per commit."""
+    import glob as _glob
+
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(
+        spark, [(i, "ab"[i % 2], i * 10) for i in range(1, 9)]))
+    t.generate_iceberg_metadata()                            # snap 0
+
+    def _planned():
+        files = uniform.plan_files(tdir)
+        return (sorted(f["file_path"] for f in files),
+                sum(f["record_count"] for f in files))
+
+    def _active():
+        live, _ = t._snapshot_files()
+        return sorted(os.path.abspath(p) for p in live)
+
+    paths, recs = _planned()
+    assert paths == _active() and recs == 8
+
+    # append churn: new manifest for the delta, old manifest REUSED
+    t.append(_df(spark, [(9, "c", 90), (10, "c", 100)]))     # v1
+    t.generate_iceberg_metadata()                            # snap 1
+    paths, recs = _planned()
+    assert paths == _active() and recs == 10
+    meta = uniform.current_metadata(tdir)
+    entries = uniform._read_manifest_list(
+        next(s for s in meta["snapshots"] if s["snapshot-id"] == 1)
+        ["manifest-list"])
+    assert any(e["existing_files_count"] > 0
+               and e["added_files_count"] == 0 for e in entries), \
+        "surviving manifest must be reused, not rewritten"
+    assert any(e["added_files_count"] > 0 for e in entries)
+
+    # delete churn (copy-on-write): retired manifest's survivors are
+    # rewritten; the planned set still matches the snapshot exactly
+    t.delete_where(F.col("k") <= 2)                          # v2
+    t.generate_iceberg_metadata()                            # snap 2
+    paths, recs = _planned()
+    assert paths == _active() and recs == 8
+
+    # compaction churn: OPTIMIZE rewrites files wholesale
+    t.optimize_compact(target_segments=1)                    # v3
+    t.generate_iceberg_metadata()                            # snap 3
+    paths, recs = _planned()
+    assert paths == _active() and recs == 8
+    rows = sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect())
+    assert rows == list(range(3, 11))
+
+    # history: every exported snapshot stays time-travelable, and the
+    # snapshot/metadata logs track the lineage
+    assert uniform.read_snapshot(spark, tdir, 0).count() == 8
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir, 2).collect()) == rows
+    meta = uniform.current_metadata(tdir)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [0, 1, 2, 3]
+    assert len(meta["snapshot-log"]) == 4
+    assert len(meta["metadata-log"]) == 3, "prior metadata files logged"
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == 3
+
+    # idempotent: regenerating the current version changes nothing
+    hint = os.path.join(tdir, "metadata", "version-hint.text")
+    before = open(hint).read()
+    n_files = len(_glob.glob(os.path.join(tdir, "metadata", "*")))
+    t.generate_iceberg_metadata()
+    assert open(hint).read() == before
+    assert len(_glob.glob(os.path.join(tdir, "metadata", "*"))) == n_files
+
+    # DV guard: same refusal as symlink manifests / real UniForm
+    t.delete_where(F.col("k") == 9, use_dv=True)             # v4
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.generate_iceberg_metadata()
+    t.reorg_purge()                                          # v5
+    t.generate_iceberg_metadata()                            # snap 5
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [3, 4, 5, 6, 7, 8, 10]
+
+    # UniForm mode: every data commit refreshes the export by itself
+    t.enable_uniform()                                       # v6 + export
+    t.append(_df(spark, [(50, "z", 1)]))                     # v7 + export
+    assert int(open(hint).read()) == 7, "per-commit auto-refresh"
+    paths, _ = _planned()
+    assert paths == _active()
+
+
+def test_generate_iceberg_metadata_sql_route(spark, tdir):
+    """GENERATE iceberg_metadata FOR TABLE t routes through the engine
+    like the symlink-manifest GENERATE and returns the metadata.json
+    path; the export is immediately plannable by the Iceberg-side
+    reader."""
+    from distributed_database_for_sql_spark.engine import Engine
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    eng = Engine(spark, tdir + "_data")
+    eng.register_txlog("ice", t)
+    row = eng.sql("GENERATE iceberg_metadata FOR TABLE ice").collect()[0]
+    assert row["table_name"] == "ice"
+    assert row["manifest"].endswith(".metadata.json")
+    assert os.path.exists(row["manifest"])
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == [1, 2]
+    # the classic GENERATE is untouched by the widened grammar
+    p = eng.sql("GENERATE symlink_format_manifest FOR TABLE ice") \
+        .collect()[0]["manifest"]
+    assert os.path.exists(p)
+
+
 def test_v2_checkpoint_parquet_top(spark, tdir):
     """r13 (VERDICT r12 item 5): the V2 TOP manifest can be PARQUET
     (<v>.checkpoint.v2.parquet — the Delta 3.x spec's alternative to
