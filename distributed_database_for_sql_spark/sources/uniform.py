@@ -224,13 +224,15 @@ def generate(table, version: int | None = None) -> str:
                   for p, stats in active.items()}
     rel_by_abs = {os.path.abspath(os.path.join(table.path, p)): p
                   for p in active}
+    props = table.properties()
     reused: list[dict] = []
     covered: set[str] = set()
+    kept_rows: list[dict] = []  # surviving prior entries (for compaction)
     if snapshots:
         newest = max(snapshots, key=lambda s: s["sequence-number"])
         for entry in _read_manifest_list(newest["manifest-list"]):
-            paths = [e["data_file"]["file_path"]
-                     for e in _read_manifest(entry["manifest_path"])]
+            rows = _read_manifest(entry["manifest_path"])
+            paths = [e["data_file"]["file_path"] for e in rows]
             if paths and all(p in abs_active for p in paths) \
                     and not (covered & set(paths)):
                 reused.append(dict(
@@ -240,49 +242,83 @@ def generate(table, version: int | None = None) -> str:
                     deleted_files_count=0,
                     added_rows_count=0))
                 covered.update(paths)
-    fresh_paths = sorted(set(abs_active) - covered)
-    entries = list(reused)
-    if fresh_paths or not entries:
-        manifest_rows = []
-        for ap in fresh_paths:
-            stats = abs_active[ap] or {}
-            rel = rel_by_abs[ap]
-            manifest_rows.append({
-                "status": 1,  # ADDED (this snapshot introduces the entry)
-                "snapshot_id": v,
-                "sequence_number": v,
-                "data_file": {
-                    "content": 0,  # DATA (no delete files: DVs refused)
-                    "file_path": ap,
-                    "file_format": "PARQUET",
-                    "partition": _hive_partition_values(rel),
-                    "record_count": stats.get("numRecords"),
-                    "file_size_in_bytes": os.path.getsize(ap),
-                    "null_value_counts": stats.get("nullCount") or {},
-                    "lower_bounds": stats.get("minValues") or {},
-                    "upper_bounds": stats.get("maxValues") or {},
-                },
-            })
-        mname = f"manifest-{v:08d}-0000.json"
-        mpath = os.path.join(mdir, mname)
+                kept_rows.extend(rows)
+
+    def _file_row(ap: str) -> dict:
+        stats = abs_active[ap] or {}
+        rel = rel_by_abs[ap]
+        return {
+            "status": 1,  # ADDED (this snapshot introduces the entry)
+            "snapshot_id": v,
+            "sequence_number": v,
+            "data_file": {
+                "content": 0,  # DATA (no delete files: DVs refused)
+                "file_path": ap,
+                "file_format": "PARQUET",
+                "partition": _hive_partition_values(rel),
+                "record_count": stats.get("numRecords"),
+                "file_size_in_bytes": os.path.getsize(ap),
+                "null_value_counts": stats.get("nullCount") or {},
+                "lower_bounds": stats.get("minValues") or {},
+                "upper_bounds": stats.get("maxValues") or {},
+            },
+        }
+
+    def _write_manifest(rows: list[dict], i: int) -> dict:
+        mpath = os.path.join(mdir, f"manifest-{v:08d}-{i:04d}.json")
         payload = "".join(json.dumps(r, sort_keys=True) + "\n"
-                          for r in manifest_rows).encode()
+                          for r in rows).encode()
         table.log_store.overwrite_atomic(mpath, payload)
-        entries.append({
+        # partition summary: distinct identity values per partition col,
+        # the manifest-list-level skip index Iceberg keeps (bounded by
+        # the partition cardinality inside ONE manifest)
+        summary: dict[str, list] = {}
+        for r in rows:
+            for c, val in r["data_file"]["partition"].items():
+                summary.setdefault(c, [])
+                if val not in summary[c]:
+                    summary[c].append(val)
+        return {
             "manifest_path": os.path.abspath(mpath),
             "manifest_length": len(payload),
             "partition_spec_id": spec_id,
             "content": 0,
             "sequence_number": v,
-            "min_sequence_number": v,
+            "min_sequence_number": min(
+                (r["sequence_number"] for r in rows), default=v),
             "added_snapshot_id": v,
-            "added_files_count": len(manifest_rows),
-            "existing_files_count": 0,
+            "added_files_count": sum(1 for r in rows if r["status"] == 1),
+            "existing_files_count": sum(1 for r in rows
+                                        if r["status"] == 0),
             "deleted_files_count": 0,
             "added_rows_count": sum(
                 r["data_file"]["record_count"] or 0
-                for r in manifest_rows),
-        })
+                for r in rows if r["status"] == 1),
+            "partitions": {c: sorted(vals)
+                           for c, vals in summary.items()},
+        }
+
+    fresh_paths = sorted(set(abs_active) - covered)
+    max_manifests = int(props.get("txlog.uniform.maxManifests", "8"))
+    chunk = max(1, int(props.get("txlog.uniform.manifestChunk", "5000")))
+    entries: list[dict]
+    if len(reused) + (1 if fresh_paths else 0) > max_manifests:
+        # MANIFEST COMPACTION (Iceberg's rewrite_manifests, folded into
+        # the refresh): a steady append workload accretes one manifest
+        # per refresh, so planning degrades to O(refreshes) metadata
+        # reads — past the cap, rewrite the whole live file set into
+        # size-bounded chunks.  Surviving entries keep their ORIGINAL
+        # snapshot_id/sequence_number (Iceberg lineage semantics) and
+        # re-enter as EXISTING; only genuinely new files are ADDED.
+        all_rows = [dict(r, status=0) for r in kept_rows] + \
+            [_file_row(ap) for ap in fresh_paths]
+        entries = [_write_manifest(all_rows[i:i + chunk], n)
+                   for n, i in enumerate(range(0, len(all_rows), chunk))]
+    else:
+        entries = list(reused)
+        if fresh_paths or not entries:
+            entries.append(_write_manifest(
+                [_file_row(ap) for ap in fresh_paths], 0))
 
     mlist_path = os.path.join(mdir, f"snap-{v:08d}.manifest-list.json")
     table.log_store.overwrite_atomic(
@@ -368,11 +404,18 @@ def current_metadata(table_path: str) -> dict:
 
 
 def plan_files(table_path: str,
-               snapshot_id: int | None = None) -> list[dict]:
+               snapshot_id: int | None = None,
+               partition_filter: dict[str, str] | None = None
+               ) -> list[dict]:
     """Plan a snapshot the way an Iceberg engine does — metadata.json ->
     snapshot -> manifest list -> manifests -> data_file entries.  Never
-    reads ``_txlog/``.  Returns the flat data_file dicts (path, format,
-    record_count, partition values, bounds)."""
+    reads ``_txlog/``.  ``partition_filter`` ({col: value}, identity
+    transforms) prunes at BOTH Iceberg levels: whole manifests are
+    skipped via the manifest-list's per-manifest partition summaries
+    (never opened — the metadata-scale win on a 100k-file table), then
+    surviving entries filter on their per-file partition tuple.
+    Returns the flat data_file dicts (path, format, record_count,
+    partition values, bounds)."""
     meta = current_metadata(table_path)
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid),
@@ -383,20 +426,89 @@ def plan_files(table_path: str,
             f"{[s['snapshot-id'] for s in meta['snapshots']]})")
     files: list[dict] = []
     for entry in _read_manifest_list(snap["manifest-list"]):
-        files.extend(e["data_file"]
-                     for e in _read_manifest(entry["manifest_path"]))
+        if partition_filter:
+            summary = entry.get("partitions")
+            if summary and any(c in summary and val not in summary[c]
+                               for c, val in partition_filter.items()):
+                continue  # manifest-level skip: file entries never read
+        for e in _read_manifest(entry["manifest_path"]):
+            part = e["data_file"]["partition"]
+            if partition_filter and any(
+                    part.get(c) != val
+                    for c, val in partition_filter.items()):
+                continue
+            files.append(e["data_file"])
     return files
 
 
 def read_snapshot(spark: SparkSession, table_path: str,
-                  snapshot_id: int | None = None) -> DataFrame:
+                  snapshot_id: int | None = None,
+                  partition_filter: dict[str, str] | None = None
+                  ) -> DataFrame:
     """Read a snapshot through the ICEBERG metadata only (time travel via
     ``snapshot_id`` — any snapshot still in the metadata's list).  The
     scan is a plain parquet multi-path read, so Catalyst still gets
     column pruning and row-group predicate pushdown on the files the
-    Iceberg planning selected."""
-    files = plan_files(table_path, snapshot_id)
+    Iceberg planning selected; ``partition_filter`` prunes files at the
+    metadata level before the scan is even planned."""
+    files = plan_files(table_path, snapshot_id, partition_filter)
     paths = [f["file_path"] for f in files]
     if not paths:
         raise ValueError(f"snapshot has no data files: {table_path}")
     return spark.read.parquet(*paths)
+
+
+def expire_snapshots(table_path: str, keep_last: int | None = None,
+                     older_than_ms: int | None = None) -> list[str]:
+    """Iceberg's ``expire_snapshots`` maintenance: drop historical
+    snapshots from the CURRENT metadata.json (rewritten in place — the
+    lineage entry in metadata-log is unaffected) and delete the
+    manifest-list / manifest files no retained snapshot references.
+    The current snapshot always survives.  Returns the deleted paths.
+
+    This is the UniForm twin of the txlog's ``cleanup_metadata``: the
+    Delta log bounds itself by retention, and the Iceberg tree must too,
+    or per-commit refresh grows ``snapshots`` without bound."""
+    got = _read_current_metadata(table_path)
+    if got is None:
+        raise FileNotFoundError(
+            f"no Iceberg metadata under {table_path}/metadata")
+    meta, meta_path = got
+    cur = meta["current-snapshot-id"]
+    keep = []
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    for i, s in enumerate(snaps):
+        is_cur = s["snapshot-id"] == cur
+        young = older_than_ms is not None and \
+            s["timestamp-ms"] > older_than_ms
+        tail = keep_last is not None and i >= len(snaps) - keep_last
+        if is_cur or young or (older_than_ms is None and tail):
+            keep.append(s)
+    kept_ids = {s["snapshot-id"] for s in keep}
+    if len(keep) == len(snaps):
+        return []
+    live_lists = {s["manifest-list"] for s in keep}
+    live_manifests = {e["manifest_path"]
+                      for s in keep
+                      for e in _read_manifest_list(s["manifest-list"])}
+    victims: list[str] = []
+    for s in snaps:
+        if s["snapshot-id"] in kept_ids:
+            continue
+        if s["manifest-list"] not in live_lists:
+            victims.append(s["manifest-list"])
+            for e in _read_manifest_list(s["manifest-list"]):
+                if e["manifest_path"] not in live_manifests:
+                    victims.append(e["manifest_path"])
+    meta["snapshots"] = keep
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids]
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, sort_keys=True, indent=1)
+    os.replace(meta_path + ".tmp", meta_path)
+    for p in sorted(set(victims)):
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return sorted(set(victims))

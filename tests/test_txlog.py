@@ -4415,6 +4415,96 @@ def test_uniform_iceberg_export_churn(spark, tdir):
     assert paths == _active()
 
 
+def test_uniform_iceberg_maintenance_and_pruning(spark, tdir):
+    """r13: the Iceberg export's scale levers. (1) PARTITION PRUNING at
+    both metadata levels: a partition_filter skips whole manifests via
+    the manifest-list's partition summaries (the skipped manifest is
+    never even opened) and filters file entries in the survivors.
+    (2) MANIFEST COMPACTION: past txlog.uniform.maxManifests the refresh
+    rewrites the live file set into chunked manifests instead of
+    accreting one per refresh (planning stays O(live files / chunk), not
+    O(refresh count)); surviving entries keep their original snapshot
+    lineage as EXISTING.  (3) expire_snapshots bounds the snapshot list
+    like cleanup_metadata bounds the Delta log: expired manifest-lists /
+    manifests are deleted unless a retained snapshot still references
+    them, and the current snapshot always survives."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i * 10) for i in range(1, 9)],
+            "k int, grp string, v int"),
+        partition_by="grp")
+    t.generate_iceberg_metadata()                            # snap 0
+
+    # -- (1) partition pruning -----------------------------------------
+    files_a = uniform.plan_files(tdir, partition_filter={"grp": "a"})
+    assert files_a and all(f["partition"] == {"grp": "a"}
+                           for f in files_a)
+    rows = sorted(r["k"] for r in uniform.read_snapshot(
+        spark, tdir, partition_filter={"grp": "b"}).collect())
+    assert rows == [1, 3, 5, 7]  # "ab"[i % 2] == "b" for odd i
+    # manifest-level skip: append a partition-c-only batch (its own
+    # manifest), then plan grp=c — the reused grp=a/b manifest must be
+    # summary-skipped without being opened
+    t.append(spark.createDataFrame([(100, "c", 1), (101, "c", 2)],
+                                   "k int, grp string, v int"))  # v1
+    t.generate_iceberg_metadata()                            # snap 1
+    opened = []
+    real = uniform._read_manifest
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    uniform._read_manifest = counting
+    try:
+        files_c = uniform.plan_files(tdir, partition_filter={"grp": "c"})
+    finally:
+        uniform._read_manifest = real
+    assert sorted(f["partition"]["grp"] for f in files_c) == ["c", "c"]
+    assert len(opened) == 1 and opened[0].startswith("manifest-00000001"), \
+        f"summary skip failed: opened {opened}"
+
+    # -- (2) manifest compaction -----------------------------------------
+    t.set_properties({"txlog.uniform.maxManifests": "3"})    # v2
+    for i in range(4):                                       # v3-v6
+        t.append(spark.createDataFrame([(200 + i, "a", 1)],
+                                       "k int, grp string, v int"))
+        t.generate_iceberg_metadata()
+    meta = uniform.current_metadata(tdir)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    entries = uniform._read_manifest_list(cur["manifest-list"])
+    assert len(entries) <= 3, \
+        f"compaction must cap the manifest count, got {len(entries)}"
+    comp_rows = [r for e in entries
+                 for r in uniform._read_manifest(e["manifest_path"])]
+    assert any(r["status"] == 0 and r["snapshot_id"] <
+               meta["current-snapshot-id"] for r in comp_rows), \
+        "compacted entries keep their original snapshot lineage"
+    planned = sorted(f["file_path"] for f in uniform.plan_files(tdir))
+    live, _ = t._snapshot_files()
+    assert planned == sorted(os.path.abspath(p) for p in live)
+
+    # -- (3) snapshot expiry ----------------------------------------------
+    n_before = len(meta["snapshots"])
+    assert n_before >= 5
+    victims = uniform.expire_snapshots(tdir, keep_last=2)
+    assert victims, "expiry must collect unreferenced metadata files"
+    assert all(not os.path.exists(p) for p in victims)
+    meta = uniform.current_metadata(tdir)
+    assert len(meta["snapshots"]) == 2
+    assert meta["current-snapshot-id"] == max(
+        s["snapshot-id"] for s in meta["snapshots"])
+    # retained snapshots still plan exactly (shared manifests survived)
+    planned = sorted(f["file_path"] for f in uniform.plan_files(tdir))
+    assert planned == sorted(os.path.abspath(p) for p in live)
+    # expiry is idempotent at the floor
+    assert uniform.expire_snapshots(tdir, keep_last=2) == []
+
+
 def test_generate_iceberg_metadata_sql_route(spark, tdir):
     """GENERATE iceberg_metadata FOR TABLE t routes through the engine
     like the symlink-manifest GENERATE and returns the metadata.json
