@@ -341,6 +341,27 @@ def generate(table, version: int | None = None) -> str:
     snapshots.append(snapshot)
     snapshot_log.append({"timestamp-ms": ts, "snapshot-id": v})
 
+    # COLUMN MAPPING: when the txlog maps logical names to different
+    # PHYSICAL parquet column names (RENAME under name/id mapping mode),
+    # emit Iceberg's ``schema.name-mapping.default`` — the spec's
+    # mechanism for binding parquet columns that carry no field-id
+    # metadata to schema field ids by name.  A real Iceberg reader
+    # resolves the physical file columns through it; read_snapshot
+    # honors it the same way.  (Real UniForm writes exactly this
+    # property for column-mapped Delta tables.)
+    mapping = {l: p for l, p in table._column_mapping(version).items()
+               if l != p}
+    properties = {"write.format.default": "parquet"}
+    if mapping:
+        ids = _schema_field_ids(schema)
+        name_mapping = [
+            {"field-id": ids[f["name"]],
+             "names": sorted({mapping.get(f["name"], f["name"]),
+                              f["name"]})}
+            for f in schema["fields"]]
+        properties["schema.name-mapping.default"] = json.dumps(
+            name_mapping, sort_keys=True)
+
     meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
@@ -358,7 +379,7 @@ def generate(table, version: int | None = None) -> str:
         "current-snapshot-id": v,
         "snapshot-log": snapshot_log,
         "metadata-log": metadata_log,
-        "properties": {"write.format.default": "parquet"},
+        "properties": properties,
     }
     meta_path = os.path.join(mdir, f"v{v}.metadata.json")
     table.log_store.overwrite_atomic(
@@ -450,12 +471,35 @@ def read_snapshot(spark: SparkSession, table_path: str,
     scan is a plain parquet multi-path read, so Catalyst still gets
     column pruning and row-group predicate pushdown on the files the
     Iceberg planning selected; ``partition_filter`` prunes files at the
-    metadata level before the scan is even planned."""
+    metadata level before the scan is even planned.  When the metadata
+    carries ``schema.name-mapping.default`` (column-mapped source
+    table), physical parquet columns are bound to their field ids by
+    name and served under the schema's LOGICAL names — the Iceberg
+    reader contract for files without field-id metadata."""
     files = plan_files(table_path, snapshot_id, partition_filter)
     paths = [f["file_path"] for f in files]
     if not paths:
         raise ValueError(f"snapshot has no data files: {table_path}")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    meta = current_metadata(table_path)
+    nm_raw = meta.get("properties", {}).get("schema.name-mapping.default")
+    if nm_raw:
+        sid = meta["current-snapshot-id"] if snapshot_id is None \
+            else snapshot_id
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == sid)
+        schema = next(s for s in meta["schemas"]
+                      if s["schema-id"] == snap["schema-id"])
+        logical_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        for entry in json.loads(nm_raw):
+            logical = logical_by_id.get(entry["field-id"])
+            if logical is None or logical in df.columns:
+                continue
+            phys = next((n for n in entry["names"] if n in df.columns),
+                        None)
+            if phys is not None:
+                df = df.withColumnRenamed(phys, logical)
+    return df
 
 
 def expire_snapshots(table_path: str, keep_last: int | None = None,

@@ -4505,6 +4505,52 @@ def test_uniform_iceberg_maintenance_and_pruning(spark, tdir):
     assert uniform.expire_snapshots(tdir, keep_last=2) == []
 
 
+def test_uniform_iceberg_name_mapping_for_column_mapped_tables(spark,
+                                                               tdir):
+    """r13: a COLUMN-MAPPED source table (physical parquet names differ
+    from logical names after RENAME, or are opaque ids in id mode)
+    exports Iceberg's ``schema.name-mapping.default`` property — the
+    spec's binding from file column names to schema field ids for
+    parquet without field-id metadata (exactly what real UniForm
+    emits).  read_snapshot serves the LOGICAL schema through it."""
+    import json as _json
+
+    from distributed_database_for_sql_spark.sources import uniform
+
+    # name-mode mapping via RENAME COLUMN
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    t.rename_column("v", "val")
+    t.generate_iceberg_metadata()
+    meta = uniform.current_metadata(tdir)
+    nm = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    schema = meta["schemas"][meta["current-schema-id"]]
+    assert [f["name"] for f in schema["fields"]] == ["k", "grp", "val"], \
+        "Iceberg schema carries LOGICAL names"
+    val_id = next(f["id"] for f in schema["fields"] if f["name"] == "val")
+    entry = next(e for e in nm if e["field-id"] == val_id)
+    assert "v" in entry["names"], "physical file name bound to field id"
+    got = uniform.read_snapshot(spark, tdir)
+    assert sorted(got.columns) == ["grp", "k", "val"]
+    assert sorted((r["k"], r["val"]) for r in got.collect()) == \
+        [(1, 10), (2, 20)]
+
+    # id-mode mapping: every physical name is an opaque col-<uuid>
+    t2 = TxLogTable.create(spark, tdir + "_id",
+                           _df(spark, [(7, "z", 70)]),
+                           column_mapping_mode="id")
+    t2.generate_iceberg_metadata()
+    got2 = uniform.read_snapshot(spark, tdir + "_id")
+    assert sorted(got2.columns) == ["grp", "k", "v"]
+    assert [(r["k"], r["v"]) for r in got2.collect()] == [(7, 70)]
+    # an unmapped table emits no name-mapping property at all
+    t3 = TxLogTable.create(spark, tdir + "_plain",
+                           _df(spark, [(1, "a", 1)]))
+    t3.generate_iceberg_metadata()
+    assert "schema.name-mapping.default" not in \
+        uniform.current_metadata(tdir + "_plain")["properties"]
+
+
 def test_generate_iceberg_metadata_sql_route(spark, tdir):
     """GENERATE iceberg_metadata FOR TABLE t routes through the engine
     like the symlink-manifest GENERATE and returns the metadata.json
