@@ -117,6 +117,10 @@ EXTRA = [
     "delta_expectations_event_log",
     "delta_multi_flow_ingestion",
     "delta_log_retention",
+    # round 13: UniForm Iceberg export — recorded median to regress
+    # against (the query generates the metadata tree three times and
+    # reads back through it).
+    "delta_uniform_iceberg_export",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

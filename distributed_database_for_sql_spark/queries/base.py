@@ -164,8 +164,8 @@ def register(name: str, oracle: str | None = None,
 #       last.  Positions 13-49: the ENTIRE r6-latest tier (37 queries —
 #       the oldest remaining; after this window certifies, min
 #       latest-driver-green = r7 over all previously-certified queries).
-#       Position 50: one r7-tier canary.  New r13 queries displace
-#       canaries from the tail per the policy above; a pytest lint
+#       Position 50: new in r13 (delta_uniform_iceberg_export, certified
+#       the round it ships — it displaced the one canary slot).  A lint
 #       (tests/test_properties.py::test_new_queries_are_in_front_window)
 #       now enforces the policy mechanically — any registered query
 #       absent from every CORRECTNESS_r*.json must be in the window.
