@@ -283,6 +283,13 @@ _GENERATE_RE = re.compile(
     r"^\s*GENERATE\s+(?P<kind>symlink_format_manifest|iceberg_metadata)"
     r"\s+FOR\s+TABLE\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE)
 
+# EXPIRE SNAPSHOTS FOR TABLE t KEEP LAST n — Iceberg-side maintenance
+# over the UniForm export (sources/uniform.py): bound the exported
+# snapshot list like cleanup_metadata bounds the Delta log.
+_EXPIRE_SNAPSHOTS_RE = re.compile(
+    r"^\s*EXPIRE\s+SNAPSHOTS\s+FOR\s+TABLE\s+(?P<target>\w+)\s+"
+    r"KEEP\s+LAST\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE)
+
 # APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
 # SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
 # [TRACK HISTORY ON * EXCEPT (c, ...)] — the DLT CDC statement over the
@@ -663,6 +670,16 @@ class Engine:
                 path = t.generate_manifest()
             return self.spark.createDataFrame(
                 [(target, path)], "table_name string, manifest string")
+        m = _EXPIRE_SNAPSHOTS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            from .sources import uniform
+            target = m.group("target")
+            victims = uniform.expire_snapshots(
+                self.txlog_tables[target].path,
+                keep_last=int(m.group("n")))
+            return self.spark.createDataFrame(
+                [(target, len(victims))],
+                "table_name string, expired_metadata_files int")
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

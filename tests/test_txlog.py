@@ -4573,6 +4573,15 @@ def test_generate_iceberg_metadata_sql_route(spark, tdir):
     p = eng.sql("GENERATE symlink_format_manifest FOR TABLE ice") \
         .collect()[0]["manifest"]
     assert os.path.exists(p)
+    # EXPIRE SNAPSHOTS routes to uniform.expire_snapshots
+    t.append(_df(spark, [(3, "c", 30)]))
+    eng.sql("GENERATE iceberg_metadata FOR TABLE ice")
+    row = eng.sql("EXPIRE SNAPSHOTS FOR TABLE ice KEEP LAST 1") \
+        .collect()[0]
+    assert row["expired_metadata_files"] > 0
+    from distributed_database_for_sql_spark.sources.uniform import \
+        current_metadata
+    assert len(current_metadata(tdir)["snapshots"]) == 1
 
 
 def test_v2_checkpoint_parquet_top(spark, tdir):
