@@ -3612,6 +3612,7 @@ class TxLogTable:
             raise RuntimeError(
                 "clone_refresh lost a commit race (concurrent write on "
                 "the clone); re-run against the fresh state")
+        self._maybe_uniform()
         return base + 1
 
     # -- data skipping (Delta's file-statistics pruning) --------------------

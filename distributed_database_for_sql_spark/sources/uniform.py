@@ -228,6 +228,7 @@ def generate(table, version: int | None = None) -> str:
     reused: list[dict] = []
     covered: set[str] = set()
     kept_rows: list[dict] = []  # surviving prior entries (for compaction)
+    prior_row: dict[str, dict] = {}  # lineage of still-active survivors
     if snapshots:
         newest = max(snapshots, key=lambda s: s["sequence-number"])
         for entry in _read_manifest_list(newest["manifest-list"]):
@@ -243,8 +244,19 @@ def generate(table, version: int | None = None) -> str:
                     added_rows_count=0))
                 covered.update(paths)
                 kept_rows.extend(rows)
+            else:
+                # a PARTIALLY-dead manifest retires; its still-active
+                # rows re-enter a new manifest as EXISTING with their
+                # ORIGINAL snapshot lineage (Iceberg rewrite semantics)
+                for r in rows:
+                    p = r["data_file"]["file_path"]
+                    if p in abs_active:
+                        prior_row[p] = r
 
     def _file_row(ap: str) -> dict:
+        prev_row = prior_row.get(ap)
+        if prev_row is not None:
+            return dict(prev_row, status=0)
         stats = abs_active[ap] or {}
         rel = rel_by_abs[ap]
         return {
