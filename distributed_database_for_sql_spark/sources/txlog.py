@@ -519,8 +519,13 @@ class TxLogTable:
         self._cleanup_pending_ts: int | None = None
         self._cleanup_seeded: bool = False
         #: UniForm flag cache (None = not yet resolved from properties);
-        #: see _maybe_uniform.
+        #: see _maybe_uniform.  ``_uniform_checked_v`` records the table
+        #: version the flag was LAST resolved at so a cached False
+        #: re-resolves after one checkpoint interval of commits — a
+        #: handle opened before another writer called enable_uniform()
+        #: must not skip the refresh forever (ADVICE r13).
         self._uniform_enabled: bool | None = None
+        self._uniform_checked_v: int = -1
 
     # -- log plumbing -------------------------------------------------------
 
@@ -6319,8 +6324,19 @@ class TxLogTable:
         """Post-commit hook: refresh the Iceberg export when UniForm
         mode is on.  The enabled flag is cached per handle after one
         checkpoint-bounded properties() read, so the common case
-        (UniForm off) costs nothing on the commit path."""
+        (UniForm off) costs nothing on the commit path.  A cached FALSE
+        expires after one checkpoint interval of commits (re-resolved
+        from properties), so a long-lived writer handle opened before
+        another handle ran enable_uniform() starts refreshing within a
+        bounded number of commits instead of silently diverging the
+        exported metadata forever (ADVICE r13); set_properties on THIS
+        handle still invalidates immediately."""
         enabled = getattr(self, "_uniform_enabled", None)
+        if enabled is False:
+            stale_after = max(1, self.checkpoint_interval)
+            if self.latest_version() - \
+                    getattr(self, "_uniform_checked_v", -1) >= stale_after:
+                enabled = None  # cache expired: re-resolve below
         if enabled is None:
             try:
                 enabled = self.properties().get(
@@ -6328,6 +6344,7 @@ class TxLogTable:
             except Exception:
                 enabled = False
             self._uniform_enabled = enabled
+            self._uniform_checked_v = self.latest_version()
         if not enabled:
             return
         try:

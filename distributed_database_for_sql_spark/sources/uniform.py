@@ -156,6 +156,12 @@ def metadata_dir(table_path: str) -> str:
     return os.path.join(table_path, _METADATA_DIR)
 
 
+def _parquet_row_count(abs_path: str) -> int:
+    """Row count from the parquet FOOTER (metadata-only read)."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(abs_path).metadata.num_rows
+
+
 def generate(table, version: int | None = None) -> str:
     """Write/refresh the Iceberg metadata tree for ``table``'s snapshot
     at ``version`` (default: current).  Returns the new metadata.json
@@ -165,15 +171,21 @@ def generate(table, version: int | None = None) -> str:
 
     Parity anchor: Delta UniForm's ``delta.universalFormat.enabledFormats
     = iceberg``; the on-disk layout mirrors an Iceberg Hadoop-catalog
-    table (version-hint.text + v<N>.metadata.json)."""
-    active, schema_json, dvs = table._snapshot_full(version)
+    table (version-hint.text + v<N>.metadata.json).
+
+    The version is resolved FIRST and the file set read AT that version
+    (ADVICE r13: reading the snapshot before resolving ``v`` let a
+    concurrent commit land in between, permanently labeling version N's
+    file set as snapshot N+1 — the already-exported early-return then
+    kept the wrong snapshot forever)."""
+    v = table.latest_version() if version is None else version
+    active, schema_json, dvs = table._snapshot_full(v)
     if dvs:
         raise ValueError(
             "cannot export Iceberg metadata while files carry deletion "
             f"vectors ({len(dvs)} file(s)) — an Iceberg reader would "
             "resurrect deleted rows; run REORG TABLE ... APPLY (PURGE) "
             "first (same restriction as Delta UniForm)")
-    v = table.latest_version() if version is None else version
     ts = table._commit_ts(v)
     mdir = metadata_dir(table.path)
     os.makedirs(mdir, exist_ok=True)
@@ -259,16 +271,24 @@ def generate(table, version: int | None = None) -> str:
             return dict(prev_row, status=0)
         stats = abs_active[ap] or {}
         rel = rel_by_abs[ap]
+        records = stats.get("numRecords")
+        if records is None:
+            # Iceberg REQUIRES record_count on data_file, but adds from
+            # pre-stats commits or CONVERT-imported files may carry no
+            # numRecords (ADVICE r13) — backfill from the parquet
+            # footer: one metadata read, the data pages stay closed,
+            # and only genuinely stat-less NEW files pay it.
+            records = _parquet_row_count(ap)
         return {
             "status": 1,  # ADDED (this snapshot introduces the entry)
             "snapshot_id": v,
             "sequence_number": v,
             "data_file": {
-                "content": 0,  # DATA (no delete files: DVs refused)
+                "content": 0,  # DATA
                 "file_path": ap,
                 "file_format": "PARQUET",
                 "partition": _hive_partition_values(rel),
-                "record_count": stats.get("numRecords"),
+                "record_count": records,
                 "file_size_in_bytes": os.path.getsize(ap),
                 "null_value_counts": stats.get("nullCount") or {},
                 "lower_bounds": stats.get("minValues") or {},
@@ -538,7 +558,12 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
         young = older_than_ms is not None and \
             s["timestamp-ms"] > older_than_ms
         tail = keep_last is not None and i >= len(snaps) - keep_last
-        if is_cur or young or (older_than_ms is None and tail):
+        # Iceberg's expireOlderThan + retainLast contract: retain-last
+        # is a minimum-retention FLOOR that applies regardless of the
+        # age cutoff (ADVICE r13: gating tail on older_than_ms being
+        # absent inverted that — snapshots inside the newest-N tail but
+        # older than the cutoff were expired).
+        if is_cur or young or tail:
             keep.append(s)
     kept_ids = {s["snapshot-id"] for s in keep}
     if len(keep) == len(snaps):

@@ -4584,6 +4584,119 @@ def test_generate_iceberg_metadata_sql_route(spark, tdir):
     assert len(current_metadata(tdir)["snapshots"]) == 1
 
 
+def test_uniform_generate_resolves_version_before_snapshot(spark, tdir):
+    """r14 (ADVICE r13, medium): generate() resolves the export version
+    FIRST and reads the file set AT that version, so a concurrent
+    commit landing mid-export can never mislabel version N's file set
+    as snapshot N+1 (which the already-exported early-return would then
+    have made permanent).  Simulated deterministically: a second writer
+    handle commits an append the moment the exporter reads the
+    snapshot."""
+    import distributed_database_for_sql_spark.sources.txlog as _m
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20)]))
+    racer = TxLogTable(spark, tdir)
+    real = _m.TxLogTable._snapshot_full
+    fired = {"done": False}
+
+    def racing(self, version=None):
+        if not fired["done"]:
+            fired["done"] = True
+            racer.append(_df(spark, [(3, "c", 30)]))  # lands mid-export
+        return real(self, version)
+
+    _m.TxLogTable._snapshot_full = racing
+    try:
+        t.generate_iceberg_metadata()            # exports v0, not v1
+    finally:
+        _m.TxLogTable._snapshot_full = real
+    meta = uniform.current_metadata(tdir)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [0]
+    assert uniform.read_snapshot(spark, tdir, 0).count() == 2, \
+        "snapshot 0 must carry version 0's file set, not the racer's"
+    # the next refresh picks up the racer's commit as its OWN snapshot
+    t.generate_iceberg_metadata()
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir, 1).collect()) == \
+        [1, 2, 3]
+
+
+def test_uniform_expire_retain_last_floor_with_age_cutoff(spark, tdir):
+    """r14 (ADVICE r13 + VERDICT r13 item 5): expire_snapshots applies
+    BOTH bounds when both are given — Iceberg's expireOlderThan +
+    retainLast contract makes keep_last a minimum-retention floor, so
+    snapshots inside the newest-N tail survive even when older than the
+    cutoff."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.generate_iceberg_metadata()                            # snap 0
+    for i in range(4):                                       # v1..v4
+        t.append(_df(spark, [(10 + i, "b", i)]))
+        t.generate_iceberg_metadata()                        # snaps 1..4
+    meta = uniform.current_metadata(tdir)
+    assert len(meta["snapshots"]) == 5
+    # a cutoff in the future ages out EVERY snapshot; keep_last=3 must
+    # still floor retention at the newest three
+    cutoff = max(s["timestamp-ms"] for s in meta["snapshots"]) + 10_000
+    uniform.expire_snapshots(tdir, keep_last=3, older_than_ms=cutoff)
+    meta = uniform.current_metadata(tdir)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [2, 3, 4]
+    for sid in (2, 3, 4):
+        assert uniform.plan_files(tdir, snapshot_id=sid), \
+            f"retained snapshot {sid} must still plan"
+
+
+def test_uniform_record_count_backfilled_from_footer(spark, tdir,
+                                                     monkeypatch):
+    """r14 (ADVICE r13): adds that carry no numRecords stats (pre-stats
+    commits) still export a REQUIRED record_count — backfilled from the
+    parquet footer, a metadata-only read.  The planned record sum and
+    the oracle-visible aggregate stay exact."""
+    import distributed_database_for_sql_spark.sources.txlog as _m
+    from distributed_database_for_sql_spark.sources import uniform
+
+    monkeypatch.setattr(_m, "_file_stats", lambda p: None)
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10),
+                                                   (2, "b", 20),
+                                                   (3, "a", 30)]))
+    monkeypatch.undo()
+    active, _, _ = t._snapshot_full(None)
+    assert all(s is None or s.get("numRecords") is None
+               for s in active.values()), "scenario needs stat-less adds"
+    t.generate_iceberg_metadata()
+    files = uniform.plan_files(tdir)
+    assert all(isinstance(f["record_count"], int) for f in files)
+    assert sum(f["record_count"] for f in files) == 3
+
+
+def test_uniform_stale_false_cache_expires(spark, tdir):
+    """r14 (ADVICE r13): a writer handle that resolved UniForm=off
+    before ANOTHER handle ran enable_uniform() re-resolves the flag
+    within one checkpoint interval of commits — the exported Iceberg
+    metadata catches up instead of silently diverging until the stale
+    handle dies."""
+    writer = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    writer.checkpoint_interval = 3
+    writer.append(_df(spark, [(2, "b", 20)]))     # v1: caches False
+    assert writer._uniform_enabled is False
+
+    other = TxLogTable(spark, tdir)
+    other.enable_uniform()                        # v2 + first export
+    hint = os.path.join(tdir, "metadata", "version-hint.text")
+    assert int(open(hint).read()) == 2
+
+    # within checkpoint_interval commits the stale handle must re-read
+    # the flag and refresh the export itself
+    for i in range(writer.checkpoint_interval + 1):
+        writer.append(_df(spark, [(30 + i, "c", i)]))
+    assert writer._uniform_enabled is True
+    assert int(open(hint).read()) == writer.latest_version(), \
+        "stale-False handle never resumed the UniForm refresh"
+
+
 def test_v2_checkpoint_parquet_top(spark, tdir):
     """r13 (VERDICT r12 item 5): the V2 TOP manifest can be PARQUET
     (<v>.checkpoint.v2.parquet — the Delta 3.x spec's alternative to
