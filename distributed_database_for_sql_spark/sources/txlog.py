@@ -6443,6 +6443,16 @@ class TxLogTable:
                     for p in live}
         live_dv_set = {os.path.normpath(os.path.join(self.path, d))
                        for dvlist in live_dvs.values() for d in dvlist}
+        # UniForm coupling (VERDICT r13 item 1): files a RETAINED
+        # exported Iceberg snapshot still references are NOT garbage —
+        # an Iceberg-side reader time-traveling to that snapshot would
+        # hit missing files with no protocol-level error.  They join
+        # the protected set; uniform.expire_snapshots is the sanctioned
+        # way to release them (expire-then-vacuum, real UniForm's
+        # maintenance order).  Tables never exported pay nothing (one
+        # version-hint stat).
+        from . import uniform as _uniform
+        live_set |= _uniform.referenced_data_files(self.path)
         if retention_seconds is None:
             # table property delta.deletedFileRetentionDuration, else 24 h
             retention_seconds = self._retention_default()

@@ -232,6 +232,15 @@ def generate(table, version: int | None = None) -> str:
             specs = specs + [_partition_spec(schema, part_cols, spec_id)]
 
     # ---- manifests: reuse intact ones, write one for the delta ---------
+    # The reuse DECISION is metadata-only (VERDICT r13 item 4): each
+    # export writes a path-index sidecar (.pathindex-<v>.json, engine-
+    # private — the Iceberg tree itself stays spec-shaped) mapping each
+    # manifest to its file paths, so a refresh decides reuse from ONE
+    # index read instead of re-parsing every live manifest.  Manifests
+    # are opened only when they must be REWRITTEN: partially-dead ones
+    # (for the survivors' original snapshot lineage) and — only when
+    # compaction triggers — the reused set.  An append-only refresh
+    # therefore opens zero prior manifests.
     abs_active = {os.path.abspath(os.path.join(table.path, p)): stats
                   for p, stats in active.items()}
     rel_by_abs = {os.path.abspath(os.path.join(table.path, p)): p
@@ -240,12 +249,21 @@ def generate(table, version: int | None = None) -> str:
     reused: list[dict] = []
     covered: set[str] = set()
     kept_rows: list[dict] = []  # surviving prior entries (for compaction)
+    lazy_kept: list[str] = []   # reused-but-unread manifests (ditto)
     prior_row: dict[str, dict] = {}  # lineage of still-active survivors
+    index_paths: dict[str, list[str]] = {}  # new snapshot's path index
     if snapshots:
         newest = max(snapshots, key=lambda s: s["sequence-number"])
+        prev_index = _load_path_index(mdir, newest["snapshot-id"])
         for entry in _read_manifest_list(newest["manifest-list"]):
-            rows = _read_manifest(entry["manifest_path"])
-            paths = [e["data_file"]["file_path"] for e in rows]
+            if entry.get("content", 0) != 0:
+                continue  # delete manifests carry no data-file paths
+            mp = entry["manifest_path"]
+            paths = None if prev_index is None else prev_index.get(mp)
+            rows = None
+            if paths is None:  # pre-index export: fall back to the read
+                rows = _read_manifest(mp)
+                paths = [e["data_file"]["file_path"] for e in rows]
             if paths and all(p in abs_active for p in paths) \
                     and not (covered & set(paths)):
                 reused.append(dict(
@@ -255,11 +273,21 @@ def generate(table, version: int | None = None) -> str:
                     deleted_files_count=0,
                     added_rows_count=0))
                 covered.update(paths)
-                kept_rows.extend(rows)
+                index_paths[mp] = list(paths)
+                if rows is not None:
+                    kept_rows.extend(rows)
+                else:
+                    lazy_kept.append(mp)
             else:
                 # a PARTIALLY-dead manifest retires; its still-active
                 # rows re-enter a new manifest as EXISTING with their
-                # ORIGINAL snapshot lineage (Iceberg rewrite semantics)
+                # ORIGINAL snapshot lineage (Iceberg rewrite semantics).
+                # A FULLY-dead manifest has nothing to carry — skipped
+                # without ever being opened.
+                if rows is None:
+                    if not any(p in abs_active for p in paths):
+                        continue
+                    rows = _read_manifest(mp)
                 for r in rows:
                     p = r["data_file"]["file_path"]
                     if p in abs_active:
@@ -301,6 +329,8 @@ def generate(table, version: int | None = None) -> str:
         payload = "".join(json.dumps(r, sort_keys=True) + "\n"
                           for r in rows).encode()
         table.log_store.overwrite_atomic(mpath, payload)
+        index_paths[os.path.abspath(mpath)] = [
+            r["data_file"]["file_path"] for r in rows]
         # partition summary: distinct identity values per partition col,
         # the manifest-list-level skip index Iceberg keeps (bounded by
         # the partition cardinality inside ONE manifest)
@@ -342,6 +372,11 @@ def generate(table, version: int | None = None) -> str:
         # size-bounded chunks.  Surviving entries keep their ORIGINAL
         # snapshot_id/sequence_number (Iceberg lineage semantics) and
         # re-enter as EXISTING; only genuinely new files are ADDED.
+        # Reused-but-unread manifests are hydrated HERE, the one path
+        # that genuinely needs their full rows.
+        for mp in lazy_kept:
+            kept_rows.extend(_read_manifest(mp))
+            index_paths.pop(mp, None)
         all_rows = [dict(r, status=0) for r in kept_rows] + \
             [_file_row(ap) for ap in fresh_paths]
         entries = [_write_manifest(all_rows[i:i + chunk], n)
@@ -357,6 +392,16 @@ def generate(table, version: int | None = None) -> str:
         mlist_path,
         "".join(json.dumps(e, sort_keys=True) + "\n"
                 for e in entries).encode())
+    # engine-private path index for THIS snapshot's manifests — what
+    # makes the NEXT refresh's reuse decision (and VACUUM's retained-
+    # snapshot protection) metadata-only.  Missing/corrupt indexes are
+    # harmless: readers fall back to parsing the manifests themselves.
+    table.log_store.overwrite_atomic(
+        _path_index_path(mdir, v),
+        json.dumps({"manifests": {
+            mp: paths for mp, paths in sorted(index_paths.items())
+            if mp in {e["manifest_path"] for e in entries}}},
+            sort_keys=True).encode())
 
     total_records = sum((s or {}).get("numRecords") or 0
                         for s in active.values())
@@ -444,6 +489,57 @@ def _read_manifest_list(path: str) -> list[dict]:
 def _read_manifest(path: str) -> list[dict]:
     with open(path) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+def _path_index_path(mdir: str, snapshot_id: int) -> str:
+    return os.path.join(mdir, f".pathindex-{snapshot_id:08d}.json")
+
+
+def _load_path_index(mdir: str, snapshot_id: int) -> dict | None:
+    """manifest path -> data-file paths for one snapshot (engine-private
+    sidecar; None = pre-index export or unreadable, callers fall back
+    to reading the manifests)."""
+    try:
+        with open(_path_index_path(mdir, snapshot_id)) as f:
+            return json.load(f)["manifests"]
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return None
+
+
+def referenced_data_files(table_path: str) -> set[str]:
+    """Absolute (normpath'd) data-file paths that ANY retained exported
+    Iceberg snapshot still references.  This is VACUUM's protection set
+    (VERDICT r13 item 1): physically deleting one of these files would
+    strand an Iceberg-side reader planning a retained snapshot —
+    ``expire_snapshots`` is the sanctioned way to shrink the set, after
+    which VACUUM collects normally (real UniForm's maintenance
+    contract: expire before/with vacuum).  Empty set when the table has
+    never been exported.  Metadata-only: per-snapshot path indexes are
+    used where present, manifests are parsed only as a fallback."""
+    got = _read_current_metadata(table_path)
+    if got is None:
+        return set()
+    meta, _ = got
+    mdir = metadata_dir(table_path)
+    out: set[str] = set()
+    seen: set[str] = set()
+    for s in meta["snapshots"]:
+        idx = _load_path_index(mdir, s["snapshot-id"])
+        try:
+            mlist = _read_manifest_list(s["manifest-list"])
+        except FileNotFoundError:
+            continue  # half-expired tree: nothing left to protect
+        for e in mlist:
+            mp = e["manifest_path"]
+            if mp in seen or e.get("content", 0) != 0:
+                continue
+            seen.add(mp)
+            paths = None if idx is None else idx.get(mp)
+            if paths is None:
+                paths = [r["data_file"]["file_path"]
+                         for r in _read_manifest(mp)]
+            out.update(os.path.normpath(p) for p in paths)
+    return out
 
 
 def current_metadata(table_path: str) -> dict:
@@ -576,6 +672,9 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
     for s in snaps:
         if s["snapshot-id"] in kept_ids:
             continue
+        idx = _path_index_path(metadata_dir(table_path), s["snapshot-id"])
+        if os.path.exists(idx):
+            victims.append(idx)  # engine-private sidecar expires too
         if s["manifest-list"] not in live_lists:
             victims.append(s["manifest-list"])
             for e in _read_manifest_list(s["manifest-list"]):

