@@ -121,6 +121,11 @@ EXTRA = [
     # against (the query generates the metadata tree three times and
     # reads back through it).
     "delta_uniform_iceberg_export",
+    # round 14: Iceberg position deletes (MoR export + anti-join read)
+    # and the snapshot-ledger audit — recorded medians to regress
+    # against.
+    "delta_uniform_position_deletes",
+    "delta_uniform_snapshot_audit",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

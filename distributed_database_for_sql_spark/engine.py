@@ -290,6 +290,13 @@ _EXPIRE_SNAPSHOTS_RE = re.compile(
     r"^\s*EXPIRE\s+SNAPSHOTS\s+FOR\s+TABLE\s+(?P<target>\w+)\s+"
     r"KEEP\s+LAST\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE)
 
+# SHOW ICEBERG SNAPSHOTS FOR TABLE t — the operator's view of the
+# UniForm export (Iceberg's snapshots metadata table): one row per
+# exported snapshot with its summary counters, metadata-only.
+_SHOW_ICEBERG_SNAPSHOTS_RE = re.compile(
+    r"^\s*SHOW\s+ICEBERG\s+SNAPSHOTS\s+FOR\s+TABLE\s+(?P<target>\w+)"
+    r"\s*;?\s*$", re.IGNORECASE)
+
 # APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
 # SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
 # [TRACK HISTORY ON * EXCEPT (c, ...)] — the DLT CDC statement over the
@@ -680,6 +687,11 @@ class Engine:
             return self.spark.createDataFrame(
                 [(target, len(victims))],
                 "table_name string, expired_metadata_files int")
+        m = _SHOW_ICEBERG_SNAPSHOTS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            from .sources import uniform
+            return uniform.snapshots_df(
+                self.spark, self.txlog_tables[m.group("target")].path)
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

@@ -155,7 +155,7 @@ def register(name: str, oracle: str | None = None,
 #       families.  After this window certifies: min latest-driver-green
 #       = r6 over every oracled query.
 
-#   r13 window (below): pay down the certification debt the r12 verdict
+#   r13 window: pay down the certification debt the r12 verdict
 #       flagged as its top item — the driver window stayed frozen on the
 #       r10 list through r11 and r12, so the six r11 queries and six r12
 #       queries shipped without a driver-green row (violating the policy
@@ -169,63 +169,68 @@ def register(name: str, oracle: str | None = None,
 #       (tests/test_properties.py::test_new_queries_are_in_front_window)
 #       now enforces the policy mechanically — any registered query
 #       absent from every CORRECTNESS_r*.json must be in the window.
+#
+#   r14 window (below): rotate to the r7-latest tier — after r13
+#       certified, the 50 queries whose newest driver green is r7 are
+#       the oldest remaining tier (tiers: 50 each at r7/r8/r9/r12/r13).
+#       Any new-in-r14 queries displace tail canaries per the linted
+#       policy; after this window certifies, min latest-driver-green
+#       advances to r8 over every previously-certified query.
 
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- certification-debt payoff: the six r11 queries ---------------------
-    "delta_apply_changes_snapshot",
-    "delta_apply_changes_snapshot_scd2",
-    "delta_scd2_ignore_null_updates",
-    "delta_materialized_view_approx_distinct",
-    "delta_materialized_view_dim_change",
-    "delta_expectations_quality_gate",
-    # -- certification-debt payoff: the six r12 queries ---------------------
-    "delta_scd2_ignore_nulls_backfill",
-    "delta_streaming_snapshot_cdc",
-    "delta_v2_checkpoint",
-    "delta_expectations_event_log",
-    "delta_multi_flow_ingestion",
-    "delta_log_retention",
-    # -- stale drain VIII: ALL 37 r6-latest queries (the oldest tier) -------
-    "agg_hll_sketch_mergeable",
-    "dedup_exact_substring_hashed",
-    "delta_bloom_skipping",
-    "delta_cdf_incremental_agg",
-    "delta_check_constraint",
-    "delta_column_mapping",
-    "delta_convert_in_place",
-    "delta_data_skipping",
-    "delta_delete_where",
-    "delta_generated_columns",
-    "delta_idempotent_stream_sink",
-    "delta_metadata_count",
-    "delta_optimize_compact",
-    "delta_partitioned_table",
-    "delta_streaming_mv",
-    "delta_zorder_optimize",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_domain_cap",
-    "sql_command_log_apply",
-    "sql_update_delete_txlog",
-    "stream_txlog_table_source",
-    "text_chunk_overlap",
-    "text_compression_ratio",
-    "tokenizer_bpe_encode",
-    # -- new in r13 (policy: new queries certify the round they ship;
-    #    displaced the agg_count_distinct canary) --------------------------
-    "delta_uniform_iceberg_export",
+    # -- new in r14 (policy: new queries certify the round they ship;
+    #    displaced the stream_static_join / window_first_last canaries) ----
+    "delta_uniform_position_deletes",
+    "delta_uniform_snapshot_audit",
+    # -- stale drain IX: the r7-latest tier (oldest remaining) --------------
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_rollup",
+    "dedup_keep_first_by_key",
+    "dedup_simhash_hamming",
+    "distinct_values",
+    "filter_compound_predicates",
+    "filter_like_patterns",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer_nulls",
+    "join_salted_skew",
+    "join_self_pairs",
+    "join_semi",
+    "join_theta_range",
+    "null_handling",
+    "proj_computed_columns",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "sample_seeded_det",
+    "sample_stratified_det",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all",
+    "sort_multi_key_limit",
+    "sql_entry_revenue_by_nation",
+    "sql_txn_batch",
+    "stream_sliding_window",
+    "stream_stateful_dedup",
+    "stream_stateful_user_agg",
+    "stream_stream_join",
+    "subq_correlated_exists",
+    "subq_correlated_scalar",
+    "subq_in_nation_region",
+    "subq_scalar_above_avg",
+    "ts_sessionize_batch",
+    "udf_grouped_agg",
+    "udf_grouped_map_zscore",
+    "udtf_tokenize_positions",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_frames",
 )
 
 

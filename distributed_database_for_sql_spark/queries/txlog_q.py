@@ -430,6 +430,183 @@ def delta_uniform_iceberg_export(spark: SparkSession,
 
 
 @register(
+    "delta_uniform_position_deletes",
+    # Oracle: relational recompute of the merge-on-read state — base
+    # minus the DV-tombstoned rows, plus the append.  The SPARK side
+    # computes its aggregate by reading THROUGH the exported Iceberg
+    # metadata at the MoR snapshot (data manifests + content=1 position-
+    # delete manifests, applied via the file+position anti-join), never
+    # the txlog — so the value hash certifies the delete files tombstone
+    # exactly the right (file, row) pairs.  Audit flags pin the
+    # mechanism: the delete manifest exists and its row count equals the
+    # DV'd row count, an APPEND refresh reuses BOTH the data manifests
+    # and the delete file untouched, and a REORG PURGE retires the
+    # delete manifest on the next refresh without changing the rows.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE (o_orderkey <= 1200 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey > 1200 AND o_orderkey <= 1500)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS delete_manifest_present,
+           1 AS deletes_match_dv_rows,
+           1 AS delete_entry_reused,
+           1 AS data_manifest_reused,
+           1 AS purge_retires_deletes,
+           1 AS post_purge_rows_stable
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "iceberg", "uniform", "dv", "interop"),
+)
+def delta_uniform_position_deletes(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION DELETES from deletion vectors (r14 — VERDICT
+    r13 item 7): a DV'd (merge-on-read) snapshot exports content=1
+    delete manifests over real parquet delete files (file_path/pos,
+    the spec's schema and field-ids) instead of refusing, so Iceberg-
+    side readers keep planning the table while tombstones accumulate —
+    no forced REORG PURGE.  ``read_snapshot`` applies them the way an
+    Iceberg MoR reader does: broadcast anti-join on (file, position)
+    served by the scanner's ``_metadata.row_index``.  The delete file
+    is REUSED across refreshes while the DV set is unchanged (same
+    O(changed files) economics as data-manifest reuse), and a PURGE
+    retires it automatically.  (sources/uniform.py
+    ``_write_position_deletes``/``plan_deletes``; pin in
+    tests/test_txlog.py::test_uniform_position_deletes_for_dv_snapshots.)"""
+    from ..sources import uniform
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority",
+                               cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("posdel", sf_dir),
+                          sel(k <= 1200).repartition(4, "o_orderkey"),
+                          overwrite=True)
+    t.generate_iceberg_metadata()                          # snap 0
+    n_tombstoned = sel((k <= 1200) & (k % 5 == 0)).count()
+    t.delete_where(k % 5 == 0, use_dv=True)                # v1 (MoR)
+    t.generate_iceberg_metadata()                          # snap 1
+    dels1 = uniform.plan_deletes(t.path)
+    t.append(sel((k > 1200) & (k <= 1500))
+             .repartition(2, "o_orderkey"))                # v2
+    t.generate_iceberg_metadata()                          # snap 2
+    dels2 = uniform.plan_deletes(t.path)
+    present = bool(dels1) and all(d["content"] == 1 for d in dels1)
+    match_dv = sum(d["record_count"] for d in dels1) == n_tombstoned
+    del_reused = bool(dels2) and sorted(
+        d["file_path"] for d in dels2) == sorted(
+        d["file_path"] for d in dels1)
+    meta = uniform.current_metadata(t.path)
+    snap2_entries = uniform._read_manifest_list(
+        next(s for s in meta["snapshots"] if s["snapshot-id"] == 2)
+        ["manifest-list"])
+    data_reused = any(e.get("content", 0) == 0
+                      and e["existing_files_count"] > 0
+                      and e["added_files_count"] == 0
+                      for e in snap2_entries)
+    # ---- the MoR data itself flows through the Iceberg metadata path
+    out = (uniform.read_snapshot(spark, t.path, snapshot_id=2)
+           .groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents")))
+    mor_rows = uniform.read_snapshot(spark, t.path, snapshot_id=2).count()
+    t.reorg_purge()                                        # v3 (CoW)
+    t.generate_iceberg_metadata()                          # snap 3
+    purged = uniform.plan_deletes(t.path) == []
+    stable = uniform.read_snapshot(spark, t.path).count() == mor_rows
+    return (out
+            .withColumn("delete_manifest_present",
+                        F.lit(present).cast("int"))
+            .withColumn("deletes_match_dv_rows",
+                        F.lit(match_dv).cast("int"))
+            .withColumn("delete_entry_reused",
+                        F.lit(del_reused).cast("int"))
+            .withColumn("data_manifest_reused",
+                        F.lit(data_reused).cast("int"))
+            .withColumn("purge_retires_deletes",
+                        F.lit(purged).cast("int"))
+            .withColumn("post_purge_rows_stable",
+                        F.lit(stable).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_uniform_snapshot_audit",
+    # Oracle: the snapshot ledger recomputed relationally — each
+    # exported snapshot's ordinal, operation, physical record count and
+    # position-delete count derive from the SAME orders predicate the
+    # scenario committed, so a value hash certifies SHOW ICEBERG
+    # SNAPSHOTS reports the true summary counters (physical rows stay
+    # constant under a MoR delete, tombstones ride their own counter,
+    # the purge folds them, expiry trims the ledger to the floor).
+    oracle="""
+    WITH counts AS (
+      SELECT COUNT(*) FILTER (WHERE o_orderkey <= 1600) AS c1,
+             COUNT(*) FILTER (WHERE o_orderkey <= 1600
+                              AND o_orderkey % 4 = 0)   AS dels
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 1 AS ordinal, 'overwrite' AS operation,
+             c1 AS total_records, 0 AS total_position_deletes,
+             0 AS delete_manifests, 0 AS is_current FROM counts
+      UNION ALL
+      SELECT 2, 'overwrite', c1, dels, 1, 0 FROM counts
+      UNION ALL
+      SELECT 3, 'overwrite', c1 - dels, 0, 0, 1 FROM counts
+    ) ORDER BY ordinal
+    """,
+    tags=("acid", "delta", "iceberg", "uniform", "sql", "maintenance"),
+)
+def delta_uniform_snapshot_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SHOW ICEBERG SNAPSHOTS (r14): the operator's metadata-only view
+    of the UniForm export — one row per exported snapshot with its
+    summary counters (Iceberg's ``snapshots`` metadata table), served
+    through the SQL surface.  The scenario drives the full merge-on-
+    read lifecycle under per-commit refresh (enable_uniform): append,
+    DV delete (physical records UNCHANGED, tombstones counted
+    separately — Iceberg MoR summary semantics), REORG PURGE (folds
+    the tombstones into the physical count), then EXPIRE SNAPSHOTS
+    trims the ledger to the newest 3.  Ordinals substitute for
+    snapshot ids in the result so the hash pins the LEDGER SHAPE, not
+    wall-clock ids.  (uniform.snapshots_df; SQL route in engine.py.)"""
+    from ..engine import Engine
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority"))
+    t = TxLogTable.create(spark, _table_dir("snapaudit", sf_dir),
+                          sel(k <= 800).repartition(2, "o_orderkey"),
+                          overwrite=True)                  # v0
+    t.enable_uniform()                                     # v1 + snap 1
+    t.append(sel((k > 800) & (k <= 1600))
+             .repartition(2, "o_orderkey"))                # v2 + snap 2
+    t.delete_where(k % 4 == 0, use_dv=True)                # v3 + snap 3
+    t.reorg_purge()                                        # v4 + snap 4
+    engine.register_txlog("audit_t", t)
+    engine.sql("EXPIRE SNAPSHOTS FOR TABLE audit_t KEEP LAST 3")
+    shown = engine.sql("SHOW ICEBERG SNAPSHOTS FOR TABLE audit_t")
+    from pyspark.sql.window import Window
+    ordinal = F.row_number().over(Window.orderBy("sequence_number"))
+    return (shown
+            .select(ordinal.alias("ordinal"), "operation",
+                    "total_records", "total_position_deletes",
+                    "delete_manifests", "is_current")
+            .orderBy("ordinal"))
+
+
+@register(
     "delta_log_retention",
     # Oracle: relational recompute of the retained snapshot; the audit
     # flags certify the cleanup mechanics — a positive retention floor,

@@ -6301,10 +6301,12 @@ class TxLogTable:
         write/refresh an Iceberg v2 metadata tree (metadata.json +
         manifest-list + manifests under ``<table>/metadata/``) over the
         CURRENT snapshot's parquet files — zero data copies, manifest
-        reuse keeps a refresh O(changed files).  DV'd snapshots refuse
-        (same guard as symlink manifests).  See ``sources/uniform.py``
-        for layout, determinism, and the documented JSON-for-Avro codec
-        deviation.  Returns the new metadata.json path."""
+        reuse keeps a refresh O(changed files).  DV'd snapshots export
+        Iceberg v2 POSITION DELETES (content=1 manifests) so merge-on-
+        read tables stay exportable without a forced REORG PURGE.  See
+        ``sources/uniform.py`` for layout, determinism, and the
+        documented JSON-for-Avro codec deviation.  Returns the new
+        metadata.json path."""
         from . import uniform
         return uniform.generate(self, version)
 

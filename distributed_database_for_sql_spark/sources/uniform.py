@@ -40,9 +40,21 @@ txlog version, timestamps are in-commit timestamps, and the table UUID
 is derived from the table path — regenerating the same version twice is
 byte-stable, which is what lets the export be oracle-certified.
 
-Tables whose current snapshot carries DELETION VECTORS refuse to export
-(an Iceberg reader would resurrect tombstoned rows) — the same guard as
-symlink manifests and real UniForm, which requires purging DVs first.
+Tables whose current snapshot carries DELETION VECTORS export Iceberg
+v2 POSITION DELETES (r14): each DV sidecar's (file, row-position)
+tombstones are rewritten once into a real parquet delete file with the
+spec's schema — ``file_path`` (field-id 2147483546) + ``pos``
+(2147483545) — tracked by a delete manifest (``content = 1``) in the
+snapshot's manifest list, so merge-on-read tables stay exportable
+without forcing a REORG PURGE.  ``read_snapshot`` applies them the way
+an Iceberg MoR reader does: broadcast anti-join on (file, position),
+with positions served by the parquet scanner's ``_metadata.row_index``.
+Because each snapshot's delete files capture the FULL DV state at that
+version (not an incremental diff), sequence-number ordering rules are
+trivially satisfied and a REORG PURGE simply retires the delete
+manifest on the next refresh.  The delete file is reused across
+refreshes while the DV set is unchanged (same economics as data-
+manifest reuse).
 """
 
 from __future__ import annotations
@@ -162,6 +174,85 @@ def _parquet_row_count(abs_path: str) -> int:
     return pq.ParquetFile(abs_path).metadata.num_rows
 
 
+def _write_position_deletes(table, mdir: str, v: int,
+                            dvs: dict[str, list[str]]) -> dict | None:
+    """Rewrite the snapshot's DV sidecars into ONE Iceberg v2 position-
+    delete parquet file — the spec's delete schema ``file_path`` (string,
+    field-id 2147483546) + ``pos`` (long, 2147483545), field ids embedded
+    as parquet field metadata — plus the delete manifest (content=1)
+    that tracks it, returning the manifest-list entry (None when the
+    live DV state holds no rows).  Deterministic: rows are deduped and
+    sorted by (file_path, pos), so regenerating the same DV state is
+    byte-stable.  Cost is O(tombstoned rows) — the DV scale, never the
+    data scale — and the result is REUSED across refreshes while the DV
+    fingerprint is unchanged (see generate)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # (target, sidecar) pairs that are live at this snapshot: a sidecar
+    # written for several targets stays on disk after one target is
+    # rewritten, so rows must filter to the log's CURRENT binding.
+    active_pairs = {(tgt, d) for tgt, dl in dvs.items() for d in dl}
+    pairs: set[tuple[str, int]] = set()
+    for s in sorted({d for dl in dvs.values() for d in dl}):
+        t_ = pq.read_table(os.path.join(table.path, s),
+                           columns=["path", "row_index"])
+        for rel, pos in zip(t_.column("path").to_pylist(),
+                            t_.column("row_index").to_pylist()):
+            if (rel, s) in active_pairs:
+                pairs.add((os.path.abspath(
+                    os.path.join(table.path, rel)), int(pos)))
+    rows = sorted(pairs)
+    if not rows:
+        return None
+    schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483545"}),
+    ])
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"file_path": [r[0] for r in rows],
+                  "pos": [r[1] for r in rows]}, schema=schema), buf)
+    dpath = os.path.join(mdir, f"delete-{v:08d}-0000.parquet")
+    table.log_store.overwrite_atomic(dpath, buf.getvalue())
+    man_rows = [{
+        "status": 1,
+        "snapshot_id": v,
+        "sequence_number": v,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": os.path.abspath(dpath),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows),
+            "file_size_in_bytes": len(buf.getvalue()),
+        },
+    }]
+    mpath = os.path.join(mdir, f"manifest-del-{v:08d}-0000.json")
+    payload = "".join(json.dumps(r, sort_keys=True) + "\n"
+                      for r in man_rows).encode()
+    table.log_store.overwrite_atomic(mpath, payload)
+    return {
+        "manifest_path": os.path.abspath(mpath),
+        "manifest_length": len(payload),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": v,
+        "min_sequence_number": v,
+        "added_snapshot_id": v,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(rows),
+        "existing_rows_count": 0,
+        "partitions": {},
+    }
+
+
 def generate(table, version: int | None = None) -> str:
     """Write/refresh the Iceberg metadata tree for ``table``'s snapshot
     at ``version`` (default: current).  Returns the new metadata.json
@@ -180,12 +271,6 @@ def generate(table, version: int | None = None) -> str:
     kept the wrong snapshot forever)."""
     v = table.latest_version() if version is None else version
     active, schema_json, dvs = table._snapshot_full(v)
-    if dvs:
-        raise ValueError(
-            "cannot export Iceberg metadata while files carry deletion "
-            f"vectors ({len(dvs)} file(s)) — an Iceberg reader would "
-            "resurrect deleted rows; run REORG TABLE ... APPLY (PURGE) "
-            "first (same restriction as Delta UniForm)")
     ts = table._commit_ts(v)
     mdir = metadata_dir(table.path)
     os.makedirs(mdir, exist_ok=True)
@@ -252,9 +337,12 @@ def generate(table, version: int | None = None) -> str:
     lazy_kept: list[str] = []   # reused-but-unread manifests (ditto)
     prior_row: dict[str, dict] = {}  # lineage of still-active survivors
     index_paths: dict[str, list[str]] = {}  # new snapshot's path index
+    prev_full_index: dict | None = None
     if snapshots:
         newest = max(snapshots, key=lambda s: s["sequence-number"])
-        prev_index = _load_path_index(mdir, newest["snapshot-id"])
+        prev_full_index = _load_path_index(mdir, newest["snapshot-id"])
+        prev_index = None if prev_full_index is None \
+            else prev_full_index.get("manifests")
         for entry in _read_manifest_list(newest["manifest-list"]):
             if entry.get("content", 0) != 0:
                 continue  # delete manifests carry no data-file paths
@@ -387,6 +475,42 @@ def generate(table, version: int | None = None) -> str:
             entries.append(_write_manifest(
                 [_file_row(ap) for ap in fresh_paths], 0))
 
+    # ---- position deletes: DV sidecars -> Iceberg v2 delete files ------
+    # A snapshot carrying deletion vectors exports content=1 (POSITION
+    # DELETES) manifests instead of refusing (r14): each export rewrites
+    # the DV state once into a real parquet delete file — O(tombstoned
+    # rows), the DV scale — and REUSES it while the DV set is unchanged
+    # (fingerprinted in the path-index sidecar), so an append-heavy
+    # merge-on-read workload still does O(changed files) metadata work
+    # per refresh.  A REORG PURGE empties ``dvs`` and the next refresh
+    # simply emits no delete manifest — retirement is automatic.
+    delete_entries: list[dict] = []
+    dv_state: dict | None = None
+    if dvs:
+        fingerprint = sorted(
+            f"{tgt}\x00{d}" for tgt, dl in dvs.items() for d in dl)
+        prev_del = (prev_full_index or {}).get("deletes")
+        if prev_del is not None and \
+                prev_del.get("fingerprint") == fingerprint:
+            for e in prev_del["entries"]:
+                n = e.get("added_rows_count", 0) + \
+                    e.get("existing_rows_count", 0)
+                delete_entries.append(dict(
+                    e,
+                    added_files_count=0,
+                    existing_files_count=e.get("added_files_count", 0)
+                    + e.get("existing_files_count", 0),
+                    added_rows_count=0,
+                    existing_rows_count=n))
+        else:
+            entry = _write_position_deletes(table, mdir, v, dvs)
+            if entry is not None:
+                delete_entries.append(entry)
+        if delete_entries:
+            dv_state = {"fingerprint": fingerprint,
+                        "entries": delete_entries}
+    entries = entries + delete_entries
+
     mlist_path = os.path.join(mdir, f"snap-{v:08d}.manifest-list.json")
     table.log_store.overwrite_atomic(
         mlist_path,
@@ -396,12 +520,14 @@ def generate(table, version: int | None = None) -> str:
     # makes the NEXT refresh's reuse decision (and VACUUM's retained-
     # snapshot protection) metadata-only.  Missing/corrupt indexes are
     # harmless: readers fall back to parsing the manifests themselves.
+    index_doc: dict = {"manifests": {
+        mp: paths for mp, paths in sorted(index_paths.items())
+        if mp in {e["manifest_path"] for e in entries}}}
+    if dv_state is not None:
+        index_doc["deletes"] = dv_state
     table.log_store.overwrite_atomic(
         _path_index_path(mdir, v),
-        json.dumps({"manifests": {
-            mp: paths for mp, paths in sorted(index_paths.items())
-            if mp in {e["manifest_path"] for e in entries}}},
-            sort_keys=True).encode())
+        json.dumps(index_doc, sort_keys=True).encode())
 
     total_records = sum((s or {}).get("numRecords") or 0
                         for s in active.values())
@@ -415,6 +541,14 @@ def generate(table, version: int | None = None) -> str:
                     "total-data-files": str(len(active)),
                     "total-records": str(total_records)},
     }
+    if delete_entries:
+        # Iceberg summary fields for MoR snapshots: total-records stays
+        # the PHYSICAL data-file row count (spec semantics) and the
+        # tombstones ride their own counters.
+        snapshot["summary"]["total-delete-files"] = str(len(delete_entries))
+        snapshot["summary"]["total-position-deletes"] = str(sum(
+            e.get("added_rows_count", 0) + e.get("existing_rows_count", 0)
+            for e in delete_entries))
     snapshots.append(snapshot)
     snapshot_log.append({"timestamp-ms": ts, "snapshot-id": v})
 
@@ -496,12 +630,15 @@ def _path_index_path(mdir: str, snapshot_id: int) -> str:
 
 
 def _load_path_index(mdir: str, snapshot_id: int) -> dict | None:
-    """manifest path -> data-file paths for one snapshot (engine-private
-    sidecar; None = pre-index export or unreadable, callers fall back
-    to reading the manifests)."""
+    """Engine-private per-snapshot sidecar: ``{"manifests": {manifest
+    path: [data-file paths]}, "deletes": {"fingerprint": [...],
+    "entries": [...]} | absent}``.  None = pre-index export or
+    unreadable; callers fall back to reading the manifests."""
     try:
         with open(_path_index_path(mdir, snapshot_id)) as f:
-            return json.load(f)["manifests"]
+            got = json.load(f)
+        got["manifests"]  # shape check: required key
+        return got
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         return None
 
@@ -524,7 +661,8 @@ def referenced_data_files(table_path: str) -> set[str]:
     out: set[str] = set()
     seen: set[str] = set()
     for s in meta["snapshots"]:
-        idx = _load_path_index(mdir, s["snapshot-id"])
+        full_idx = _load_path_index(mdir, s["snapshot-id"])
+        idx = None if full_idx is None else full_idx.get("manifests")
         try:
             mlist = _read_manifest_list(s["manifest-list"])
         except FileNotFoundError:
@@ -575,6 +713,8 @@ def plan_files(table_path: str,
             f"{[s['snapshot-id'] for s in meta['snapshots']]})")
     files: list[dict] = []
     for entry in _read_manifest_list(snap["manifest-list"]):
+        if entry.get("content", 0) != 0:
+            continue  # delete manifests: planned via plan_deletes
         if partition_filter:
             summary = entry.get("partitions")
             if summary and any(c in summary and val not in summary[c]
@@ -590,6 +730,27 @@ def plan_files(table_path: str,
     return files
 
 
+def plan_deletes(table_path: str,
+                 snapshot_id: int | None = None) -> list[dict]:
+    """Plan a snapshot's POSITION-DELETE files (content=1 manifests) the
+    way an Iceberg MoR reader does.  Returns the delete ``data_file``
+    dicts (parquet files with ``file_path``/``pos`` columns); empty for
+    snapshots without deletion vectors.  Never partition-filtered — a
+    delete file may tombstone rows in any partition."""
+    meta = current_metadata(table_path)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+                None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not in the Iceberg metadata (have "
+            f"{[s['snapshot-id'] for s in meta['snapshots']]})")
+    return [e["data_file"]
+            for entry in _read_manifest_list(snap["manifest-list"])
+            if entry.get("content", 0) == 1
+            for e in _read_manifest(entry["manifest_path"])]
+
+
 def read_snapshot(spark: SparkSession, table_path: str,
                   snapshot_id: int | None = None,
                   partition_filter: dict[str, str] | None = None
@@ -603,12 +764,37 @@ def read_snapshot(spark: SparkSession, table_path: str,
     carries ``schema.name-mapping.default`` (column-mapped source
     table), physical parquet columns are bound to their field ids by
     name and served under the schema's LOGICAL names — the Iceberg
-    reader contract for files without field-id metadata."""
+    reader contract for files without field-id metadata.
+
+    POSITION DELETES (content=1 manifests, exported from DV'd
+    snapshots) are applied the way an Iceberg merge-on-read reader
+    does: the scanner's ``_metadata.file_path``/``_metadata.row_index``
+    pseudo-columns key a broadcast ANTI-JOIN against the delete files'
+    (file_path, pos) rows.  The delete set is DV-scale (tombstoned rows
+    only), so the broadcast is bounded regardless of table size — the
+    same plan shape Iceberg's own Spark reader produces for MoR scans."""
     files = plan_files(table_path, snapshot_id, partition_filter)
     paths = [f["file_path"] for f in files]
     if not paths:
         raise ValueError(f"snapshot has no data files: {table_path}")
     df = spark.read.parquet(*paths)
+    deletes = plan_deletes(table_path, snapshot_id)
+    if deletes:
+        from pyspark.sql import functions as F
+        del_df = (spark.read.parquet(*[d["file_path"] for d in deletes])
+                  .select(F.col("file_path").alias("__del_fp"),
+                          F.col("pos").alias("__del_pos"))
+                  .distinct())
+        # file:/abs or file:///abs -> /abs (match the delete file's
+        # absolute-path spelling)
+        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+        df = (df.withColumn("__fp", fp)
+              .withColumn("__pos", F.col("_metadata.row_index"))
+              .join(F.broadcast(del_df),
+                    (F.col("__fp") == F.col("__del_fp"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti")
+              .drop("__fp", "__pos"))
     meta = current_metadata(table_path)
     nm_raw = meta.get("properties", {}).get("schema.name-mapping.default")
     if nm_raw:
@@ -628,6 +814,43 @@ def read_snapshot(spark: SparkSession, table_path: str,
             if phys is not None:
                 df = df.withColumnRenamed(phys, logical)
     return df
+
+
+def snapshots_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """``SHOW ICEBERG SNAPSHOTS`` — one row per exported snapshot, the
+    operator's view of the UniForm tree (Iceberg's ``table.snapshots``
+    metadata table shape).  Driver-side metadata fold over metadata.json
+    + the manifest lists: counts come from the snapshot summaries and
+    manifest-list entries, no data file (or manifest) is ever opened —
+    at 100 TB this answers "what can an Iceberg reader time-travel to,
+    and how big is each snapshot" from metadata-sized reads."""
+    meta = current_metadata(table_path)
+    cur = meta["current-snapshot-id"]
+    rows = []
+    for s in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
+        entries = _read_manifest_list(s["manifest-list"])
+        summ = s.get("summary", {})
+        rows.append((
+            int(s["snapshot-id"]),
+            int(s["sequence-number"]),
+            int(s["timestamp-ms"]),
+            summ.get("operation", ""),
+            int(summ.get("total-data-files", "0")),
+            int(summ.get("total-records", "0")),
+            int(summ.get("total-delete-files", "0")),
+            int(summ.get("total-position-deletes", "0")),
+            sum(1 for e in entries if e.get("content", 0) == 0),
+            sum(1 for e in entries if e.get("content", 0) == 1),
+            int(s["snapshot-id"] == cur),
+            int(s.get("schema-id", 0)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id bigint, sequence_number bigint, committed_at_ms "
+        "bigint, operation string, total_data_files bigint, "
+        "total_records bigint, total_delete_files bigint, "
+        "total_position_deletes bigint, data_manifests int, "
+        "delete_manifests int, is_current int, schema_id int")
 
 
 def expire_snapshots(table_path: str, keep_last: int | None = None,
@@ -665,9 +888,18 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
     if len(keep) == len(snaps):
         return []
     live_lists = {s["manifest-list"] for s in keep}
-    live_manifests = {e["manifest_path"]
-                      for s in keep
-                      for e in _read_manifest_list(s["manifest-list"])}
+    live_entries = [e for s in keep
+                    for e in _read_manifest_list(s["manifest-list"])]
+    live_manifests = {e["manifest_path"] for e in live_entries}
+    # position-delete parquet files a retained snapshot still plans
+    # (content=1 manifests) must survive; an expired snapshot's delete
+    # files are engine-owned (they live under metadata/) and collect
+    # with their manifest.
+    mdir = os.path.normpath(metadata_dir(table_path))
+    live_delete_files = {
+        r["data_file"]["file_path"]
+        for e in live_entries if e.get("content", 0) == 1
+        for r in _read_manifest(e["manifest_path"])}
     victims: list[str] = []
     for s in snaps:
         if s["snapshot-id"] in kept_ids:
@@ -678,8 +910,16 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
         if s["manifest-list"] not in live_lists:
             victims.append(s["manifest-list"])
             for e in _read_manifest_list(s["manifest-list"]):
-                if e["manifest_path"] not in live_manifests:
-                    victims.append(e["manifest_path"])
+                if e["manifest_path"] in live_manifests:
+                    continue
+                victims.append(e["manifest_path"])
+                if e.get("content", 0) == 1:
+                    for r in _read_manifest(e["manifest_path"]):
+                        dp = r["data_file"]["file_path"]
+                        if dp not in live_delete_files and \
+                                os.path.normpath(dp).startswith(
+                                    mdir + os.sep):
+                            victims.append(dp)
     meta["snapshots"] = keep
     meta["snapshot-log"] = [
         e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids]

@@ -4326,7 +4326,8 @@ def test_uniform_iceberg_export_churn(spark, tdir):
     append / delete / compaction churn; manifests whose files all
     survive are REUSED (O(changed files) refresh); old snapshots stay
     time-travelable; regenerating the same version is a no-op; DV'd
-    snapshots refuse; enable_uniform() refreshes per commit."""
+    snapshots export position deletes (r14) that a PURGE retires;
+    enable_uniform() refreshes per commit."""
     import glob as _glob
 
     from distributed_database_for_sql_spark.sources import uniform
@@ -4397,12 +4398,19 @@ def test_uniform_iceberg_export_churn(spark, tdir):
     assert open(hint).read() == before
     assert len(_glob.glob(os.path.join(tdir, "metadata", "*"))) == n_files
 
-    # DV guard: same refusal as symlink manifests / real UniForm
+    # DV'd snapshot: exports POSITION DELETES (r14) instead of refusing
+    # — the MoR read applies them via the (file, position) anti-join
     t.delete_where(F.col("k") == 9, use_dv=True)             # v4
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.generate_iceberg_metadata()
+    t.generate_iceberg_metadata()                            # snap 4
+    dels = uniform.plan_deletes(tdir)
+    assert [d["content"] for d in dels] == [1]
+    assert sum(d["record_count"] for d in dels) == 1
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [3, 4, 5, 6, 7, 8, 10]
     t.reorg_purge()                                          # v5
     t.generate_iceberg_metadata()                            # snap 5
+    assert uniform.plan_deletes(tdir) == [], "PURGE retires the deletes"
     assert sorted(r["k"] for r in
                   uniform.read_snapshot(spark, tdir).collect()) == \
         [3, 4, 5, 6, 7, 8, 10]
@@ -4776,6 +4784,106 @@ def test_uniform_stale_false_cache_expires(spark, tdir):
     assert writer._uniform_enabled is True
     assert int(open(hint).read()) == writer.latest_version(), \
         "stale-False handle never resumed the UniForm refresh"
+
+
+def test_uniform_position_deletes_for_dv_snapshots(spark, tdir):
+    """r14 (VERDICT r13 item 7): DV'd snapshots export Iceberg v2
+    POSITION DELETES instead of refusing.  The delete file is real
+    parquet (file_path/pos, spec field-ids) tracked by a content=1
+    manifest; read_snapshot applies it MoR-style (broadcast anti-join
+    on file+position); the delete entry is REUSED while the DV set is
+    unchanged and re-emitted when it changes; REORG PURGE retires the
+    delete manifest on the next refresh while HISTORICAL DV'd snapshots
+    keep reading correctly; VACUUM after the purge cannot break a
+    retained DV'd snapshot; expire_snapshots collects the delete
+    parquet with its snapshots."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(spark, tdir, _df(
+        spark, [(i, "ab"[i % 2], i * 10) for i in range(1, 11)]))
+    t.generate_iceberg_metadata()                      # snap 0
+    t.delete_where(F.col("k") % 5 == 0, use_dv=True)   # v1: k=5,10
+    t.generate_iceberg_metadata()                      # snap 1
+    dels = uniform.plan_deletes(tdir)
+    assert [d["content"] for d in dels] == [1]
+    assert sum(d["record_count"] for d in dels) == 2
+    dt = _pq.read_table(dels[0]["file_path"])          # real spec parquet
+    assert dt.column_names == ["file_path", "pos"]
+    assert dt.num_rows == 2
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [1, 2, 3, 4, 6, 7, 8, 9]
+    meta = uniform.current_metadata(tdir)
+    snap1 = next(s for s in meta["snapshots"] if s["snapshot-id"] == 1)
+    assert snap1["summary"]["total-position-deletes"] == "2"
+    assert snap1["summary"]["total-delete-files"] == "1"
+
+    # append with the DV set unchanged: the delete entry is REUSED
+    t.append(_df(spark, [(20, "c", 200)]))             # v2
+    t.generate_iceberg_metadata()                      # snap 2
+    dels2 = uniform.plan_deletes(tdir)
+    assert dels2[0]["file_path"] == dels[0]["file_path"], \
+        "unchanged DV set must reuse the delete file"
+    meta = uniform.current_metadata(tdir)
+    ml2 = uniform._read_manifest_list(
+        next(s for s in meta["snapshots"] if s["snapshot-id"] == 2)
+        ["manifest-list"])
+    de = next(e for e in ml2 if e.get("content") == 1)
+    assert de["added_files_count"] == 0
+    assert de["existing_files_count"] == 1
+    assert de["existing_rows_count"] == 2
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [1, 2, 3, 4, 6, 7, 8, 9, 20]
+
+    # a SECOND DV delete changes the fingerprint -> a fresh delete file
+    t.delete_where(F.col("k") == 3, use_dv=True)       # v3
+    t.generate_iceberg_metadata()                      # snap 3
+    dels3 = uniform.plan_deletes(tdir)
+    assert sum(d["record_count"] for d in dels3) == 3
+    assert dels3[0]["file_path"] != dels[0]["file_path"]
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [1, 2, 4, 6, 7, 8, 9, 20]
+
+    # PURGE retires the deletes; the HISTORICAL MoR snapshots stay
+    # readable through the Iceberg tree (time travel)
+    t.reorg_purge()                                    # v4
+    t.generate_iceberg_metadata()                      # snap 4
+    assert uniform.plan_deletes(tdir) == []
+    assert uniform.plan_deletes(tdir, 3), \
+        "historical snapshot keeps its delete files"
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [1, 2, 4, 6, 7, 8, 9, 20]
+
+    # VACUUM cannot break retained DV'd snapshots: the purged-away data
+    # files stay referenced by snaps 0-3 (and the delete parquet lives
+    # under metadata/, which VACUUM never scans)
+    t.vacuum(retention_seconds=0)
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir, 3).collect()) == \
+        [1, 2, 4, 6, 7, 8, 9, 20]
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir, 1).collect()) == \
+        [1, 2, 3, 4, 6, 7, 8, 9]
+
+    # expire: the delete parquets collect with their snapshots once no
+    # retained snapshot references them
+    assert len(_glob.glob(os.path.join(
+        tdir, "metadata", "delete-*.parquet"))) == 2
+    victims = uniform.expire_snapshots(tdir, keep_last=1)
+    assert victims and all(not os.path.exists(p) for p in victims)
+    assert _glob.glob(os.path.join(
+        tdir, "metadata", "delete-*.parquet")) == [], \
+        "expired snapshots' delete files must collect"
+    assert sorted(r["k"] for r in
+                  uniform.read_snapshot(spark, tdir).collect()) == \
+        [1, 2, 4, 6, 7, 8, 9, 20]
 
 
 def test_v2_checkpoint_parquet_top(spark, tdir):
