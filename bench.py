@@ -121,11 +121,16 @@ EXTRA = [
     # against (the query generates the metadata tree three times and
     # reads back through it).
     "delta_uniform_iceberg_export",
-    # round 14: Iceberg position deletes (MoR export + anti-join read)
-    # and the snapshot-ledger audit — recorded medians to regress
+    # round 14: Iceberg position deletes (MoR export + anti-join read),
+    # the snapshot-ledger audit, domain metadata, version checksums,
+    # and row-level DV concurrency — recorded medians to regress
     # against.
     "delta_uniform_position_deletes",
     "delta_uniform_snapshot_audit",
+    "delta_domain_metadata",
+    "delta_version_checksum",
+    "delta_row_level_concurrency",
+    "delta_uniform_metadata_tables",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

@@ -297,6 +297,14 @@ _SHOW_ICEBERG_SNAPSHOTS_RE = re.compile(
     r"^\s*SHOW\s+ICEBERG\s+SNAPSHOTS\s+FOR\s+TABLE\s+(?P<target>\w+)"
     r"\s*;?\s*$", re.IGNORECASE)
 
+# SHOW ICEBERG FILES|MANIFESTS FOR TABLE t [AT SNAPSHOT n] — the other
+# two Iceberg metadata tables over the UniForm export: per-file scan
+# plan (files) and manifest-list health (manifests), both metadata-only.
+_SHOW_ICEBERG_PLAN_RE = re.compile(
+    r"^\s*SHOW\s+ICEBERG\s+(?P<what>FILES|MANIFESTS)\s+FOR\s+TABLE\s+"
+    r"(?P<target>\w+)(?:\s+AT\s+SNAPSHOT\s+(?P<sid>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+
 # APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
 # SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
 # [TRACK HISTORY ON * EXCEPT (c, ...)] — the DLT CDC statement over the
@@ -692,6 +700,14 @@ class Engine:
             from .sources import uniform
             return uniform.snapshots_df(
                 self.spark, self.txlog_tables[m.group("target")].path)
+        m = _SHOW_ICEBERG_PLAN_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            from .sources import uniform
+            fn = (uniform.files_df if m.group("what").upper() == "FILES"
+                  else uniform.manifests_df)
+            return fn(self.spark, self.txlog_tables[m.group("target")].path,
+                      snapshot_id=(int(m.group("sid"))
+                                   if m.group("sid") else None))
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

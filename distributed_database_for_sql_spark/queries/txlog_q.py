@@ -607,6 +607,406 @@ def delta_uniform_snapshot_audit(spark: SparkSession,
 
 
 @register(
+    "delta_domain_metadata",
+    # Oracle: relational recompute of the final data state; the audit
+    # flags certify the domain-metadata mechanics — config round-trip,
+    # checkpointed replay through a FRESH handle, last-write-wins
+    # update, removal tombstone, writer-only protocol fencing, and
+    # time travel seeing the pre-removal map.  The value hash then
+    # proves the metadata commits never perturbed the data.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1400
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS roundtrip_ok,
+           1 AS checkpoint_replay_ok,
+           1 AS removal_hidden,
+           1 AS writer_only_fence,
+           1 AS time_travel_sees_history
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "protocol", "metadata", "domain"),
+)
+def delta_domain_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DOMAIN METADATA (r14 — the ``domainMetadata`` writer
+    feature): named, system-owned configuration blobs that ride the
+    transaction LOG, not the schema — real Delta's mechanism for
+    clustering state, row-tracking watermarks, and MV bookkeeping.
+    One metadata-only commit per update; the domain map is CHECKPOINTED
+    and replayed like txn watermarks (O(interval) reads on a
+    million-commit table); removal is a tombstone; concurrent commits
+    to the SAME domain conflict through OCC while different domains
+    commute; the feature lists writer-only (readers stay unfenced).
+    (txlog.py set_domain_metadata/_domain_state; OCC pin in
+    tests/test_txlog.py::test_domain_metadata_roundtrip_checkpoint_and_occ.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority",
+                               cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("domain", sf_dir),
+                          sel(k <= 1000).repartition(4, "o_orderkey"),
+                          overwrite=True)
+    t.checkpoint_interval = 2
+    t.set_domain_metadata("pipeline.watermark", {"epoch": 1})     # v1
+    t.append(sel((k > 1000) & (k <= 1400))
+             .repartition(2, "o_orderkey"))                       # v2+ckpt
+    t.set_domain_metadata("pipeline.watermark", {"epoch": 2})     # v3
+    t.set_domain_metadata("clustering.state",
+                          {"cols": ["o_orderkey"]})               # v4+ckpt
+    t.remove_domain_metadata("clustering.state")                  # v5
+    fresh = TxLogTable(spark, t.path)
+    roundtrip = fresh.domain_metadata("pipeline.watermark") == {"epoch": 2}
+    ckpt = fresh._best_checkpoint(fresh.latest_version())
+    replay_ok = ckpt is not None and "domains" in ckpt and \
+        fresh.domain_metadata() == {"pipeline.watermark": {"epoch": 2}}
+    removed = fresh.domain_metadata("clustering.state") is None
+    proto = fresh.protocol()
+    fence = "domainMetadata" in proto.get("writerFeatures", []) and \
+        "domainMetadata" not in proto.get("readerFeatures", [])
+    history = fresh.domain_metadata("clustering.state", version=4) == \
+        {"cols": ["o_orderkey"]}
+    return (fresh.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("roundtrip_ok", F.lit(roundtrip).cast("int"))
+            .withColumn("checkpoint_replay_ok",
+                        F.lit(replay_ok).cast("int"))
+            .withColumn("removal_hidden", F.lit(removed).cast("int"))
+            .withColumn("writer_only_fence", F.lit(fence).cast("int"))
+            .withColumn("time_travel_sees_history",
+                        F.lit(history).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_version_checksum",
+    # Oracle: relational recompute of the final state after the full
+    # CoW + MoR + purge churn; audit flags certify the checksum
+    # mechanics — a crc per commit, validate_checksum green at EVERY
+    # version of the chain, the incremental chain equal to a full
+    # recompute at head, DV targets counted while outstanding, and a
+    # tampered crc detected with a field-named error.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 1300 AND o_orderkey % 6 <> 0
+        AND o_orderkey % 11 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS crc_per_commit,
+           1 AS validate_all_versions,
+           1 AS incremental_matches_full,
+           1 AS dv_targets_counted,
+           1 AS tamper_detected
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "checksum", "integrity", "maintenance"),
+)
+def delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style VERSION CHECKSUMS (r14 — the ``<v>.crc`` state file):
+    with ``txlog.checksum.enabled`` every commit writes a state summary
+    (file count, table bytes, DV'd targets, schema hash, protocol) that
+    any reader can verify its snapshot reconstruction against — a torn
+    replay or lost file becomes a loud, field-named error instead of a
+    silently wrong read.  INCREMENTAL: each crc advances the previous
+    one by the commit's own actions (O(changed files) stat calls, never
+    O(table) — the property that keeps the hook viable on a 100k-file
+    table); checkpoint versions resync from the manifest's exact state,
+    bounding drift; log cleanup expires crc files with their commits.
+    (txlog.py _maybe_crc/validate_checksum; chain/tamper/cleanup pin in
+    tests/test_txlog.py::test_version_checksum_chain_validate_and_cleanup.)"""
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority",
+                               cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("crc", sf_dir),
+                          sel(k <= 900).repartition(4, "o_orderkey"),
+                          overwrite=True)
+    t.checkpoint_interval = 3
+    t.enable_checksums()                                          # v1
+    t.append(sel((k > 900) & (k <= 1300))
+             .repartition(2, "o_orderkey"))                      # v2
+    t.delete_where(k % 6 == 0)                                    # v3+ckpt
+    t.delete_where(k % 11 == 0, use_dv=True)                      # v4 (MoR)
+    dv_counted = t._read_crc(4) is not None and \
+        t._read_crc(4)["numDvFiles"] >= 1
+    t.reorg_purge()                                               # v5
+    latest = t.latest_version()
+    per_commit = all(
+        _os.path.exists(t._crc_path(v)) for v in range(1, latest + 1))
+    try:
+        validate_all = all(
+            t.validate_checksum(v)["version"] == v
+            for v in range(1, latest + 1))
+    except (ValueError, FileNotFoundError):
+        validate_all = False
+    incr_full = t._read_crc(latest) == t._crc_state(latest)
+    import json as _json
+    doctored = dict(t._read_crc(latest), tableSizeBytes=1)
+    with open(t._crc_path(latest), "w") as f:
+        _json.dump(doctored, f)
+    try:
+        t.validate_checksum(latest)
+        tamper = False
+    except ValueError as e:
+        tamper = "tableSizeBytes" in str(e)
+    with open(t._crc_path(latest), "w") as f:
+        _json.dump(t._crc_state(latest), f)
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("crc_per_commit", F.lit(per_commit).cast("int"))
+            .withColumn("validate_all_versions",
+                        F.lit(validate_all).cast("int"))
+            .withColumn("incremental_matches_full",
+                        F.lit(incr_full).cast("int"))
+            .withColumn("dv_targets_counted",
+                        F.lit(dv_counted).cast("int"))
+            .withColumn("tamper_detected", F.lit(tamper).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_uniform_metadata_tables",
+    # Oracle: relational recompute of the MoR snapshot an Iceberg
+    # reader plans from SHOW ICEBERG FILES; the audit flags certify
+    # the two metadata tables — the files table's data rows equal to
+    # the physical file count and PRE-delete record total, the
+    # content=1 delete row carrying exactly the tombstone count, the
+    # manifests table consistent with the files table (entry counts
+    # sum to the planned file count, the delete manifest tracked
+    # separately), and the AT SNAPSHOT form showing the pre-DV
+    # snapshot clean of delete files.
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders
+      WHERE o_orderkey <= 1200 AND o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS files_match_physical,
+           1 AS delete_file_counted,
+           1 AS manifests_consistent,
+           1 AS historical_snapshot_clean
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "iceberg", "uniform", "sql", "metadata"),
+)
+def delta_uniform_metadata_tables(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Iceberg ``files`` / ``manifests`` METADATA TABLES over the
+    UniForm export (r14 — completes the metadata-table trio with
+    r14's SHOW ICEBERG SNAPSHOTS): ``SHOW ICEBERG FILES FOR TABLE t
+    [AT SNAPSHOT n]`` is the per-file scan plan (content kind, path,
+    partition tuple, record count, bytes — planned exactly like an
+    Iceberg engine, data files never opened) and ``SHOW ICEBERG
+    MANIFESTS`` is manifest-list health (entry counts, lineage,
+    compaction pressure) reading ONLY the manifest list.  At 100 TB
+    both answer from metadata-sized reads.  (uniform.files_df /
+    manifests_df; SQL routes in engine.py; pin in
+    tests/test_txlog.py::test_uniform_files_and_manifests_tables.)"""
+    from ..engine import Engine
+    from ..sources import uniform
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority",
+                               cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("icemeta", sf_dir),
+                          sel(k <= 1200).repartition(4, "o_orderkey"),
+                          overwrite=True)
+    n_physical = sel(k <= 1200).count()
+    n_tomb = sel((k <= 1200) & (k % 7 == 0)).count()
+    t.generate_iceberg_metadata()                          # snap 0
+    t.delete_where(k % 7 == 0, use_dv=True)                # v1 (MoR)
+    t.generate_iceberg_metadata()                          # snap 1
+    engine.register_txlog("icemeta_t", t)
+    files = engine.sql("SHOW ICEBERG FILES FOR TABLE icemeta_t").collect()
+    data_rows = [r for r in files if r["content"] == 0]
+    del_rows = [r for r in files if r["content"] == 1]
+    files_ok = (len(data_rows) == 4
+                and sum(r["record_count"] for r in data_rows) == n_physical)
+    del_ok = (len(del_rows) == 1
+              and del_rows[0]["record_count"] == n_tomb
+              and del_rows[0]["file_format"] == "PARQUET")
+    mans = engine.sql(
+        "SHOW ICEBERG MANIFESTS FOR TABLE icemeta_t").collect()
+    data_mans = [r for r in mans if r["content"] == 0]
+    del_mans = [r for r in mans if r["content"] == 1]
+    man_ok = (
+        sum(r["added_files_count"] + r["existing_files_count"]
+            for r in data_mans) == len(data_rows)
+        and len(del_mans) == 1
+        and del_mans[0]["added_rows_count"] == n_tomb)
+    hist = engine.sql(
+        "SHOW ICEBERG FILES FOR TABLE icemeta_t AT SNAPSHOT 0").collect()
+    hist_ok = (all(r["content"] == 0 for r in hist)
+               and sum(r["record_count"] for r in hist) == n_physical)
+    return (uniform.read_snapshot(spark, t.path)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("files_match_physical",
+                        F.lit(files_ok).cast("int"))
+            .withColumn("delete_file_counted", F.lit(del_ok).cast("int"))
+            .withColumn("manifests_consistent",
+                        F.lit(man_ok).cast("int"))
+            .withColumn("historical_snapshot_clean",
+                        F.lit(hist_ok).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "delta_row_level_concurrency",
+    # Oracle: relational recompute of the final state after four
+    # concurrent-writer races on ONE shared data file; the audit flags
+    # certify the row-level OCC rules — disjoint DV updates on the
+    # same file COMMUTE (both post-image sets land), overlapping
+    # update x update CONFLICTS (the loser raises instead of
+    # duplicating the row), update x delete conflicts in BOTH
+    # directions (no resurrected rows, no lost deletes), and
+    # delete x delete commutes even on overlap (tombstone unions are
+    # idempotent).  The value hash then proves the commuting commits
+    # composed to exactly the serial result.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1200
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 1 THEN cents + 7
+                  WHEN o_orderkey % 10 = 2 THEN cents + 11
+                  WHEN o_orderkey % 10 = 3 THEN cents * 2
+                  ELSE cents END AS cents
+      FROM base
+      WHERE o_orderkey % 10 NOT IN (4, 5)
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS disjoint_updates_commute,
+           1 AS update_update_conflicts,
+           1 AS update_delete_conflicts,
+           1 AS delete_delete_commutes
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "occ", "dv", "concurrency"),
+)
+def delta_row_level_concurrency(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CONCURRENCY for merge-on-read commits (r14 — Delta's
+    DV conflict-resolution granularity): two concurrent DV commits
+    tombstoning the SAME data file commute when their (file, row) sets
+    are DISJOINT, and conflict at ROW granularity otherwise — without
+    this, a concurrent DV UPDATE pair touching one row would both
+    commit and duplicate it with conflicting post-images (the base
+    file stays active, so file-level OCC never fires).  The
+    intersection check runs only on the OCC retry path, only over
+    SHARED target files, and reads only the two commits' DV sidecars —
+    O(tombstones on contended files), never O(table).  The scenario
+    packs the table into ONE file (maximum contention) and races four
+    writer pairs through a mid-commit hook: disjoint updates, an
+    overlapping update pair, update-vs-delete, and an overlapping
+    delete pair.  (txlog.py _check_dv_row_conflicts/_dv_rows; pin in
+    tests/test_txlog.py::test_dv_row_level_concurrency.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    t = TxLogTable.create(
+        spark, _table_dir("rowocc", sf_dir),
+        orders.filter(k <= 1200)
+        .select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+        .repartition(1),
+        overwrite=True)
+    orig = t._write_dv
+    m10 = F.col("o_orderkey") % 10
+
+    def racing(fn):
+        def race(dv_df):
+            rel = orig(dv_df)
+            fn(TxLogTable(spark, t.path))
+            return rel
+        return race
+
+    # race 1 — disjoint rows, one shared file: both updates commit
+    t._write_dv = racing(
+        lambda r: r.update_where({"cents": "cents + 11"}, m10 == 2,
+                                 use_dv=True))
+    t.update_where({"cents": "cents + 7"}, m10 == 1, use_dv=True)
+    commuted = t.latest_version() == 2
+
+    # race 2 — overlapping update x update: loser raises, winner stands
+    t._write_dv = racing(
+        lambda r: r.update_where({"cents": "cents * 2"}, m10 == 3,
+                                 use_dv=True))
+    try:
+        t.update_where({"cents": "cents + 1"}, m10 == 3, use_dv=True)
+        uu_conflict = False
+    except RuntimeError as e:
+        uu_conflict = "tombstoned row" in str(e)
+
+    # race 3 — update racing a concurrent DELETE of the same rows:
+    # conflict (the update would resurrect them)
+    t._write_dv = racing(
+        lambda r: r.delete_where(m10 == 4, use_dv=True))
+    try:
+        t.update_where({"cents": "cents + 1"}, m10 == 4, use_dv=True)
+        ud_conflict = False
+    except RuntimeError as e:
+        ud_conflict = "DELETE" in str(e) and "tombstoned row" in str(e)
+
+    # race 4 — overlapping delete x delete: tombstone unions are
+    # idempotent, both commit, the rows go exactly once
+    t._write_dv = racing(
+        lambda r: r.delete_where(m10 == 5, use_dv=True))
+    t.delete_where(m10 == 5, use_dv=True)
+    t._write_dv = orig
+    dd_commuted = t.latest_version() == 6
+
+    return (t.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("disjoint_updates_commute",
+                        F.lit(commuted).cast("int"))
+            .withColumn("update_update_conflicts",
+                        F.lit(uu_conflict).cast("int"))
+            .withColumn("update_delete_conflicts",
+                        F.lit(ud_conflict).cast("int"))
+            .withColumn("delete_delete_commutes",
+                        F.lit(dd_commuted).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "delta_log_retention",
     # Oracle: relational recompute of the retained snapshot; the audit
     # flags certify the cleanup mechanics — a positive retention floor,

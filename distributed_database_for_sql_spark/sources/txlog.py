@@ -130,6 +130,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset({
     "deletionVectors", "columnMapping", "typeWidening", "identityColumns",
     "generatedColumns", "checkConstraints", "changeDataFeed", "appendOnly",
     "rowTracking", "clustering", "allowColumnDefaults", "v2Checkpoint",
+    "domainMetadata",
 })
 
 
@@ -667,7 +668,9 @@ class TxLogTable:
     def _commit_with_occ(self, actions: list[dict], removed: list[str],
                          base_version: int,
                          key_range: dict | list[dict] | None = None,
-                         txn: tuple[str, int] | None = None) -> int:
+                         txn: tuple[str, int] | None = None,
+                         domains: list[str] | None = None,
+                         dv_guards: list[dict] | None = None) -> int:
         """Commit actions computed against the snapshot at
         ``base_version``.  If anything committed after that snapshot
         (claim target > base_version + 1, or a claim race is lost),
@@ -690,7 +693,9 @@ class TxLogTable:
             # begin snapshot
             self._staged.append({"actions": actions,
                                  "removed": list(removed),
-                                 "key_range": key_range})
+                                 "key_range": key_range,
+                                 "domains": list(domains or []),
+                                 "dv_guards": list(dv_guards or [])})
             return self.latest_version()
         self._assert_writable()
         rid_fresh = (self._fresh_add_paths(actions)
@@ -729,6 +734,38 @@ class TxLogTable:
                         "concurrent commit conflict: segments removed by "
                         f"another writer while this operation ran: {gone}; "
                         "re-run against the current snapshot")
+                if domains:
+                    # domain-metadata write skew: two writers updating
+                    # the SAME domain's config would silently lose one
+                    # update — Delta's rule: same domain conflicts,
+                    # different domains commute.
+                    ours_d = set(domains)
+                    for i in range(base_version + 1, v):
+                        for action in self._read_commit(i):
+                            d = action.get("domainMetadata")
+                            if d is not None and d["domain"] in ours_d:
+                                raise RuntimeError(
+                                    "concurrent commit conflict: version "
+                                    f"{i} modified metadata domain "
+                                    f"{d['domain']!r}, which this commit "
+                                    "also touches; re-read and re-apply")
+                if dv_guards:
+                    # ROW-LEVEL CONCURRENCY (Delta's DV conflict rule):
+                    # two merge-on-read commits tombstoning the SAME
+                    # data file commute when their (file, row) sets are
+                    # DISJOINT — without this check a concurrent DV
+                    # UPDATE pair touching the same row would both
+                    # commit and duplicate the row with conflicting
+                    # post-images (the base file stays active, so the
+                    # removed-segment check above never fires).
+                    # delete × delete commutes even on overlap: the
+                    # folded tombstone union is idempotent.  The row-set
+                    # intersection is only computed on the retry path,
+                    # only for SHARED target files, and reads only the
+                    # two commits' DV sidecars — O(tombstones on
+                    # contended files), never O(table).
+                    self._check_dv_row_conflicts(
+                        dv_guards, base_version, v)
                 ours = ([key_range] if isinstance(key_range, dict)
                         else list(key_range or []))
                 if ours:
@@ -753,6 +790,7 @@ class TxLogTable:
                                     f"{hit['max']}]; re-run against "
                                     "the current snapshot")
             if self._try_commit(v, actions):
+                self._maybe_crc(v, actions)
                 self._maybe_checkpoint(v)
                 self._maybe_uniform()
                 return v
@@ -791,6 +829,7 @@ class TxLogTable:
                     "dvs": dvs,
                     "txns": txns,
                     "constraints": constraints,
+                    "domains": self._domain_state(version),
                     "schemaJson": schema_json}
         props = manifest["meta"].get("properties", {})
         fmt = props.get("txlog.checkpoint.format", "json")
@@ -909,6 +948,190 @@ class TxLogTable:
                         self.cleanup_metadata()
             except Exception:
                 pass
+        if props.get("txlog.checksum.enabled", "").lower() == "true":
+            # checkpoint versions RESYNC the version checksum from the
+            # exact state the manifest just materialized (free — no
+            # extra resolution), bounding any drift the incremental
+            # per-commit path could in principle accumulate to one
+            # checkpoint interval.
+            try:
+                self._write_crc_from_state(
+                    version, manifest["adds"], manifest["dvs"],
+                    manifest["schemaJson"], manifest["protocol"])
+            except Exception:
+                pass  # derived data; validate_checksum reports drift
+
+    # -- version checksums (Delta's <v>.crc state validation) ---------------
+
+    def _crc_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.crc")
+
+    def _read_crc(self, version: int) -> dict | None:
+        try:
+            with open(self._crc_path(version)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _crc_state(self, version: int) -> dict:
+        """Full (non-incremental) checksum state at ``version``: snapshot
+        resolution + one stat per active file.  O(numFiles) — used to
+        seed the chain, by checkpoint resyncs, and by
+        ``validate_checksum``; steady-state commits use the O(changed
+        files) incremental path."""
+        active, schema_json, dvs = self._snapshot_full(version)
+        return self._crc_fields(
+            version, [{"path": p} for p in active], dvs, schema_json,
+            self.protocol(version))
+
+    def _crc_fields(self, version: int, adds: list[dict], dvs: dict,
+                    schema_json: str | None, protocol: dict) -> dict:
+        size = 0
+        for a in adds:
+            try:
+                size += os.path.getsize(os.path.normpath(
+                    os.path.join(self.path, a["path"])))
+            except OSError:
+                pass  # cloned-in/absent: size best-effort (like detail)
+        return {
+            "version": version,
+            "numFiles": len(adds),
+            "tableSizeBytes": size,
+            "numDvFiles": len(dvs),
+            "dvTargets": sorted(dvs),
+            "schemaHash": hashlib.md5(
+                (schema_json or "").encode()).hexdigest(),
+            "protocol": protocol,
+        }
+
+    def _write_crc_from_state(self, version: int, adds: list[dict],
+                              dvs: dict, schema_json: str | None,
+                              protocol: dict) -> None:
+        self.log_store.overwrite_atomic(
+            self._crc_path(version),
+            json.dumps(self._crc_fields(version, adds, dvs, schema_json,
+                                        protocol),
+                       sort_keys=True).encode())
+
+    def _maybe_crc(self, version: int, actions: list[dict]) -> None:
+        """Post-commit hook (``txlog.checksum.enabled``): write the
+        VERSION CHECKSUM file ``<v>.crc`` — Delta's per-commit state
+        summary (file count, table bytes, DV'd targets, schema hash,
+        protocol) that lets any reader verify its snapshot
+        reconstruction without trusting the replay (``.crc`` in real
+        Delta logs).  INCREMENTAL: the previous version's crc is
+        advanced by this commit's add/remove/dvAdd/metaData/protocol
+        actions — O(changed files) stat calls, never O(table) — with a
+        full recompute only when the chain has no predecessor (first
+        enabled commit, or a gap from a writer that crashed before its
+        crc write).  Checkpoint versions overwrite with the manifest's
+        exact state (see _maybe_checkpoint), bounding drift.  The flag
+        is cached per handle like the UniForm hook: one
+        checkpoint-bounded properties() read, a cached False re-checked
+        after one checkpoint interval of commits."""
+        enabled = getattr(self, "_crc_enabled", None)
+        if enabled is False:
+            stale_after = max(1, self.checkpoint_interval)
+            if version - getattr(self, "_crc_checked_v", -1) >= stale_after:
+                enabled = None
+        if enabled is None:
+            try:
+                enabled = self.properties().get(
+                    "txlog.checksum.enabled", "").lower() == "true"
+            except Exception:
+                enabled = False
+            self._crc_enabled = enabled
+            self._crc_checked_v = version
+        if not enabled:
+            return
+        try:
+            prev = self._read_crc(version - 1) if version > 0 else None
+            crc = None if prev is None else self._advance_crc(
+                prev, version, actions)
+            if crc is None:
+                crc = self._crc_state(version)
+            self.log_store.overwrite_atomic(
+                self._crc_path(version),
+                json.dumps(crc, sort_keys=True).encode())
+        except Exception:
+            pass  # derived data; next checkpoint resync catches up
+
+    def _advance_crc(self, prev: dict, version: int,
+                     actions: list[dict]) -> dict | None:
+        """prev crc + this commit's actions -> this version's crc, or
+        None when the increments cannot be applied safely (a referenced
+        file already gone from disk, or counters would go negative —
+        both mean the chain must reseed from a full recompute)."""
+        num = prev["numFiles"]
+        size = prev["tableSizeBytes"]
+        dv_targets = set(prev.get("dvTargets", []))
+        schema_hash = prev["schemaHash"]
+        protocol = prev["protocol"]
+        for a in actions:
+            if "add" in a:
+                p = os.path.normpath(
+                    os.path.join(self.path, a["add"]["path"]))
+                try:
+                    size += os.path.getsize(p)
+                except OSError:
+                    return None
+                num += 1
+            elif "remove" in a:
+                rel = a["remove"]["path"]
+                p = os.path.normpath(os.path.join(self.path, rel))
+                try:
+                    size -= os.path.getsize(p)
+                except OSError:
+                    return None  # already collected: cannot subtract
+                num -= 1
+                dv_targets.discard(rel)
+            elif "dvAdd" in a:
+                dv_targets.update(a["dvAdd"]["targets"])
+            elif "metaData" in a:
+                schema_hash = hashlib.md5(
+                    (a["metaData"].get("schemaJson") or "").encode()
+                ).hexdigest()
+            elif "protocol" in a:
+                protocol = a["protocol"]
+        if num < 0 or size < 0:
+            return None
+        return {
+            "version": version,
+            "numFiles": num,
+            "tableSizeBytes": size,
+            "numDvFiles": len(dv_targets),
+            "dvTargets": sorted(dv_targets),
+            "schemaHash": schema_hash,
+            "protocol": protocol,
+        }
+
+    def enable_checksums(self) -> int:
+        """Turn on per-commit version checksums (one property commit;
+        the commit that sets the flag gets the chain's seed crc)."""
+        return self.set_properties({"txlog.checksum.enabled": "true"})
+
+    def validate_checksum(self, version: int | None = None) -> dict:
+        """Recompute the snapshot state at ``version`` (default latest)
+        and compare against the stored ``<v>.crc``.  Returns the crc
+        dict when they agree; raises ValueError naming every diverging
+        field — a torn replay, a tampered log, or a lost file turns
+        into a loud, specific error instead of silently wrong reads.
+        Raises FileNotFoundError when no crc exists for the version."""
+        v = self.latest_version() if version is None else version
+        stored = self._read_crc(v)
+        if stored is None:
+            raise FileNotFoundError(
+                f"no version checksum at {self._crc_path(v)} — "
+                "enable txlog.checksum.enabled or pick a crc'd version")
+        actual = self._crc_state(v)
+        diffs = {k: (stored.get(k), actual[k]) for k in actual
+                 if stored.get(k) != actual[k]}
+        if diffs:
+            raise ValueError(
+                f"version checksum mismatch at version {v}: " + ", ".join(
+                    f"{k}: stored {s!r} != actual {a!r}"
+                    for k, (s, a) in sorted(diffs.items())))
+        return stored
 
     @staticmethod
     def _retention_ms(props: dict) -> float:
@@ -990,6 +1213,11 @@ class TxLogTable:
             for p in glob.glob(os.path.join(self.log_dir, pat)):
                 if int(os.path.basename(p).split(".")[0]) < floor:
                     victims.append(p)
+        for p in glob.glob(os.path.join(self.log_dir, "[0-9]*.crc")):
+            # version checksums below the floor describe versions that
+            # no longer resolve — they expire with their commits
+            if int(os.path.basename(p).split(".")[0]) < floor:
+                victims.append(p)
         for p in glob.glob(os.path.join(self.log_dir, "_sidecars",
                                         "*.parquet")):
             if int(os.path.basename(p).split("-")[0]) < floor:
@@ -1314,6 +1542,32 @@ class TxLogTable:
         """Highest ``txn`` version committed for ``app_id`` (-1 if none) —
         the idempotent writer's replay watermark."""
         return self._txn_constraint_state()[0].get(app_id, -1)
+
+    def _domain_state(self, version: int | None = None) -> dict[str, str]:
+        """Replay ``domainMetadata`` actions (Delta's domain-metadata
+        writer feature) up to ``version`` → {domain: configuration JSON
+        string}.  A ``removed`` tombstone drops the domain.  Starts from
+        the best checkpoint's ``domains`` map like every other replayed
+        state, so resolution stays O(interval) under continuous
+        commits."""
+        latest = self.latest_version()
+        v = latest if version is None else version
+        domains: dict[str, str] = {}
+        start = 0
+        ckpt = self._best_checkpoint(v)
+        if ckpt is not None:
+            domains = dict(ckpt.get("domains", {}))
+            start = ckpt["version"] + 1
+        self._require_retained(start, v)
+        for i in range(start, v + 1):
+            for action in self._read_commit(i):
+                if "domainMetadata" in action:
+                    d = action["domainMetadata"]
+                    if d.get("removed"):
+                        domains.pop(d["domain"], None)
+                    else:
+                        domains[d["domain"]] = d["configuration"]
+        return domains
 
     def protocol(self, version: int | None = None) -> dict[str, int]:
         """The table's protocol requirements at ``version`` (Delta's
@@ -2384,6 +2638,7 @@ class TxLogTable:
             del t._pending_row_tracking
         if not t._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {path}")
+        t._maybe_crc(0, actions)
         return t
 
     @classmethod
@@ -2465,6 +2720,7 @@ class TxLogTable:
         )
         if not t._try_commit(0, actions):
             raise FileExistsError(f"concurrent convert at {path}")
+        t._maybe_crc(0, actions)
         return t
 
     def _schema_evolution_action(self, df: DataFrame) -> list[dict]:
@@ -2855,6 +3111,7 @@ class TxLogTable:
                 # collects them.
                 return self.latest_version()
             if self._try_commit(v, actions):
+                self._maybe_crc(v, actions)
                 self._maybe_checkpoint(v)
                 self._maybe_auto_compact()
                 self._maybe_uniform()
@@ -2956,8 +3213,14 @@ class TxLogTable:
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in begin_active}
         removed = [p for p in removed if p in begin_rel]
+        txn_domains = sorted({d for s in staged
+                              for d in s.get("domains", [])})
+        txn_dv_guards = [g for s in staged
+                         for g in s.get("dv_guards", [])]
         return self._commit_with_occ(actions, removed, base,
-                                     list(ranges.values()) or None)
+                                     list(ranges.values()) or None,
+                                     domains=txn_domains or None,
+                                     dv_guards=txn_dv_guards or None)
 
     def rollback_transaction(self) -> None:
         """Discard the open transaction's staged actions (segments they
@@ -3508,6 +3771,7 @@ class TxLogTable:
         )
         if not dest._try_commit(0, actions):
             raise FileExistsError(f"concurrent create at {dest_path}")
+        dest._maybe_crc(0, actions)
         return dest
 
     def clone_refresh(self) -> int:
@@ -3617,6 +3881,7 @@ class TxLogTable:
             raise RuntimeError(
                 "clone_refresh lost a commit race (concurrent write on "
                 "the clone); re-run against the fresh state")
+        self._maybe_crc(base + 1, actions)
         self._maybe_uniform()
         return base + 1
 
@@ -4460,6 +4725,53 @@ class TxLogTable:
             os.path.join(self.path, sub))
         return sub
 
+    def _dv_rows(self, dv_rel: str, files: set[str]) -> set[tuple[str, int]]:
+        """The (file, row_index) tombstones a DV sidecar holds for
+        ``files`` — loaded driver-side via pyarrow with the file filter
+        pushed into the scan, so the cost is O(tombstones on the
+        requested files), bounded by DV scale regardless of table
+        size.  Used only by the OCC retry path's row-level check."""
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(os.path.join(self.path, dv_rel),
+                               format="parquet")
+        tbl = dataset.to_table(
+            columns=["path", "row_index"],
+            filter=pads.field("path").isin(sorted(files)))
+        return set(zip(tbl.column("path").to_pylist(),
+                       tbl.column("row_index").to_pylist()))
+
+    def _check_dv_row_conflicts(self, dv_guards: list[dict],
+                                base_version: int, v: int) -> None:
+        """Raise iff an intervening commit's DV tombstones INTERSECT one
+        of ours at row granularity (see the call site in
+        ``_commit_with_occ`` for the commute/conflict rule)."""
+        for i in range(base_version + 1, v):
+            acts = self._read_commit(i)
+            their_op = next((a["commit"].get("op") for a in acts
+                             if "commit" in a), None)
+            for action in acts:
+                dvi = action.get("dvAdd")
+                if dvi is None:
+                    continue
+                their_targets = set(dvi["targets"])
+                for g in dv_guards:
+                    shared = their_targets & set(g["targets"])
+                    if not shared:
+                        continue
+                    if g["op"] == "delete" and their_op == "DELETE":
+                        continue  # tombstone unions commute row-wise
+                    hit = (self._dv_rows(g["path"], shared)
+                           & self._dv_rows(dvi["path"], shared))
+                    if hit:
+                        f, pos = min(hit)
+                        raise RuntimeError(
+                            "concurrent commit conflict: version "
+                            f"{i} ({their_op}) tombstoned row {pos} "
+                            f"of {f!r}, which this "
+                            f"{g['op'].upper()} also modifies; "
+                            "re-run against the current snapshot")
+
     def _delete_where_dv(self, condition, base_version: int) -> int:
         """Deletion-vector DELETE body (see ``delete_where``)."""
         live = self._read_active(with_pos=True)
@@ -4491,7 +4803,13 @@ class TxLogTable:
         # OCC: "removed" carries the DV's target files — a concurrent
         # rewrite (MERGE/OPTIMIZE) of one of them invalidates our row
         # positions, and must surface as a conflict, not silent loss.
-        v = self._commit_with_occ(actions, targets, base_version)
+        # The dv_guard adds ROW-level resolution against concurrent DV
+        # commits on the same files: disjoint rows commute (and
+        # delete × delete always does), overlapping rows conflict.
+        v = self._commit_with_occ(
+            actions, targets, base_version,
+            dv_guards=[{"path": dv_rel, "targets": targets,
+                        "op": "delete"}])
         self._maybe_auto_reorg()
         return v
 
@@ -4554,8 +4872,15 @@ class TxLogTable:
             + cdf_actions
         )
         # OCC: a concurrent rewrite of a tombstoned file invalidates our
-        # row positions — same conflict surface as the DV delete.
-        v = self._commit_with_occ(actions, targets, base_version)
+        # row positions — same conflict surface as the DV delete — and
+        # the dv_guard resolves concurrent DV commits at ROW level: an
+        # UPDATE conflicts with ANY concurrent tombstone of the same row
+        # (a lost delete or a duplicated post-image otherwise), while
+        # disjoint row sets on the same file commute.
+        v = self._commit_with_occ(
+            actions, targets, base_version,
+            dv_guards=[{"path": dv_rel, "targets": targets,
+                        "op": "update"}])
         self._maybe_auto_reorg()
         return v
 
@@ -4854,6 +5179,8 @@ class TxLogTable:
             # invalidate this handle's cached UniForm flag so the very
             # next commit honors the new setting
             self._uniform_enabled = None
+        if "txlog.checksum.enabled" in props:
+            self._crc_enabled = None  # same contract as the UniForm flag
         actions = [
             {"commit": {"op": "SET TBLPROPERTIES", "ts": self._next_ts(),
                         "keys": sorted(props)}},
@@ -4861,6 +5188,76 @@ class TxLogTable:
                           "properties": merged}},
         ]
         return self._commit_with_occ(actions, [], base_version)
+
+    def _domain_protocol_actions(self) -> list[dict]:
+        """First domainMetadata on a table: list the feature in
+        writerFeatures (Delta's domain-metadata model — WRITER-ONLY: an
+        old reader can still read the data, only writers must preserve
+        domains through their commits, so the reader version is left
+        alone)."""
+        proto = self.protocol()
+        if "domainMetadata" in proto.get("writerFeatures", []):
+            return []
+        wf = sorted(set(proto.get("writerFeatures", []))
+                    | {"domainMetadata"})
+        return [{"protocol": {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": _SUPPORTED_WRITER_VERSION,
+            "readerFeatures": proto.get("readerFeatures", []),
+            "writerFeatures": wf}}]
+
+    def set_domain_metadata(self, domain: str, configuration: dict) -> int:
+        """Delta's DOMAIN METADATA (the ``domainMetadata`` writer
+        feature): attach a named, system-owned configuration blob to the
+        table that rides the LOG, not the schema — the mechanism real
+        Delta uses for clustering state, row-tracking watermarks, and
+        materialized-view bookkeeping.  One metadata-only commit; the
+        domain map is checkpointed and replayed like txn watermarks, so
+        reads stay O(interval).  Two concurrent commits touching the
+        SAME domain conflict through OCC (write skew on the config);
+        different domains commute — same rule Delta applies.  The first
+        domain on a table lists ``domainMetadata`` in writerFeatures
+        (writer-only: readers stay unfenced)."""
+        base_version = self.latest_version()
+        actions = (
+            [{"commit": {"op": "SET DOMAIN METADATA",
+                         "ts": self._next_ts(), "domain": domain}}]
+            + self._domain_protocol_actions()
+            + [{"domainMetadata": {
+                "domain": domain,
+                "configuration": json.dumps(configuration,
+                                            sort_keys=True),
+                "removed": False}}])
+        return self._commit_with_occ(actions, [], base_version,
+                                     domains=[domain])
+
+    def remove_domain_metadata(self, domain: str) -> int:
+        """Tombstone a metadata domain (Delta's removal form: the action
+        is kept in the log with ``removed=true`` so checkpoint replay
+        drops it deterministically).  Raises KeyError for a domain that
+        was never set — silent removal would mask a caller bug."""
+        if domain not in self._domain_state():
+            raise KeyError(f"no domain metadata for {domain!r}")
+        base_version = self.latest_version()
+        actions = [
+            {"commit": {"op": "REMOVE DOMAIN METADATA",
+                        "ts": self._next_ts(), "domain": domain}},
+            {"domainMetadata": {"domain": domain, "configuration": "{}",
+                                "removed": True}},
+        ]
+        return self._commit_with_occ(actions, [], base_version,
+                                     domains=[domain])
+
+    def domain_metadata(self, domain: str | None = None,
+                        version: int | None = None):
+        """Read domain metadata at ``version`` (default latest): the
+        full {domain: config dict} map, or one domain's config dict
+        (None when absent)."""
+        state = self._domain_state(version)
+        if domain is not None:
+            raw = state.get(domain)
+            return None if raw is None else json.loads(raw)
+        return {k: json.loads(v) for k, v in sorted(state.items())}
 
     def unset_properties(self, keys: list[str]) -> int:
         """``ALTER TABLE … UNSET TBLPROPERTIES`` (missing keys are a

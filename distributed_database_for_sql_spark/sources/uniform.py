@@ -853,6 +853,71 @@ def snapshots_df(spark: SparkSession, table_path: str) -> DataFrame:
         "delete_manifests int, is_current int, schema_id int")
 
 
+def files_df(spark: SparkSession, table_path: str,
+             snapshot_id: int | None = None) -> DataFrame:
+    """``SHOW ICEBERG FILES`` — one row per data / position-delete file
+    of an exported snapshot (Iceberg's ``table.files`` metadata table
+    shape): content (0 = DATA, 1 = POSITION_DELETES), path, format,
+    identity-partition tuple (JSON), record count, and byte size.
+    Planned exactly the way an Iceberg engine plans the snapshot
+    (``plan_files`` + ``plan_deletes`` — metadata.json -> manifest list
+    -> manifests); no data file is ever opened, so at 100 TB this is a
+    metadata-sized answer to "what would a reader scan, and how much"."""
+    rows = [(
+        int(f.get("content", 0)),
+        f["file_path"],
+        f.get("file_format", "PARQUET"),
+        json.dumps(f.get("partition", {}), sort_keys=True),
+        int(f.get("record_count") or 0),
+        int(f.get("file_size_in_bytes") or 0),
+    ) for f in (plan_files(table_path, snapshot_id)
+                + plan_deletes(table_path, snapshot_id))]
+    return spark.createDataFrame(
+        rows,
+        "content int, file_path string, file_format string, "
+        "partition string, record_count bigint, file_size_in_bytes bigint")
+
+
+def manifests_df(spark: SparkSession, table_path: str,
+                 snapshot_id: int | None = None) -> DataFrame:
+    """``SHOW ICEBERG MANIFESTS`` — one row per manifest in a snapshot's
+    manifest list (Iceberg's ``table.manifests`` metadata table shape):
+    content kind, byte length, spec id, sequence-number lineage, the
+    snapshot that ADDED it, and its added/existing/deleted entry
+    counts.  Reads ONLY the manifest list — the manifests themselves
+    stay closed, which is what makes this the right tool for judging
+    manifest health (compaction pressure, reuse) on a 100k-file
+    table."""
+    meta = current_metadata(table_path)
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+                None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not in the Iceberg metadata (have "
+            f"{[s['snapshot-id'] for s in meta['snapshots']]})")
+    rows = [(
+        e["manifest_path"],
+        int(e.get("manifest_length") or 0),
+        int(e.get("partition_spec_id") or 0),
+        int(e.get("content", 0)),
+        int(e.get("sequence_number") or 0),
+        int(e.get("min_sequence_number") or 0),
+        int(e.get("added_snapshot_id") or 0),
+        int(e.get("added_files_count") or 0),
+        int(e.get("existing_files_count") or 0),
+        int(e.get("deleted_files_count") or 0),
+        int(e.get("added_rows_count") or 0),
+    ) for e in _read_manifest_list(snap["manifest-list"])]
+    return spark.createDataFrame(
+        rows,
+        "manifest_path string, manifest_length bigint, "
+        "partition_spec_id int, content int, sequence_number bigint, "
+        "min_sequence_number bigint, added_snapshot_id bigint, "
+        "added_files_count int, existing_files_count int, "
+        "deleted_files_count int, added_rows_count bigint")
+
+
 def expire_snapshots(table_path: str, keep_last: int | None = None,
                      older_than_ms: int | None = None) -> list[str]:
     """Iceberg's ``expire_snapshots`` maintenance: drop historical

@@ -7604,3 +7604,256 @@ def test_show_expectations_and_metrics(spark, tdir):
         "SELECT name, SUM(passed) AS p, SUM(failed) AS f "
         "FROM sexp_events GROUP BY name").collect()}
     assert agg == {"pos_v": (3, 1), "warn_grp": (3, 1)}
+
+
+def test_domain_metadata_roundtrip_checkpoint_and_occ(spark, tdir):
+    """r14: Delta's domainMetadata writer feature — named, system-owned
+    config blobs that ride the LOG.  Round-trip; checkpointed replay
+    through a fresh handle; removal tombstone; writer-only protocol
+    fencing (readers stay unfenced); OCC: concurrent commits touching
+    the SAME domain conflict, different domains commute."""
+    t = TxLogTable.create(spark, tdir, _df(spark, [(1, "a", 10)]))
+    t.checkpoint_interval = 2
+    t.set_domain_metadata("clustering.state", {"cols": ["k"]})   # v1
+    t.set_domain_metadata("pipeline.watermark", {"epoch": 7})    # v2 + ckpt
+    assert t.domain_metadata("clustering.state") == {"cols": ["k"]}
+    assert t.domain_metadata() == {
+        "clustering.state": {"cols": ["k"]},
+        "pipeline.watermark": {"epoch": 7}}
+    # writer-only feature fencing: listed in writerFeatures, reader
+    # version untouched
+    proto = t.protocol()
+    assert "domainMetadata" in proto["writerFeatures"]
+    assert "domainMetadata" not in proto.get("readerFeatures", [])
+
+    # checkpointed: a fresh handle resolves the domain map from the
+    # checkpoint at v2 (no full replay needed) and sees later commits
+    t.append(_df(spark, [(2, "b", 20)]))                         # v3
+    fresh = TxLogTable(spark, tdir)
+    assert fresh.domain_metadata("pipeline.watermark") == {"epoch": 7}
+    ckpt = fresh._best_checkpoint(fresh.latest_version())
+    assert ckpt["version"] == 2 and "clustering.state" in ckpt["domains"]
+
+    # update overwrites; removal tombstones (and replays as absent)
+    t.set_domain_metadata("pipeline.watermark", {"epoch": 8})    # v4 + ckpt
+    assert t.domain_metadata("pipeline.watermark") == {"epoch": 8}
+    t.remove_domain_metadata("clustering.state")                 # v5
+    assert t.domain_metadata("clustering.state") is None
+    assert TxLogTable(spark, tdir).domain_metadata() == {
+        "pipeline.watermark": {"epoch": 8}}
+    with pytest.raises(KeyError):
+        t.remove_domain_metadata("never.set")
+    # time travel sees the pre-removal state
+    assert t.domain_metadata("clustering.state", version=4) == \
+        {"cols": ["k"]}
+
+    # OCC: a commit computed against a stale base conflicts iff a
+    # concurrent commit touched the SAME domain
+    base = t.latest_version()
+    other = TxLogTable(spark, tdir)
+    other.set_domain_metadata("pipeline.watermark", {"epoch": 9})
+    conflicting = [
+        {"commit": {"op": "SET DOMAIN METADATA", "ts": t._next_ts(),
+                    "domain": "pipeline.watermark"}},
+        {"domainMetadata": {"domain": "pipeline.watermark",
+                            "configuration": "{\"epoch\": 1}",
+                            "removed": False}}]
+    with pytest.raises(RuntimeError, match="metadata domain"):
+        t._commit_with_occ(conflicting, [], base,
+                           domains=["pipeline.watermark"])
+    # disjoint domain commutes: same stale base, different domain
+    t2 = TxLogTable(spark, tdir)
+    base2 = t2.latest_version() - 1  # stale on purpose
+    commuting = [
+        {"commit": {"op": "SET DOMAIN METADATA", "ts": t2._next_ts(),
+                    "domain": "other.domain"}},
+        {"domainMetadata": {"domain": "other.domain",
+                            "configuration": "{}", "removed": False}}]
+    t2._commit_with_occ(commuting, [], base2, domains=["other.domain"])
+    assert t2.domain_metadata("other.domain") == {}
+
+
+def test_version_checksum_chain_validate_and_cleanup(spark, tdir):
+    """r14: Delta-style version checksums (<v>.crc).  Every commit with
+    txlog.checksum.enabled writes an incrementally-advanced state
+    summary (file count, table bytes, DV targets, schema hash,
+    protocol); checkpoint versions resync it from the manifest's exact
+    state; validate_checksum recomputes and matches; tampering raises a
+    field-named error; a chain gap reseeds via full recompute; cleanup
+    collects pre-floor crc files with their commits."""
+    import glob as _glob
+
+    t = TxLogTable.create(spark, tdir, _df(
+        spark, [(i, "ab"[i % 2], i * 10) for i in range(1, 9)]))
+    t.checkpoint_interval = 3
+    t.enable_checksums()                                         # v1
+    assert os.path.exists(t._crc_path(1))
+    t.append(_df(spark, [(9, "c", 90)]))                         # v2
+    t.delete_where(F.col("k") <= 2)                              # v3 + ckpt
+    t.delete_where(F.col("k") == 9, use_dv=True)                 # v4 (DV)
+    for v in (1, 2, 3, 4):
+        assert t.validate_checksum(v)["version"] == v
+    crc4 = t._read_crc(4)
+    assert crc4["numDvFiles"] == 1 and crc4["dvTargets"]
+    assert crc4 == t._crc_state(4), "incremental chain drifted from full"
+    t.reorg_purge()                                              # v5
+    assert t.validate_checksum()["dvTargets"] == []
+
+    # checkpoint resync: v6 is a checkpoint version — its crc is the
+    # manifest's exact state even if the chain had drifted
+    t.append(_df(spark, [(10, "d", 100)]))                       # v6 + ckpt
+    assert t.validate_checksum(6) == t._read_crc(6)
+
+    # tamper: a wrong stored count raises naming the field
+    import json as _json
+    doctored = dict(t._read_crc(6), numFiles=99)
+    with open(t._crc_path(6), "w") as f:
+        _json.dump(doctored, f)
+    with pytest.raises(ValueError, match="numFiles"):
+        t.validate_checksum(6)
+    with open(t._crc_path(6), "w") as f:
+        _json.dump(dict(doctored, numFiles=t._crc_state(6)["numFiles"]),
+                   f)
+
+    # chain gap: lose one crc; the NEXT commit reseeds from a full
+    # recompute instead of silently skipping
+    os.remove(t._crc_path(6))
+    t.append(_df(spark, [(11, "e", 110)]))                       # v7
+    assert t.validate_checksum(7)["version"] == 7
+
+    # a version with no crc refuses loudly
+    with pytest.raises(FileNotFoundError):
+        t.validate_checksum(6)
+
+    # log cleanup collects pre-floor crc files with their commits
+    t.set_properties({"delta.enableExpiredLogCleanup": "false"})  # v8
+    t.append(_df(spark, [(12, "f", 120)]))                       # v9 + ckpt
+    victims = t.cleanup_metadata(retention_hours=0)
+    floor = t._earliest_version()
+    assert floor > 0
+    crcs = sorted(_glob.glob(os.path.join(t.log_dir, "[0-9]*.crc")))
+    assert crcs and all(
+        int(os.path.basename(p).split(".")[0]) >= floor for p in crcs)
+    assert any(p.endswith(".crc") for p in victims)
+    # retained state still validates after the cleanup
+    assert t.validate_checksum()["numFiles"] == \
+        t._crc_state(t.latest_version())["numFiles"]
+
+
+def test_dv_row_level_concurrency(spark, tdir):
+    """Row-level conflict resolution for concurrent DV commits (Delta's
+    row-level concurrency): disjoint row sets on the SAME file commute;
+    an UPDATE conflicts with any concurrent tombstone of a row it
+    touches (either direction would otherwise silently duplicate a
+    post-image or resurrect a deleted row); delete x delete commutes
+    even on overlap (tombstone unions are idempotent)."""
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(i, i * 10) for i in range(10)],
+                              "k int, v int").repartition(1))
+    orig = t._write_dv
+
+    def racing(fn):
+        def race(dv_df):
+            rel = orig(dv_df)
+            fn(TxLogTable(spark, t.path))
+            return rel
+        return race
+
+    # disjoint update x update on the one shared file: both commit
+    t._write_dv = racing(
+        lambda r: r.update_where({"v": "v + 1000"}, F.col("k") == 1,
+                                 use_dv=True))
+    t.update_where({"v": "v + 100"}, F.col("k") == 0, use_dv=True)
+    t._write_dv = orig
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == 100 and rows[1] == 1010
+
+    # overlapping update x update: loser raises, winner's value stands
+    t._write_dv = racing(
+        lambda r: r.update_where({"v": "v * 2"}, F.col("k") == 2,
+                                 use_dv=True))
+    with pytest.raises(RuntimeError,
+                       match="concurrent commit conflict.*tombstoned row"):
+        t.update_where({"v": "v + 5"}, F.col("k") == 2, use_dv=True)
+    t._write_dv = orig
+    assert {r["k"]: r["v"] for r in t.read().collect()}[2] == 40
+
+    # update racing a concurrent DELETE of the same row: conflict
+    # (committing the update would resurrect the deleted row)
+    t._write_dv = racing(
+        lambda r: r.delete_where(F.col("k") == 6, use_dv=True))
+    with pytest.raises(RuntimeError,
+                       match="concurrent commit conflict.*DELETE.*tombstoned"):
+        t.update_where({"v": "v + 1"}, F.col("k") == 6, use_dv=True)
+    t._write_dv = orig
+    assert 6 not in {r["k"] for r in t.read().collect()}
+
+    # delete racing a concurrent UPDATE of the same row: conflict
+    # (committing the delete would only tombstone the PRE-image; the
+    # update's post-image would survive as a lost delete)
+    t._write_dv = racing(
+        lambda r: r.update_where({"v": "v + 7"}, F.col("k") == 7,
+                                 use_dv=True))
+    with pytest.raises(RuntimeError,
+                       match="concurrent commit conflict.*UPDATE.*tombstoned"):
+        t.delete_where(F.col("k") == 7, use_dv=True)
+    t._write_dv = orig
+    assert {r["k"]: r["v"] for r in t.read().collect()}[7] == 77
+
+    # overlapping delete x delete: tombstone unions commute — both
+    # commit, the row goes exactly once
+    t._write_dv = racing(
+        lambda r: r.delete_where(F.col("k") == 5, use_dv=True))
+    t.delete_where(F.col("k") == 5, use_dv=True)
+    t._write_dv = orig
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [0, 1, 2, 3, 4, 7, 8, 9]
+
+
+def test_uniform_files_and_manifests_tables(spark, tdir):
+    """Iceberg ``files`` / ``manifests`` metadata tables over the
+    UniForm export: per-file scan plan (content 0 data / 1 position
+    deletes) and manifest-list health, both metadata-only; the AT
+    SNAPSHOT form plans historical snapshots; unknown snapshot ids
+    refuse loudly."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(i, i * 10) for i in range(40)],
+                              "k int, v int").repartition(2))
+    t.generate_iceberg_metadata()                    # snap 0
+    t.delete_where(F.col("k") % 4 == 0, use_dv=True)  # v1 (MoR)
+    t.generate_iceberg_metadata()                    # snap 1
+
+    files = uniform.files_df(spark, t.path).collect()
+    data = [r for r in files if r["content"] == 0]
+    dels = [r for r in files if r["content"] == 1]
+    assert len(data) == 2 and sum(r["record_count"] for r in data) == 40
+    assert len(dels) == 1 and dels[0]["record_count"] == 10
+    assert all(r["file_size_in_bytes"] > 0 for r in files)
+
+    mans = uniform.manifests_df(spark, t.path).collect()
+    assert sum(r["added_files_count"] + r["existing_files_count"]
+               for r in mans if r["content"] == 0) == 2
+    dm = [r for r in mans if r["content"] == 1]
+    assert len(dm) == 1 and dm[0]["added_rows_count"] == 10
+    assert all(r["manifest_length"] > 0 for r in mans)
+
+    # historical snapshot: planned clean of delete files
+    hist = uniform.files_df(spark, t.path, snapshot_id=0).collect()
+    assert all(r["content"] == 0 for r in hist)
+    assert sum(r["record_count"] for r in hist) == 40
+
+    with pytest.raises(ValueError, match="snapshot 99"):
+        uniform.manifests_df(spark, t.path, snapshot_id=99)
+
+    # SQL routes serve the same shapes
+    from distributed_database_for_sql_spark.engine import Engine
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    engine.register_txlog("imt", t)
+    got = engine.sql("SHOW ICEBERG FILES FOR TABLE imt AT SNAPSHOT 0")
+    assert got.count() == 2
+    got = engine.sql("SHOW ICEBERG MANIFESTS FOR TABLE imt").collect()
+    assert {r["content"] for r in got} == {0, 1}
