@@ -131,6 +131,7 @@ EXTRA = [
     "delta_version_checksum",
     "delta_row_level_concurrency",
     "delta_uniform_metadata_tables",
+    "delta_uniform_tags",
 ]
 
 # The CDC / row-tracking family regresses as ONE tracked aggregate

@@ -305,6 +305,18 @@ _SHOW_ICEBERG_PLAN_RE = re.compile(
     r"(?P<target>\w+)(?:\s+AT\s+SNAPSHOT\s+(?P<sid>\d+))?\s*;?\s*$",
     re.IGNORECASE)
 
+# CREATE/DROP ICEBERG TAG name FOR TABLE t [AT SNAPSHOT n] and
+# SHOW ICEBERG REFS FOR TABLE t — Iceberg refs over the UniForm
+# export: tags pin snapshots (dataset versioning for reproducible
+# reads; expire_snapshots never removes a tagged snapshot).
+_ICEBERG_TAG_RE = re.compile(
+    r"^\s*(?P<verb>CREATE|DROP)\s+ICEBERG\s+TAG\s+(?P<name>\w+)\s+"
+    r"FOR\s+TABLE\s+(?P<target>\w+)(?:\s+AT\s+SNAPSHOT\s+(?P<sid>\d+))?"
+    r"\s*;?\s*$", re.IGNORECASE)
+_SHOW_ICEBERG_REFS_RE = re.compile(
+    r"^\s*SHOW\s+ICEBERG\s+REFS\s+FOR\s+TABLE\s+(?P<target>\w+)"
+    r"\s*;?\s*$", re.IGNORECASE)
+
 # APPLY CHANGES INTO t FROM src KEYS (k, ...) [APPLY AS DELETE WHEN pred]
 # SEQUENCE BY seq [COLUMNS * EXCEPT (op, ...)] [STORED AS SCD TYPE 1|2]
 # [TRACK HISTORY ON * EXCEPT (c, ...)] — the DLT CDC statement over the
@@ -708,6 +720,27 @@ class Engine:
             return fn(self.spark, self.txlog_tables[m.group("target")].path,
                       snapshot_id=(int(m.group("sid"))
                                    if m.group("sid") else None))
+        m = _ICEBERG_TAG_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            from .sources import uniform
+            path = self.txlog_tables[m.group("target")].path
+            if m.group("verb").upper() == "CREATE":
+                ref = uniform.create_tag(
+                    path, m.group("name"),
+                    snapshot_id=(int(m.group("sid"))
+                                 if m.group("sid") else None))
+                sid = ref["snapshot-id"]
+            else:
+                sid = uniform.resolve_ref(path, m.group("name"))
+                uniform.drop_tag(path, m.group("name"))
+            return self.spark.createDataFrame(
+                [(m.group("name"), int(sid))],
+                "name string, snapshot_id bigint")
+        m = _SHOW_ICEBERG_REFS_RE.match(command)
+        if m and m.group("target") in self.txlog_tables:
+            from .sources import uniform
+            return uniform.refs_df(
+                self.spark, self.txlog_tables[m.group("target")].path)
         m = _DROP_FEATURE_RE.match(command)
         if m and m.group("target") in self.txlog_tables:
             target = m.group("target")

@@ -179,15 +179,16 @@ def register(name: str, oracle: str | None = None,
 
 _FRONT_WINDOW: tuple[str, ...] = (
     # -- new in r14 (policy: new queries certify the round they ship;
-    #    displaced the window/stream canaries stream_static_join /
-    #    window_first_last / window_ranking / window_running_frames /
-    #    window_range_frame / window_lag_lead to the r15 drain) -----------
+    #    displaced stream_static_join / window_first_last /
+    #    window_ranking / window_running_frames / window_range_frame /
+    #    window_lag_lead / udtf_tokenize_positions to the r15 drain) ------
     "delta_uniform_position_deletes",
     "delta_uniform_snapshot_audit",
     "delta_domain_metadata",
     "delta_version_checksum",
     "delta_row_level_concurrency",
     "delta_uniform_metadata_tables",
+    "delta_uniform_tags",
     # -- stale drain IX: the r7-latest tier (oldest remaining) --------------
     "agg_count_distinct",
     "agg_cube",
@@ -232,7 +233,6 @@ _FRONT_WINDOW: tuple[str, ...] = (
     "ts_sessionize_batch",
     "udf_grouped_agg",
     "udf_grouped_map_zscore",
-    "udtf_tokenize_positions",
 )
 
 

@@ -883,6 +883,94 @@ def delta_uniform_metadata_tables(spark: SparkSession,
 
 
 @register(
+    "delta_uniform_tags",
+    # Oracle: relational recompute of the TAGGED snapshot — the exact
+    # dataset the tag pinned, re-read through the Iceberg metadata
+    # path after two refreshes and an expiry pass that collected
+    # everything unpinned.  Audit flags certify the ref mechanics:
+    # the tag survives refreshes, expiry retains BOTH tagged
+    # snapshots despite keep_last=1, dropping a tag releases its
+    # snapshot to the next expiry, and "main" tracks the head.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                   AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           1 AS tag_survives_refresh,
+           1 AS tag_protects_expiry,
+           1 AS drop_releases_snapshot,
+           1 AS main_tracks_head
+    FROM tagged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("acid", "delta", "iceberg", "uniform", "sql", "versioning"),
+)
+def delta_uniform_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TAGS over the UniForm export (r14 — the ``refs`` map):
+    dataset versioning for reproducible reads.  A training run tags
+    the snapshot it consumed (``CREATE ICEBERG TAG``) and re-reads
+    EXACTLY those files later regardless of table churn:
+    ``expire_snapshots`` never removes a tagged snapshot, VACUUM's
+    protection set covers every retained snapshot's files, and the
+    tag rides metadata.json through every refresh.  Dropping the tag
+    releases the snapshot to normal expiry.  All metadata-only — at
+    100 TB a tag costs one metadata.json rewrite, never a data copy
+    (contrast with CLONE, which is the right tool when independent
+    WRITES are needed).  (uniform.create_tag/drop_tag/resolve_ref/
+    refs_df; SQL routes in engine.py; pin in
+    tests/test_txlog.py::test_uniform_tags_pin_snapshots.)"""
+    from ..engine import Engine
+    from ..sources import uniform
+
+    engine = Engine(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.col("o_orderkey")
+    sel = lambda flt: (orders.filter(flt)  # noqa: E731
+                       .select("o_orderkey", "o_orderpriority",
+                               cents.alias("cents")))
+    t = TxLogTable.create(spark, _table_dir("icetag", sf_dir),
+                          sel(k <= 1000).repartition(3, "o_orderkey"),
+                          overwrite=True)
+    t.generate_iceberg_metadata()                          # snap 0
+    engine.register_txlog("icetag_t", t)
+    engine.sql("CREATE ICEBERG TAG training_v1 FOR TABLE icetag_t")
+    t.delete_where(k % 3 == 0, use_dv=True)                # v1 (MoR)
+    t.generate_iceberg_metadata()                          # snap 1
+    uniform.create_tag(t.path, "tmp", snapshot_id=1)
+    t.append(sel((k > 1000) & (k <= 1400))
+             .repartition(2, "o_orderkey"))                # v2
+    t.generate_iceberg_metadata()                          # snap 2
+    survives = uniform.resolve_ref(t.path, "training_v1") == 0
+    uniform.expire_snapshots(t.path, keep_last=1)
+    snaps = {s["snapshot-id"]
+             for s in uniform.current_metadata(t.path)["snapshots"]}
+    protects = snaps == {0, 1, 2}  # both tags pinned past keep_last=1
+    engine.sql("DROP ICEBERG TAG tmp FOR TABLE icetag_t")
+    uniform.expire_snapshots(t.path, keep_last=1)
+    snaps = {s["snapshot-id"]
+             for s in uniform.current_metadata(t.path)["snapshots"]}
+    releases = snaps == {0, 2}  # tmp's snapshot collected, tag kept
+    head = uniform.resolve_ref(t.path, "main") == 2
+    return (uniform.read_snapshot(spark, t.path, ref="training_v1")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .withColumn("tag_survives_refresh",
+                        F.lit(survives).cast("int"))
+            .withColumn("tag_protects_expiry",
+                        F.lit(protects).cast("int"))
+            .withColumn("drop_releases_snapshot",
+                        F.lit(releases).cast("int"))
+            .withColumn("main_tracks_head", F.lit(head).cast("int"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "delta_row_level_concurrency",
     # Oracle: relational recompute of the final state after four
     # concurrent-writer races on ONE shared data file; the audit flags

@@ -282,8 +282,10 @@ def generate(table, version: int | None = None) -> str:
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     metadata_log: list[dict] = []
+    refs: dict[str, dict] = {}
     if prev is not None:
         prev_meta, prev_path = prev
+        refs = dict(prev_meta.get("refs", {}))
         if any(s["snapshot-id"] == v for s in prev_meta["snapshots"]):
             return prev_path  # this version is already exported
         # schema evolution: keep every historical schema, bump the id
@@ -551,6 +553,10 @@ def generate(table, version: int | None = None) -> str:
             for e in delete_entries))
     snapshots.append(snapshot)
     snapshot_log.append({"timestamp-ms": ts, "snapshot-id": v})
+    # refs survive every refresh (Iceberg's refs map: tags pin
+    # historical snapshots — dataset versioning for reproducible
+    # reads); "main" always tracks the current snapshot.
+    refs["main"] = {"snapshot-id": v, "type": "branch"}
 
     # COLUMN MAPPING: when the txlog maps logical names to different
     # PHYSICAL parquet column names (RENAME under name/id mapping mode),
@@ -590,6 +596,7 @@ def generate(table, version: int | None = None) -> str:
         "current-snapshot-id": v,
         "snapshot-log": snapshot_log,
         "metadata-log": metadata_log,
+        "refs": refs,
         "properties": properties,
     }
     meta_path = os.path.join(mdir, f"v{v}.metadata.json")
@@ -753,10 +760,11 @@ def plan_deletes(table_path: str,
 
 def read_snapshot(spark: SparkSession, table_path: str,
                   snapshot_id: int | None = None,
-                  partition_filter: dict[str, str] | None = None
-                  ) -> DataFrame:
+                  partition_filter: dict[str, str] | None = None,
+                  ref: str | None = None) -> DataFrame:
     """Read a snapshot through the ICEBERG metadata only (time travel via
-    ``snapshot_id`` — any snapshot still in the metadata's list).  The
+    ``snapshot_id``, or by named ``ref`` — a tag pinned with
+    ``create_tag``, the reproducible-dataset read path).  The
     scan is a plain parquet multi-path read, so Catalyst still gets
     column pruning and row-group predicate pushdown on the files the
     Iceberg planning selected; ``partition_filter`` prunes files at the
@@ -773,6 +781,10 @@ def read_snapshot(spark: SparkSession, table_path: str,
     (file_path, pos) rows.  The delete set is DV-scale (tombstoned rows
     only), so the broadcast is bounded regardless of table size — the
     same plan shape Iceberg's own Spark reader produces for MoR scans."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(table_path, ref)
     files = plan_files(table_path, snapshot_id, partition_filter)
     paths = [f["file_path"] for f in files]
     if not paths:
@@ -851,6 +863,79 @@ def snapshots_df(spark: SparkSession, table_path: str) -> DataFrame:
         "total_records bigint, total_delete_files bigint, "
         "total_position_deletes bigint, data_manifests int, "
         "delete_manifests int, is_current int, schema_id int")
+
+
+def _rewrite_metadata(meta: dict, meta_path: str) -> None:
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, sort_keys=True, indent=1)
+    os.replace(meta_path + ".tmp", meta_path)
+
+
+def create_tag(table_path: str, name: str,
+               snapshot_id: int | None = None) -> dict:
+    """Iceberg TAG: a named, immutable ref pinning a snapshot (the
+    ``refs`` map in metadata.json) — dataset versioning for
+    reproducible reads: a training run tags the snapshot it consumed
+    and re-reads EXACTLY those files later regardless of table churn,
+    because ``expire_snapshots`` never removes a tagged snapshot (and
+    VACUUM's protection set covers every retained snapshot's files).
+    Metadata-only: one metadata.json rewrite.  Refuses an existing
+    name ("main" included — it is the engine-owned branch ref) and an
+    unknown snapshot id."""
+    got = _read_current_metadata(table_path)
+    if got is None:
+        raise FileNotFoundError(
+            f"no Iceberg metadata under {table_path}/metadata — run "
+            "GENERATE iceberg_metadata first")
+    meta, meta_path = got
+    refs = meta.setdefault("refs", {})
+    if name in refs or name == "main":
+        raise ValueError(f"ref {name!r} already exists — drop it first")
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+        raise ValueError(
+            f"snapshot {sid} not in the Iceberg metadata (have "
+            f"{[s['snapshot-id'] for s in meta['snapshots']]})")
+    refs[name] = {"snapshot-id": sid, "type": "tag"}
+    _rewrite_metadata(meta, meta_path)
+    return dict(refs[name])
+
+
+def drop_tag(table_path: str, name: str) -> None:
+    """Remove a tag, releasing its snapshot to normal expiry.  Refuses
+    "main" (engine-owned) and unknown names — silent drops would mask
+    caller bugs."""
+    got = _read_current_metadata(table_path)
+    if got is None:
+        raise FileNotFoundError(
+            f"no Iceberg metadata under {table_path}/metadata")
+    meta, meta_path = got
+    refs = meta.get("refs", {})
+    if name == "main":
+        raise ValueError("'main' is the engine-owned branch ref — it "
+                         "always tracks the current snapshot")
+    if name not in refs:
+        raise KeyError(f"no ref named {name!r} (have {sorted(refs)})")
+    del refs[name]
+    _rewrite_metadata(meta, meta_path)
+
+
+def resolve_ref(table_path: str, name: str) -> int:
+    """Ref name -> snapshot id (tags and the "main" branch)."""
+    refs = current_metadata(table_path).get("refs", {})
+    if name not in refs:
+        raise KeyError(f"no ref named {name!r} (have {sorted(refs)})")
+    return int(refs[name]["snapshot-id"])
+
+
+def refs_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """``SHOW ICEBERG REFS`` — one row per ref (Iceberg's ``refs``
+    metadata table shape): name, type (branch/tag), pinned snapshot."""
+    meta = current_metadata(table_path)
+    rows = [(n, r.get("type", "tag"), int(r["snapshot-id"]))
+            for n, r in sorted(meta.get("refs", {}).items())]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id bigint")
 
 
 def files_df(spark: SparkSession, table_path: str,
@@ -935,6 +1020,11 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
             f"no Iceberg metadata under {table_path}/metadata")
     meta, meta_path = got
     cur = meta["current-snapshot-id"]
+    # tag-referenced snapshots are PINNED (Iceberg's rule: expiry
+    # never removes a snapshot a ref points to — DROP the tag first);
+    # "main" tracks the current snapshot, already protected.
+    tagged = {r["snapshot-id"] for n, r in meta.get("refs", {}).items()
+              if n != "main"}
     keep = []
     snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
     for i, s in enumerate(snaps):
@@ -947,7 +1037,7 @@ def expire_snapshots(table_path: str, keep_last: int | None = None,
         # age cutoff (ADVICE r13: gating tail on older_than_ms being
         # absent inverted that — snapshots inside the newest-N tail but
         # older than the cutoff were expired).
-        if is_cur or young or tail:
+        if is_cur or young or tail or s["snapshot-id"] in tagged:
             keep.append(s)
     kept_ids = {s["snapshot-id"] for s in keep}
     if len(keep) == len(snaps):

@@ -7857,3 +7857,65 @@ def test_uniform_files_and_manifests_tables(spark, tdir):
     assert got.count() == 2
     got = engine.sql("SHOW ICEBERG MANIFESTS FOR TABLE imt").collect()
     assert {r["content"] for r in got} == {0, 1}
+
+
+def test_uniform_tags_pin_snapshots(spark, tdir):
+    """Iceberg refs over the UniForm export: tags pin snapshots
+    (surviving refreshes AND expire_snapshots), read back via ref,
+    release on drop; "main" always tracks the current snapshot;
+    duplicate/unknown names refuse loudly."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(i, i * 10) for i in range(20)],
+                              "k int, v int").repartition(2))
+    t.generate_iceberg_metadata()                    # snap 0
+    uniform.create_tag(t.path, "training_v1")        # pins snap 0
+    with pytest.raises(ValueError, match="already exists"):
+        uniform.create_tag(t.path, "training_v1")
+    with pytest.raises(ValueError, match="snapshot 42"):
+        uniform.create_tag(t.path, "nope", snapshot_id=42)
+
+    t.delete_where(F.col("k") >= 10)                 # v1 (CoW)
+    t.generate_iceberg_metadata()                    # snap 1
+    t.append(spark.createDataFrame([(100, 1000)], "k int, v int"))
+    t.generate_iceberg_metadata()                    # snap 2
+
+    # the tag survives refreshes; main tracks the head
+    assert uniform.resolve_ref(t.path, "training_v1") == 0
+    assert uniform.resolve_ref(t.path, "main") == 2
+    refs = {r["name"]: r for r in
+            uniform.refs_df(spark, t.path).collect()}
+    assert refs["training_v1"]["type"] == "tag"
+    assert refs["main"]["type"] == "branch"
+
+    # expiry never removes a tagged snapshot...
+    uniform.expire_snapshots(t.path, keep_last=1)
+    meta = uniform.current_metadata(t.path)
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {0, 2}
+    # ...and the pinned read reproduces the EXACT tagged dataset
+    got = uniform.read_snapshot(spark, t.path, ref="training_v1")
+    assert sorted(r["k"] for r in got.collect()) == list(range(20))
+    with pytest.raises(ValueError, match="not both"):
+        uniform.read_snapshot(spark, t.path, snapshot_id=2, ref="main")
+
+    # drop releases the snapshot to normal expiry
+    with pytest.raises(ValueError, match="engine-owned"):
+        uniform.drop_tag(t.path, "main")
+    uniform.drop_tag(t.path, "training_v1")
+    with pytest.raises(KeyError):
+        uniform.resolve_ref(t.path, "training_v1")
+    uniform.expire_snapshots(t.path, keep_last=1)
+    meta = uniform.current_metadata(t.path)
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {2}
+
+    # SQL routes
+    from distributed_database_for_sql_spark.engine import Engine
+    engine = Engine(spark, "/root/testdata/sf0.001")
+    engine.register_txlog("tagt", t)
+    engine.sql("CREATE ICEBERG TAG rel1 FOR TABLE tagt AT SNAPSHOT 2")
+    shown = engine.sql("SHOW ICEBERG REFS FOR TABLE tagt").collect()
+    assert {r["name"] for r in shown} == {"main", "rel1"}
+    engine.sql("DROP ICEBERG TAG rel1 FOR TABLE tagt")
+    assert uniform.refs_df(spark, t.path).count() == 1
