@@ -881,43 +881,82 @@ def create_tag(table_path: str, name: str,
     VACUUM's protection set covers every retained snapshot's files).
     Metadata-only: one metadata.json rewrite.  Refuses an existing
     name ("main" included — it is the engine-owned branch ref) and an
-    unknown snapshot id."""
-    got = _read_current_metadata(table_path)
-    if got is None:
-        raise FileNotFoundError(
-            f"no Iceberg metadata under {table_path}/metadata — run "
-            "GENERATE iceberg_metadata first")
-    meta, meta_path = got
-    refs = meta.setdefault("refs", {})
-    if name in refs or name == "main":
-        raise ValueError(f"ref {name!r} already exists — drop it first")
-    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
-    if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
-        raise ValueError(
-            f"snapshot {sid} not in the Iceberg metadata (have "
-            f"{[s['snapshot-id'] for s in meta['snapshots']]})")
-    refs[name] = {"snapshot-id": sid, "type": "tag"}
-    _rewrite_metadata(meta, meta_path)
-    return dict(refs[name])
+    unknown snapshot id; re-creating a tag that already points at the
+    SAME snapshot is idempotent (the retry path below depends on it).
+
+    TOCTOU guard: a concurrent refresh (per-commit ``generate``) that
+    read the PRE-tag metadata can advance the version hint right after
+    our rewrite, silently dropping the tag from the new current file.
+    After writing, the hint is re-read; if the current metadata moved,
+    the tag is re-applied onto the new file (idempotent — the carried
+    refs either already hold it or the name is still absent) — the
+    same read-resolve-verify shape as the export race fix in
+    ``generate`` itself (ADVICE r13)."""
+    sid_pinned: int | None = snapshot_id
+    for _ in range(5):
+        got = _read_current_metadata(table_path)
+        if got is None:
+            raise FileNotFoundError(
+                f"no Iceberg metadata under {table_path}/metadata — run "
+                "GENERATE iceberg_metadata first")
+        meta, meta_path = got
+        refs = meta.setdefault("refs", {})
+        prior = refs.get(name)
+        if name == "main" or (
+                prior is not None
+                and (sid_pinned is None
+                     or prior["snapshot-id"] != sid_pinned)):
+            raise ValueError(
+                f"ref {name!r} already exists — drop it first")
+        sid = (meta["current-snapshot-id"] if sid_pinned is None
+               else sid_pinned)
+        if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+            raise ValueError(
+                f"snapshot {sid} not in the Iceberg metadata (have "
+                f"{[s['snapshot-id'] for s in meta['snapshots']]})")
+        # pin the RESOLVED snapshot before any retry: a refresh landing
+        # mid-create must not silently re-target the tag to its head
+        sid_pinned = sid
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        _rewrite_metadata(meta, meta_path)
+        got2 = _read_current_metadata(table_path)
+        if got2 is not None and got2[1] == meta_path:
+            return {"snapshot-id": sid, "type": "tag"}
+    raise RuntimeError(
+        f"create_tag({name!r}) lost 5 races with concurrent metadata "
+        "refreshes; re-run when the refresh storm settles")
 
 
 def drop_tag(table_path: str, name: str) -> None:
     """Remove a tag, releasing its snapshot to normal expiry.  Refuses
     "main" (engine-owned) and unknown names — silent drops would mask
-    caller bugs."""
-    got = _read_current_metadata(table_path)
-    if got is None:
-        raise FileNotFoundError(
-            f"no Iceberg metadata under {table_path}/metadata")
-    meta, meta_path = got
-    refs = meta.get("refs", {})
+    caller bugs.  Verify-and-retry like ``create_tag``: a concurrent
+    refresh built from the pre-drop metadata would carry the tag back,
+    so the drop re-applies until it lands on the current file."""
     if name == "main":
         raise ValueError("'main' is the engine-owned branch ref — it "
                          "always tracks the current snapshot")
-    if name not in refs:
-        raise KeyError(f"no ref named {name!r} (have {sorted(refs)})")
-    del refs[name]
-    _rewrite_metadata(meta, meta_path)
+    dropped = False
+    for _ in range(5):
+        got = _read_current_metadata(table_path)
+        if got is None:
+            raise FileNotFoundError(
+                f"no Iceberg metadata under {table_path}/metadata")
+        meta, meta_path = got
+        refs = meta.get("refs", {})
+        if name not in refs:
+            if dropped:
+                return  # a racing refresh already saw the post-drop refs
+            raise KeyError(f"no ref named {name!r} (have {sorted(refs)})")
+        del refs[name]
+        _rewrite_metadata(meta, meta_path)
+        dropped = True
+        got2 = _read_current_metadata(table_path)
+        if got2 is not None and got2[1] == meta_path:
+            return
+    raise RuntimeError(
+        f"drop_tag({name!r}) lost 5 races with concurrent metadata "
+        "refreshes; re-run when the refresh storm settles")
 
 
 def resolve_ref(table_path: str, name: str) -> int:

@@ -7919,3 +7919,61 @@ def test_uniform_tags_pin_snapshots(spark, tdir):
     assert {r["name"] for r in shown} == {"main", "rel1"}
     engine.sql("DROP ICEBERG TAG rel1 FOR TABLE tagt")
     assert uniform.refs_df(spark, t.path).count() == 1
+
+
+def test_uniform_tag_survives_concurrent_refresh_race(spark, tdir):
+    """TOCTOU guard on tag maintenance: a per-commit refresh that read
+    the PRE-tag metadata advances the version hint right after the tag
+    rewrite — without the verify-and-retry the tag (or the drop) is
+    silently lost from the new current file."""
+    from distributed_database_for_sql_spark.sources import uniform
+
+    t = TxLogTable.create(
+        spark, tdir,
+        spark.createDataFrame([(i, i) for i in range(8)],
+                              "k int, v int").repartition(1))
+    t.generate_iceberg_metadata()                    # snap 0
+
+    real = uniform._rewrite_metadata
+    raced = {"n": 0}
+
+    def race_once(meta, meta_path):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # a concurrent writer commits + refreshes between our read
+            # and our write: the new current metadata was built WITHOUT
+            # the ref change we are about to persist
+            t2 = TxLogTable(spark, t.path)
+            t2.append(spark.createDataFrame([(100, 100)], "k int, v int"))
+            t2.generate_iceberg_metadata()           # hint -> snap 1
+        real(meta, meta_path)
+
+    uniform._rewrite_metadata = race_once
+    try:
+        got = uniform.create_tag(t.path, "pinned")   # default: current
+    finally:
+        uniform._rewrite_metadata = real
+    # the tag landed on the CURRENT file, still pinning the snapshot
+    # resolved BEFORE the race (not silently re-targeted to the head)
+    assert got == {"snapshot-id": 0, "type": "tag"}
+    assert uniform.resolve_ref(t.path, "pinned") == 0
+    assert uniform.resolve_ref(t.path, "main") == 1
+
+    # same race on DROP: the refresh would carry the tag back
+    raced["n"] = 0
+
+    def race_drop(meta, meta_path):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            t2 = TxLogTable(spark, t.path)
+            t2.append(spark.createDataFrame([(101, 101)], "k int, v int"))
+            t2.generate_iceberg_metadata()           # hint -> snap 2
+        real(meta, meta_path)
+
+    uniform._rewrite_metadata = race_drop
+    try:
+        uniform.drop_tag(t.path, "pinned")
+    finally:
+        uniform._rewrite_metadata = real
+    with pytest.raises(KeyError):
+        uniform.resolve_ref(t.path, "pinned")
