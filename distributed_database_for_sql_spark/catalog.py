@@ -28,6 +28,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Lazy-PLAN cache (never results): `spark.read.parquet` pays a py4j
+# round-trip + file listing + footer schema inference per call, and the
+# bench re-resolves the same static tables hundreds of times (every
+# Engine() init registers all of them).  A DataFrame is an immutable
+# logical plan — reusing the object skips only the plan construction;
+# every action still scans the parquet.  Keyed by session + the table's
+# content fingerprint (path, mtime, size), so regenerated testdata is
+# re-resolved, never served stale.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes physical-type quirks at the source.
 
@@ -38,6 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (MICROS) need no conversion; the branch is decided by the type Spark
     actually reads, so both layouts load identically.
     """
+    if name == "events":
+        # session conf, not plan state: must be set per session even when
+        # the plan object is served from cache (sessions share one app)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a DataFrame is bound to its creating session: key by the session
+    # object (id) as well as the app, so another session never receives
+    # a plan it cannot execute under its own confs
+    key = (spark.sparkContext.applicationId, id(spark),
+           table_fingerprint(sf_dir, name))
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    if len(_PLAN_CACHE) > 256:  # a handful of sf_dirs × tables in practice
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str,
+                         name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType

@@ -28,6 +28,12 @@ def get_spark(app_name: str = "distributed_database_for_sql_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # off by default: a persist()-ed plan otherwise materializes at
+        # full spark.sql.shuffle.partitions width (AQE coalescing is
+        # disabled inside cached plans), so every read of a pinned
+        # merge/fold batch pays shuffle-partition-count tasks
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -58,6 +64,13 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        # see get_spark: cached plans keep AQE partition coalescing
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true")
+    except Exception:
+        pass
     try:
         current = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cores = spark.sparkContext.defaultParallelism

@@ -3283,20 +3283,36 @@ class TxLogTable:
         def abs_norm(p: str) -> str:
             return os.path.normpath(os.path.join(base_abs, p))
 
-        # After ALTER COLUMN TYPE (type widening), segments written before
-        # the ALTER keep their narrow physical encoding and mergeSchema
-        # refuses to merge int32 with int64 — so widened tables read with
-        # an EXPLICIT requested schema (physical names, declared-at-version
-        # types): the parquet reader widens in place, missing columns
-        # backfill typed NULL (which also covers metadata-only ADD COLUMN).
+        # The log IS the schema authority (Delta's contract): read with an
+        # EXPLICIT requested schema (physical names, declared-at-version
+        # types) instead of mergeSchema.  mergeSchema=true launches a
+        # footer-reading Spark job over EVERY active file on EVERY
+        # snapshot read — O(files) I/O per read, ruinous at 100 TB and a
+        # fixed per-read job even at test scale.  The explicit schema
+        # needs zero footer reads, and the parquet reader gives the same
+        # semantics: missing columns backfill typed NULL (additive
+        # evolution / metadata-only ADD COLUMN), narrow pre-ALTER
+        # encodings widen in place (type widening), and retired physical
+        # columns are simply never read (previously read + dropped).
         requested: T.StructType | None = None
-        if self._meta_state(version).get("typeWidened"):
+        alias_pairs: list[tuple[str, str]] = []  # (logical, physical)
+        if schema_json:
             mapping_v = self._column_mapping(version)
-            requested = T.StructType([
-                T.StructField(mapping_v.get(f.name, f.name), f.dataType,
-                              True)
-                for f in T.StructType.fromJson(
-                    json.loads(schema_json)).fields])
+            req_fields: list[T.StructField] = []
+            for f in T.StructType.fromJson(json.loads(schema_json)).fields:
+                phys = mapping_v.get(f.name, f.name)
+                req_fields.append(T.StructField(phys, f.dataType, True))
+                if phys != f.name:
+                    # a schema-evolution commit writes its NEW column
+                    # under the LOGICAL name (the mapping entry lands in
+                    # the same commit, after the segment write), while
+                    # every later file carries the physical id — request
+                    # BOTH and coalesce below, matching what mergeSchema
+                    # surfaced
+                    req_fields.append(T.StructField(f.name, f.dataType,
+                                                    True))
+                    alias_pairs.append((f.name, phys))
+            requested = T.StructType(req_fields)
             if with_rid:
                 # keep the materialized row-id column visible under the
                 # explicit requested schema (absent files backfill NULL)
@@ -3401,6 +3417,11 @@ class TxLogTable:
                 drop += ["__relfile", "__rowidx"]
             if drop:
                 out = out.drop(*drop)
+        for log_n, phys_n in alias_pairs:
+            if log_n in out.columns and phys_n in out.columns:
+                out = (out.withColumn(
+                    phys_n, F.coalesce(F.col(phys_n), F.col(log_n)))
+                    .drop(log_n))
         mapping = self._column_mapping(version)
         logical_fields = T.StructType.fromJson(json.loads(schema_json)).fields
         logical_names = {f.name for f in logical_fields}
@@ -3950,12 +3971,15 @@ class TxLogTable:
                          what: str) -> list[dict]:
         """One aggregate over the batch: duplicate-key refusal (count vs
         distinct over the composite) + per-column min/max ranges for the
-        commit's OCC record.  Returns the keyRanges list."""
+        commit's OCC record.  Returns ``(keyRanges, had_null_keys)`` —
+        the NULL flag rides the same aggregate at zero extra job cost
+        and guards probe pruning for NULL-safe-matching callers."""
         aggs = [F.count(F.lit(1)).alias("n"),
                 F.count_distinct(F.struct(*[F.col(k) for k in keys]))
                 .alias("nd")]
         for k in keys:
-            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"),
+                     F.count(k).alias(f"nn_{k}")]
         stats = df.agg(*aggs).collect()[0]
         if stats["n"] != stats["nd"]:
             raise ValueError(
@@ -3963,8 +3987,32 @@ class TxLogTable:
                 f"{stats['n']} rows but {stats['nd']} distinct keys — "
                 "like Delta MERGE with multiple source matches, this is "
                 "ambiguous; de-duplicate the updates first")
-        return [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
-                 "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        had_nulls = any(int(stats[f"nn_{k}"] or 0) != int(stats["n"] or 0)
+                        for k in keys)
+        return ([{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                  "max": _json_key(stats[f"mx_{k}"])} for k in keys],
+                had_nulls)
+
+    def _key_probe_candidates(self, ranges: list[dict],
+                              version: int | None = None
+                              ) -> list[str] | None:
+        """Data skipping for a MERGE/CDC key-equality probe (Delta's
+        trick): only files whose footer stats could hold a key inside
+        the batch's per-column [min, max] can contain a match, so the
+        touched-segment probe scans just those.  Returns absolute
+        candidate paths, or None when pruning proves nothing (a bound is
+        NULL — e.g. an all-NULL or empty batch).  SOUND ONLY for
+        NULL-rejecting equality probes: a NULL key never equals anything,
+        so rows outside the non-NULL bounds cannot match; NULL-SAFE
+        callers (merge_full) must also prove the batch carries no NULL
+        keys.  Files without stats are always kept (conservative)."""
+        preds = []
+        for r in ranges:
+            if r.get("min") is None or r.get("max") is None:
+                return None
+            preds.append((r["column"], "between", (r["min"], r["max"])))
+        kept, _ = self.prune_files(preds, version)
+        return kept
 
     @staticmethod
     def _key_range_commit(key_range) -> dict:
@@ -4022,88 +4070,112 @@ class TxLogTable:
         if missing_keys:
             raise ValueError(f"MERGE source lacks key column(s) "
                              f"{missing_keys}")
-        ranges = self._key_range_stats(updates, keys, "MERGE")
-        key_range = ranges[0] if len(ranges) == 1 else ranges
-        # CHECK constraints gate the incoming rows only — carried-over
-        # segment rows already passed at their own write time.
-        updates = self._apply_generated(updates)
-        updates, ident_actions, ident_cleanup = \
-            self._assign_identity(updates)
-        self._validate_constraints(updates)
-        upd_keys = updates.select(*keys).distinct()
-        touched: list[str] = []
-        if files:
-            # DV-applied base: rows already deleted by a deletion vector
-            # must neither match (touch a file) nor survive a rewrite.
-            base = self._read_active(with_file=True)
-            touched_rows = (
-                base.join(F.broadcast(upd_keys), keys, "left_semi")
-                .select("_file").distinct().collect()
-            )
-            touched = sorted(r["_file"] for r in touched_rows)
-        if touched:
-            # mergeSchema + allowMissingColumns: rewriting a pre-evolution
-            # segment must not drop (or trip over) columns added later.
-            seg = self._read_active_tracked(only=touched)
-            keep_base = seg.join(F.broadcast(upd_keys), keys, "left_anti")
-            write_updates = updates
-            if self._row_tracking_enabled():
-                # an updated row keeps the matched target row's id (it is
-                # the same logical row); the insert arm stays NULL __rid
-                # and reads fresh base+position ids
-                idmap = (seg.join(F.broadcast(upd_keys), keys, "left_semi")
-                         .select(*keys, "__rid"))
-                write_updates = updates.join(F.broadcast(idmap), keys,
-                                             "left")
-            merged = keep_base.unionByName(write_updates,
-                                           allowMissingColumns=True)
-        else:
-            merged = updates
-        rel_new = self._write_segments(merged)
-        cdf_actions: list[dict] = []
-        if self.enable_cdf:
-            # Change rows are computed from the TOUCHED segments only —
-            # the same bounded working set the merge itself rewrites.
-            ct = F.lit("insert")
+        # The update batch is the small side by MERGE's nature (it is
+        # broadcast below) but often an expensive plan (CDC/fold output);
+        # this statement evaluates it repeatedly (key-range stats, the
+        # touched-file semi-join, the rewrite union, CDF images).
+        # Persist for the statement's duration — bounded by the broadcast
+        # bound, so scale-safe.
+        upd_cached = not updates.is_cached
+        if upd_cached:
+            updates = updates.persist()
+        upd_handle = updates
+        try:
+            ranges, _ = self._key_range_stats(updates, keys, "MERGE")
+            key_range = ranges[0] if len(ranges) == 1 else ranges
+            # CHECK constraints gate the incoming rows only — carried-over
+            # segment rows already passed at their own write time.
+            updates = self._apply_generated(updates)
+            updates, ident_actions, ident_cleanup = \
+                self._assign_identity(updates)
+            self._validate_constraints(updates)
+            upd_keys = updates.select(*keys).distinct()
+            touched: list[str] = []
+            if files:
+                # DV-applied base: rows already deleted by a deletion
+                # vector must neither match (touch a file) nor survive a
+                # rewrite.  The probe scans only the files whose footer
+                # stats could hold a batch key (data skipping — the
+                # plain-equality join rejects NULL keys, so the non-NULL
+                # [min, max] prune is sound; guide §6).
+                cand = self._key_probe_candidates(ranges)
+                base = self._read_active(with_file=True, only=cand)
+                touched_rows = (
+                    base.join(F.broadcast(upd_keys), keys, "left_semi")
+                    .select("_file").distinct().collect()
+                )
+                touched = sorted(r["_file"] for r in touched_rows)
             if touched:
-                pre = (self._read_active(only=touched)
-                       .join(F.broadcast(upd_keys), keys, "left_semi"))
-                matched_keys = pre.select(*keys).distinct()
-                post = updates.join(F.broadcast(matched_keys), keys,
-                                    "left_semi")
-                ins = updates.join(F.broadcast(matched_keys), keys,
-                                   "left_anti")
-                changes = (
-                    pre.withColumn("_change_type",
-                                   F.lit("update_preimage"))
-                    .unionByName(
-                        post.withColumn("_change_type",
-                                        F.lit("update_postimage")),
-                        allowMissingColumns=True)
-                    .unionByName(ins.withColumn("_change_type", ct),
-                                 allowMissingColumns=True))
+                # allowMissingColumns: rewriting a pre-evolution segment
+                # must not drop (or trip over) columns added later.
+                seg = self._read_active_tracked(only=touched)
+                keep_base = seg.join(F.broadcast(upd_keys), keys,
+                                     "left_anti")
+                write_updates = updates
+                if self._row_tracking_enabled():
+                    # an updated row keeps the matched target row's id (it
+                    # is the same logical row); the insert arm stays NULL
+                    # __rid and reads fresh base+position ids
+                    idmap = (seg.join(F.broadcast(upd_keys), keys,
+                                      "left_semi")
+                             .select(*keys, "__rid"))
+                    write_updates = updates.join(F.broadcast(idmap), keys,
+                                                 "left")
+                merged = keep_base.unionByName(write_updates,
+                                               allowMissingColumns=True)
             else:
-                changes = updates.withColumn("_change_type", ct)
-            cdf_actions = [{"cdf": {"path": self._write_change_data(changes)}}]
-        rel_removed = [
-            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
-            for p in touched
-        ]
-        if ident_cleanup:
-            ident_cleanup()
-        actions = (
-            [{"commit": {"op": "MERGE", "ts": self._next_ts(),
-                         "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new),
-                         **self._key_range_commit(key_range)}}]
-            + ident_actions
-            + self._schema_evolution_action(updates)
-            + [{"remove": {"path": p}} for p in rel_removed]
-            + self._add_actions(rel_new)
-            + cdf_actions
-        )
-        return self._commit_with_occ(actions, rel_removed, base_version,
-                                     key_range=key_range)
+                merged = updates
+            rel_new = self._write_segments(merged)
+            cdf_actions: list[dict] = []
+            if self.enable_cdf:
+                # Change rows are computed from the TOUCHED segments only
+                # — the same bounded working set the merge itself
+                # rewrites.
+                ct = F.lit("insert")
+                if touched:
+                    pre = (self._read_active(only=touched)
+                           .join(F.broadcast(upd_keys), keys, "left_semi"))
+                    matched_keys = pre.select(*keys).distinct()
+                    post = updates.join(F.broadcast(matched_keys), keys,
+                                        "left_semi")
+                    ins = updates.join(F.broadcast(matched_keys), keys,
+                                       "left_anti")
+                    changes = (
+                        pre.withColumn("_change_type",
+                                       F.lit("update_preimage"))
+                        .unionByName(
+                            post.withColumn("_change_type",
+                                            F.lit("update_postimage")),
+                            allowMissingColumns=True)
+                        .unionByName(ins.withColumn("_change_type", ct),
+                                     allowMissingColumns=True))
+                else:
+                    changes = updates.withColumn("_change_type", ct)
+                cdf_actions = [
+                    {"cdf": {"path": self._write_change_data(changes)}}]
+            rel_removed = [
+                os.path.relpath(os.path.normpath(p),
+                                os.path.normpath(self.path))
+                for p in touched
+            ]
+            if ident_cleanup:
+                ident_cleanup()
+            actions = (
+                [{"commit": {"op": "MERGE", "ts": self._next_ts(),
+                             "filesRewritten": len(rel_removed),
+                             "filesAdded": len(rel_new),
+                             **self._key_range_commit(key_range)}}]
+                + ident_actions
+                + self._schema_evolution_action(updates)
+                + [{"remove": {"path": p}} for p in rel_removed]
+                + self._add_actions(rel_new)
+                + cdf_actions
+            )
+            return self._commit_with_occ(actions, rel_removed, base_version,
+                                         key_range=key_range)
+        finally:
+            if upd_cached:
+                upd_handle.unpersist()
 
     def merge_full(self, source: DataFrame, key,
                    when_matched: list[dict] | tuple = (),
@@ -4219,7 +4291,24 @@ class TxLogTable:
                           if f.name not in have and f.name != "__rid"]
             schema = T.StructType(list(schema.fields) + new_fields)
         tcols = [f.name for f in schema.fields]
-        ranges = self._key_range_stats(source, keys, "MERGE")
+        # A MERGE source is the small side by contract (it is broadcast
+        # into every pass below).  It is also frequently an EXPENSIVE
+        # plan — an incremental-MV/CDC fold of CDF reads, joins and
+        # aggregations — and this statement evaluates it several times
+        # (key-range stats, decision join, insert anti-join, segment
+        # write, CDF write).  Persist it for the statement's duration so
+        # the fold runs once; bounded by the broadcast bound, so this is
+        # scale-safe (guide §5: reuse × recompute-cost).
+        src_cached = not source.is_cached
+        if src_cached:
+            source = source.persist()
+        try:
+            ranges, had_null_keys = self._key_range_stats(
+                source, keys, "MERGE")
+        except BaseException:
+            if src_cached:
+                source.unpersist()
+            raise
         key_range = ranges[0] if len(ranges) == 1 else ranges
 
         def clause_cond(cl) -> "F.Column":
@@ -4234,27 +4323,25 @@ class TxLogTable:
             F.struct(*[F.col(k) for k in keys]).alias("_mk"),
             F.struct(*[F.col(c) for c in source.columns]).alias("s"),
             F.lit(True).alias("_m"))
-        if self._row_tracking_enabled():
-            # carried AND updated rows keep their row ids through the
-            # rewrite; insert-arm rows read fresh base+position ids
-            base = self._read_active(with_file=True, with_pos=True,
-                                     with_rid=True)
-            base = (self._attach_row_ids(base)
-                    .drop("__relfile", "__rowidx", "__rid", "__base")
-                    .withColumnRenamed("_row_id", "__rid"))
-        else:
-            base = self._read_active(with_file=True)
-        if new_fields:
-            # evolved columns read typed NULL on every pre-evolution row
-            base = base.withColumns({f.name: F.lit(None).cast(f.dataType)
-                                     for f in new_fields})
-        tsel = [F.col("_file"),
-                F.struct(*[F.col(k) for k in keys]).alias("_mk"),
-                F.struct(*[F.col(c) for c in tcols]).alias("t")]
-        if "__rid" in base.columns:
-            tsel.append(F.col("__rid"))
-        joined = (base.select(*tsel)
-                  .join(F.broadcast(src_struct), "_mk", "left_outer"))
+
+        def read_base(only: list[str] | None) -> DataFrame:
+            if self._row_tracking_enabled():
+                # carried AND updated rows keep their row ids through the
+                # rewrite; insert-arm rows read fresh base+position ids
+                b = self._read_active(with_file=True, with_pos=True,
+                                      with_rid=True, only=only)
+                b = (self._attach_row_ids(b)
+                     .drop("__relfile", "__rowidx", "__rid", "__base")
+                     .withColumnRenamed("_row_id", "__rid"))
+            else:
+                b = self._read_active(with_file=True, only=only)
+            if new_fields:
+                # evolved columns read typed NULL on every pre-evolution
+                # row
+                b = b.withColumns({f.name: F.lit(None).cast(f.dataType)
+                                   for f in new_fields})
+            return b
+
         act = None
         for i, cl in enumerate(when_matched):
             c = F.col("_m").isNotNull() & clause_cond(cl)
@@ -4262,12 +4349,41 @@ class TxLogTable:
         for j, cl in enumerate(when_not_matched_by_source):
             c = F.col("_m").isNull() & clause_cond(cl)
             act = F.when(c, 100 + j) if act is None else act.when(c, 100 + j)
-        decided = joined.withColumn(
-            "_act", act.otherwise(F.lit(-1)) if act is not None
-            else F.lit(-1))
+
+        def decide(b: DataFrame) -> DataFrame:
+            tsel = [F.col("_file"),
+                    F.struct(*[F.col(k) for k in keys]).alias("_mk"),
+                    F.struct(*[F.col(c) for c in tcols]).alias("t")]
+            if "__rid" in b.columns:
+                tsel.append(F.col("__rid"))
+            joined = (b.select(*tsel)
+                      .join(F.broadcast(src_struct), "_mk", "left_outer"))
+            return joined.withColumn(
+                "_act", act.otherwise(F.lit(-1)) if act is not None
+                else F.lit(-1))
+
+        # Data skipping for the decision pass (guide §6): with no
+        # by-source arm, a clause can only fire on rows MATCHING a
+        # source key, so only files whose footer stats could hold a
+        # batch key participate — sound for the NULL-SAFE struct match
+        # only when the batch provably carries no NULL keys (a NULL key
+        # must match NULL base keys, which min/max stats cannot place).
+        # The same pruned base serves the insert arm's matched-keys
+        # probe (matches live in candidate files by the same argument).
+        cand = (self._key_probe_candidates(ranges)
+                if not when_not_matched_by_source and not had_null_keys
+                else None)
+        base = read_base(cand)
+        decided = decide(base)
         touched = sorted(
             r["_file"] for r in decided.filter(F.col("_act") != -1)
             .select("_file").distinct().collect())
+        # Every pass below that looks at rows whose clause fired re-reads
+        # ONLY the touched segments (the merge's bounded working set)
+        # instead of filtering a full-snapshot scan — the rewrite, the
+        # constraint check and the CDF images each cost O(touched), not
+        # O(table).
+        decided_t = decide(read_base(touched)) if touched else None
 
         del_codes = (
             [i for i, cl in enumerate(when_matched)
@@ -4319,9 +4435,8 @@ class TxLogTable:
 
         rewritten = None
         if touched:
-            rw = decided.filter(F.col("_file").isin(touched))
-            keep = (rw.filter(~F.col("_act").isin(del_codes))
-                    if del_codes else rw)
+            keep = (decided_t.filter(~F.col("_act").isin(del_codes))
+                    if del_codes else decided_t)
             rewritten = out_projection(keep)
             if upd_specs:
                 self._validate_constraints(
@@ -4387,74 +4502,92 @@ class TxLogTable:
             inserts, ident_actions, ident_cleanup = \
                 self._assign_identity(inserts)
             self._validate_constraints(inserts)
+            # Bounded by the source (anti-join of it), evaluated up to
+            # two more times below (segment write, CDF) — and each bare
+            # evaluation would re-run the matched-keys semi-join over the
+            # full snapshot just to rebuild its broadcast.  Persist for
+            # the statement's duration (after validation, so a refused
+            # batch never pins cache).
+            inserts = inserts.persist()
         else:
             ident_actions, ident_cleanup = [], None
 
-        if not touched and inserts is None:
-            return self.latest_version()
+        try:
+            if not touched and inserts is None:
+                return self.latest_version()
 
-        if rewritten is not None and inserts is not None:
-            merged = rewritten.unionByName(inserts,
-                                           allowMissingColumns=True)
-        else:
-            merged = rewritten if rewritten is not None else inserts
-        rel_new = self._write_segments(merged)
-        if ident_cleanup:
-            ident_cleanup()
+            if rewritten is not None and inserts is not None:
+                merged = rewritten.unionByName(inserts,
+                                               allowMissingColumns=True)
+            else:
+                merged = rewritten if rewritten is not None else inserts
+            rel_new = self._write_segments(merged)
+            if ident_cleanup:
+                ident_cleanup()
 
-        cdf_actions: list[dict] = []
-        if self.enable_cdf:
-            parts = []
-            if touched:
-                rw = decided.filter(F.col("_file").isin(touched))
-                if upd_specs:
-                    upd = rw.filter(F.col("_act").isin(list(upd_specs)))
-                    pre = upd.select(
-                        *[F.col("t").getField(c).alias(c) for c in tcols]
-                    ).withColumn("_change_type", F.lit("update_preimage"))
-                    post = self._drop_rid(out_projection(upd)).withColumn(
-                        "_change_type", F.lit("update_postimage"))
-                    parts += [pre, post]
-                if del_codes:
-                    dels = (rw.filter(F.col("_act").isin(del_codes))
-                            .select(*[F.col("t").getField(c).alias(c)
-                                      for c in tcols])
-                            .withColumn("_change_type", F.lit("delete")))
-                    parts.append(dels)
+            cdf_actions: list[dict] = []
+            if self.enable_cdf:
+                parts = []
+                if touched:
+                    rw = decided_t
+                    if upd_specs:
+                        upd = rw.filter(F.col("_act").isin(list(upd_specs)))
+                        pre = upd.select(
+                            *[F.col("t").getField(c).alias(c) for c in tcols]
+                        ).withColumn("_change_type",
+                                     F.lit("update_preimage"))
+                        post = self._drop_rid(
+                            out_projection(upd)).withColumn(
+                            "_change_type", F.lit("update_postimage"))
+                        parts += [pre, post]
+                    if del_codes:
+                        dels = (rw.filter(F.col("_act").isin(del_codes))
+                                .select(*[F.col("t").getField(c).alias(c)
+                                          for c in tcols])
+                                .withColumn("_change_type",
+                                            F.lit("delete")))
+                        parts.append(dels)
+                if inserts is not None:
+                    parts.append(
+                        inserts.withColumn("_change_type", F.lit("insert")))
+                changes = parts[0]
+                for p in parts[1:]:
+                    changes = changes.unionByName(p,
+                                                  allowMissingColumns=True)
+                cdf_actions = [
+                    {"cdf": {"path": self._write_change_data(changes)}}]
+
+            rel_removed = [
+                os.path.relpath(os.path.normpath(p),
+                                os.path.normpath(self.path))
+                for p in touched
+            ]
+            actions = (
+                [{"commit": {"op": "MERGE", "ts": self._next_ts(),
+                             "filesRewritten": len(rel_removed),
+                             "filesAdded": len(rel_new),
+                             **self._key_range_commit(key_range),
+                             "clauses": {
+                                 "matched": len(when_matched),
+                                 "notMatched": len(when_not_matched),
+                                 "notMatchedBySource":
+                                     len(when_not_matched_by_source)}}}]
+                + ([] if txn_app_id is None else
+                   [{"txn": {"appId": txn_app_id,
+                             "version": int(txn_version)}}])
+                + ident_actions
+                + evo_actions
+                + [{"remove": {"path": p}} for p in rel_removed]
+                + self._add_actions(rel_new)
+                + cdf_actions
+            )
+            return self._commit_with_occ(actions, rel_removed, base_version,
+                                         key_range=key_range)
+        finally:
             if inserts is not None:
-                parts.append(
-                    inserts.withColumn("_change_type", F.lit("insert")))
-            changes = parts[0]
-            for p in parts[1:]:
-                changes = changes.unionByName(p, allowMissingColumns=True)
-            cdf_actions = [
-                {"cdf": {"path": self._write_change_data(changes)}}]
-
-        rel_removed = [
-            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
-            for p in touched
-        ]
-        actions = (
-            [{"commit": {"op": "MERGE", "ts": self._next_ts(),
-                         "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new),
-                         **self._key_range_commit(key_range),
-                         "clauses": {
-                             "matched": len(when_matched),
-                             "notMatched": len(when_not_matched),
-                             "notMatchedBySource":
-                                 len(when_not_matched_by_source)}}}]
-            + ([] if txn_app_id is None else
-               [{"txn": {"appId": txn_app_id,
-                         "version": int(txn_version)}}])
-            + ident_actions
-            + evo_actions
-            + [{"remove": {"path": p}} for p in rel_removed]
-            + self._add_actions(rel_new)
-            + cdf_actions
-        )
-        return self._commit_with_occ(actions, rel_removed, base_version,
-                                     key_range=key_range)
+                inserts.unpersist()
+            if src_cached:
+                source.unpersist()
 
     def delete_where(self, condition, use_dv: bool = False) -> int:
         """DELETE rows matching ``condition`` — two physical strategies,
@@ -5424,13 +5557,29 @@ class TxLogTable:
             changes, exp_commit = self._apply_expectations(
                 changes, exempt=F.col(change_type_col) == "delete")
         base_version = self.latest_version()
+        # The change batch is bounded (its winner keys are broadcast
+        # below) and frequently an expensive plan (CDC transport reads,
+        # streaming folds); this fold evaluates it many times — dup
+        # check, winner fold, touched-file probe, rewrite, CDF images.
+        # Persist for the fold's duration; scale-safe (broadcast bound).
+        ch_cached = not changes.is_cached
+        if ch_cached:
+            changes = changes.persist()
+        ch_handle = changes
         dup = (changes.groupBy(*keys, sequence_by).count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
+            if ch_cached:
+                ch_handle.unpersist()
             raise ValueError(
                 "apply_changes: duplicate (key, sequence) in the batch — "
                 "sequencing is ambiguous; deduplicate upstream")
-        target_cols = self.read().columns
+        # logical column names straight from the committed schema — a
+        # full read() plan (snapshot scan + DV anti-join) just for
+        # .columns is wasted work
+        _, schema_json = self._snapshot_files()
+        target_cols = [f.name for f in
+                       T.StructType.fromJson(json.loads(schema_json)).fields]
         if ignore_null_updates:
             # r12 (mirroring the SCD2 shape): resolve the inheritance
             # as a PRE-step — seeded by one deterministic row per key,
@@ -5446,104 +5595,121 @@ class TxLogTable:
             changes, exp_commit = self._apply_expectations(
                 changes, exempt=F.col(change_type_col) == "delete")
             cols = changes.columns
+        # The winner fold (groupBy + max_by) is re-evaluated by every
+        # consumer below (key stats, touched probe, rewrite union, CDF
+        # delete/post/insert splits); winners ≤ batch keys, so persist.
         winners = (changes.groupBy(*keys)
                    .agg(F.max_by(F.struct(*[F.col(c) for c in cols]),
                                  F.col(sequence_by)).alias("__w"))
-                   .select("__w.*"))
-        wkeys = winners.select(*keys).distinct()
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-        stats = wkeys.agg(*aggs).collect()[0]
-        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
-                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
-        key_range = ranges[0] if len(ranges) == 1 else ranges
-        # exactly the segments holding any winner key (DV-applied read)
-        base = self._read_active(with_file=True)
-        touched = sorted(
-            r["_file"] for r in
-            base.join(F.broadcast(wkeys), keys, "left_semi")
-            .select("_file").distinct().collect())
-        # with ignore_null_updates the batch was already RESOLVED above
-        # (pre-step), so one fold serves both modes: the winner event
-        # decides delete-vs-upsert, its payload is the inherited value
-        # at its sequence
-        ups = (winners.filter(F.col(change_type_col) != "delete")
-               .select(*target_cols))
-        ups = self._apply_generated(ups)
-        ups, ident_actions, ident_cleanup = self._assign_identity(ups)
-        self._validate_constraints(ups)
-        if touched:
-            seg = self._read_active_tracked(only=touched)
-            keep_base = seg.join(F.broadcast(wkeys), keys, "left_anti")
-            write_ups = ups
-            if self._row_tracking_enabled():
-                # upserted rows of EXISTING keys keep their row ids;
-                # inserted keys stay NULL __rid → fresh base+position
-                idmap = (seg.join(F.broadcast(wkeys), keys, "left_semi")
-                         .select(*keys, "__rid"))
-                write_ups = ups.join(F.broadcast(idmap), keys, "left")
-            merged = keep_base.unionByName(write_ups,
-                                           allowMissingColumns=True)
-        else:
-            merged = ups
-        rel_new = self._write_segments(merged)
-        cdf_actions: list[dict] = []
-        if self.enable_cdf:
-            dkeys = (winners.filter(F.col(change_type_col) == "delete")
-                     .select(*keys).distinct())
-            pre = (self._read_active(only=touched)
-                   .join(F.broadcast(wkeys), keys, "left_semi")
-                   if touched else None)
-            pieces = []
-            if pre is not None:
-                pieces.append(
-                    pre.join(F.broadcast(dkeys), keys, "left_semi")
-                    .withColumn("_change_type", F.lit("delete")))
-                matched = pre.join(F.broadcast(dkeys), keys, "left_anti")
-                pieces.append(matched.withColumn(
-                    "_change_type", F.lit("update_preimage")))
-                mkeys = matched.select(*keys).distinct()
-                pieces.append(
-                    ups.join(F.broadcast(mkeys), keys, "left_semi")
-                    .withColumn("_change_type",
-                                F.lit("update_postimage")))
-                pieces.append(
-                    ups.join(F.broadcast(mkeys), keys, "left_anti")
-                    .withColumn("_change_type", F.lit("insert")))
+                   .select("__w.*")).persist()
+        try:
+            wkeys = winners.select(*keys).distinct()
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"),
+                         F.max(k).alias(f"mx_{k}")]
+            stats = wkeys.agg(*aggs).collect()[0]
+            ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                       "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+            key_range = ranges[0] if len(ranges) == 1 else ranges
+            # exactly the segments holding any winner key (DV-applied
+            # read); only files whose stats could hold a winner key are
+            # probed (data skipping — the plain-equality join rejects
+            # NULL keys, so the non-NULL bounds prune is sound)
+            base = self._read_active(
+                with_file=True, only=self._key_probe_candidates(ranges))
+            touched = sorted(
+                r["_file"] for r in
+                base.join(F.broadcast(wkeys), keys, "left_semi")
+                .select("_file").distinct().collect())
+            # with ignore_null_updates the batch was already RESOLVED
+            # above (pre-step), so one fold serves both modes: the winner
+            # event decides delete-vs-upsert, its payload is the
+            # inherited value at its sequence
+            ups = (winners.filter(F.col(change_type_col) != "delete")
+                   .select(*target_cols))
+            ups = self._apply_generated(ups)
+            ups, ident_actions, ident_cleanup = self._assign_identity(ups)
+            self._validate_constraints(ups)
+            if touched:
+                seg = self._read_active_tracked(only=touched)
+                keep_base = seg.join(F.broadcast(wkeys), keys, "left_anti")
+                write_ups = ups
+                if self._row_tracking_enabled():
+                    # upserted rows of EXISTING keys keep their row ids;
+                    # inserted keys stay NULL __rid → fresh base+position
+                    idmap = (seg.join(F.broadcast(wkeys), keys,
+                                      "left_semi")
+                             .select(*keys, "__rid"))
+                    write_ups = ups.join(F.broadcast(idmap), keys, "left")
+                merged = keep_base.unionByName(write_ups,
+                                               allowMissingColumns=True)
             else:
-                pieces.append(ups.withColumn("_change_type",
-                                             F.lit("insert")))
-            ch = pieces[0]
-            for p in pieces[1:]:
-                ch = ch.unionByName(p, allowMissingColumns=True)
-            cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
-        rel_removed = [
-            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
-            for p in touched
-        ]
-        if ident_cleanup:
-            ident_cleanup()
-        txn_actions = ([] if txn_app_id is None else
-                       [{"txn": {"appId": txn_app_id,
-                                 "version": int(txn_version)}}])
-        actions = (
-            [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
-                         "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new),
-                         **exp_commit,
-                         **self._key_range_commit(key_range)}}]
-            + txn_actions
-            + ident_actions
-            + self._schema_evolution_action(ups)
-            + [{"remove": {"path": p}} for p in rel_removed]
-            + self._add_actions(rel_new)
-            + cdf_actions
-        )
-        return self._commit_with_occ(
-            actions, rel_removed, base_version, key_range=key_range,
-            txn=None if txn_app_id is None
-            else (txn_app_id, int(txn_version)))
+                merged = ups
+            rel_new = self._write_segments(merged)
+            cdf_actions: list[dict] = []
+            if self.enable_cdf:
+                dkeys = (winners.filter(F.col(change_type_col) == "delete")
+                         .select(*keys).distinct())
+                pre = (self._read_active(only=touched)
+                       .join(F.broadcast(wkeys), keys, "left_semi")
+                       if touched else None)
+                pieces = []
+                if pre is not None:
+                    pieces.append(
+                        pre.join(F.broadcast(dkeys), keys, "left_semi")
+                        .withColumn("_change_type", F.lit("delete")))
+                    matched = pre.join(F.broadcast(dkeys), keys,
+                                       "left_anti")
+                    pieces.append(matched.withColumn(
+                        "_change_type", F.lit("update_preimage")))
+                    mkeys = matched.select(*keys).distinct()
+                    pieces.append(
+                        ups.join(F.broadcast(mkeys), keys, "left_semi")
+                        .withColumn("_change_type",
+                                    F.lit("update_postimage")))
+                    pieces.append(
+                        ups.join(F.broadcast(mkeys), keys, "left_anti")
+                        .withColumn("_change_type", F.lit("insert")))
+                else:
+                    pieces.append(ups.withColumn("_change_type",
+                                                 F.lit("insert")))
+                ch = pieces[0]
+                for p in pieces[1:]:
+                    ch = ch.unionByName(p, allowMissingColumns=True)
+                cdf_actions = [
+                    {"cdf": {"path": self._write_change_data(ch)}}]
+            rel_removed = [
+                os.path.relpath(os.path.normpath(p),
+                                os.path.normpath(self.path))
+                for p in touched
+            ]
+            if ident_cleanup:
+                ident_cleanup()
+            txn_actions = ([] if txn_app_id is None else
+                           [{"txn": {"appId": txn_app_id,
+                                     "version": int(txn_version)}}])
+            actions = (
+                [{"commit": {"op": "APPLY CHANGES", "ts": self._next_ts(),
+                             "filesRewritten": len(rel_removed),
+                             "filesAdded": len(rel_new),
+                             **exp_commit,
+                             **self._key_range_commit(key_range)}}]
+                + txn_actions
+                + ident_actions
+                + self._schema_evolution_action(ups)
+                + [{"remove": {"path": p}} for p in rel_removed]
+                + self._add_actions(rel_new)
+                + cdf_actions
+            )
+            return self._commit_with_occ(
+                actions, rel_removed, base_version, key_range=key_range,
+                txn=None if txn_app_id is None
+                else (txn_app_id, int(txn_version)))
+        finally:
+            winners.unpersist()
+            if ch_cached:
+                ch_handle.unpersist()
 
     def _scd2_resolve_null_updates(self, changes: DataFrame,
                                    keys: list[str], sequence_by: str,
@@ -5642,6 +5808,37 @@ class TxLogTable:
                            apply_as_deletes: str | None = None,
                            track_history_except_columns=None,
                            ignore_null_updates: bool = False) -> int:
+        """Persisting shim over ``_apply_changes_scd2_body`` (which holds
+        the full contract docstring): the change batch is bounded (its
+        keys are broadcast throughout the fold) but frequently an
+        expensive plan — a CDC transport read or streaming micro-batch —
+        and the fold evaluates it many times (dup check, frontier guard,
+        touched probe, history rewrite, tombstones, CDF images).
+        Persist for the fold's duration so the transport runs once."""
+        cached = not changes.is_cached
+        if cached:
+            changes = changes.persist()
+        try:
+            return self._apply_changes_scd2_body(
+                changes, key, sequence_by, change_type_col, start_col,
+                end_col, txn_app_id, txn_version, allow_backfill,
+                apply_as_deletes, track_history_except_columns,
+                ignore_null_updates)
+        finally:
+            if cached:
+                changes.unpersist()
+
+    def _apply_changes_scd2_body(self, changes: DataFrame, key,
+                                 sequence_by: str,
+                                 change_type_col: str = "_change_type",
+                                 start_col: str = "__START_AT",
+                                 end_col: str = "__END_AT",
+                                 txn_app_id: str | None = None,
+                                 txn_version: int | None = None,
+                                 allow_backfill: bool = False,
+                                 apply_as_deletes: str | None = None,
+                                 track_history_except_columns=None,
+                                 ignore_null_updates: bool = False) -> int:
         """CDC apply with history tracking (the DLT ``APPLY CHANGES INTO
         … STORED AS SCD TYPE 2`` shape): fold a change batch into this
         table as ONE atomic commit, keeping EVERY version of every key.
@@ -5892,7 +6089,11 @@ class TxLogTable:
                    "max": _json_key(stats[f"mx_{k}"])} for k in keys]
         key_range = ranges[0] if len(ranges) == 1 else ranges
 
-        base = self._read_active(with_file=True)
+        # frontier guard + open-row probe join on plain key equality
+        # (NULL keys never match), so both scan only the files whose
+        # stats could hold a batch key (data skipping)
+        base = self._read_active(
+            with_file=True, only=self._key_probe_candidates(ranges))
         # frontier guard: rewriting settled history is refused loudly.
         # The frontier is the max EVENT sequence the key's history
         # records — greatest(start, end) per row, not just start: a
@@ -6066,7 +6267,18 @@ class TxLogTable:
         have = {f.name: f.dataType
                 for f in T.StructType.fromJson(json.loads(schema_json))}
         kset = changes.select(*keys).distinct()
-        base = self._read_active(with_file=True)
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        stats = kset.agg(*aggs).collect()[0]
+        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        key_range = ranges[0] if len(ranges) == 1 else ranges
+        # the affected-chain probe joins on plain key equality (NULL
+        # keys never match), so it scans only the files whose stats
+        # could hold a batch key (data skipping)
+        base = self._read_active(
+            with_file=True, only=self._key_probe_candidates(ranges))
         # scope_open_only (the TRACK HISTORY EXCEPT route, in-order
         # batches): only segments holding an OPEN row of a batch key are
         # touched and only open rows become events — closed history
@@ -6079,13 +6291,6 @@ class TxLogTable:
             r["_file"] for r in
             hits.join(F.broadcast(kset), keys, "left_semi")
             .select("_file").distinct().collect())
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-        stats = kset.agg(*aggs).collect()[0]
-        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
-                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
-        key_range = ranges[0] if len(ranges) == 1 else ranges
         existing = carry = None
         rid: list[str] = []
         if touched:
@@ -6150,6 +6355,12 @@ class TxLogTable:
                       .unionByName(ups_exist, allowMissingColumns=True)
                       .unionByName(dels_exist, allowMissingColumns=True)
                       .unionByName(dels_tomb, allowMissingColumns=True))
+        # the merged timeline is the splice's bounded working set
+        # (affected chains + batch) and feeds several passes (dup check,
+        # re-fold, rewrite, CDF diff) — pin it, and pin the re-fold input
+        # again below if resolution/collapse rebuilt it
+        events = events.persist()
+        _pins = [events]
         dup = (events.groupBy(*keys, "__seq").count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
@@ -6262,6 +6473,9 @@ class TxLogTable:
                                 if c in vcols else F.col(c)
                                 for c in nonkey],
                               "__seq", "__del", *rid))
+        if events is not _pins[0]:
+            events = events.persist()
+            _pins.append(events)
         ev = (events
               .withColumn("__nxt", F.lead("__seq").over(w))
               .withColumn("__pdel", F.lag("__del").over(w)))
@@ -6340,6 +6554,8 @@ class TxLogTable:
                           | (F.col(start_col) != F.col(end_col)))
                       .withColumn("_change_type", F.lit("insert")))
             cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
+        for p in _pins:
+            p.unpersist()
         rel_removed = [
             os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
             for p in touched
