@@ -134,6 +134,19 @@ EXTRA = [
     "delta_uniform_tags",
 ]
 
+# Scaling-sensitive probe (VERDICT r14 item 2): every sf0.1 headline
+# query is 0.13–1.4 s — fixed per-query overhead dominates, so the
+# driver's 8-vs-32-core ratios all read ≈1 and the scaling block cannot
+# distinguish "serial" from "overhead-bound".  This probe carries
+# seconds of genuinely parallel compute (input-size-derived row count,
+# integer hash-mix + two-level aggregation), so the core-count ratio
+# becomes observable.  Timed into "queries" (the block the driver's
+# scaling probe reads); excluded from "value" to keep cross-round
+# totals like-for-like.
+SCALING_PROBES = [
+    "scaling_probe_hash_mix",
+]
+
 # The CDC / row-tracking family regresses as ONE tracked aggregate
 # (VERDICT r8 item 7): the newest heavy surface, summed from the same
 # medians recorded in extra_queries.
@@ -160,6 +173,22 @@ CDC_FAMILY = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # COLD-START POLICY (r15): fingerprint-keyed staged artifacts
+    # (MinHash signature parquet, the zlib oracle sidecar) model
+    # production build-once/serve-many storage, but a bench invocation
+    # must compute from the parquet inputs — clear them so the first
+    # repeat of the affected queries pays the cold build in EVERY bench
+    # process instead of inheriting a previous invocation's artifact.
+    # (In-process memos — PQ/IVF codebooks — are born cold per process.)
+    import glob as _glob
+    import shutil
+    import tempfile
+    for prefix in ("minhash_sigs_", "zlib_sidecar_"):
+        for d in _glob.glob(os.path.join(tempfile.gettempdir(),
+                                         prefix + "*")):
+            shutil.rmtree(d, ignore_errors=True)
+
     spark = get_spark("bench")
 
     # Warm the JVM + file listing + Python UDF worker pool once so timings
@@ -222,7 +251,43 @@ def main() -> None:
     for name in EXTRA:
         bench_one(name, extra)
 
+    # value stays the sum over the ORIGINAL 17 HEADLINE queries so
+    # cross-round totals compare like for like; the scaling probe is IN
+    # "queries" (additions are allowed; the driver's 8-vs-32-core block
+    # reads "queries") but NOT in "value".
     total = round(sum(timings.values()), 3)
+    for name in SCALING_PROBES:
+        bench_one(name, timings)
+
+    # The one-line driver JSON stays SMALL (VERDICT r14: the per-query
+    # spread dict grew the line past the driver's tail capture from
+    # r03–r13 — parsed:null for 11 straight rounds, silently costing
+    # every optimization claim its ground-truth comparison).  Spreads
+    # and historical totals move to a side file the judge can read from
+    # the repo instead.
+    side = {
+        "spread_min_med_max": spread,
+        "total_min_sec": round(
+            sum(spread[n][0] for n in HEADLINE), 3),
+        "total_max_sec": round(
+            sum(spread[n][2] for n in HEADLINE), 3),
+        # min-of-3 sums are the noise-robust cross-round statistic on a
+        # co-tenant host; prior-round values recorded so a comparison
+        # never depends on digging old BENCH files out of git.
+        "prev_total_min_sec": {"r2": 18.499, "r3": 17.783, "r14": 6.836},
+        "prev_total_median_sec": {"r1": 14.706, "r2": 21.337,
+                                  "r3": 19.952, "r14": 7.625},
+        "sf": sf_dir,
+    }
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "bench_runs", "last_spread.json")
+    try:
+        os.makedirs(os.path.dirname(side_path), exist_ok=True)
+        with open(side_path, "w") as f:
+            json.dump(side, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: the bench must still print
+        print(f"# spread side file not written: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "total_headline_sec",
         "value": total,
@@ -231,23 +296,8 @@ def main() -> None:
         "aggregation": "median",
         "queries": timings,
         "extra_queries": extra,
-        "spread_min_med_max": spread,
-        "total_min_sec": round(sum(spread[n][0] for n in timings), 3),
-        "total_max_sec": round(sum(spread[n][2] for n in timings), 3),
         "total_cdc_family_sec": round(
             sum(extra[n] for n in CDC_FAMILY if n in extra), 3),
-        # min-of-3 sums are the noise-robust cross-round statistic on a
-        # co-tenant host; prior-round values recorded here so a comparison
-        # never depends on digging old BENCH files out of git.
-        "prev_total_min_sec": {"r2": 18.499, "r3": 17.783},
-        "prev_total_median_sec": {"r1": 14.706, "r2": 21.337, "r3": 19.952},
-        # r3 notes: ann_lsh_bucketed_topk now also computes the exact
-        # brute-force top-5 to emit a recall_at_k column (judge-requested
-        # quality pin) — its timing includes that extra exact pass; and
-        # dedup_minhash_lsh_pairs pays ~0.6s at sf0.1 for persisting the
-        # bucket aggregation so oversized-bucket splits are observable on
-        # the default strategy (advisor-requested) — steady-state ~3.5s
-        # vs r2's 2.9s median, cost is the cache write not a plan change.
         "sf": sf_dir,
     }))
 

@@ -1900,8 +1900,10 @@ class Engine:
                 raise ValueError(f"unsupported UPDATE SET clause: {part!r}")
             assignments[col.strip()] = expr.strip()
         cond = m.group("cond")  # no WHERE = update every row (SQL)
+        from .sources.txlog import sql_predicate_triples
         version = self.txlog_tables[target].update_where(
-            assignments, F.expr(cond) if cond else F.lit(True))
+            assignments, F.expr(cond) if cond else F.lit(True),
+            prune=sql_predicate_triples(cond))
         return self._dml_ack(target, version)
 
     def _delete(self, m: re.Match) -> DataFrame:
@@ -1909,8 +1911,10 @@ class Engine:
 
         target = m.group("target")
         cond = m.group("cond")  # no WHERE = delete every row (SQL)
+        from .sources.txlog import sql_predicate_triples
         version = self.txlog_tables[target].delete_where(
-            F.expr(cond) if cond else F.lit(True))
+            F.expr(cond) if cond else F.lit(True),
+            prune=sql_predicate_triples(cond))
         return self._dml_ack(target, version)
 
     def _insert_into(self, m: re.Match) -> DataFrame:

@@ -503,3 +503,51 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shard.unionByName(merged)
             .select("grp", "n_exact", within.alias("hll_within_5pct"))
             .orderBy("grp"))
+
+
+@register(
+    "scaling_probe_hash_mix",
+    oracle="""
+    -- DuckDB's range() only takes constants, so the 0..1024*|lineitem|-1
+    -- index stream is built as row_number x constant-range: any
+    -- bijection onto the index set yields the same aggregate.
+    WITH li AS (SELECT row_number() OVER () - 1 AS r FROM lineitem),
+    n AS (SELECT COUNT(*) AS cnt FROM lineitem),
+    seq AS (
+      SELECT r + (SELECT cnt FROM n) * j.range AS i
+      FROM li CROSS JOIN range(1024) AS j
+    ),
+    mixed AS (
+      SELECT ((((i * 2654435761) % 1000000007) * 22695477 + i)
+              % 998244353) * 1099087573 % 1000000007 AS h
+      FROM seq
+    )
+    SELECT h % 8 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS h_sum
+    FROM mixed
+    GROUP BY h % 8
+    ORDER BY bucket
+    """,
+    tags=("bench", "scaling", "agg"),
+)
+def scaling_probe_hash_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-sensitive bench probe (VERDICT r14 item 2): at sf0.1 every
+    headline query is overhead-bound (0.13–1.4 s), so the driver's
+    8-vs-32-core ratios read ≈1 and scaling is unobservable.  This probe
+    carries seconds of genuinely parallel compute — an input-size-derived
+    row count (1024 rows per lineitem row) through an exact integer
+    hash-mix (multiply/add/mod chains, overflow-free in BIGINT on both
+    engines) and a two-level aggregation — so the core-count ratio is a
+    real signal.  Deterministic and DuckDB-oracled like every query."""
+    n = load_table(spark, sf_dir, "lineitem").count() * 1024
+    i = F.col("id")
+    h = (i * F.lit(2654435761)) % F.lit(1000000007)
+    h = (h * F.lit(22695477) + i) % F.lit(998244353)
+    h = (h * F.lit(1099087573)) % F.lit(1000000007)
+    return (spark.range(n)
+            .select((h % 8).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("h").alias("h_sum"))
+            .orderBy("bucket"))

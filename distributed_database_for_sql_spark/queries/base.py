@@ -177,62 +177,72 @@ def register(name: str, oracle: str | None = None,
 #       policy; after this window certifies, min latest-driver-green
 #       advances to r8 over every previously-certified query.
 
+#   r15 window (below): optimization round — one new query (the
+#       scaling-sensitive bench probe, certified the round it ships per
+#       the linted policy), then the seven r7-latest queries the r14
+#       new-query block displaced (the promised "r15 drain"; the oldest
+#       remaining tier), then 42 of the 50 r8-latest queries in
+#       registry-sorted order.  The eight r8 stragglers
+#       (text_langid_heuristic, text_langid_ngram_profile,
+#       text_token_count_bpe, text_token_stats, text_word_freq_topk,
+#       ts_funnel_signup_click_purchase, ts_locf_interpolation,
+#       ts_rollup_gapfill) lead the r16 drain.  After this window
+#       certifies, min latest-driver-green advances to r8.
+
 _FRONT_WINDOW: tuple[str, ...] = (
-    # -- new in r14 (policy: new queries certify the round they ship;
-    #    displaced stream_static_join / window_first_last /
-    #    window_ranking / window_running_frames / window_range_frame /
-    #    window_lag_lead / udtf_tokenize_positions to the r15 drain) ------
-    "delta_uniform_position_deletes",
-    "delta_uniform_snapshot_audit",
-    "delta_domain_metadata",
-    "delta_version_checksum",
-    "delta_row_level_concurrency",
-    "delta_uniform_metadata_tables",
-    "delta_uniform_tags",
-    # -- stale drain IX: the r7-latest tier (oldest remaining) --------------
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_rollup",
-    "dedup_keep_first_by_key",
-    "dedup_simhash_hamming",
-    "distinct_values",
-    "filter_compound_predicates",
-    "filter_like_patterns",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer_nulls",
-    "join_salted_skew",
-    "join_self_pairs",
-    "join_semi",
-    "join_theta_range",
-    "null_handling",
-    "proj_computed_columns",
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q21_waiting_orders",
-    "q22_global_sales_opportunity",
-    "sample_seeded_det",
-    "sample_stratified_det",
-    "set_except",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "set_union_all",
-    "sort_multi_key_limit",
-    "sql_entry_revenue_by_nation",
-    "sql_txn_batch",
-    "stream_sliding_window",
-    "stream_stateful_dedup",
-    "stream_stateful_user_agg",
-    "stream_stream_join",
-    "subq_correlated_exists",
-    "subq_correlated_scalar",
-    "subq_in_nation_region",
-    "subq_scalar_above_avg",
-    "ts_sessionize_batch",
-    "udf_grouped_agg",
-    "udf_grouped_map_zscore",
+    # -- new in r15 ---------------------------------------------------------
+    "scaling_probe_hash_mix",
+    # -- the r14-displaced r7 tier (oldest remaining) -----------------------
+    "stream_static_join",
+    "udtf_tokenize_positions",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_frames",
+    # -- stale drain X: the r8-latest tier (42 of 50) ------------------------
+    "agg_approx_percentile",
+    "agg_argmax_struct",
+    "agg_global_stats",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_unpivot",
+    "ann_partition_pruned_topk",
+    "decontam_embedding_overlap",
+    "dedup_cluster_representative",
+    "dedup_connected_components",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_rate_by_source",
+    "dedup_simhash",
+    "dedup_span_removal",
+    "delta_apply_changes",
+    "delta_apply_changes_scd2",
+    "delta_cdf_after_rename",
+    "delta_copy_into",
+    "delta_dv_update",
+    "delta_identity_columns",
+    "delta_insert_overwrite",
+    "delta_merge_full_clauses",
+    "delta_reorg_purge",
+    "delta_row_tracking",
+    "delta_streaming_scd2",
+    "embedding_near_dup_pairs",
+    "fn_array_hof_suite",
+    "fn_conditional_suite",
+    "fn_json_suite",
+    "fn_map_suite",
+    "multimodal_frame_sample",
+    "multimodal_image_meta_udf",
+    "multimodal_payload_meta",
+    "multimodal_resize",
+    "pipeline_training_data_curation",
+    "profile_corpus_stats",
+    "split_leakage_free",
+    "sql_cte_window",
+    "stream_session_window",
+    "text_bigram_topk_per_lang",
+    "text_fingerprint",
 )
 
 

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "distributed_database_for_sql_spark",
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # default, pinned: the optimization pins in tests/ count source
+        # evaluations with accumulators, which over-count under
+        # speculative re-execution (ADVICE r14)
+        .config("spark.speculation", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

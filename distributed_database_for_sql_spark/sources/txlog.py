@@ -247,8 +247,11 @@ _BLOOM_HASHES = 3
 #: negative probe against one proves nothing — _file_may_match must
 #: ignore them (degrade to range-check-only) instead of treating the
 #: stale negative as proof of absence and silently pruning files that
-#: contain matching rows (ADVICE r7).
-_BLOOM_FORMAT_VERSION = 2
+#: contain matching rows (ADVICE r7).  v3 = date/datetime hash their
+#: ISOFORMAT ('T' separator, matching _stat_value/_json_key — ADVICE
+#: r14's coercion unification) instead of str(); v2 blooms on
+#: date/timestamp-keyed tables are likewise ignored-not-trusted.
+_BLOOM_FORMAT_VERSION = 3
 
 
 def _bloom_canon(value) -> str:
@@ -282,7 +285,13 @@ def _bloom_canon(value) -> str:
         return f"num:{f!r}"
     if isinstance(value, (bytes, bytearray)):
         return "bytes:" + bytes(value).hex()
-    return "str:" + str(value)  # dates/timestamps: ISO form, same as _json_key
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        # isoformat, NOT str(): a string probe coerced through
+        # _coerce_probe_literal / _json_key carries the 'T' separator,
+        # and the bloom must hash the same text or its negative becomes
+        # a false proof of absence (the v3 format marker above)
+        return "str:" + value.isoformat()
+    return "str:" + str(value)
 
 
 def _bloom_hash_indices(value, m: int) -> list[int]:
@@ -397,10 +406,108 @@ def _is_commit_name(name: str) -> bool:
 
 
 def _json_key(v):
-    """Coerce a merge-key bound to a JSON-storable, order-preserving value."""
+    """Coerce a merge-key bound to a JSON-storable, order-preserving value.
+
+    Dates/timestamps MUST use the same textual form as ``_stat_value``
+    (``isoformat()``, 'T' separator): ``_key_probe_candidates`` compares
+    these bounds against footer stats recorded by ``_stat_value``, and
+    ``str(datetime)`` uses a space separator which sorts BEFORE digits
+    and 'T', silently inverting same-day comparisons (ADVICE r14 — a
+    file holding matching keys could be wrongly pruned)."""
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
-    return str(v)  # dates/decimals: ISO/str ordering matches value ordering
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()  # matches _stat_value exactly
+    return str(v)  # decimals: str ordering matches value ordering
+
+
+def _split_top_and(s: str) -> tuple[list[str], bool]:
+    """Split a SQL boolean expression on TOP-LEVEL ``AND`` keywords,
+    respecting single-quoted literals.  Returns (parts, balanced_quotes);
+    unbalanced quotes mean the caller must not trust the split."""
+    parts: list[str] = []
+    buf: list[str] = []
+    inq = False
+    up = s.upper()
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            inq = not inq
+            buf.append(ch)
+            i += 1
+            continue
+        if (not inq and up.startswith("AND", i)
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                and (i + 3 >= len(s)
+                     or not (s[i + 3].isalnum() or s[i + 3] == "_"))):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts, not inq
+
+
+_TRIPLE_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(<=|>=|=|<|>)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$")
+_TRIPLE_FLIP_RE = re.compile(
+    r"^\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*(<=|>=|=|<|>)\s*"
+    r"([A-Za-z_]\w*)\s*$")
+_FLIP_OP = {"=": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def sql_predicate_triples(cond: str | None) -> list[tuple]:
+    """Best-effort translation of a SQL boolean expression into
+    ``(column, op, value)`` conjunct triples for ``prune_files`` — the
+    predicate translator the UPDATE/DELETE SQL surface feeds so their
+    probes skip files by footer stats instead of scanning the full
+    snapshot (guide §6).
+
+    Conservative by construction: only a top-level AND chain of
+    ``<identifier> <cmp> <literal>`` (either side) translates; OR / NOT
+    / parens / IN / BETWEEN / IS NULL / functions / arithmetic yield no
+    triples (or skip that conjunct).  Pruning on a SUBSET of the
+    conjuncts is sound — a file with no row satisfying the subset has
+    no row satisfying the full AND — and an untranslated condition just
+    means no pruning, never a wrong result."""
+    if not cond:
+        return []
+    s = cond.strip()
+    parts, balanced = _split_top_and(s)
+    if not balanced:
+        return []
+    # Disjunction/negation OUTSIDE quotes voids the whole parse: an OR
+    # makes "keep the conjuncts I understood" unsound (precedence can
+    # bind a skipped branch around a kept one).  Everything else —
+    # parens, functions, IN/BETWEEN/IS, arithmetic — simply fails the
+    # per-conjunct regex below and is skipped, which stays sound under
+    # a pure AND chain.
+    masked = re.sub(r"'(?:[^']|'')*'", "''", s)
+    if re.search(r"\bOR\b|\bNOT\b|\|\|", masked, re.IGNORECASE):
+        return []
+    out: list[tuple] = []
+    for part in parts:
+        m = _TRIPLE_RE.match(part)
+        if m:
+            col, op, lit = m.groups()
+        else:
+            m = _TRIPLE_FLIP_RE.match(part)
+            if not m:
+                continue  # un-modeled conjunct: skipping it stays sound
+            lit, op, col = m.groups()
+            op = _FLIP_OP[op]
+        if lit.startswith("'"):
+            value: object = lit[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", lit):
+            value = int(lit)
+        else:
+            value = float(lit)
+        out.append((col, op, value))
+    return out
 
 
 def _ranges_intersect(a: dict, b: dict) -> bool:
@@ -3908,6 +4015,30 @@ class TxLogTable:
 
     # -- data skipping (Delta's file-statistics pruning) --------------------
 
+    @staticmethod
+    def _coerce_probe_literal(value, dtype):
+        """Coerce a STRING probe literal against a date/timestamp column
+        to the footer-stat textual domain (isoformat, 'T' separator) —
+        SQL-surface literals arrive as text, and a raw
+        ``'YYYY-MM-DD HH:MM:SS'`` (space) compares wrongly against
+        ``_stat_value``'s ISO strings (same inversion ADVICE r14 flagged
+        for ``_json_key``).  Also gives date-only literals against
+        timestamp columns SQL's cast-to-midnight semantics.  Anything
+        unparseable is left alone — incomparable probes keep the file
+        (conservative)."""
+        if not isinstance(value, str):
+            return value
+        try:
+            if isinstance(dtype, T.TimestampType):
+                return datetime.datetime.fromisoformat(
+                    value.replace(" ", "T")).isoformat()
+            if isinstance(dtype, T.DateType):
+                return datetime.datetime.fromisoformat(
+                    value.replace(" ", "T")).date().isoformat()
+        except ValueError:
+            pass
+        return value
+
     def prune_files(self, predicates: list[tuple],
                     version: int | None = None) -> tuple[list[str], int]:
         """File-level data skipping: keep only the active files whose
@@ -3918,12 +4049,24 @@ class TxLogTable:
         (conservative).  At 100 TB this is the difference between
         scanning the table and scanning the handful of segments a
         time/key-range query actually touches."""
-        active, _ = self._snapshot(version)
+        active, schema_json = self._snapshot(version)
         mapping = self._column_mapping(version)
+        types = ({f.name: f.dataType
+                  for f in T.StructType.fromJson(
+                      json.loads(schema_json)).fields}
+                 if schema_json else {})
+        coerced = []
+        for c, op, v in predicates:
+            dt = types.get(c)
+            if dt is not None:
+                v = (tuple(self._coerce_probe_literal(x, dt) for x in v)
+                     if op == "between"
+                     else self._coerce_probe_literal(v, dt))
+            coerced.append((c, op, v))
         kept = [
             os.path.join(self.path, p) for p, stats in active.items()
             if all(_file_may_match(stats, mapping.get(c, c), op, v)
-                   for (c, op, v) in predicates)
+                   for (c, op, v) in coerced)
         ]
         return kept, len(active)
 
@@ -4302,217 +4445,213 @@ class TxLogTable:
         src_cached = not source.is_cached
         if src_cached:
             source = source.persist()
+        inserts = None
         try:
             ranges, had_null_keys = self._key_range_stats(
                 source, keys, "MERGE")
-        except BaseException:
-            if src_cached:
-                source.unpersist()
-            raise
-        key_range = ranges[0] if len(ranges) == 1 else ranges
+            key_range = ranges[0] if len(ranges) == 1 else ranges
 
-        def clause_cond(cl) -> "F.Column":
-            c = cl.get("condition")
-            return F.expr(c) if c else F.lit(True)
+            def clause_cond(cl) -> "F.Column":
+                c = cl.get("condition")
+                return F.expr(c) if c else F.lit(True)
 
-        # one decision pass: every target row gets the code of its first
-        # applicable clause (matched codes 0..n-1; by-source 100+j;
-        # -1 = carry unchanged).  A by-source condition referencing s.*
-        # evaluates NULL there and correctly never fires.
-        src_struct = source.select(
-            F.struct(*[F.col(k) for k in keys]).alias("_mk"),
-            F.struct(*[F.col(c) for c in source.columns]).alias("s"),
-            F.lit(True).alias("_m"))
+            # one decision pass: every target row gets the code of its first
+            # applicable clause (matched codes 0..n-1; by-source 100+j;
+            # -1 = carry unchanged).  A by-source condition referencing s.*
+            # evaluates NULL there and correctly never fires.
+            src_struct = source.select(
+                F.struct(*[F.col(k) for k in keys]).alias("_mk"),
+                F.struct(*[F.col(c) for c in source.columns]).alias("s"),
+                F.lit(True).alias("_m"))
 
-        def read_base(only: list[str] | None) -> DataFrame:
-            if self._row_tracking_enabled():
-                # carried AND updated rows keep their row ids through the
-                # rewrite; insert-arm rows read fresh base+position ids
-                b = self._read_active(with_file=True, with_pos=True,
-                                      with_rid=True, only=only)
-                b = (self._attach_row_ids(b)
-                     .drop("__relfile", "__rowidx", "__rid", "__base")
-                     .withColumnRenamed("_row_id", "__rid"))
-            else:
-                b = self._read_active(with_file=True, only=only)
-            if new_fields:
-                # evolved columns read typed NULL on every pre-evolution
-                # row
-                b = b.withColumns({f.name: F.lit(None).cast(f.dataType)
-                                   for f in new_fields})
-            return b
+            def read_base(only: list[str] | None) -> DataFrame:
+                if self._row_tracking_enabled():
+                    # carried AND updated rows keep their row ids through the
+                    # rewrite; insert-arm rows read fresh base+position ids
+                    b = self._read_active(with_file=True, with_pos=True,
+                                          with_rid=True, only=only)
+                    b = (self._attach_row_ids(b)
+                         .drop("__relfile", "__rowidx", "__rid", "__base")
+                         .withColumnRenamed("_row_id", "__rid"))
+                else:
+                    b = self._read_active(with_file=True, only=only)
+                if new_fields:
+                    # evolved columns read typed NULL on every pre-evolution
+                    # row
+                    b = b.withColumns({f.name: F.lit(None).cast(f.dataType)
+                                       for f in new_fields})
+                return b
 
-        act = None
-        for i, cl in enumerate(when_matched):
-            c = F.col("_m").isNotNull() & clause_cond(cl)
-            act = F.when(c, i) if act is None else act.when(c, i)
-        for j, cl in enumerate(when_not_matched_by_source):
-            c = F.col("_m").isNull() & clause_cond(cl)
-            act = F.when(c, 100 + j) if act is None else act.when(c, 100 + j)
+            act = None
+            for i, cl in enumerate(when_matched):
+                c = F.col("_m").isNotNull() & clause_cond(cl)
+                act = F.when(c, i) if act is None else act.when(c, i)
+            for j, cl in enumerate(when_not_matched_by_source):
+                c = F.col("_m").isNull() & clause_cond(cl)
+                act = F.when(c, 100 + j) if act is None else act.when(c, 100 + j)
 
-        def decide(b: DataFrame) -> DataFrame:
-            tsel = [F.col("_file"),
-                    F.struct(*[F.col(k) for k in keys]).alias("_mk"),
-                    F.struct(*[F.col(c) for c in tcols]).alias("t")]
-            if "__rid" in b.columns:
-                tsel.append(F.col("__rid"))
-            joined = (b.select(*tsel)
-                      .join(F.broadcast(src_struct), "_mk", "left_outer"))
-            return joined.withColumn(
-                "_act", act.otherwise(F.lit(-1)) if act is not None
-                else F.lit(-1))
+            def decide(b: DataFrame) -> DataFrame:
+                tsel = [F.col("_file"),
+                        F.struct(*[F.col(k) for k in keys]).alias("_mk"),
+                        F.struct(*[F.col(c) for c in tcols]).alias("t")]
+                if "__rid" in b.columns:
+                    tsel.append(F.col("__rid"))
+                joined = (b.select(*tsel)
+                          .join(F.broadcast(src_struct), "_mk", "left_outer"))
+                return joined.withColumn(
+                    "_act", act.otherwise(F.lit(-1)) if act is not None
+                    else F.lit(-1))
 
-        # Data skipping for the decision pass (guide §6): with no
-        # by-source arm, a clause can only fire on rows MATCHING a
-        # source key, so only files whose footer stats could hold a
-        # batch key participate — sound for the NULL-SAFE struct match
-        # only when the batch provably carries no NULL keys (a NULL key
-        # must match NULL base keys, which min/max stats cannot place).
-        # The same pruned base serves the insert arm's matched-keys
-        # probe (matches live in candidate files by the same argument).
-        cand = (self._key_probe_candidates(ranges)
-                if not when_not_matched_by_source and not had_null_keys
-                else None)
-        base = read_base(cand)
-        decided = decide(base)
-        touched = sorted(
-            r["_file"] for r in decided.filter(F.col("_act") != -1)
-            .select("_file").distinct().collect())
-        # Every pass below that looks at rows whose clause fired re-reads
-        # ONLY the touched segments (the merge's bounded working set)
-        # instead of filtering a full-snapshot scan — the rewrite, the
-        # constraint check and the CDF images each cost O(touched), not
-        # O(table).
-        decided_t = decide(read_base(touched)) if touched else None
+            # Data skipping for the decision pass (guide §6): with no
+            # by-source arm, a clause can only fire on rows MATCHING a
+            # source key, so only files whose footer stats could hold a
+            # batch key participate — sound for the NULL-SAFE struct match
+            # only when the batch provably carries no NULL keys (a NULL key
+            # must match NULL base keys, which min/max stats cannot place).
+            # The same pruned base serves the insert arm's matched-keys
+            # probe (matches live in candidate files by the same argument).
+            cand = (self._key_probe_candidates(ranges)
+                    if not when_not_matched_by_source and not had_null_keys
+                    else None)
+            base = read_base(cand)
+            decided = decide(base)
+            touched = sorted(
+                r["_file"] for r in decided.filter(F.col("_act") != -1)
+                .select("_file").distinct().collect())
+            # Every pass below that looks at rows whose clause fired re-reads
+            # ONLY the touched segments (the merge's bounded working set)
+            # instead of filtering a full-snapshot scan — the rewrite, the
+            # constraint check and the CDF images each cost O(touched), not
+            # O(table).
+            decided_t = decide(read_base(touched)) if touched else None
 
-        del_codes = (
-            [i for i, cl in enumerate(when_matched)
-             if cl["action"] == "delete"]
-            + [100 + j for j, cl in enumerate(when_not_matched_by_source)
-               if cl["action"] == "delete"])
-        upd_specs = {i: cl for i, cl in enumerate(when_matched)
-                     if cl["action"] == "update"}
-        upd_specs.update(
-            {100 + j: cl for j, cl in enumerate(when_not_matched_by_source)
-             if cl["action"] == "update"})
-        for code, cl in upd_specs.items():
-            st = cl.get("set", "*")
-            if st != "*":
-                bad = [c for c in st if c not in tcols]
-                if bad:
-                    raise ValueError(
-                        f"MERGE SET references unknown column(s) {bad}")
-                bad_ident = sorted(set(st) & set(ident))
-                if bad_ident:
-                    raise ValueError(
-                        f"MERGE SET of identity column(s) {bad_ident}: "
-                        "identity values are engine-managed and never "
-                        "updated")
-
-        def out_projection(frame: DataFrame) -> DataFrame:
-            cols = []
-            for f in schema.fields:
-                tval = F.col("t").getField(f.name)
-                e = None
-                for code, cl in upd_specs.items():
-                    st = cl.get("set", "*")
-                    if st == "*":
-                        # identity values are engine-managed: SET * keeps
-                        # the matched target row's id, never the source's
-                        v = (F.col("s").getField(f.name)
-                             if f.name in source.columns
-                             and f.name not in ident else tval)
-                    elif f.name in st:
-                        v = F.expr(st[f.name]).cast(f.dataType)
-                    else:
-                        v = tval
-                    hit = F.col("_act") == code
-                    e = F.when(hit, v) if e is None else e.when(hit, v)
-                cols.append((e.otherwise(tval) if e is not None
-                             else tval).alias(f.name))
-            extra = ([F.col("__rid")] if "__rid" in frame.columns else [])
-            return frame.select(*cols, *extra)
-
-        rewritten = None
-        if touched:
-            keep = (decided_t.filter(~F.col("_act").isin(del_codes))
-                    if del_codes else decided_t)
-            rewritten = out_projection(keep)
-            if upd_specs:
-                self._validate_constraints(
-                    out_projection(keep.filter(F.col("_act") != -1)))
-
-        inserts = None
-        if when_not_matched:
-            # NULL-SAFE key matching, same struct packing as the decision
-            # pass above: a plain column-equality semi/anti join would
-            # never match NULL key values, so a source row with a NULL
-            # key would re-insert forever even though the matched arm
-            # (struct join) updates its target row — the two arms must
-            # agree on what "matched" means (incremental MV folds group
-            # by nullable columns and hit this every refresh).
-            mk = F.struct(*[F.col(k) for k in keys]).alias("_mk")
-            matched_keys = (base.select(mk)
-                            .join(F.broadcast(source.select(mk).distinct()),
-                                  "_mk", "left_semi").distinct())
-            s_f = (source.select(
-                       mk,
-                       F.struct(*[F.col(c) for c in source.columns])
-                       .alias("s"))
-                   .join(F.broadcast(matched_keys), "_mk", "left_anti")
-                   .select("s"))
-            e = None
-            for idx, cl in enumerate(when_not_matched):
-                c = clause_cond(cl)
-                e = F.when(c, idx) if e is None else e.when(c, idx)
-            s_f = (s_f.withColumn("_act", e.otherwise(F.lit(-1)))
-                   .filter(F.col("_act") != -1))
-            frames = []
-            for idx, cl in enumerate(when_not_matched):
-                vals = cl.get("values", "*")
-                if vals != "*":
-                    bad = [c for c in vals if c not in tcols]
+            del_codes = (
+                [i for i, cl in enumerate(when_matched)
+                 if cl["action"] == "delete"]
+                + [100 + j for j, cl in enumerate(when_not_matched_by_source)
+                   if cl["action"] == "delete"])
+            upd_specs = {i: cl for i, cl in enumerate(when_matched)
+                         if cl["action"] == "update"}
+            upd_specs.update(
+                {100 + j: cl for j, cl in enumerate(when_not_matched_by_source)
+                 if cl["action"] == "update"})
+            for code, cl in upd_specs.items():
+                st = cl.get("set", "*")
+                if st != "*":
+                    bad = [c for c in st if c not in tcols]
                     if bad:
                         raise ValueError(
-                            f"MERGE INSERT references unknown column(s) "
-                            f"{bad}")
-                sel = []
-                for f in schema.fields:
-                    if vals == "*":
-                        if f.name not in source.columns:
-                            continue
-                        v = F.col("s").getField(f.name)
-                    else:
-                        if f.name not in vals:
-                            continue
-                        v = F.expr(vals[f.name])
-                    sel.append(v.cast(f.dataType).alias(f.name))
-                if not sel:
-                    raise ValueError(
-                        f"MERGE INSERT clause {idx} binds no table column")
-                fr = s_f.filter(F.col("_act") == idx).select(*sel)
-                fr = self._fill_defaults(fr)
-                fr = self._apply_generated(fr)
-                frames.append(fr)
-            inserts = frames[0]
-            for fr in frames[1:]:
-                inserts = inserts.unionByName(fr, allowMissingColumns=True)
-            # BY DEFAULT identity: NULL/absent slots engine-assigned past
-            # the high-water mark (ALWAYS tables were refused above)
-            inserts, ident_actions, ident_cleanup = \
-                self._assign_identity(inserts)
-            self._validate_constraints(inserts)
-            # Bounded by the source (anti-join of it), evaluated up to
-            # two more times below (segment write, CDF) — and each bare
-            # evaluation would re-run the matched-keys semi-join over the
-            # full snapshot just to rebuild its broadcast.  Persist for
-            # the statement's duration (after validation, so a refused
-            # batch never pins cache).
-            inserts = inserts.persist()
-        else:
-            ident_actions, ident_cleanup = [], None
+                            f"MERGE SET references unknown column(s) {bad}")
+                    bad_ident = sorted(set(st) & set(ident))
+                    if bad_ident:
+                        raise ValueError(
+                            f"MERGE SET of identity column(s) {bad_ident}: "
+                            "identity values are engine-managed and never "
+                            "updated")
 
-        try:
+            def out_projection(frame: DataFrame) -> DataFrame:
+                cols = []
+                for f in schema.fields:
+                    tval = F.col("t").getField(f.name)
+                    e = None
+                    for code, cl in upd_specs.items():
+                        st = cl.get("set", "*")
+                        if st == "*":
+                            # identity values are engine-managed: SET * keeps
+                            # the matched target row's id, never the source's
+                            v = (F.col("s").getField(f.name)
+                                 if f.name in source.columns
+                                 and f.name not in ident else tval)
+                        elif f.name in st:
+                            v = F.expr(st[f.name]).cast(f.dataType)
+                        else:
+                            v = tval
+                        hit = F.col("_act") == code
+                        e = F.when(hit, v) if e is None else e.when(hit, v)
+                    cols.append((e.otherwise(tval) if e is not None
+                                 else tval).alias(f.name))
+                extra = ([F.col("__rid")] if "__rid" in frame.columns else [])
+                return frame.select(*cols, *extra)
+
+            rewritten = None
+            if touched:
+                keep = (decided_t.filter(~F.col("_act").isin(del_codes))
+                        if del_codes else decided_t)
+                rewritten = out_projection(keep)
+                if upd_specs:
+                    self._validate_constraints(
+                        out_projection(keep.filter(F.col("_act") != -1)))
+
+            inserts = None
+            if when_not_matched:
+                # NULL-SAFE key matching, same struct packing as the decision
+                # pass above: a plain column-equality semi/anti join would
+                # never match NULL key values, so a source row with a NULL
+                # key would re-insert forever even though the matched arm
+                # (struct join) updates its target row — the two arms must
+                # agree on what "matched" means (incremental MV folds group
+                # by nullable columns and hit this every refresh).
+                mk = F.struct(*[F.col(k) for k in keys]).alias("_mk")
+                matched_keys = (base.select(mk)
+                                .join(F.broadcast(source.select(mk).distinct()),
+                                      "_mk", "left_semi").distinct())
+                s_f = (source.select(
+                           mk,
+                           F.struct(*[F.col(c) for c in source.columns])
+                           .alias("s"))
+                       .join(F.broadcast(matched_keys), "_mk", "left_anti")
+                       .select("s"))
+                e = None
+                for idx, cl in enumerate(when_not_matched):
+                    c = clause_cond(cl)
+                    e = F.when(c, idx) if e is None else e.when(c, idx)
+                s_f = (s_f.withColumn("_act", e.otherwise(F.lit(-1)))
+                       .filter(F.col("_act") != -1))
+                frames = []
+                for idx, cl in enumerate(when_not_matched):
+                    vals = cl.get("values", "*")
+                    if vals != "*":
+                        bad = [c for c in vals if c not in tcols]
+                        if bad:
+                            raise ValueError(
+                                f"MERGE INSERT references unknown column(s) "
+                                f"{bad}")
+                    sel = []
+                    for f in schema.fields:
+                        if vals == "*":
+                            if f.name not in source.columns:
+                                continue
+                            v = F.col("s").getField(f.name)
+                        else:
+                            if f.name not in vals:
+                                continue
+                            v = F.expr(vals[f.name])
+                        sel.append(v.cast(f.dataType).alias(f.name))
+                    if not sel:
+                        raise ValueError(
+                            f"MERGE INSERT clause {idx} binds no table column")
+                    fr = s_f.filter(F.col("_act") == idx).select(*sel)
+                    fr = self._fill_defaults(fr)
+                    fr = self._apply_generated(fr)
+                    frames.append(fr)
+                inserts = frames[0]
+                for fr in frames[1:]:
+                    inserts = inserts.unionByName(fr, allowMissingColumns=True)
+                # BY DEFAULT identity: NULL/absent slots engine-assigned past
+                # the high-water mark (ALWAYS tables were refused above)
+                inserts, ident_actions, ident_cleanup = \
+                    self._assign_identity(inserts)
+                self._validate_constraints(inserts)
+                # Bounded by the source (anti-join of it), evaluated up to
+                # two more times below (segment write, CDF) — and each bare
+                # evaluation would re-run the matched-keys semi-join over the
+                # full snapshot just to rebuild its broadcast.  Persist for
+                # the statement's duration (after validation, so a refused
+                # batch never pins cache).
+                inserts = inserts.persist()
+            else:
+                ident_actions, ident_cleanup = [], None
+
             if not touched and inserts is None:
                 return self.latest_version()
 
@@ -4589,7 +4728,8 @@ class TxLogTable:
             if src_cached:
                 source.unpersist()
 
-    def delete_where(self, condition, use_dv: bool = False) -> int:
+    def delete_where(self, condition, use_dv: bool = False,
+                     prune: list[tuple] | None = None) -> int:
         """DELETE rows matching ``condition`` — two physical strategies,
         one logical result:
 
@@ -4605,15 +4745,23 @@ class TxLogTable:
           DV.  This is Delta's deletion-vector design.
 
         SQL DELETE semantics either way: only rows where the predicate is
-        TRUE go; NULL-evaluating rows survive."""
+        TRUE go; NULL-evaluating rows survive.
+
+        ``prune``: optional ``(col, op, value)`` conjuncts IMPLIED BY
+        ``condition`` (the SQL surface supplies them via
+        ``sql_predicate_triples``); the match probe then scans only
+        files whose footer stats could satisfy them (guide §6) — sound
+        because a file with no row matching a conjunct subset has no
+        row matching the full condition, and the row filter still runs."""
         self._check_append_only("DELETE")
         base_version = self.latest_version()
         if use_dv:
-            return self._delete_where_dv(condition, base_version)
+            return self._delete_where_dv(condition, base_version, prune)
         files, _ = self._snapshot_files()
         if not files:
             raise FileNotFoundError("empty table")
-        base = self._read_active(with_file=True)
+        cand = self.prune_files(list(prune))[0] if prune else None
+        base = self._read_active(with_file=True, only=cand)
         touched = sorted(
             r["_file"]
             for r in base.filter(condition).select("_file").distinct().collect()
@@ -4737,7 +4885,8 @@ class TxLogTable:
                 "for both ALWAYS and BY DEFAULT identity)")
 
     def update_where(self, assignments: dict, condition,
-                     use_dv: bool = False) -> int:
+                     use_dv: bool = False,
+                     prune: list[tuple] | None = None) -> int:
         """UPDATE rows where ``condition`` is TRUE with ``assignments``
         ({column: SQL expression or Column}) — two physical strategies,
         one logical result (mirror of ``delete_where``):
@@ -4755,17 +4904,21 @@ class TxLogTable:
 
         All assignment expressions see PRE-update values (single
         simultaneous projection — standard SQL UPDATE semantics).
-        NULL-evaluating rows are untouched."""
+        NULL-evaluating rows are untouched.
+
+        ``prune``: conjunct triples implied by ``condition`` — the match
+        probe skips files by footer stats (see ``delete_where``)."""
         self._check_append_only("UPDATE")
         base_version = self.latest_version()
         if use_dv:
             return self._update_where_dv(assignments, condition,
-                                         base_version)
+                                         base_version, prune)
         files, _ = self._snapshot_files()
         if not files:
             raise FileNotFoundError("empty table")
         cond = F.coalesce(condition, F.lit(False))
-        base = self._read_active(with_file=True)
+        cand = self.prune_files(list(prune))[0] if prune else None
+        base = self._read_active(with_file=True, only=cand)
         touched = sorted(
             r["_file"]
             for r in base.filter(cond).select("_file").distinct().collect())
@@ -4905,9 +5058,11 @@ class TxLogTable:
                             f"{g['op'].upper()} also modifies; "
                             "re-run against the current snapshot")
 
-    def _delete_where_dv(self, condition, base_version: int) -> int:
+    def _delete_where_dv(self, condition, base_version: int,
+                         prune: list[tuple] | None = None) -> int:
         """Deletion-vector DELETE body (see ``delete_where``)."""
-        live = self._read_active(with_pos=True)
+        cand = self.prune_files(list(prune))[0] if prune else None
+        live = self._read_active(with_pos=True, only=cand)
         matches = live.filter(F.coalesce(condition, F.lit(False)))
         dv_df = (matches
                  .select(F.col("__relfile").alias("path"),
@@ -4947,19 +5102,22 @@ class TxLogTable:
         return v
 
     def _update_where_dv(self, assignments: dict, condition,
-                         base_version: int) -> int:
+                         base_version: int,
+                         prune: list[tuple] | None = None) -> int:
         """Merge-on-read UPDATE body (see ``update_where``): tombstone
         the matched positions, append the post-update images — both in
         ONE commit, no segment rewritten.  Under row tracking the
         post-images carry the tombstoned row's id (materialized __rid),
         so an updated row keeps its identity across the tombstone+append."""
+        cand = self.prune_files(list(prune))[0] if prune else None
         if self._row_tracking_enabled():
-            live = self._read_active(with_pos=True, with_rid=True)
+            live = self._read_active(with_pos=True, with_rid=True,
+                                     only=cand)
             live = (self._attach_row_ids(live)
                     .drop("__rid", "__base")
                     .withColumnRenamed("_row_id", "__rid"))
         else:
-            live = self._read_active(with_pos=True)
+            live = self._read_active(with_pos=True, only=cand)
         cond = F.coalesce(condition, F.lit(False))
         matches = live.filter(cond)
         dv_df = (matches
@@ -6042,9 +6200,23 @@ class TxLogTable:
         if te:
             # frontier guard (settled history stays immutable), then the
             # open-row-scoped splice machinery does the run-collapsed
-            # fold — see TRACK HISTORY EXCEPT in _scd2_splice
+            # fold — see TRACK HISTORY EXCEPT in _scd2_splice.  The
+            # guard joins on plain key equality (NULL keys never match),
+            # so it scans only files whose footer stats could hold a
+            # batch key (guide §6) instead of the full base — previously
+            # the one remaining full-table pre-check on this path; the
+            # same ranges ride into the splice so it skips its own
+            # key-stats aggregate.
             firsts = changes.groupBy(*keys).agg(F.min(seq).alias("__first"))
-            late = (self._read_active()
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"),
+                         F.max(k).alias(f"mx_{k}")]
+            stats = changes.agg(*aggs).collect()[0]
+            ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                       "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+            late = (self._read_active(
+                        only=self._key_probe_candidates(ranges))
                     .select(*keys, self._scd2_frontier(
                         start_col, end_col).alias("__fr"))
                     .join(F.broadcast(firsts), keys)
@@ -6062,7 +6234,7 @@ class TxLogTable:
                 payload_cols, target_cols, base_version,
                 txn_app_id, txn_version, track_except=te,
                 scope_open_only=True, op_name="APPLY CHANGES SCD2",
-                extra_commit=exp_commit)
+                extra_commit=exp_commit, key_ranges=ranges)
         w = Window.partitionBy(*keys).orderBy(seq)
         # one shuffle by key orders each chain; everything after is
         # row-local: each non-delete event's end = the NEXT event's seq.
@@ -6235,7 +6407,8 @@ class TxLogTable:
                      op_name: str = "APPLY CHANGES SCD2 BACKFILL",
                      extra_commit: dict | None = None,
                      resolve_null_updates: bool = False,
-                     sequence_col: str | None = None) -> int:
+                     sequence_col: str | None = None,
+                     key_ranges: list[dict] | None = None) -> int:
         """Sequenced SCD2 backfill (``allow_backfill=True``): splice a
         (possibly below-frontier) batch into each affected key's chain
         by re-folding the key's FULL event timeline.  The timeline is
@@ -6267,12 +6440,16 @@ class TxLogTable:
         have = {f.name: f.dataType
                 for f in T.StructType.fromJson(json.loads(schema_json))}
         kset = changes.select(*keys).distinct()
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-        stats = kset.agg(*aggs).collect()[0]
-        ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
-                   "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        if key_ranges is None:
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"),
+                         F.max(k).alias(f"mx_{k}")]
+            stats = kset.agg(*aggs).collect()[0]
+            ranges = [{"column": k, "min": _json_key(stats[f"mn_{k}"]),
+                       "max": _json_key(stats[f"mx_{k}"])} for k in keys]
+        else:
+            ranges = key_ranges  # caller already aggregated the batch
         key_range = ranges[0] if len(ranges) == 1 else ranges
         # the affected-chain probe joins on plain key equality (NULL
         # keys never match), so it scans only the files whose stats
@@ -6361,226 +6538,230 @@ class TxLogTable:
         # again below if resolution/collapse rebuilt it
         events = events.persist()
         _pins = [events]
-        dup = (events.groupBy(*keys, "__seq").count()
-               .filter(F.col("count") > 1).limit(1).count())
-        if dup:
-            raise ValueError(
-                "SCD2 backfill: a batch sequence collides with an "
-                "existing event at the same (key, sequence) — splicing "
-                "is ambiguous; re-sequence the backfill batch")
-        if resolve_null_updates:
-            # IGNORE NULL UPDATES × sequenced backfill (r12, the r11
-            # verdict's top ask): the NULL-inheritance chain rides the
-            # re-fold — resolved over the MERGED timeline (reconstructed
-            # history events + the late batch) in sequence order, reset
-            # by delete events (tombstones reconstruct as deletes, so a
-            # post-delete NULL slot inherits nothing), seeded implicitly
-            # by each key's earliest event.  Reconstructed events carry
-            # their RECORDED payloads — the raw NULL-ness of an
-            # already-folded event is not recorded — so the result
-            # equals the in-order fold over the RECORDED timeline plus
-            # the batch (the same operational semantics TRACK HISTORY
-            # EXCEPT × backfill documents); when the pre-splice events
-            # carried explicit payloads it equals the true in-order fold
-            # of ALL raw events (hypothesis-pinned).  A recorded NULL
-            # (no inheritable value existed at fold time) CAN now
-            # inherit from a spliced earlier event — exactly what the
-            # in-order fold would have produced.  Identity columns are
-            # engine-managed and never inherit (see
-            # _scd2_resolve_null_updates).
-            ident_cols = set(self._identity_columns())
-            inh = [c for c in payload_cols
-                   if c not in keys and c not in ident_cols]
-            wr = Window.partitionBy(*keys).orderBy("__seq")
-            epoch = F.sum(F.col("__del").cast("long")).over(
-                wr.rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow))
-            ev_r = events.withColumn("__epoch", epoch)
-            we = (Window.partitionBy(*keys, "__epoch").orderBy("__seq")
-                  .rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow))
-            events = ev_r.select(*[
-                F.last(F.col(c), ignorenulls=True).over(we).alias(c)
-                if c in inh else F.col(c)
-                for c in ev_r.columns if c != "__epoch"])
-            if self.expectations():
-                # gate the RESOLVED batch events only — reconstructed
-                # history is committed data and delete events carry
-                # masked payloads; restore the batch's own column names
-                # so predicates referencing the sequence / change-type
-                # columns analyze exactly as in the in-order path
-                restore = []
-                gate = events
-                if sequence_col and sequence_col not in gate.columns:
-                    gate = gate.withColumn(sequence_col, F.col("__seq"))
-                    restore.append(sequence_col)
-                if change_type_col not in gate.columns:
-                    gate = gate.withColumn(
-                        change_type_col,
-                        F.when(F.col("__del"), F.lit("delete"))
-                        .otherwise(F.lit("upsert")))
-                    restore.append(change_type_col)
-                gated, exp_commit = self._apply_expectations(
-                    gate,
-                    exempt=~F.coalesce(F.col("__fb"), F.lit(False))
-                    | F.col("__del"))
-                extra_commit = {**(extra_commit or {}), **exp_commit}
-                events = gated.drop(*restore) if restore else gated
-        w = Window.partitionBy(*keys).orderBy("__seq")
-        if track_except:
-            # TRACK HISTORY EXCEPT: consecutive events whose TRACKED
-            # columns are identical collapse into ONE run — the run's
-            # row keeps the FIRST event's start (and row id: an absorbed
-            # open row stays the same logical row version) while the
-            # EXCLUDED columns take the LAST event's values, so churn
-            # confined to excluded columns never opens a new history
-            # row.  Deletes always break runs (each is its own run), so
-            # closure/tombstone logic below is untouched.
-            nonkey = [c for c in payload_cols if c not in keys]
-            # identity columns are ENGINE-MANAGED, never user data:
-            # batch events carry NULL slots while an absorbed open row
-            # carries its assigned value, so including them in the
-            # tracked struct would make every run boundary fire
-            # (tstruct never equals its lag) and TRACK HISTORY EXCEPT
-            # would silently never collapse — mirroring how MERGE
-            # treats identity, they are excluded from run detection
-            # and a collapsed run keeps its FIRST event's identity
-            # (the absorbed open row's value; all-NULL runs are
-            # engine-assigned downstream), same as the row id.
-            ident = [c for c in nonkey if c in self._identity_columns()]
-            tracked = [c for c in nonkey
-                       if c not in track_except and c not in ident]
-            tstruct = F.struct(*[F.col(c) for c in tracked])
-            wrows = w.rowsBetween(Window.unboundedPreceding,
-                                  Window.currentRow)
-            new_run = F.when(
-                F.lag("__seq").over(w).isNull(), F.lit(True)
-            ).otherwise(F.col("__del") | F.lag("__del").over(w)
-                        | ~tstruct.eqNullSafe(F.lag(tstruct).over(w)))
-            marked = events.withColumn(
-                "__run", F.sum(new_run.cast("long")).over(wrows))
-            first_aggs = [F.min_by(F.col(c), F.col("__seq")).alias(c)
-                          for c in (*ident, *rid)]
-            vcols = [c for c in nonkey if c not in ident]
-            events = (marked.groupBy(*keys, "__run")
-                      .agg(F.min("__seq").alias("__seq"),
-                           F.max("__del").alias("__del"),
-                           F.max_by(F.struct(*[F.col(c) for c in vcols]),
-                                    F.col("__seq")).alias("__v"),
-                           *first_aggs)
-                      .select(*[F.col(k) for k in keys],
-                              *[F.col(f"__v.{c}").alias(c)
-                                if c in vcols else F.col(c)
-                                for c in nonkey],
-                              "__seq", "__del", *rid))
-        if events is not _pins[0]:
-            events = events.persist()
-            _pins.append(events)
-        ev = (events
-              .withColumn("__nxt", F.lead("__seq").over(w))
-              .withColumn("__pdel", F.lag("__del").over(w)))
-        rid_cols = [F.col(c) for c in rid] if existing is not None else []
-        refold_cols = (payload_cols
-                       + [F.col("__seq").alias(start_col),
-                          F.col("__nxt").alias(end_col)]
-                       + rid_cols)
-        # deletes that close nothing in the re-folded timeline (first
-        # event for the key, or preceded by another delete) re-emit as
-        # zero-width tombstone rows — the splice output stays losslessly
-        # re-foldable by the NEXT backfill (delete events already carry
-        # NULL payload, so the same projection works).
-        tomb_cols = (payload_cols
-                     + [F.col("__seq").alias(start_col),
-                        F.col("__seq").alias(end_col)]
-                     + rid_cols)
-        refolded = (ev.filter(~F.col("__del")).select(*refold_cols)
-                    .unionByName(
-                        ev.filter(F.col("__del")
-                                  & (F.col("__pdel").isNull()
-                                     | F.col("__pdel")))
-                        .select(*tomb_cols)))
-        # BY DEFAULT identity: NULL slots (spliced batch rows) are
-        # engine-assigned BEFORE the carry union so the CDF images below
-        # see the stamped values; carried/re-folded rows keep theirs
-        refolded, ident_actions, ident_cleanup = \
-            self._assign_identity(refolded)
-        merged = (carry.unionByName(refolded, allowMissingColumns=True)
-                  if carry is not None else refolded)
-        merged = self._apply_generated(merged)
-        self._validate_constraints(merged)
-        rel_new = self._write_segments(merged)
-        if ident_cleanup:
-            ident_cleanup()
-        cdf_actions: list[dict] = []
-        if self.enable_cdf:
-            new_plain = refolded.select(*target_cols)
-            if existing is not None:
-                old_plain = existing.select(*target_cols)
-                o = old_plain.select(
-                    *[F.col(c).alias(f"o_{c}") for c in target_cols])
-                n = new_plain.select(
-                    *[F.col(c).alias(f"n_{c}") for c in target_cols])
-                jc = F.col(f"o_{start_col}").eqNullSafe(
-                    F.col(f"n_{start_col}"))
-                for k in keys:
-                    jc = jc & F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
-                j = o.join(n, jc, "full_outer")
-                same = F.lit(True)
-                for c in target_cols:
-                    same = same & F.col(f"o_{c}").eqNullSafe(
-                        F.col(f"n_{c}"))
-                changed = j.filter(
-                    F.col(f"o_{start_col}").isNotNull()
-                    & F.col(f"n_{start_col}").isNotNull()
-                    & ~same)
-                pre = changed.select(
-                    *[F.col(f"o_{c}").alias(c) for c in target_cols]
-                ).withColumn("_change_type", F.lit("update_preimage"))
-                post = changed.select(
-                    *[F.col(f"n_{c}").alias(c) for c in target_cols]
-                ).withColumn("_change_type", F.lit("update_postimage"))
-                # re-emitted tombstones stay out of the feed (delete
-                # traces, not row versions — same as the main fold)
-                ins = (j.filter(F.col(f"o_{start_col}").isNull())
-                       .select(*[F.col(f"n_{c}").alias(c)
-                                 for c in target_cols])
-                       .filter(F.col(end_col).isNull()
-                               | (F.col(start_col) != F.col(end_col)))
-                       .withColumn("_change_type", F.lit("insert")))
-                ch = pre.unionByName(post).unionByName(ins)
-            else:
-                ch = (new_plain.filter(
-                          F.col(end_col).isNull()
-                          | (F.col(start_col) != F.col(end_col)))
-                      .withColumn("_change_type", F.lit("insert")))
-            cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
-        for p in _pins:
-            p.unpersist()
-        rel_removed = [
-            os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
-            for p in touched
-        ]
-        txn_actions = ([] if txn_app_id is None else
-                       [{"txn": {"appId": txn_app_id,
-                                 "version": int(txn_version)}}])
-        actions = (
-            [{"commit": {"op": op_name,
-                         "ts": self._next_ts(),
-                         "filesRewritten": len(rel_removed),
-                         "filesAdded": len(rel_new),
-                         **(extra_commit or {}),
-                         **self._key_range_commit(key_range)}}]
-            + self._scd2_mark_actions(start_col, end_col, schema_json)
-            + txn_actions
-            + ident_actions
-            + [{"remove": {"path": p}} for p in rel_removed]
-            + self._add_actions(rel_new)
-            + cdf_actions
-        )
-        return self._commit_with_occ(
-            actions, rel_removed, base_version, key_range=key_range,
-            txn=None if txn_app_id is None
-            else (txn_app_id, int(txn_version)))
+        try:
+            dup = (events.groupBy(*keys, "__seq").count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "SCD2 backfill: a batch sequence collides with an "
+                    "existing event at the same (key, sequence) — splicing "
+                    "is ambiguous; re-sequence the backfill batch")
+            if resolve_null_updates:
+                # IGNORE NULL UPDATES × sequenced backfill (r12, the r11
+                # verdict's top ask): the NULL-inheritance chain rides the
+                # re-fold — resolved over the MERGED timeline (reconstructed
+                # history events + the late batch) in sequence order, reset
+                # by delete events (tombstones reconstruct as deletes, so a
+                # post-delete NULL slot inherits nothing), seeded implicitly
+                # by each key's earliest event.  Reconstructed events carry
+                # their RECORDED payloads — the raw NULL-ness of an
+                # already-folded event is not recorded — so the result
+                # equals the in-order fold over the RECORDED timeline plus
+                # the batch (the same operational semantics TRACK HISTORY
+                # EXCEPT × backfill documents); when the pre-splice events
+                # carried explicit payloads it equals the true in-order fold
+                # of ALL raw events (hypothesis-pinned).  A recorded NULL
+                # (no inheritable value existed at fold time) CAN now
+                # inherit from a spliced earlier event — exactly what the
+                # in-order fold would have produced.  Identity columns are
+                # engine-managed and never inherit (see
+                # _scd2_resolve_null_updates).
+                ident_cols = set(self._identity_columns())
+                inh = [c for c in payload_cols
+                       if c not in keys and c not in ident_cols]
+                wr = Window.partitionBy(*keys).orderBy("__seq")
+                epoch = F.sum(F.col("__del").cast("long")).over(
+                    wr.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))
+                ev_r = events.withColumn("__epoch", epoch)
+                we = (Window.partitionBy(*keys, "__epoch").orderBy("__seq")
+                      .rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))
+                events = ev_r.select(*[
+                    F.last(F.col(c), ignorenulls=True).over(we).alias(c)
+                    if c in inh else F.col(c)
+                    for c in ev_r.columns if c != "__epoch"])
+                if self.expectations():
+                    # gate the RESOLVED batch events only — reconstructed
+                    # history is committed data and delete events carry
+                    # masked payloads; restore the batch's own column names
+                    # so predicates referencing the sequence / change-type
+                    # columns analyze exactly as in the in-order path
+                    restore = []
+                    gate = events
+                    if sequence_col and sequence_col not in gate.columns:
+                        gate = gate.withColumn(sequence_col, F.col("__seq"))
+                        restore.append(sequence_col)
+                    if change_type_col not in gate.columns:
+                        gate = gate.withColumn(
+                            change_type_col,
+                            F.when(F.col("__del"), F.lit("delete"))
+                            .otherwise(F.lit("upsert")))
+                        restore.append(change_type_col)
+                    gated, exp_commit = self._apply_expectations(
+                        gate,
+                        exempt=~F.coalesce(F.col("__fb"), F.lit(False))
+                        | F.col("__del"))
+                    extra_commit = {**(extra_commit or {}), **exp_commit}
+                    events = gated.drop(*restore) if restore else gated
+            w = Window.partitionBy(*keys).orderBy("__seq")
+            if track_except:
+                # TRACK HISTORY EXCEPT: consecutive events whose TRACKED
+                # columns are identical collapse into ONE run — the run's
+                # row keeps the FIRST event's start (and row id: an absorbed
+                # open row stays the same logical row version) while the
+                # EXCLUDED columns take the LAST event's values, so churn
+                # confined to excluded columns never opens a new history
+                # row.  Deletes always break runs (each is its own run), so
+                # closure/tombstone logic below is untouched.
+                nonkey = [c for c in payload_cols if c not in keys]
+                # identity columns are ENGINE-MANAGED, never user data:
+                # batch events carry NULL slots while an absorbed open row
+                # carries its assigned value, so including them in the
+                # tracked struct would make every run boundary fire
+                # (tstruct never equals its lag) and TRACK HISTORY EXCEPT
+                # would silently never collapse — mirroring how MERGE
+                # treats identity, they are excluded from run detection
+                # and a collapsed run keeps its FIRST event's identity
+                # (the absorbed open row's value; all-NULL runs are
+                # engine-assigned downstream), same as the row id.
+                ident = [c for c in nonkey if c in self._identity_columns()]
+                tracked = [c for c in nonkey
+                           if c not in track_except and c not in ident]
+                tstruct = F.struct(*[F.col(c) for c in tracked])
+                wrows = w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)
+                new_run = F.when(
+                    F.lag("__seq").over(w).isNull(), F.lit(True)
+                ).otherwise(F.col("__del") | F.lag("__del").over(w)
+                            | ~tstruct.eqNullSafe(F.lag(tstruct).over(w)))
+                marked = events.withColumn(
+                    "__run", F.sum(new_run.cast("long")).over(wrows))
+                first_aggs = [F.min_by(F.col(c), F.col("__seq")).alias(c)
+                              for c in (*ident, *rid)]
+                vcols = [c for c in nonkey if c not in ident]
+                events = (marked.groupBy(*keys, "__run")
+                          .agg(F.min("__seq").alias("__seq"),
+                               F.max("__del").alias("__del"),
+                               F.max_by(F.struct(*[F.col(c) for c in vcols]),
+                                        F.col("__seq")).alias("__v"),
+                               *first_aggs)
+                          .select(*[F.col(k) for k in keys],
+                                  *[F.col(f"__v.{c}").alias(c)
+                                    if c in vcols else F.col(c)
+                                    for c in nonkey],
+                                  "__seq", "__del", *rid))
+            if events is not _pins[0]:
+                events = events.persist()
+                _pins.append(events)
+            ev = (events
+                  .withColumn("__nxt", F.lead("__seq").over(w))
+                  .withColumn("__pdel", F.lag("__del").over(w)))
+            rid_cols = [F.col(c) for c in rid] if existing is not None else []
+            refold_cols = (payload_cols
+                           + [F.col("__seq").alias(start_col),
+                              F.col("__nxt").alias(end_col)]
+                           + rid_cols)
+            # deletes that close nothing in the re-folded timeline (first
+            # event for the key, or preceded by another delete) re-emit as
+            # zero-width tombstone rows — the splice output stays losslessly
+            # re-foldable by the NEXT backfill (delete events already carry
+            # NULL payload, so the same projection works).
+            tomb_cols = (payload_cols
+                         + [F.col("__seq").alias(start_col),
+                            F.col("__seq").alias(end_col)]
+                         + rid_cols)
+            refolded = (ev.filter(~F.col("__del")).select(*refold_cols)
+                        .unionByName(
+                            ev.filter(F.col("__del")
+                                      & (F.col("__pdel").isNull()
+                                         | F.col("__pdel")))
+                            .select(*tomb_cols)))
+            # BY DEFAULT identity: NULL slots (spliced batch rows) are
+            # engine-assigned BEFORE the carry union so the CDF images below
+            # see the stamped values; carried/re-folded rows keep theirs
+            refolded, ident_actions, ident_cleanup = \
+                self._assign_identity(refolded)
+            merged = (carry.unionByName(refolded, allowMissingColumns=True)
+                      if carry is not None else refolded)
+            merged = self._apply_generated(merged)
+            self._validate_constraints(merged)
+            rel_new = self._write_segments(merged)
+            if ident_cleanup:
+                ident_cleanup()
+            cdf_actions: list[dict] = []
+            if self.enable_cdf:
+                new_plain = refolded.select(*target_cols)
+                if existing is not None:
+                    old_plain = existing.select(*target_cols)
+                    o = old_plain.select(
+                        *[F.col(c).alias(f"o_{c}") for c in target_cols])
+                    n = new_plain.select(
+                        *[F.col(c).alias(f"n_{c}") for c in target_cols])
+                    jc = F.col(f"o_{start_col}").eqNullSafe(
+                        F.col(f"n_{start_col}"))
+                    for k in keys:
+                        jc = jc & F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
+                    j = o.join(n, jc, "full_outer")
+                    same = F.lit(True)
+                    for c in target_cols:
+                        same = same & F.col(f"o_{c}").eqNullSafe(
+                            F.col(f"n_{c}"))
+                    changed = j.filter(
+                        F.col(f"o_{start_col}").isNotNull()
+                        & F.col(f"n_{start_col}").isNotNull()
+                        & ~same)
+                    pre = changed.select(
+                        *[F.col(f"o_{c}").alias(c) for c in target_cols]
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                    post = changed.select(
+                        *[F.col(f"n_{c}").alias(c) for c in target_cols]
+                    ).withColumn("_change_type", F.lit("update_postimage"))
+                    # re-emitted tombstones stay out of the feed (delete
+                    # traces, not row versions — same as the main fold)
+                    ins = (j.filter(F.col(f"o_{start_col}").isNull())
+                           .select(*[F.col(f"n_{c}").alias(c)
+                                     for c in target_cols])
+                           .filter(F.col(end_col).isNull()
+                                   | (F.col(start_col) != F.col(end_col)))
+                           .withColumn("_change_type", F.lit("insert")))
+                    ch = pre.unionByName(post).unionByName(ins)
+                else:
+                    ch = (new_plain.filter(
+                              F.col(end_col).isNull()
+                              | (F.col(start_col) != F.col(end_col)))
+                          .withColumn("_change_type", F.lit("insert")))
+                cdf_actions = [{"cdf": {"path": self._write_change_data(ch)}}]
+            rel_removed = [
+                os.path.relpath(os.path.normpath(p), os.path.normpath(self.path))
+                for p in touched
+            ]
+            txn_actions = ([] if txn_app_id is None else
+                           [{"txn": {"appId": txn_app_id,
+                                     "version": int(txn_version)}}])
+            actions = (
+                [{"commit": {"op": op_name,
+                             "ts": self._next_ts(),
+                             "filesRewritten": len(rel_removed),
+                             "filesAdded": len(rel_new),
+                             **(extra_commit or {}),
+                             **self._key_range_commit(key_range)}}]
+                + self._scd2_mark_actions(start_col, end_col, schema_json)
+                + txn_actions
+                + ident_actions
+                + [{"remove": {"path": p}} for p in rel_removed]
+                + self._add_actions(rel_new)
+                + cdf_actions
+            )
+            return self._commit_with_occ(
+                actions, rel_removed, base_version, key_range=key_range,
+                txn=None if txn_app_id is None
+                else (txn_app_id, int(txn_version)))
+        finally:
+            # unpersist on EVERY exit — the dup-check raise and any
+            # refused validation must not leave the timeline pinned
+            for p in _pins:
+                p.unpersist()
 
     def apply_changes_from_snapshot(self, snapshot: DataFrame, key,
                                     snapshot_version,
@@ -7205,6 +7386,56 @@ class TxLogTable:
                 f"{earliest}; start the CDF read there or later")
         end_map = self._column_mapping(end)
         add_renames = {p: c for c, p in end_map.items() if p != c}
+        # The log is the schema authority: every frame below reads with
+        # an EXPLICIT requested schema tracked through the range (seeded
+        # at start, advanced by each commit's metaData — exactly like
+        # ``at_v_map``) instead of mergeSchema, which launches a
+        # footer-merging Spark job over the frame's files at plan time —
+        # O(active-ish files) I/O per commit in the fold range, the same
+        # class of scale-killer the r14 snapshot-read rewrite removed
+        # (guide §6).  Sidecars store logical-as-of-v names +
+        # ``_change_type``; add segments store physical names (an
+        # evolution commit writes its NEW column under the LOGICAL name,
+        # so those request BOTH and coalesce, mirroring
+        # ``_read_active``).  Partitioned tables keep the mergeSchema
+        # read: their add paths rely on partition-directory inference,
+        # which an explicit flat schema would bypass.
+        _explicit = not self._partition_columns()
+        schema_at_v = self._snapshot(start_version)[1]
+
+        def _schema_fields_at_v() -> list:
+            return T.StructType.fromJson(json.loads(schema_at_v)).fields
+
+        def read_cdf_files(paths: list[str]) -> DataFrame:
+            if not (_explicit and schema_at_v):
+                return (self.spark.read.option("mergeSchema", "true")
+                        .parquet(*paths))
+            fields = [T.StructField(f.name, f.dataType, True)
+                      for f in _schema_fields_at_v()]
+            fields.append(T.StructField("_change_type", T.StringType(),
+                                        True))
+            return (self.spark.read.schema(T.StructType(fields))
+                    .parquet(*paths))
+
+        def read_add_files(paths: list[str]) -> DataFrame:
+            if not (_explicit and schema_at_v):
+                return (self.spark.read.option("mergeSchema", "true")
+                        .parquet(*paths))
+            req: list[T.StructField] = []
+            alias_pairs: list[tuple[str, str]] = []
+            for f in _schema_fields_at_v():
+                phys = at_v_map.get(f.name, f.name)
+                req.append(T.StructField(phys, f.dataType, True))
+                if phys != f.name:
+                    req.append(T.StructField(f.name, f.dataType, True))
+                    alias_pairs.append((f.name, phys))
+            df = (self.spark.read.schema(T.StructType(req))
+                  .parquet(*paths))
+            for logical, phys in alias_pairs:
+                df = (df.withColumn(
+                          phys, F.coalesce(F.col(phys), F.col(logical)))
+                      .drop(logical))
+            return df
 
         def adds_to_logical(df: DataFrame) -> DataFrame:
             """Physical (segment) names -> logical-at-end names."""
@@ -7246,16 +7477,14 @@ class TxLogTable:
             for g in groups:
                 if g["cdf"]:
                     frames.append(cdf_to_logical(
-                        self.spark.read.option("mergeSchema", "true")
-                        .parquet(*[os.path.join(self.path, p)
-                                   for p in g["cdf"]]), at_v_map))
+                        read_cdf_files([os.path.join(self.path, p)
+                                        for p in g["cdf"]]), at_v_map))
                 elif g["op"] in ("CREATE", "APPEND", "CONVERT",
                                  "COPY INTO"):
                     if g["adds"]:
                         frames.append(adds_to_logical(
-                            self.spark.read.option("mergeSchema", "true")
-                            .parquet(*[os.path.join(self.path, p)
-                                       for p in g["adds"]]))
+                            read_add_files([os.path.join(self.path, p)
+                                            for p in g["adds"]]))
                             .withColumn("_change_type", F.lit("insert")))
                 elif g["op"] in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                                  "DROP CONSTRAINT", "RENAME COLUMN",
@@ -7283,6 +7512,8 @@ class TxLogTable:
                 md = a.get("metaData")
                 if md and "columnMapping" in md:
                     at_v_map = md["columnMapping"]
+                if md and md.get("schemaJson"):
+                    schema_at_v = md["schemaJson"]
             op = next((a["commit"]["op"] for a in actions if "commit" in a),
                       None)
             if op == "TXN":
@@ -7293,16 +7524,16 @@ class TxLogTable:
             cdf = [a["cdf"]["path"] for a in actions if "cdf" in a]
             if cdf:
                 df = cdf_to_logical(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[os.path.join(self.path, p) for p in cdf]),
+                    read_cdf_files([os.path.join(self.path, p)
+                                    for p in cdf]),
                     at_v_map)
             elif op in ("CREATE", "APPEND", "CONVERT", "COPY INTO"):
                 adds = [a["add"]["path"] for a in actions if "add" in a]
                 if not adds:
                     continue
                 df = (adds_to_logical(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[os.path.join(self.path, p) for p in adds]))
+                    read_add_files([os.path.join(self.path, p)
+                                    for p in adds]))
                     .withColumn("_change_type", F.lit("insert")))
             elif op in ("OPTIMIZE", "REORG", "ADD CONSTRAINT",
                         "DROP CONSTRAINT", "RENAME COLUMN", "ADD COLUMN",
